@@ -1,13 +1,265 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` per entry.
+  *
+  * Correctness convention: any aggregate over a double column is computed in
+  * exact DECIMAL arithmetic and cast to double at the end, in BOTH the Spark
+  * plan and the oracle SQL. Exact decimal addition is order-independent, so
+  * Spark's parallel partial aggregation and DuckDB's sequential sum produce
+  * bit-identical results; raw double sums would not.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val D = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 aggregation: groupBy + sum/avg/count (TPC-H Q1 shape)
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(D)).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // §2.4 multi-table join + §2.7 top-k with deterministic tie-break
+    "q2_revenue_topn" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(10)
+    }),
+
+    // §2.4 semi join (EXISTS)
+    "q3_priority_with_big_lines" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // §2.6 window: rank per group with deterministic ordering
+    "q4_top_customers_per_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      c.withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+    }),
+
+    // §2.5 COUNT(DISTINCT)
+    "q5_distinct_counts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // §2.3 predicate pushdown + §2.5 scalar agg (TPC-H Q6 shape)
+    "q6_filtered_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D))
+          .cast("double").as("revenue"))
+    }),
+
+    // §2.12 dedup: duplicate-group detection (GROUP BY HAVING)
+    "q7_dup_groups" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+    }),
+
+    // §2.7 set ops: EXCEPT ALL (snapshot-diff semantics, incremental.py:225)
+    "q8_snapshot_diff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val older = li.where(col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+      val newer = li.where(col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+      newer.exceptAll(older)
+    }),
+
+    // §2.12 profile percentiles (PERCENTILE_CONT) — integral-valued doubles,
+    // so linear interpolation is exact in both engines
+    "q9_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+    }),
+
+    // §2.12 top-k value counts (profile_table top-10 values)
+    "q10_top_segments" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("c_mktsegment"))
+        .limit(10)
+    }),
+
+    // §2.12 profile: nulls/distinct/min/max/mean + exact-formula stddev
+    "q11_profile_acctbal" -> ((s, dir) => {
+      t(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").isNull.cast("long")).as("n_null"),
+        countDistinct(col("c_acctbal")).as("n_distinct"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        (sum(col("c_acctbal").cast(D)).cast("double") / count(col("c_acctbal"))).as("mean_bal"))
+    }),
+
+    // §2.5 time-bucketed aggregation over the events stream table
+    "q12_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 6))).cast("double").as("total_value"))
+    }),
+
+    // §2.4 anti join (upsert unmatched-side / NOT EXISTS)
+    "q13_customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 150000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // §2.7 UNION ALL merge (upsert merge shape, catalog.py:1324)
+    "q14_union_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), lit("high").as("bucket"))
+      val lo = o.where(col("o_totalprice") <= 50000)
+        .select(col("o_orderkey"), lit("low").as("bucket"))
+      hi.unionByName(lo).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.14 masking-style projection: hash + CASE WHEN (masking.py:134-155)
+    "q15_masked_customers" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name")).as("name_hash"),
+        when(col("c_acctbal") < 0, lit("negative")).otherwise(lit("ok")).as("bal_status"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_topn" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q3_priority_with_big_lines" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q4_top_customers_per_nation" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q5_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q6_filtered_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_dup_groups" ->
+      """SELECT l_partkey, l_suppkey, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) >= 3""".stripMargin,
+    "q8_snapshot_diff" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-09-01'
+        |EXCEPT ALL
+        |SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01'""".stripMargin,
+    "q9_quantiles" ->
+      """SELECT l_returnflag,
+        | PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        | PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        | PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q10_top_segments" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment ORDER BY cnt DESC, c_mktsegment LIMIT 10""".stripMargin,
+    "q11_profile_acctbal" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(*) - COUNT(c_acctbal) AS n_null,
+        | COUNT(DISTINCT c_acctbal) AS n_distinct,
+        | MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS mean_bal
+        |FROM customer""".stripMargin,
+    "q12_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q14_union_merge" ->
+      """SELECT bucket, COUNT(*) AS n FROM (
+        | SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+        | UNION ALL
+        | SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice <= 50000)
+        |GROUP BY bucket""".stripMargin,
+    "q15_masked_customers" ->
+      """SELECT c_custkey, md5(c_name) AS name_hash,
+        | CASE WHEN c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS bal_status
+        |FROM customer""".stripMargin
+  )
 }
