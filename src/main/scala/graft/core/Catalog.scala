@@ -1,0 +1,141 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Namespaced table catalog over a warehouse directory — the Spark-native
+  * equivalent of the reference's SQLite-backed PyIceberg catalog
+  * (reference catalog.py:35-59; warehouse at `~/.lakehouse/warehouse`,
+  * catalog.py:31-32). Namespace registry lives in `catalog.json`; each table
+  * is a self-describing directory (see [[IceTable]]).
+  */
+class Catalog(val spark: SparkSession, val warehouse: Path) {
+  import Catalog._
+
+  private def catalogPath = warehouse.resolve("catalog.json")
+
+  private def state: CatalogState =
+    if (Files.exists(catalogPath)) Jsons.readFile[CatalogState](catalogPath)
+    else CatalogState(Map(DefaultNamespace -> Map.empty))
+
+  private def saveState(s: CatalogState): Unit = Jsons.writeFile(catalogPath, s)
+
+  /** Create warehouse dir + `default` namespace (catalog.py:62-68). */
+  def init(): this.type = {
+    Files.createDirectories(warehouse)
+    if (!Files.exists(catalogPath)) saveState(CatalogState(Map(DefaultNamespace -> Map.empty)))
+    this
+  }
+
+  // ---- namespaces (catalog.py:71-179) ------------------------------------
+
+  def listNamespaces(): List[String] = state.namespaces.keys.toList.sorted
+
+  def createNamespace(ns: String, properties: Map[String, String] = Map.empty): Unit =
+    synchronized {
+      val s = state
+      require(!s.namespaces.contains(ns), s"namespace exists: $ns")
+      saveState(s.copy(namespaces = s.namespaces + (ns -> properties)))
+    }
+
+  def namespaceProperties(ns: String): Map[String, String] =
+    state.namespaces.getOrElse(ns,
+      throw new IllegalArgumentException(s"no such namespace: $ns"))
+
+  /** Refuses to drop a namespace that still has tables (catalog.py:134-141). */
+  def dropNamespace(ns: String): Unit = synchronized {
+    require(ns != DefaultNamespace, "cannot drop the default namespace")
+    val tables = listTables(ns)
+    require(tables.isEmpty, s"namespace $ns is not empty: $tables")
+    val s = state
+    require(s.namespaces.contains(ns), s"no such namespace: $ns")
+    saveState(s.copy(namespaces = s.namespaces - ns))
+  }
+
+  // ---- tables ------------------------------------------------------------
+
+  def tableDir(ns: String, table: String): Path = warehouse.resolve(ns).resolve(table)
+
+  def tableExists(ident: String): Boolean = {
+    val (ns, t) = parseIdent(ident)
+    Files.exists(tableDir(ns, t).resolve("meta.json"))
+  }
+
+  /** DDL: typed columns + partition transform strings (catalog.py:2261-2367). */
+  def createTable(ident: String, schema: StructType,
+      partitions: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): IceTable = synchronized {
+    val (ns, t) = parseIdent(ident)
+    require(state.namespaces.contains(ns), s"no such namespace: $ns")
+    require(!tableExists(ident), s"table exists: $ns.$t")
+    partitions.foreach(PartitionTransform.parse) // validate spec early
+    val withIds = TableMeta.assignFieldIds(schema)
+    val meta = TableMeta(ns, t, List(SchemaVersion(1, withIds.json)), 1,
+      partitions.toList, properties)
+    val dir = tableDir(ns, t)
+    Files.createDirectories(dir)
+    Jsons.writeFile(dir.resolve("meta.json"), meta)
+    new IceTable(spark, dir)
+  }
+
+  def createTable(ident: String, columns: Seq[(String, String)],
+      partitions: Seq[String], properties: Map[String, String]): IceTable =
+    createTable(ident, TableMeta.schemaOf(columns), partitions, properties)
+
+  def loadTable(ident: String): IceTable = {
+    val (ns, t) = parseIdent(ident)
+    require(tableExists(ident), s"no such table: $ns.$t")
+    new IceTable(spark, tableDir(ns, t))
+  }
+
+  /** List tables in one namespace, or all with ns `"*"` (catalog.py:182-201). */
+  def listTables(ns: String = "*"): List[String] = {
+    val nss = if (ns == "*") listNamespaces() else List(ns)
+    nss.flatMap { n =>
+      val d = warehouse.resolve(n)
+      if (!Files.isDirectory(d)) Nil
+      else Files.list(d).iterator().asScala
+        .filter(p => Files.exists(p.resolve("meta.json")))
+        .map(p => s"$n.${p.getFileName}").toList.sorted
+    }
+  }
+
+  def dropTable(ident: String): Unit = synchronized {
+    val (ns, t) = parseIdent(ident)
+    val dir = tableDir(ns, t)
+    require(Files.exists(dir.resolve("meta.json")), s"no such table: $ns.$t")
+    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Register every table as temp views under both its short name and the
+    * `ns__table` federated alias (reference query.py:52-75, joins.py:13-41).
+    * Lazy views over the current snapshot — no materialization. */
+  def registerViews(): Unit =
+    listTables("*").foreach { ident =>
+      val (ns, t) = parseIdent(ident)
+      val df = loadTable(ident).read()
+      df.createOrReplaceTempView(t)
+      df.createOrReplaceTempView(s"${ns}__$t")
+    }
+}
+
+object Catalog {
+  val DefaultNamespace = "default"
+
+  case class CatalogState(namespaces: Map[String, Map[String, String]])
+
+  /** `"t"` → `("default","t")`; `"ns.t"` → `("ns","t")` (dedup.py:6-9). */
+  def parseIdent(ident: String): (String, String) = ident.split('.') match {
+    case Array(t) => (DefaultNamespace, t)
+    case Array(ns, t) => (ns, t)
+    case _ => throw new IllegalArgumentException(s"bad table identifier: $ident")
+  }
+
+  def open(spark: SparkSession, warehouseDir: String): Catalog =
+    new Catalog(spark, Paths.get(warehouseDir)).init()
+}

@@ -1,0 +1,304 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A snapshot-versioned parquet table ("IceLite") — the Spark-native stand-in
+  * for the reference's Iceberg tables (no iceberg-spark-runtime jar in the
+  * build image; see SURVEY §7.0).
+  *
+  * Layout: `<warehouse>/<ns>/<table>/{meta.json, snapshots.json, data/commit-N/...}`.
+  * Semantics mirrored from the reference: every write is a new snapshot
+  * (reference catalog.py:204-237), time travel by snapshot-id or ISO
+  * timestamp with int-parse-first precedence (catalog.py:240-288), expire
+  * never drops the current snapshot (catalog.py:977-979), rollback creates a
+  * NEW snapshot preserving history (catalog.py:834-906).
+  *
+  * Scale posture: data files are only ever referenced by manifest lists; no
+  * operation materializes a table to the driver. Reads hand Catalyst an
+  * explicit file list + fixed schema, so column pruning and parquet filter
+  * pushdown still apply, and partition-dir layout (`_p_*=v`) enables
+  * path-level pruning via [[prunedRead]].
+  */
+class IceTable(val spark: SparkSession, val dir: Path) {
+  import IceTable._
+
+  def metaPath: Path = dir.resolve("meta.json")
+  def snapshotsPath: Path = dir.resolve("snapshots.json")
+  def dataDir: Path = dir.resolve("data")
+
+  def meta: TableMeta = Jsons.readFile[TableMeta](metaPath)
+  def schema: StructType = meta.schema
+
+  def snapshots: List[Snapshot] =
+    if (Files.exists(snapshotsPath)) Jsons.readFile[List[Snapshot]](snapshotsPath).sortBy(_.id)
+    else Nil
+
+  def currentSnapshot: Option[Snapshot] = snapshots.lastOption
+
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+
+  /** Resolve a time-travel ref: integer snapshot-id first, else ISO
+    * timestamp → latest snapshot at-or-before it (catalog.py:265-288). */
+  def resolveRef(ref: String): Snapshot = {
+    ref.toLongOption match {
+      case Some(id) =>
+        snapshotById(id).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot with id $id"))
+      case None =>
+        val ts = parseInstantMs(ref)
+        snapshots.filter(_.timestampMs <= ts).lastOption.getOrElse(
+          throw new IllegalArgumentException(s"no snapshot at or before $ref"))
+    }
+  }
+
+  // ---- reads -------------------------------------------------------------
+
+  def read(): DataFrame = readSnapshot(currentSnapshot)
+
+  def readAsOf(ref: String): DataFrame = readSnapshot(Some(resolveRef(ref)))
+
+  def readSnapshot(snap: Option[Snapshot]): DataFrame = {
+    val m = meta
+    val cur = m.schema
+    snap.filter(_.files.nonEmpty) match {
+      case None => emptyDf(cur)
+      case Some(s) =>
+        // Files may have been written under older schema versions; resolve
+        // each group by field-id to the current schema (rename/drop/add-safe).
+        val byVersion = s.files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+        byVersion.map { case (sid, files) =>
+          val fileSchema = m.schemas.find(_.id == sid)
+            .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
+          val idToName = fileSchema.fields.flatMap(f =>
+            TableMeta.fieldId(f).map(_ -> f.name)).toMap
+          val raw = spark.read.schema(fileSchema).parquet(files.map(_.path): _*)
+          val cols: Array[Column] = cur.fields.map { cf =>
+            TableMeta.fieldId(cf).flatMap(idToName.get) match {
+              // .as(name, metadata) keeps the field-id on the read schema
+              case Some(oldName) => col(oldName).cast(cf.dataType).as(cf.name, cf.metadata)
+              case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
+            }
+          }
+          raw.select(cols: _*)
+        }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Read only the files whose partition-directory values satisfy `keep` —
+    * manifest-level pruning before Catalyst ever sees a file. */
+  def prunedRead(keep: Map[String, String] => Boolean): DataFrame =
+    currentSnapshot.filter(_.files.nonEmpty) match {
+      case None => emptyDf(schema)
+      case Some(s) =>
+        val files = s.files.filter(f => keep(partitionValuesOf(f.path)))
+        if (files.isEmpty) emptyDf(schema)
+        else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    }
+
+  def emptyDf(s: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+
+  // ---- writes ------------------------------------------------------------
+
+  def append(df: DataFrame): Snapshot = commit(df, "append", keepParent = true)
+
+  def overwrite(df: DataFrame): Snapshot = commit(df, "overwrite", keepParent = false)
+
+  private def commit(df: DataFrame, op: String, keepParent: Boolean): Snapshot =
+    synchronized {
+      val m = meta
+      val snaps = snapshots
+      val id = snaps.lastOption.map(_.id + 1).getOrElse(1L)
+      val commitDir = dataDir.resolve(f"commit-$id%05d")
+      val aligned = align(df, m.schema)
+      val tfs = m.transforms
+      if (tfs.isEmpty) {
+        aligned.write.parquet(commitDir.toString)
+      } else {
+        tfs.foldLeft(aligned)((d, t) => d.withColumn(t.name, t.column))
+          .write.partitionBy(tfs.map(_.name): _*).parquet(commitDir.toString)
+      }
+      val newFiles = listParquet(commitDir, m.currentSchemaId)
+      val files =
+        if (keepParent) snaps.lastOption.map(_.files).getOrElse(Nil) ++ newFiles
+        else newFiles
+      val snap = Snapshot(id, snaps.lastOption.map(_.id), System.currentTimeMillis(),
+        op, files, m.currentSchemaId,
+        Map("added-files" -> newFiles.size.toString,
+          "added-rows" -> newFiles.map(_.rows).sum.toString))
+      Jsons.writeFile(snapshotsPath, snaps :+ snap)
+      snap
+    }
+
+  /** Roll back to an old snapshot: a NEW snapshot referencing the old
+    * snapshot's files (zero-copy; history preserved — catalog.py:834-906). */
+  def rollbackTo(ref: String): Snapshot = synchronized {
+    val target = resolveRef(ref)
+    val snaps = snapshots
+    val id = snaps.last.id + 1
+    val snap = Snapshot(id, Some(snaps.last.id), System.currentTimeMillis(),
+      "replace", target.files, target.schemaId,
+      Map("rolled-back-to" -> target.id.toString))
+    Jsons.writeFile(snapshotsPath, snaps :+ snap)
+    snap
+  }
+
+  /** Expire snapshots older than a cutoff (`ISO` or `30d/24h/5m` duration,
+    * catalog.py:950-968) and/or beyond `retainLast`; the current snapshot is
+    * never expired (catalog.py:977-979). Returns expired ids. */
+  def expireSnapshots(olderThan: Option[String] = None,
+      retainLast: Option[Int] = None): List[Long] = synchronized {
+    val snaps = snapshots
+    if (snaps.isEmpty) return Nil
+    val currentId = snaps.last.id
+    val cutoff = olderThan.map(parseCutoffMs)
+    var keep = snaps.toSet
+    cutoff.foreach { c => keep = keep.filter(s => s.timestampMs >= c || s.id == currentId) }
+    retainLast.foreach { n =>
+      val retained = snaps.sortBy(-_.id).take(math.max(n, 1)).toSet
+      keep = keep.intersect(retained) + snaps.last
+    }
+    val expired = snaps.filterNot(keep).map(_.id)
+    if (expired.nonEmpty) Jsons.writeFile(snapshotsPath, snaps.filter(keep).sortBy(_.id))
+    expired
+  }
+
+  /** Files under data/ referenced by no live snapshot (maintenance.py orphan
+    * cleanup). Dry-run returns paths; delete=true removes them. */
+  def orphanFiles(delete: Boolean = false): Seq[String] = {
+    val live = snapshots.flatMap(_.files.map(_.path)).toSet
+    if (!Files.exists(dataDir)) return Nil
+    val all = Files.walk(dataDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
+    val orphans = all.filterNot(live)
+    if (delete) orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    orphans
+  }
+
+  /** Rewrite current data as `targetFiles` files (compaction,
+    * catalog.py:2014-2084 read-all + overwrite). */
+  def compact(targetFiles: Int = 1): Snapshot = {
+    val df = read().repartition(math.max(targetFiles, 1))
+    commit(df, "replace", keepParent = false)
+  }
+
+  // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------
+
+  def evolveSchema(f: StructType => StructType): TableMeta = synchronized {
+    val m = meta
+    val evolved = TableMeta.assignFieldIds(f(m.schema))
+    val newId = m.schemas.map(_.id).max + 1
+    val nm = m.copy(schemas = m.schemas :+ SchemaVersion(newId, evolved.json),
+      currentSchemaId = newId)
+    Jsons.writeFile(metaPath, nm)
+    nm
+  }
+
+  def addColumn(name: String, typeName: String): TableMeta =
+    evolveSchema(s => StructType(s.fields :+
+      org.apache.spark.sql.types.StructField(name, TableMeta.parseTypeName(typeName))))
+
+  def renameColumn(from: String, to: String): TableMeta =
+    evolveSchema(s => StructType(s.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)))
+
+  def dropColumn(name: String): TableMeta = {
+    require(meta.schema.fields.exists(_.name == name), s"no such column: $name")
+    evolveSchema(s => StructType(s.fields.filterNot(_.name == name)))
+  }
+
+  // ---- properties --------------------------------------------------------
+
+  def setProperty(k: String, v: String): Unit = synchronized {
+    val m = meta; Jsons.writeFile(metaPath, m.copy(properties = m.properties + (k -> v)))
+  }
+  def removeProperty(k: String): Unit = synchronized {
+    val m = meta; Jsons.writeFile(metaPath, m.copy(properties = m.properties - k))
+  }
+
+  // ---- stats -------------------------------------------------------------
+
+  /** Per-partition file count / row count / size, from manifest + dir names
+    * (reference parses `/data/<part>/` path segments, catalog.py:2415-2486). */
+  def partitionStats: Map[String, (Long, Long, Long)] =
+    currentSnapshot.map(_.files.groupBy(f => {
+      val pv = partitionValuesOf(f.path)
+      if (pv.isEmpty) "<unpartitioned>"
+      else pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+    }).map { case (k, fs) =>
+      k -> ((fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum))
+    }).getOrElse(Map.empty)
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def align(df: DataFrame, s: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(s.fields.map { f =>
+      (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }.toSeq: _*)
+  }
+
+  private def listParquet(commitDir: Path, schemaId: Int): List[FileEntry] = {
+    val conf = new Configuration()
+    Files.walk(commitDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        FileEntry(p.toString, parquetRowCount(p, conf), Files.size(p), schemaId)
+      }.toList.sortBy(_.path)
+  }
+}
+
+object IceTable {
+  /** `_p_k=v` path segments → partition values (catalog.py:2442-2460). */
+  def partitionValuesOf(path: String): Map[String, String] =
+    path.split('/').toSeq
+      .filter(seg => seg.startsWith(PartitionTransform.DirPrefix) && seg.contains('='))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  def parquetRowCount(p: Path, conf: Configuration): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** ISO instant or local datetime → epoch millis. */
+  def parseInstantMs(s: String): Long =
+    try Instant.parse(s).toEpochMilli
+    catch {
+      case _: Exception =>
+        try LocalDateTime.parse(s).toInstant(ZoneOffset.UTC).toEpochMilli
+        catch {
+          case _: Exception =>
+            java.time.LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC).toEpochMilli
+        }
+    }
+
+  /** Cutoff: ISO timestamp or relative duration `30d` / `24h` / `5m`
+    * (catalog.py:950-968). */
+  def parseCutoffMs(s: String): Long = {
+    val Dur = """(\d+)([dhm])""".r
+    s.trim match {
+      case Dur(n, u) =>
+        val ms = u match {
+          case "d" => n.toLong * 86400000L
+          case "h" => n.toLong * 3600000L
+          case "m" => n.toLong * 60000L
+        }
+        System.currentTimeMillis() - ms
+      case iso => parseInstantMs(iso)
+    }
+  }
+}

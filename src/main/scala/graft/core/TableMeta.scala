@@ -1,0 +1,89 @@
+package graft.core
+
+import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
+
+/** One data file tracked by a snapshot. `schemaId` records which schema
+  * version the file was written under, so reads after rename/drop/add
+  * evolution can resolve columns by field-id per file group. */
+case class FileEntry(path: String, rows: Long, bytes: Long, schemaId: Int = 1)
+
+/** One table version. Every write commits a new snapshot whose `files` list
+  * is the COMPLETE set of live data files at that version (append = parent
+  * files + new files; overwrite = new files only) — mirroring the Iceberg
+  * snapshot model the reference exposes (reference catalog.py:204-237).
+  */
+case class Snapshot(
+    id: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | overwrite | replace
+    files: List[FileEntry],
+    schemaId: Int,
+    summary: Map[String, String] = Map.empty) {
+  def totalRows: Long = files.map(_.rows).sum
+  def totalBytes: Long = files.map(_.bytes).sum
+}
+
+/** A schema version: Spark StructType JSON + stable field-ids in field
+  * metadata (key [[TableMeta.FieldIdKey]]) so rename/drop evolve by id,
+  * not by name (reference schema_evolution.py:122-172). */
+case class SchemaVersion(id: Int, structJson: String) {
+  def struct: StructType = DataType.fromJson(structJson).asInstanceOf[StructType]
+}
+
+case class TableMeta(
+    namespace: String,
+    name: String,
+    schemas: List[SchemaVersion],
+    currentSchemaId: Int,
+    partitionSpec: List[String], // serialized transforms, see PartitionTransform
+    properties: Map[String, String]) {
+  def ident: String = s"$namespace.$name"
+  def schema: StructType = schemas.find(_.id == currentSchemaId).get.struct
+  def transforms: List[PartitionTransform] = partitionSpec.map(PartitionTransform.parse)
+}
+
+object TableMeta {
+  val FieldIdKey = "graft.field-id"
+
+  def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+
+  def withFieldId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(FieldIdKey, id).build())
+
+  /** Assign field-ids 1..n to any fields missing one (fresh table DDL). */
+  def assignFieldIds(schema: StructType): StructType = {
+    val maxExisting = schema.fields.flatMap(fieldId).foldLeft(0L)(math.max)
+    var next = maxExisting
+    StructType(schema.fields.map { f =>
+      fieldId(f) match {
+        case Some(_) => f
+        case None => next += 1; withFieldId(f, next)
+      }
+    })
+  }
+
+  /** User-facing type-name mapping of the reference (catalog.py:1091-1100):
+    * int widens to long, float widens to double. */
+  def parseTypeName(s: String): DataType = {
+    import org.apache.spark.sql.types._
+    s.toLowerCase match {
+      case "string"                    => StringType
+      case "long" | "int" | "integer"  => LongType
+      case "double" | "float"          => DoubleType
+      case "timestamp" | "timestamptz" => TimestampType
+      case "date"                      => DateType
+      case "boolean" | "bool"          => BooleanType
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+  }
+
+  /** Build an all-nullable schema from (name, typeName) pairs — the
+    * reference's create_table DDL shape (catalog.py:2261-2367). */
+  def schemaOf(columns: Seq[(String, String)]): StructType =
+    assignFieldIds(StructType(columns.map { case (n, t) =>
+      StructField(n, parseTypeName(t), nullable = true)
+    }))
+}
