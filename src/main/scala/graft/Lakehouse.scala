@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Catalog
+import graft.governance.{AuditLog, ValidationStore}
+
+/** Facade tying the catalog to its metadata side-stores — the equivalent of
+  * the reference's `~/.lakehouse/` layout (warehouse + one JSON store per
+  * governance module, e.g. reference validation.py:23-38). All stores live
+  * under `<warehouse>/_meta/`.
+  */
+class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
+  val catalog: Catalog = Catalog.open(spark, warehouseDir)
+
+  def metaDir: Path = catalog.warehouse.resolve("_meta")
+
+  val audit = new AuditLog(metaDir.resolve("audit.jsonl"))
+  val validation = new ValidationStore(metaDir.resolve("validation.json"))
+
+  lazy val dml = new graft.dml.Dml(this)
+  lazy val cdc = new graft.analytics.Cdc(this)
+  lazy val incremental = new graft.analytics.Incremental(this)
+}
+
+object Lakehouse {
+  def open(spark: SparkSession, warehouseDir: String): Lakehouse =
+    new Lakehouse(spark, warehouseDir)
+}

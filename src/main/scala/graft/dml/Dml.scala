@@ -1,0 +1,162 @@
+package graft.dml
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Lakehouse
+
+case class UpsertResult(inserted: Long, updated: Long)
+
+/** One step of a batch (reference execute_batch, catalog.py:1003-1088). */
+case class BatchOp(
+    op: String, // insert | update | delete | upsert
+    table: String,
+    rows: Seq[Map[String, Any]] = Nil,
+    filter: String = "",
+    set: Map[String, Any] = Map.empty,
+    keys: Seq[String] = Nil)
+
+case class BatchResult(op: String, table: String, status: String, // ok|failed|skipped
+    message: String, count: Long)
+
+/** The write operators (reference catalog.py §2.9). Every mutation is
+  * read-modify-overwrite producing a NEW snapshot (old snapshots remain for
+  * time travel / CDC), validation rules run pre-commit, and the audit log
+  * records each operation — exactly the reference's write lifecycle
+  * (catalog.py:500-1344).
+  *
+  * Scale posture: updates/deletes/upserts are expressed as DataFrame
+  * transforms (`when/otherwise`, anti-join + union) over the snapshot scan —
+  * no row ever reaches the driver.
+  */
+class Dml(lh: Lakehouse) {
+  import lh.{catalog, spark}
+
+  /** Typed row coercion (catalog.py:543-600): ISO strings → date/timestamp,
+    * numbers widened, null preserved. */
+  def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) | (None, _) => null
+    case (Some(x), _) => coerce(x, dt)
+    case (s: String, LongType) => s.trim.toLong
+    case (n: Number, LongType) => n.longValue()
+    case (s: String, DoubleType) => s.trim.toDouble
+    case (n: Number, DoubleType) => n.doubleValue()
+    case (x, StringType) => x.toString
+    case (b: Boolean, BooleanType) => b
+    case (s: String, BooleanType) => s.trim.toBoolean
+    case (d: java.sql.Date, DateType) => d
+    case (s: String, DateType) => java.sql.Date.valueOf(java.time.LocalDate.parse(s.trim))
+    case (t: java.sql.Timestamp, TimestampType) => t
+    case (s: String, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
+        graft.core.IceTable.parseInstantMs(s.trim)))
+    case (n: Number, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(n.longValue()))
+    case (x, t) =>
+      throw new IllegalArgumentException(s"cannot coerce $x (${x.getClass.getSimpleName}) to $t")
+  }
+
+  def rowsToDf(table: String, rows: Seq[Map[String, Any]]): DataFrame = {
+    val schema = catalog.loadTable(table).schema
+    val sparkRows = rows.map { m =>
+      val unknown = m.keySet -- schema.fieldNames.toSet
+      require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(",")}")
+      Row.fromSeq(schema.fields.map(f => coerce(m.getOrElse(f.name, null), f.dataType)).toSeq)
+    }
+    spark.createDataFrame(sparkRows.asJava, schema)
+  }
+
+  /** Append typed rows; validation (incl. unique-vs-existing) pre-commit
+    * (catalog.py:500-629). Returns inserted count. */
+  def insertRows(table: String, rows: Seq[Map[String, Any]]): Long =
+    insertDf(table, rowsToDf(table, rows))
+
+  def insertDf(table: String, df: DataFrame): Long = {
+    val tbl = catalog.loadTable(table)
+    lh.validation.enforce(table, df, Some(tbl.read()))
+    val snap = tbl.append(df)
+    lh.audit.log(table, "insert", Map("rows" -> snap.summary("added-rows")))
+    snap.summary("added-rows").toLong
+  }
+
+  /** Rewrite matching rows via when/otherwise per column, overwrite-snapshot
+    * (catalog.py:632-762). Returns matched-row count. */
+  def update(table: String, filter: String, set: Map[String, Any]): Long = {
+    val tbl = catalog.loadTable(table)
+    val schema = tbl.schema
+    val df = tbl.read()
+    val cond = expr(filter)
+    val matched = df.where(cond).count()
+    val updated = set.foldLeft(df) { case (d, (c, v)) =>
+      val f = schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      d.withColumn(c, when(cond, lit(coerce(v, f.dataType)).cast(f.dataType))
+        .otherwise(col(c)))
+    }
+    lh.validation.enforce(table, updated.where(cond), None)
+    tbl.overwrite(updated)
+    lh.audit.log(table, "update", Map("matched" -> matched.toString, "filter" -> filter))
+    matched
+  }
+
+  /** Keep only rows NOT matching the filter (catalog.py:765-831). Returns
+    * deleted count. */
+  def delete(table: String, filter: String): Long = {
+    val tbl = catalog.loadTable(table)
+    val df = tbl.read()
+    val cond = expr(filter)
+    val deleted = df.where(cond).count()
+    tbl.overwrite(df.where(!coalesce(cond, lit(false))))
+    lh.audit.log(table, "delete", Map("deleted" -> deleted.toString, "filter" -> filter))
+    deleted
+  }
+
+  /** Key-match merge: unmatched-existing ∪ incoming — the idiomatic
+    * left_anti + unionByName form of the reference's LEFT JOIN + IS NULL
+    * (catalog.py:1289-1326). */
+  def upsert(table: String, incoming: DataFrame, keys: Seq[String]): UpsertResult = {
+    val tbl = catalog.loadTable(table)
+    val schema = tbl.schema
+    keys.foreach(k => require(schema.fieldNames.contains(k), s"no such key column: $k"))
+    val existing = tbl.read()
+    val inc = incoming.select(schema.fieldNames.map(col).toSeq: _*)
+    val updated = inc.join(existing.select(keys.map(col): _*).distinct(), keys, "left_semi").count()
+    val inserted = inc.count() - updated
+    lh.validation.enforce(table, inc, None)
+    val merged = existing.join(inc, keys, "left_anti").unionByName(inc)
+    tbl.overwrite(merged)
+    lh.audit.log(table, "upsert",
+      Map("inserted" -> inserted.toString, "updated" -> updated.toString))
+    UpsertResult(inserted, updated)
+  }
+
+  def upsertRows(table: String, rows: Seq[Map[String, Any]], keys: Seq[String]): UpsertResult =
+    upsert(table, rowsToDf(table, rows), keys)
+
+  /** Sequential ops; first failure stops the batch and the rest are marked
+    * skipped; no cross-table rollback (catalog.py:1003-1088). */
+  def executeBatch(ops: Seq[BatchOp]): List[BatchResult] = {
+    var failed = false
+    ops.toList.map { op =>
+      if (failed) BatchResult(op.op, op.table, "skipped", "previous op failed", 0)
+      else try {
+        val n = op.op match {
+          case "insert" => insertRows(op.table, op.rows)
+          case "update" => update(op.table, op.filter, op.set)
+          case "delete" => delete(op.table, op.filter)
+          case "upsert" =>
+            val r = upsertRows(op.table, op.rows, op.keys); r.inserted + r.updated
+          case other => throw new IllegalArgumentException(s"unknown batch op: $other")
+        }
+        BatchResult(op.op, op.table, "ok", "", n)
+      } catch {
+        case e: Exception =>
+          failed = true
+          BatchResult(op.op, op.table, "failed", String.valueOf(e.getMessage), 0)
+      }
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.dml
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Lakehouse, SparkFixture}
+import graft.governance.{ValidationException, ValidationRule}
+
+class DmlSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newLh() = Lakehouse.open(spark, SparkFixture.tmpDir("graft-lh-").toString)
+
+  private val cols = Seq("id" -> "long", "name" -> "string", "dept" -> "string",
+    "salary" -> "double", "hired" -> "date")
+
+  private def seed(lh: Lakehouse): Unit = {
+    lh.catalog.createTable("emp", cols, Nil, Map.empty)
+    lh.dml.insertRows("emp", Seq(
+      Map("id" -> 1, "name" -> "Alice", "dept" -> "eng", "salary" -> 100.0, "hired" -> "2020-01-05"),
+      Map("id" -> 2, "name" -> "Bob", "dept" -> "sales", "salary" -> 90.0, "hired" -> "2021-03-15"),
+      Map("id" -> 3, "name" -> "Charlie", "dept" -> "eng", "salary" -> 120.5)))
+  }
+
+  test("insert coerces types: ISO date strings, int→long, missing→null") {
+    val lh = newLh()
+    seed(lh)
+    val df = lh.catalog.loadTable("emp").read()
+    assert(df.count() == 3)
+    val alice = df.where($"id" === 1).head
+    assert(alice.getAs[java.sql.Date]("hired").toString == "2020-01-05")
+    val charlie = df.where($"id" === 3).head
+    assert(charlie.isNullAt(charlie.fieldIndex("hired")))
+    // audit recorded the write
+    assert(lh.audit.entries(table = Some("emp"), operation = Some("insert")).nonEmpty)
+  }
+
+  test("update rewrites matching rows and preserves history") {
+    val lh = newLh()
+    seed(lh)
+    val n = lh.dml.update("emp", "dept = 'eng'", Map("salary" -> 130))
+    assert(n == 2)
+    val df = lh.catalog.loadTable("emp").read()
+    assert(df.where($"salary" === 130.0).count() == 2)
+    assert(df.where($"name" === "Bob").head.getDouble(3) == 90.0)
+    // previous snapshot still shows old values
+    assert(lh.catalog.loadTable("emp").readAsOf("1")
+      .where($"salary" === 100.0).count() == 1)
+  }
+
+  test("delete keeps non-matching rows, counts deleted") {
+    val lh = newLh()
+    seed(lh)
+    assert(lh.dml.delete("emp", "salary < 95") == 1)
+    val df = lh.catalog.loadTable("emp").read()
+    assert(df.count() == 2)
+    assert(df.where($"name" === "Bob").count() == 0)
+  }
+
+  test("upsert: anti-join + union, returns inserted/updated counts") {
+    val lh = newLh()
+    seed(lh)
+    val r = lh.dml.upsertRows("emp", Seq(
+      Map("id" -> 2, "name" -> "Bob", "dept" -> "marketing", "salary" -> 95.0),
+      Map("id" -> 4, "name" -> "Dana", "dept" -> "eng", "salary" -> 110.0)),
+      keys = Seq("id"))
+    assert(r == UpsertResult(inserted = 1, updated = 1))
+    val df = lh.catalog.loadTable("emp").read()
+    assert(df.count() == 4)
+    assert(df.where($"id" === 2).head.getString(2) == "marketing")
+  }
+
+  test("batch executor: stop-on-first-failure, remaining skipped") {
+    val lh = newLh()
+    seed(lh)
+    val results = lh.dml.executeBatch(Seq(
+      BatchOp("insert", "emp", rows = Seq(Map("id" -> 10, "name" -> "Eve"))),
+      BatchOp("update", "emp", filter = "BROKEN SYNTAX ===", set = Map("salary" -> 1)),
+      BatchOp("delete", "emp", filter = "id = 10")))
+    assert(results.map(_.status) == List("ok", "failed", "skipped"))
+    // the failed batch did not roll back step 1 (documented non-goal)
+    assert(lh.catalog.loadTable("emp").read().where($"id" === 10).count() == 1)
+  }
+
+  test("validation rules enforced in write path") {
+    val lh = newLh()
+    seed(lh)
+    lh.validation.addRule(ValidationRule("r1", "emp", "not_null", List("name")))
+    lh.validation.addRule(ValidationRule("r2", "emp", "unique", List("id")))
+    lh.validation.addRule(ValidationRule("r3", "emp", "range", List("salary"),
+      Map("min" -> "0", "max" -> "1000")))
+    lh.validation.addRule(ValidationRule("r4", "emp", "expression", Nil,
+      Map("sql" -> "dept IS NULL OR dept != 'forbidden'")))
+    // null name rejected
+    val e1 = intercept[ValidationException](
+      lh.dml.insertRows("emp", Seq(Map("id" -> 5))))
+    assert(e1.failures.exists(_.ruleType == "not_null"))
+    // duplicate id vs existing rejected
+    val e2 = intercept[ValidationException](
+      lh.dml.insertRows("emp", Seq(Map("id" -> 1, "name" -> "X"))))
+    assert(e2.failures.exists(_.ruleType == "unique"))
+    // range violation
+    val e3 = intercept[ValidationException](
+      lh.dml.insertRows("emp", Seq(Map("id" -> 6, "name" -> "Y", "salary" -> -5))))
+    assert(e3.failures.exists(_.ruleType == "range"))
+    // expression violation
+    val e4 = intercept[ValidationException](
+      lh.dml.insertRows("emp", Seq(Map("id" -> 7, "name" -> "Z", "dept" -> "forbidden"))))
+    assert(e4.failures.exists(_.ruleType == "expression"))
+    // clean row passes
+    assert(lh.dml.insertRows("emp", Seq(
+      Map("id" -> 8, "name" -> "Ok", "salary" -> 50))) == 1)
+  }
+}
