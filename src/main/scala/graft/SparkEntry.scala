@@ -179,6 +179,64 @@ object SparkEntry {
         col("c_custkey"),
         md5(col("c_name")).as("name_hash"),
         when(col("c_acctbal") < 0, lit("negative")).otherwise(lit("ok")).as("bal_status"))
+    }),
+
+    // -- training-data pipeline operators (documents/embeddings tables) ----
+
+    // text analysis: token counting + per-source stats
+    "q16_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+    }),
+
+    // language ID via marker-word heuristic
+    "q17_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+    }),
+
+    // per-document quality score (identical expression tree both engines)
+    "q18_quality_scores" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+    }),
+
+    // content fingerprint (exact-dedup hash)
+    "q19_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (dedup baseline)
+    "q20_jaccard_pairs" -> ((s, dir) => {
+      graft.text.NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }),
+
+    // brute-force cosine top-k similarity search
+    "q21_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.vector.VectorOps.bruteForceTopK(
+        e.where(col("vec_id") <= 10).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        k = 5)
+    }),
+
+    // MinHash+LSH near-dup (scale path; verified vs q20 in ScalaTest —
+    // not SQL-expressible, driver records rows-only check)
+    "q22_minhash_neardup" -> ((s, dir) => {
+      graft.text.MinHashLSH.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    }),
+
+    // SimHash fingerprint near-dup candidates (rows-only check)
+    "q23_simhash_pairs" -> ((s, dir) => {
+      val fp = graft.text.SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      graft.text.SimHash.hammingPairs(fp, maxDist = 3)
     })
   )
 
@@ -260,6 +318,49 @@ object SparkEntry {
     "q15_masked_customers" ->
       """SELECT c_custkey, md5(c_name) AS name_hash,
         | CASE WHEN c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS bal_status
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "q16_token_stats" -> {
+      val tc = graft.text.TextAnalysis.tokenCountSql("text")
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | SUM(CAST($tc AS BIGINT)) AS total_tokens,
+         | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         |FROM documents GROUP BY source""".stripMargin
+    },
+    "q17_lang_id" ->
+      s"""SELECT ${graft.text.TextAnalysis.langIdSql("text")} AS lang_pred, COUNT(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q18_quality_scores" ->
+      s"""SELECT doc_id, ${graft.text.TextAnalysis.qualityScoreSql("text")} AS score
+         |FROM documents""".stripMargin,
+    "q19_fingerprints" ->
+      s"""SELECT doc_id, ${graft.text.TextAnalysis.fingerprintSql("text")} AS fp
+         |FROM documents""".stripMargin,
+    "q20_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "q21_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 10),
+        |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_reduce(list_transform(range(len(qe)), i -> CAST(qe[i+1] AS DOUBLE)*CAST(ne[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(qe)), i -> CAST(qe[i+1] AS DOUBLE)*CAST(qe[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(ne)), i -> CAST(ne[i+1] AS DOUBLE)*CAST(ne[i+1] AS DOUBLE)), (x,y) -> x+y))) AS score
+        |FROM q, c WHERE qid != nid)
+        |SELECT qid, nid, score, rnk FROM (
+        |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin
   )
 }

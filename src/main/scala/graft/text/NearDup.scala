@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family for training-data dedup:
+  *
+  *  - [[jaccardPairs]] — exact n-gram Jaccard over a shingle self-join
+  *    (the oracle-checkable baseline; O(pairs sharing a shingle))
+  *  - [[MinHashLSH]] — MinHash signatures + banded LSH candidate generation,
+  *    then exact verification restricted to candidates (the 100 TB path:
+  *    cost is O(docs × bands) shuffle instead of a shingle self-join)
+  *  - [[SimHash]] — 64-bit SimHash fingerprints + banded Hamming candidates
+  *
+  * All hashing is `xxhash64` (codegen'd, deterministic, no RNG), so results
+  * are reproducible across runs and cluster sizes.
+  */
+object NearDup {
+
+  /** Per-doc distinct shingle table: (doc_id, s). */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("s"))
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold.
+    * Result: (id_a, id_b, inter, na, nb, jaccard), id_a < id_b.
+    * `maxShingleFreq` drops shingles present in more than that many docs
+    * (stopword-shingle blowup guard for large corpora; 0 = keep all). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
+    val sh0 = shingleTable(df, idCol, textCol, n)
+    val sh = if (maxShingleFreq <= 0) sh0 else {
+      val freq = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxShingleFreq)
+      sh0.join(freq.select("s"), Seq("s"), "left_semi")
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Exact-duplicate groups by normalized-content fingerprint: one row per
+    * fingerprint with >1 doc, keeping the lowest doc id (keep-"first" with a
+    * deterministic order, unlike the reference's arbitrary ROW_NUMBER —
+    * reference dedup.py:147-160). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+      .where(col("cnt") > 1)
+}
+
+object MinHashLSH {
+
+  /** MinHash signature per doc: sig[i] = min over shingles of
+    * xxhash64(i, shingle). Returns (doc_id, sig: array<long>). */
+  def signatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band hash. Bands of `rowsPerBand`
+    * signature slots are hashed; a shared (band, hash) bucket → candidate.
+    * Shuffle cost O(docs × bands), never a full cross join. */
+  def candidatePairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until r).map(j => element_at(col("sig"), b * r + j + 1).cast("string")): _*))
+          .as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full pipeline: shingle → minhash → LSH candidates → exact Jaccard
+    * verification restricted to candidates. Result matches
+    * [[NearDup.jaccardPairs]] up to LSH recall. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = NearDup.shingleTable(df, idCol, textCol, n).cache()
+    val cands = candidatePairs(signatures(sh, numHashes), numHashes, bands)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.alias("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.alias("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
+
+object SimHash {
+
+  /** 64-bit SimHash per doc from token hashes: bit i of the fingerprint is
+    * set iff the sum over tokens of ±1 (sign of bit i of xxhash64(token))
+    * is positive. Returns (doc_id, simhash: long). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Pairs with Hamming distance ≤ maxDist, found via 16-bit band buckets
+    * (any pair within distance 3 must share at least one of 4 bands). */
+  def hammingPairs(fp: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFF).as("chunk"))
+    }
+    val buckets = fp.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, token
+  * counting, language ID (marker-word heuristic), quality scoring,
+  * fingerprinting. Every operator is a pure Column expression (codegen'd,
+  * no UDFs), and each has an exactly-equivalent DuckDB SQL generator so the
+  * oracle gate can verify it — both sides are generated from the same marker
+  * tables below, keeping them in sync by construction.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language; order = deterministic tie-break order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y", "una"))
+
+  // ---- Column-expression side (Spark) ------------------------------------
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Whitespace-collapsed lowercase normalization. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Document fingerprint = md5 of normalized text (stable content hash for
+    * exact dedup). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Occurrences of any marker word among the tokens. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax of marker counts, first-listed wins ties,
+    * `unknown` when no marker hits. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+    val pred = scores.foldRight(lit("unknown")) { case ((lang, s), elseCol) =>
+      val geAll = scores.map { case (_, o) => s >= o }.reduce(_ && _)
+      when(s > 0 && geAll, lit(lang)).otherwise(elseCol)
+    }
+    pred
+  }
+
+  /** Heuristic quality score in [0,1]: length, stopword ratio, punctuation
+    * ratio. All arithmetic is written in an identical expression shape on the
+    * SQL side so both engines produce bit-identical doubles. */
+  def qualityScore(text: Column): Column = {
+    val nChars = charCount(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val stops = markerCount(tokens(text), LangMarkers.head._2).cast("double")
+    val punct = (charCount(text) -
+      length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val stopScore = least(stops / nToks * lit(5.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punct / nChars * lit(10.0), lit(1.0))
+    lit(0.4) * lenScore + lit(0.4) * stopScore + lit(0.2) * punctScore
+  }
+
+  /** Distinct word n-gram shingles of the text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // ---- SQL-generator side (DuckDB oracle) --------------------------------
+
+  def tokensSql(t: String): String = s"regexp_split_to_array(trim(lower($t)), '\\s+')"
+
+  def tokenCountSql(t: String): String = s"len(${tokensSql(t)})"
+
+  def normalizeSql(t: String): String = s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+
+  def fingerprintSql(t: String): String = s"md5(${normalizeSql(t)})"
+
+  def markerCountSql(t: String, markers: Seq[String]): String = {
+    val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter(${tokensSql(t)}, t -> list_contains($list, t)))"
+  }
+
+  def langIdSql(t: String): String = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCountSql(t, ms) }
+    val whens = scores.map { case (lang, s) =>
+      val geAll = scores.map { case (_, o) => s"$s >= $o" }.mkString(" AND ")
+      s"WHEN $s > 0 AND $geAll THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'unknown' END"
+  }
+
+  def qualityScoreSql(t: String): String = {
+    val nChars = s"CAST(length($t) AS DOUBLE)"
+    val nToks = s"CAST(${tokenCountSql(t)} AS DOUBLE)"
+    val stops = s"CAST(${markerCountSql(t, LangMarkers.head._2)} AS DOUBLE)"
+    val punct = s"CAST(length($t) - length(regexp_replace(lower($t), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    s"0.4 * least($nChars / 500.0, 1.0)" +
+      s" + 0.4 * least($stops / $nToks * 5.0, 1.0)" +
+      s" + 0.2 * (1.0 - least($punct / $nChars * 10.0, 1.0))"
+  }
+
+  def shinglesSql(t: String, n: Int): String = {
+    val w = tokensSql(t)
+    val parts = (1 to n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"(SELECT list_distinct(CASE WHEN len(w) >= $n THEN list_transform(range(len(w)-${n - 1}), i -> $parts) ELSE [] END) FROM (SELECT $w AS w) _t)"
+  }
+}

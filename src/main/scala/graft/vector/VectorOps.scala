@@ -1,0 +1,91 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * All arithmetic is an explicit left-fold in DOUBLE
+  * (`aggregate(zip_with(...))`), matching the DuckDB oracle's
+  * `list_reduce(list_transform(...))` op-for-op: float×float is exact in
+  * double and both engines fold left sequentially, so cosine scores are
+  * bit-identical and top-k is deterministically comparable.
+  */
+object VectorOps {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Queries are broadcast (small side); rank ties broken by neighbor id.
+    * Result: (qid, nid, score, rnk).
+    *
+    * Scale: |corpus| × |queries| scored rows, shuffled only by qid for the
+    * rank window. The scale path for big query sets is [[IvfIndex]]. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(queries.alias("q")), col("q.qid") =!= col("c.nid"))
+      .select(col("q.qid"), col("c.nid"),
+        cosine(col("q.qe"), col("c.ne")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Deterministic random-hyperplane signature: bit i = sign of the dot
+    * product with plane i, whose components are ±1 derived from a hash of
+    * (plane, dim) — reproducible with no RNG state. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int, dims: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val planeDot = aggregate(
+        zip_with(toDouble(vec),
+          array((0 until dims).map(j => lit(planeComponent(p, j))): _*),
+          (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private[vector] def planeComponent(plane: Int, dim: Int): Double =
+    if (scala.util.hashing.MurmurHash3.productHash((plane, dim)) % 2 == 0) 1.0 else -1.0
+}
+
+/** IVF-style bucketed ANN: corpus vectors are assigned to LSH buckets by
+  * hyperplane signature; a query probes only its own bucket (plus optional
+  * multi-probe variants by flipping signature bits). At 100 TB the bucket
+  * assignment is a narrow map + shuffle-by-bucket join instead of a full
+  * cross join against the corpus.
+  */
+object IvfIndex {
+
+  /** Add a `bucket` column from the first `nPlanes` hyperplane bits. */
+  def bucketed(df: DataFrame, vecCol: String, nPlanes: Int, dims: Int): DataFrame =
+    df.withColumn("bucket", VectorOps.hyperplaneSignature(col(vecCol), nPlanes, dims))
+
+  /** Approximate top-k: probe the query's bucket and the `probes`-1 buckets
+    * at Hamming distance 1 (bit flips), then exact-rank within candidates. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
+      dims: Int, probes: Int = 1): DataFrame = {
+    val cb = bucketed(corpus, "ne", nPlanes, dims)
+    val qb = bucketed(queries, "qe", nPlanes, dims)
+    val probeBuckets = (0 until math.min(probes, nPlanes + 1)).map {
+      case 0 => col("bucket")
+      case i => col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val qProbes = qb.select(col("qid"), col("qe"),
+      explode(array(probeBuckets: _*)).as("bucket"))
+    val scored = cb.join(broadcast(qProbes), Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  val docsDir = "/root/testdata/sf0.001"
+  lazy val docs = graft.Tables.load(spark, docsDir, "documents").cache()
+
+  test("tokenCount / fingerprint / langId basics") {
+    val df = Seq(
+      (1L, "The quick brown fox and the lazy dog"),
+      (2L, "the  QUICK   brown fox and the lazy dog"), // same after normalize? no — double spaces collapse, case folds
+      (3L, "der hund und die katze ist nicht da"),
+      (4L, "xyzzy plugh")).toDF("id", "text")
+    val by = df.select($"id",
+      TextAnalysis.tokenCount($"text").as("tc"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    assert(by(1L)._1 == 8)
+    // rows 1 and 2 normalize to the same fingerprint
+    assert(by(1L)._2 == by(2L)._2)
+    assert(by(1L)._3 == "en")
+    assert(by(3L)._3 == "de")
+    assert(by(4L)._3 == "unknown")
+  }
+
+  test("exactDupGroups finds planted duplicates deterministically") {
+    val df = Seq(
+      (10L, "alpha beta gamma"), (11L, "ALPHA  beta   GAMMA"),
+      (12L, "unique text here")).toDF("doc_id", "text")
+    val groups = NearDup.exactDupGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("cnt") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 10L)
+  }
+
+  test("MinHash LSH finds the high-jaccard pairs the exact method finds") {
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val lsh = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes LSH precise: no false positives
+    assert(lsh.subsetOf(exact))
+    // banded LSH at b=32,r=4 has >99.9% recall at j≈0.99 (planted pairs)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("SimHash hamming pairs are supersets of near-identical docs") {
+    val fp = SimHash.fingerprints(docs, "doc_id", "text").cache()
+    assert(fp.count() == docs.count())
+    // near-identical planted pairs should mostly collide within distance 3
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = SimHash.hammingPairs(fp, maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(hit >= 0.8, s"simhash hit rate too low: $hit")
+  }
+}
