@@ -23,6 +23,10 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
   lazy val dml = new graft.dml.Dml(this)
   lazy val cdc = new graft.analytics.Cdc(this)
   lazy val incremental = new graft.analytics.Incremental(this)
+  lazy val profile = new graft.analytics.Profile(this)
+  lazy val sampling = new graft.analytics.Sampling(this)
+  lazy val dedup = new graft.analytics.Dedup(this)
+  lazy val quality = new graft.analytics.Quality(this)
 }
 
 object Lakehouse {

@@ -1,0 +1,145 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Lakehouse
+import graft.core.Jsons
+
+case class ColumnProfile(
+    name: String,
+    dataType: String,
+    nullCount: Long,
+    distinctCount: Long,
+    min: Option[String] = None,
+    max: Option[String] = None,
+    mean: Option[Double] = None,
+    stddev: Option[Double] = None,
+    p25: Option[Double] = None,
+    p50: Option[Double] = None,
+    p75: Option[Double] = None,
+    topValues: List[(String, Long)] = Nil)
+
+case class TableProfile(table: String, rowCount: Long, columns: List[ColumnProfile])
+
+case class TableStats(
+    table: String,
+    rowCount: Long,
+    fileCount: Long,
+    totalBytes: Long,
+    snapshotCount: Int,
+    snapshotIdAtCache: Long,
+    lastModifiedMs: Long,
+    columnNullCounts: Map[String, Long])
+
+/** Column profiling + cached table stats (reference catalog.py:1820-1953,
+  * stats.py:29-150).
+  *
+  * All numeric/null/distinct/percentile aggregates for every column run in a
+  * SINGLE `select(aggExprs)` pass over the table (one scan); only string
+  * top-10 needs one groupBy per string column. The reference instead
+  * materializes the table and issues per-column SQL — one scan per column.
+  */
+class Profile(lh: Lakehouse) {
+
+  def profileDf(df: DataFrame, table: String = ""): TableProfile = {
+    val fields = df.schema.fields.toSeq
+    def isNum(t: DataType) = t.isInstanceOf[NumericType]
+    def isTemporal(t: DataType) = t == DateType || t == TimestampType
+
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("_rows")) ++ fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__adistinct"),
+        countDistinct(c).as(s"${f.name}__distinct"))
+      val typed =
+        if (isNum(f.dataType)) Seq(
+          min(c).cast("double").as(s"${f.name}__min"),
+          max(c).cast("double").as(s"${f.name}__max"),
+          avg(c).as(s"${f.name}__mean"),
+          stddev(c).as(s"${f.name}__std"),
+          expr(s"percentile(${f.name}, 0.25)").as(s"${f.name}__p25"),
+          expr(s"percentile(${f.name}, 0.5)").as(s"${f.name}__p50"),
+          expr(s"percentile(${f.name}, 0.75)").as(s"${f.name}__p75"))
+        else if (isTemporal(f.dataType)) Seq(
+          min(c).cast("string").as(s"${f.name}__min"),
+          max(c).cast("string").as(s"${f.name}__max"))
+        else Nil
+      base ++ typed
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt[T](n: String): Option[T] =
+      if (row.schema.fieldNames.contains(n) && !row.isNullAt(row.fieldIndex(n)))
+        Some(row.getAs[T](n))
+      else None
+
+    val topValues: Map[String, List[(String, Long)]] = fields
+      .filter(_.dataType == StringType).map { f =>
+        f.name -> df.groupBy(col(f.name)).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col(f.name))
+          .limit(10).collect()
+          .map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1))).toList
+      }.toMap
+
+    val cols = fields.map { f =>
+      ColumnProfile(
+        name = f.name,
+        dataType = f.dataType.typeName,
+        nullCount = row.getAs[Long](s"${f.name}__nulls"),
+        distinctCount = row.getAs[Long](s"${f.name}__distinct"),
+        min = opt[Any](s"${f.name}__min").map(_.toString),
+        max = opt[Any](s"${f.name}__max").map(_.toString),
+        mean = opt[Double](s"${f.name}__mean"),
+        stddev = opt[Double](s"${f.name}__std"),
+        p25 = opt[Double](s"${f.name}__p25"),
+        p50 = opt[Double](s"${f.name}__p50"),
+        p75 = opt[Double](s"${f.name}__p75"),
+        topValues = topValues.getOrElse(f.name, Nil))
+    }
+    TableProfile(table, row.getAs[Long]("_rows"), cols.toList)
+  }
+
+  def profileTable(table: String): TableProfile =
+    profileDf(lh.catalog.loadTable(table).read(), table)
+
+  // ---- cached stats (stats.py) -------------------------------------------
+
+  private def statsPath = lh.metaDir.resolve("stats_cache.json")
+
+  private def loadCache(): Map[String, TableStats] =
+    if (Files.exists(statsPath)) Jsons.readFile[Map[String, TableStats]](statsPath)
+    else Map.empty
+
+  def computeStats(table: String): TableStats = {
+    val tbl = lh.catalog.loadTable(table)
+    val df = tbl.read()
+    val fields = df.schema.fieldNames.toSeq
+    val aggs = count(lit(1)).as("_rows") +:
+      fields.map(f => sum(col(f).isNull.cast("long")).as(s"n_$f"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val snap = tbl.currentSnapshot
+    val stats = TableStats(
+      table = table,
+      rowCount = row.getAs[Long]("_rows"),
+      fileCount = snap.map(_.files.size.toLong).getOrElse(0L),
+      totalBytes = snap.map(_.totalBytes).getOrElse(0L),
+      snapshotCount = tbl.snapshots.size,
+      snapshotIdAtCache = snap.map(_.id).getOrElse(0L),
+      lastModifiedMs = snap.map(_.timestampMs).getOrElse(0L),
+      columnNullCounts = fields.map(f => f -> row.getAs[Long](s"n_$f")).toMap)
+    synchronized { Jsons.writeFile(statsPath, loadCache() + (table -> stats)) }
+    stats
+  }
+
+  def cachedStats(table: String): Option[TableStats] = loadCache().get(table)
+
+  /** Stale iff cached snapshot-id ≠ current (stats.py:211-237). */
+  def isStatsStale(table: String): Boolean = {
+    val current = lh.catalog.loadTable(table).currentSnapshot.map(_.id).getOrElse(0L)
+    cachedStats(table).forall(_.snapshotIdAtCache != current)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Lakehouse
+
+/** Sampling operators (reference sampling.py).
+  *
+  * Seeded and deterministic per (seed, data): `rand(seed)` is a fixed
+  * per-partition stream, so the same data + seed + partitioning reproduces
+  * the same sample — the Spark analogue of the reference's `setseed`.
+  */
+class Sampling(lh: Lakehouse) {
+
+  /** Bernoulli row sample (sampling.py:12-60) — exact match to
+    * `USING SAMPLE p PERCENT (bernoulli)` semantics. */
+  def randomSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Per-stratum sample of ceil(count×fraction), ≥1 row per stratum
+    * (sampling.py:63-131) via a rank window — preserves the reference's
+    * ≥1-row guarantee that `sampleBy` (approximate) would not. */
+  def stratifiedSample(df: DataFrame, stratCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(col(stratCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(stratCol)).orderBy(rand(seed))
+    df.join(counts, Seq(stratCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= greatest(ceil(col("__n") * fraction), lit(1)))
+      .drop("__n", "__rn")
+  }
+
+  /** Every Nth row by ROW_NUMBER (sampling.py:134-178). Order follows the
+    * scan order, as in the reference (no ORDER BY). */
+  def systematicSample(df: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1)
+    val w = Window.orderBy(monotonically_increasing_id())
+    df.withColumn("__rn", row_number().over(w))
+      .where((col("__rn") % everyN) === 1)
+      .drop("__rn")
+  }
+
+  /** Materialize a sample into a table (sampling.py:181-220). */
+  def sampleToTable(sourceTable: String, targetTable: String, fraction: Double,
+      seed: Long = 42L): Long = {
+    val src = lh.catalog.loadTable(sourceTable)
+    val sample = randomSample(src.read(), fraction, seed)
+    if (!lh.catalog.tableExists(targetTable))
+      lh.catalog.createTable(targetTable, src.schema, Nil, Map.empty)
+    val snap = lh.catalog.loadTable(targetTable).overwrite(sample)
+    lh.audit.log(targetTable, "sample_to_table",
+      Map("source" -> sourceTable, "fraction" -> fraction.toString))
+    snap.totalRows
+  }
+
+  /** Compare mean/std/min/max of numeric columns, full vs sample
+    * (sampling.py:223-308). Returns (column, metric) → (full, sample). */
+  def sampleStats(full: DataFrame, sample: DataFrame)
+      : Map[(String, String), (Double, Double)] = {
+    val numCols = full.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSeq
+    def statsOf(df: DataFrame): Map[(String, String), Double] = {
+      if (numCols.isEmpty) return Map.empty
+      val aggs = numCols.flatMap { c => Seq(
+        avg(col(c)).as(s"${c}__mean"), stddev(col(c)).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      numCols.flatMap { c =>
+        Seq("mean", "std", "min", "max").flatMap { m =>
+          val idx = row.fieldIndex(s"${c}__$m")
+          if (row.isNullAt(idx)) None
+          else Some((c, m) -> row.getDouble(idx))
+        }
+      }.toMap
+    }
+    val f = statsOf(full)
+    val s = statsOf(sample)
+    f.keySet.intersect(s.keySet).map(k => k -> ((f(k), s(k)))).toMap
+  }
+}
+
+/** Table-level dedup API (reference dedup.py:12-253), complementing the
+  * content-hash dedup in [[graft.text.NearDup]]. */
+class Dedup(lh: Lakehouse) {
+
+  /** Duplicate key groups ordered by count (dedup.py:41-48). */
+  def findDuplicates(df: DataFrame, keys: Seq[String], limit: Int = 100): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+      .orderBy(desc("dup_count"), col(keys.head))
+      .limit(limit)
+
+  /** total rows, unique key rows, duplicate excess (dedup.py:84-117). */
+  def dedupSummary(df: DataFrame, keys: Seq[String]): Map[String, Long] = {
+    val total = df.count()
+    val unique = df.select(keys.map(col): _*).distinct().count()
+    Map("total_rows" -> total, "unique_rows" -> unique,
+      "duplicate_rows" -> (total - unique))
+  }
+
+  /** Remove duplicate-keyed rows keeping first/last; "first"/"last" are
+    * positionally arbitrary in the reference (no ORDER BY, dedup.py:147-160)
+    * — here they are deterministic over the scan order. Overwrites the
+    * table; returns removed count. */
+  def removeDuplicates(table: String, keys: Seq[String],
+      keep: String = "first"): Long = {
+    val tbl = lh.catalog.loadTable(table)
+    val df = tbl.read()
+    val before = df.count()
+    val ord = keep match {
+      case "first" => monotonically_increasing_id().asc
+      case "last" => monotonically_increasing_id().desc
+      case other => throw new IllegalArgumentException(s"keep must be first|last: $other")
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    val deduped = df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    tbl.overwrite(deduped)
+    val removed = before - tbl.currentSnapshot.map(_.totalRows).getOrElse(0L)
+    lh.audit.log(table, "remove_duplicates",
+      Map("keys" -> keys.mkString(","), "removed" -> removed.toString))
+    removed
+  }
+
+  /** Per-column uniqueness ratio + suggested key columns (>80% unique,
+    * dedup.py:234) + estimated bytes saved by full dedup. */
+  def dedupReport(table: String, keys: Seq[String]): Map[String, Any] = {
+    val tbl = lh.catalog.loadTable(table)
+    val df = tbl.read()
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("_rows") +:
+      cols.map(c => countDistinct(col(c)).as(s"d_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("_rows")
+    val uniqueness = cols.map(c =>
+      c -> (if (total == 0) 0.0 else row.getAs[Long](s"d_$c").toDouble / total)).toMap
+    val suggested = cols.filter(c => uniqueness(c) > 0.8)
+    val summary = dedupSummary(df, keys)
+    val bytes = tbl.currentSnapshot.map(_.totalBytes).getOrElse(0L)
+    val savings =
+      if (total == 0) 0L
+      else bytes * summary("duplicate_rows") / math.max(total, 1)
+    Map("uniqueness" -> uniqueness, "suggested_keys" -> suggested,
+      "summary" -> summary, "estimated_savings_bytes" -> savings)
+  }
+}

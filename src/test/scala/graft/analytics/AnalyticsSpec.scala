@@ -1,0 +1,101 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Lakehouse, SparkFixture}
+import graft.governance.ValidationRule
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newLh() = Lakehouse.open(spark, SparkFixture.tmpDir("graft-an-").toString)
+
+  private def seeded(): Lakehouse = {
+    val lh = newLh()
+    lh.catalog.createTable("m", Seq("id" -> "long", "cat" -> "string", "v" -> "double"),
+      Nil, Map.empty)
+    lh.dml.insertRows("m", (1 to 100).map(i => Map[String, Any](
+      "id" -> i, "cat" -> s"c${i % 4}",
+      "v" -> (if (i % 10 == 0) null else i.toDouble))))
+    lh
+  }
+
+  test("profile: one-pass nulls/distinct/min/max/mean/percentiles + top values") {
+    val lh = seeded()
+    val p = lh.profile.profileTable("m")
+    assert(p.rowCount == 100)
+    val v = p.columns.find(_.name == "v").get
+    assert(v.nullCount == 10 && v.distinctCount == 90)
+    assert(v.min.get.toDouble == 1.0 && v.max.get.toDouble == 99.0)
+    assert(v.p50.isDefined && v.mean.isDefined && v.stddev.isDefined)
+    val cat = p.columns.find(_.name == "cat").get
+    assert(cat.topValues.size == 4 && cat.topValues.forall(_._2 == 25))
+    val id = p.columns.find(_.name == "id").get
+    assert(id.distinctCount == 100 && id.nullCount == 0)
+  }
+
+  test("stats cache + staleness by snapshot id") {
+    val lh = seeded()
+    val s = lh.profile.computeStats("m")
+    assert(s.rowCount == 100 && s.snapshotIdAtCache == 1 && s.fileCount > 0)
+    assert(s.columnNullCounts("v") == 10)
+    assert(!lh.profile.isStatsStale("m"))
+    lh.dml.insertRows("m", Seq(Map("id" -> 101, "cat" -> "c9", "v" -> 1.5)))
+    assert(lh.profile.isStatsStale("m"))
+  }
+
+  test("sampling: bernoulli deterministic, stratified >=1 per stratum, systematic") {
+    val lh = seeded()
+    val df = lh.catalog.loadTable("m").read().cache()
+    val s1 = lh.sampling.randomSample(df, 0.2, seed = 7).collect().map(_.getLong(0)).toSet
+    val s2 = lh.sampling.randomSample(df, 0.2, seed = 7).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 60)
+    val strat = lh.sampling.stratifiedSample(df, "cat", 0.1, seed = 7)
+    val perStratum = strat.groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.keySet == Set("c0", "c1", "c2", "c3"))
+    // ceil(25 * 0.1) = 3 per stratum
+    assert(perStratum.values.forall(_ == 3))
+    val sys = lh.sampling.systematicSample(df, 10)
+    assert(sys.count() == 10)
+    val stats = lh.sampling.sampleStats(df, strat)
+    assert(stats.contains(("v", "mean")) && stats.contains(("id", "max")))
+  }
+
+  test("dedup: find/summary/remove/report") {
+    val lh = newLh()
+    lh.catalog.createTable("d", Seq("k" -> "long", "x" -> "string"), Nil, Map.empty)
+    lh.dml.insertRows("d", Seq(
+      Map("k" -> 1, "x" -> "a"), Map("k" -> 1, "x" -> "b"),
+      Map("k" -> 2, "x" -> "c"), Map("k" -> 3, "x" -> "d"), Map("k" -> 3, "x" -> "e"),
+      Map("k" -> 3, "x" -> "f")))
+    val df = lh.catalog.loadTable("d").read()
+    val dups = lh.dedup.findDuplicates(df, Seq("k")).collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 3L), (1L, 2L)))
+    assert(lh.dedup.dedupSummary(df, Seq("k")) ==
+      Map("total_rows" -> 6L, "unique_rows" -> 3L, "duplicate_rows" -> 3L))
+    val report = lh.dedup.dedupReport("d", Seq("k"))
+    assert(report("suggested_keys").asInstanceOf[Seq[String]].contains("x"))
+    val removed = lh.dedup.removeDuplicates("d", Seq("k"))
+    assert(removed == 3)
+    assert(lh.catalog.loadTable("d").read().count() == 3)
+    // history preserved — pre-dedup snapshot still has 6 rows
+    assert(lh.catalog.loadTable("d").readAsOf("1").count() == 6)
+  }
+
+  test("quality score components + anomaly detection") {
+    val lh = seeded()
+    lh.validation.addRule(ValidationRule("q1", "m", "not_null", List("v")))
+    val q = lh.quality.computeScore("m")
+    assert(q.completeness > 0.9 && q.completeness < 1.0) // 10/300 null cells
+    assert(q.freshness == 1.0) // just written
+    assert(q.ruleCompliance < 1.0) // 10 null v rows fail the rule
+    assert(q.score > 0 && q.score < 1)
+    assert(lh.quality.history("m").nonEmpty)
+    // anomaly: blow away most rows → critical row-count anomaly
+    lh.dml.delete("m", "id > 5")
+    val anoms = lh.quality.detectAnomalies("m")
+    assert(anoms.exists(a => a.kind == "row_count" && a.severity == "critical"))
+  }
+}
