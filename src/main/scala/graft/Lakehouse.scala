@@ -27,6 +27,16 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
   lazy val sampling = new graft.analytics.Sampling(this)
   lazy val dedup = new graft.analytics.Dedup(this)
   lazy val quality = new graft.analytics.Quality(this)
+  lazy val engine = new graft.engine.QueryEngine(this)
+  lazy val views = new graft.orchestration.Views(this)
+  lazy val matviews = new graft.orchestration.MatViews(this)
+  lazy val pipelines = new graft.orchestration.Pipelines(this)
+  lazy val lineage = new graft.orchestration.Lineage(this)
+  lazy val savedQueries = new graft.orchestration.SavedQueries(this)
+  lazy val queryCache = new graft.orchestration.QueryCache(this)
+  lazy val maintenance = new graft.orchestration.Maintenance(this)
+  lazy val retention = new graft.orchestration.Retention(this)
+  lazy val autoRefresh = new graft.orchestration.AutoRefresh(this)
 }
 
 object Lakehouse {

@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+
+import graft.Lakehouse
+
+/** SQL entry point over catalog tables (reference query.py / joins.py).
+  *
+  * Differences from the reference, by design: table registration is LAZY
+  * temp views over the current snapshot's files (the reference eagerly
+  * materializes every table to Arrow before each query, query.py:68 —
+  * defeating predicate pushdown); Catalyst then prunes/pushes down into the
+  * parquet scans.
+  */
+class QueryEngine(lh: Lakehouse) {
+  import lh.spark
+
+  /** Register all tables under short + `ns__table` names (query.py:52-75,
+    * joins.py:13-41). Cheap — no materialization. */
+  def refresh(): Unit = lh.catalog.registerViews()
+
+  /** Rewrite `ns.table` → `ns__table` for known tables (joins.py:44-55). */
+  def rewriteNamespaces(sql: String): String =
+    lh.catalog.listTables("*").foldLeft(sql) { (s, ident) =>
+      s.replace(ident, ident.replace(".", "__"))
+    }
+
+  /** Naive bare-SELECT auto-LIMIT parity (query.py:162-164): applied only
+    * when the SQL has no LIMIT substring, as the reference does. */
+  def needsLimit(sql: String): Boolean = !sql.toUpperCase.contains("LIMIT")
+
+  def execute(sql: String, maxRows: Int = 1000): DataFrame = {
+    refresh()
+    val df = spark.sql(rewriteNamespaces(sql))
+    recordLineage(sql)
+    if (needsLimit(sql)) df.limit(maxRows) else df
+  }
+
+  /** Time-travel query: registers ONLY the named table, resolved at the
+    * given snapshot-id/timestamp (query.py:169-197). */
+  def executeAsOf(table: String, sql: String, asOf: String,
+      maxRows: Int = 1000): DataFrame = {
+    val (_, short) = graft.core.Catalog.parseIdent(table)
+    lh.catalog.loadTable(table).readAsOf(asOf).createOrReplaceTempView(short)
+    val df = spark.sql(sql)
+    if (needsLimit(sql)) df.limit(maxRows) else df
+  }
+
+  /** Federated multi-table join query (joins.py:58-93). */
+  def executeJoin(sql: String, maxRows: Int = 10000): DataFrame =
+    execute(sql, maxRows)
+
+  /** Tables referenced by a SQL string, from the PARSED plan's unresolved
+    * relations — not the reference's substring matching (matviews.py:35-51),
+    * which false-positives on column names. */
+  def referencedTables(sql: String): Seq[String] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }.distinct.map(n => n.replace("__", "."))
+  }
+
+  /** Dry-run validation: parse, then analyze against registered views
+    * (pipelines.py:159-167 uses EXPLAIN). Throws on invalid SQL. */
+  def validateSql(sql: String): Unit = {
+    refresh()
+    spark.sql(rewriteNamespaces(sql)).queryExecution.analyzed
+  }
+
+  private def recordLineage(sql: String): Unit = ()
+}

@@ -1,0 +1,76 @@
+package graft.orchestration
+
+import java.security.MessageDigest
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.Lakehouse
+
+case class CacheEntry(key: String, sql: String, tables: Seq[String],
+    rows: Seq[Row], schemaJson: String, createdMs: Long, var lastAccessMs: Long)
+
+case class CacheStats(hits: Long, misses: Long, entries: Int)
+
+/** Query result cache (reference query_cache.py): key = sha256 of
+  * normalized SQL (upper, collapsed whitespace, stripped `;`), TTL,
+  * invalidation by referenced table, LRU-ish eviction at 100 entries,
+  * hit/miss stats. Results are bounded (maxRows) before caching — the cache
+  * stores API result pages, never full tables. */
+class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
+    maxEntries: Int = 100) {
+  private val cache = TrieMap.empty[String, CacheEntry]
+  private var hits = 0L
+  private var misses = 0L
+
+  /** Normalization parity with query_cache.py:21-30. */
+  def normalize(sql: String): String =
+    sql.trim.stripSuffix(";").replaceAll("\\s+", " ").toUpperCase
+
+  def keyOf(sql: String): String =
+    MessageDigest.getInstance("SHA-256").digest(normalize(sql).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def execute(sql: String, maxRows: Int = 1000): (Seq[Row], Boolean) = {
+    val key = keyOf(sql)
+    val now = System.currentTimeMillis()
+    cache.get(key).filter(e => now - e.createdMs < ttlMs) match {
+      case Some(e) =>
+        synchronized { hits += 1 }
+        e.lastAccessMs = now
+        (e.rows, true)
+      case None =>
+        synchronized { misses += 1 }
+        val df = lh.engine.execute(sql, maxRows)
+        val rows = df.collect().toSeq
+        put(key, sql, lh.engine.referencedTables(sql), rows, df)
+        (rows, false)
+    }
+  }
+
+  private def put(key: String, sql: String, tables: Seq[String], rows: Seq[Row],
+      df: DataFrame): Unit = synchronized {
+    if (cache.size >= maxEntries) {
+      // evict least-recently-accessed (query_cache.py eviction at 100)
+      cache.toSeq.sortBy(_._2.lastAccessMs).take(cache.size - maxEntries + 1)
+        .foreach { case (k, _) => cache.remove(k) }
+    }
+    val now = System.currentTimeMillis()
+    cache.put(key, CacheEntry(key, sql,
+      tables.map(t => if (t.contains(".")) t else s"default.$t"),
+      rows, df.schema.json, now, now))
+  }
+
+  /** Invalidate all entries touching a table (query_cache.py:55-62 uses a
+    * FROM/JOIN regex; we use the parsed-plan table list captured at insert). */
+  def invalidateTable(table: String): Int = {
+    val t = if (table.contains(".")) table else s"default.$table"
+    val keys = cache.collect { case (k, e) if e.tables.contains(t) => k }.toSeq
+    keys.foreach(cache.remove)
+    keys.size
+  }
+
+  def invalidateAll(): Unit = cache.clear()
+
+  def stats: CacheStats = CacheStats(hits, misses, cache.size)
+}
