@@ -37,6 +37,16 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
   lazy val maintenance = new graft.orchestration.Maintenance(this)
   lazy val retention = new graft.orchestration.Retention(this)
   lazy val autoRefresh = new graft.orchestration.AutoRefresh(this)
+  lazy val masking = new graft.governance.Masking(this)
+  lazy val sla = new graft.governance.Sla(this)
+  lazy val contracts = new graft.governance.Contracts(this)
+  lazy val tagging = new graft.governance.Tagging(this)
+  lazy val catalogMetadata = new graft.governance.CatalogMetadata(this)
+  lazy val notifications = new graft.governance.Notifications(this)
+  lazy val cloning = new graft.governance.Cloning(this)
+  lazy val advisor = new graft.governance.Advisor(this)
+  lazy val importExport = new graft.io.ImportExport(this)
+  lazy val backup = new graft.io.Backup(this)
 }
 
 object Lakehouse {

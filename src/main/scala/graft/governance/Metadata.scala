@@ -1,0 +1,239 @@
+package graft.governance
+
+import java.nio.file.Files
+
+import graft.Lakehouse
+import graft.core.Jsons
+
+/** Tags (normalized lowercase), table descriptions, bookmarks + search
+  * across name/tag/description (reference tagging.py:40-254). */
+class Tagging(lh: Lakehouse) {
+  import Tagging.Store
+  private def path = lh.metaDir.resolve("tagging.json")
+
+  private def load(): Store =
+    if (Files.exists(path)) Jsons.readFile[Store](path) else Store()
+
+  private def norm(t: String) = t.trim.toLowerCase
+
+  def addTag(table: String, tag: String): Unit = synchronized {
+    val s = load()
+    val ts = (s.tags.getOrElse(table, Nil) :+ norm(tag)).distinct
+    Jsons.writeFile(path, s.copy(tags = s.tags + (table -> ts)))
+  }
+
+  def removeTag(table: String, tag: String): Unit = synchronized {
+    val s = load()
+    Jsons.writeFile(path, s.copy(tags =
+      s.tags + (table -> s.tags.getOrElse(table, Nil).filterNot(_ == norm(tag)))))
+  }
+
+  def tags(table: String): List[String] = load().tags.getOrElse(table, Nil)
+
+  def setDescription(table: String, d: String): Unit = synchronized {
+    val s = load(); Jsons.writeFile(path, s.copy(descriptions = s.descriptions + (table -> d)))
+  }
+
+  def description(table: String): Option[String] = load().descriptions.get(table)
+
+  def bookmark(table: String): Unit = synchronized {
+    val s = load(); Jsons.writeFile(path, s.copy(bookmarks = (s.bookmarks :+ table).distinct))
+  }
+
+  def unbookmark(table: String): Unit = synchronized {
+    val s = load(); Jsons.writeFile(path, s.copy(bookmarks = s.bookmarks.filterNot(_ == table)))
+  }
+
+  def bookmarks(): List[String] = load().bookmarks
+
+  /** Search across table names, tags, descriptions + catalog names. */
+  def search(q: String): List[String] = {
+    val s = load()
+    val needle = norm(q)
+    val catalogHits = lh.catalog.listTables("*").filter(_.toLowerCase.contains(needle))
+    val tagHits = s.tags.collect { case (t, ts) if ts.exists(_.contains(needle)) => t }
+    val descHits = s.descriptions.collect {
+      case (t, d) if d.toLowerCase.contains(needle) => t }
+    (catalogHits ++ tagHits ++ descHits).distinct.sorted
+  }
+}
+
+object Tagging {
+  case class Store(tags: Map[String, List[String]] = Map.empty,
+      descriptions: Map[String, String] = Map.empty,
+      bookmarks: List[String] = Nil)
+}
+
+case class GlossaryTerm(term: String, definition: String, aliases: List[String] = Nil)
+
+/** Column descriptions, data classifications, business glossary
+  * (reference catalog_metadata.py:42-269). */
+class CatalogMetadata(lh: Lakehouse) {
+  import CatalogMetadata.Store
+  val Classifications = Set("pii", "financial", "public", "internal", "confidential")
+  private def path = lh.metaDir.resolve("catalog_metadata.json")
+
+  private def load(): Store =
+    if (Files.exists(path)) Jsons.readFile[Store](path) else Store()
+
+  def setColumnDescription(table: String, column: String, desc: String): Unit =
+    synchronized {
+      val s = load()
+      val cols = s.columnDescriptions.getOrElse(table, Map.empty) + (column -> desc)
+      Jsons.writeFile(path, s.copy(columnDescriptions = s.columnDescriptions + (table -> cols)))
+    }
+
+  def columnDescriptions(table: String): Map[String, String] =
+    load().columnDescriptions.getOrElse(table, Map.empty)
+
+  def classify(table: String, column: String, cls: String): Unit = synchronized {
+    require(Classifications(cls), s"unknown classification: $cls")
+    val s = load()
+    val cols = s.classifications.getOrElse(table, Map.empty) + (column -> cls)
+    Jsons.writeFile(path, s.copy(classifications = s.classifications + (table -> cols)))
+  }
+
+  def classifications(table: String): Map[String, String] =
+    load().classifications.getOrElse(table, Map.empty)
+
+  def addGlossaryTerm(t: GlossaryTerm): Unit = synchronized {
+    val s = load()
+    Jsons.writeFile(path, s.copy(glossary = s.glossary + (t.term.toLowerCase -> t)))
+  }
+
+  def glossarySearch(q: String): List[GlossaryTerm] = {
+    val needle = q.toLowerCase
+    load().glossary.values.filter(t =>
+      t.term.toLowerCase.contains(needle) ||
+        t.definition.toLowerCase.contains(needle) ||
+        t.aliases.exists(_.toLowerCase.contains(needle))).toList.sortBy(_.term)
+  }
+
+  /** Enriched schema: column → (type, description, classification, glossary
+    * terms substring-matched on the column name, catalog_metadata.py:243-250). */
+  def enrichedSchema(table: String): List[Map[String, String]] = {
+    val schema = lh.catalog.loadTable(table).schema
+    val descs = columnDescriptions(table)
+    val cls = classifications(table)
+    val glossary = load().glossary.values.toList
+    schema.fields.toList.map { f =>
+      val terms = glossary.filter(t =>
+        f.name.toLowerCase.contains(t.term.toLowerCase) ||
+          t.aliases.exists(a => f.name.toLowerCase.contains(a.toLowerCase)))
+      Map(
+        "name" -> f.name,
+        "type" -> f.dataType.typeName,
+        "description" -> descs.getOrElse(f.name, ""),
+        "classification" -> cls.getOrElse(f.name, ""),
+        "glossary_terms" -> terms.map(_.term).mkString(","))
+    }
+  }
+}
+
+object CatalogMetadata {
+  case class Store(
+      columnDescriptions: Map[String, Map[String, String]] = Map.empty,
+      classifications: Map[String, Map[String, String]] = Map.empty,
+      glossary: Map[String, GlossaryTerm] = Map.empty)
+}
+
+case class NotificationHandler(table: String, event: String, // write|schema_change|sla_violation|maintenance|contract_violation|all
+    kind: String, // log | shell | webhook
+    target: String)
+
+case class NotificationRecord(table: String, event: String, message: String,
+    handler: String, timestampMs: Long)
+
+/** Event notifications (reference notifications.py:39-263): handlers per
+  * table × event; history capped at 200. `webhook` is recorded but not sent
+  * in this zero-egress build (documented divergence); `shell` runs via
+  * ProcessBuilder; `log` appends to the notification history only. */
+class Notifications(lh: Lakehouse) {
+  val Events = Set("write", "schema_change", "sla_violation", "maintenance",
+    "contract_violation", "all")
+  val MaxHistory = 200
+  private def path = lh.metaDir.resolve("notifications.json")
+  private def histPath = lh.metaDir.resolve("notifications_history.json")
+
+  private def load(): List[NotificationHandler] =
+    if (Files.exists(path)) Jsons.readFile[List[NotificationHandler]](path) else Nil
+
+  def addHandler(h: NotificationHandler): Unit = synchronized {
+    require(Events(h.event), s"unknown event: ${h.event}")
+    require(Set("log", "shell", "webhook")(h.kind), s"unknown handler kind: ${h.kind}")
+    Jsons.writeFile(path, load() :+ h)
+  }
+
+  def handlers(table: String): List[NotificationHandler] =
+    load().filter(h => h.table == table || h.table == "*")
+
+  /** Fire an event; called from e.g. the contract monitor
+    * (contracts.py:726-734). Best-effort per handler. */
+  def fireEvent(table: String, event: String, message: String): List[NotificationRecord] = {
+    val matching = handlers(table).filter(h => h.event == event || h.event == "all")
+    val records = matching.map { h =>
+      try {
+        h.kind match {
+          case "log" => () // recorded below
+          case "shell" =>
+            new ProcessBuilder("sh", "-c", h.target)
+              .redirectErrorStream(true).start().waitFor()
+          case "webhook" => () // zero-egress build: recorded, not sent
+        }
+      } catch { case _: Exception => () }
+      NotificationRecord(table, event, message, s"${h.kind}:${h.target}",
+        System.currentTimeMillis())
+    }
+    if (records.nonEmpty) synchronized {
+      Jsons.writeFile(histPath, (history() ++ records).takeRight(MaxHistory))
+    }
+    records
+  }
+
+  def history(): List[NotificationRecord] =
+    if (Files.exists(histPath)) Jsons.readFile[List[NotificationRecord]](histPath)
+    else Nil
+}
+
+case class CloneRecord(original: String, cloneName: String, asOf: Option[String],
+    createdMs: Long)
+
+/** Table cloning (reference cloning.py:35-218). The reference copies data
+  * despite its zero-copy docstring (cloning.py:89-100); our snapshot format
+  * makes true zero-copy trivial, but we keep copy semantics for parity and
+  * isolation (a clone survives the original's orphan cleanup). */
+class Cloning(lh: Lakehouse) {
+  private def path = lh.metaDir.resolve("clones.json")
+
+  private def load(): List[CloneRecord] =
+    if (Files.exists(path)) Jsons.readFile[List[CloneRecord]](path) else Nil
+
+  def clone(original: String, cloneName: String, asOf: Option[String] = None): CloneRecord = {
+    val src = lh.catalog.loadTable(original)
+    val df = asOf.map(src.readAsOf).getOrElse(src.read())
+    val tbl = lh.catalog.createTable(cloneName, src.schema,
+      src.meta.partitionSpec, src.meta.properties)
+    tbl.append(df)
+    val rec = CloneRecord(original, cloneName, asOf, System.currentTimeMillis())
+    synchronized { Jsons.writeFile(path, load() :+ rec) }
+    lh.audit.log(cloneName, "clone", Map("from" -> original))
+    rec
+  }
+
+  /** Promote: overwrite the original with the clone's current data. */
+  def promote(cloneName: String): Unit = {
+    val rec = load().find(_.cloneName == cloneName)
+      .getOrElse(throw new IllegalArgumentException(s"not a clone: $cloneName"))
+    val data = lh.catalog.loadTable(cloneName).read()
+    lh.catalog.loadTable(rec.original).overwrite(data)
+    lh.audit.log(rec.original, "clone_promote", Map("clone" -> cloneName))
+  }
+
+  def discard(cloneName: String): Unit = synchronized {
+    require(load().exists(_.cloneName == cloneName), s"not a clone: $cloneName")
+    lh.catalog.dropTable(cloneName)
+    Jsons.writeFile(path, load().filterNot(_.cloneName == cloneName))
+  }
+
+  def list(): List[CloneRecord] = load()
+}

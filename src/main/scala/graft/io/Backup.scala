@@ -1,0 +1,79 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+import graft.Lakehouse
+import graft.core.Jsons
+
+case class BackupManifest(table: String, rowCount: Long, schemaJson: String,
+    sha256: String, createdMs: Long)
+
+/** Backup/restore (reference backup.py:22-511): table → tar.gz of parquet +
+  * metadata.json, with a sha256 checksum over the data payload; restore
+  * recreates the table; verify re-hashes. */
+class Backup(lh: Lakehouse) {
+
+  private def sha256Of(dir: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val files = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .toList.sortBy(_.toString)
+    files.foreach(f => md.update(Files.readAllBytes(f)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def run(cmd: String*): Unit = {
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    require(p.waitFor() == 0, s"command failed: ${cmd.mkString(" ")}\n$out")
+  }
+
+  /** Create `<target>.tar.gz` holding data/ + metadata.json. */
+  def backupTable(table: String, targetTarGz: String): BackupManifest = {
+    val tbl = lh.catalog.loadTable(table)
+    val staging = Files.createTempDirectory("graft-backup-")
+    val dataDir = staging.resolve("data")
+    // single-snapshot export: write current data as parquet
+    tbl.read().write.parquet(dataDir.toString)
+    val manifest = BackupManifest(table,
+      tbl.currentSnapshot.map(_.totalRows).getOrElse(0L),
+      tbl.schema.json, sha256Of(dataDir), System.currentTimeMillis())
+    Jsons.writeFile(staging.resolve("metadata.json"), manifest)
+    val target = Paths.get(targetTarGz).toAbsolutePath
+    Files.createDirectories(target.getParent)
+    run("tar", "-czf", target.toString, "-C", staging.toString, ".")
+    lh.audit.log(table, "backup", Map("target" -> targetTarGz))
+    manifest
+  }
+
+  /** Restore into (possibly new) `table`; refuses checksum mismatches. */
+  def restoreTable(tarGz: String, table: String, overwrite: Boolean = false): Long = {
+    val staging = Files.createTempDirectory("graft-restore-")
+    run("tar", "-xzf", Paths.get(tarGz).toAbsolutePath.toString, "-C", staging.toString)
+    val manifest = Jsons.readFile[BackupManifest](staging.resolve("metadata.json"))
+    val actual = sha256Of(staging.resolve("data"))
+    require(actual == manifest.sha256,
+      s"backup checksum mismatch: $actual != ${manifest.sha256}")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(manifest.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val df = lh.spark.read.schema(schema).parquet(staging.resolve("data").toString)
+    val tbl =
+      if (lh.catalog.tableExists(table)) {
+        require(overwrite, s"table exists: $table (pass overwrite=true)")
+        lh.catalog.loadTable(table)
+      } else lh.catalog.createTable(table, schema, Nil, Map.empty)
+    val snap = tbl.overwrite(df)
+    lh.audit.log(table, "restore", Map("source" -> tarGz))
+    snap.totalRows
+  }
+
+  /** Re-hash the archive's payload against its manifest (backup.py verify). */
+  def verifyBackup(tarGz: String): Boolean = {
+    val staging = Files.createTempDirectory("graft-verify-")
+    run("tar", "-xzf", Paths.get(tarGz).toAbsolutePath.toString, "-C", staging.toString)
+    val manifest = Jsons.readFile[BackupManifest](staging.resolve("metadata.json"))
+    sha256Of(staging.resolve("data")) == manifest.sha256
+  }
+}
