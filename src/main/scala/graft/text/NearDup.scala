@@ -28,7 +28,9 @@ object NearDup {
     * (stopword-shingle blowup guard for large corpora; 0 = keep all). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
-    val sh0 = shingleTable(df, idCol, textCol, n)
+    // The shingle table feeds three subtrees (sizes + both join sides);
+    // without persist Spark re-runs tokenize+shingle+explode three times.
+    val sh0 = shingleTable(df, idCol, textCol, n).persist()
     val sh = if (maxShingleFreq <= 0) sh0 else {
       val freq = sh0.groupBy("s").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxShingleFreq)
@@ -63,15 +65,14 @@ object NearDup {
 object MinHashLSH {
 
   /** MinHash signature per doc: sig[i] = min over shingles of
-    * xxhash64(i, shingle). Returns (doc_id, sig: array<long>). */
-  def signatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+    * xxhash64(shingle, seed=i). One custom-expression pass per document —
+    * no shingle explode, no k-wide aggregation (narrow map, no shuffle).
+    * Returns (doc_id, sig: array<long>). */
+  def signatures(df: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextExpressions.minhashSignature(
+        TextAnalysis.shingles(col(textCol), n), numHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band hash. Bands of `rowsPerBand`
     * signature slots are hashed; a shared (band, hash) bucket → candidate.
@@ -102,7 +103,8 @@ object MinHashLSH {
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     val sh = NearDup.shingleTable(df, idCol, textCol, n).cache()
-    val cands = candidatePairs(signatures(sh, numHashes), numHashes, bands)
+    val cands = candidatePairs(signatures(df, idCol, textCol, n, numHashes),
+      numHashes, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.alias("a"), col("id_a") === col("a.doc_id"))

@@ -36,15 +36,15 @@ object TextAnalysis {
     * exact dedup). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Occurrences of any marker word among the tokens. */
-  def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(markers)))
+  /** Occurrences of any marker word among the text's tokens (compiled
+    * custom expression; see [[TextExpressions.MarkerCount]]). */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    TextExpressions.markerCount(text, markers)
 
   /** Predicted language: argmax of marker counts, first-listed wins ties,
     * `unknown` when no marker hits. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(text, ms) }
     val pred = scores.foldRight(lit("unknown")) { case ((lang, s), elseCol) =>
       val geAll = scores.map { case (_, o) => s >= o }.reduce(_ && _)
       when(s > 0 && geAll, lit(lang)).otherwise(elseCol)
@@ -58,7 +58,7 @@ object TextAnalysis {
   def qualityScore(text: Column): Column = {
     val nChars = charCount(text).cast("double")
     val nToks = tokenCount(text).cast("double")
-    val stops = markerCount(tokens(text), LangMarkers.head._2).cast("double")
+    val stops = markerCount(text, LangMarkers.head._2).cast("double")
     val punct = (charCount(text) -
       length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))).cast("double")
     val lenScore = least(nChars / lit(500.0), lit(1.0))
@@ -67,15 +67,11 @@ object TextAnalysis {
     lit(0.4) * lenScore + lit(0.4) * stopScore + lit(0.2) * punctScore
   }
 
-  /** Distinct word n-gram shingles of the text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word n-gram shingles of the text. Implemented as a custom
+    * Catalyst expression — the equivalent higher-order-function pipeline
+    * (`array_distinct(transform(sequence(...)))`) evaluates its lambdas
+    * interpreted and is ~50× slower on the dedup hot path. */
+  def shingles(text: Column, n: Int): Column = TextExpressions.shingles(text, n)
 
   // ---- SQL-generator side (DuckDB oracle) --------------------------------
 

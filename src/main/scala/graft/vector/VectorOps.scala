@@ -16,9 +16,10 @@ object VectorOps {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Compiled left-fold dot product (custom expression) — bit-identical to
+    * `aggregate(zip_with(...))` but ~an order of magnitude faster, since
+    * higher-order-function lambdas are interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.text.TextExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
