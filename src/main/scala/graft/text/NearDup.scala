@@ -123,21 +123,13 @@ object MinHashLSH {
 object SimHash {
 
   /** 64-bit SimHash per doc from token hashes: bit i of the fingerprint is
-    * set iff the sum over tokens of ±1 (sign of bit i of xxhash64(token))
-    * is positive. Returns (doc_id, simhash: long). */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+    * set iff the sum over token occurrences of ±1 (sign of bit i of
+    * xxhash64(token)) is positive. One compiled expression pass — a narrow
+    * map with no shuffle (the HOF/explode formulation needed a 64-wide
+    * aggregation). Returns (doc_id, simhash: long). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextExpressions.simhash(col(textCol)).as("simhash"))
 
   /** Pairs with Hamming distance ≤ maxDist, found via 16-bit band buckets
     * (any pair within distance 3 must share at least one of 4 bands). */

@@ -114,6 +114,43 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** 64-bit SimHash of lower(trim(text)) whitespace tokens: bit i set iff
+    * the sum over token OCCURRENCES of ±1 (sign of bit i of
+    * xxhash64(token, seed=42) — Spark's default xxhash64 seed) is positive.
+    * One compiled pass replaces token-explode + 64 sum-aggregations. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+        .split("\\s+", -1)
+      val sums = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val u = UTF8String.fromString(toks(i))
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
   /** Dot product of two float/double arrays in DOUBLE with a strict left
     * fold — bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and
     * to DuckDB's `list_reduce(list_transform(...))`, since all three perform
@@ -160,4 +197,6 @@ object TextExpressions {
 
   def markerCount(text: Column, markers: Seq[String]): Column =
     column(MarkerCount(expression(text), markers))
+
+  def simhash(text: Column): Column = column(SimHash64(expression(text)))
 }
