@@ -47,6 +47,7 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
   lazy val advisor = new graft.governance.Advisor(this)
   lazy val importExport = new graft.io.ImportExport(this)
   lazy val backup = new graft.io.Backup(this)
+  lazy val formats = new graft.io.FormatResolver(this)
 }
 
 object Lakehouse {

@@ -237,6 +237,36 @@ object SparkEntry {
     "q23_simhash_pairs" -> ((s, dir) => {
       val fp = graft.text.SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
       graft.text.SimHash.hammingPairs(fp, maxDist = 3)
+    }),
+
+    // §2.13-adjacent: JSON extraction from the events props column
+    "q24_props_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.5 time-bucketed monthly revenue over orders
+    "q25_orders_monthly" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
+    }),
+
+    // §2.4 broadcast dimension join: lineitem × part by brand
+    "q26_brand_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(D)).cast("double").as("total_qty"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
     })
   )
 
@@ -361,6 +391,22 @@ object SparkEntry {
         |FROM q, c WHERE qid != nid)
         |SELECT qid, nid, score, rnk FROM (
         |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM s)
-        |WHERE rnk <= 5""".stripMargin
+        |WHERE rnk <= 5""".stripMargin,
+    "q24_props_extract" ->
+      """SELECT event_type,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q25_orders_monthly" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q26_brand_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin
   )
 }

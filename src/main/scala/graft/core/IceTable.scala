@@ -119,11 +119,18 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val commitDir = dataDir.resolve(f"commit-$id%05d")
       val aligned = align(df, m.schema)
       val tfs = m.transforms
+      // "vortex" format label → alternate parquet profile (zstd); see
+      // graft.io.FormatResolver for the resolution chain
+      val codec = m.properties.get("write.format.default") match {
+        case Some("vortex") => Map("compression" -> "zstd")
+        case _ => Map.empty[String, String]
+      }
       if (tfs.isEmpty) {
-        aligned.write.parquet(commitDir.toString)
+        aligned.write.options(codec).parquet(commitDir.toString)
       } else {
         tfs.foldLeft(aligned)((d, t) => d.withColumn(t.name, t.column))
-          .write.partitionBy(tfs.map(_.name): _*).parquet(commitDir.toString)
+          .write.options(codec).partitionBy(tfs.map(_.name): _*)
+          .parquet(commitDir.toString)
       }
       val newFiles = listParquet(commitDir, m.currentSchemaId)
       val files =

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.Lakehouse
+
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+case class SessionState(count: Long, firstTs: Long, lastTs: Long)
+
+case class UserSession(user_id: Long, events: Long, startMs: Long, endMs: Long,
+    durationMs: Long)
+
+/** Structured Streaming facade. The reference has no continuous streaming —
+  * its "incremental" is snapshot-diff micro-batch (SURVEY §2.10), which
+  * [[graft.analytics.Incremental]] covers. This module is the Spark-native
+  * upgrade path: the same events schema processed as a real stream with
+  * event-time watermarks, windowed aggregation, gap-based sessionization via
+  * flatMapGroupsWithState, and a foreachBatch sink that commits each
+  * micro-batch as an IceLite snapshot (exactly-once per batch via the
+  * snapshot log's atomic append).
+  */
+object Streaming {
+
+  /** File stream over a directory of event parquet (schema must be given
+    * for streaming reads). */
+  def eventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts + sums with an event-time watermark. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with custom state: a session closes when no
+    * event arrives for `gapMs` in processing time (KeyValueGroupedDataset
+    * .flatMapGroupsWithState, the reference-free §2.10 scale path). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.count, s.firstTs, s.lastTs,
+              s.lastTs - s.firstTs))
+          } else {
+            val events = rows.toSeq
+            val tss = events.map(_.ts.getTime)
+            val prev = state.getOption
+            val next = prev match {
+              case Some(s) => SessionState(s.count + events.size,
+                s.firstTs, math.max(s.lastTs, tss.max))
+              case None => SessionState(events.size, tss.min, tss.max)
+            }
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Sink each micro-batch into an IceLite table: one snapshot per batch,
+    * so replays/time travel work on streamed data too. */
+  def writeToTable(df: DataFrame, lh: Lakehouse, table: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!lh.catalog.tableExists(table))
+          lh.catalog.createTable(table, batch.schema, Nil,
+            Map("graft.streaming" -> "true"))
+        lh.catalog.loadTable(table).append(batch)
+        ()
+      }
+      .start()
+}

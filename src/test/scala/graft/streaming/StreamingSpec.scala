@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Lakehouse, SparkFixture}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def eventsDir(): String = {
+    // stream source: a dir of parquet with µs timestamps (streaming reader
+    // rejects TIMESTAMP(NANOS) like the batch one)
+    val dir = SparkFixture.tmpDir("graft-st-").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(200).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed stats with watermark over a file stream (AvailableNow)") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stats = Streaming.windowedStats(
+      Streaming.eventsStream(spark, dir, schema), "1 hour", "2 hours")
+    val q = stats.writeStream.outputMode("append").format("memory")
+      .queryName("winstats").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("winstats")
+    // append mode emits only watermark-closed windows; with AvailableNow all
+    // but the trailing windows close
+    assert(got.count() > 0)
+    val batch = spark.read.parquet(dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // every emitted row matches the batch computation
+    val j = got.join(batch.select($"window.start".as("window_start"),
+      $"event_type", $"n".as("batch_n")), Seq("window_start", "event_type"))
+    assert(j.where($"n" =!= $"batch_n").count() == 0)
+  }
+
+  test("sessionize closes gap-separated sessions via state timeout") {
+    val events = Seq(
+      Event(1, new Timestamp(1000), 7, "click", 1.0),
+      Event(2, new Timestamp(3000), 7, "click", 1.0),
+      Event(3, new Timestamp(1000), 8, "view", 1.0)).toDS()
+    // batch Datasets can't run flatMapGroupsWithState with timeouts; use a
+    // memory stream to drive it
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    ms.addData(events.collect().toSeq: _*)
+    val sessions = Streaming.sessionize(ms.toDS(), gapMs = 100)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck2-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // first batch ingests events; later empty batches fire the timeout
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("sessions").count() < 2 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    val got = spark.table("sessions").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got(7L) == ((2L, 2000L))) // 2 events, 2s span
+    assert(got(8L)._1 == 1L)
+  }
+
+  test("foreachBatch sink commits micro-batches as IceLite snapshots") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh-").toString)
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val q = Streaming.writeToTable(
+      Streaming.eventsStream(spark, dir, schema), lh, "events_sink",
+      SparkFixture.tmpDir("graft-ck3-").toString)
+    q.awaitTermination(60000)
+    val tbl = lh.catalog.loadTable("events_sink")
+    assert(tbl.read().count() == 200)
+    assert(tbl.snapshots.nonEmpty)
+    assert(tbl.meta.properties("graft.streaming") == "true")
+  }
+}
