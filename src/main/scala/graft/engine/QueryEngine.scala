@@ -69,4 +69,19 @@ class QueryEngine(lh: Lakehouse) {
   }
 
   private def recordLineage(sql: String): Unit = ()
+
+  /** Equi-join candidates from matching column names across tables, with a
+    * ready-to-run join SQL template (reference suggest_joins,
+    * joins.py:191-237). Pure metadata walk — no data touched. */
+  def suggestJoins(): Seq[(String, String, String, String)] = {
+    val tables = lh.catalog.listTables("*")
+    val schemas = tables.map(t => t -> lh.catalog.loadTable(t).schema.fieldNames.toSet)
+    for {
+      (ta, ca) <- schemas
+      (tb, cb) <- schemas if ta < tb
+      shared <- (ca intersect cb).toSeq.sorted
+    } yield (ta, tb, shared,
+      s"SELECT * FROM ${ta.replace(".", "__")} a JOIN ${tb.replace(".", "__")} b" +
+        s" ON a.$shared = b.$shared")
+  }
 }
