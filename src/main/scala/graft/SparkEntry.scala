@@ -257,6 +257,24 @@ object SparkEntry {
           sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
     }),
 
+    // custom operator: as-of (backward) join — each event matched to the
+    // customer's most recent order at event time (union+window technique)
+    "q27_asof_latest_order" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("user_id"),
+        expr("timestampadd(DAY, CAST(event_id % 2500 AS INT), TIMESTAMP '1995-01-01')")
+          .as("ts2"))
+      val ob = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice").cast(D)).cast("double").as("price"))
+      graft.operators.AsOfJoin
+        .asofBackward(ev, ob, "user_id", "o_custkey", "ts2", "o_orderdate")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("price")).as("n_matched"),
+          sum(col("price").cast(D)).cast("double").as("total"))
+    }),
+
     // §2.4 broadcast dimension join: lineitem × part by brand
     "q26_brand_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -402,6 +420,19 @@ object SparkEntry {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
+    "q27_asof_latest_order" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, user_id,
+        |    TIMESTAMP '1995-01-01' + INTERVAL 1 DAY * CAST(event_id % 2500 AS INT) AS ts2
+        |  FROM events),
+        |ob AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t2,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n, COUNT(price) AS n_matched,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM ev ASOF LEFT JOIN ob ON user_id = k AND ts2 >= t2
+        |GROUP BY event_type""".stripMargin,
     "q26_brand_stats" ->
       """SELECT p_brand, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
