@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.text.TextExpressions._
+
+/** SparkSessionExtensions registration so SQL users can call the custom
+  * expressions directly:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions). ...
+  * // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * spark.sql("SELECT graft_shingles(text, 3), graft_simhash(text) FROM docs")
+  * }}}
+  *
+  * Functions: graft_shingles(text, n), graft_minhash(shingles, k),
+  * graft_simhash(text), graft_marker_count(text, csvMarkers),
+  * graft_dot(a, b).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Shingles].getName, "graft_shingles"),
+        (args: Seq[Expression]) =>
+          Shingles(args.head, if (args.size > 1) intArg(args(1), "n") else 3)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSignature].getName, "graft_minhash"),
+        (args: Seq[Expression]) =>
+          MinHashSignature(args.head,
+            if (args.size > 1) intArg(args(1), "k") else 128)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64].getName, "graft_simhash"),
+        (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_marker_count"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MarkerCount].getName, "graft_marker_count"),
+        (args: Seq[Expression]) =>
+          MarkerCount(args.head,
+            stringArg(args(1), "markers").split(',').toSeq)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "graft_dot"),
+        (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the functions on an already-built session (e.g. tests). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_shingles",
+      args => Shingles(args.head,
+        args.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(3)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      args => MinHashSignature(args.head,
+        args.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(128)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      args => DotProduct(args.head, args(1)), "built-in")
+  }
+}
