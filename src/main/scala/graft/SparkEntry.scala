@@ -233,6 +233,40 @@ object SparkEntry {
         n = 3, numHashes = 128, bands = 32, threshold = 0.8)
     }),
 
+    // §2.12 profile stddev via exact-sum formula (identical IEEE expression
+    // tree both engines: sqrt((Q - S*S/n)/(n-1)) over decimal-exact S, Q)
+    "q28_stddev_by_flag" -> ((s, dir) => {
+      val x = col("l_quantity").cast(D)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(x).cast("double").as("s"),
+          sum(x * x).cast("double").as("q"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("l_returnflag"),
+          sqrt((col("q") - col("s") * col("s") / col("n")) / (col("n") - 1))
+            .as("std_qty"))
+    }),
+
+    // §2.3 scalar subquery: customers above the global average balance
+    "q29_above_avg_balance" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.agg((sum(col("c_acctbal").cast(D)).cast("double") /
+        count(col("c_acctbal"))).as("a"))
+      c.join(broadcast(avgBal))
+        .where(col("c_acctbal") > col("a"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+    }),
+
+    // §2.5 conditional aggregation (CASE WHEN pivot shape)
+    "q30_status_pivot" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_orderpriority")).agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+    }),
+
     // SimHash fingerprint near-dup candidates (rows-only check)
     "q23_simhash_pairs" -> ((s, dir) => {
       val fp = graft.text.SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -420,6 +454,27 @@ object SparkEntry {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
+    "q28_stddev_by_flag" ->
+      """SELECT l_returnflag,
+        | sqrt((q - s * s / n) / (n - 1)) AS std_qty
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+    "q29_above_avg_balance" ->
+      """SELECT c_nationkey, COUNT(*) AS n_above FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal)
+        |  FROM customer)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q30_status_pivot" ->
+      """SELECT o_orderpriority,
+        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q27_asof_latest_order" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, user_id,
