@@ -115,6 +115,14 @@ class Profile(lh: Lakehouse) {
     else Map.empty
 
   def computeStats(table: String): TableStats = {
+    val stats = statsNoCache(table)
+    synchronized { Jsons.writeFile(statsPath, loadCache() + (table -> stats)) }
+    stats
+  }
+
+  /** Compute without touching the cache — used by anomaly detection, which
+    * must not overwrite the baseline it is comparing against. */
+  def statsNoCache(table: String): TableStats = {
     val tbl = lh.catalog.loadTable(table)
     val df = tbl.read()
     val fields = df.schema.fieldNames.toSeq
@@ -122,7 +130,7 @@ class Profile(lh: Lakehouse) {
       fields.map(f => sum(col(f).isNull.cast("long")).as(s"n_$f"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val snap = tbl.currentSnapshot
-    val stats = TableStats(
+    TableStats(
       table = table,
       rowCount = row.getAs[Long]("_rows"),
       fileCount = snap.map(_.files.size.toLong).getOrElse(0L),
@@ -131,8 +139,6 @@ class Profile(lh: Lakehouse) {
       snapshotIdAtCache = snap.map(_.id).getOrElse(0L),
       lastModifiedMs = snap.map(_.timestampMs).getOrElse(0L),
       columnNullCounts = fields.map(f => f -> row.getAs[Long](s"n_$f")).toMap)
-    synchronized { Jsons.writeFile(statsPath, loadCache() + (table -> stats)) }
-    stats
   }
 
   def cachedStats(table: String): Option[TableStats] = loadCache().get(table)

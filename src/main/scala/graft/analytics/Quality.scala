@@ -116,7 +116,8 @@ class Quality(lh: Lakehouse) {
         val nullAnoms =
           if (rows == 0 || old.rowCount == 0) Nil
           else {
-            val cur = profile.computeStats(table).columnNullCounts
+            // read-only: must not clobber the cached baseline being compared
+            val cur = profile.statsNoCache(table).columnNullCounts
             old.columnNullCounts.toList.flatMap { case (c, oldNulls) =>
               val oldRate = oldNulls.toDouble / old.rowCount * 100
               val newRate = cur.getOrElse(c, 0L).toDouble / rows * 100

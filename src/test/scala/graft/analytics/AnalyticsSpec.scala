@@ -97,5 +97,9 @@ class AnalyticsSpec extends AnyFunSuite {
     lh.dml.delete("m", "id > 5")
     val anoms = lh.quality.detectAnomalies("m")
     assert(anoms.exists(a => a.kind == "row_count" && a.severity == "critical"))
+    // detection is read-only: the cached baseline survives, so a second
+    // detection still reports the same anomaly
+    val anoms2 = lh.quality.detectAnomalies("m")
+    assert(anoms2.exists(a => a.kind == "row_count" && a.severity == "critical"))
   }
 }
