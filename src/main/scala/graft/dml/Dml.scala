@@ -89,15 +89,19 @@ class Dml(lh: Lakehouse) {
     val schema = tbl.schema
     val df = tbl.read()
     val cond = expr(filter)
-    val matched = df.where(cond).count()
-    val updated = set.foldLeft(df) { case (d, (c, v)) =>
+    // Evaluate the match BEFORE any column is rewritten: if the SET touches a
+    // column the filter references, re-evaluating the filter afterwards would
+    // select (and validate) the wrong rows.
+    val marked = df.withColumn("__matched", coalesce(cond, lit(false)))
+    val matched = marked.where(col("__matched")).count()
+    val updated = set.foldLeft(marked) { case (d, (c, v)) =>
       val f = schema.fields.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
-      d.withColumn(c, when(cond, lit(coerce(v, f.dataType)).cast(f.dataType))
+      d.withColumn(c, when(col("__matched"), lit(coerce(v, f.dataType)).cast(f.dataType))
         .otherwise(col(c)))
     }
-    lh.validation.enforce(table, updated.where(cond), None)
-    tbl.overwrite(updated)
+    lh.validation.enforce(table, updated.where(col("__matched")).drop("__matched"), None)
+    tbl.overwrite(updated.drop("__matched"))
     lh.audit.log(table, "update", Map("matched" -> matched.toString, "filter" -> filter))
     matched
   }

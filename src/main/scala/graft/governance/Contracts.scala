@@ -229,10 +229,15 @@ class Contracts(lh: Lakehouse) {
             "min" -> (lo - buffer).toString, "max" -> (hi + buffer).toString)))
         case _ => None
       }
+      // enum when ≤20 distinct values (contracts.py:1042) — collected from
+      // the table, since the profile only carries top-10
       val enum0 = if (p.dataType == "string" && p.distinctCount <= 20 &&
-          p.distinctCount > 0 && p.topValues.size.toLong == p.distinctCount)
+          p.distinctCount > 0)
         Some(ContractConstraint(p.name, "enum",
-          values = p.topValues.map(_._1).filter(_ != null)))
+          values = lh.catalog.loadTable(table).read()
+            .select(org.apache.spark.sql.functions.col(p.name))
+            .where(org.apache.spark.sql.functions.col(p.name).isNotNull)
+            .distinct().collect().map(_.get(0).toString).toList.sorted))
       else None
       Seq(notNull, range, enum0).flatten
     }

@@ -47,6 +47,23 @@ class DmlSpec extends AnyFunSuite {
       .where($"salary" === 100.0).count() == 1)
   }
 
+  test("update whose filter references the SET column uses pre-update values") {
+    val lh = newLh()
+    seed(lh)
+    // Bob (90.0) is the only salary < 95; raising it above the filter bound
+    // must still count/validate exactly that one row
+    lh.validation.addRule(ValidationRule("rr", "emp", "range", List("salary"),
+      Map("max" -> "1000")))
+    val n = lh.dml.update("emp", "salary < 95", Map("salary" -> 200))
+    assert(n == 1)
+    val df = lh.catalog.loadTable("emp").read()
+    assert(df.where($"name" === "Bob").head.getDouble(3) == 200.0)
+    assert(df.where($"salary" === 200.0).count() == 1)
+    // and a validation-violating update on the same shape is rejected
+    intercept[ValidationException](
+      lh.dml.update("emp", "salary < 250", Map("salary" -> 5000)))
+  }
+
   test("delete keeps non-matching rows, counts deleted") {
     val lh = newLh()
     seed(lh)
