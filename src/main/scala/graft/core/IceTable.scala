@@ -107,12 +107,17 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   // ---- writes ------------------------------------------------------------
 
+  /** Commit lock shared across ALL IceTable instances for this table dir —
+    * Catalog.loadTable builds a fresh instance per call, so instance-level
+    * `synchronized` would guard nothing for concurrent in-JVM writers. */
+  private def tableLock: Object = IceTable.lockFor(dir)
+
   def append(df: DataFrame): Snapshot = commit(df, "append", keepParent = true)
 
   def overwrite(df: DataFrame): Snapshot = commit(df, "overwrite", keepParent = false)
 
   private def commit(df: DataFrame, op: String, keepParent: Boolean): Snapshot =
-    synchronized {
+    tableLock.synchronized {
       val m = meta
       val snaps = snapshots
       val id = snaps.lastOption.map(_.id + 1).getOrElse(1L)
@@ -128,7 +133,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       if (tfs.isEmpty) {
         aligned.write.options(codec).parquet(commitDir.toString)
       } else {
-        tfs.foldLeft(aligned)((d, t) => d.withColumn(t.name, t.column))
+        tfs.foldLeft(aligned)((d, t) =>
+            d.withColumn(t.name, t.columnFor(m.schema(t.source).dataType)))
           .write.options(codec).partitionBy(tfs.map(_.name): _*)
           .parquet(commitDir.toString)
       }
@@ -146,7 +152,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   /** Roll back to an old snapshot: a NEW snapshot referencing the old
     * snapshot's files (zero-copy; history preserved — catalog.py:834-906). */
-  def rollbackTo(ref: String): Snapshot = synchronized {
+  def rollbackTo(ref: String): Snapshot = tableLock.synchronized {
     val target = resolveRef(ref)
     val snaps = snapshots
     val id = snaps.last.id + 1
@@ -161,7 +167,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * catalog.py:950-968) and/or beyond `retainLast`; the current snapshot is
     * never expired (catalog.py:977-979). Returns expired ids. */
   def expireSnapshots(olderThan: Option[String] = None,
-      retainLast: Option[Int] = None): List[Long] = synchronized {
+      retainLast: Option[Int] = None): List[Long] = tableLock.synchronized {
     val snaps = snapshots
     if (snaps.isEmpty) return Nil
     val currentId = snaps.last.id
@@ -198,7 +204,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------
 
-  def evolveSchema(f: StructType => StructType): TableMeta = synchronized {
+  def evolveSchema(f: StructType => StructType): TableMeta = tableLock.synchronized {
     val m = meta
     val evolved = TableMeta.assignFieldIds(f(m.schema))
     val newId = m.schemas.map(_.id).max + 1
@@ -223,10 +229,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   // ---- properties --------------------------------------------------------
 
-  def setProperty(k: String, v: String): Unit = synchronized {
+  def setProperty(k: String, v: String): Unit = tableLock.synchronized {
     val m = meta; Jsons.writeFile(metaPath, m.copy(properties = m.properties + (k -> v)))
   }
-  def removeProperty(k: String): Unit = synchronized {
+  def removeProperty(k: String): Unit = tableLock.synchronized {
     val m = meta; Jsons.writeFile(metaPath, m.copy(properties = m.properties - k))
   }
 
@@ -264,6 +270,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 }
 
 object IceTable {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(dir: Path): Object =
+    locks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
+
   /** `_p_k=v` path segments → partition values (catalog.py:2442-2460). */
   def partitionValuesOf(path: String): Map[String, String] =
     path.split('/').toSeq

@@ -17,6 +17,10 @@ sealed trait PartitionTransform {
   def name: String
   /** Spark expression computing the partition value from the source column. */
   def column: Column
+  /** Type-aware variant; transforms whose semantics depend on the source
+    * type (truncate) override this. Called by the write path with the
+    * actual column type. */
+  def columnFor(dt: org.apache.spark.sql.types.DataType): Column = column
   /** Serialized form, parseable by [[PartitionTransform.parse]]. */
   def spec: String
 }
@@ -56,8 +60,18 @@ object PartitionTransform {
   }
   case class Truncate(n: Int, source: String) extends PartitionTransform {
     def name = s"$DirPrefix${source}_trunc"
-    // String → prefix; integral → round down to multiple of n (Iceberg semantics).
+    // Untyped fallback: string prefix.
     def column = substring(col(source).cast("string"), 1, n)
+    // Iceberg semantics by type: integral values floor to a multiple of n
+    // (v - ((v % n + n) % n), correct for negatives); strings take a prefix.
+    override def columnFor(dt: org.apache.spark.sql.types.DataType): Column = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(source) - pmod(col(source), lit(n).cast(dt))
+        case _ => column
+      }
+    }
     def spec = s"truncate($n,$source)"
   }
 

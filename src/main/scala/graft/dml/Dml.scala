@@ -100,7 +100,11 @@ class Dml(lh: Lakehouse) {
       d.withColumn(c, when(col("__matched"), lit(coerce(v, f.dataType)).cast(f.dataType))
         .otherwise(col(c)))
     }
-    lh.validation.enforce(table, updated.where(col("__matched")).drop("__matched"), None)
+    // validate rewritten rows against the rows that were NOT touched, so
+    // unique rules catch an update that duplicates an existing key
+    lh.validation.enforce(table,
+      updated.where(col("__matched")).drop("__matched"),
+      Some(updated.where(!col("__matched")).drop("__matched")))
     tbl.overwrite(updated.drop("__matched"))
     lh.audit.log(table, "update", Map("matched" -> matched.toString, "filter" -> filter))
     matched

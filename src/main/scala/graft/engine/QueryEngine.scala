@@ -20,11 +20,22 @@ class QueryEngine(lh: Lakehouse) {
     * joins.py:13-41). Cheap — no materialization. */
   def refresh(): Unit = lh.catalog.registerViews()
 
-  /** Rewrite `ns.table` → `ns__table` for known tables (joins.py:44-55). */
-  def rewriteNamespaces(sql: String): String =
-    lh.catalog.listTables("*").foldLeft(sql) { (s, ident) =>
-      s.replace(ident, ident.replace(".", "__"))
-    }
+  /** Rewrite `ns.table` → `ns__table` for known tables (joins.py:44-55 does
+    * a blind string replace; this version is token-aware: whole identifiers
+    * only, and text inside single-quoted SQL literals is left untouched). */
+  def rewriteNamespaces(sql: String): String = {
+    val idents = lh.catalog.listTables("*")
+    if (idents.isEmpty) return sql
+    // split into literal and non-literal segments; rewrite only the latter
+    val parts = sql.split("'", -1)
+    parts.zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg // inside a quoted literal
+      else idents.foldLeft(seg) { (s, ident) =>
+        s.replaceAll("\\b" + java.util.regex.Pattern.quote(ident) + "\\b(?!\\w)",
+          ident.replace(".", "__"))
+      }
+    }.mkString("'")
+  }
 
   /** Naive bare-SELECT auto-LIMIT parity (query.py:162-164): applied only
     * when the SQL has no LIMIT substring, as the reference does. */

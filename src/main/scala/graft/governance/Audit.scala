@@ -17,6 +17,11 @@ case class AuditEntry(
   */
 class AuditLog(path: Path) {
   val MaxEntries = 10000
+  /** Trim cadence: re-reading + parsing the whole log on EVERY append would
+    * make each DML op O(log size); checking every N appends bounds the log
+    * at MaxEntries + N while keeping appends O(1). */
+  private val TrimEvery = 256
+  private var appendsSinceTrim = 0
 
   def log(table: String, operation: String,
       details: Map[String, String] = Map.empty): Unit = synchronized {
@@ -25,7 +30,11 @@ class AuditLog(path: Path) {
       details)).replaceAll("\\s*\n\\s*", " ") + "\n"
     Files.write(path, line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    trim()
+    appendsSinceTrim += 1
+    if (appendsSinceTrim >= TrimEvery) {
+      appendsSinceTrim = 0
+      trim()
+    }
   }
 
   def entries(table: Option[String] = None, operation: Option[String] = None,

@@ -97,9 +97,11 @@ class SavedQueries(lh: Lakehouse) {
 
   def runSaved(name: String, maxRows: Int = 1000)
       : org.apache.spark.sql.DataFrame = {
+    val q = get(name)
     val t0 = System.nanoTime()
-    val df = lh.engine.execute(get(name).sql, maxRows)
-    recordHistory(get(name).sql, df.count(), (System.nanoTime() - t0) / 1e9)
+    // cache so the history count() and the caller's consumption share one run
+    val df = lh.engine.execute(q.sql, maxRows).cache()
+    recordHistory(q.sql, df.count(), (System.nanoTime() - t0) / 1e9)
     df
   }
 

@@ -115,17 +115,21 @@ class AutoRefresh(lh: Lakehouse) {
     val downstream = lh.lineage.downstream(table, maxDepth).toList.sortBy(_._2)
     val cacheSteps = List(RefreshStep("cache_invalidate", table, 0, "planned"))
     val mvByBacking = lh.matviews.list().map(m => m.backingTable -> m.name).toMap
+    // pipelines indexed by the table each step actually targets
+    val pipelineByTarget: Map[String, String] = (for {
+      p <- lh.pipelines.list()
+      s <- p.steps
+      tt <- s.targetTable
+    } yield (if (tt.contains(".")) tt else s"default.$tt") -> p.name).toMap
     val downstreamSteps = downstream.flatMap { case (t, d) =>
-      mvByBacking.get(t) match {
-        case Some(mv) => Some(RefreshStep("refresh_matview", mv, d, "planned"))
-        case None =>
-          val pipelines = lh.pipelines.list().filter(_.steps.exists(_.targetTable
-            .exists(tt => lh.lineage.downstream(table, maxDepth).contains(
-              if (tt.contains(".")) tt else s"default.$tt"))))
-          pipelines.headOption.map(p => RefreshStep("run_pipeline", p.name, d, "planned"))
-      }
+      mvByBacking.get(t).map(mv => RefreshStep("refresh_matview", mv, d, "planned"))
+        .orElse(pipelineByTarget.get(t)
+          .map(p => RefreshStep("run_pipeline", p, d, "planned")))
     }
-    cacheSteps ++ downstreamSteps.distinct
+    // one step per (kind, name): keep the shallowest occurrence
+    val deduped = downstreamSteps.groupBy(s => (s.kind, s.name)).values
+      .map(_.minBy(_.depth)).toList.sortBy(_.depth)
+    cacheSteps ++ deduped
   }
 
   /** Execute the plan best-effort (auto_refresh.py trigger). */

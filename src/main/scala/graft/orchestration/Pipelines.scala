@@ -89,8 +89,10 @@ class Pipelines(lh: Lakehouse) {
             val ident = if (t.contains(".")) t else s"default.$t"
             if (lh.catalog.tableExists(ident)) {
               val batch = lh.incremental.getIncrementalData(pid, ident)
-              val (_, short) = graft.core.Catalog.parseIdent(ident)
+              val (ns, short) = graft.core.Catalog.parseIdent(ident)
+              // register under BOTH names the rewritten SQL may use
               batch.data.createOrReplaceTempView(short)
+              batch.data.createOrReplaceTempView(s"${ns}__$short")
             }
           } else lh.engine.refresh()
           val df = lh.spark.sql(lh.engine.rewriteNamespaces(step.sql))

@@ -104,6 +104,21 @@ class IceTableSpec extends AnyFunSuite {
       .foreach(PartitionTransform.parse)
   }
 
+  test("truncate transform: integral floors to multiple of n, string prefixes") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("tr",
+      Seq("id" -> "long", "cat" -> "string"), Seq("truncate(10,id)"), Map.empty)
+    tbl.append(Seq((3L, "a"), (12L, "b"), (-7L, "c"), (20L, "d"))
+      .toDF("id", "cat"))
+    // Iceberg semantics: -7 floors to -10, 3 to 0, 12 to 10, 20 to 20
+    assert(tbl.partitionStats.keySet ==
+      Set("_p_id_trunc=0", "_p_id_trunc=10", "_p_id_trunc=20", "_p_id_trunc=-10"))
+    val str = cat.createTable("trs",
+      Seq("id" -> "long", "cat" -> "string"), Seq("truncate(2,cat)"), Map.empty)
+    str.append(Seq((1L, "alpha"), (2L, "already")).toDF("id", "cat"))
+    assert(str.partitionStats.keySet == Set("_p_cat_trunc=al"))
+  }
+
   test("schema evolution: add/rename/drop resolve by field-id across old files") {
     val cat = newCatalog()
     val tbl = cat.createTable("t", expensesCols, Nil, Map.empty)

@@ -64,6 +64,17 @@ class DmlSpec extends AnyFunSuite {
       lh.dml.update("emp", "salary < 250", Map("salary" -> 5000)))
   }
 
+  test("update that would duplicate an existing unique key is rejected") {
+    val lh = newLh()
+    seed(lh)
+    lh.validation.addRule(ValidationRule("uq", "emp", "unique", List("id")))
+    // rewriting id 2 -> 1 collides with the untouched row id=1
+    intercept[ValidationException](
+      lh.dml.update("emp", "id = 2", Map("id" -> 1)))
+    // non-colliding rewrite passes
+    assert(lh.dml.update("emp", "id = 2", Map("id" -> 20)) == 1)
+  }
+
   test("delete keeps non-matching rows, counts deleted") {
     val lh = newLh()
     seed(lh)

@@ -95,6 +95,29 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("sink").read().count() == 51)
   }
 
+  test("incremental pipeline works with namespace-qualified step SQL") {
+    val lh = seeded()
+    lh.pipelines.create("inc_ns", Seq(
+      PipelineStep("SELECT id, amount FROM default.sales",
+        targetTable = Some("sink_ns"), mode = "append")))
+    lh.pipelines.run("inc_ns", incremental = true)
+    assert(lh.catalog.loadTable("sink_ns").read().count() == 50)
+    lh.dml.insertRows("sales", Seq(Map("id" -> 200, "region" -> "east", "amount" -> 1.0)))
+    val r = lh.pipelines.run("inc_ns", incremental = true)
+    assert(r.head.status == "ok")
+    // only the single new row flowed through the ns__-registered batch view
+    assert(lh.catalog.loadTable("sink_ns").read().count() == 51)
+  }
+
+  test("ns rewrite is token-aware: literals and longer identifiers untouched") {
+    val lh = seeded()
+    val sql = "SELECT 'default.sales' AS lit, count(*) AS n FROM default.sales"
+    val rewritten = lh.engine.rewriteNamespaces(sql)
+    assert(rewritten == "SELECT 'default.sales' AS lit, count(*) AS n FROM default__sales")
+    val row = lh.engine.execute(sql, 10).head
+    assert(row.getString(0) == "default.sales" && row.getLong(1) == 50)
+  }
+
   test("query cache: hit/miss, TTL-free invalidation by table") {
     val lh = seeded()
     val (r1, hit1) = lh.queryCache.execute("SELECT count(*) AS n FROM sales")
