@@ -309,6 +309,24 @@ object SparkEntry {
           sum(col("price").cast(D)).cast("double").as("total"))
     }),
 
+    // §2.4 five-way join through the full star schema (TPC-H Q5 shape):
+    // fact table joined once, dimensions broadcast
+    "q31_region_supplier_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(o("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // §2.4 broadcast dimension join: lineitem × part by brand
     "q26_brand_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -488,6 +506,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM ev ASOF LEFT JOIN ob ON user_id = k AND ts2 >= t2
         |GROUP BY event_type""".stripMargin,
+    "q31_region_supplier_volume" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
     "q26_brand_stats" ->
       """SELECT p_brand, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
