@@ -226,6 +226,13 @@ object SparkEntry {
         k = 5)
     }),
 
+    // embedding-cosine near-dup pairs (dedup by vector similarity)
+    "q32_embedding_nn_pairs" -> ((s, dir) => {
+      graft.vector.VectorOps.cosineDupPairs(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
+
     // MinHash+LSH near-dup (scale path; verified vs q20 in ScalaTest —
     // not SQL-expressible, driver records rows-only check)
     "q22_minhash_neardup" -> ((s, dir) => {
@@ -462,6 +469,14 @@ object SparkEntry {
         |SELECT qid, nid, score, rnk FROM (
         |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM s)
         |WHERE rnk <= 5""".stripMargin,
+    "q32_embedding_nn_pairs" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(b.embedding)), i -> CAST(b.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45""".stripMargin,
     "q24_props_extract" ->
       """SELECT event_type,
         | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

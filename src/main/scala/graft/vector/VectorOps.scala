@@ -40,6 +40,20 @@ object VectorOps {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    * cosine ≥ threshold. Brute-force O(n²/2) scoring — the oracle-checkable
+    * baseline; at corpus scale, bucket first with [[IvfIndex.bucketed]] and
+    * compare only within buckets. */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Deterministic random-hyperplane signature: bit i = sign of the dot
     * product with plane i, whose components are ±1 derived from a hash of
     * (plane, dim) — reproducible with no RNG state. */
