@@ -280,6 +280,13 @@ object SparkEntry {
       graft.text.SimHash.hammingPairs(fp, maxDist = 3)
     }),
 
+    // winnowing rolling-hash fingerprint near-dup pairs (rows-only check;
+    // verified vs exact Jaccard in NearDupSpec)
+    "q33_winnow_pairs" -> ((s, dir) => {
+      graft.text.NearDup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 10)
+    }),
+
     // §2.13-adjacent: JSON extraction from the events props column
     "q24_props_extract" -> ((s, dir) => {
       t(s, dir, "events")

@@ -51,6 +51,23 @@ object NearDup {
       .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Winnowing-fingerprint near-dup pairs: docs sharing ≥ minShared rolling-
+    * hash fingerprints. Like MinHash this is a candidate join on exploded
+    * fingerprints (shuffle O(docs × fingerprints), no cross join), but with
+    * the winnowing guarantee that any shared run of ≥ w+k-1 chars produces a
+    * shared fingerprint. Result: (id_a, id_b, shared). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 5): DataFrame = {
+    val fp = df.select(col(idCol).as("doc_id"),
+      explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
+    fp.alias("a")
+      .join(fp.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Exact-duplicate groups by normalized-content fingerprint: one row per
     * fingerprint with >1 doc, keeping the lowest doc id (keep-"first" with a
     * deterministic order, unlike the reference's arbitrary ROW_NUMBER —

@@ -151,6 +151,66 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): polynomial
+    * rolling hashes of k-char grams over the normalized text, then the
+    * minimum hash of each window of w grams (rightmost-min, deduped) — the
+    * standard rolling-hash fingerprint for plagiarism/near-dup detection.
+    * Guarantees: any shared substring of length ≥ w+k-1 yields at least one
+    * shared fingerprint. Output: array<long> of selected hashes. */
+  case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 2 && w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+
+    private val Base = 1000003L
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+        .replaceAll("\\s+", " ")
+      if (s.length < k) return new GenericArrayData(Array.empty[Any])
+      val n = s.length - k + 1
+      val hashes = new Array[Long](n)
+      // rolling polynomial hash over k-char windows
+      var pow = 1L
+      var i = 1
+      while (i < k) { pow *= Base; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+      hashes(0) = h
+      i = 1
+      while (i < n) {
+        h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+        hashes(i) = h
+        i += 1
+      }
+      if (n <= w) {
+        var min = hashes(0); i = 1
+        while (i < n) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+        return new GenericArrayData(Array[Any](java.lang.Long.valueOf(min)))
+      }
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      var start = 0
+      while (start + w <= n) {
+        // rightmost minimal hash in window [start, start+w)
+        var minIdx = start
+        i = start + 1
+        while (i < start + w) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
+        out.add(hashes(minIdx))
+        start += 1
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowingFingerprints =
+      copy(child = c)
+  }
+
   /** Dot product of two float/double arrays in DOUBLE with a strict left
     * fold — bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and
     * to DuckDB's `list_reduce(list_transform(...))`, since all three perform
@@ -199,4 +259,7 @@ object TextExpressions {
     column(MarkerCount(expression(text), markers))
 
   def simhash(text: Column): Column = column(SimHash64(expression(text)))
+
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    column(WinnowingFingerprints(expression(text), k, w))
 }

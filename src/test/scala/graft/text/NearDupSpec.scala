@@ -54,6 +54,29 @@ class NearDupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("winnowing fingerprints: shared-substring guarantee + near-dup recall") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "THE QUICK  brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different words xyz qqq zzz vvv www uuu ttt sss")).toDF("doc_id", "text")
+    // normalized-identical docs have identical fingerprint sets
+    val fps = df.select($"doc_id",
+      TextExpressions.winnow($"text", 5, 4).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).size < fps(1L).size / 2)
+    val pairs = NearDup.winnowPairs(df, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // planted near-dups in the testdata are found too
+    val planted = NearDup.jaccardPairs(docs, "doc_id", "text", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnowed = NearDup.winnowPairs(docs, "doc_id", "text", minShared = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(winnowed.contains).toDouble / math.max(planted.size, 1)
+    assert(recall >= 0.9, s"winnowing recall too low: $recall")
+  }
+
   test("SimHash hamming pairs are supersets of near-identical docs") {
     val fp = SimHash.fingerprints(docs, "doc_id", "text").cache()
     assert(fp.count() == docs.count())
