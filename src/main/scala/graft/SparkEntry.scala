@@ -284,7 +284,7 @@ object SparkEntry {
     // verified vs exact Jaccard in NearDupSpec)
     "q33_winnow_pairs" -> ((s, dir) => {
       graft.text.NearDup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 5, w = 4, minShared = 10)
+        k = 8, w = 6, minShared = 10, maxDocFreq = 50)
     }),
 
     // §2.13-adjacent: JSON extraction from the events props column

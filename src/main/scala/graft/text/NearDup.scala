@@ -57,9 +57,18 @@ object NearDup {
     * the winnowing guarantee that any shared run of ≥ w+k-1 chars produces a
     * shared fingerprint. Result: (id_a, id_b, shared). */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4, minShared: Int = 5): DataFrame = {
-    val fp = df.select(col(idCol).as("doc_id"),
+      k: Int = 5, w: Int = 4, minShared: Int = 5,
+      maxDocFreq: Int = 50): DataFrame = {
+    val fp0 = df.select(col(idCol).as("doc_id"),
       explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
+    // Stop-gram suppression: fingerprints present in more than maxDocFreq
+    // docs carry no dedup signal but make the candidate join quadratic on
+    // their hash (same guard as jaccardPairs' maxShingleFreq).
+    val fp = if (maxDocFreq <= 0) fp0 else {
+      val rare = fp0.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocFreq)
+      fp0.join(rare.select("h"), Seq("h"), "left_semi").persist()
+    }
     fp.alias("a")
       .join(fp.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
