@@ -20,6 +20,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Materialize an intermediate to a deterministic aux path and read it
+    * back, so the DuckDB oracle can check the downstream stage from the
+    * exact same inputs (`read_parquet` on the aux path). Used for stages
+    * whose hash functions have no cross-engine equivalent (xxhash64-based
+    * fingerprints): the fingerprint stage is covered by ScalaTest
+    * determinism specs, the pair-generation stage by the SQL oracle. */
+  private def aux(df: DataFrame, name: String): DataFrame = {
+    val path = s"$AuxDir/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  private val AuxDir = "/tmp/graft_aux"
+
   /** Exact decimal sum of a double column, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
@@ -211,10 +225,12 @@ object SparkEntry {
         graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
-    // exact n-gram Jaccard near-dup pairs (dedup baseline)
+    // exact n-gram Jaccard near-dup pairs (dedup baseline). The doc-frequency
+    // cap drops stop-shingles shared by >100 docs — without it a hot shingle
+    // makes the candidate self-join quadratic at corpus scale.
     "q20_jaccard_pairs" -> ((s, dir) => {
       graft.text.NearDup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8)
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
     }),
 
     // brute-force cosine top-k similarity search
@@ -233,8 +249,10 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45)
     }),
 
-    // MinHash+LSH near-dup (scale path; verified vs q20 in ScalaTest —
-    // not SQL-expressible, driver records rows-only check)
+    // MinHash+LSH near-dup (scale path). The final stage is exact-Jaccard
+    // verification restricted to LSH candidates, and at 128 hashes/32 bands
+    // the miss probability at j=0.8 is (1-0.8^4)^32 ≈ 5e-8 — so the output
+    // equals the exact uncapped Jaccard query, which is the oracle.
     "q22_minhash_neardup" -> ((s, dir) => {
       graft.text.MinHashLSH.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.8)
@@ -274,17 +292,60 @@ object SparkEntry {
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
     }),
 
-    // SimHash fingerprint near-dup candidates (rows-only check)
+    // SimHash near-dup pairs. Fingerprints are materialized to the aux path
+    // so DuckDB can brute-force-verify the banded Hamming join is complete
+    // (any pair at distance ≤3 must share one of the 4 16-bit bands).
     "q23_simhash_pairs" -> ((s, dir) => {
-      val fp = graft.text.SimHash.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      val fp = aux(graft.text.SimHash.fingerprints(
+        t(s, dir, "documents"), "doc_id", "text"), "simhash_fp")
       graft.text.SimHash.hammingPairs(fp, maxDist = 3)
     }),
 
-    // winnowing rolling-hash fingerprint near-dup pairs (rows-only check;
-    // verified vs exact Jaccard in NearDupSpec)
+    // winnowing rolling-hash fingerprint near-dup pairs; the capped
+    // fingerprint table is materialized so the oracle checks the pair join
+    // (hash determinism itself is a NearDupSpec concern).
     "q33_winnow_pairs" -> ((s, dir) => {
-      graft.text.NearDup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 8, w = 6, minShared = 10, maxDocFreq = 50)
+      val fp = aux(graft.text.NearDup.winnowFingerprintTable(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, w = 6, maxDocFreq = 50),
+        "winnow_fp")
+      graft.text.NearDup.winnowPairsFromTable(fp, minShared = 10)
+    }),
+
+    // bucketed ANN near-dup pairs — the 100 TB shape for q32's operator:
+    // hyperplane-LSH bucket assignment (compiled expression), then cosine
+    // only within equal buckets. Bucket table materialized for the oracle.
+    "q34_bucketed_nn_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val bk = aux(graft.vector.IvfIndex.bucketed(e, "embedding", nPlanes = 8, dims = 64)
+        .select(col("vec_id"), col("bucket")), "ann_buckets")
+      graft.vector.IvfIndex.dupPairsFromBuckets(e.join(bk, "vec_id"),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
+
+    // Structured Streaming gate: the events table processed as a real file
+    // stream (watermark + tumbling window), run to completion; the result
+    // must equal the DuckDB batch aggregation.
+    "q35_stream_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(Tables.path(dir, "events"))
+      // FileStreamSource needs a directory base path; glob-filter selects
+      // just the events file out of the sf directory.
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.Streaming.runToMemory(
+        graft.streaming.Streaming.windowedStats(stream), "graft_q35")
+    }),
+
+    // multimodal gate: documents' bytes treated as opaque media payloads,
+    // deterministic frame sampling (every 2nd 64-byte chunk). Text is pure
+    // ASCII in the test tables, so DuckDB's char-based substring replicates
+    // the byte slicing exactly.
+    "q36_media_frames" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      graft.multimodal.Multimodal.frameSample(media, frameBytes = 64, everyN = 2)
+        .select(col("media_id"), col("frame_no"), col("frame").cast("string").as("frame_txt"))
     }),
 
     // §2.13-adjacent: JSON extraction from the events props column
@@ -436,7 +497,7 @@ object SparkEntry {
     "q16_token_stats" -> {
       val tc = graft.text.TextAnalysis.tokenCountSql("text")
       s"""SELECT source, COUNT(*) AS n_docs,
-         | SUM(CAST($tc AS BIGINT)) AS total_tokens,
+         | CAST(SUM(CAST($tc AS BIGINT)) AS BIGINT) AS total_tokens,
          | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          |FROM documents GROUP BY source""".stripMargin
     },
@@ -452,6 +513,27 @@ object SparkEntry {
     "q20_jaccard_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // q22 (MinHash+LSH) verifies its candidates with exact Jaccard, and at
+    // 128 hashes / 32 bands the LSH miss probability at the 0.8 threshold is
+    // ~5e-8 — so the oracle is the exact (uncapped) Jaccard query.
+    "q22_minhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, s FROM tok,
         |    UNNEST(CASE WHEN len(w) >= 3
@@ -461,10 +543,50 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+        |SELECT id_a, id_b,
         |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // q23: brute-force Hamming over the materialized fingerprints — proves
+    // the banded join found every pair at distance ≤ 3.
+    "q23_simhash_pairs" ->
+      """WITH fp AS (
+        |  SELECT doc_id, simhash FROM read_parquet('/tmp/graft_aux/simhash_fp/*.parquet'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q33_winnow_pairs" ->
+      """WITH fp AS (
+        |  SELECT doc_id, h FROM read_parquet('/tmp/graft_aux/winnow_fp/*.parquet'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 10""".stripMargin,
+    "q34_bucketed_nn_pairs" ->
+      """WITH bk AS (
+        |  SELECT vec_id, bucket FROM read_parquet('/tmp/graft_aux/ann_buckets/*.parquet')),
+        |v AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN bk b USING (vec_id)),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(b.embedding)), i -> CAST(b.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45""".stripMargin,
+    "q35_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q36_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) // 64 AS n_frames,
+        |    octet_length(encode(text)) AS len FROM documents)
+        |SELECT media_id, CAST(fn AS INTEGER) AS frame_no,
+        |  substring(text, CAST(fn * 64 + 1 AS BIGINT), 64) AS frame_txt
+        |FROM m, UNNEST(range(0, GREATEST(n_frames, 1), 2)) AS t(fn)
+        |WHERE len >= 64""".stripMargin,
     "q21_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 10),
         |c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
@@ -486,7 +608,7 @@ object SparkEntry {
         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45""".stripMargin,
     "q24_props_extract" ->
       """SELECT event_type,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q25_orders_monthly" ->
@@ -511,9 +633,9 @@ object SparkEntry {
         |GROUP BY c_nationkey""".stripMargin,
     "q30_status_pivot" ->
       """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q27_asof_latest_order" ->
       """WITH ev AS (

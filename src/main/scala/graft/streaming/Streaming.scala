@@ -33,15 +33,35 @@ object Streaming {
   def eventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
-  /** Tumbling-window counts + sums with an event-time watermark. */
+  /** Tumbling-window counts + sums with an event-time watermark. The sum is
+    * computed in exact decimal so the result is identical regardless of
+    * micro-batch boundaries and partial-aggregation order. */
   def windowedStats(events: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Execute a streaming aggregation to completion over a bounded source and
+    * return the final result: memory-sink + AvailableNow harness, the
+    * standard way to assert a streaming plan's output equals its batch
+    * equivalent. Gate/test scale only — a production sink is
+    * [[writeToTable]]. */
+  def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 
   /** Gap-based sessionization with custom state: a session closes when no
     * event arrives for `gapMs` in processing time (KeyValueGroupedDataset

@@ -58,24 +58,35 @@ object NearDup {
     * shared fingerprint. Result: (id_a, id_b, shared). */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 5,
-      maxDocFreq: Int = 50): DataFrame = {
+      maxDocFreq: Int = 50): DataFrame =
+    winnowPairsFromTable(
+      winnowFingerprintTable(df, idCol, textCol, k, w, maxDocFreq).persist(),
+      minShared)
+
+  /** Per-doc winnowing fingerprint table (doc_id, h), doc-frequency-capped.
+    * Stop-gram suppression: fingerprints present in more than maxDocFreq
+    * docs carry no dedup signal but make the candidate join quadratic on
+    * their hash (same guard as jaccardPairs' maxShingleFreq). */
+  def winnowFingerprintTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 50): DataFrame = {
     val fp0 = df.select(col(idCol).as("doc_id"),
       explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
-    // Stop-gram suppression: fingerprints present in more than maxDocFreq
-    // docs carry no dedup signal but make the candidate join quadratic on
-    // their hash (same guard as jaccardPairs' maxShingleFreq).
-    val fp = if (maxDocFreq <= 0) fp0 else {
+    if (maxDocFreq <= 0) fp0 else {
       val rare = fp0.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDocFreq)
-      fp0.join(rare.select("h"), Seq("h"), "left_semi").persist()
+      fp0.join(rare.select("h"), Seq("h"), "left_semi")
     }
+  }
+
+  /** Candidate pair stage over a fingerprint table: docs sharing ≥
+    * minShared fingerprints. Result: (id_a, id_b, shared), id_a < id_b. */
+  def winnowPairsFromTable(fp: DataFrame, minShared: Int): DataFrame =
     fp.alias("a")
       .join(fp.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-  }
 
   /** Exact-duplicate groups by normalized-content fingerprint: one row per
     * fingerprint with >1 doc, keeping the lowest doc id (keep-"first" with a

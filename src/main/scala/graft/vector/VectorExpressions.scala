@@ -1,0 +1,59 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Compiled expressions for the vector hot paths (same rationale as
+  * [[graft.text.TextExpressions]]: higher-order-function lambdas are
+  * interpreted per element, a compiled loop is ~an order of magnitude
+  * faster while preserving the exact IEEE fold order).
+  */
+object VectorExpressions {
+
+  /** Hyperplane LSH signature: bit p is set iff the DOUBLE left-fold dot
+    * product of the vector with plane p's ±1 components is >= 0. Bit-exact
+    * match of the interpreted `aggregate(zip_with(...))` formulation in
+    * [[VectorOps.hyperplaneSignatureInterpreted]] — same multiply-then-
+    * accumulate sequence per plane. */
+  case class HyperplaneSig(child: Expression, nPlanes: Int, dims: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nPlanes >= 1 && nPlanes <= 63)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane_sig"
+
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, dims)(VectorOps.planeComponent)
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = math.min(a.numElements(), dims)
+      var sig = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val plane = planes(p)
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val v = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+          acc += v * plane(j)
+          j += 1
+        }
+        if (acc >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+      copy(child = c)
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  def hyperplaneSig(vec: Column, nPlanes: Int, dims: Int): Column =
+    column(HyperplaneSig(expression(vec), nPlanes, dims))
+}

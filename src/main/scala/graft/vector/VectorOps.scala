@@ -56,8 +56,16 @@ object VectorOps {
 
   /** Deterministic random-hyperplane signature: bit i = sign of the dot
     * product with plane i, whose components are ±1 derived from a hash of
-    * (plane, dim) — reproducible with no RNG state. */
-  def hyperplaneSignature(vec: Column, nPlanes: Int, dims: Int): Column = {
+    * (plane, dim) — reproducible with no RNG state. Compiled expression
+    * (one tight loop per row); bit-identical to
+    * [[hyperplaneSignatureInterpreted]]. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int, dims: Int): Column =
+    VectorExpressions.hyperplaneSig(vec, nPlanes, dims)
+
+  /** Reference formulation via built-in HOFs — interpreted lambdas, kept as
+    * the spec cross-check for the compiled expression. */
+  private[vector] def hyperplaneSignatureInterpreted(vec: Column, nPlanes: Int,
+      dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val planeDot = aggregate(
         zip_with(toDouble(vec),
@@ -84,6 +92,28 @@ object IvfIndex {
   /** Add a `bucket` column from the first `nPlanes` hyperplane bits. */
   def bucketed(df: DataFrame, vecCol: String, nPlanes: Int, dims: Int): DataFrame =
     df.withColumn("bucket", VectorOps.hyperplaneSignature(col(vecCol), nPlanes, dims))
+
+  /** Bucket-restricted cosine near-dup pairs from a pre-bucketed table:
+    * pairs are compared only within equal hyperplane buckets, so the join
+    * shuffles by bucket instead of the O(n²/2) cross join of
+    * [[VectorOps.cosineDupPairs]] — the shape you'd run at corpus scale
+    * (recall bounded by the LSH signature, not exact).
+    * Result: (id_a, id_b, cos), id_a < id_b. */
+  def dupPairsFromBuckets(bdf: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = bdf.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = bdf.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Bucketed near-dup pairs end-to-end: signature → bucket join → cosine. */
+  def dupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int, dims: Int): DataFrame =
+    dupPairsFromBuckets(bucketed(df, vecCol, nPlanes, dims), idCol, vecCol, threshold)
 
   /** Approximate top-k: probe the query's bucket and the `probes`-1 buckets
     * at Hamming distance 1 (bit flips), then exact-rank within candidates. */

@@ -54,6 +54,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("MinHash LSH output EQUALS exact Jaccard on the gate corpus (sf0.01)") {
+    // q22's oracle is the exact-Jaccard SQL; this asserts the premise —
+    // recall 1.0 at 128 hashes / 32 bands on the corpus the driver gates.
+    val gateDocs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = NearDup.jaccardPairs(gateDocs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashLSH.nearDuplicates(gateDocs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH missed ${(exact diff lsh).size} / extra ${(lsh diff exact).size}")
+  }
+
+  test("SimHash banded Hamming join is complete vs brute force") {
+    val fp = SimHash.fingerprints(docs, "doc_id", "text").cache()
+    val banded = SimHash.hammingPairs(fp, maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- rows; (idb, hb) <- rows
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    assert(banded == brute)
+  }
+
   test("winnowing fingerprints: shared-substring guarantee + near-dup recall") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),

@@ -34,6 +34,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("compiled hyperplane signature matches interpreted HOF formulation") {
+    val compiled = emb.select($"vec_id",
+      VectorOps.hyperplaneSignature($"embedding", 8, 64).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val interpreted = emb.select($"vec_id",
+      VectorOps.hyperplaneSignatureInterpreted($"embedding", 8, 64).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compiled == interpreted)
+  }
+
+  test("bucketed dup pairs = brute-force pairs restricted to equal buckets") {
+    val e = emb.select($"vec_id", $"embedding")
+    val brute = VectorOps.cosineDupPairs(e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckets = IvfIndex.bucketed(e, "embedding", 8, 64)
+      .select($"vec_id", $"bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = IvfIndex.dupPairs(e, "vec_id", "embedding", 0.45, nPlanes = 8, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = brute.filter { case (a, b) => buckets(a) == buckets(b) }
+    assert(got == expected)
+  }
+
   test("IVF bucketed ANN: bucket assignment deterministic, recall reasonable") {
     val exact = VectorOps.bruteForceTopK(queries, corpus, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
