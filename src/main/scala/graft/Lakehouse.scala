@@ -45,6 +45,7 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
   lazy val notifications = new graft.governance.Notifications(this)
   lazy val cloning = new graft.governance.Cloning(this)
   lazy val advisor = new graft.governance.Advisor(this)
+  lazy val dashboard = new graft.governance.Dashboard(this)
   lazy val importExport = new graft.io.ImportExport(this)
   lazy val backup = new graft.io.Backup(this)
   lazy val formats = new graft.io.FormatResolver(this)

@@ -266,6 +266,321 @@ object Cli {
         val c = lh.advisor.estimateCost(sql)
         println(s"rows≈${c.estimatedRows} complexity=${c.complexity}")
 
+      // ---- schema evolution (cli.py alter group) --------------------------
+      case List("alter-add-column", ident, name, typeName) =>
+        lh.catalog.loadTable(ident).addColumn(name, typeName)
+        println(s"added $name:$typeName")
+      case List("alter-drop-column", ident, name) =>
+        lh.catalog.loadTable(ident).dropColumn(name)
+        println(s"dropped $name")
+      case List("alter-rename-column", ident, from, to) =>
+        lh.catalog.loadTable(ident).renameColumn(from, to)
+        println(s"renamed $from -> $to")
+      case List("alter-get-property", ident, k) =>
+        println(lh.catalog.loadTable(ident).meta.properties.getOrElse(k, ""))
+      case List("alter-remove-property", ident, k) =>
+        lh.catalog.loadTable(ident).removeProperty(k)
+
+      // ---- table maintenance (cli.py compact/cleanup/maintenance-status) --
+      case List("compact", table) =>
+        val s = lh.catalog.loadTable(table)
+          .compact(flags.getOrElse("target-files", "1").toInt)
+        println(s"compacted to ${s.files.size} files (snapshot ${s.id})")
+      case List("cleanup", table) =>
+        val orphans = lh.catalog.loadTable(table)
+          .orphanFiles(delete = !flags.contains("dry-run"))
+        println(s"${orphans.size} orphan files" +
+          (if (flags.contains("dry-run")) " (dry run)" else " removed"))
+      case List("maintenance-status", table) =>
+        val tbl = lh.catalog.loadTable(table)
+        val snap = tbl.currentSnapshot
+        println(s"data_files=${snap.map(_.files.size).getOrElse(0)} " +
+          s"total_bytes=${snap.map(_.totalBytes).getOrElse(0L)} " +
+          s"snapshots=${tbl.snapshots.size} " +
+          s"orphan_files=${tbl.orphanFiles(delete = false).size}")
+      case List("maintain-set", table) =>
+        lh.maintenance.setPolicy(MaintenancePolicy(table,
+          flags.getOrElse("compact-threshold", "10").toInt,
+          flags.getOrElse("retain", "5").toInt,
+          !flags.contains("no-orphan-cleanup")))
+      case List("maintain-show", table) =>
+        val p = lh.maintenance.policy(table)
+        println(s"compact_threshold=${p.compactFileThreshold} " +
+          s"retain=${p.snapshotRetain} orphan_cleanup=${p.orphanCleanup}")
+      case List("maintain-table", table) =>
+        lh.maintenance.maintainTable(table, flags.contains("dry-run")).foreach(a =>
+          println(s"${a.action}: ${a.detail}"))
+      case List("retention-show", table) =>
+        lh.retention.policy(table) match {
+          case Some(p) => println(s"max_age_hours=${p.maxAgeHours.getOrElse("-")} " +
+            s"max_snapshots=${p.maxSnapshots.getOrElse("-")} min_keep=${p.minKeep}")
+          case None => println("no policy")
+        }
+      case List("retention-check", table) =>
+        println(s"would expire: ${lh.retention.evaluate(table, dryRun = true).mkString(", ")}")
+      case List("retention-run", table) =>
+        println(s"expired: ${lh.retention.evaluate(table, dryRun = false).mkString(", ")}")
+
+      // ---- partitions -----------------------------------------------------
+      case List("partitions", table) =>
+        lh.catalog.loadTable(table).partitionStats.keys.toList.sorted.foreach(println)
+      case List("partition-stats", table) =>
+        lh.catalog.loadTable(table).partitionStats.toList.sortBy(_._1).foreach {
+          case (p, (files, rows, bytes)) =>
+            println(s"$p\tfiles=$files\trows=$rows\tbytes=$bytes") }
+
+      // ---- dashboard ------------------------------------------------------
+      case List("dashboard") =>
+        val r = lh.dashboard.report()
+        println(s"warehouse: ${r.storagePath}")
+        println(s"namespaces: ${r.namespaces.mkString(", ")}")
+        println(s"tables: ${r.totalTables} total ${r.totalSizeDisplay}")
+        r.tables.foreach(t => println(
+          s"  ${t.name}\trows=${t.rows}\t${t.sizeDisplay}\tfiles=${t.dataFiles}\t${t.health}"))
+        println(s"saved queries: ${r.savedQueriesCount}, history: ${r.historyEntriesCount}")
+        r.recentActivity.foreach(e => println(s"  recent: ${e.operation} ${e.table}"))
+
+      // ---- snapshot diff / batch ------------------------------------------
+      case List("diff", table) =>
+        val (added, removed) = lh.cdc.snapshotDiff(table, flags.get("from"), flags.get("to"))
+        println("added:"); show(added)
+        println("removed:"); show(removed)
+      case List("batch", opsJson) =>
+        val ops = JsonMethods.parse(opsJson).values.asInstanceOf[List[Map[String, Any]]]
+          .map(m => BatchOp(m("op").toString, m("table").toString,
+            m.get("rows").map(_.asInstanceOf[List[Map[String, Any]]].toSeq).getOrElse(Nil),
+            m.getOrElse("filter", "").toString,
+            m.get("set").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty),
+            m.get("keys").map(_.asInstanceOf[List[String]].toSeq).getOrElse(Nil)))
+        lh.dml.executeBatch(ops).foreach(r =>
+          println(s"${r.op} ${r.table}: ${r.status} count=${r.count} ${r.message}"))
+
+      // ---- saved queries + history (cli.py query-save et al.) -------------
+      case List("query-save", name, sql) =>
+        lh.savedQueries.save(name, sql, flags.getOrElse("description", ""))
+      case List("query-list") => lh.savedQueries.list().foreach(q =>
+        println(s"${q.name}: ${q.sql}"))
+      case List("query-run", name) => show(lh.savedQueries.runSaved(name, maxRows))
+      case List("query-delete", name) => lh.savedQueries.drop(name)
+      case List("query-history") =>
+        lh.savedQueries.history().takeRight(maxRows).foreach(h =>
+          println(f"${h.sql}\trows=${h.rows}\t${h.durationSec}%.3fs"))
+
+      // ---- query cache ----------------------------------------------------
+      case List("cache-query", sql) =>
+        val (rows, hit) = lh.queryCache.execute(sql, maxRows)
+        println(if (hit) "(cache hit)" else "(cache miss)")
+        rows.foreach(println)
+      case List("cache-stats") =>
+        val s = lh.queryCache.stats
+        println(s"hits=${s.hits} misses=${s.misses} entries=${s.entries}")
+      case List("cache-clear") => lh.queryCache.invalidateAll()
+
+      // ---- cdc extras -----------------------------------------------------
+      case List("change-summary", table) =>
+        lh.cdc.changeSummary(table, flags.get("from"), flags.get("to"), keys)
+          .foreach { case (k, v) => println(s"$k=$v") }
+      case List("change-export", table, path) =>
+        lh.cdc.exportChanges(
+          lh.cdc.getChanges(table, flags.get("from"), flags.get("to"), keys),
+          path, flags.getOrElse("format", "json"))
+        println(s"exported to $path")
+
+      // ---- watermarks (cli.py watermark group) ----------------------------
+      case List("watermark-set", pipeline, table, snapshotId) =>
+        lh.incremental.setWatermark(pipeline, table, graft.analytics.Watermark(
+          snapshotId.toLong, System.currentTimeMillis(), 0L))
+      case List("watermark-show", pipeline, table) =>
+        lh.incremental.watermark(pipeline, table) match {
+          case Some(w) => println(s"snapshot=${w.snapshotId} rows=${w.rows}")
+          case None => println("no watermark")
+        }
+      case List("watermark-reset", pipeline) =>
+        lh.incremental.clearWatermarks(pipeline)
+
+      // ---- views / matviews / pipelines extras ----------------------------
+      case List("view-drop", name) => lh.views.drop(name)
+      case List("view-show", name) =>
+        val v = lh.views.get(name); println(s"${v.name}: ${v.sql}")
+      case List("matview-list") => lh.matviews.list().foreach(m =>
+        println(s"${m.name} -> ${m.backingTable} rows=${m.rowCount}"))
+      case List("matview-drop", name) => lh.matviews.drop(name)
+      case List("matview-query", name) => show(lh.matviews.read(name).limit(maxRows))
+      case List("pipeline-drop", name) => lh.pipelines.drop(name)
+      case List("pipeline-show", name) =>
+        val p = lh.pipelines.get(name)
+        println(s"${p.name} (${p.description}) last=${p.lastRunStatus}")
+        p.steps.zipWithIndex.foreach { case (s, i) =>
+          println(s"  $i: ${s.sql} -> ${s.targetTable.getOrElse("-")} [${s.mode}]") }
+
+      // ---- lineage extras -------------------------------------------------
+      case List("lineage-add", target, operation) =>
+        lh.lineage.record(flags.getOrElse("sources", "").split(',')
+          .filter(_.nonEmpty).toSeq, target, operation)
+      case List("lineage-impact", table) =>
+        lh.lineage.impact(table).toList.sortBy(_._1).foreach { case (d, ts) =>
+          println(s"$d: ${ts.mkString(", ")}") }
+      case List("lineage-graph") => lh.lineage.edges().foreach(e =>
+        println(s"${e.sources.mkString("+")} -> ${e.target} (${e.operation})"))
+
+      // ---- masking extras -------------------------------------------------
+      case List("mask-list") => lh.masking.policies().toList.sortBy(_._1)
+        .foreach { case (c, p) => println(s"$c: ${p.strategy}") }
+      case List("mask-remove", column) => lh.masking.dropPolicy(column)
+      case List("mask-preview", table) =>
+        lh.masking.preview(lh.catalog.loadTable(table).read()).foreach {
+          case (before, after) => println(s"$before -> $after") }
+
+      // ---- contracts extras (cli.py contract group) -----------------------
+      case List("contract-list") => lh.contracts.list().foreach(c =>
+        println(s"${c.table} v${c.version}: ${c.constraints.size} constraints"))
+      case List("contract-show", table) =>
+        val c = lh.contracts.get(table)
+        println(s"${c.table} v${c.version}")
+        c.constraints.foreach(k => println(s"  ${k.kind} ${k.column} ${k.params}"))
+      case List("contract-history", table) =>
+        lh.contracts.history(table).foreach(c =>
+          println(s"v${c.version}: ${c.constraints.size} constraints"))
+      case List("contract-validate", table) =>
+        (lh.contracts.validateSchema(table) ++ lh.contracts.validateConstraints(table))
+          .foreach(c => println(s"${if (c.passed) "PASS" else "FAIL"} " +
+            s"${c.kind} ${c.subject}: ${c.message}"))
+      case List("contract-compliance", table) =>
+        lh.contracts.complianceHistory(table).foreach(r =>
+          println(f"${java.time.Instant.ofEpochMilli(r.timestampMs)}\t${r.score}%.3f"))
+      case List("contract-trends", table) =>
+        lh.contracts.trend(table).foreach { case (ts, s) =>
+          println(f"${java.time.Instant.ofEpochMilli(ts)}\t$s%.3f") }
+      case List("contract-add-consumer", table, name) =>
+        lh.contracts.registerConsumer(table, name)
+      case List("contract-add-producer", table, name) =>
+        lh.contracts.registerProducer(table, name)
+      case List("contract-registry") =>
+        lh.contracts.registry().toList.sortBy(_._1).foreach { case (t, m) =>
+          println(s"$t: consumers=${m.getOrElse("consumers", Nil).mkString(",")} " +
+            s"producers=${m.getOrElse("producers", Nil).mkString(",")}") }
+      case List("contract-coverage") =>
+        lh.contracts.coverage().toList.sortBy(_._1).foreach { case (k, v) =>
+          println(s"$k=$v") }
+      case List("contract-drop", table) => lh.contracts.drop(table)
+      case List("contract-dashboard") =>
+        val cs = lh.contracts.list()
+        println(s"contracts: ${cs.size}")
+        lh.contracts.coverage().toList.sortBy(_._1).foreach { case (k, v) =>
+          println(s"  $k=$v") }
+        cs.foreach { c =>
+          val hist = lh.contracts.complianceHistory(c.table)
+          val last = hist.lastOption.map(r => f"${r.score}%.3f").getOrElse("-")
+          println(s"  ${c.table} v${c.version} compliance=$last")
+        }
+
+      // ---- sla extras -----------------------------------------------------
+      case List("sla-list") => lh.sla.policies().foreach(p => println(p.table))
+      case List("sla-show", table) => println(lh.sla.policy(table)
+        .map(_.toString).getOrElse("no policy"))
+      case List("sla-remove", table) => lh.sla.dropPolicy(table)
+      case List("sla-history", table) =>
+        lh.sla.history(table).foreach(r =>
+          println(s"${java.time.Instant.ofEpochMilli(r.timestampMs)}\tissues=${r.issues}"))
+
+      // ---- glossary / catalog metadata extras -----------------------------
+      case List("glossary-add", term, definition) =>
+        lh.catalogMetadata.addGlossaryTerm(graft.governance.GlossaryTerm(term, definition,
+          flags.getOrElse("aliases", "").split(',').filter(_.nonEmpty).toList))
+      case List("glossary-list") => lh.catalogMetadata.glossarySearch("")
+        .foreach(t => println(s"${t.term}: ${t.definition}"))
+      case List("glossary-search", q) => lh.catalogMetadata.glossarySearch(q)
+        .foreach(t => println(s"${t.term}: ${t.definition}"))
+      case List("classifications", table) =>
+        lh.catalogMetadata.classifications(table).toList.sortBy(_._1)
+          .foreach { case (c, cls) => println(s"$c\t$cls") }
+      case List("column-describe", table, column, desc) =>
+        lh.catalogMetadata.setColumnDescription(table, column, desc)
+      case List("column-descriptions", table) =>
+        lh.catalogMetadata.columnDescriptions(table).toList.sortBy(_._1)
+          .foreach { case (c, d) => println(s"$c\t$d") }
+
+      // ---- tagging / bookmarks extras -------------------------------------
+      case List("tag-show", table) => lh.tagging.tags(table).foreach(println)
+      case List("tag-remove", table, tag) => lh.tagging.removeTag(table, tag)
+      case List("describe-set", table, desc) => lh.tagging.setDescription(table, desc)
+      case List("bookmark", table) => lh.tagging.bookmark(table)
+      case List("unbookmark", table) => lh.tagging.unbookmark(table)
+      case List("bookmarks") => lh.tagging.bookmarks().foreach(println)
+
+      // ---- notifications extras -------------------------------------------
+      case List("notify-list", table) => lh.notifications.handlers(table)
+        .foreach(h => println(s"${h.event} -> ${h.kind}:${h.target}"))
+      case List("notify-history") => lh.notifications.history().takeRight(maxRows)
+        .foreach(r => println(s"${r.table} ${r.event}: ${r.message}"))
+      case List("notify-test", table, event, message) =>
+        lh.notifications.fireEvent(table, event, message).foreach(r =>
+          println(s"fired ${r.event} -> ${r.handler}"))
+
+      // ---- clones extras --------------------------------------------------
+      case List("clone-discard", name) => lh.cloning.discard(name)
+      case List("clone-list") => lh.cloning.list().foreach(c =>
+        println(s"${c.cloneName} <- ${c.original}"))
+
+      // ---- quality / dedup extras -----------------------------------------
+      case List("quality-report") =>
+        lh.quality.report().toList.sortBy(_._1).foreach { case (k, v) =>
+          println(s"$k=$v") }
+      case List("quality-history", table) =>
+        lh.quality.history(table).foreach(q => println(f"${q.score}%.3f"))
+      case List("dedup-summary", table) =>
+        lh.dedup.dedupSummary(lh.catalog.loadTable(table).read(), keys)
+          .toList.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
+      case List("dedup-report", table) =>
+        lh.dedup.dedupReport(table, keys).toList.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k=$v") }
+
+      // ---- sampling extras ------------------------------------------------
+      case List("sample-stratified", table, stratCol, fraction) =>
+        show(lh.sampling.stratifiedSample(lh.catalog.loadTable(table).read(),
+          stratCol, fraction.toDouble, flags.getOrElse("seed", "42").toLong))
+      case List("sample-systematic", table, everyN) =>
+        show(lh.sampling.systematicSample(lh.catalog.loadTable(table).read(),
+          everyN.toInt))
+      case List("sample-to-table", source, target, fraction) =>
+        println(s"sampled ${lh.sampling.sampleToTable(source, target,
+          fraction.toDouble, flags.getOrElse("seed", "42").toLong)} rows")
+
+      // ---- advisor extras (cli.py optimize group) -------------------------
+      case List("advisor-materializations") =>
+        lh.advisor.suggestMaterializations().foreach(s =>
+          println(s"${s.sql} (count=${s.occurrences})"))
+      case List("advisor-patterns") =>
+        println("slow queries:")
+        lh.advisor.slowQueries().foreach { case (sql, sec) =>
+          println(f"  $sec%.3fs $sql") }
+        println("repeated queries:")
+        lh.advisor.repeatedQueries().foreach { case (sql, n) =>
+          println(s"  ${n}x $sql") }
+      case List("advisor-report") =>
+        println(s"partition suggestions:")
+        lh.catalog.listTables("*").foreach { t =>
+          lh.advisor.suggestPartitions(t).foreach(s =>
+            println(f"  $t.${s.column}: benefit=${s.benefit}%.3f")) }
+        println("materialization suggestions:")
+        lh.advisor.suggestMaterializations().foreach(s =>
+          println(s"  ${s.sql} (count=${s.occurrences})"))
+
+      // ---- format config (cli.py config group + convert) ------------------
+      case List("format-set", fmt) => lh.formats.setGlobalFormat(fmt)
+      case List("format-set-table", table, fmt) => lh.formats.setTableFormat(table, fmt)
+      case List("format-show", table) => println(lh.formats.resolve(table))
+
+      // ---- validation extras ----------------------------------------------
+      case List("validate-check", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        val issues = lh.validation.validate(table, df, Some(df))
+        if (issues.isEmpty) println("OK") else issues.foreach(println)
+
+      // ---- audit extras ---------------------------------------------------
+      case List("audit-clear", olderThan) =>
+        println(s"removed ${lh.audit.clearOlderThan(olderThan)} entries")
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown command: ${other.mkString(" ")}\n$help")
@@ -302,19 +617,42 @@ object Cli {
       |
       |catalog: init namespaces namespace-create namespace-drop tables
       |         create-table describe drop-table set-property properties create-samples
-      |query:   query query-asof suggest-joins
-      |dml:     insert update delete upsert (--keys a,b)
-      |history: snapshots rollback expire (--older-than 30d --retain-last N)
-      |io:      import export backup restore verify-backup
-      |analyze: profile stats dedup-find dedup-remove sample quality anomalies
-      |cdc:     changes change-log incremental
-      |orchestrate: view-create views view-query matview-create matview-refresh
-      |         matview-fresh pipeline-create pipeline-run pipeline-dry-run
-      |         pipelines lineage maintain retention-set auto-refresh
-      |govern:  rule-add rules rule-drop mask-set mask-query contract-generate
-      |         contract-monitor sla-set sla-check tag search classify
-      |         schema-enriched notify-add audit clone clone-promote
-      |         advisor-partitions advisor-cost
+      |schema:  alter-add-column alter-drop-column alter-rename-column
+      |         alter-get-property alter-remove-property
+      |query:   query query-asof suggest-joins query-save query-list query-run
+      |         query-delete query-history cache-query cache-stats cache-clear
+      |dml:     insert update delete upsert batch (--keys a,b)
+      |history: snapshots rollback expire diff (--older-than 30d --retain-last N)
+      |io:      import export backup restore verify-backup format-set
+      |         format-set-table format-show
+      |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
+      |         sample sample-stratified sample-systematic sample-to-table
+      |         quality quality-report quality-history anomalies
+      |cdc:     changes change-log change-summary change-export incremental
+      |         watermark-set watermark-show watermark-reset
+      |orchestrate: view-create views view-query view-drop view-show
+      |         matview-create matview-refresh matview-fresh matview-list
+      |         matview-drop matview-query pipeline-create pipeline-run
+      |         pipeline-dry-run pipeline-drop pipeline-show pipelines
+      |         lineage lineage-add lineage-impact lineage-graph
+      |         maintain maintain-set maintain-show maintain-table
+      |         maintenance-status compact cleanup partitions partition-stats
+      |         retention-set retention-show retention-check retention-run
+      |         auto-refresh dashboard
+      |govern:  rule-add rules rule-drop validate-check mask-set mask-query
+      |         mask-list mask-remove mask-preview contract-generate
+      |         contract-monitor contract-list contract-show contract-history
+      |         contract-validate contract-compliance contract-trends
+      |         contract-add-consumer contract-add-producer contract-registry
+      |         contract-coverage contract-drop contract-dashboard
+      |         sla-set sla-check sla-list sla-show sla-remove sla-history
+      |         tag tag-show tag-remove search describe-set bookmark unbookmark
+      |         bookmarks classify classifications column-describe
+      |         column-descriptions schema-enriched glossary-add glossary-list
+      |         glossary-search notify-add notify-list notify-history notify-test
+      |         audit audit-clear clone clone-promote clone-discard clone-list
+      |         advisor-partitions advisor-cost advisor-materializations
+      |         advisor-patterns advisor-report
       |
       |Global flags: --warehouse DIR --max-rows N""".stripMargin
 }

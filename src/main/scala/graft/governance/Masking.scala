@@ -89,6 +89,12 @@ class Sla(lh: Lakehouse) {
 
   def policy(table: String): Option[SlaPolicy] = load().get(table)
 
+  def policies(): List[SlaPolicy] = load().values.toList.sortBy(_.table)
+
+  def dropPolicy(table: String): Unit = synchronized {
+    Jsons.writeFile(path, load() - table)
+  }
+
   def check(table: String): List[SlaViolation] = {
     val p = load().getOrElse(table, return Nil)
     val tbl = lh.catalog.loadTable(table)

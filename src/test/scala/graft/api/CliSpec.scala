@@ -59,6 +59,193 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "suggest-joins").contains("ON a.id = b.id"))
   }
 
+  test("schema evolution, maintenance and partition verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli3-").toString)
+    runCli(lh, "create-table", "default.t", "id:long,v:double")
+    runCli(lh, "insert", "default.t", """[{"id":1,"v":1.5},{"id":2,"v":2.5}]""")
+    runCli(lh, "alter-add-column", "default.t", "note", "string")
+    assert(runCli(lh, "describe", "default.t").contains("note"))
+    runCli(lh, "alter-rename-column", "default.t", "note", "comment")
+    assert(runCli(lh, "describe", "default.t").contains("comment"))
+    runCli(lh, "alter-drop-column", "default.t", "comment")
+    assert(!runCli(lh, "describe", "default.t").contains("comment"))
+    runCli(lh, "set-property", "default.t", "owner", "me")
+    assert(runCli(lh, "alter-get-property", "default.t", "owner").trim == "me")
+    runCli(lh, "alter-remove-property", "default.t", "owner")
+    assert(runCli(lh, "alter-get-property", "default.t", "owner").trim == "")
+
+    runCli(lh, "insert", "default.t", """[{"id":3,"v":3.5}]""")
+    assert(runCli(lh, "maintenance-status", "default.t").contains("snapshots=2"))
+    assert(runCli(lh, "compact", "default.t").contains("compacted to 1 files"))
+    assert(runCli(lh, "maintenance-status", "default.t").contains("data_files=1"))
+    assert(runCli(lh, "cleanup", "default.t", "--dry-run").contains("orphan files"))
+    runCli(lh, "maintain-set", "default.t", "--compact-threshold", "3")
+    assert(runCli(lh, "maintain-show", "default.t").contains("compact_threshold=3"))
+    assert(runCli(lh, "maintain-table", "default.t", "--dry-run") != null)
+    runCli(lh, "retention-set", "default.t", "--max-snapshots", "2")
+    assert(runCli(lh, "retention-show", "default.t").contains("max_snapshots=2"))
+    assert(runCli(lh, "retention-check", "default.t").contains("would expire"))
+    assert(runCli(lh, "retention-run", "default.t").contains("expired"))
+
+    val pt = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli3p-").toString)
+    runCli(pt, "create-table", "default.p", "id:long,cat:string", "--partition", "cat")
+    runCli(pt, "insert", "default.p",
+      """[{"id":1,"cat":"a"},{"id":2,"cat":"b"},{"id":3,"cat":"a"}]""")
+    assert(runCli(pt, "partitions", "default.p").contains("cat=a"))
+    assert(runCli(pt, "partition-stats", "default.p").contains("rows=2"))
+    assert(runCli(pt, "diff", "default.p").contains("added:"))
+  }
+
+  test("saved queries, cache, batch and dashboard verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli4-").toString)
+    runCli(lh, "create-table", "default.q", "id:long,v:double")
+    runCli(lh, "batch",
+      """[{"op":"insert","table":"default.q","rows":[{"id":1,"v":1.0},{"id":2,"v":2.0}]},
+         {"op":"update","table":"default.q","filter":"id = 2","set":{"v":9.0}}]""")
+    assert(runCli(lh, "query", "SELECT sum(v) AS s FROM q").contains("10"))
+    runCli(lh, "query-save", "total", "SELECT sum(v) AS s FROM q")
+    assert(runCli(lh, "query-list").contains("total"))
+    assert(runCli(lh, "query-run", "total").contains("10"))
+    assert(runCli(lh, "query-history").contains("SELECT sum(v) AS s FROM q"))
+    runCli(lh, "query-delete", "total")
+    assert(!runCli(lh, "query-list").contains("total"))
+    assert(runCli(lh, "cache-query", "SELECT count(*) AS n FROM q").contains("miss"))
+    assert(runCli(lh, "cache-query", "SELECT count(*) AS n FROM q").contains("hit"))
+    assert(runCli(lh, "cache-stats").contains("hits=1"))
+    runCli(lh, "cache-clear")
+    val dash = runCli(lh, "dashboard")
+    assert(dash.contains("default.q") && dash.contains("tables: 1"))
+  }
+
+  test("cdc, watermark, view/matview/pipeline and lineage verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli5-").toString)
+    runCli(lh, "create-table", "default.c", "id:long,v:double")
+    runCli(lh, "insert", "default.c", """[{"id":1,"v":1.0}]""")
+    runCli(lh, "insert", "default.c", """[{"id":2,"v":2.0}]""")
+    assert(runCli(lh, "change-summary", "default.c", "--keys", "id")
+      .contains("inserted=1"))
+    val tmp = SparkFixture.tmpDir("graft-cli5x-").toString + "/changes"
+    runCli(lh, "change-export", "default.c", tmp, "--keys", "id")
+    assert(new java.io.File(tmp).exists)
+    runCli(lh, "watermark-set", "p1", "default.c", "1")
+    assert(runCli(lh, "watermark-show", "p1", "default.c").contains("snapshot=1"))
+    runCli(lh, "watermark-reset", "p1")
+    assert(runCli(lh, "watermark-show", "p1", "default.c").contains("no watermark"))
+
+    runCli(lh, "view-create", "v1", "SELECT id FROM c WHERE id > 1")
+    assert(runCli(lh, "view-show", "v1").contains("SELECT id"))
+    runCli(lh, "view-drop", "v1")
+    assert(!runCli(lh, "views").contains("v1"))
+    runCli(lh, "matview-create", "mv1", "SELECT count(*) AS n FROM c")
+    assert(runCli(lh, "matview-list").contains("mv1"))
+    assert(runCli(lh, "matview-query", "mv1").contains("2"))
+    runCli(lh, "matview-drop", "mv1")
+    assert(!runCli(lh, "matview-list").contains("mv1"))
+
+    runCli(lh, "pipeline-create", "pl1",
+      """[{"sql":"SELECT id, v FROM c","target_table":"default.out1"}]""")
+    assert(runCli(lh, "pipeline-show", "pl1").contains("default.out1"))
+    runCli(lh, "pipeline-run", "pl1")
+    runCli(lh, "lineage-add", "default.out1", "pipeline", "--sources", "default.c")
+    assert(runCli(lh, "lineage-graph").contains("default.c -> default.out1"))
+    assert(runCli(lh, "lineage-impact", "default.c").contains("default.out1"))
+    runCli(lh, "pipeline-drop", "pl1")
+    assert(!runCli(lh, "pipelines").contains("pl1"))
+  }
+
+  test("governance extras: masking, contracts, sla, metadata, notify, clones") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli6-").toString)
+    runCli(lh, "create-table", "default.g", "id:long,email:string")
+    runCli(lh, "insert", "default.g",
+      """[{"id":1,"email":"a@x.com"},{"id":2,"email":"b@x.com"}]""")
+
+    runCli(lh, "mask-set", "email", "hash")
+    assert(runCli(lh, "mask-list").contains("email: hash"))
+    assert(runCli(lh, "mask-preview", "default.g").contains("->"))
+    runCli(lh, "mask-remove", "email")
+    assert(!runCli(lh, "mask-list").contains("email"))
+
+    runCli(lh, "contract-generate", "default.g")
+    assert(runCli(lh, "contract-list").contains("default.g"))
+    assert(runCli(lh, "contract-show", "default.g").contains("not_null"))
+    assert(runCli(lh, "contract-validate", "default.g").contains("PASS"))
+    runCli(lh, "contract-monitor", "default.g")
+    assert(runCli(lh, "contract-compliance", "default.g").nonEmpty)
+    assert(runCli(lh, "contract-trends", "default.g").nonEmpty)
+    runCli(lh, "contract-add-consumer", "default.g", "teamA")
+    runCli(lh, "contract-add-producer", "default.g", "etl")
+    assert(runCli(lh, "contract-registry").contains("teamA"))
+    assert(runCli(lh, "contract-coverage").contains("covered=1"))
+    assert(runCli(lh, "contract-dashboard").contains("contracts: 1"))
+    // history records prior versions on update; after the initial create it
+    // is empty — the verb just has to run cleanly
+    assert(runCli(lh, "contract-history", "default.g") != null)
+    runCli(lh, "contract-drop", "default.g")
+    assert(!runCli(lh, "contract-list").contains("default.g"))
+
+    runCli(lh, "sla-set", "default.g", "--min-rows", "1")
+    assert(runCli(lh, "sla-list").contains("default.g"))
+    assert(runCli(lh, "sla-show", "default.g").contains("default.g"))
+    runCli(lh, "sla-check", "default.g")
+    assert(runCli(lh, "sla-history", "default.g").contains("issues=0"))
+    runCli(lh, "sla-remove", "default.g")
+    assert(!runCli(lh, "sla-list").contains("default.g"))
+
+    runCli(lh, "glossary-add", "PII", "personally identifiable", "--aliases", "personal")
+    assert(runCli(lh, "glossary-list").contains("PII"))
+    assert(runCli(lh, "glossary-search", "personal").contains("PII"))
+    runCli(lh, "classify", "default.g", "email", "pii")
+    assert(runCli(lh, "classifications", "default.g").contains("pii"))
+    runCli(lh, "column-describe", "default.g", "email", "user email address")
+    assert(runCli(lh, "column-descriptions", "default.g").contains("user email"))
+    runCli(lh, "tag", "default.g", "core")
+    assert(runCli(lh, "tag-show", "default.g").contains("core"))
+    runCli(lh, "tag-remove", "default.g", "core")
+    assert(!runCli(lh, "tag-show", "default.g").contains("core"))
+    runCli(lh, "describe-set", "default.g", "the g table")
+    runCli(lh, "bookmark", "default.g")
+    assert(runCli(lh, "bookmarks").contains("default.g"))
+    runCli(lh, "unbookmark", "default.g")
+    assert(!runCli(lh, "bookmarks").contains("default.g"))
+
+    runCli(lh, "notify-add", "default.g", "write", "log", "stdout")
+    assert(runCli(lh, "notify-list", "default.g").contains("write"))
+    assert(runCli(lh, "notify-test", "default.g", "write", "hello").contains("fired"))
+    assert(runCli(lh, "notify-history").contains("hello"))
+
+    runCli(lh, "clone", "default.g", "default.g2")
+    assert(runCli(lh, "clone-list").contains("default.g2"))
+    runCli(lh, "clone-discard", "default.g2")
+    assert(!runCli(lh, "clone-list").contains("default.g2"))
+
+    assert(runCli(lh, "validate-check", "default.g").contains("OK"))
+    assert(runCli(lh, "audit").nonEmpty)
+    assert(runCli(lh, "audit-clear", "0m").contains("removed"))
+  }
+
+  test("sampling, quality, dedup, advisor and format verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli7-").toString)
+    runCli(lh, "create-table", "default.s", "id:long,cat:string")
+    runCli(lh, "insert", "default.s",
+      """[{"id":1,"cat":"a"},{"id":2,"cat":"a"},{"id":3,"cat":"b"},{"id":4,"cat":"b"}]""")
+    assert(runCli(lh, "sample-stratified", "default.s", "cat", "0.5").contains("cat"))
+    assert(runCli(lh, "sample-systematic", "default.s", "2").contains("id"))
+    assert(runCli(lh, "sample-to-table", "default.s", "default.s2", "0.5")
+      .contains("sampled"))
+    assert(runCli(lh, "dedup-summary", "default.s", "--keys", "cat")
+      .contains("duplicate_rows=2"))
+    assert(runCli(lh, "dedup-report", "default.s", "--keys", "cat").contains("total"))
+    assert(runCli(lh, "quality-report").contains("average_score"))
+    runCli(lh, "quality", "default.s")
+    assert(runCli(lh, "quality-history", "default.s").nonEmpty)
+    assert(runCli(lh, "advisor-patterns").contains("repeated"))
+    assert(runCli(lh, "advisor-materializations") != null)
+    assert(runCli(lh, "advisor-report").contains("suggestions"))
+    runCli(lh, "format-set", "parquet")
+    runCli(lh, "format-set-table", "default.s", "vortex")
+    assert(runCli(lh, "format-show", "default.s").nonEmpty)
+  }
+
   test("unknown command raises with usage help") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli2-").toString)
     val e = intercept[IllegalArgumentException] {

@@ -18,6 +18,48 @@ class GovernanceSpec extends AnyFunSuite {
     lh
   }
 
+  test("dashboard: per-table health rollup, sizes, activity and query counts") {
+    val lh = seeded()
+    // no stats cached yet → table is Stale regardless of files/orphans
+    val r0 = lh.dashboard.report()
+    assert(r0.totalTables == 1 && r0.namespaces == List("default"))
+    assert(r0.tables.head.health == "Stale")
+    assert(r0.tables.head.rows == 30)
+    assert(r0.totalSizeBytes == r0.tables.map(_.sizeBytes).sum && r0.totalSizeBytes > 0)
+
+    // fresh stats → healthy; few files → Good
+    lh.profile.computeStats("default.users")
+    val r1 = lh.dashboard.report()
+    assert(r1.tables.head.health == "Good")
+    assert(r1.tables.head.sizeDisplay.endsWith("B"))
+
+    // ≥10 data files → Compact (precedence below Stale/Orphans)
+    (1 to 10).foreach(i => lh.dml.insertRows("users",
+      Seq(Map[String, Any]("id" -> (100 + i), "email" -> s"x$i@e.com",
+        "plan" -> "free", "age" -> 30.0))))
+    lh.profile.computeStats("default.users")
+    val r2 = lh.dashboard.report()
+    assert(r2.tables.head.dataFiles >= 10 && r2.tables.head.health == "Compact")
+    assert(r2.tables.head.rows == 40)
+
+    // audit activity + saved-query counts surface in the rollup
+    lh.savedQueries.save("q", "SELECT 1")
+    val r3 = lh.dashboard.report()
+    assert(r3.recentActivity.nonEmpty && r3.recentActivity.size <= 5)
+    assert(r3.savedQueriesCount == 1)
+
+    // size formatting boundaries (dashboard.py:9-18)
+    assert(lh.dashboard.formatSize(512) == "512 B")
+    assert(lh.dashboard.formatSize(2048) == "2.0 KB")
+    assert(lh.dashboard.formatSize(3 * 1024 * 1024) == "3.0 MB")
+    assert(lh.dashboard.formatSize(5L * 1024 * 1024 * 1024) == "5.0 GB")
+    // health precedence
+    assert(lh.dashboard.tableHealth(3, 0, isStale = true) == "Stale")
+    assert(lh.dashboard.tableHealth(3, 2, isStale = false) == "Orphans")
+    assert(lh.dashboard.tableHealth(12, 0, isStale = false) == "Compact")
+    assert(lh.dashboard.tableHealth(3, 0, isStale = false) == "Good")
+  }
+
   test("masking: column-global policies applied to result frames + preview") {
     val lh = seeded()
     lh.masking.setPolicy(MaskingPolicy("email", "hash"))
