@@ -28,14 +28,12 @@ object NearDup {
     * (stopword-shingle blowup guard for large corpora; 0 = keep all). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
-    // The shingle table feeds three subtrees (sizes + both join sides);
-    // without persist Spark re-runs tokenize+shingle+explode three times.
+    // The (filtered) shingle table feeds three subtrees (sizes + both join
+    // sides); without persist Spark re-runs tokenize+shingle+explode — and
+    // the frequency filter — three times.
     val sh0 = shingleTable(df, idCol, textCol, n).persist()
-    val sh = if (maxShingleFreq <= 0) sh0 else {
-      val freq = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxShingleFreq)
-      sh0.join(freq.select("s"), Seq("s"), "left_semi")
-    }
+    val sh = if (maxShingleFreq <= 0) sh0
+      else dropHotKeys(sh0, "s", maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.alias("a")
       .join(sh.alias("b"),
@@ -71,11 +69,22 @@ object NearDup {
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 50): DataFrame = {
     val fp0 = df.select(col(idCol).as("doc_id"),
       explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
-    if (maxDocFreq <= 0) fp0 else {
-      val rare = fp0.groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxDocFreq)
-      fp0.join(rare.select("h"), Seq("h"), "left_semi")
-    }
+    if (maxDocFreq <= 0) fp0 else dropHotKeys(fp0.persist(), "h", maxDocFreq)
+  }
+
+  /** Drop rows whose `keyCol` value appears in more than `maxFreq` rows.
+    * The hot set is small by construction (a frequency cap selects the tail
+    * of the distribution), so it is collected once and applied as a narrow
+    * NOT-isin filter — no join, no extra shuffle of the big table. Falls
+    * back to a broadcast anti-join if the hot set is unexpectedly large. */
+  private[text] def dropHotKeys(df: DataFrame, keyCol: String,
+      maxFreq: Int): DataFrame = {
+    val hotDf = df.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxFreq).select(keyCol)
+    val hot = hotDf.limit(10001).collect().map(_.get(0))
+    if (hot.isEmpty) df
+    else if (hot.length <= 10000) df.where(!col(keyCol).isInCollection(hot))
+    else df.join(broadcast(hotDf), Seq(keyCol), "left_anti")
   }
 
   /** Candidate pair stage over a fingerprint table: docs sharing ≥
