@@ -25,18 +25,27 @@ object NearDup {
   /** Exact pairwise n-gram Jaccard ≥ threshold.
     * Result: (id_a, id_b, inter, na, nb, jaccard), id_a < id_b.
     * `maxShingleFreq` drops shingles present in more than that many docs
-    * (stopword-shingle blowup guard for large corpora; 0 = keep all). */
+    * (stopword-shingle blowup guard for large corpora; 0 = keep all).
+    *
+    * Plan shape: doc-frequency is annotated with a `count over
+    * Window.partitionBy(s)` — ONE shuffle by `s`, already the pair join's
+    * key, so the windowed subtree feeds both self-join sides with no
+    * further exchange (and its sort-by-`s` is exactly the sort the
+    * sort-merge self-join needs). The window also powers a singleton
+    * prune: a shingle in exactly one doc can never satisfy the pair join,
+    * and in a large corpus most shingles are singletons, so the join
+    * input shrinks by the singleton mass. No driver collect, no persist. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
-    // The (filtered) shingle table feeds three subtrees (sizes + both join
-    // sides); without persist Spark re-runs tokenize+shingle+explode — and
-    // the frequency filter — three times.
-    val sh0 = shingleTable(df, idCol, textCol, n).persist()
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = shingleTable(df, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
     val sh = if (maxShingleFreq <= 0) sh0
-      else dropHotKeys(sh0, "s", maxShingleFreq)
+      else sh0.where(col("df") <= maxShingleFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.alias("a")
-      .join(sh.alias("b"),
+    val spine = sh.where(col("df") >= 2).select("doc_id", "s")
+    val pairs = spine.alias("a")
+      .join(spine.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -58,44 +67,43 @@ object NearDup {
       k: Int = 5, w: Int = 4, minShared: Int = 5,
       maxDocFreq: Int = 50): DataFrame =
     winnowPairsFromTable(
-      winnowFingerprintTable(df, idCol, textCol, k, w, maxDocFreq).persist(),
+      winnowFingerprintTable(df, idCol, textCol, k, w, maxDocFreq),
       minShared)
 
   /** Per-doc winnowing fingerprint table (doc_id, h), doc-frequency-capped.
     * Stop-gram suppression: fingerprints present in more than maxDocFreq
     * docs carry no dedup signal but make the candidate join quadratic on
-    * their hash (same guard as jaccardPairs' maxShingleFreq). */
+    * their hash (same guard as jaccardPairs' maxShingleFreq). The cap is a
+    * windowed doc-frequency count — one distributed shuffle by `h`, no
+    * driver collect. */
   def winnowFingerprintTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fp0 = df.select(col(idCol).as("doc_id"),
       explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
-    if (maxDocFreq <= 0) fp0 else dropHotKeys(fp0.persist(), "h", maxDocFreq)
-  }
-
-  /** Drop rows whose `keyCol` value appears in more than `maxFreq` rows.
-    * The hot set is small by construction (a frequency cap selects the tail
-    * of the distribution), so it is collected once and applied as a narrow
-    * NOT-isin filter — no join, no extra shuffle of the big table. Falls
-    * back to a broadcast anti-join if the hot set is unexpectedly large. */
-  private[text] def dropHotKeys(df: DataFrame, keyCol: String,
-      maxFreq: Int): DataFrame = {
-    val hotDf = df.groupBy(keyCol).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxFreq).select(keyCol)
-    val hot = hotDf.limit(10001).collect().map(_.get(0))
-    if (hot.isEmpty) df
-    else if (hot.length <= 10000) df.where(!col(keyCol).isInCollection(hot))
-    else df.join(broadcast(hotDf), Seq(keyCol), "left_anti")
+    if (maxDocFreq <= 0) fp0
+    else fp0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("df") <= maxDocFreq).select("doc_id", "h")
   }
 
   /** Candidate pair stage over a fingerprint table: docs sharing ≥
-    * minShared fingerprints. Result: (id_a, id_b, shared), id_a < id_b. */
-  def winnowPairsFromTable(fp: DataFrame, minShared: Int): DataFrame =
-    fp.alias("a")
-      .join(fp.alias("b"),
+    * minShared fingerprints. Result: (id_a, id_b, shared), id_a < id_b.
+    * Fingerprints held by a single doc cannot satisfy the join, and in a
+    * large corpus most fingerprints are singletons — a windowed frequency
+    * prune on the join key (shuffle shared with the join) removes them. */
+  def winnowPairsFromTable(fp: DataFrame, minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = fp
+      .withColumn("hdf", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("hdf") >= 2).select("doc_id", "h")
+    spine.alias("a")
+      .join(spine.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+  }
 
   /** Exact-duplicate groups by normalized-content fingerprint: one row per
     * fingerprint with >1 doc, keeping the lowest doc id (keep-"first" with a
@@ -148,7 +156,10 @@ object MinHashLSH {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    val sh = NearDup.shingleTable(df, idCol, textCol, n).cache()
+    // No cache: the shingle expression recomputes cheaply inside each
+    // consumer's codegen stage, and a cached intermediate would break
+    // whole-stage codegen + exchange reuse (measured ~2x slower here).
+    val sh = NearDup.shingleTable(df, idCol, textCol, n)
     val cands = candidatePairs(signatures(df, idCol, textCol, n, numHashes),
       numHashes, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
