@@ -33,13 +33,36 @@ class Sampling(lh: Lakehouse) {
   }
 
   /** Every Nth row by ROW_NUMBER (sampling.py:134-178). Order follows the
-    * scan order, as in the reference (no ORDER BY). */
+    * scan order, as in the reference (no ORDER BY).
+    *
+    * Scale shape: a global `Window.orderBy` would sort the whole input on
+    * one task. Instead the global row number is assembled zipWithIndex-
+    * style: `monotonically_increasing_id()` is (partitionId << 33) +
+    * within-partition index, so ordering by it equals ordering by
+    * (partition, index). Per-partition counts (one row per partition —
+    * bounded by the partition count, the same driver-side step
+    * RDD.zipWithIndex performs) become cumulative offsets, broadcast-
+    * joined back; every stage over the data itself is narrow. */
   def systematicSample(df: DataFrame, everyN: Int): DataFrame = {
     require(everyN >= 1)
-    val w = Window.orderBy(monotonically_increasing_id())
-    df.withColumn("__rn", row_number().over(w))
-      .where((col("__rn") % everyN) === 1)
-      .drop("__rn")
+    val spark = df.sparkSession
+    val withId = df
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__idx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    val counts = withId.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .orderBy("__pid").collect()
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), r) =>
+      (r.getLong(0), acc + r.getLong(1))
+    }.tail.map { case (pid, cum) => (pid, cum) }
+    val prior = offsets.zip(0L +: offsets.map(_._2).dropRight(1))
+      .map { case ((pid, _), before) => (pid, before) }
+    import spark.implicits._
+    val offDf = prior.toSeq.toDF("__pid", "__off")
+    withId
+      .join(broadcast(offDf), "__pid")
+      .where(((col("__off") + col("__idx")) % everyN) === 0)
+      .drop("__mid", "__pid", "__idx", "__off")
   }
 
   /** Materialize a sample into a table (sampling.py:181-220). */
