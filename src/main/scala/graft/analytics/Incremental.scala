@@ -39,6 +39,9 @@ class Incremental(lh: Lakehouse) {
     Jsons.writeFile(path, load() - pipeline)
   }
 
+  /** All watermarks by pipeline (reference incremental.py list_watermarks). */
+  def listWatermarks(): Map[String, Map[String, Watermark]] = load()
+
   /** New-since-watermark rows (incremental.py:142-239): no watermark → full
     * scan flagged `isFull`; same snapshot → empty; else `new EXCEPT ALL old`
     * over two snapshot reads. */

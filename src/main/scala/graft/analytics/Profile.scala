@@ -143,6 +143,9 @@ class Profile(lh: Lakehouse) {
 
   def cachedStats(table: String): Option[TableStats] = loadCache().get(table)
 
+  /** All cached stats (reference stats.py get_all_cached_stats). */
+  def allCachedStats(): Map[String, TableStats] = loadCache()
+
   /** Stale iff cached snapshot-id ≠ current (stats.py:211-237). */
   def isStatsStale(table: String): Boolean = {
     val current = lh.catalog.loadTable(table).currentSnapshot.map(_.id).getOrElse(0L)

@@ -570,6 +570,100 @@ object Cli {
       case List("format-set", fmt) => lh.formats.setGlobalFormat(fmt)
       case List("format-set-table", table, fmt) => lh.formats.setTableFormat(table, fmt)
       case List("format-show", table) => println(lh.formats.resolve(table))
+      case List("convert-format", table, fmt) =>
+        println(s"converted, rewrote ${lh.formats.convertTable(table, fmt)} rows")
+
+      // ---- schema evolution inspection (schema_evolution.py) --------------
+      case List("schema-history", table) =>
+        graft.core.SchemaEvolution.history(lh.catalog.loadTable(table)).foreach(e =>
+          println(s"schema ${e.schemaId} (snapshot ${e.snapshotId.getOrElse("-")}): " +
+            e.fields.map(_.name).mkString(", ") +
+            e.changeSummary.map(s => s" — $s").getOrElse("")))
+      case List("schema-diff", table) =>
+        val d = graft.core.SchemaEvolution.diff(lh.catalog.loadTable(table),
+          flags.get("from"), flags.get("to"))
+        println(s"schema ${d.fromSchemaId} -> ${d.toSchemaId}: ${d.summary}")
+      case List("schema-migration", table) =>
+        graft.core.SchemaEvolution.migration(lh.catalog.loadTable(table),
+          flags.get("from"), flags.get("to")).foreach(s => println(
+          s"${s.operation} ${s.columnName}" +
+            s.columnType.map(t => s" (type: $t)").getOrElse("") +
+            s.newName.map(n => s" -> $n").getOrElse("")))
+      case List("schema-compat", table, op, column) =>
+        val r = graft.core.SchemaEvolution.compatibility(lh.catalog.loadTable(table),
+          List(graft.core.SchemaEvolution.ProposedChange(op, column,
+            flags.get("type"), flags.get("new-name"))))
+        println(r.message)
+        (r.breakingChanges ++ r.warnings).foreach(m => println(s"  $m"))
+
+      // ---- backups list / stats-all / watermarks / cache policy -----------
+      case List("backups") =>
+        val bs = lh.backup.listBackups(flags.get("dir"))
+        if (bs.isEmpty) println("no backups")
+        else bs.foreach { case (f, m, sz) => println(
+          s"$f\ttable=${m.map(_.table).getOrElse("?")}\t" +
+            s"rows=${m.map(_.rowCount).getOrElse(-1L)}\tbytes=$sz") }
+      case List("stats-all") =>
+        lh.profile.allCachedStats().toList.sortBy(_._1).foreach { case (t, s) =>
+          println(s"$t: rows=${s.rowCount} files=${s.fileCount} " +
+            s"bytes=${s.totalBytes} snapshots=${s.snapshotCount}") }
+      case List("watermarks") =>
+        lh.incremental.listWatermarks().toList.sortBy(_._1).foreach {
+          case (p, ts) => ts.toList.sortBy(_._1).foreach { case (t, w) =>
+            println(s"$p/$t: snapshot=${w.snapshotId} rows=${w.rows}") } }
+      case List("cache-policy", table) =>
+        val p = lh.queryCache.setPolicy(table,
+          !flags.contains("disable"), flags.get("ttl-seconds").map(_.toLong))
+        println(s"enabled=${p.enabled} ttlMs=${p.ttlMs.getOrElse("-")}")
+      case List("cache-entries") =>
+        lh.queryCache.entries().foreach(e =>
+          println(s"${e.key.take(12)}  rows=${e.rows.size}  ${e.sql}"))
+      case List("query-history-clear") =>
+        println(s"cleared ${lh.savedQueries.clearHistory()} entries")
+
+      // ---- auto-refresh config / sample stats -----------------------------
+      case List("auto-refresh-set", table) =>
+        lh.autoRefresh.setConfig(table, graft.orchestration.AutoRefreshConfig(
+          !flags.contains("disable"),
+          flags.getOrElse("depth", "3").toInt,
+          !flags.contains("no-matviews"),
+          !flags.contains("no-pipelines"),
+          !flags.contains("no-caches")))
+      case List("auto-refresh-plan", table) =>
+        lh.autoRefresh.configuredPlan(table).foreach(s =>
+          println(s"${s.kind} ${s.name} (depth ${s.depth})"))
+      case List("auto-refresh-history") =>
+        lh.autoRefresh.history().takeRight(maxRows).zipWithIndex.foreach {
+          case (steps, i) => steps.foreach(s =>
+            println(s"run $i: ${s.kind} ${s.name}: ${s.status}")) }
+      case List("sample-stats", table, sampleTable) =>
+        lh.sampling.sampleStats(lh.catalog.loadTable(table).read(),
+          lh.catalog.loadTable(sampleTable).read())
+          .toList.sortBy { case ((c, m), _) => (c, m) }
+          .foreach { case ((c, m), (f, s)) =>
+            println(f"$c.$m: full=$f%.4f sample=$s%.4f") }
+
+      // ---- contract extras: summary/preview/health/diff/dry-run -----------
+      case List("contract-summary", table) =>
+        lh.contracts.summary(table).toList.sortBy(_._1).foreach {
+          case (k, v) => println(s"$k=$v") }
+      case List("contract-preview", table) =>
+        val c = lh.contracts.preview(table, flags.contains("strict"))
+        println(s"${c.columns.size} columns, ${c.constraints.size} constraints (not saved)")
+        c.constraints.foreach(k => println(s"  ${k.kind} ${k.column} ${k.params}"))
+      case List("contract-health", table) =>
+        lh.contracts.health(table).toList.sortBy(_._1).foreach {
+          case (k, v) => println(s"$k=$v") }
+      case List("contract-diff", table, v1, v2) =>
+        lh.contracts.diffVersions(table, v1.toInt, v2.toInt).toList.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k=$v") }
+      case List("contract-violations", table) =>
+        val vs = lh.contracts.violations(table)
+        if (vs.isEmpty) println("no violations")
+        else vs.foreach(c => println(s"${c.kind} ${c.subject}: ${c.message}"))
+      case List("notify-remove", handlerId) =>
+        println(if (lh.notifications.removeHandler(handlerId)) "removed"
+        else "no such handler")
 
       // ---- validation extras ----------------------------------------------
       case List("validate-check", table) =>
@@ -618,18 +712,20 @@ object Cli {
       |catalog: init namespaces namespace-create namespace-drop tables
       |         create-table describe drop-table set-property properties create-samples
       |schema:  alter-add-column alter-drop-column alter-rename-column
-      |         alter-get-property alter-remove-property
+      |         alter-get-property alter-remove-property schema-history
+      |         schema-diff schema-migration schema-compat
       |query:   query query-asof suggest-joins query-save query-list query-run
-      |         query-delete query-history cache-query cache-stats cache-clear
+      |         query-delete query-history query-history-clear cache-query
+      |         cache-stats cache-clear cache-policy cache-entries stats-all
       |dml:     insert update delete upsert batch (--keys a,b)
       |history: snapshots rollback expire diff (--older-than 30d --retain-last N)
-      |io:      import export backup restore verify-backup format-set
-      |         format-set-table format-show
+      |io:      import export backup restore verify-backup backups format-set
+      |         format-set-table format-show convert-format
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies
       |cdc:     changes change-log change-summary change-export incremental
-      |         watermark-set watermark-show watermark-reset
+      |         watermark-set watermark-show watermark-reset watermarks
       |orchestrate: view-create views view-query view-drop view-show
       |         matview-create matview-refresh matview-fresh matview-list
       |         matview-drop matview-query pipeline-create pipeline-run
@@ -638,13 +734,16 @@ object Cli {
       |         maintain maintain-set maintain-show maintain-table
       |         maintenance-status compact cleanup partitions partition-stats
       |         retention-set retention-show retention-check retention-run
-      |         auto-refresh dashboard
+      |         auto-refresh auto-refresh-set auto-refresh-plan
+      |         auto-refresh-history sample-stats dashboard
       |govern:  rule-add rules rule-drop validate-check mask-set mask-query
       |         mask-list mask-remove mask-preview contract-generate
       |         contract-monitor contract-list contract-show contract-history
       |         contract-validate contract-compliance contract-trends
       |         contract-add-consumer contract-add-producer contract-registry
       |         contract-coverage contract-drop contract-dashboard
+      |         contract-summary contract-preview contract-health
+      |         contract-diff contract-violations notify-remove
       |         sla-set sla-check sla-list sla-show sla-remove sla-history
       |         tag tag-show tag-remove search describe-set bookmark unbookmark
       |         bookmarks classify classifications column-describe

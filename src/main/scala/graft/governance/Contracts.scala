@@ -207,6 +207,163 @@ class Contracts(lh: Lakehouse) {
       "ratio" -> (if (tables.isEmpty) 1.0 else covered.size.toDouble / tables.size))
   }
 
+  // ---- summaries, health, diffs, dry runs (contracts.py:183-1456) --------
+
+  /** Contract terms vs current table state (contracts.py:183-240). */
+  def summary(table: String): Map[String, Any] = {
+    val c = get(table)
+    val tbl = lh.catalog.loadTable(table)
+    val schemaChecks = validateSchema(table)
+    Map(
+      "table" -> table, "version" -> c.version,
+      "columns" -> c.columns.size, "constraints" -> c.constraints.size,
+      "table_rows" -> tbl.currentSnapshot.map(_.totalRows).getOrElse(0L),
+      "schema_ok" -> schemaChecks.forall(_.passed),
+      "schema_failures" -> schemaChecks.filterNot(_.passed).map(_.subject),
+      "consumers" -> registry().getOrElse(table, Map.empty)
+        .getOrElse("consumers", Nil),
+      "producers" -> registry().getOrElse(table, Map.empty)
+        .getOrElse("producers", Nil),
+      "last_score" -> complianceHistory(table).lastOption.map(_.score))
+  }
+
+  /** Single-table health card: contract + recent compliance + registry
+    * (contracts.py:1382-1456). */
+  def health(table: String): Map[String, Any] = {
+    if (!load().contains(table))
+      return Map("table" -> table, "has_contract" -> false)
+    val c = get(table)
+    val hist = complianceHistory(table)
+    val reg = registry().getOrElse(table, Map.empty)
+    Map(
+      "table" -> table, "has_contract" -> true, "version" -> c.version,
+      "compliance_score" -> hist.lastOption.map(_.score),
+      "last_check_passed" -> hist.lastOption.map(_.score == 1.0),
+      "last_check_at" -> hist.lastOption.map(_.timestampMs),
+      "last_violation_count" ->
+        hist.lastOption.map(_.checks.count(!_.passed)).getOrElse(0),
+      "recent_checks" -> hist.takeRight(5).reverse.map(r =>
+        Map("score" -> r.score, "at" -> r.timestampMs)),
+      "consumer_count" -> reg.getOrElse("consumers", Nil).size,
+      "consumers" -> reg.getOrElse("consumers", Nil),
+      "producers" -> reg.getOrElse("producers", Nil))
+  }
+
+  /** Diff two contract versions: added/removed/changed columns and
+    * constraints (contracts.py:551-640). Version numbers resolve against
+    * history + current. */
+  def diffVersions(table: String, v1: Int, v2: Int): Map[String, Any] = {
+    val all = (history(table) :+ get(table)).map(c => c.version -> c).toMap
+    val a = all.getOrElse(v1, throw new IllegalArgumentException(s"no version $v1"))
+    val b = all.getOrElse(v2, throw new IllegalArgumentException(s"no version $v2"))
+    val aCols = a.columns.map(c => c.name -> c).toMap
+    val bCols = b.columns.map(c => c.name -> c).toMap
+    val changed = (aCols.keySet & bCols.keySet).toList.sorted
+      .filter(n => aCols(n) != bCols(n))
+      .map(n => s"$n: ${aCols(n).dataType}→${bCols(n).dataType}")
+    def conKey(c: ContractConstraint) = s"${c.kind}(${c.column})"
+    Map(
+      "table" -> table, "v1" -> v1, "v2" -> v2,
+      "added_columns" -> (bCols.keySet -- aCols.keySet).toList.sorted,
+      "removed_columns" -> (aCols.keySet -- bCols.keySet).toList.sorted,
+      "changed_columns" -> changed,
+      "added_constraints" ->
+        (b.constraints.map(conKey).toSet -- a.constraints.map(conKey)).toList.sorted,
+      "removed_constraints" ->
+        (a.constraints.map(conKey).toSet -- b.constraints.map(conKey)).toList.sorted)
+  }
+
+  /** Test a proposed contract against live data without saving
+    * (contracts.py:1102-1156): runs the same schema + constraint checks
+    * monitor() would, but for the candidate contract. */
+  def dryRun(table: String, candidate: Contract): List[ContractCheck] = {
+    val actual = lh.catalog.loadTable(table).schema
+    val schemaChecks = candidate.columns.map { cc =>
+      actual.fields.find(_.name == cc.name) match {
+        case None => ContractCheck("schema", cc.name, passed = false, "column missing")
+        case Some(f) =>
+          val expected = graft.core.TableMeta.parseTypeName(cc.dataType)
+          if (f.dataType != expected)
+            ContractCheck("schema", cc.name, passed = false,
+              s"type ${f.dataType.typeName} != ${cc.dataType}")
+          else ContractCheck("schema", cc.name, passed = true, "")
+      }
+    }
+    val df = lh.catalog.loadTable(table).read()
+    // constraint checks evaluate the candidate, not the stored contract
+    val present = df.columns.toSet
+    val conChecks = candidate.constraints.map { con =>
+      if (!present.contains(con.column))
+        ContractCheck("constraint", s"${con.kind}(${con.column})", passed = false,
+          "column missing")
+      else {
+        val col0 = col(con.column)
+        val failing = con.kind match {
+          case "not_null" => df.where(col0.isNull).count()
+          case "range" =>
+            var cond = lit(false)
+            con.params.get("min").foreach(m => cond = cond || (col0 < m.toDouble))
+            con.params.get("max").foreach(m => cond = cond || (col0 > m.toDouble))
+            df.where(col0.isNotNull && cond).count()
+          case "enum" =>
+            df.where(col0.isNotNull && !col0.cast("string").isInCollection(con.values)).count()
+          case "regex" =>
+            df.where(col0.isNotNull && !col0.cast("string").rlike(con.params("pattern"))).count()
+          case other => throw new IllegalArgumentException(s"unknown constraint: $other")
+        }
+        ContractCheck("constraint", s"${con.kind}(${con.column})",
+          passed = failing == 0, if (failing == 0) "" else s"$failing failing rows", failing)
+      }
+    }
+    schemaChecks ++ conChecks
+  }
+
+  /** Simulate migrating to a new contract (contracts.py:1158-1230):
+    * diff vs current + dry-run validation of the candidate. */
+  def dryRunMigration(table: String, to: Contract): Map[String, Any] = {
+    val cur = get(table)
+    val checks = dryRun(table, to)
+    val failed = checks.filterNot(_.passed)
+    Map(
+      "table" -> table,
+      "from_version" -> cur.version, "to_version" -> (cur.version + 1),
+      "column_delta" -> (to.columns.size - cur.columns.size),
+      "constraint_delta" -> (to.constraints.size - cur.constraints.size),
+      "checks" -> checks.size, "failing" -> failed.size,
+      "failing_subjects" -> failed.map(_.subject),
+      "safe" -> failed.isEmpty)
+  }
+
+  /** Current violations = failed schema/constraint checks
+    * (contracts.py:428-460). */
+  def violations(table: String): List[ContractCheck] =
+    (validateSchema(table) ++ validateConstraints(table)).filterNot(_.passed)
+
+  /** Draft contract without saving (contracts.py:1002-1100). `strict`
+    * tightens generation: exact ranges (no ±10% buffer) and not_null when
+    * the observed null ratio is under 1%. */
+  def preview(table: String, strict: Boolean = false): Contract = {
+    val c = generateFromProfile(table)
+    if (!strict) c
+    else {
+      val profile = lh.profile.profileTable(table)
+      val tightened = c.constraints.map { con =>
+        if (con.kind == "range") {
+          val p = profile.columns.find(_.name == con.column).get
+          con.copy(params = Map(
+            "min" -> p.min.map(_.toDouble.toString).getOrElse(con.params("min")),
+            "max" -> p.max.map(_.toDouble.toString).getOrElse(con.params("max"))))
+        } else con
+      }
+      val extraNotNull = profile.columns.filter { p =>
+        p.nullCount > 0 && profile.rowCount > 0 &&
+          p.nullCount.toDouble / profile.rowCount < 0.01 &&
+          !tightened.exists(k => k.kind == "not_null" && k.column == p.name)
+      }.map(p => ContractConstraint(p.name, "not_null"))
+      c.copy(constraints = tightened ++ extraNotNull)
+    }
+  }
+
   // ---- auto-generation (contracts.py:987-1081) ---------------------------
 
   /** Generate a contract from the live profile: observed nullability,

@@ -167,6 +167,21 @@ class Notifications(lh: Lakehouse) {
   def handlers(table: String): List[NotificationHandler] =
     load().filter(h => h.table == table || h.table == "*")
 
+  def allHandlers(): List[NotificationHandler] = load()
+
+  /** Stable handler id (reference notifications.py handler_id): content
+    * hash of the handler fields, so ids survive restarts. */
+  def handlerId(h: NotificationHandler): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${h.table}|${h.event}|${h.kind}|${h.target}".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  def removeHandler(id: String): Boolean = synchronized {
+    val (matched, kept) = load().partition(h => handlerId(h) == id)
+    if (matched.nonEmpty) Jsons.writeFile(path, kept)
+    matched.nonEmpty
+  }
+
   /** Fire an event; called from e.g. the contract monitor
     * (contracts.py:726-734). Best-effort per handler. */
   def fireEvent(table: String, event: String, message: String): List[NotificationRecord] = {

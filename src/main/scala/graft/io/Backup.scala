@@ -76,4 +76,28 @@ class Backup(lh: Lakehouse) {
     val manifest = Jsons.readFile[BackupManifest](staging.resolve("metadata.json"))
     sha256Of(staging.resolve("data")) == manifest.sha256
   }
+
+  /** Default backup directory, analogue of the reference's backups dir. */
+  def backupsDir: Path = lh.metaDir.resolve("backups")
+
+  /** List archives in a backup directory with their manifests
+    * (reference backup.py list_backups): (file, manifest, sizeBytes).
+    * Unreadable/foreign tarballs are listed with no manifest. */
+  def listBackups(dir: Option[String] = None): List[(String, Option[BackupManifest], Long)] = {
+    val d = dir.map(Paths.get(_)).getOrElse(backupsDir)
+    if (!Files.isDirectory(d)) return Nil
+    Files.list(d).iterator().asScala
+      .filter(p => p.toString.endsWith(".tar.gz") || p.toString.endsWith(".tgz"))
+      .toList.sortBy(_.toString)
+      .map { p =>
+        val manifest =
+          try {
+            val staging = Files.createTempDirectory("graft-list-")
+            run("tar", "-xzf", p.toAbsolutePath.toString, "-C", staging.toString,
+              "./metadata.json")
+            Some(Jsons.readFile[BackupManifest](staging.resolve("metadata.json")))
+          } catch { case _: Exception => None }
+        (p.getFileName.toString, manifest, Files.size(p))
+      }
+  }
 }

@@ -52,6 +52,19 @@ class FormatResolver(lh: Lakehouse) {
     case "vortex" => Map("compression" -> "zstd")
     case other => throw new IllegalArgumentException(s"invalid format: $other")
   }
+
+  /** Convert a table's storage to `format` (reference vortex_io.py
+    * convert semantics): set the table's default write format, then
+    * rewrite the live data under the new profile in one snapshot.
+    * Returns the rewritten row count. */
+  def convertTable(table: String, format: String): Long = {
+    require(ValidFormats(format), s"invalid format: $format")
+    lh.catalog.loadTable(table).setProperty("write.format.default", format)
+    val tbl = lh.catalog.loadTable(table) // reload: codec comes from properties
+    val snap = tbl.overwrite(tbl.read())
+    lh.audit.log(table, "convert_format", Map("format" -> format))
+    snap.totalRows
+  }
 }
 
 object FormatResolver {

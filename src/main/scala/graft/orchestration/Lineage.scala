@@ -114,4 +114,10 @@ class SavedQueries(lh: Lakehouse) {
 
   def history(): List[QueryHistoryEntry] =
     if (Files.exists(hPath)) Jsons.readFile[List[QueryHistoryEntry]](hPath) else Nil
+
+  def clearHistory(): Int = synchronized {
+    val n = history().size
+    Jsons.writeFile(hPath, List.empty[QueryHistoryEntry])
+    n
+  }
 }

@@ -107,9 +107,39 @@ case class RefreshStep(kind: String, name: String, depth: Int, status: String)
 /** Downstream refresh cascade over the lineage DAG (reference
   * auto_refresh.py): invalidate caches → refresh matviews → rerun pipelines,
   * ordered by lineage depth, depth-capped. History capped at 100. */
+case class AutoRefreshConfig(enabled: Boolean = true, cascadeDepth: Int = 3,
+    refreshMatviews: Boolean = true, rerunPipelines: Boolean = true,
+    invalidateCaches: Boolean = true)
+
 class AutoRefresh(lh: Lakehouse) {
   val MaxHistory = 100
   private def histPath = lh.metaDir.resolve("auto_refresh_history.json")
+  private def cfgPath = lh.metaDir.resolve("auto_refresh_config.json")
+
+  private def loadCfg(): Map[String, AutoRefreshConfig] =
+    if (java.nio.file.Files.exists(cfgPath))
+      Jsons.readFile[Map[String, AutoRefreshConfig]](cfgPath)
+    else Map.empty
+
+  /** Per-table cascade config (reference auto_refresh.py set_auto_refresh). */
+  def setConfig(table: String, cfg: AutoRefreshConfig): Unit = synchronized {
+    Jsons.writeFile(cfgPath, loadCfg() + (table -> cfg))
+  }
+
+  def config(table: String): AutoRefreshConfig =
+    loadCfg().getOrElse(table, AutoRefreshConfig())
+
+  /** Plan filtered by the table's cascade config: disabled → empty plan;
+    * step kinds and depth follow the config. */
+  def configuredPlan(table: String): List[RefreshStep] = {
+    val cfg = config(table)
+    if (!cfg.enabled) Nil
+    else plan(table, cfg.cascadeDepth).filter(s => s.kind match {
+      case "cache_invalidate" => cfg.invalidateCaches
+      case "refresh_matview" => cfg.refreshMatviews
+      case "run_pipeline" => cfg.rerunPipelines
+    })
+  }
 
   def plan(table: String, maxDepth: Int = 3): List[RefreshStep] = {
     val downstream = lh.lineage.downstream(table, maxDepth).toList.sortBy(_._2)

@@ -23,6 +23,34 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
   private var hits = 0L
   private var misses = 0L
 
+  /** Per-table cache policy (reference query_cache.py set_cache_policy):
+    * `enabled = false` bypasses the cache for queries touching the table;
+    * a custom TTL overrides the default for those queries. */
+  case class CachePolicy(enabled: Boolean, ttlMs: Option[Long])
+  private val policies = TrieMap.empty[String, CachePolicy]
+
+  private def qualify(t: String): String =
+    if (t.contains(".")) t else s"default.$t"
+
+  def setPolicy(table: String, enabled: Boolean = true,
+      ttlSeconds: Option[Long] = None): CachePolicy = {
+    val p = CachePolicy(enabled, ttlSeconds.map(_ * 1000L))
+    policies.put(qualify(table), p)
+    if (!enabled) invalidateTable(table)
+    p
+  }
+
+  def policy(table: String): Option[CachePolicy] = policies.get(qualify(table))
+
+  def listPolicies(): Map[String, CachePolicy] = policies.toMap
+
+  private def effective(tables: Seq[String]): (Boolean, Long) = {
+    val ps = tables.map(qualify).flatMap(policies.get)
+    val enabled = ps.forall(_.enabled)
+    val ttl = ps.flatMap(_.ttlMs).minOption.getOrElse(ttlMs)
+    (enabled, ttl)
+  }
+
   /** Normalization parity with query_cache.py:21-30. */
   def normalize(sql: String): String =
     sql.trim.stripSuffix(";").replaceAll("\\s+", " ").toUpperCase
@@ -34,7 +62,11 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
   def execute(sql: String, maxRows: Int = 1000): (Seq[Row], Boolean) = {
     val key = keyOf(sql)
     val now = System.currentTimeMillis()
-    cache.get(key).filter(e => now - e.createdMs < ttlMs) match {
+    val hit = cache.get(key).filter { e =>
+      val (enabled, ttl) = effective(e.tables)
+      enabled && now - e.createdMs < ttl
+    }
+    hit match {
       case Some(e) =>
         synchronized { hits += 1 }
         e.lastAccessMs = now
@@ -43,7 +75,9 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
         synchronized { misses += 1 }
         val df = lh.engine.execute(sql, maxRows)
         val rows = df.collect().toSeq
-        put(key, sql, lh.engine.referencedTables(sql), rows, df)
+        val tables = lh.engine.referencedTables(sql)
+        if (effective(tables.map(qualify))._1)
+          put(key, sql, tables, rows, df)
         (rows, false)
     }
   }
@@ -71,6 +105,11 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
   }
 
   def invalidateAll(): Unit = cache.clear()
+
+  /** Cached entries, most recently used first (reference query_cache.py
+    * list_cached_queries). */
+  def entries(): List[CacheEntry] =
+    cache.values.toList.sortBy(-_.lastAccessMs)
 
   def stats: CacheStats = CacheStats(hits, misses, cache.size)
 }

@@ -246,6 +246,51 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "format-show", "default.s").nonEmpty)
   }
 
+  test("schema inspection, backups, cache policy, auto-refresh and contract extras") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli8-").toString)
+    runCli(lh, "create-table", "default.t8", "id:long,v:double")
+    runCli(lh, "insert", "default.t8", """[{"id":1,"v":5.0},{"id":2,"v":6.0}]""")
+    runCli(lh, "alter-add-column", "default.t8", "w", "string")
+    runCli(lh, "insert", "default.t8", """[{"id":3,"v":7.0,"w":"x"}]""")
+    assert(runCli(lh, "schema-history", "default.t8").contains("added w"))
+    assert(runCli(lh, "schema-diff", "default.t8").contains("added w"))
+    assert(runCli(lh, "schema-migration", "default.t8").contains("add_column w"))
+    assert(runCli(lh, "schema-compat", "default.t8", "rename_column", "v",
+      "--new-name", "val").contains("compatible"))
+    // backups: default dir round-trip
+    val bdir = SparkFixture.tmpDir("graft-cli8-bk-")
+    runCli(lh, "backup", "default.t8", s"$bdir/t8.tar.gz")
+    assert(runCli(lh, "backups", "--dir", bdir.toString).contains("default.t8"))
+    // cache policy + entries + history clear
+    assert(runCli(lh, "cache-policy", "default.t8", "--ttl-seconds", "60")
+      .contains("enabled=true"))
+    runCli(lh, "cache-query", "SELECT count(*) AS n FROM t8")
+    assert(runCli(lh, "cache-entries").contains("SELECT"))
+    assert(runCli(lh, "query-history-clear").contains("cleared"))
+    // stats-all after computing stats
+    runCli(lh, "stats", "default.t8")
+    assert(runCli(lh, "stats-all").contains("default.t8"))
+    // auto-refresh config + plan
+    runCli(lh, "auto-refresh-set", "default.t8", "--depth", "2")
+    assert(runCli(lh, "auto-refresh-plan", "default.t8").contains("cache_invalidate"))
+    // watermarks listing
+    runCli(lh, "watermark-set", "p1", "default.t8", "1")
+    assert(runCli(lh, "watermarks").contains("p1/default.t8"))
+    // format conversion rewrites data
+    assert(runCli(lh, "convert-format", "default.t8", "vortex").contains("3 rows"))
+    // contract extras
+    runCli(lh, "contract-generate", "default.t8")
+    assert(runCli(lh, "contract-summary", "default.t8").contains("version=1"))
+    assert(runCli(lh, "contract-preview", "default.t8", "--strict")
+      .contains("not saved"))
+    runCli(lh, "contract-monitor", "default.t8")
+    assert(runCli(lh, "contract-health", "default.t8").contains("has_contract=true"))
+    assert(runCli(lh, "contract-violations", "default.t8").contains("no violations"))
+    // sample stats compare
+    runCli(lh, "sample-to-table", "default.t8", "default.t8s", "1.0")
+    assert(runCli(lh, "sample-stats", "default.t8", "default.t8s").contains("v.mean"))
+  }
+
   test("unknown command raises with usage help") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli2-").toString)
     val e = intercept[IllegalArgumentException] {
