@@ -152,24 +152,28 @@ object MinHashLSH {
 
   /** Full pipeline: shingle → minhash → LSH candidates → exact Jaccard
     * verification restricted to candidates. Result matches
-    * [[NearDup.jaccardPairs]] up to LSH recall. */
+    * [[NearDup.jaccardPairs]] up to LSH recall.
+    *
+    * Verification shape: each doc's distinct shingle ARRAY rides along in
+    * one narrow pass (doc_id, shingles, n); candidates join that table
+    * twice by doc id and the exact intersection is a per-row
+    * `array_intersect` — no shingle explode, no (doc_id, shingle)-keyed
+    * shuffle. At scale the shingle-array table shuffles once per join
+    * side by doc id, and only candidate pairs pay the intersect. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    // No cache: the shingle expression recomputes cheaply inside each
-    // consumer's codegen stage, and a cached intermediate would break
-    // whole-stage codegen + exchange reuse (measured ~2x slower here).
-    val sh = NearDup.shingleTable(df, idCol, textCol, n)
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.shingles(col(textCol), n).as("shingles"))
+      .withColumn("n", size(col("shingles")))
     val cands = candidatePairs(signatures(df, idCol, textCol, n, numHashes),
       numHashes, bands)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.alias("a"), col("id_a") === col("a.doc_id"))
-      .join(sh.alias("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa"),
+        col("n").as("na")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb"),
+        col("n").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
