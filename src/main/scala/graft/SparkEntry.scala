@@ -412,6 +412,74 @@ object SparkEntry {
           count(lit(1)).as("n_lines"),
           sum(col("l_quantity").cast(D)).cast("double").as("total_qty"),
           countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // §2.4/2.5 TPC-H Q7 shape: supplier-nation → customer-nation yearly
+    // trade volume. Fact-fact joins shuffle; both nation sides broadcast.
+    "q37_nation_trade_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(discPrice).cast("double").as("volume"))
+    }),
+
+    // §2.5 TPC-H Q17 shape: revenue of small-quantity lineitems vs the
+    // per-part average — a per-group scalar threshold joined back to the
+    // fact (exact decimal avg so the comparison is engine-independent).
+    "q38_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_quantity").cast(D)).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(avgQ, li("l_partkey") === col("ap_key"))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(D)).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // §2.5/2.7 TPC-H Q18 shape: large orders via groupBy-HAVING, joined
+    // back to orders + customer, deterministic top-100 tie-break.
+    "q39_big_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey").as("b_key"))
+        .agg(sum(col("l_quantity").cast(D)).cast("double").as("total_qty"))
+        .where(col("total_qty") > 150.0)
+      big.join(o, col("b_key") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // §2.5 TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    "q40_returned_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.where(col("l_returnflag") === "R")
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
     })
   )
 
@@ -666,6 +734,48 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
         | COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand""".stripMargin
+        |GROUP BY p_brand""".stripMargin,
+    "q37_nation_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q38_small_qty_revenue" ->
+      """WITH avgs AS (
+        |  SELECT l_partkey AS ap_key,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN avgs ON l_partkey = ap_key
+        |WHERE l_quantity < CAST(0.5 AS DOUBLE) * avg_qty""".stripMargin,
+    "q39_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS b_key,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |SELECT c_name, o_orderkey, o_totalprice, total_qty
+        |FROM big JOIN orders ON b_key = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q40_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin
   )
 }
