@@ -66,6 +66,23 @@ object TextExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash"
 
+    // k permutations from ONE xxhash64 per shingle via universal hashing
+    // h_j(x) = a_j * h(x) + b_j mod 2^64 (odd a_j => bijection) — the
+    // textbook k-permutation MinHash family. Hashing the string bytes k
+    // times (the naive form) costs k × |shingle| per shingle; this costs
+    // one string hash + k multiply-adds. Constants are fixed SplitMix64
+    // outputs, so signatures stay deterministic across runs and clusters.
+    private def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    private lazy val permA: Array[Long] =
+      Array.tabulate(k)(j => splitmix64(2L * j) | 1L)
+    private lazy val permB: Array[Long] =
+      Array.tabulate(k)(j => splitmix64(2L * j + 1L))
+
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val sig = Array.fill[Long](k)(Long.MaxValue)
@@ -73,12 +90,13 @@ object TextExpressions {
       val nSh = arr.numElements()
       while (i < nSh) {
         val s = arr.getUTF8String(i)
-        var seed = 0
-        while (seed < k) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-            s.numBytes(), seed)
-          if (h < sig(seed)) sig(seed) = h
-          seed += 1
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), 0)
+        var j = 0
+        while (j < k) {
+          val v = permA(j) * h + permB(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
         }
         i += 1
       }
