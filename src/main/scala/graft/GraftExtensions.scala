@@ -64,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotProduct].getName, "graft_dot"),
         (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_tokens"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[BpeTokenCount].getName, "graft_bpe_tokens"),
+        (args: Seq[Expression]) => BpeTokenCount(args.head)))
   }
 }
 
@@ -83,5 +88,7 @@ object GraftExtensions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       args => DotProduct(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_tokens",
+      args => BpeTokenCount(args.head), "built-in")
   }
 }

@@ -467,6 +467,18 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // beyond-reference: BPE-ish subword token budgeting per source
+    // (compiled expression; whitespace counting is q16)
+    "q41_bpe_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextAnalysis.bpeTokenCount(col("text")))
+            .cast("long").as("total_bpe_tokens"),
+          max(graft.text.TextAnalysis.bpeTokenCount(col("text")))
+            .as("max_bpe_tokens"))
+    }),
+
     // §2.5 TPC-H Q10 shape: revenue lost to returns per customer, top 20.
     "q40_returned_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -766,6 +778,11 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q41_bpe_token_stats" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(${graft.text.TextAnalysis.bpeTokenCountSql("text")}) AS BIGINT) AS total_bpe_tokens,
+         | CAST(MAX(${graft.text.TextAnalysis.bpeTokenCountSql("text")}) AS BIGINT) AS max_bpe_tokens
+         |FROM documents GROUP BY source""".stripMargin,
     "q40_returned_revenue" ->
       """SELECT c_custkey, c_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

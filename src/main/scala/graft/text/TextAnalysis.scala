@@ -26,6 +26,11 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Vocabulary-free BPE-ish subword token estimate (compiled expression;
+    * see [[TextExpressions.BpeTokenCount]]): letter runs at ≈4 chars/token,
+    * digits and punctuation one token each. */
+  def bpeTokenCount(text: Column): Column = TextExpressions.bpeTokenCount(text)
+
   def charCount(text: Column): Column = length(text)
 
   /** Whitespace-collapsed lowercase normalization. */
@@ -78,6 +83,11 @@ object TextAnalysis {
   def tokensSql(t: String): String = s"regexp_split_to_array(trim(lower($t)), '\\s+')"
 
   def tokenCountSql(t: String): String = s"len(${tokensSql(t)})"
+
+  def bpeTokenCountSql(t: String): String =
+    s"""COALESCE(list_sum(list_transform(regexp_extract_all($t, '[A-Za-z]+'), w -> CAST(ceil(len(w)/4.0) AS BIGINT))), 0)
+       | + len(regexp_extract_all($t, '[0-9]'))
+       | + len(regexp_extract_all($t, '[^A-Za-z0-9 \\t\\n\\r\\x0B\\f]'))""".stripMargin
 
   def normalizeSql(t: String): String = s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
 

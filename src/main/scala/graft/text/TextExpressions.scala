@@ -263,9 +263,47 @@ object TextExpressions {
         : DotProduct = copy(left = l, right = r)
   }
 
+  /** BPE-ish subword token estimate without a vocabulary: letter runs
+    * contribute ceil(len/4) subtokens (≈4 chars/token, the common BPE
+    * average), each digit is one token, each non-alphanumeric non-space
+    * char is one token. A deterministic, vocabulary-free proxy for
+    * training-data token budgeting (whitespace counting is
+    * [[TextAnalysis.tokenCount]]; this is the "BPE-ish" estimator). */
+  case class BpeTokenCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bpe_tokens"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var total = 0L
+      var run = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        if (isLetter) run += 1
+        else {
+          if (run > 0) { total += (run + 3) / 4; run = 0 }
+          if (c >= '0' && c <= '9') total += 1
+          else if (c != ' ' && c != '\t' && c != '\n' && c != '\r' &&
+            c != '\u000B' && c != '\f') total += 1
+        }
+        i += 1
+      }
+      if (run > 0) total += (run + 3) / 4
+      total
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+      copy(child = c)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def shingles(text: Column, n: Int): Column = column(Shingles(expression(text), n))
+
+  def bpeTokenCount(text: Column): Column = column(BpeTokenCount(expression(text)))
 
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSignature(expression(shingles), k))

@@ -30,6 +30,25 @@ class NearDupSpec extends AnyFunSuite {
     assert(by(4L)._3 == "unknown")
   }
 
+  test("bpeTokenCount: letter runs at ceil(len/4), digits and punct at 1") {
+    val df = Seq(
+      (1L, "hello world"),              // 2+3/4 runs: ceil(5/4)*2 = 4
+      (2L, "internationalization 42!"), // ceil(20/4)=5 + 2 digits + 1 punct = 8
+      (3L, ""),                         // 0
+      (4L, "x,y;z 12.5"),               // 3 letters + 2 punct(,;) + 3 digits + 1 punct(.) = 9
+      (5L, "ABCDEFGH")                  // ceil(8/4) = 2
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 8L, 3L -> 0L, 4L -> 9L, 5L -> 2L))
+    // SQL registration path
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("bpe_docs")
+    val viaSql = spark.sql(
+      "SELECT sum(graft_bpe_tokens(text)) AS s FROM bpe_docs").head().getLong(0)
+    assert(viaSql == 23L)
+  }
+
   test("exactDupGroups finds planted duplicates deterministically") {
     val df = Seq(
       (10L, "alpha beta gamma"), (11L, "ALPHA  beta   GAMMA"),
