@@ -130,8 +130,17 @@ object MinHashLSH {
 
   /** LSH candidate pairs: docs sharing any band hash. Bands of `rowsPerBand`
     * signature slots are hashed; a shared (band, hash) bucket → candidate.
-    * Shuffle cost O(docs × bands), never a full cross join. */
-  def candidatePairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * Shuffle cost O(docs × bands), never a full cross join.
+    *
+    * `maxBucketSize` (0 = off) drops degenerate buckets holding more than
+    * that many docs before the self-join — a bucket of B docs costs B²/2
+    * candidate rows, so one pathological bucket can dominate the stage at
+    * corpus scale. The guard is a windowed count on the join key (same
+    * pattern as [[NearDup.jaccardPairs]]' shingle cap). It trades recall
+    * for boundedness, so gate queries whose oracle demands exact recall
+    * leave it off. */
+  def candidatePairs(sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -140,8 +149,17 @@ object MinHashLSH {
           (0 until r).map(j => element_at(col("sig"), b * r + j + 1).cast("string")): _*))
           .as("bh"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    val buckets0 = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        buckets0.withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy("band", "bh")))
+          .where(col("bsz") <= maxBucketSize)
+          .select("doc_id", "band", "bh")
+      }
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -193,15 +211,27 @@ object SimHash {
       TextExpressions.simhash(col(textCol)).as("simhash"))
 
   /** Pairs with Hamming distance ≤ maxDist, found via 16-bit band buckets
-    * (any pair within distance 3 must share at least one of 4 bands). */
-  def hammingPairs(fp: DataFrame, maxDist: Int = 3): DataFrame = {
+    * (any pair within distance 3 must share at least one of 4 bands).
+    * `maxBucketSize` (0 = off): same degenerate-bucket guard as
+    * [[MinHashLSH.candidatePairs]], with the same recall caveat. */
+  def hammingPairs(fp: DataFrame, maxDist: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
     val chunks = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFF).as("chunk"))
     }
-    val buckets = fp.select(col("doc_id"), col("simhash"),
+    val buckets0 = fp.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        buckets0.withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy("band", "chunk")))
+          .where(col("bsz") <= maxBucketSize)
+          .select("doc_id", "simhash", "band", "chunk")
+      }
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&

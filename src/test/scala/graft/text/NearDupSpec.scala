@@ -49,6 +49,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(viaSql == 23L)
   }
 
+  test("LSH bucket-size guard drops a planted mega-bucket, keeps small ones") {
+    // 30 identical docs land every band hash in one 30-doc bucket;
+    // 2 other identical docs form small buckets that must survive.
+    val rows = (1L to 30L).map(i => (i, "common repeated text body")) ++
+      Seq((100L, "rare pair text alpha beta"), (101L, "rare pair text alpha beta"))
+    val df = rows.toDF("doc_id", "text")
+    val sig = MinHashLSH.signatures(df, "doc_id", "text", n = 3, numHashes = 16)
+    val unguarded = MinHashLSH.candidatePairs(sig, 16, 4).count()
+    assert(unguarded >= 30L * 29 / 2) // mega-bucket candidates present
+    val guarded = MinHashLSH.candidatePairs(sig, 16, 4, maxBucketSize = 10)
+    val pairs = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L))) // mega-bucket gone, small bucket kept
+  }
+
   test("exactDupGroups finds planted duplicates deterministically") {
     val df = Seq(
       (10L, "alpha beta gamma"), (11L, "ALPHA  beta   GAMMA"),
