@@ -467,6 +467,20 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // centroid-IVF ANN pairs — k-means scale path next to q34's
+    // hyperplane LSH. Deterministic training (no RNG, decimal-exact
+    // centroid means); the cluster assignment is materialized so the
+    // oracle brute-force-verifies the within-cluster pair stage.
+    "q42_ivf_nn_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val centroids = graft.vector.KMeansIvf.train(e, "vec_id", "embedding",
+        k = 8, dims = 64, iters = 3)
+      val asg = aux(graft.vector.KMeansIvf.assign(e, "embedding", centroids)
+        .select(col("vec_id"), col("cluster")), "ivf_clusters")
+      graft.vector.KMeansIvf.dupPairsFromClusters(e.join(asg, "vec_id"),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
+
     // beyond-reference: BPE-ish subword token budgeting per source
     // (compiled expression; whitespace counting is q16)
     "q41_bpe_token_stats" -> ((s, dir) => {
@@ -778,6 +792,16 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q42_ivf_nn_pairs" ->
+      """WITH ck AS (
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters/*.parquet')),
+        |v AS (SELECT e.vec_id, e.embedding, c.cluster FROM embeddings e JOIN ck c USING (vec_id)),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(b.embedding)), i -> CAST(b.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45""".stripMargin,
     "q41_bpe_token_stats" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          | CAST(SUM(${graft.text.TextAnalysis.bpeTokenCountSql("text")}) AS BIGINT) AS total_bpe_tokens,

@@ -52,8 +52,49 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Nearest-centroid assignment: index (0-based) of the centroid with the
+    * smallest squared-L2 distance to the vector; ties break to the lowest
+    * index. Centroids are embedded constants (the k-means driver loop
+    * re-plans with fresh literals each iteration), so assignment is one
+    * compiled k×dims loop per row — no per-centroid join or HOF lambda. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_centroid"
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val n = math.min(a.numElements(), cent.length)
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val v = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+          val d = v - cent(j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def hyperplaneSig(vec: Column, nPlanes: Int, dims: Int): Column =
     column(HyperplaneSig(expression(vec), nPlanes, dims))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(vec), centroids))
 }

@@ -134,3 +134,95 @@ object IvfIndex {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 }
+
+/** Centroid-based IVF: deterministic Lloyd's k-means over the embedding
+  * column, then cluster-restricted search — the second ANN scale path
+  * next to the hyperplane-LSH [[IvfIndex]]. Real IVF trades the LSH
+  * signature's data-independence for data-adapted partitions (better
+  * recall per candidate at the same fan-out).
+  *
+  * Determinism: no RNG anywhere. Init = the k lowest-id vectors;
+  * assignment = compiled nearest-centroid expression (ties to the lowest
+  * index); centroid update = per-dimension DECIMAL-exact means, so the
+  * result is independent of partial-aggregation order. The driver holds
+  * only k×dims centroid cells per iteration — the same bounded driver
+  * state every k-means implementation carries.
+  */
+object KMeansIvf {
+
+  /** Train centroids. Returns k×dims doubles (clusters that lose all
+    * members keep their previous position). */
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
+      iters: Int = 3): Array[Array[Double]] = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 15)
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val assigned = df.select(
+        VectorExpressions.nearestCentroid(col(vecCol), centroids).as("cluster"),
+        col(vecCol).as("v"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("x").cast(D)).cast("double") / count(lit(1))).as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Add a `cluster` column (compiled nearest-centroid assignment). */
+  def assign(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("cluster",
+      VectorExpressions.nearestCentroid(col(vecCol), centroids))
+
+  /** Cluster-restricted cosine near-dup pairs from a pre-assigned table:
+    * the join shuffles by cluster, cost Σ cluster² instead of n²/2.
+    * Result: (id_a, id_b, cos), id_a < id_b. */
+  def dupPairsFromClusters(adf: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = adf.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = adf.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Approximate top-k: score each query only against the `probes` nearest
+    * clusters' members (standard IVF probing), exact rank within. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]], probes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = assign(corpus, "ne", centroids)
+    // per-query distances to every centroid -> `probes` nearest clusters
+    val centDf = queries.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+    ).toDF("cluster", "cent")
+    val qc = queries.join(broadcast(centDf))
+      .withColumn("dist",
+        VectorOps.dot(col("qe"), col("qe")) -
+          lit(2.0) * VectorOps.dot(col("qe"), col("cent")) +
+          VectorOps.dot(col("cent"), col("cent")))
+    val wq = Window.partitionBy("qid").orderBy(col("dist"), col("cluster"))
+    val qProbes = qc.withColumn("pr", row_number().over(wq))
+      .where(col("pr") <= probes)
+      .select(col("qid"), col("qe"), col("cluster"))
+    val scored = cb.join(broadcast(qProbes), Seq("cluster"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorOps.cosine(col("qe"), col("ne")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

@@ -73,4 +73,30 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(b1 == b2)
   }
+
+  test("k-means IVF: deterministic training, exact within-cluster pairs, probe recall") {
+    val e = emb.select($"vec_id", $"embedding")
+    val c1 = KMeansIvf.train(e, "vec_id", "embedding", k = 4, dims = 64, iters = 2)
+    val c2 = KMeansIvf.train(e, "vec_id", "embedding", k = 4, dims = 64, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // no RNG, decimal-exact means
+    // every vector lands in exactly one cluster; assignment is stable
+    val asg = KMeansIvf.assign(e, "embedding", c1).select("vec_id", "cluster")
+    assert(asg.count() == e.count())
+    assert(asg.groupBy("cluster").count().count() <= 4)
+    // within-cluster pairs are a subset of brute force with matching scores
+    val brute = VectorOps.cosineDupPairs(e, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = KMeansIvf.dupPairsFromClusters(e.join(asg, "vec_id"),
+      "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.keySet.subsetOf(brute.keySet))
+    ivf.foreach { case (k, v) => assert(v == brute(k)) } // bit-identical cosine
+    // probing several clusters recovers most exact top-k neighbors
+    val exact = VectorOps.bruteForceTopK(queries, corpus, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = KMeansIvf.topK(queries, corpus, k = 5, c1, probes = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"k-means IVF recall unexpectedly low: $recall")
+  }
 }
