@@ -23,6 +23,11 @@ object Bench {
     try SparkEntry.queries("q35_stream_hourly")(spark, "/root/testdata/sf0.001")
       .count() catch { case _: Throwable => () }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // benchmark hygiene between queries, outside the timed section:
+      // drop cached plans/broadcast refs and collect garbage so earlier
+      // queries' heap residue can't turn later ones into GC stalls
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
