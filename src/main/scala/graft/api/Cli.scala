@@ -691,6 +691,7 @@ object Cli {
           flags += f.drop(2) -> v; rest = t
         case f :: t if f.startsWith("--") => flags += f.drop(2) -> "true"; rest = t
         case p :: t => pos :+= p; rest = t
+        case Nil => rest = Nil // unreachable: loop guard ensures nonEmpty
       }
     }
     (flags, pos)
