@@ -467,6 +467,14 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // event-time gap sessionization (batch counterpart of the streaming
+    // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
+    "q43_event_sessions" -> ((s, dir) => {
+      graft.operators.Sessionize.sessions(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", gapMicros = 30L * 60 * 1000000)
+    }),
+
     // centroid-IVF ANN pairs — k-means scale path next to q34's
     // hyperplane LSH. Deterministic training (no RNG, decimal-exact
     // centroid means); the cluster assignment is materialized so the
@@ -792,6 +800,18 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q43_event_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_no FROM g)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        | COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM sx GROUP BY user_id, session_no""".stripMargin,
     "q42_ivf_nn_pairs" ->
       """WITH ck AS (
         |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters/*.parquet')),
