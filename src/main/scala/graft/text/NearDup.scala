@@ -105,6 +105,47 @@ object NearDup {
       .where(col("shared") >= minShared)
   }
 
+  /** Connected components over a near-dup pair graph — the transitive-
+    * closure step of corpus dedup (A~B and B~C put A,B,C in ONE group
+    * even when A is not directly similar to C). Component id = the
+    * minimum doc id in the component, so grouping is deterministic and
+    * "keep the lowest id" falls out for free.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min of its own label and its neighbors'), the standard
+    * distributed CC shape — each round is one join + groupBy shuffle on
+    * node id; rounds needed = graph diameter (near-dup components are
+    * shallow). Labels are localCheckpoint'ed per round so the plan does
+    * not grow with iterations; the driver holds only a changed-count per
+    * round (the same fixpoint test every iterative graph algorithm runs).
+    *
+    * Result: (doc_id, component) for every doc appearing in `pairs`. */
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.alias("u")
+        .join(labels.alias("l"), "id")
+        .where(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** Exact-duplicate groups by normalized-content fingerprint: one row per
     * fingerprint with >1 doc, keeping the lowest doc id (keep-"first" with a
     * deterministic order, unlike the reference's arbitrary ROW_NUMBER —

@@ -49,6 +49,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(viaSql == 23L)
   }
 
+  test("duplicateComponents: transitive closure with min-id components") {
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3), isolated pair 10-11,
+    // plus a 4-cycle 20-21-22-23 to force >1 propagation round
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+      .toDF("id_a", "id_b")
+    val comp = NearDup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // a long path exercises multi-round convergence (diameter 6)
+    val path = (30L until 36L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pc = NearDup.duplicateComponents(path).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(pc.toSeq == Seq(30L))
+  }
+
   test("LSH bucket-size guard drops a planted mega-bucket, keeps small ones") {
     // 30 identical docs land every band hash in one 30-doc bucket;
     // 2 other identical docs form small buckets that must survive.
