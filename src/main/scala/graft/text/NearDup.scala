@@ -123,6 +123,7 @@ object NearDup {
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -132,15 +133,24 @@ object NearDup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("__old"))
+      // pointer-jumping: label <- label's own label, shortcutting chains so
+      // a path of length d converges in O(log d) rounds, not O(d)
+      val jumped = propagated.alias("p")
+        .join(propagated.select(col("id").as("label"),
+          col("label").as("__ll")).alias("j"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+          (col("__old") =!= least(col("label"),
+            coalesce(col("__ll"), col("label")))).as("__changed"))
         .localCheckpoint()
-      converged = updated.alias("u")
-        .join(labels.alias("l"), "id")
-        .where(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
+      // the changed flag rides through the checkpoint: convergence is a
+      // scan of materialized rows, not a recomputed join
+      converged = jumped.where(col("__changed")).isEmpty
+      labels = jumped.select("id", "label")
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("component"))
