@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.text.{NearDup, TextAnalysis}
+
+/** End-to-end training-data curation pipeline over the documents table —
+  * the composition story: language gate → quality gate → exact dedup →
+  * near-dup clustering → keep-one-per-group → token budgeting. Every
+  * stage is one of the library's oracle-checked operators; this spec
+  * asserts they compose and the funnel is monotone. */
+class TrainingPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("curation funnel: lang -> quality -> exact dedup -> near-dup -> budget") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val total = docs.count()
+
+    // 1. language gate (compiled marker heuristic)
+    val english = docs.where(TextAnalysis.langId($"text") === "en")
+    val nLang = english.count()
+    assert(nLang > 0 && nLang <= total)
+
+    // 2. quality gate
+    val quality = english.where(TextAnalysis.qualityScore($"text") >= 0.3)
+    val nQuality = quality.count()
+    assert(nQuality > 0 && nQuality <= nLang)
+
+    // 3. exact dedup: drop all but the lowest doc_id per content fingerprint
+    val withFp = quality.withColumn("fp", TextAnalysis.fingerprint($"text"))
+    val keepExact = withFp
+      .withColumn("keep_id", min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .where($"doc_id" === $"keep_id").drop("fp", "keep_id")
+    val nExact = keepExact.count()
+    assert(nExact <= nQuality)
+
+    // 4. near-dup clustering: jaccard pairs -> components -> keep min id
+    val pairs = NearDup.jaccardPairs(keepExact, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 100)
+    val comps = NearDup.duplicateComponents(pairs)
+    val dropNearDups = keepExact.join(
+      comps.where($"doc_id" =!= $"component").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val nFinal = dropNearDups.count()
+    assert(nFinal <= nExact)
+    // every surviving component representative is present
+    val reps = comps.select($"component").distinct().count()
+    val droppedNearDups = nExact - nFinal
+    assert(droppedNearDups == comps.count() - reps)
+
+    // 5. token budget of the final corpus (whitespace + BPE-ish)
+    val budget = dropNearDups.agg(
+      sum(TextAnalysis.tokenCount($"text").cast("long")).as("ws"),
+      sum(TextAnalysis.bpeTokenCount($"text")).as("bpe")).head()
+    assert(budget.getLong(0) > 0 && budget.getLong(1) > 0)
+
+    // funnel is strictly a filter chain: nothing was duplicated back in
+    assert(dropNearDups.select("doc_id").distinct().count() == nFinal)
+    info(s"funnel: $total -> lang $nLang -> quality $nQuality -> " +
+      s"exact $nExact -> nearDup $nFinal; tokens ws=${budget.getLong(0)} " +
+      s"bpe=${budget.getLong(1)}")
+  }
+}
