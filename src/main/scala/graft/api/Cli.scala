@@ -665,6 +665,26 @@ object Cli {
         println(if (lh.notifications.removeHandler(handlerId)) "removed"
         else "no such handler")
 
+      // ---- training-data curation -----------------------------------------
+      case List("curate", table, target) =>
+        val src = lh.catalog.loadTable(table)
+        val cfg = graft.text.Curation.Config(
+          languages = flags.getOrElse("languages", "en")
+            .split(',').filter(_.nonEmpty).toSet,
+          minQuality = flags.getOrElse("min-quality", "0.3").toDouble,
+          jaccardThreshold = flags.getOrElse("jaccard", "0.8").toDouble,
+          maxShingleFreq = flags.getOrElse("max-shingle-freq", "100").toInt)
+        val (curated, stats) = graft.text.Curation.funnel(
+          src.read(), flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"), cfg)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, curated.schema, Nil, Map.empty)
+        lh.catalog.loadTable(target).overwrite(curated)
+        stats.foreach(st => println(
+          s"curated ${st.input} -> lang ${st.afterLanguage} -> " +
+            s"quality ${st.afterQuality} -> exact ${st.afterExactDedup} -> " +
+            s"final ${st.afterNearDedup} rows into $target"))
+
       // ---- validation extras ----------------------------------------------
       case List("validate-check", table) =>
         val df = lh.catalog.loadTable(table).read()
@@ -722,6 +742,7 @@ object Cli {
       |history: snapshots rollback expire diff (--older-than 30d --retain-last N)
       |io:      import export backup restore verify-backup backups format-set
       |         format-set-table format-show convert-format
+      |curate:  curate (--languages en --min-quality 0.3 --jaccard 0.8)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies

@@ -62,5 +62,12 @@ class TrainingPipelineSpec extends AnyFunSuite {
     info(s"funnel: $total -> lang $nLang -> quality $nQuality -> " +
       s"exact $nExact -> nearDup $nFinal; tokens ws=${budget.getLong(0)} " +
       s"bpe=${budget.getLong(1)}")
+
+    // the packaged operator reproduces the hand-built funnel exactly
+    val (curated, stats) = graft.text.Curation.funnel(docs, "doc_id", "text")
+    assert(stats.get == graft.text.Curation.FunnelStats(
+      total, nLang, nQuality, nExact, nFinal))
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      dropNearDups.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 }

@@ -291,6 +291,19 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "sample-stats", "default.t8", "default.t8s").contains("v.mean"))
   }
 
+  test("curate verb runs the funnel into a target table") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli9-").toString)
+    runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog again and again in the yard"},
+         {"doc_id":2,"text":"the quick brown fox jumps over the lazy dog again and again in the yard"},
+         {"doc_id":3,"text":"der hund und die katze sind nicht da"},
+         {"doc_id":4,"text":"the rain in spain falls mainly on the plain and the hills beyond it"}]""")
+    val out = runCli(lh, "curate", "default.docs", "default.curated")
+    assert(out.contains("final 2 rows")) // doc 2 exact-dup of 1; doc 3 not en
+    assert(runCli(lh, "query", "SELECT count(*) AS n FROM curated").contains("2"))
+  }
+
   test("unknown command raises with usage help") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli2-").toString)
     val e = intercept[IllegalArgumentException] {
