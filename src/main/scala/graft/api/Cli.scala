@@ -685,6 +685,19 @@ object Cli {
             s"quality ${st.afterQuality} -> exact ${st.afterExactDedup} -> " +
             s"final ${st.afterNearDedup} rows into $target"))
 
+      case List("curate-admit", keptTable, batchTable) =>
+        val kept = lh.catalog.loadTable(keptTable)
+        val cfg = graft.text.Curation.Config(
+          jaccardThreshold = flags.getOrElse("jaccard", "0.8").toDouble,
+          maxShingleFreq = flags.getOrElse("max-shingle-freq", "100").toInt)
+        val admitted = graft.text.Curation.admitIncremental(kept.read(),
+          lh.catalog.loadTable(batchTable).read(),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"), cfg)
+        val snap = kept.append(admitted)
+        println(s"admitted ${admitted.count()} docs into $keptTable " +
+          s"(snapshot ${snap.id})")
+
       // ---- validation extras ----------------------------------------------
       case List("validate-check", table) =>
         val df = lh.catalog.loadTable(table).read()
@@ -742,7 +755,7 @@ object Cli {
       |history: snapshots rollback expire diff (--older-than 30d --retain-last N)
       |io:      import export backup restore verify-backup backups format-set
       |         format-set-table format-show convert-format
-      |curate:  curate (--languages en --min-quality 0.3 --jaccard 0.8)
+      |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies

@@ -49,4 +49,38 @@ object Curation {
         exact.count(), curated.count()))
     (curated, stats)
   }
+
+  /** Incremental near-dup admission for a growing corpus: a new doc is
+    * admitted iff it is NOT near-duplicate-connected to any already-kept
+    * doc, and is the lowest-id member of its all-new duplicate component
+    * (so each batch admits exactly one representative per new group).
+    * Kept docs are never modified.
+    *
+    * Shape: one pair computation over kept ∪ batch (the candidate join is
+    * what dominates; at corpus scale persist the kept side's shingle or
+    * signature table instead of recomputing — the operator takes
+    * DataFrames so a materialized kept table slots straight in), then the
+    * same connected-components pass the batch funnel uses. Components
+    * containing a kept doc reject all their new members; all-new
+    * components keep their min id, which IS the component label. */
+  def admitIncremental(kept: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config()): DataFrame = {
+    // a re-offered id IS the kept doc — exclude before graph construction
+    // (identical ids can never form a pair under the a<b join)
+    val fresh = batch.join(kept.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = kept.select(col(idCol), col(textCol))
+      .unionByName(fresh.select(col(idCol), col(textCol)))
+    val pairs = NearDup.jaccardPairs(all, idCol, textCol,
+      cfg.shingleN, cfg.jaccardThreshold, cfg.maxShingleFreq)
+    val comps = NearDup.duplicateComponents(pairs)
+    val keptIds = kept.select(col(idCol).as("doc_id"))
+    val blocked = comps.join(keptIds, "doc_id")
+      .select(col("component")).distinct()
+    val newComps = comps.join(keptIds, Seq("doc_id"), "left_anti")
+    val rejected = newComps.join(blocked, "component").select("doc_id")
+      .unionByName(newComps.join(blocked, Seq("component"), "left_anti")
+        .where(col("doc_id") =!= col("component")).select("doc_id"))
+      .withColumnRenamed("doc_id", idCol)
+    fresh.join(rejected, Seq(idCol), "left_anti")
+  }
 }

@@ -70,4 +70,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       dropNearDups.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("incremental admission rejects cross-batch and within-batch near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val kept = Seq((1L, base),
+      (2L, "completely different content about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " today"),                         // near-dup of kept doc 1
+      (11L, "fresh unique article about mountain hiking trails and alpine weather patterns"),
+      (12L, "another brand new text on deep sea creatures and their glowing light organs"),
+      (13L, "another brand new text on deep sea creatures and their glowing light organ"))
+      .toDF("doc_id", "text")                         // 13 near-dups 12
+    val admitted = graft.text.Curation.admitIncremental(kept, batch,
+      "doc_id", "text",
+      graft.text.Curation.Config(jaccardThreshold = 0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 blocked by kept; 13 loses to 12 within the batch; 11, 12 admitted
+    assert(admitted == Set(11L, 12L))
+    // admission is idempotent: re-offering the same batch after appending
+    // the admitted docs admits nothing new
+    val grown = kept.unionByName(batch.where($"doc_id".isin(11L, 12L)))
+    val again = graft.text.Curation.admitIncremental(grown, batch,
+      "doc_id", "text", graft.text.Curation.Config(jaccardThreshold = 0.6))
+      .collect()
+    assert(again.isEmpty)
+  }
 }
