@@ -475,6 +475,12 @@ object SparkEntry {
       graft.text.NearDup.duplicateComponents(pairs)
     }),
 
+    // corpus vocabulary: top tokens by occurrence with doc frequencies
+    "q46_vocabulary" -> ((s, dir) => {
+      graft.text.TextAnalysis.vocabulary(t(s, dir, "documents"),
+        "doc_id", "text", k = 100)
+    }),
+
     // incremental near-dup admission: even-id docs are the kept corpus,
     // odd-id docs the incoming batch; admitted = not connected to kept,
     // lowest-id representative of all-new components
@@ -818,6 +824,16 @@ object SparkEntry {
         |FROM big JOIN orders ON b_key = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q46_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.token FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+        |  WHERE len(t.token) > 0)
+        |SELECT token, COUNT(*) AS occurrences,
+        | COUNT(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY occurrences DESC, token ASC
         |LIMIT 100""".stripMargin,
     "q45_incremental_admission" ->
       """WITH RECURSIVE tok AS (

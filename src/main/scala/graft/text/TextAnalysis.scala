@@ -26,6 +26,21 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Corpus vocabulary: token → total occurrences + distinct docs
+    * containing it, top `k` by occurrences with a deterministic token
+    * tie-break. Explode + one groupBy shuffle + TakeOrdered —
+    * vocabulary building for training pipelines. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("occurrences"), col("token"))
+      .limit(k)
+
   /** Vocabulary-free BPE-ish subword token estimate (compiled expression;
     * see [[TextExpressions.BpeTokenCount]]): letter runs at ≈4 chars/token,
     * digits and punctuation one token each. */
