@@ -59,4 +59,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions >= 2)
     assert(df.count() == 20)
   }
+
+  test("media features feed centroid-IVF clustering end to end") {
+    // multimodal -> stub feature extraction -> deterministic k-means:
+    // the ANN scale path consumes extracted features with no glue code
+    val feats = Multimodal.extractFeatures(mediaDf,
+      Multimodal.FeatureExtractor.stub(featureDims = 16))
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val centroids = graft.vector.KMeansIvf.train(
+      feats, "vec_id", "embedding", k = 3, dims = 16, iters = 2)
+    val assigned = graft.vector.KMeansIvf.assign(feats, "embedding", centroids)
+    assert(assigned.count() == 20)
+    assert(assigned.select("cluster").distinct().count() <= 3)
+    // deterministic: same payloads -> same clusters
+    val again = graft.vector.KMeansIvf.assign(feats, "embedding",
+      graft.vector.KMeansIvf.train(feats, "vec_id", "embedding", 3, 16, 2))
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val first = assigned.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(first == again)
+  }
 }
