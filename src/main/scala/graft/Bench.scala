@@ -20,7 +20,12 @@ object Bench {
     // JVM pays ~8-10s of state-store/streaming-thread/codegen init that the
     // batch warmup doesn't touch (measured: q35 cold 12.4s, warm 3.1s).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try SparkEntry.queries("q35_stream_hourly")(spark, "/root/testdata/sf0.001")
+    // prefer the smallest sibling sf dir for the streaming warmup; fall
+    // back to the bench dir itself so the warmup never silently no-ops
+    val warmDir = Option(new java.io.File(sfDir).getParentFile)
+      .map(p => new java.io.File(p, "sf0.001"))
+      .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
+    try SparkEntry.queries("q35_stream_hourly")(spark, warmDir)
       .count() catch { case _: Throwable => () }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // benchmark hygiene between queries, outside the timed section:

@@ -694,8 +694,11 @@ object Cli {
           lh.catalog.loadTable(batchTable).read(),
           flags.getOrElse("id-col", "doc_id"),
           flags.getOrElse("text-col", "text"), cfg)
+        val before = kept.currentSnapshot.map(_.totalRows).getOrElse(0L)
         val snap = kept.append(admitted)
-        println(s"admitted ${admitted.count()} docs into $keptTable " +
+        // count from the snapshot delta: the admission pipeline ran once
+        // inside append, no second evaluation
+        println(s"admitted ${snap.totalRows - before} docs into $keptTable " +
           s"(snapshot ${snap.id})")
 
       // ---- validation extras ----------------------------------------------

@@ -1010,7 +1010,10 @@ object McpTools {
       sch(List("table_name", "v1", "v2"), "table_name" -> S("Table"),
         "v1" -> I("Older version"), "v2" -> I("Newer version")),
       (lh, a) => render(lh.contracts.diffVersions(str(a, "table_name"),
-        intOpt(a, "v1").get, intOpt(a, "v2").get))),
+        intOpt(a, "v1").orElse(strOpt(a, "v1").map(_.toInt)).getOrElse(
+          throw new IllegalArgumentException("'v1' parameter is required")),
+        intOpt(a, "v2").orElse(strOpt(a, "v2").map(_.toInt)).getOrElse(
+          throw new IllegalArgumentException("'v2' parameter is required"))))),
     ToolDef("monitor_contract", "Run compliance checks and record the score.",
       sch(List("table_name"), "table_name" -> S("Table")),
       (lh, a) => render(lh.contracts.monitor(str(a, "table_name")))),

@@ -110,20 +110,28 @@ object SchemaEvolution {
 
   /** Diff between the schemas of two snapshots; with no refs given,
     * compares the last two distinct schema versions in snapshot order
-    * (schema_evolution.py:193-268). Snapshot refs resolve like time
-    * travel (id first, then ISO timestamp). */
+    * (schema_evolution.py:193-268; the reference ignores a single-sided
+    * ref — here it resolves: from-only diffs against the current schema,
+    * to-only against the version preceding `to`). Snapshot refs resolve
+    * like time travel (id first, then ISO timestamp). */
   def diff(tbl: IceTable, fromSnapshot: Option[String] = None,
       toSnapshot: Option[String] = None): SchemaDiff = {
     val meta = tbl.meta
     val byId = meta.schemas.map(s => s.id -> s).toMap
+    lazy val seen = tbl.snapshots.sortBy(_.timestampMs)
+      .map(_.schemaId).foldLeft(List.empty[Int]) { (acc, sid) =>
+        if (acc.lastOption.contains(sid)) acc else acc :+ sid
+      }
     val (fromId, toId) = (fromSnapshot, toSnapshot) match {
       case (Some(f), Some(t)) =>
         (tbl.resolveRef(f).schemaId, tbl.resolveRef(t).schemaId)
-      case _ =>
-        val seen = tbl.snapshots.sortBy(_.timestampMs)
-          .map(_.schemaId).foldLeft(List.empty[Int]) { (acc, sid) =>
-            if (acc.lastOption.contains(sid)) acc else acc :+ sid
-          }
+      case (Some(f), None) =>
+        (tbl.resolveRef(f).schemaId, meta.currentSchemaId)
+      case (None, Some(t)) =>
+        val toSid = tbl.resolveRef(t).schemaId
+        val before = seen.takeWhile(_ != toSid)
+        (before.lastOption.getOrElse(toSid), toSid)
+      case (None, None) =>
         if (seen.size < 2) (meta.currentSchemaId, meta.currentSchemaId)
         else (seen(seen.size - 2), seen.last)
     }

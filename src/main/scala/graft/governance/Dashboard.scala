@@ -47,12 +47,13 @@ class Dashboard(lh: Lakehouse) {
 
   def tableEntry(name: String): DashboardTable = {
     val tbl = lh.catalog.loadTable(name)
-    val cached = lh.profile.cachedStats(name)
     val stale = lh.profile.isStatsStale(name)
+    // cached stats only when FRESH; stale or absent falls back to snapshot
+    // metadata (still no scan — row count comes from file metadata, an
+    // improvement over the reference's to_arrow() fallback,
+    // dashboard.py:110-116, which reads the whole table)
+    val cached = lh.profile.cachedStats(name).filter(_ => !stale)
     val snap = tbl.currentSnapshot
-    // cached stats when present, snapshot metadata otherwise — row count from
-    // snapshot file metadata, not a scan (improvement over the reference's
-    // to_arrow() fallback, dashboard.py:110-116, which reads the whole table)
     val dataFiles = cached.map(_.fileCount.toInt)
       .getOrElse(snap.map(_.files.size).getOrElse(0))
     val sizeBytes = cached.map(_.totalBytes)

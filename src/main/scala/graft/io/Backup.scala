@@ -93,9 +93,14 @@ class Backup(lh: Lakehouse) {
         val manifest =
           try {
             val staging = Files.createTempDirectory("graft-list-")
-            run("tar", "-xzf", p.toAbsolutePath.toString, "-C", staging.toString,
-              "./metadata.json")
-            Some(Jsons.readFile[BackupManifest](staging.resolve("metadata.json")))
+            try {
+              run("tar", "-xzf", p.toAbsolutePath.toString, "-C",
+                staging.toString, "./metadata.json")
+              Some(Jsons.readFile[BackupManifest](staging.resolve("metadata.json")))
+            } finally {
+              Files.deleteIfExists(staging.resolve("metadata.json"))
+              Files.deleteIfExists(staging)
+            }
           } catch { case _: Exception => None }
         (p.getFileName.toString, manifest, Files.size(p))
       }

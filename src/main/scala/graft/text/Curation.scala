@@ -23,8 +23,10 @@ object Curation {
       afterExactDedup: Long, afterNearDedup: Long)
 
   /** Run the funnel; returns the curated frame and per-stage counts.
-    * The counts cost one action per stage — pass `withStats = false` to
-    * build the plan lazily with no actions at all. */
+    * The near-dup component stage is inherently eager (its fixpoint
+    * iteration runs at call time); `withStats = true` additionally costs
+    * one counting action per stage, each re-scanning the narrow filter
+    * chain above it — pass `withStats = false` to skip those. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(), withStats: Boolean = true)
       : (DataFrame, Option[FunnelStats]) = {

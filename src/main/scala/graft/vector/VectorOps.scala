@@ -63,14 +63,17 @@ object VectorOps {
     VectorExpressions.hyperplaneSig(vec, nPlanes, dims)
 
   /** Reference formulation via built-in HOFs — interpreted lambdas, kept as
-    * the spec cross-check for the compiled expression. */
+    * the spec cross-check for the compiled expression. Ragged vectors are
+    * zero-padded/truncated to `dims` (coalesce on both zip_with sides), so
+    * this stays bit-identical to the compiled loop — which sums
+    * min(len, dims) terms — for any vector length, not just len == dims. */
   private[vector] def hyperplaneSignatureInterpreted(vec: Column, nPlanes: Int,
       dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val planeDot = aggregate(
         zip_with(toDouble(vec),
           array((0 until dims).map(j => lit(planeComponent(p, j))): _*),
-          (x, s) => x * s),
+          (x, s) => coalesce(x, lit(0.0)) * coalesce(s, lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
       when(planeDot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -158,7 +161,12 @@ object KMeansIvf {
     var centroids: Array[Array[Double]] = df
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(_.getSeq[Any](0).toArray.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"$vecCol must be array<float|double>, got element $other")
+      })
     var it = 0
     while (it < iters) {
       val assigned = df.select(

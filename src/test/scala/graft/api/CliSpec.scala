@@ -254,6 +254,13 @@ class CliSpec extends AnyFunSuite {
     runCli(lh, "insert", "default.t8", """[{"id":3,"v":7.0,"w":"x"}]""")
     assert(runCli(lh, "schema-history", "default.t8").contains("added w"))
     assert(runCli(lh, "schema-diff", "default.t8").contains("added w"))
+    // single-sided refs resolve instead of silently falling back:
+    // --from the first snapshot diffs against CURRENT (so the add shows)
+    assert(runCli(lh, "schema-diff", "default.t8", "--from", "1")
+      .contains("added w"))
+    // --to the first snapshot: nothing precedes it -> no changes
+    assert(runCli(lh, "schema-diff", "default.t8", "--to", "1")
+      .contains("no changes"))
     assert(runCli(lh, "schema-migration", "default.t8").contains("add_column w"))
     assert(runCli(lh, "schema-compat", "default.t8", "rename_column", "v",
       "--new-name", "val").contains("compatible"))

@@ -74,6 +74,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
+  test("hyperplane signature: compiled == interpreted on ragged vectors too") {
+    val ragged = Seq(
+      (1L, Array.fill(64)(0.5f)),        // exact dims
+      (2L, Array.fill(32)(-1.0f)),       // shorter than dims
+      (3L, Array.fill(80)(0.25f)),       // longer than dims
+      (4L, Array.empty[Float])           // empty
+    ).toDF("id", "v")
+    val both = ragged.select($"id",
+      VectorOps.hyperplaneSignature($"v", 8, 64).as("c"),
+      VectorOps.hyperplaneSignatureInterpreted($"v", 8, 64).as("i"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id=${r.getLong(0)} compiled=${r.getLong(1)} interpreted=${r.getLong(2)}"))
+  }
+
+  test("k-means IVF trains on array<double> vectors too") {
+    val dbl = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val c = KMeansIvf.train(dbl, "vec_id", "embedding", k = 2, dims = 64, iters = 1)
+    assert(c.length == 2 && c.head.length == 64)
+    assert(KMeansIvf.assign(dbl, "embedding", c).count() == emb.count())
+  }
+
   test("k-means IVF: deterministic training, exact within-cluster pairs, probe recall") {
     val e = emb.select($"vec_id", $"embedding")
     val c1 = KMeansIvf.train(e, "vec_id", "embedding", k = 4, dims = 64, iters = 2)
