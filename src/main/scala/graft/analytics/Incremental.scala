@@ -62,11 +62,17 @@ class Incremental(lh: Lakehouse) {
     }
   }
 
-  /** Advance the watermark after a successful step (incremental.py:330-350). */
-  def advance(pipeline: String, table: String, rows: Long): Unit = {
-    val tbl = lh.catalog.loadTable(table)
-    tbl.currentSnapshot.foreach { s =>
-      setWatermark(pipeline, table, Watermark(s.id, System.currentTimeMillis(), rows))
+  /** Advance the watermark after a successful step (incremental.py:330-350).
+    * Pass the batch's `toSnapshot` so rows committed between the read and
+    * the advance are NOT skipped — advancing to "current at advance time"
+    * would silently drop them from the next batch. Falls back to the
+    * current snapshot only when no batch snapshot is given. */
+  def advance(pipeline: String, table: String, rows: Long,
+      toSnapshot: Option[Long] = None): Unit = {
+    val sid = toSnapshot.orElse(
+      lh.catalog.loadTable(table).currentSnapshot.map(_.id))
+    sid.foreach { s =>
+      setWatermark(pipeline, table, Watermark(s, System.currentTimeMillis(), rows))
     }
   }
 }

@@ -54,7 +54,6 @@ class Profile(lh: Lakehouse) {
       val c = col(f.name)
       val base = Seq(
         sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
-        approx_count_distinct(c).as(s"${f.name}__adistinct"),
         countDistinct(c).as(s"${f.name}__distinct"))
       val typed =
         if (isNum(f.dataType)) Seq(
@@ -62,9 +61,11 @@ class Profile(lh: Lakehouse) {
           max(c).cast("double").as(s"${f.name}__max"),
           avg(c).as(s"${f.name}__mean"),
           stddev(c).as(s"${f.name}__std"),
-          expr(s"percentile(${f.name}, 0.25)").as(s"${f.name}__p25"),
-          expr(s"percentile(${f.name}, 0.5)").as(s"${f.name}__p50"),
-          expr(s"percentile(${f.name}, 0.75)").as(s"${f.name}__p75"))
+          // backticks: column names may be reserved words or contain
+          // non-identifier characters
+          expr(s"percentile(`${f.name}`, 0.25)").as(s"${f.name}__p25"),
+          expr(s"percentile(`${f.name}`, 0.5)").as(s"${f.name}__p50"),
+          expr(s"percentile(`${f.name}`, 0.75)").as(s"${f.name}__p75"))
         else if (isTemporal(f.dataType)) Seq(
           min(c).cast("string").as(s"${f.name}__min"),
           max(c).cast("string").as(s"${f.name}__max"))

@@ -49,7 +49,10 @@ class Quality(lh: Lakehouse) {
 
   def computeScore(table: String): QualityScore = {
     val profile = new Profile(lh)
-    val stats = profile.computeStats(table)
+    // statsNoCache: scoring must not refresh the cached baseline, or the
+    // next detectAnomalies run would compare the table against itself and
+    // mask any row-count/null-rate shift that happened in between
+    val stats = profile.statsNoCache(table)
     val tbl = lh.catalog.loadTable(table)
     val nCols = tbl.schema.fields.length
     val rows = stats.rowCount

@@ -24,12 +24,15 @@ class Sampling(lh: Lakehouse) {
     * ≥1-row guarantee that `sampleBy` (approximate) would not. */
   def stratifiedSample(df: DataFrame, stratCol: String, fraction: Double,
       seed: Long = 42L): DataFrame = {
-    val counts = df.groupBy(col(stratCol)).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(stratCol).as("__strat"))
+      .agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(stratCol)).orderBy(rand(seed))
-    df.join(counts, Seq(stratCol))
+    // null-safe join: a null stratum is still a stratum, and a plain
+    // equi-join would silently drop all its rows
+    df.join(counts, col(stratCol) <=> col("__strat"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= greatest(ceil(col("__n") * fraction), lit(1)))
-      .drop("__n", "__rn")
+      .drop("__strat", "__n", "__rn")
   }
 
   /** Every Nth row by ROW_NUMBER (sampling.py:134-178). Order follows the

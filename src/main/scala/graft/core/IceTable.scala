@@ -99,7 +99,9 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       case Some(s) =>
         val files = s.files.filter(f => keep(partitionValuesOf(f.path)))
         if (files.isEmpty) emptyDf(schema)
-        else spark.read.schema(schema).parquet(files.map(_.path): _*)
+        // go through readSnapshot so old files resolve by field-id (a raw
+        // name-based read would null out renamed columns in old files)
+        else readSnapshot(Some(s.copy(files = files)))
     }
 
   def emptyDf(s: StructType): DataFrame =
@@ -111,6 +113,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * Catalog.loadTable builds a fresh instance per call, so instance-level
     * `synchronized` would guard nothing for concurrent in-JVM writers. */
   private def tableLock: Object = IceTable.lockFor(dir)
+
+  /** Run a read-modify-write cycle under the table's commit lock, so an
+    * in-JVM concurrent writer cannot commit between the read and the
+    * overwrite (the lock alone only makes individual commits atomic).
+    * Cross-process writers remain last-writer-wins, as in the reference. */
+  def locked[T](f: => T): T = tableLock.synchronized(f)
 
   def append(df: DataFrame): Snapshot = commit(df, "append", keepParent = true)
 
@@ -197,7 +205,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   /** Rewrite current data as `targetFiles` files (compaction,
     * catalog.py:2014-2084 read-all + overwrite). */
-  def compact(targetFiles: Int = 1): Snapshot = {
+  def compact(targetFiles: Int = 1): Snapshot = locked {
     val df = read().repartition(math.max(targetFiles, 1))
     commit(df, "replace", keepParent = false)
   }
@@ -206,7 +214,14 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   def evolveSchema(f: StructType => StructType): TableMeta = tableLock.synchronized {
     val m = meta
-    val evolved = TableMeta.assignFieldIds(f(m.schema))
+    // Field-id floor spans ALL schema versions, not just the current one:
+    // a dropped column's id lives on in old versions, and reusing it for a
+    // new column would resurrect the dropped data through the field-id
+    // read resolution (the Iceberg last-column-id invariant).
+    val maxEver = m.schemas
+      .flatMap(_.struct.fields.flatMap(TableMeta.fieldId))
+      .foldLeft(0L)(math.max)
+    val evolved = TableMeta.assignFieldIds(f(m.schema), floor = maxEver)
     val newId = m.schemas.map(_.id).max + 1
     val nm = m.copy(schemas = m.schemas :+ SchemaVersion(newId, evolved.json),
       currentSchemaId = newId)
@@ -281,8 +296,26 @@ object IceTable {
       .filter(seg => seg.startsWith(PartitionTransform.DirPrefix) && seg.contains('='))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        k -> unescapePathValue(v)
       }.toMap
+
+  /** Undo Spark's partition-path escaping: only %XX sequences. URLDecoder
+    * would additionally turn '+' into a space — but Spark never encodes
+    * '+', so values containing it (e.g. "C++") would be corrupted. */
+  private def unescapePathValue(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 3 <= v.length) {
+        try {
+          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   def parquetRowCount(p: Path, conf: Configuration): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader

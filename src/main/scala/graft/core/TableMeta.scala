@@ -53,9 +53,13 @@ object TableMeta {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(FieldIdKey, id).build())
 
-  /** Assign field-ids 1..n to any fields missing one (fresh table DDL). */
-  def assignFieldIds(schema: StructType): StructType = {
-    val maxExisting = schema.fields.flatMap(fieldId).foldLeft(0L)(math.max)
+  /** Assign field-ids 1..n to any fields missing one (fresh table DDL).
+    * `floor` raises the starting id — evolution passes the max id ever
+    * used across ALL schema versions so dropped columns' ids are never
+    * reused (see IceTable.evolveSchema). */
+  def assignFieldIds(schema: StructType, floor: Long = 0L): StructType = {
+    val maxExisting = math.max(floor,
+      schema.fields.flatMap(fieldId).foldLeft(0L)(math.max))
     var next = maxExisting
     StructType(schema.fields.map { f =>
       fieldId(f) match {

@@ -86,59 +86,74 @@ class Dml(lh: Lakehouse) {
     * (catalog.py:632-762). Returns matched-row count. */
   def update(table: String, filter: String, set: Map[String, Any]): Long = {
     val tbl = catalog.loadTable(table)
-    val schema = tbl.schema
-    val df = tbl.read()
-    val cond = expr(filter)
-    // Evaluate the match BEFORE any column is rewritten: if the SET touches a
-    // column the filter references, re-evaluating the filter afterwards would
-    // select (and validate) the wrong rows.
-    val marked = df.withColumn("__matched", coalesce(cond, lit(false)))
-    val matched = marked.where(col("__matched")).count()
-    val updated = set.foldLeft(marked) { case (d, (c, v)) =>
-      val f = schema.fields.find(_.name == c)
-        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
-      d.withColumn(c, when(col("__matched"), lit(coerce(v, f.dataType)).cast(f.dataType))
-        .otherwise(col(c)))
+    tbl.locked {
+      val schema = tbl.schema
+      val df = tbl.read()
+      val cond = expr(filter)
+      // Evaluate the match BEFORE any column is rewritten: if the SET touches
+      // a column the filter references, re-evaluating the filter afterwards
+      // would select (and validate) the wrong rows.
+      val marked = df.withColumn("__matched", coalesce(cond, lit(false)))
+      val matched = marked.where(col("__matched")).count()
+      val updated = set.foldLeft(marked) { case (d, (c, v)) =>
+        val f = schema.fields.find(_.name == c)
+          .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+        d.withColumn(c, when(col("__matched"), lit(coerce(v, f.dataType)).cast(f.dataType))
+          .otherwise(col(c)))
+      }
+      // validate rewritten rows against the rows that were NOT touched, so
+      // unique rules catch an update that duplicates an existing key
+      lh.validation.enforce(table,
+        updated.where(col("__matched")).drop("__matched"),
+        Some(updated.where(!col("__matched")).drop("__matched")))
+      tbl.overwrite(updated.drop("__matched"))
+      lh.audit.log(table, "update", Map("matched" -> matched.toString, "filter" -> filter))
+      matched
     }
-    // validate rewritten rows against the rows that were NOT touched, so
-    // unique rules catch an update that duplicates an existing key
-    lh.validation.enforce(table,
-      updated.where(col("__matched")).drop("__matched"),
-      Some(updated.where(!col("__matched")).drop("__matched")))
-    tbl.overwrite(updated.drop("__matched"))
-    lh.audit.log(table, "update", Map("matched" -> matched.toString, "filter" -> filter))
-    matched
   }
 
   /** Keep only rows NOT matching the filter (catalog.py:765-831). Returns
     * deleted count. */
   def delete(table: String, filter: String): Long = {
     val tbl = catalog.loadTable(table)
-    val df = tbl.read()
-    val cond = expr(filter)
-    val deleted = df.where(cond).count()
-    tbl.overwrite(df.where(!coalesce(cond, lit(false))))
-    lh.audit.log(table, "delete", Map("deleted" -> deleted.toString, "filter" -> filter))
-    deleted
+    tbl.locked {
+      val df = tbl.read()
+      val cond = expr(filter)
+      val deleted = df.where(cond).count()
+      tbl.overwrite(df.where(!coalesce(cond, lit(false))))
+      lh.audit.log(table, "delete", Map("deleted" -> deleted.toString, "filter" -> filter))
+      deleted
+    }
   }
 
   /** Key-match merge: unmatched-existing ∪ incoming — the idiomatic
     * left_anti + unionByName form of the reference's LEFT JOIN + IS NULL
-    * (catalog.py:1289-1326). */
+    * (catalog.py:1289-1326). Duplicate keys WITHIN the incoming batch are
+    * collapsed to the last occurrence first (the row a sequential
+    * reference-style upsert would leave behind), so the merge can never
+    * introduce duplicate keys or misreport counts. */
   def upsert(table: String, incoming: DataFrame, keys: Seq[String]): UpsertResult = {
     val tbl = catalog.loadTable(table)
-    val schema = tbl.schema
-    keys.foreach(k => require(schema.fieldNames.contains(k), s"no such key column: $k"))
-    val existing = tbl.read()
-    val inc = incoming.select(schema.fieldNames.map(col).toSeq: _*)
-    val updated = inc.join(existing.select(keys.map(col): _*).distinct(), keys, "left_semi").count()
-    val inserted = inc.count() - updated
-    lh.validation.enforce(table, inc, None)
-    val merged = existing.join(inc, keys, "left_anti").unionByName(inc)
-    tbl.overwrite(merged)
-    lh.audit.log(table, "upsert",
-      Map("inserted" -> inserted.toString, "updated" -> updated.toString))
-    UpsertResult(inserted, updated)
+    tbl.locked {
+      val schema = tbl.schema
+      keys.foreach(k => require(schema.fieldNames.contains(k), s"no such key column: $k"))
+      val existing = tbl.read()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(monotonically_increasing_id().desc)
+      val inc = incoming.select(schema.fieldNames.map(col).toSeq: _*)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      val updated = inc.join(existing.select(keys.map(col): _*).distinct(),
+        keys, "left_semi").count()
+      val inserted = inc.count() - updated
+      lh.validation.enforce(table, inc, None)
+      val merged = existing.join(inc, keys, "left_anti").unionByName(inc)
+      tbl.overwrite(merged)
+      lh.audit.log(table, "upsert",
+        Map("inserted" -> inserted.toString, "updated" -> updated.toString))
+      UpsertResult(inserted, updated)
+    }
   }
 
   def upsertRows(table: String, rows: Seq[Map[String, Any]], keys: Seq[String]): UpsertResult =

@@ -85,10 +85,12 @@ class Pipelines(lh: Lakehouse) {
           // incremental mode: re-register each source table as only its
           // new-since-watermark rows (incremental.py:242-361)
           val sources = lh.engine.referencedTables(step.sql)
+          val batchSnapshots = scala.collection.mutable.Map.empty[String, Option[Long]]
           if (incremental) sources.foreach { t =>
             val ident = if (t.contains(".")) t else s"default.$t"
             if (lh.catalog.tableExists(ident)) {
               val batch = lh.incremental.getIncrementalData(pid, ident)
+              batchSnapshots(ident) = batch.toSnapshot
               val (ns, short) = graft.core.Catalog.parseIdent(ident)
               // register under BOTH names the rewritten SQL may use
               batch.data.createOrReplaceTempView(short)
@@ -112,7 +114,10 @@ class Pipelines(lh: Lakehouse) {
           if (incremental) sources.foreach { t =>
             val ident = if (t.contains(".")) t else s"default.$t"
             if (lh.catalog.tableExists(ident))
-              lh.incremental.advance(pid, ident, rows)
+              // advance to the snapshot the batch actually read, so rows
+              // committed since then surface in the NEXT batch
+              lh.incremental.advance(pid, ident, rows,
+                batchSnapshots.getOrElse(ident, None))
           }
           StepResult(i, "ok", rows, "", (System.nanoTime() - t0) / 1e9)
         } catch {

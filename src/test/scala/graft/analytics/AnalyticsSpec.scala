@@ -93,6 +93,10 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(q.ruleCompliance < 1.0) // 10 null v rows fail the rule
     assert(q.score > 0 && q.score < 1)
     assert(lh.quality.history("m").nonEmpty)
+    // establish the anomaly baseline EXPLICITLY: scoring no longer caches
+    // stats as a side effect (that used to clobber the baseline and mask
+    // anomalies when a score ran after the data changed)
+    lh.profile.computeStats("m")
     // anomaly: blow away most rows → critical row-count anomaly
     lh.dml.delete("m", "id > 5")
     val anoms = lh.quality.detectAnomalies("m")
