@@ -141,6 +141,29 @@ class IceTableSpec extends AnyFunSuite {
     assert(tbl.read().count() == 5)
   }
 
+  test("add after drop never resurrects the dropped column's data") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t", expensesCols, Nil, Map.empty)
+    tbl.append(sampleDf)
+    tbl.dropColumn("description")
+    // the new column must get a FRESH field-id, not description's: reusing
+    // it would resolve old files' description values into the new column
+    tbl.addColumn("remark", "string")
+    val ids = tbl.schema.fields.flatMap(graft.core.TableMeta.fieldId)
+    assert(ids.distinct.length == ids.length)
+    val droppedId = cat.loadTable("t").meta.schemas.head.struct.fields
+      .find(_.name == "description").flatMap(graft.core.TableMeta.fieldId).get
+    val remarkId = tbl.schema.fields.find(_.name == "remark")
+      .flatMap(graft.core.TableMeta.fieldId).get
+    assert(remarkId != droppedId)
+    // old files therefore serve NULL for the new column, not old data
+    assert(tbl.read().where($"remark".isNotNull).count() == 0)
+    // manifest pruning resolves old files by field-id too (renamed column)
+    tbl.renameColumn("category", "kind")
+    val pruned = tbl.prunedRead(_ => true)
+    assert(pruned.where($"kind".isNotNull).count() == 4)
+  }
+
   test("orphan files detected after expire; compact rewrites to one file") {
     val cat = newCatalog()
     val tbl = cat.createTable("t", expensesCols, Nil, Map.empty)
