@@ -49,10 +49,15 @@ class Sampling(lh: Lakehouse) {
   def systematicSample(df: DataFrame, everyN: Int): DataFrame = {
     require(everyN >= 1)
     val spark = df.sparkSession
+    // localCheckpoint: the id column is evaluated by TWO jobs (the counts
+    // collect and the final join). If df's lineage holds a shuffle or other
+    // nondeterministic stage, re-evaluation could lay rows out differently
+    // and misalign the cumulative offsets — checkpointing pins one layout.
     val withId = df
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
       .withColumn("__idx", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(eager = false)
     val counts = withId.groupBy("__pid").agg(count(lit(1)).as("__c"))
       .orderBy("__pid").collect()
     val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), r) =>

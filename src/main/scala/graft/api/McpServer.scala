@@ -65,7 +65,12 @@ object McpServer {
           return Some(errorResponse(JNull, -32700, "Parse error"))
       }
     val id = msg \ "id"
-    val method = (msg \ "method").extractOpt[String].getOrElse("")
+    // strict: a JSON number/bool in "method" is NOT a method name
+    // (extractOpt[String] would coerce 42 → "42")
+    val methodOpt = (msg \ "method") match {
+      case JString(m) => Some(m)
+      case _ => None
+    }
     val params = (msg \ "params") match {
       case o: JObject => o
       case _ => JObject()
@@ -73,7 +78,11 @@ object McpServer {
     if (id == JNothing || id == JNull) {
       // notification (e.g. notifications/initialized): no response
       None
-    } else method match {
+    } else if (methodOpt.isEmpty) {
+      // id present but method absent/non-string: structurally invalid
+      // request → -32600 per JSON-RPC 2.0 (not -32601 Method not found)
+      Some(errorResponse(id, -32600, "Invalid Request"))
+    } else methodOpt.get match {
       case "initialize" => Some(response(id, JObject(
         "protocolVersion" -> JString(ProtocolVersion),
         "capabilities" -> JObject("tools" -> JObject()),

@@ -80,29 +80,50 @@ class Backup(lh: Lakehouse) {
   /** Default backup directory, analogue of the reference's backups dir. */
   def backupsDir: Path = lh.metaDir.resolve("backups")
 
-  /** List archives in a backup directory with their manifests
-    * (reference backup.py list_backups): (file, manifest, sizeBytes).
-    * Unreadable/foreign tarballs are listed with no manifest. */
+  /** List archives in a backup directory with their manifests, newest first
+    * (reference backup.py list_backups reverse sort): (file, manifest,
+    * sizeBytes). Unreadable/foreign tarballs are listed with no manifest. */
   def listBackups(dir: Option[String] = None): List[(String, Option[BackupManifest], Long)] = {
     val d = dir.map(Paths.get(_)).getOrElse(backupsDir)
     if (!Files.isDirectory(d)) return Nil
-    Files.list(d).iterator().asScala
-      .filter(p => p.toString.endsWith(".tar.gz") || p.toString.endsWith(".tgz"))
-      .toList.sortBy(_.toString)
+    val listing = Files.list(d)
+    val archives =
+      try listing.iterator().asScala
+        .filter(p => p.toString.endsWith(".tar.gz") || p.toString.endsWith(".tgz"))
+        .toList
+      finally listing.close()
+    archives.sortBy(_.getFileName.toString)(Ordering[String].reverse)
       .map { p =>
         val manifest =
           try {
-            val staging = Files.createTempDirectory("graft-list-")
-            try {
-              run("tar", "-xzf", p.toAbsolutePath.toString, "-C",
-                staging.toString, "./metadata.json")
-              Some(Jsons.readFile[BackupManifest](staging.resolve("metadata.json")))
-            } finally {
-              Files.deleteIfExists(staging.resolve("metadata.json"))
-              Files.deleteIfExists(staging)
+            // accept any member path ending in metadata.json, like the
+            // reference (backup.py:440-442) — archives built without the
+            // "./" prefix still list with a manifest
+            val member = listMembers(p).find(_.endsWith("metadata.json"))
+            member.map { m =>
+              val staging = Files.createTempDirectory("graft-list-")
+              try {
+                run("tar", "-xzf", p.toAbsolutePath.toString, "-C",
+                  staging.toString, m)
+                Jsons.readFile[BackupManifest](staging.resolve(m).normalize())
+              } finally deleteRecursively(staging)
             }
           } catch { case _: Exception => None }
         (p.getFileName.toString, manifest, Files.size(p))
       }
+  }
+
+  private def listMembers(tarGz: Path): List[String] = {
+    val p = new ProcessBuilder("tar", "-tzf", tarGz.toAbsolutePath.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    require(p.waitFor() == 0, s"tar -tzf failed for $tarGz\n$out")
+    out.linesIterator.toList
+  }
+
+  private def deleteRecursively(root: Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
 }

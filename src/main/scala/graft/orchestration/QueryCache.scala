@@ -12,6 +12,11 @@ case class CacheEntry(key: String, sql: String, tables: Seq[String],
 
 case class CacheStats(hits: Long, misses: Long, entries: Int)
 
+/** Per-table cache policy (reference query_cache.py set_cache_policy):
+  * `enabled = false` bypasses the cache for queries touching the table;
+  * a custom TTL overrides the default for those queries. */
+case class CachePolicy(enabled: Boolean, ttlMs: Option[Long])
+
 /** Query result cache (reference query_cache.py): key = sha256 of
   * normalized SQL (upper, collapsed whitespace, stripped `;`), TTL,
   * invalidation by referenced table, LRU-ish eviction at 100 entries,
@@ -23,11 +28,14 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
   private var hits = 0L
   private var misses = 0L
 
-  /** Per-table cache policy (reference query_cache.py set_cache_policy):
-    * `enabled = false` bypasses the cache for queries touching the table;
-    * a custom TTL overrides the default for those queries. */
-  case class CachePolicy(enabled: Boolean, ttlMs: Option[Long])
+  /** Policies persist to the meta dir (reference query_cache.py:246-261
+    * `_save_meta`) so a fresh process — each CLI invocation, an MCP server
+    * restart — sees policies set by earlier ones. Cached *results* stay
+    * in-memory only, matching the reference. */
+  private def policyPath = lh.metaDir.resolve("cache_policies.json")
   private val policies = TrieMap.empty[String, CachePolicy]
+  if (java.nio.file.Files.exists(policyPath))
+    policies ++= graft.core.Jsons.readFile[Map[String, CachePolicy]](policyPath)
 
   private def qualify(t: String): String =
     if (t.contains(".")) t else s"default.$t"
@@ -36,6 +44,7 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
       ttlSeconds: Option[Long] = None): CachePolicy = {
     val p = CachePolicy(enabled, ttlSeconds.map(_ * 1000L))
     policies.put(qualify(table), p)
+    synchronized { graft.core.Jsons.writeFile(policyPath, policies.toMap) }
     if (!enabled) invalidateTable(table)
     p
   }

@@ -287,7 +287,14 @@ object TextExpressions {
           if (run > 0) { total += (run + 3) / 4; run = 0 }
           if (c >= '0' && c <= '9') total += 1
           else if (c != ' ' && c != '\t' && c != '\n' && c != '\r' &&
-            c != '\u000B' && c != '\f') total += 1
+            c != '\u000B' && c != '\f') {
+            total += 1
+            // count CODEPOINTS, not UTF-16 units: a surrogate pair (emoji
+            // etc.) is ONE token, matching the DuckDB oracle's
+            // codepoint-based regex in bpeTokenCountSql
+            if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+              Character.isLowSurrogate(s.charAt(i + 1))) i += 1
+          }
         }
         i += 1
       }

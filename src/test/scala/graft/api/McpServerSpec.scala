@@ -48,6 +48,13 @@ class McpServerSpec extends AnyFunSuite {
       """{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
     // unknown method errors; unknown tool is isError, not a fault
     assert((rpc(lh, "no/such") \ "error" \ "code") == JInt(-32601))
+    // id present but method missing/non-string: -32600 Invalid Request
+    val noMethod = JsonMethods.parse(McpServer.handleMessage(lh,
+      """{"jsonrpc":"2.0","id":7}""").getOrElse(fail("expected a response")))
+    assert((noMethod \ "error" \ "code") == JInt(-32600))
+    val badMethod = JsonMethods.parse(McpServer.handleMessage(lh,
+      """{"jsonrpc":"2.0","id":8,"method":42}""").getOrElse(fail("expected a response")))
+    assert((badMethod \ "error" \ "code") == JInt(-32600))
     val unknown = rpc(lh, "tools/call", """{"name":"nope","arguments":{}}""")
     assert((unknown \ "result" \ "isError") == JBool(true))
   }

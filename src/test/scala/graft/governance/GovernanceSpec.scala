@@ -222,4 +222,24 @@ class GovernanceSpec extends AnyFunSuite {
     val b = lh.catalog.loadTable("users_restored").read().orderBy("id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("listBackups: newest first, manifest found without ./ member prefix") {
+    val lh = seeded()
+    val dir = SparkFixture.tmpDir("graft-ls-")
+    lh.backup.backupTable("default.users", s"$dir/a_old.tar.gz")
+    lh.backup.backupTable("default.users", s"$dir/b_new.tar.gz")
+    // archive whose members carry no "./" prefix (foreign tar layout,
+    // reference backup.py:440-442 matches by suffix)
+    val staging = java.nio.file.Files.createTempDirectory("graft-noprefix-")
+    java.nio.file.Files.writeString(staging.resolve("metadata.json"),
+      graft.core.Jsons.write(graft.io.BackupManifest(
+        "default.users", 1L, "{}", "00", 0L)))
+    val pb = new ProcessBuilder("tar", "-czf", s"$dir/c_plain.tar.gz",
+      "-C", staging.toString, "metadata.json").redirectErrorStream(true).start()
+    assert(pb.waitFor() == 0)
+    val listed = lh.backup.listBackups(Some(dir.toString))
+    assert(listed.map(_._1) == List("c_plain.tar.gz", "b_new.tar.gz", "a_old.tar.gz"))
+    assert(listed.forall(_._2.isDefined), "every archive should list a manifest")
+    assert(listed.forall(_._3 > 0))
+  }
 }

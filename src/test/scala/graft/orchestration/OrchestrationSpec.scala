@@ -131,6 +131,20 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(!hit3)
   }
 
+  test("cache policies persist across process restarts (meta file)") {
+    val lh = seeded()
+    lh.queryCache.setPolicy("sales", enabled = false, ttlSeconds = Some(7))
+    // a fresh Lakehouse over the same warehouse = a new CLI/MCP process
+    val lh2 = Lakehouse.open(spark, lh.warehouseDir)
+    val p = lh2.queryCache.policy("sales").getOrElse(fail("policy not persisted"))
+    assert(!p.enabled && p.ttlMs.contains(7000L))
+    assert(lh2.queryCache.listPolicies().keySet == Set("default.sales"))
+    // disabled policy bypasses caching in the new process too
+    val (_, hit1) = lh2.queryCache.execute("SELECT count(*) AS n FROM sales")
+    val (_, hit2) = lh2.queryCache.execute("SELECT count(*) AS n FROM sales")
+    assert(!hit1 && !hit2)
+  }
+
   test("saved queries + capped history") {
     val lh = seeded()
     lh.savedQueries.save("cnt", "SELECT count(*) AS n FROM sales")

@@ -36,17 +36,18 @@ class NearDupSpec extends AnyFunSuite {
       (2L, "internationalization 42!"), // ceil(20/4)=5 + 2 digits + 1 punct = 8
       (3L, ""),                         // 0
       (4L, "x,y;z 12.5"),               // 3 letters + 2 punct(,;) + 3 digits + 1 punct(.) = 9
-      (5L, "ABCDEFGH")                  // ceil(8/4) = 2
+      (5L, "ABCDEFGH"),                 // ceil(8/4) = 2
+      (6L, "hi 😀😀") // non-BMP: 1 run + 2 emoji CODEPOINTS = 3
     ).toDF("id", "text")
     val got = df.select($"id", TextAnalysis.bpeTokenCount($"text").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 4L, 2L -> 8L, 3L -> 0L, 4L -> 9L, 5L -> 2L))
+    assert(got == Map(1L -> 4L, 2L -> 8L, 3L -> 0L, 4L -> 9L, 5L -> 2L, 6L -> 3L))
     // SQL registration path
     graft.GraftExtensions.register(spark)
     df.createOrReplaceTempView("bpe_docs")
     val viaSql = spark.sql(
       "SELECT sum(graft_bpe_tokens(text)) AS s FROM bpe_docs").head().getLong(0)
-    assert(viaSql == 23L)
+    assert(viaSql == 26L)
   }
 
   test("duplicateComponents: transitive closure with min-id components") {
