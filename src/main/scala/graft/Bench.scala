@@ -15,18 +15,19 @@ object Bench {
       .map(_.split(',').toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => filter.forall(_.contains(n)) }
-    // JVM/codegen warmup on the smallest sf so steady-state is measured.
-    // The streaming query warms separately: the first streaming query in a
-    // JVM pays ~8-10s of state-store/streaming-thread/codegen init that the
-    // batch warmup doesn't touch (measured: q35 cold 12.4s, warm 3.1s).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // prefer the smallest sibling sf dir for the streaming warmup; fall
-    // back to the bench dir itself so the warmup never silently no-ops
+    // JVM/codegen warmup: run EVERY selected query once on the smallest
+    // sibling sf so the measured pass sees steady-state JIT/codegen, not
+    // first-run compilation (measured: the first CC-loop query pays ~3s of
+    // codegen; the first streaming query ~8-10s of state-store/streaming-
+    // thread init — q35 cold 12.4s, warm 3.1s). Falls back to the bench
+    // dir itself so the warmup never silently no-ops.
     val warmDir = Option(new java.io.File(sfDir).getParentFile)
       .map(p => new java.io.File(p, "sf0.001"))
       .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
-    try SparkEntry.queries("q35_stream_hourly")(spark, warmDir)
-      .count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    selected.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // benchmark hygiene between queries, outside the timed section:
       // drop cached plans/broadcast refs and collect garbage so earlier

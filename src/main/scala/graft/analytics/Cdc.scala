@@ -36,35 +36,10 @@ class Cdc(lh: Lakehouse) {
     val tbl = lh.catalog.loadTable(table)
     val cols = tbl.schema.fieldNames.toSeq
     val keys = if (keyCols.nonEmpty) keyCols else cols.take(1)
-    val (added, removed) = snapshotDiff(table, fromRef, toRef)
-
-    // presence flags robust to genuinely-null keys: checking a data column
-    // for null is not enough, so tag each side before joining
-    val at = added.withColumn("_present_a", lit(true)).alias("a")
-    val rt = removed.withColumn("_present_r", lit(true)).alias("r")
-    val jt = at.join(rt, keys.map(k => col(s"a.$k") <=> col(s"r.$k")).reduce(_ && _), "full_outer")
-
-    def side(p: String, extra: Column, changeType: String) =
-      jt.where(extra).select(
-        (lit(changeType).as("change_type") +:
-          cols.map(c => col(s"$p.$c").as(c)) :+
-          changedColumns(cols, jt)): _*)
-
-    val presentA = col("a._present_a").isNotNull
-    val presentR = col("r._present_r").isNotNull
-
-    val inserts = side("a", presentA && !presentR, "INSERT")
-    val deletes = side("r", !presentA && presentR, "DELETE")
-    val updBefore = side("r", presentA && presentR, "UPDATE_BEFORE")
-    val updAfter = side("a", presentA && presentR, "UPDATE_AFTER")
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+    val (fromSnap, toSnap) = defaultRefs(tbl.snapshots, fromRef, toRef)
+    Cdc.classifyChanges(tbl.readSnapshot(fromSnap), tbl.readSnapshot(toSnap),
+      keys, cols)
   }
-
-  private def changedColumns(cols: Seq[String], j: DataFrame): Column =
-    when(col("a._present_a").isNotNull && col("r._present_r").isNotNull,
-      cols.map(c => when(!(col(s"a.$c") <=> col(s"r.$c")), array(lit(c)))
-        .otherwise(array().cast("array<string>"))).reduce(concat(_, _)))
-      .otherwise(array().cast("array<string>")).as("changed_columns")
 
   /** INSERT/UPDATE/DELETE counts between two snapshots (cdc.py:230-258). */
   def changeSummary(table: String, fromRef: Option[String] = None,

@@ -124,8 +124,13 @@ object NearDup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init fuses the first propagation round: label0 = min(id, neighbors).
+    // Min-label propagation converges to the component min from any
+    // per-node upper bound, and starting one hop ahead saves a full
+    // join+checkpoint round on shallow near-dup graphs.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("label"))
       .localCheckpoint()
     var it = 0
     var converged = false

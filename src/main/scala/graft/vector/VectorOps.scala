@@ -29,13 +29,20 @@ object VectorOps {
     * Queries are broadcast (small side); rank ties broken by neighbor id.
     * Result: (qid, nid, score, rnk).
     *
+    * Per-row norms are computed ONCE per vector before the |corpus| ×
+    * |queries| scoring join, so the quadratic stage runs one dot product
+    * per pair instead of three. `sqrt(dot(v,v))` yields the identical
+    * double either way, so scores stay bit-identical to the oracle.
+    *
     * Scale: |corpus| × |queries| scored rows, shuffled only by qid for the
     * rank window. The scale path for big query sets is [[IvfIndex]]. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.alias("c")
-      .join(broadcast(queries.alias("q")), col("q.qid") =!= col("c.nid"))
+    val q = queries.withColumn("qn", norm(col("qe")))
+    val c = corpus.withColumn("nn", norm(col("ne")))
+    val scored = c.alias("c")
+      .join(broadcast(q.alias("q")), col("q.qid") =!= col("c.nid"))
       .select(col("q.qid"), col("c.nid"),
-        cosine(col("q.qe"), col("c.ne")).as("score"))
+        (dot(col("q.qe"), col("c.ne")) / (col("q.qn") * col("c.nn"))).as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
@@ -43,13 +50,16 @@ object VectorOps {
   /** Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
     * cosine ≥ threshold. Brute-force O(n²/2) scoring — the oracle-checkable
     * baseline; at corpus scale, bucket first with [[IvfIndex.bucketed]] and
-    * compare only within buckets. */
+    * compare only within buckets. Norms are precomputed per row (see
+    * [[bruteForceTopK]]) so the n²/2 stage pays one dot, not three. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -105,10 +115,13 @@ object IvfIndex {
   def dupPairsFromBuckets(bdf: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = bdf.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", VectorOps.norm(col("va")))
     val b = bdf.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", VectorOps.norm(col("vb")))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -130,9 +143,12 @@ object IvfIndex {
     }
     val qProbes = qb.select(col("qid"), col("qe"),
       explode(array(probeBuckets: _*)).as("bucket"))
-    val scored = cb.join(broadcast(qProbes), Seq("bucket"))
+    val scored = cb.withColumn("nn", VectorOps.norm(col("ne")))
+      .join(broadcast(qProbes.withColumn("qn", VectorOps.norm(col("qe")))),
+        Seq("bucket"))
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("score"))
+      .select(col("qid"), col("nid"),
+        (VectorOps.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
@@ -199,10 +215,13 @@ object KMeansIvf {
   def dupPairsFromClusters(adf: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = adf.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", VectorOps.norm(col("va")))
     val b = adf.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", VectorOps.norm(col("vb")))
     a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -226,10 +245,12 @@ object KMeansIvf {
     val qProbes = qc.withColumn("pr", row_number().over(wq))
       .where(col("pr") <= probes)
       .select(col("qid"), col("qe"), col("cluster"))
-    val scored = cb.join(broadcast(qProbes), Seq("cluster"))
+    val scored = cb.withColumn("nn", VectorOps.norm(col("ne")))
+      .join(broadcast(qProbes.withColumn("qn", VectorOps.norm(col("qe")))),
+        Seq("cluster"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        VectorOps.cosine(col("qe"), col("ne")).as("score"))
+        (VectorOps.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
