@@ -539,6 +539,48 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // §2.10 CDC classify: INSERT/DELETE/UPDATE_BEFORE/UPDATE_AFTER with
+    // changed-column lists, between two deterministic derivations of orders
+    // (drop every 7th key as "old", drop every 5th and bump totalprice on
+    // every 3rd as "new"). One null-safe full-outer join — no driver loop.
+    "q47_cdc_changes" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val oldDf = base.where(col("o_orderkey") % 7 =!= 0)
+      val newDf = base.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.analytics.Cdc.classifyChanges(oldDf, newDf,
+        keys = Seq("o_orderkey"),
+        cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .withColumn("changed_cols", array_join(col("changed_columns"), ","))
+        .drop("changed_columns")
+    }),
+
+    // beyond-reference: token-frequency cosine similarity (frequency-aware
+    // near-dup next to q20's set-overlap Jaccard). All-integer aggregation
+    // makes the score exactly engine-reproducible.
+    "q48_tf_cosine_pairs" -> ((s, dir) => {
+      graft.text.TokenSimilarity.tfCosinePairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5, maxTokenFreq = 100)
+    }),
+
+    // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
+    // over customer with deterministically synthesized nulls (testdata has
+    // none), one scan + struct-array unpivot.
+    "q49_column_completeness" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")))
+      graft.analytics.Profile.columnCompleteness(c)
     })
   )
 
@@ -931,6 +973,83 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q47_cdc_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 7 != 0),
+        |new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 != 0),
+        |added AS (SELECT * FROM new EXCEPT ALL SELECT * FROM old),
+        |removed AS (SELECT * FROM old EXCEPT ALL SELECT * FROM new),
+        |j AS (
+        |  SELECT a.o_orderkey AS ak, a.o_custkey AS ac, a.o_orderstatus AS ast, a.o_totalprice AS atp,
+        |         r.o_orderkey AS rk, r.o_custkey AS rc, r.o_orderstatus AS rst, r.o_totalprice AS rtp
+        |  FROM added a FULL OUTER JOIN removed r
+        |    ON a.o_orderkey IS NOT DISTINCT FROM r.o_orderkey),
+        |chg AS (
+        |  SELECT *, CASE WHEN ak IS NOT NULL AND rk IS NOT NULL THEN concat_ws(',',
+        |      CASE WHEN ak IS DISTINCT FROM rk THEN 'o_orderkey' END,
+        |      CASE WHEN ac IS DISTINCT FROM rc THEN 'o_custkey' END,
+        |      CASE WHEN ast IS DISTINCT FROM rst THEN 'o_orderstatus' END,
+        |      CASE WHEN atp IS DISTINCT FROM rtp THEN 'o_totalprice' END)
+        |    ELSE '' END AS changed_cols
+        |  FROM j)
+        |SELECT 'INSERT' AS change_type, ak AS o_orderkey, ac AS o_custkey,
+        |       ast AS o_orderstatus, atp AS o_totalprice, changed_cols
+        |  FROM chg WHERE ak IS NOT NULL AND rk IS NULL
+        |UNION ALL
+        |SELECT 'DELETE', rk, rc, rst, rtp, changed_cols
+        |  FROM chg WHERE ak IS NULL AND rk IS NOT NULL
+        |UNION ALL
+        |SELECT 'UPDATE_BEFORE', rk, rc, rst, rtp, changed_cols
+        |  FROM chg WHERE ak IS NOT NULL AND rk IS NOT NULL
+        |UNION ALL
+        |SELECT 'UPDATE_AFTER', ak, ac, ast, atp, changed_cols
+        |  FROM chg WHERE ak IS NOT NULL AND rk IS NOT NULL""".stripMargin,
+    "q48_tf_cosine_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |wf AS (SELECT *, count(*) OVER (PARTITION BY tok) AS dfreq FROM tf),
+        |kept AS (SELECT * FROM wf WHERE dfreq <= 100),
+        |sizes AS (SELECT doc_id, sum(tf * tf) AS ss FROM kept GROUP BY 1),
+        |spine AS (SELECT doc_id, tok, tf FROM kept WHERE dfreq >= 2),
+        |prs AS (
+        |  -- CAST: DuckDB integer SUM returns HUGEINT; Spark returns BIGINT
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(sum(a.tf * b.tf) AS BIGINT) AS num
+        |  FROM spine a JOIN spine b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, num,
+        |       CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) AS sim
+        |FROM prs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q49_column_completeness" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+        |       count(*) - count(c_custkey) AS n_nulls,
+        |       count(DISTINCT c_custkey) AS n_distinct,
+        |       CAST(count(c_custkey) AS DOUBLE) / count(*) AS completeness FROM c
+        |UNION ALL
+        |SELECT 'c_name', count(*), count(*) - count(c_name),
+        |       count(DISTINCT c_name), CAST(count(c_name) AS DOUBLE) / count(*) FROM c
+        |UNION ALL
+        |SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        |       count(DISTINCT c_nationkey), CAST(count(c_nationkey) AS DOUBLE) / count(*) FROM c
+        |UNION ALL
+        |SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+        |       count(DISTINCT c_acctbal), CAST(count(c_acctbal) AS DOUBLE) / count(*) FROM c
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+        |       count(DISTINCT c_mktsegment), CAST(count(c_mktsegment) AS DOUBLE) / count(*) FROM c""".stripMargin
   )
 }

@@ -121,3 +121,48 @@ class Cdc(lh: Lakehouse) {
     (from, Some(to))
   }
 }
+
+object Cdc {
+
+  /** Classify the row-level delta between two frames of the same schema as
+    * INSERT / DELETE / UPDATE_BEFORE / UPDATE_AFTER with a `changed_columns`
+    * list per update — the table-free core of [[Cdc.getChanges]], usable on
+    * any pair of DataFrames (snapshots, imports, pipeline stages).
+    *
+    * Shape: exceptAll both ways (bag semantics) narrows the input to rows
+    * that actually differ, then ONE null-safe full-outer join on the keys
+    * classifies — fully distributed, no driver-side dict (the reference
+    * classifies in a Python loop, cdc.py:146-187). */
+  def classifyChanges(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val added = newDf.exceptAll(oldDf)
+    val removed = oldDf.exceptAll(newDf)
+
+    // presence flags robust to genuinely-null keys: checking a data column
+    // for null is not enough, so tag each side before joining
+    val at = added.withColumn("_present_a", lit(true)).alias("a")
+    val rt = removed.withColumn("_present_r", lit(true)).alias("r")
+    val jt = at.join(rt, keys.map(k => col(s"a.$k") <=> col(s"r.$k")).reduce(_ && _), "full_outer")
+
+    def side(p: String, extra: Column, changeType: String) =
+      jt.where(extra).select(
+        (lit(changeType).as("change_type") +:
+          cols.map(c => col(s"$p.$c").as(c)) :+
+          changedColumns(cols)): _*)
+
+    val presentA = col("a._present_a").isNotNull
+    val presentR = col("r._present_r").isNotNull
+
+    val inserts = side("a", presentA && !presentR, "INSERT")
+    val deletes = side("r", !presentA && presentR, "DELETE")
+    val updBefore = side("r", presentA && presentR, "UPDATE_BEFORE")
+    val updAfter = side("a", presentA && presentR, "UPDATE_AFTER")
+    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+  }
+
+  private def changedColumns(cols: Seq[String]): Column =
+    when(col("a._present_a").isNotNull && col("r._present_r").isNotNull,
+      cols.map(c => when(!(col(s"a.$c") <=> col(s"r.$c")), array(lit(c)))
+        .otherwise(array().cast("array<string>"))).reduce(concat(_, _)))
+      .otherwise(array().cast("array<string>")).as("changed_columns")
+}

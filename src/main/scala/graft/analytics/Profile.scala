@@ -153,3 +153,35 @@ class Profile(lh: Lakehouse) {
     cachedStats(table).forall(_.snapshotIdAtCache != current)
   }
 }
+
+object Profile {
+
+  /** Per-column completeness/uniqueness report as a DataFrame:
+    * (column_name, n_rows, n_nulls, n_distinct, completeness). The
+    * completeness and uniqueness inputs of [[Quality.computeScore]]
+    * (quality.py:28-159), exposed table-free so it runs on any frame.
+    *
+    * One scan: every column's null and distinct aggregates evaluate in a
+    * single `agg` pass (countDistinct expands the aggregate buffers, not
+    * the scan count), then the one-row result is unpivoted driver-free via
+    * a struct-array explode. Ratios are one long/long division — exact and
+    * engine-independent. */
+  def columnCompleteness(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"))
+    }
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"), col("_rows").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        ((col("_rows") - col(s"${c}__nulls")).cast("double") / col("_rows"))
+          .as("completeness"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.n_rows"), col("e.n_nulls"),
+        col("e.n_distinct"), col("e.completeness"))
+  }
+}

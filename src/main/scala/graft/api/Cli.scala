@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.json4s.jackson.JsonMethods
 
 import graft.{Fixtures, Lakehouse}
@@ -701,6 +702,43 @@ object Cli {
         println(s"admitted ${snap.totalRows - before} docs into $keptTable " +
           s"(snapshot ${snap.id})")
 
+      case List("similar-docs", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val threshold = flags.getOrElse("threshold", "0.8").toDouble
+        val cap = flags.getOrElse("max-token-freq", "100").toInt
+        val pairs =
+          if (flags.contains("tfidf"))
+            graft.text.TokenSimilarity.tfidfPairs(df, id, text, threshold, cap)
+          else graft.text.TokenSimilarity.tfCosinePairs(df, id, text, threshold, cap)
+            .select("id_a", "id_b", "sim")
+        pairs.orderBy(col("sim").desc, col("id_a"), col("id_b"))
+          .limit(flags.getOrElse("limit", "100").toInt).collect()
+          .foreach(r => println(f"${r.get(0)} ~ ${r.get(1)}: ${r.getDouble(2)}%.4f"))
+
+      case List("completeness", table) =>
+        graft.analytics.Profile.columnCompleteness(
+          lh.catalog.loadTable(table).read()).collect()
+          .foreach(r => println(f"${r.getString(0)}: rows=${r.getLong(1)} " +
+            f"nulls=${r.getLong(2)} distinct=${r.getLong(3)} " +
+            f"completeness=${r.getDouble(4)}%.4f"))
+
+      case List("classify-changes", oldTable, newTable) =>
+        val o = lh.catalog.loadTable(oldTable).read()
+        val n = lh.catalog.loadTable(newTable).read()
+        val cols = o.columns.toSeq
+        val keys = flags.get("keys").map(_.split(',').toSeq)
+          .getOrElse(cols.take(1))
+        val ch = graft.analytics.Cdc.classifyChanges(o, n, keys, cols)
+          .limit(flags.getOrElse("limit", "1000").toInt)
+        ch.collect().foreach { r =>
+          val changed = r.getSeq[String](r.fieldIndex("changed_columns"))
+          val vals = cols.map(c => s"$c=${r.getAs[Any](c)}").mkString(", ")
+          println(s"${r.getAs[String]("change_type")}: $vals" +
+            (if (changed.nonEmpty) s" [changed: ${changed.mkString(",")}]" else ""))
+        }
+
       // ---- validation extras ----------------------------------------------
       case List("validate-check", table) =>
         val df = lh.catalog.loadTable(table).read()
@@ -761,8 +799,10 @@ object Cli {
       |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
-      |         quality quality-report quality-history anomalies
+      |         quality quality-report quality-history anomalies completeness
+      |         similar-docs (--threshold 0.8 --max-token-freq 100 --tfidf)
       |cdc:     changes change-log change-summary change-export incremental
+      |         classify-changes (--keys a,b)
       |         watermark-set watermark-show watermark-reset watermarks
       |orchestrate: view-create views view-query view-drop view-show
       |         matview-create matview-refresh matview-fresh matview-list

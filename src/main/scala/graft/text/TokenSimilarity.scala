@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-weighted document similarity — the frequency-aware cousin of
+  * [[NearDup.jaccardPairs]] (which scores set overlap only). Two variants
+  * share one inverted-index join shape:
+  *
+  *  - [[tfCosinePairs]] — cosine over raw term-frequency vectors. All
+  *    aggregation is INTEGER (Σ tf², Σ tf_a·tf_b), so partial-aggregation
+  *    order cannot perturb the result: deterministic at any parallelism and
+  *    exactly reproducible by the DuckDB oracle.
+  *  - [[tfidfPairs]] — classic TF-IDF weighting (log-smoothed IDF). Floating
+  *    point by nature; covered by ScalaTest, not an exact SQL oracle.
+  *
+  * Scale shape (both): explode to (doc, token, tf) — one shuffle to count
+  * tf, then a window doc-frequency count keyed by token, which is ALSO the
+  * pair-join key, so the windowed subtree feeds both self-join sides with
+  * no extra exchange (the same plan discipline as jaccardPairs). The
+  * `maxTokenFreq` cap bounds the quadratic per-token join cost (a token in
+  * F docs costs F²/2 rows) and doubles as crude stopword suppression —
+  * exactly the tokens carrying no similarity signal. Singleton tokens
+  * (df = 1) can never pair and are pruned from the join spine.
+  */
+object TokenSimilarity {
+
+  private def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** (doc_id, tok, tf, dfreq): per-doc term frequencies with corpus doc
+    * frequency attached (dfreq counts (doc, tok) rows, which are unique). */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("tok")))
+
+  /** Pairs (id_a, id_b, sim) with raw-TF cosine ≥ threshold, id_a < id_b.
+    * sim = Σ_t tf_a·tf_b / (√(Σ tf_a²)·√(Σ tf_b²)) over tokens with
+    * doc-frequency ≤ maxTokenFreq. Numerator and both norm sums are exact
+    * integer aggregates; the only floating-point steps are the final two
+    * sqrts and one division — bit-identical in any engine. */
+  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTokenFreq: Int = 100): DataFrame = {
+    val kept = termFrequencies(df, idCol, textCol)
+      .where(lit(maxTokenFreq <= 0) || col("dfreq") <= maxTokenFreq)
+    val sizes = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("ss"))
+    val spine = kept.where(col("dfreq") >= 2).select("doc_id", "tok", "tf")
+    spine.alias("a")
+      .join(spine.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("ss").as("ssa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("ss").as("ssb")), "id_b")
+      .withColumn("sim",
+        col("num").cast("double") / (sqrt(col("ssa")) * sqrt(col("ssb"))))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "num", "sim")
+  }
+
+  /** Pairs (id_a, id_b, sim) with TF-IDF cosine ≥ threshold, id_a < id_b.
+    * w(t, d) = tf · (ln((N+1)/(df_t+1)) + 1) — the smooth-IDF convention, so
+    * a token in every doc still gets weight tf (never zero/negative). */
+  def tfidfPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTokenFreq: Int = 0): DataFrame = {
+    val n = df.count()
+    val kept = termFrequencies(df, idCol, textCol)
+      .where(lit(maxTokenFreq <= 0) || col("dfreq") <= maxTokenFreq)
+      .withColumn("w", col("tf") *
+        (log((lit(n) + 1).cast("double") / (col("dfreq") + 1)) + 1))
+    val sizes = kept.groupBy("doc_id").agg(sum(col("w") * col("w")).as("ss"))
+    val spine = kept.where(col("dfreq") >= 2).select("doc_id", "tok", "w")
+    spine.alias("a")
+      .join(spine.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("num"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("ss").as("ssa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("ss").as("ssb")), "id_b")
+      .withColumn("sim", col("num") / (sqrt(col("ssa")) * sqrt(col("ssb"))))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -37,6 +37,21 @@ class CdcSpec extends AnyFunSuite {
     assert(ch.where($"change_type" === "DELETE").head.getAs[Long]("id") == 3)
   }
 
+  test("classifyChanges works table-free, null-safe on keys") {
+    val oldDf = Seq((Some(1L), "a"), (Some(2L), "b"), (None: Option[Long], "n"))
+      .toDF("id", "v")
+    val newDf = Seq((Some(1L), "a"), (Some(2L), "B"), (None: Option[Long], "m"))
+      .toDF("id", "v")
+    val ch = Cdc.classifyChanges(oldDf, newDf, Seq("id"), Seq("id", "v"))
+    val byType = ch.collect().groupBy(_.getAs[String]("change_type"))
+    // id=1 unchanged (absent); id=2 and the NULL key both classify as update
+    assert(!byType.contains("INSERT") && !byType.contains("DELETE"))
+    assert(byType("UPDATE_AFTER").map(_.getAs[String]("v")).toSet == Set("B", "m"))
+    assert(byType("UPDATE_BEFORE").map(_.getAs[String]("v")).toSet == Set("b", "n"))
+    assert(byType("UPDATE_AFTER").forall(
+      r => r.getSeq[String](r.fieldIndex("changed_columns")) == Seq("v")))
+  }
+
   test("changeSummary and changeLog walk snapshot pairs") {
     val lh = seeded()
     val s = lh.cdc.changeSummary("t", fromRef = Some("1"), keys = Seq("id"))

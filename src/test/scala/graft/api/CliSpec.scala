@@ -311,6 +311,34 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "query", "SELECT count(*) AS n FROM curated").contains("2"))
   }
 
+  test("similar-docs, completeness and classify-changes verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli10-").toString)
+    runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"text":"alpha beta gamma delta"},
+         {"doc_id":2,"text":"alpha beta gamma delta"},
+         {"doc_id":3,"text":"omega psi chi phi"}]""")
+    val sim = runCli(lh, "similar-docs", "default.docs", "--threshold", "0.9")
+    assert(sim.contains("1 ~ 2") && !sim.contains("3"))
+    val simIdf = runCli(lh, "similar-docs", "default.docs",
+      "--threshold", "0.9", "--tfidf")
+    assert(simIdf.contains("1 ~ 2"))
+
+    val comp = runCli(lh, "completeness", "default.docs")
+    assert(comp.contains("doc_id: rows=3 nulls=0 distinct=3 completeness=1.0000"))
+
+    runCli(lh, "create-table", "default.docs2", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.docs2",
+      """[{"doc_id":1,"text":"alpha beta gamma delta"},
+         {"doc_id":2,"text":"CHANGED"},
+         {"doc_id":4,"text":"brand new"}]""")
+    val ch = runCli(lh, "classify-changes", "default.docs", "default.docs2",
+      "--keys", "doc_id")
+    assert(ch.contains("INSERT: doc_id=4"))
+    assert(ch.contains("DELETE: doc_id=3"))
+    assert(ch.contains("UPDATE_AFTER: doc_id=2, text=CHANGED [changed: text]"))
+  }
+
   test("unknown command raises with usage help") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli2-").toString)
     val e = intercept[IllegalArgumentException] {
