@@ -569,6 +569,17 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5, maxTokenFreq = 100)
     }),
 
+    // beyond-reference: cross-corpus contamination (train/eval overlap) —
+    // bipartite n-gram Jaccard between even-id (train) and odd-id (eval)
+    // docs; the decontamination primitive of a training pipeline
+    "q50_contamination_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.NearDup.crossJaccardPairs(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, threshold = 0.8, maxShingleFreq = 100)
+    }),
+
     // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
     // over customer with deterministically synthesized nulls (testdata has
     // none), one scan + struct-array unpivot.
@@ -1029,6 +1040,32 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q50_contamination_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |u AS (
+        |  SELECT 'a' AS side, doc_id, s FROM sh0 WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'b' AS side, doc_id, s FROM sh0 WHERE doc_id % 2 = 1),
+        |f AS (SELECT s, count(*) AS df, count(DISTINCT side) AS sides FROM u GROUP BY s),
+        |kept AS (SELECT u.side, u.doc_id, u.s, f.sides FROM u JOIN f USING (s) WHERE f.df <= 100),
+        |sizes AS (SELECT side, doc_id, count(*) AS n FROM kept GROUP BY 1, 2),
+        |spine AS (SELECT side, doc_id, s FROM kept WHERE sides = 2),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM spine a JOIN spine b ON a.s = b.s AND a.side = 'a' AND b.side = 'b'
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM prs
+        |JOIN sizes sa ON sa.side = 'a' AND sa.doc_id = id_a
+        |JOIN sizes sb ON sb.side = 'b' AND sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     "q49_column_completeness" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, c_nationkey,

@@ -702,6 +702,30 @@ object Cli {
         println(s"admitted ${snap.totalRows - before} docs into $keptTable " +
           s"(snapshot ${snap.id})")
 
+      case List("decontaminate", trainTable, evalTable) =>
+        val a = lh.catalog.loadTable(trainTable).read()
+        val b = lh.catalog.loadTable(evalTable).read()
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val pairs = graft.text.NearDup.crossJaccardPairs(a, b, id, text,
+          n = flags.getOrElse("ngram", "3").toInt,
+          threshold = flags.getOrElse("jaccard", "0.8").toDouble,
+          maxShingleFreq = flags.getOrElse("max-shingle-freq", "100").toInt)
+        if (flags.contains("remove")) {
+          val contaminated = pairs.select(col("id_b").as(id)).distinct()
+          val tbl = lh.catalog.loadTable(evalTable)
+          val clean = b.join(contaminated, Seq(id), "left_anti")
+          val before = tbl.currentSnapshot.map(_.totalRows).getOrElse(0L)
+          val snap = tbl.overwrite(clean)
+          println(s"removed ${before - snap.totalRows} contaminated docs " +
+            s"from $evalTable (snapshot ${snap.id})")
+        } else {
+          pairs.orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+            .limit(flags.getOrElse("limit", "100").toInt).collect()
+            .foreach(r => println(f"train ${r.get(0)} ~ eval ${r.get(1)}: " +
+              f"jaccard ${r.getAs[Double]("jaccard")}%.4f"))
+        }
+
       case List("similar-docs", table) =>
         val df = lh.catalog.loadTable(table).read()
         val id = flags.getOrElse("id-col", "doc_id")
@@ -797,6 +821,7 @@ object Cli {
       |io:      import export backup restore verify-backup backups format-set
       |         format-set-table format-show convert-format
       |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
+      |         decontaminate (--jaccard 0.8 --remove)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

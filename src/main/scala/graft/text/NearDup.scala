@@ -58,6 +58,48 @@ object NearDup {
       .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Cross-corpus contamination pairs — the decontamination primitive of a
+    * training pipeline: which documents of corpus B (e.g. an eval/test set)
+    * share ≥ threshold n-gram Jaccard with any document of corpus A (the
+    * training set). Result: (id_a, id_b, inter, na, nb, jaccard), id_a from
+    * A, id_b from B.
+    *
+    * Same plan discipline as [[jaccardPairs]], bipartite: both corpora's
+    * shingles union into ONE frame, doc frequency is a window count on the
+    * shingle (the join key — shuffle shared with the join), the cap bounds
+    * hot-shingle blowup, and only shingles present on BOTH sides can pair
+    * (the A/B side-presence prune replaces the singleton prune). */
+  def crossJaccardPairs(dfA: DataFrame, dfB: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(dfA, idCol, textCol, n).withColumn("side", lit("a"))
+      .unionByName(
+        shingleTable(dfB, idCol, textCol, n).withColumn("side", lit("b")))
+    val w = Window.partitionBy("s")
+    val ann = sh
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("sides", size(collect_set(col("side")).over(w)))
+    val kept = if (maxShingleFreq <= 0) ann
+      else ann.where(col("df") <= maxShingleFreq)
+    val sizes = kept.groupBy("side", "doc_id").agg(count(lit(1)).as("n"))
+    val spine = kept.where(col("sides") === 2)
+    val pairs = spine.where(col("side") === "a").alias("a")
+      .join(spine.where(col("side") === "b").alias("b"),
+        col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.where(col("side") === "a")
+        .select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.where(col("side") === "b")
+        .select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+  }
+
   /** Winnowing-fingerprint near-dup pairs: docs sharing ≥ minShared rolling-
     * hash fingerprints. Like MinHash this is a candidate join on exploded
     * fingerprints (shuffle O(docs × fingerprints), no cross join), but with

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the scale claims in SCALING.md:
+  * filters reach the parquet scan, projections prune the read schema,
+  * top-k never global-sorts, aggregation is partial map-side. Plans are
+  * inspected at sf0.001 — the SHAPE is scale-invariant.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6: filter pushed to parquet scan, read schema pruned") {
+    val p = planOf("q6_filtered_revenue")
+    assert(p.contains("PushedFilters: ["), "expected parquet filter pushdown")
+    assert(p.contains("l_shipdate"), "shipdate range must reach the scan")
+    assert(!p.contains("l_comment"),
+      "untouched wide column must be pruned from ReadSchema")
+  }
+
+  test("q2: top-k via TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q2_revenue_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit+order must fuse into top-k, not materialize a global sort")
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = planOf("q1_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("q16: text analysis is a narrow scan + aggregate — no joins") {
+    val p = planOf("q16_token_stats")
+    assert(!p.contains("Join"), "token stats must not join")
+  }
+
+  test("q22: MinHash signatures stay narrow — no explode before banding") {
+    val p = planOf("q22_minhash_neardup")
+    // the signature pass must be a compiled expression, not an explode +
+    // k-wide re-aggregation of shingles
+    assert(p.contains("graft_minhash") || p.contains("minhashsignature"),
+      "compiled MinHashSignature expression expected in the plan")
+  }
+}

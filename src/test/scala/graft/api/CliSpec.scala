@@ -339,6 +339,24 @@ class CliSpec extends AnyFunSuite {
     assert(ch.contains("UPDATE_AFTER: doc_id=2, text=CHANGED [changed: text]"))
   }
 
+  test("decontaminate verb lists and removes train/eval overlap") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli11-").toString)
+    runCli(lh, "create-table", "default.train", "doc_id:long,text:string")
+    runCli(lh, "create-table", "default.eval", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.train",
+      """[{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta eta theta"},
+         {"doc_id":2,"text":"clean training data with no leak at all today"}]""")
+    runCli(lh, "insert", "default.eval",
+      """[{"doc_id":10,"text":"alpha beta gamma delta epsilon zeta eta theta"},
+         {"doc_id":11,"text":"pristine evaluation prompt nothing shared here"}]""")
+    val listed = runCli(lh, "decontaminate", "default.train", "default.eval")
+    assert(listed.contains("train 1 ~ eval 10"))
+    val removed = runCli(lh, "decontaminate", "default.train", "default.eval",
+      "--remove")
+    assert(removed.contains("removed 1 contaminated docs"))
+    assert(runCli(lh, "query", "SELECT count(*) AS n FROM eval").contains("1"))
+  }
+
   test("unknown command raises with usage help") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli2-").toString)
     val e = intercept[IllegalArgumentException] {

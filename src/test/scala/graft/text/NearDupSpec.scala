@@ -50,6 +50,32 @@ class NearDupSpec extends AnyFunSuite {
     assert(viaSql == 26L)
   }
 
+  test("crossJaccardPairs: bipartite only — finds A→B contamination") {
+    val trainDocs = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (6L, "totally unrelated training content goes here now")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // copy of 2
+      (3L, "one two three four five six seven eight nine"),    // near-copy of 4
+      (5L, "pristine evaluation prompt with no overlap at all")
+    ).toDF("doc_id", "text")
+    val pairs = graft.text.NearDup.crossJaccardPairs(trainDocs, evalDocs,
+      "doc_id", "text", n = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs.keySet == Set((2L, 1L), (4L, 3L)))
+    assert(pairs((2L, 1L)) == 1.0)
+    // within-corpus duplicates must NOT pair: plant one and re-check
+    val withDup = trainDocs.unionByName(
+      Seq((8L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"))
+    val p2 = graft.text.NearDup.crossJaccardPairs(withDup, evalDocs,
+      "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((2L, 1L), (4L, 3L), (8L, 1L)), "2~8 (both in A) must not pair")
+  }
+
   test("duplicateComponents: transitive closure with min-id components") {
     // chain 1-2-3 (1~2, 2~3 but NOT 1~3), isolated pair 10-11,
     // plus a 4-cycle 20-21-22-23 to force >1 propagation round
