@@ -580,6 +580,22 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.8, maxShingleFreq = 100)
     }),
 
+    // beyond-reference: PII redaction over free text (emails/SSNs/phones/
+    // IPs planted deterministically, since the synthetic corpus has none).
+    // Per-source occurrence counts are integers — engine-exact.
+    "q51_pii_redaction" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("t",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 node 10.0.0."),
+          pmod(col("doc_id"), lit(256)),
+          when(col("doc_id") % 2 === 0, lit(" ssn 987-65-4321"))
+            .otherwise(lit(""))))
+      val counts = graft.text.Redaction.piiCounts(col("t"))
+      planted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          counts.map { case (k, c) => sum(c).as(s"n_$k") }: _*)
+    }),
+
     // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
     // over customer with deterministically synthesized nulls (testdata has
     // none), one scan + struct-array unpivot.
@@ -1040,6 +1056,27 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q51_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    text || ' contact user' || doc_id || '@example.com or 555-123-4567 node 10.0.0.' || (doc_id % 256) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' ssn 987-65-4321' ELSE '' END AS t0
+        |  FROM documents),
+        |s1 AS (SELECT source,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM p),
+        |s2 AS (SELECT source, ne,
+        |  len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS ns,
+        |  regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT source, ne, ns,
+        |  len(regexp_extract_all(t2, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS np,
+        |  regexp_replace(t2, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT source, ne, ns, np,
+        |  len(regexp_extract_all(t3, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni FROM s3)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(ne) AS BIGINT) AS n_email, CAST(SUM(ns) AS BIGINT) AS n_ssn,
+        |  CAST(SUM(np) AS BIGINT) AS n_phone, CAST(SUM(ni) AS BIGINT) AS n_ip
+        |FROM s4 GROUP BY source""".stripMargin,
     "q50_contamination_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),

@@ -702,6 +702,27 @@ object Cli {
         println(s"admitted ${snap.totalRows - before} docs into $keptTable " +
           s"(snapshot ${snap.id})")
 
+      case List("pii-report", table) =>
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val rep = graft.text.Redaction.report(
+          lh.catalog.loadTable(table).read(), id, text)
+        val kinds = graft.text.Redaction.patterns.map(_._1)
+        val totals = rep.select(kinds.map(k =>
+          org.apache.spark.sql.functions.sum(col(s"n_$k")).as(k)): _*).head
+        kinds.zipWithIndex.foreach { case (k, i) =>
+          println(s"$k: ${if (totals.isNullAt(i)) 0L else totals.getLong(i)}") }
+
+      case List("redact", table, target) =>
+        val text = flags.getOrElse("text-col", "text")
+        val src = lh.catalog.loadTable(table)
+        val redacted = src.read().withColumn(text,
+          graft.text.Redaction.redact(col(text)))
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, redacted.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(redacted)
+        println(s"redacted ${snap.totalRows} rows into $target")
+
       case List("decontaminate", trainTable, evalTable) =>
         val a = lh.catalog.loadTable(trainTable).read()
         val b = lh.catalog.loadTable(evalTable).read()
@@ -821,7 +842,7 @@ object Cli {
       |io:      import export backup restore verify-backup backups format-set
       |         format-set-table format-show convert-format
       |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
-      |         decontaminate (--jaccard 0.8 --remove)
+      |         decontaminate (--jaccard 0.8 --remove) pii-report redact
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

@@ -270,20 +270,30 @@ object MinHashLSH {
     * verification restricted to candidates. Result matches
     * [[NearDup.jaccardPairs]] up to LSH recall.
     *
-    * Verification shape: each doc's distinct shingle ARRAY rides along in
-    * one narrow pass (doc_id, shingles, n); candidates join that table
-    * twice by doc id and the exact intersection is a per-row
-    * `array_intersect` — no shingle explode, no (doc_id, shingle)-keyed
-    * shuffle. At scale the shingle-array table shuffles once per join
-    * side by doc id, and only candidate pairs pay the intersect. */
+    * Verification shape: the candidate pair set is localCheckpoint'ed once
+    * (it is the SMALL output of the LSH stage — re-evaluating it per
+    * consumer would re-run the whole signature+bucket pipeline three
+    * times), then the corpus is semi-joined down to docs that appear in
+    * some candidate pair BEFORE the shingle arrays are computed — so the
+    * expensive per-doc shingle expression runs once for the signatures
+    * pass and then only for candidate docs, not three full corpus passes.
+    * The exact intersection is a per-row `array_intersect` — no shingle
+    * explode, no (doc_id, shingle)-keyed shuffle; only candidate pairs pay
+    * anything. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.shingles(col(textCol), n).as("shingles"))
-      .withColumn("n", size(col("shingles")))
     val cands = candidatePairs(signatures(df, idCol, textCol, n, numHashes),
       numHashes, bands)
+      .localCheckpoint()
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val sh = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(candIds, "doc_id")
+      .select(col("doc_id"),
+        TextAnalysis.shingles(col("__text"), n).as("shingles"))
+      .withColumn("n", size(col("shingles")))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa"),
         col("n").as("na")), "id_a")

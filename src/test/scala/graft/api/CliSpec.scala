@@ -357,6 +357,22 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "query", "SELECT count(*) AS n FROM eval").contains("1"))
   }
 
+  test("pii-report and redact verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli12-").toString)
+    runCli(lh, "create-table", "default.msgs", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.msgs",
+      """[{"doc_id":1,"text":"mail me at a@b.co or 555-123-4567"},
+         {"doc_id":2,"text":"nothing private"}]""")
+    val rep = runCli(lh, "pii-report", "default.msgs")
+    assert(rep.contains("email: 1") && rep.contains("phone: 1") &&
+      rep.contains("ssn: 0"))
+    runCli(lh, "redact", "default.msgs", "default.msgs_clean")
+    val out = runCli(lh, "query",
+      "SELECT text FROM msgs_clean WHERE doc_id = 1")
+    assert(out.contains("[EMAIL]") && out.contains("[PHONE]") &&
+      !out.contains("a@b.co"))
+  }
+
   test("unknown command raises with usage help") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli2-").toString)
     val e = intercept[IllegalArgumentException] {
