@@ -93,6 +93,21 @@ object Streaming {
       }
   }
 
+  /** Streaming exact deduplication — the ingestion-side dedup of a training
+    * pipeline: drop rows whose `keyCols` were already seen, with state
+    * bounded by the event-time watermark (`dropDuplicatesWithinWatermark`:
+    * two duplicates arriving within the watermark interval dedupe; state
+    * for keys older than the watermark is evicted, so memory is bounded by
+    * the watermark window, not the full stream history).
+    *
+    * For content-level dedup (not id-level), pass a fingerprint column
+    * built with [[graft.text.TextAnalysis.fingerprint]] as the key. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Sink each micro-batch into an IceLite table: one snapshot per batch,
     * so replays/time travel work on streamed data too. */
   def writeToTable(df: DataFrame, lh: Lakehouse, table: String,

@@ -42,6 +42,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.where($"n" =!= $"batch_n").count() == 0)
   }
 
+  test("dedupStream drops duplicate keys within the watermark, state bounded") {
+    val dir = SparkFixture.tmpDir("graft-dd-").toString
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(100)
+    // plant duplicates: every event twice
+    base.unionByName(base).coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val deduped = Streaming.dedupStream(
+      Streaming.eventsStream(spark, dir, schema), Seq("event_id"), "ts")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck2-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup_stream")
+    assert(got.count() == 100, "each duplicated event must survive exactly once")
+    assert(got.select("event_id").distinct().count() == 100)
+  }
+
   test("sessionize closes gap-separated sessions via state timeout") {
     val events = Seq(
       Event(1, new Timestamp(1000), 7, "click", 1.0),
