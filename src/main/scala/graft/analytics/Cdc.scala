@@ -135,8 +135,13 @@ object Cdc {
     * classifies in a Python loop, cdc.py:146-187). */
   def classifyChanges(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       cols: Seq[String]): DataFrame = {
-    val added = newDf.exceptAll(oldDf)
-    val removed = oldDf.exceptAll(newDf)
+    // exceptAll compares POSITIONALLY — project both sides to the same
+    // column order first, or frames with reordered columns would silently
+    // classify every row as changed
+    val o = oldDf.select(cols.map(col): _*)
+    val nw = newDf.select(cols.map(col): _*)
+    val added = nw.exceptAll(o)
+    val removed = o.exceptAll(nw)
 
     // presence flags robust to genuinely-null keys: checking a data column
     // for null is not enough, so tag each side before joining

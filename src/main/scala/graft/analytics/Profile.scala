@@ -169,14 +169,18 @@ object Profile {
   def columnCompleteness(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      // coalesce: sum over ZERO rows is null, not 0
+      coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct"))
     }
     val entries = cols.map { c =>
       struct(lit(c).as("column_name"), col("_rows").as("n_rows"),
         col(s"${c}__nulls").as("n_nulls"),
         col(s"${c}__distinct").as("n_distinct"),
-        ((col("_rows") - col(s"${c}__nulls")).cast("double") / col("_rows"))
+        // empty table = vacuously complete (Quality.computeScore convention)
+        when(col("_rows") === 0, lit(1.0))
+          .otherwise((col("_rows") - col(s"${c}__nulls")).cast("double") /
+            col("_rows"))
           .as("completeness"))
     }
     df.agg(aggs.head, aggs.tail: _*)

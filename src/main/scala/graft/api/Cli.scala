@@ -800,12 +800,21 @@ object Cli {
     }
   }
 
-  private def parseFlags(args: List[String]): (Map[String, String], List[String]) = {
+  /** Flags that never take a value — without this list, `--remove train`
+    * would swallow `train` as the flag's value and break the verb match
+    * when a boolean flag precedes a positional argument. */
+  private val BoolFlags = Set("disable", "dry-run", "incremental", "no-caches",
+    "no-matviews", "no-orphan-cleanup", "no-pipelines", "overwrite", "remove",
+    "strict", "tfidf")
+
+  private[api] def parseFlags(args: List[String]): (Map[String, String], List[String]) = {
     var flags = Map.empty[String, String]
     var pos = List.empty[String]
     var rest = args
     while (rest.nonEmpty) {
       rest match {
+        case f :: t if f.startsWith("--") && BoolFlags.contains(f.drop(2)) =>
+          flags += f.drop(2) -> "true"; rest = t
         case f :: v :: t if f.startsWith("--") && !v.startsWith("--") =>
           flags += f.drop(2) -> v; rest = t
         case f :: t if f.startsWith("--") => flags += f.drop(2) -> "true"; rest = t

@@ -76,8 +76,11 @@ object McpServer {
       case _ => JObject()
     }
     if (id == JNothing || id == JNull) {
+      // a structurally invalid message is NOT a notification: JSON-RPC 2.0
+      // answers {"jsonrpc":"2.0","method":1} with -32600 and id null
+      if (methodOpt.isEmpty) Some(errorResponse(JNull, -32600, "Invalid Request"))
       // notification (e.g. notifications/initialized): no response
-      None
+      else None
     } else if (methodOpt.isEmpty) {
       // id present but method absent/non-string: structurally invalid
       // request → -32600 per JSON-RPC 2.0 (not -32601 Method not found)

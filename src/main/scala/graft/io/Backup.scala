@@ -105,7 +105,19 @@ class Backup(lh: Lakehouse) {
               try {
                 run("tar", "-xzf", p.toAbsolutePath.toString, "-C",
                   staging.toString, m)
-                Jsons.readFile[BackupManifest](staging.resolve(m).normalize())
+                // locate rather than resolve(m): tar strips leading "/" on
+                // extraction, so an absolute member name would resolve
+                // OUTSIDE the staging dir and miss the extracted file
+                val extracted = {
+                  val walk = Files.walk(staging)
+                  try walk.iterator().asScala
+                    .find(f => Files.isRegularFile(f) &&
+                      f.getFileName.toString == "metadata.json")
+                    .getOrElse(throw new IllegalStateException(
+                      s"member $m extracted but metadata.json not found"))
+                  finally walk.close()
+                }
+                Jsons.readFile[BackupManifest](extracted)
               } finally deleteRecursively(staging)
             }
           } catch { case _: Exception => None }
@@ -114,10 +126,12 @@ class Backup(lh: Lakehouse) {
   }
 
   private def listMembers(tarGz: Path): List[String] = {
-    val p = new ProcessBuilder("tar", "-tzf", tarGz.toAbsolutePath.toString)
-      .redirectErrorStream(true).start()
+    // stderr stays separate: tar warnings ("Removing leading '/'...")
+    // must not be mistaken for member names
+    val p = new ProcessBuilder("tar", "-tzf", tarGz.toAbsolutePath.toString).start()
     val out = new String(p.getInputStream.readAllBytes())
-    require(p.waitFor() == 0, s"tar -tzf failed for $tarGz\n$out")
+    val err = new String(p.getErrorStream.readAllBytes())
+    require(p.waitFor() == 0, s"tar -tzf failed for $tarGz\n$err")
     out.linesIterator.toList
   }
 

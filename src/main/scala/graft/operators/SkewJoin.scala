@@ -32,6 +32,8 @@ object SkewJoin {
     require(salt >= 1, s"salt must be >= 1: $salt")
     require(Set("inner", "left").contains(joinType),
       s"joinType must be inner|left: $joinType")
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already have a __salt column")
     // per-row salt from the row's partition/index — deterministic within a
     // run, and ANY assignment yields the same join output since every salt
     // value meets a full copy of the small side

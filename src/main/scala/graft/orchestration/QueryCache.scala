@@ -35,7 +35,10 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
   private def policyPath = lh.metaDir.resolve("cache_policies.json")
   private val policies = TrieMap.empty[String, CachePolicy]
   if (java.nio.file.Files.exists(policyPath))
-    policies ++= graft.core.Jsons.readFile[Map[String, CachePolicy]](policyPath)
+    // policies are an optional optimization: a corrupt/incompatible file
+    // must degrade to "no policies", not poison every cache operation
+    try policies ++= graft.core.Jsons.readFile[Map[String, CachePolicy]](policyPath)
+    catch { case _: Exception => () }
 
   private def qualify(t: String): String =
     if (t.contains(".")) t else s"default.$t"

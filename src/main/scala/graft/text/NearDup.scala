@@ -283,9 +283,12 @@ object MinHashLSH {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    // lazy checkpoint: materializes on FIRST consumption (keeping the
+    // operator a lazy transformation), after which all three consumers
+    // (candIds + both verification joins) share one LSH evaluation
     val cands = candidatePairs(signatures(df, idCol, textCol, n, numHashes),
       numHashes, bands)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()

@@ -26,31 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object TokenSimilarity {
 
-  private def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
-
   /** (doc_id, tok, tf, dfreq): per-doc term frequencies with corpus doc
-    * frequency attached (dfreq counts (doc, tok) rows, which are unique). */
+    * frequency attached (dfreq counts (doc, tok) rows, which are unique).
+    * Tokenization is [[TextAnalysis.tokens]] — the single source of parity
+    * with the DuckDB oracle's `tokensSql`. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("tok")))
 
-  /** Pairs (id_a, id_b, sim) with raw-TF cosine ≥ threshold, id_a < id_b.
-    * sim = Σ_t tf_a·tf_b / (√(Σ tf_a²)·√(Σ tf_b²)) over tokens with
-    * doc-frequency ≤ maxTokenFreq. Numerator and both norm sums are exact
-    * integer aggregates; the only floating-point steps are the final two
-    * sqrts and one division — bit-identical in any engine. */
-  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxTokenFreq: Int = 100): DataFrame = {
-    val kept = termFrequencies(df, idCol, textCol)
-      .where(lit(maxTokenFreq <= 0) || col("dfreq") <= maxTokenFreq)
-    val sizes = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("ss"))
-    val spine = kept.where(col("dfreq") >= 2).select("doc_id", "tok", "tf")
+  /** Shared inverted-index cosine core: cap → norms → df≥2 spine →
+    * self-join on token → Σ products / (√ssa·√ssb) ≥ threshold. `kept`
+    * must carry (doc_id, tok, dfreq, <weightCol>). */
+  private def weightedCosinePairs(kept: DataFrame, weightCol: String,
+      threshold: Double): DataFrame = {
+    val w = col(weightCol)
+    val sizes = kept.groupBy("doc_id").agg(sum(w * w).as("ss"))
+    val spine = kept.where(col("dfreq") >= 2).select(col("doc_id"), col("tok"), w)
     spine.alias("a")
       .join(spine.alias("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+      .agg(sum(col(s"a.$weightCol") * col(s"b.$weightCol")).as("num"))
       .join(sizes.select(col("doc_id").as("id_a"), col("ss").as("ssa")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("ss").as("ssb")), "id_b")
       .withColumn("sim",
@@ -59,27 +57,29 @@ object TokenSimilarity {
       .select("id_a", "id_b", "num", "sim")
   }
 
+  private def capped(df: DataFrame, idCol: String, textCol: String,
+      maxTokenFreq: Int): DataFrame =
+    termFrequencies(df, idCol, textCol)
+      .where(lit(maxTokenFreq <= 0) || col("dfreq") <= maxTokenFreq)
+
+  /** Pairs (id_a, id_b, num, sim) with raw-TF cosine ≥ threshold, id_a <
+    * id_b. sim = Σ_t tf_a·tf_b / (√(Σ tf_a²)·√(Σ tf_b²)) over tokens with
+    * doc-frequency ≤ maxTokenFreq. Numerator and both norm sums are exact
+    * integer aggregates; the only floating-point steps are the final two
+    * sqrts and one division — bit-identical in any engine. */
+  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTokenFreq: Int = 100): DataFrame =
+    weightedCosinePairs(capped(df, idCol, textCol, maxTokenFreq), "tf", threshold)
+
   /** Pairs (id_a, id_b, sim) with TF-IDF cosine ≥ threshold, id_a < id_b.
     * w(t, d) = tf · (ln((N+1)/(df_t+1)) + 1) — the smooth-IDF convention, so
     * a token in every doc still gets weight tf (never zero/negative). */
   def tfidfPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenFreq: Int = 0): DataFrame = {
     val n = df.count()
-    val kept = termFrequencies(df, idCol, textCol)
-      .where(lit(maxTokenFreq <= 0) || col("dfreq") <= maxTokenFreq)
+    val kept = capped(df, idCol, textCol, maxTokenFreq)
       .withColumn("w", col("tf") *
         (log((lit(n) + 1).cast("double") / (col("dfreq") + 1)) + 1))
-    val sizes = kept.groupBy("doc_id").agg(sum(col("w") * col("w")).as("ss"))
-    val spine = kept.where(col("dfreq") >= 2).select("doc_id", "tok", "w")
-    spine.alias("a")
-      .join(spine.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(sum(col("a.w") * col("b.w")).as("num"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("ss").as("ssa")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("ss").as("ssb")), "id_b")
-      .withColumn("sim", col("num") / (sqrt(col("ssa")) * sqrt(col("ssb"))))
-      .where(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+    weightedCosinePairs(kept, "w", threshold).drop("num")
   }
 }

@@ -39,11 +39,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "token stats must not join")
   }
 
-  test("q22: MinHash signatures stay narrow — no explode before banding") {
-    val p = planOf("q22_minhash_neardup")
-    // the signature pass must be a compiled expression, not an explode +
-    // k-wide re-aggregation of shingles
-    assert(p.contains("graft_minhash") || p.contains("minhashsignature"),
+  test("minhash signature stage is narrow — compiled expression, no explode") {
+    // inspect the signatures stage directly: in the full q22 frame the
+    // candidate set is localCheckpoint'ed, which hides this subtree
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.text.MinHashLSH.signatures(docs, "doc_id", "text", 3, 128)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_minhash") || p.toLowerCase.contains("minhashsignature"),
       "compiled MinHashSignature expression expected in the plan")
+    assert(!p.contains("Generate"), "no explode in the signature pass")
+    assert(!p.contains("Exchange"), "signature pass must not shuffle")
   }
 }

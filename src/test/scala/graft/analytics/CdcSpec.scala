@@ -50,6 +50,12 @@ class CdcSpec extends AnyFunSuite {
     assert(byType("UPDATE_BEFORE").map(_.getAs[String]("v")).toSet == Set("b", "n"))
     assert(byType("UPDATE_AFTER").forall(
       r => r.getSeq[String](r.fieldIndex("changed_columns")) == Seq("v")))
+    // column ORDER must not matter: a reordered newDf classifies identically
+    val reordered = Cdc.classifyChanges(oldDf,
+      newDf.select($"v", $"id"), Seq("id"), Seq("id", "v"))
+    assert(reordered.where($"change_type" === "UPDATE_AFTER").count() == 2)
+    assert(reordered.where(
+      $"change_type".isin("INSERT", "DELETE")).count() == 0)
   }
 
   test("changeSummary and changeLog walk snapshot pairs") {

@@ -14,8 +14,13 @@ class CliSpec extends AnyFunSuite {
       // to call run with pre-split args using the same shape the main uses
       var f = Map.empty[String, String]
       var p = List.empty[String]
+      val boolFlags = Set("disable", "dry-run", "incremental", "no-caches",
+        "no-matviews", "no-orphan-cleanup", "no-pipelines", "overwrite",
+        "remove", "strict", "tfidf")
       var rest = args.toList
       while (rest.nonEmpty) rest match {
+        case a :: t if a.startsWith("--") && boolFlags.contains(a.drop(2)) =>
+          f += a.drop(2) -> "true"; rest = t
         case a :: v :: t if a.startsWith("--") && !v.startsWith("--") =>
           f += a.drop(2) -> v; rest = t
         case a :: t if a.startsWith("--") => f += a.drop(2) -> "true"; rest = t
@@ -371,6 +376,16 @@ class CliSpec extends AnyFunSuite {
       "SELECT text FROM msgs_clean WHERE doc_id = 1")
     assert(out.contains("[EMAIL]") && out.contains("[PHONE]") &&
       !out.contains("a@b.co"))
+  }
+
+  test("parseFlags: boolean flags never swallow a following positional") {
+    val (f1, p1) = Cli.parseFlags(List("decontaminate", "--remove", "train", "eval"))
+    assert(f1 == Map("remove" -> "true") && p1 == List("decontaminate", "train", "eval"))
+    val (f2, p2) = Cli.parseFlags(List("similar-docs", "--tfidf", "docs"))
+    assert(f2 == Map("tfidf" -> "true") && p2 == List("similar-docs", "docs"))
+    // valued flags still take their value
+    val (f3, p3) = Cli.parseFlags(List("export", "t", "p", "--format", "json"))
+    assert(f3 == Map("format" -> "json") && p3 == List("export", "t", "p"))
   }
 
   test("unknown command raises with usage help") {

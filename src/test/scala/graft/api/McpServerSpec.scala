@@ -55,6 +55,11 @@ class McpServerSpec extends AnyFunSuite {
     val badMethod = JsonMethods.parse(McpServer.handleMessage(lh,
       """{"jsonrpc":"2.0","id":8,"method":42}""").getOrElse(fail("expected a response")))
     assert((badMethod \ "error" \ "code") == JInt(-32600))
+    // invalid AND id-less: still -32600 with id null (NOT a notification)
+    val noIdBad = JsonMethods.parse(McpServer.handleMessage(lh,
+      """{"jsonrpc":"2.0","method":42}""").getOrElse(fail("expected a response")))
+    assert((noIdBad \ "error" \ "code") == JInt(-32600))
+    assert((noIdBad \ "id") == JNull)
     val unknown = rpc(lh, "tools/call", """{"name":"nope","arguments":{}}""")
     assert((unknown \ "result" \ "isError") == JBool(true))
   }

@@ -62,5 +62,11 @@ class TokenSimilaritySpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(rep("id") == ((4L, 0L, 4L, 1.0)))
     assert(rep("v") == ((4L, 1L, 2L, 0.75)))
+    // empty frame: zero counts, vacuous completeness — no nulls anywhere
+    val empty = graft.analytics.Profile.columnCompleteness(
+      df.where(lit(false))).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(empty("id") == ((0L, 0L, 0L, 1.0)))
+    assert(empty("v") == ((0L, 0L, 0L, 1.0)))
   }
 }
