@@ -596,6 +596,15 @@ object SparkEntry {
           counts.map { case (k, c) => sum(c).as(s"n_$k") }: _*)
     }),
 
+    // beyond-reference: training-sequence packing — contiguous fill of a
+    // 512-token budget per source (cumsum window + integer division; one
+    // shuffle per group, sources pack in parallel)
+    "q52_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("tokens",
+        graft.text.TextAnalysis.tokenCount(col("text")))
+      graft.text.SequencePacking.pack(docs, "source", "doc_id", "tokens", 512L)
+    }),
+
     // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
     // over customer with deterministically synthesized nulls (testdata has
     // none), one scan + struct-array unpivot.
@@ -1056,6 +1065,21 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q52_sequence_packing" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tokens
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, doc_id, tokens,
+        |    CAST(floor((sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tokens) / 512) AS BIGINT) AS seq_no,
+        |    tokens > 512 AS oversize
+        |  FROM tk)
+        |SELECT source, seq_no, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS seq_tokens,
+        |       bool_or(oversize) AS has_oversize
+        |FROM a GROUP BY source, seq_no""".stripMargin,
     "q51_pii_redaction" ->
       """WITH p AS (
         |  SELECT source,

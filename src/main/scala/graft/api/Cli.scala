@@ -702,6 +702,20 @@ object Cli {
         println(s"admitted ${snap.totalRows - before} docs into $keptTable " +
           s"(snapshot ${snap.id})")
 
+      case List("pack-sequences", table) =>
+        val id = flags.getOrElse("order-col", "doc_id")
+        val group = flags.getOrElse("group-col", "source")
+        val text = flags.getOrElse("text-col", "text")
+        val budget = flags.getOrElse("budget", "512").toLong
+        val df = lh.catalog.loadTable(table).read()
+          .withColumn("__tokens", graft.text.TextAnalysis.tokenCount(col(text)))
+        val packed = graft.text.SequencePacking.pack(
+          df, group, id, "__tokens", budget)
+        packed.orderBy(col(group), col("seq_no"))
+          .limit(flags.getOrElse("limit", "100").toInt).collect()
+          .foreach(r => println(s"${r.get(0)} seq ${r.get(1)}: " +
+            s"docs=${r.get(2)} tokens=${r.get(3)} oversize=${r.get(4)}"))
+
       case List("pii-report", table) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
@@ -852,6 +866,7 @@ object Cli {
       |         format-set-table format-show convert-format
       |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
       |         decontaminate (--jaccard 0.8 --remove) pii-report redact
+      |         pack-sequences (--budget 512 --group-col source)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

@@ -378,6 +378,19 @@ class CliSpec extends AnyFunSuite {
       !out.contains("a@b.co"))
   }
 
+  test("pack-sequences verb reports per-sequence totals") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli13-").toString)
+    runCli(lh, "create-table", "default.corpus", "doc_id:long,source:string,text:string")
+    runCli(lh, "insert", "default.corpus",
+      """[{"doc_id":1,"source":"s1","text":"one two three"},
+         {"doc_id":2,"source":"s1","text":"four five"},
+         {"doc_id":3,"source":"s1","text":"six seven eight nine"}]""")
+    val out = runCli(lh, "pack-sequences", "default.corpus", "--budget", "5")
+    // 3 + 2 tokens fill seq 0 (cum-before 0 and 3 < 5); doc 3 starts at 5 -> seq 1
+    assert(out.contains("s1 seq 0: docs=2 tokens=5"))
+    assert(out.contains("s1 seq 1: docs=1 tokens=4"))
+  }
+
   test("parseFlags: boolean flags never swallow a following positional") {
     val (f1, p1) = Cli.parseFlags(List("decontaminate", "--remove", "train", "eval"))
     assert(f1 == Map("remove" -> "true") && p1 == List("decontaminate", "train", "eval"))
