@@ -605,6 +605,14 @@ object SparkEntry {
       graft.text.SequencePacking.pack(docs, "source", "doc_id", "tokens", 512L)
     }),
 
+    // beyond-reference: data-mixture planning — per-source Bernoulli rates
+    // that rebalance the corpus to a uniform-weight 10k-token budget
+    "q53_mixture_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("tokens",
+        graft.text.TextAnalysis.tokenCount(col("text")))
+      graft.text.Mixture.plan(docs, "source", "tokens", targetTokens = 10000L)
+    }),
+
     // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
     // over customer with deterministically synthesized nulls (testdata has
     // none), one scan + struct-array unpivot.
@@ -1065,6 +1073,19 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q53_mixture_plan" ->
+      """WITH tk AS (
+        |  SELECT source, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tokens
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens
+        |  FROM tk GROUP BY source),
+        |n AS (SELECT count(*) AS n FROM ps)
+        |SELECT source, n_docs, tokens,
+        |       CAST(1 AS DOUBLE) / n AS share,
+        |       least(CAST(1 AS DOUBLE),
+        |             CAST(10000 AS DOUBLE) * (CAST(1 AS DOUBLE) / n) / tokens) AS fraction
+        |FROM ps, n""".stripMargin,
     "q52_sequence_packing" ->
       """WITH tk AS (
         |  SELECT source, doc_id,

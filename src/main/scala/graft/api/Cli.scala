@@ -716,6 +716,20 @@ object Cli {
           .foreach(r => println(s"${r.get(0)} seq ${r.get(1)}: " +
             s"docs=${r.get(2)} tokens=${r.get(3)} oversize=${r.get(4)}"))
 
+      case List("mixture-plan", table, targetTokens) =>
+        val text = flags.getOrElse("text-col", "text")
+        val group = flags.getOrElse("group-col", "source")
+        val weights = flags.get("weights").map(_.split(',').map { kv =>
+          val Array(k, v) = kv.split(':'); k -> v.toDouble
+        }.toMap).getOrElse(Map.empty[String, Double])
+        val df = lh.catalog.loadTable(table).read()
+          .withColumn("__tokens", graft.text.TextAnalysis.tokenCount(col(text)))
+        graft.text.Mixture.plan(df, group, "__tokens",
+          targetTokens.toLong, weights)
+          .orderBy("source").collect().foreach(r => println(
+            f"${r.getString(0)}: docs=${r.getLong(1)} tokens=${r.getLong(2)} " +
+              f"share=${r.getDouble(3)}%.4f fraction=${r.getDouble(4)}%.4f"))
+
       case List("pii-report", table) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
@@ -867,6 +881,7 @@ object Cli {
       |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
       |         decontaminate (--jaccard 0.8 --remove) pii-report redact
       |         pack-sequences (--budget 512 --group-col source)
+      |         mixture-plan <table> <target-tokens> (--weights web:0.5,code:0.5)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

@@ -389,6 +389,9 @@ class CliSpec extends AnyFunSuite {
     // 3 + 2 tokens fill seq 0 (cum-before 0 and 3 < 5); doc 3 starts at 5 -> seq 1
     assert(out.contains("s1 seq 0: docs=2 tokens=5"))
     assert(out.contains("s1 seq 1: docs=1 tokens=4"))
+    val mix = runCli(lh, "mixture-plan", "default.corpus", "100")
+    // single source: uniform share 1.0, budget exceeds tokens -> capped at 1
+    assert(mix.contains("s1: docs=3 tokens=9 share=1.0000 fraction=1.0000"))
   }
 
   test("parseFlags: boolean flags never swallow a following positional") {
