@@ -720,14 +720,18 @@ object Cli {
         val text = flags.getOrElse("text-col", "text")
         val group = flags.getOrElse("group-col", "source")
         val weights = flags.get("weights").map(_.split(',').map { kv =>
-          val Array(k, v) = kv.split(':'); k -> v.toDouble
+          kv.split(':') match {
+            case Array(k, v) if v.toDoubleOption.isDefined => k -> v.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"bad --weights entry '$kv': expected source:fraction,source:fraction")
+          }
         }.toMap).getOrElse(Map.empty[String, Double])
         val df = lh.catalog.loadTable(table).read()
           .withColumn("__tokens", graft.text.TextAnalysis.tokenCount(col(text)))
         graft.text.Mixture.plan(df, group, "__tokens",
           targetTokens.toLong, weights)
           .orderBy("source").collect().foreach(r => println(
-            f"${r.getString(0)}: docs=${r.getLong(1)} tokens=${r.getLong(2)} " +
+            f"${r.get(0)}: docs=${r.get(1)} tokens=${r.get(2)} " +
               f"share=${r.getDouble(3)}%.4f fraction=${r.getDouble(4)}%.4f"))
 
       case List("pii-report", table) =>

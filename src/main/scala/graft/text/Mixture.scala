@@ -25,19 +25,28 @@ object Mixture {
       targetTokens: Long, weights: Map[String, Double] = Map.empty): DataFrame = {
     val perSource = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("tokens"))
-    val nSources = perSource.select(count(lit(1)).as("__n"))
-    val withN = perSource.crossJoin(broadcast(nSources))
-    val weightCol =
-      if (weights.isEmpty) lit(1.0) / col("__n")
-      else {
+    // the corpus-wide source count is only needed for uniform weighting
+    val withShare =
+      if (weights.isEmpty) {
+        val nSources = perSource.select(count(lit(1)).as("__n"))
+        perSource.crossJoin(broadcast(nSources))
+          .withColumn("share", lit(1.0) / col("__n"))
+      } else {
         val pairs = weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-        coalesce(element_at(map(pairs: _*), col("source")), lit(0.0))
+        perSource.withColumn("share",
+          coalesce(element_at(map(pairs: _*), col("source")), lit(0.0)))
       }
-    withN
-      .withColumn("share", weightCol)
+    withShare
       .withColumn("fraction",
-        least(lit(1.0),
-          lit(targetTokens.toDouble) * col("share") / col("tokens")))
+        // guard BEFORE dividing: a zero-weight source is excluded even when
+        // its token total is NULL/0 (least() would skip a NULL division
+        // result and leak the source at 1.0), and a 0/NULL-token source
+        // under a positive weight is included whole — its docs cost no
+        // budget. ANSI division never runs on the guarded rows.
+        when(col("share") <= 0, lit(0.0))
+          .when(col("tokens").isNull || col("tokens") === 0, lit(1.0))
+          .otherwise(least(lit(1.0),
+            lit(targetTokens.toDouble) * col("share") / col("tokens"))))
       .select("source", "n_docs", "tokens", "share", "fraction")
   }
 

@@ -50,5 +50,5 @@ object SequencePacking {
       .groupBy(col(groupCol), col("seq_no"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("seq_tokens"),
-        max(col("oversize").cast("int")).cast("boolean").as("has_oversize"))
+        max(col("oversize")).as("has_oversize"))
 }

@@ -39,6 +39,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "token stats must not join")
   }
 
+  test("q52: packing is ONE shuffle — the groupBy reuses the window's partitioning") {
+    val p = planOf("q52_sequence_packing")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // window shuffles by source; the (source, seq_no) groupBy is satisfied
+    // by source partitioning, so no second exchange
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$p")
+  }
+
   test("minhash signature stage is narrow — compiled expression, no explode") {
     // inspect the signatures stage directly: in the full q22 frame the
     // candidate set is localCheckpoint'ed, which hides this subtree

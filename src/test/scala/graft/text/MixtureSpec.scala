@@ -33,6 +33,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(p("chat") == 0.0)
   }
 
+  test("zero/NULL token totals: excluded stays 0, weighted-but-empty is 1, no ANSI crash") {
+    val withDead = docs.unionByName(Seq(
+      ("dead", 6L, None: Option[Long]),   // NULL token total
+      ("empty", 7L, Some(0L))             // zero token total
+    ).toDF("source", "doc_id", "tokens"))
+    val p = Mixture.plan(withDead, "source", "tokens", targetTokens = 200L,
+      weights = Map("web" -> 0.5, "empty" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(p("dead") == 0.0, "unweighted NULL-token source must not leak at 1.0")
+    assert(p("empty") == 1.0, "weighted zero-token source costs no budget")
+    assert(p("web") == 100.0 / 400)
+    assert(p("chat") == 0.0)
+  }
+
   test("sample draws a seeded subset honoring zero fractions") {
     val s = Mixture.sample(docs, "source", "tokens", targetTokens = 200L,
       weights = Map("web" -> 1.0), seed = 7L)
