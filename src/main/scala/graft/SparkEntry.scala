@@ -613,6 +613,22 @@ object SparkEntry {
       graft.text.Mixture.plan(docs, "source", "tokens", targetTokens = 10000L)
     }),
 
+    // beyond-reference: context-window chunking — overlapping 64-token
+    // windows at stride 32 (narrow generator pass, no shuffle)
+    "q54_token_chunks" -> ((s, dir) => {
+      graft.text.Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 32)
+    }),
+
+    // beyond-reference: embedding near-dup components — transitive closure
+    // over the brute-force cosine pair graph (same CC machinery as q44)
+    "q55_embedding_dup_components" -> ((s, dir) => {
+      val pairs = graft.vector.VectorOps.cosineDupPairs(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.4)
+      graft.text.NearDup.duplicateComponents(pairs)
+    }),
+
     // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
     // over customer with deterministically synthesized nulls (testdata has
     // none), one scan + struct-array unpivot.
@@ -1073,6 +1089,35 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q54_token_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |k AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    CASE WHEN len(w) <= 64 THEN 0
+        |      ELSE CAST(floor((len(w) - 64 + 31) / CAST(32 AS DOUBLE)) AS BIGINT)
+        |    END AS kmax
+        |  FROM tok),
+        |c AS (SELECT doc_id, w, n, unnest(range(kmax + 1)) AS chunk_no FROM k)
+        |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        |       CAST(len(w[chunk_no*32+1 : least(chunk_no*32+64, n)]) AS BIGINT) AS chunk_tokens,
+        |       array_to_string(w[chunk_no*32+1 : least(chunk_no*32+64, n)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    "q55_embedding_dup_components" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(b.embedding)), i -> CAST(b.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id),
+        |jp AS (SELECT id_a, id_b FROM s WHERE cos >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+        |FROM reach GROUP BY id""".stripMargin,
     "q53_mixture_plan" ->
       """WITH tk AS (
         |  SELECT source, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tokens

@@ -716,6 +716,18 @@ object Cli {
           .foreach(r => println(s"${r.get(0)} seq ${r.get(1)}: " +
             s"docs=${r.get(2)} tokens=${r.get(3)} oversize=${r.get(4)}"))
 
+      case List("chunk", table, target) =>
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val chunks = graft.text.Chunking.chunk(
+          lh.catalog.loadTable(table).read(), id, text,
+          chunkSize = flags.getOrElse("size", "512").toInt,
+          stride = flags.getOrElse("stride", "256").toInt)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, chunks.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(chunks)
+        println(s"wrote ${snap.totalRows} chunks into $target")
+
       case List("mixture-plan", table, targetTokens) =>
         val text = flags.getOrElse("text-col", "text")
         val group = flags.getOrElse("group-col", "source")
@@ -886,6 +898,7 @@ object Cli {
       |         decontaminate (--jaccard 0.8 --remove) pii-report redact
       |         pack-sequences (--budget 512 --group-col source)
       |         mixture-plan <table> <target-tokens> (--weights web:0.5,code:0.5)
+      |         chunk <table> <target> (--size 512 --stride 256)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

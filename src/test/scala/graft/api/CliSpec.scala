@@ -392,6 +392,10 @@ class CliSpec extends AnyFunSuite {
     val mix = runCli(lh, "mixture-plan", "default.corpus", "100")
     // single source: uniform share 1.0, budget exceeds tokens -> capped at 1
     assert(mix.contains("s1: docs=3 tokens=9 share=1.0000 fraction=1.0000"))
+    val ch = runCli(lh, "chunk", "default.corpus", "default.chunks",
+      "--size", "3", "--stride", "2")
+    // docs of 3/2/4 tokens at size 3 stride 2 -> 1 + 1 + 2 chunks
+    assert(ch.contains("wrote 4 chunks"))
   }
 
   test("parseFlags: boolean flags never swallow a following positional") {
