@@ -625,7 +625,7 @@ object SparkEntry {
     "q55_embedding_dup_components" -> ((s, dir) => {
       val pairs = graft.vector.VectorOps.cosineDupPairs(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", threshold = 0.4)
+        "vec_id", "embedding", threshold = 0.45)
       graft.text.NearDup.duplicateComponents(pairs)
     }),
 
@@ -1110,7 +1110,7 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
         |   * sqrt(list_reduce(list_transform(range(len(b.embedding)), i -> CAST(b.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id),
-        |jp AS (SELECT id_a, id_b FROM s WHERE cos >= 0.4),
+        |jp AS (SELECT id_a, id_b FROM s WHERE cos >= 0.45),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
         |reach(id, label) AS (
         |  SELECT DISTINCT src AS id, src AS label FROM edges
