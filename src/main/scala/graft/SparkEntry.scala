@@ -624,8 +624,7 @@ object SparkEntry {
     // over the brute-force cosine pair graph (same CC machinery as q44)
     "q55_embedding_dup_components" -> ((s, dir) => {
       val pairs = graft.vector.VectorOps.cosineDupPairs(
-        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", threshold = 0.45)
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
       graft.text.NearDup.duplicateComponents(pairs)
     }),
 

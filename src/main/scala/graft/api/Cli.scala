@@ -719,10 +719,13 @@ object Cli {
       case List("chunk", table, target) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
+        val sz = flags.getOrElse("size", "512").toInt
+        // default stride derives from size so --size alone always composes
+        val stride = flags.get("stride").map(_.toInt)
+          .getOrElse(math.max(sz / 2, 1))
         val chunks = graft.text.Chunking.chunk(
           lh.catalog.loadTable(table).read(), id, text,
-          chunkSize = flags.getOrElse("size", "512").toInt,
-          stride = flags.getOrElse("stride", "256").toInt)
+          chunkSize = sz, stride = stride)
         if (!lh.catalog.tableExists(target))
           lh.catalog.createTable(target, chunks.schema, Nil, Map.empty)
         val snap = lh.catalog.loadTable(target).overwrite(chunks)

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * All chunk math is integer arithmetic over the token array —
   * deterministic and oracle-reproducible.
   *
-  * Scale: tokenize → per-row `sequence` generate + `slice` — a narrow
-  * generator pass, no shuffle; output rows = Σ ceil(tokens/stride).
+  * Scale: tokenize → per-row slice build + `posexplode` — a narrow
+  * generator pass, no shuffle; output rows per doc =
+  * 1 + max(0, ceil((tokens − chunkSize)/stride)). The slices are built
+  * INSIDE the generator input (transform over the chunk indexes), so each
+  * exploded row carries only its own ≤ chunkSize tokens — never a copy of
+  * the whole document array per chunk.
   */
 object Chunking {
 
@@ -31,12 +35,10 @@ object Chunking {
         ((n - lit(chunkSize) + lit(stride) - 1) / lit(stride)).cast("long"))
     df.select(col(idCol), toks.as("__toks"), k.as("__k"))
       .select(col(idCol),
-        explode(sequence(lit(0L), col("__k"))).as("chunk_no"),
-        col("__toks"))
-      .withColumn("__slice",
-        slice(col("__toks"), (col("chunk_no") * stride + 1).cast("int"),
-          lit(chunkSize)))
-      .select(col(idCol), col("chunk_no"),
+        posexplode(transform(sequence(lit(0L), col("__k")),
+          i => slice(col("__toks"), (i * stride + 1).cast("int"), lit(chunkSize))))
+          .as(Seq("chunk_no", "__slice")))
+      .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"),
         size(col("__slice")).cast("long").as("chunk_tokens"),
         array_join(col("__slice"), " ").as("chunk_text"))
   }

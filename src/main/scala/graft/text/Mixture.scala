@@ -40,11 +40,12 @@ object Mixture {
       .withColumn("fraction",
         // guard BEFORE dividing: a zero-weight source is excluded even when
         // its token total is NULL/0 (least() would skip a NULL division
-        // result and leak the source at 1.0), and a 0/NULL-token source
-        // under a positive weight is included whole — its docs cost no
-        // budget. ANSI division never runs on the guarded rows.
-        when(col("share") <= 0, lit(0.0))
-          .when(col("tokens").isNull || col("tokens") === 0, lit(1.0))
+        // result and leak the source at 1.0). A NULL total means UNKNOWN
+        // token mass — excluded (unknown is not budget-free); a true zero
+        // total under a positive weight is included whole (its docs
+        // genuinely cost nothing). ANSI division never runs on guarded rows.
+        when(col("share") <= 0 || col("tokens").isNull, lit(0.0))
+          .when(col("tokens") === 0, lit(1.0))
           .otherwise(least(lit(1.0),
             lit(targetTokens.toDouble) * col("share") / col("tokens"))))
       .select("source", "n_docs", "tokens", "share", "fraction")

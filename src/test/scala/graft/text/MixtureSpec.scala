@@ -45,6 +45,11 @@ class MixtureSpec extends AnyFunSuite {
     assert(p("empty") == 1.0, "weighted zero-token source costs no budget")
     assert(p("web") == 100.0 / 400)
     assert(p("chat") == 0.0)
+    // even a POSITIVE weight cannot include an unknown (NULL) token mass
+    val p2 = Mixture.plan(withDead, "source", "tokens", targetTokens = 200L,
+      weights = Map("dead" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(p2("dead") == 0.0, "unknown token mass is not budget-free")
   }
 
   test("sample draws a seeded subset honoring zero fractions") {
