@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[BpeTokenCount].getName, "graft_bpe_tokens"),
         (args: Seq[Expression]) => BpeTokenCount(args.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_repetition"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[RepetitionRatio].getName, "graft_repetition"),
+        (args: Seq[Expression]) =>
+          RepetitionRatio(args.head,
+            if (args.size > 1) intArg(args(1), "n") else 2)))
   }
 }
 
@@ -90,5 +97,9 @@ object GraftExtensions {
       args => DotProduct(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_tokens",
       args => BpeTokenCount(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition",
+      args => RepetitionRatio(args.head,
+        args.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(2)),
+      "built-in")
   }
 }

@@ -628,6 +628,20 @@ object SparkEntry {
       graft.text.NearDup.duplicateComponents(pairs)
     }),
 
+    // beyond-reference: Gopher-style repetition filter — per-source counts
+    // of documents whose top 2-gram holds > 20% of 2-gram occurrences
+    // (compiled one-pass expression, no shuffle before the final groupBy)
+    "q56_repetition_filter" -> ((s, dir) => {
+      val rep = graft.text.TextAnalysis.repetitionRatio(col("text"), 2)
+      t(s, dir, "documents")
+        .withColumn("rep", rep)
+        .where(col("rep").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_scored"),
+          count(when(col("rep") > 0.2, 1)).as("n_repetitive"),
+          max(col("rep")).as("max_rep"))
+    }),
+
     // §2.12/§2.14 quality inputs: per-column completeness/uniqueness report
     // over customer with deterministically synthesized nulls (testdata has
     // none), one scan + struct-array unpivot.
@@ -1088,6 +1102,21 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(num AS DOUBLE) / (sqrt(sa.ss) * sqrt(sb.ss)) >= 0.5""".stripMargin,
+    "q56_repetition_filter" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT source, doc_id, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gm
+        |  FROM tok WHERE len(w) >= 2),
+        |c AS (SELECT source, doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_scored,
+        |       CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |       max(rep) AS max_rep
+        |FROM r GROUP BY source""".stripMargin,
     "q54_token_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),

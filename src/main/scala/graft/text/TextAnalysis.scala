@@ -93,6 +93,12 @@ object TextAnalysis {
     * interpreted and is ~50× slower on the dedup hot path. */
   def shingles(text: Column, n: Int): Column = TextExpressions.shingles(text, n)
 
+  /** Gopher-style repetition signal: fraction of n-gram occurrences held by
+    * the most frequent n-gram; NULL below n tokens. High values mark the
+    * boilerplate/spam documents corpus-quality filters drop. */
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    TextExpressions.repetitionRatio(text, n)
+
   // ---- SQL-generator side (DuckDB oracle) --------------------------------
 
   def tokensSql(t: String): String = s"regexp_split_to_array(trim(lower($t)), '\\s+')"

@@ -58,6 +58,49 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
   }
 
+  /** Gopher-style repetition signal: the fraction of n-gram occurrences
+    * taken by the single most frequent n-gram (over the SAME tokenization
+    * as [[Shingles]], but counting duplicates — repetition is exactly what
+    * distinctness would erase). NULL when the doc has fewer than n tokens.
+    * One hash map per row, no shuffle; ratio = max count / total grams,
+    * both exact integers, so the double is engine-reproducible. */
+  case class RepetitionRatio(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_repetition"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+      val toks = s.split("\\s+", -1)
+      if (toks.length < n) null
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        val sb = new java.lang.StringBuilder
+        var maxC = 0
+        var total = 0
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+          if (c > maxC) maxC = c
+          total += 1
+          i += 1
+        }
+        maxC.toDouble / total.toDouble
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): RepetitionRatio =
+      copy(child = c)
+  }
+
   /** MinHash signature over a shingle array: sig[i] = min over shingles of
     * xxhash64(shingle, seed=i), i in [0, k). One compiled pass replaces
     * k min-aggregations over an exploded shingle table. */
@@ -309,6 +352,9 @@ object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def shingles(text: Column, n: Int): Column = column(Shingles(expression(text), n))
+
+  def repetitionRatio(text: Column, n: Int): Column =
+    column(RepetitionRatio(expression(text), n))
 
   def bpeTokenCount(text: Column): Column = column(BpeTokenCount(expression(text)))
 

@@ -24,5 +24,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val dot = spark.sql(
       "SELECT graft_dot(vec, vec) AS d FROM ext_docs WHERE id = 1").head()
     assert(dot.getDouble(0) == 5.0)
+    val rep = spark.sql(
+      "SELECT graft_repetition('spam spam spam', 2) AS r").head()
+    assert(rep.getDouble(0) == 1.0)
   }
 }

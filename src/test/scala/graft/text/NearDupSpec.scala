@@ -50,6 +50,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(viaSql == 26L)
   }
 
+  test("repetitionRatio: max n-gram share, NULL below n tokens") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 3 bigrams, all "spam spam" -> 1.0
+      (2L, "a b c d"),                    // 3 distinct bigrams -> 1/3
+      (3L, "buy now buy now buy now"),    // 5 bigrams: "buy now"x3,"now buy"x2 -> 0.6
+      (4L, "single"),                     // < 2 tokens -> NULL
+      (5L, "")                            // split("") = [""] -> NULL
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextAnalysis.repetitionRatio($"text", 2).as("r")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).contains(1.0 / 3))
+    assert(got(3L).contains(0.6))
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
   test("crossJaccardPairs: bipartite only — finds A→B contamination") {
     val trainDocs = Seq(
       (2L, "alpha beta gamma delta epsilon zeta eta theta"),
