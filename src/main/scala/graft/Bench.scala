@@ -41,14 +41,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses ONE bare JSON line from stdout; also drop a file copy
-    // so the result survives any stdout wrapping by the build tool.
-    println(json)
+    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Per-query detail goes to a file; stdout gets ONE compact final line.
+    // The driver keeps only the last 2,000 bytes of stdout, so the full
+    // per-query map (~40 bytes/query) stops fitting past ~45 queries — the
+    // r3 bench line (~2.3 KB at 56 queries) lost its head and parsed as
+    // null. The compact line stays <200 bytes at any query count.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LATEST.json"}"""
+    println(compact)
     spark.stop()
   }
 }

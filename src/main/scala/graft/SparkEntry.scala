@@ -621,11 +621,53 @@ object SparkEntry {
     }),
 
     // beyond-reference: embedding near-dup components — transitive closure
-    // over the brute-force cosine pair graph (same CC machinery as q44)
+    // over the brute-force cosine pair graph (same CC machinery as q44).
+    // Oracle BASELINE for q57: the all-pairs stage is O(n²/2) by design;
+    // the composition you'd run at 100 TB is q57's cluster-restricted one.
     "q55_embedding_dup_components" -> ((s, dir) => {
       val pairs = graft.vector.VectorOps.cosineDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
       graft.text.NearDup.duplicateComponents(pairs)
+    }),
+
+    // embedding dedup at scale, end-to-end: centroid-IVF cluster assignment
+    // (q42's operator) restricts the pair join to within-cluster, then the
+    // q44 connected-components pass groups transitive duplicates — the
+    // composition that replaces q55's brute-force baseline at 100 TB.
+    // Cluster assignment is materialized so the oracle brute-force-verifies
+    // pairs + closure from the exact same partition.
+    "q57_ivf_dup_components" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val centroids = graft.vector.KMeansIvf.train(e, "vec_id", "embedding",
+        k = 8, dims = 64, iters = 3)
+      val asg = aux(graft.vector.KMeansIvf.assign(e, "embedding", centroids)
+        .select(col("vec_id"), col("cluster")), "ivf_clusters_cc")
+      val pairs = graft.vector.KMeansIvf.dupPairsFromClusters(
+        e.join(asg, "vec_id"), "vec_id", "embedding", threshold = 0.45)
+      graft.text.NearDup.duplicateComponents(pairs)
+    }),
+
+    // beyond-reference: TF-IDF cosine near-dup pairs — the weighted cousin
+    // of q48's raw-TF cosine. Weights are quantized to DECIMAL(18,6) so
+    // every aggregate is exact and order-independent (the dsum convention;
+    // raw-double sums would drift with partial-aggregation order and the
+    // engines' last-ulp ln differences).
+    "q58_tfidf_pairs" -> ((s, dir) => {
+      graft.text.TokenSimilarity.tfidfPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5, maxTokenFreq = 100,
+        quantizeScale = 6)
+    }),
+
+    // the curation funnel end-to-end: language gate → quality gate → exact
+    // fingerprint dedup → capped-Jaccard near-dup components → keep one doc
+    // per component. Every stage is an already-gated operator; this gate
+    // proves the COMPOSITION (filter chaining, keep-min semantics, anti-join)
+    // against one chained DuckDB CTE.
+    "q59_curation_funnel" -> ((s, dir) => {
+      val (curated, _) = graft.text.Curation.funnel(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.text.Curation.Config(), withStats = false)
+      curated.select("doc_id")
     }),
 
     // beyond-reference: Gopher-style repetition filter — per-source counts
@@ -1146,6 +1188,84 @@ object SparkEntry {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
         |FROM reach GROUP BY id""".stripMargin,
+    "q57_ivf_dup_components" ->
+      """WITH RECURSIVE ck AS (
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters_cc/*.parquet')),
+        |v AS (SELECT e.vec_id, e.embedding, c.cluster FROM embeddings e JOIN ck c USING (vec_id)),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(a.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(b.embedding)), i -> CAST(b.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |jp AS (SELECT id_a, id_b FROM s WHERE cos >= 0.45),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+        |FROM reach GROUP BY id""".stripMargin,
+    "q58_tfidf_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |wf AS (SELECT *, count(*) OVER (PARTITION BY tok) AS dfreq FROM tf),
+        |kept AS (SELECT * FROM wf WHERE dfreq <= 100),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, tok, dfreq,
+        |    CAST(round(tf * (ln((n + 1.0) / (dfreq + 1)) + 1), 6) AS DECIMAL(18,6)) AS w
+        |  FROM kept, nn),
+        |sizes AS (SELECT doc_id, sum(w * w) AS ss FROM w GROUP BY 1),
+        |spine AS (SELECT doc_id, tok, w FROM w WHERE dfreq >= 2),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS num
+        |  FROM spine a JOIN spine b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(num AS DOUBLE) / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) AS sim
+        |FROM prs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(num AS DOUBLE) / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) >= 0.5""".stripMargin,
+    "q59_curation_funnel" -> {
+      val lang = graft.text.TextAnalysis.langIdSql("text")
+      val quality = graft.text.TextAnalysis.qualityScoreSql("text")
+      val fp = graft.text.TextAnalysis.fingerprintSql("text")
+      s"""WITH RECURSIVE
+         |lang AS (SELECT doc_id, text FROM documents WHERE $lang = 'en'),
+         |q AS (SELECT doc_id, text FROM lang WHERE $quality >= 0.3),
+         |fpt AS (SELECT doc_id, text, $fp AS fp FROM q),
+         |ex AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS k FROM fpt)
+         |  WHERE doc_id = k),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM ex),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, s FROM tok,
+         |    UNNEST(CASE WHEN len(w) >= 3
+         |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+         |      ELSE [] END) AS t(s)),
+         |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+         |SELECT doc_id FROM ex
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+    },
     "q53_mixture_plan" ->
       """WITH tk AS (
         |  SELECT source, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tokens

@@ -132,7 +132,13 @@ object Cdc {
     * Shape: exceptAll both ways (bag semantics) narrows the input to rows
     * that actually differ, then ONE null-safe full-outer join on the keys
     * classifies — fully distributed, no driver-side dict (the reference
-    * classifies in a Python loop, cdc.py:146-187). */
+    * classifies in a Python loop, cdc.py:146-187).
+    *
+    * Precondition: `keys` must uniquely identify rows within the CHANGED
+    * set of each side (the natural primary-key contract). If a key value
+    * appears on multiple changed rows of both sides, the full-outer join
+    * cross-products them into N×M UPDATE_BEFORE/UPDATE_AFTER rows with
+    * arbitrary before/after pairings. */
   def classifyChanges(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       cols: Seq[String]): DataFrame = {
     // exceptAll compares POSITIONALLY — project both sides to the same

@@ -822,7 +822,11 @@ object Cli {
         val cols = o.columns.toSeq
         val keys = flags.get("keys").map(_.split(',').toSeq)
           .getOrElse(cols.take(1))
+        // order before limiting: which rows survive the cap must be
+        // deterministic (matching the other verbs), not whatever partition
+        // order the union happens to produce
         val ch = graft.analytics.Cdc.classifyChanges(o, n, keys, cols)
+          .orderBy(col("change_type") +: keys.map(col): _*)
           .limit(flags.getOrElse("limit", "1000").toInt)
         ch.collect().foreach { r =>
           val changed = r.getSeq[String](r.fieldIndex("changed_columns"))

@@ -98,13 +98,18 @@ class Backup(lh: Lakehouse) {
           try {
             // accept any member path ending in metadata.json, like the
             // reference (backup.py:440-442) — archives built without the
-            // "./" prefix still list with a manifest
-            val member = listMembers(p).find(_.endsWith("metadata.json"))
+            // "./" prefix still list with a manifest. Member names come from
+            // the UNTRUSTED archive's own listing: reject names that tar
+            // could parse as options ("-...") or that traverse out of the
+            // staging dir ("..") before passing one as an argument.
+            val member = listMembers(p).find(m =>
+              m.endsWith("metadata.json") && !m.startsWith("-") &&
+                !m.split('/').contains(".."))
             member.map { m =>
               val staging = Files.createTempDirectory("graft-list-")
               try {
                 run("tar", "-xzf", p.toAbsolutePath.toString, "-C",
-                  staging.toString, m)
+                  staging.toString, "--", m)
                 // locate rather than resolve(m): tar strips leading "/" on
                 // extraction, so an absolute member name would resolve
                 // OUTSIDE the staging dir and miss the extracted file
@@ -127,12 +132,18 @@ class Backup(lh: Lakehouse) {
 
   private def listMembers(tarGz: Path): List[String] = {
     // stderr stays separate: tar warnings ("Removing leading '/'...")
-    // must not be mistaken for member names
-    val p = new ProcessBuilder("tar", "-tzf", tarGz.toAbsolutePath.toString).start()
-    val out = new String(p.getInputStream.readAllBytes())
-    val err = new String(p.getErrorStream.readAllBytes())
-    require(p.waitFor() == 0, s"tar -tzf failed for $tarGz\n$err")
-    out.linesIterator.toList
+    // must not be mistaken for member names. It goes to a temp file, not a
+    // second pipe — reading stdout to EOF while tar blocks on a full
+    // stderr pipe (>~64KB of warnings) would deadlock both processes.
+    val errFile = Files.createTempFile("graft-tar-err-", ".log")
+    try {
+      val p = new ProcessBuilder("tar", "-tzf", tarGz.toAbsolutePath.toString)
+        .redirectError(errFile.toFile).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      require(p.waitFor() == 0,
+        s"tar -tzf failed for $tarGz\n${new String(Files.readAllBytes(errFile))}")
+      out.linesIterator.toList
+    } finally Files.deleteIfExists(errFile)
   }
 
   private def deleteRecursively(root: Path): Unit = {

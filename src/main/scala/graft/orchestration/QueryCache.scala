@@ -47,7 +47,18 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
       ttlSeconds: Option[Long] = None): CachePolicy = {
     val p = CachePolicy(enabled, ttlSeconds.map(_ * 1000L))
     policies.put(qualify(table), p)
-    synchronized { graft.core.Jsons.writeFile(policyPath, policies.toMap) }
+    // write-to-temp + atomic rename: two processes (CLI + MCP server) may
+    // persist concurrently, and a concurrently-starting reader must never
+    // see a torn file (the load-time catch would silently degrade it to
+    // "no policies")
+    synchronized {
+      java.nio.file.Files.createDirectories(lh.metaDir)
+      val tmp = java.nio.file.Files.createTempFile(lh.metaDir, ".cache_policies", ".tmp")
+      graft.core.Jsons.writeFile(tmp, policies.toMap)
+      java.nio.file.Files.move(tmp, policyPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     if (!enabled) invalidateTable(table)
     p
   }

@@ -66,16 +66,31 @@ object Curation {
     * containing a kept doc reject all their new members; all-new
     * components keep their min id, which IS the component label. */
   def admitIncremental(kept: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, cfg: Config = Config()): DataFrame = {
+      textCol: String, cfg: Config = Config()): DataFrame =
+    admitIncrementalFromShingles(kept.select(col(idCol)),
+      NearDup.shingleTable(kept, idCol, textCol, cfg.shingleN),
+      batch, idCol, textCol, cfg)
+
+  /** [[admitIncremental]] with the kept side supplied as a MATERIALIZED
+    * shingle table — the production shape for a growing corpus: shingle the
+    * kept docs once (e.g. a parquet table updated per admitted batch) and
+    * pay only the batch's shingling per call, instead of re-evaluating the
+    * shingle expression over the whole corpus every time. `keptIds` is one
+    * `idCol` column; `keptShingles` is `(doc_id, s)` as produced by
+    * [[NearDup.shingleTable]]. Output is identical to [[admitIncremental]]
+    * on the same corpus (AdmissionSpec asserts equality). */
+  def admitIncrementalFromShingles(keptIds0: DataFrame, keptShingles: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
     // a re-offered id IS the kept doc — exclude before graph construction
     // (identical ids can never form a pair under the a<b join)
-    val fresh = batch.join(kept.select(col(idCol)), Seq(idCol), "left_anti")
-    val all = kept.select(col(idCol), col(textCol))
-      .unionByName(fresh.select(col(idCol), col(textCol)))
-    val pairs = NearDup.jaccardPairs(all, idCol, textCol,
-      cfg.shingleN, cfg.jaccardThreshold, cfg.maxShingleFreq)
+    val fresh = batch.join(keptIds0.select(col(idCol)), Seq(idCol), "left_anti")
+    val sh = keptShingles.select(col("doc_id"), col("s"))
+      .unionByName(NearDup.shingleTable(fresh, idCol, textCol, cfg.shingleN))
+    val pairs = NearDup.jaccardPairsFromShingles(sh,
+      cfg.jaccardThreshold, cfg.maxShingleFreq)
     val comps = NearDup.duplicateComponents(pairs)
-    val keptIds = kept.select(col(idCol).as("doc_id"))
+    val keptIds = keptIds0.select(col(idCol).as("doc_id"))
     val blocked = comps.join(keptIds, "doc_id")
       .select(col("component")).distinct()
     val newComps = comps.join(keptIds, Seq("doc_id"), "left_anti")

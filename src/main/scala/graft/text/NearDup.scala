@@ -36,9 +36,19 @@ object NearDup {
     * and in a large corpus most shingles are singletons, so the join
     * input shrinks by the singleton mass. No driver collect, no persist. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame =
+    jaccardPairsFromShingles(shingleTable(df, idCol, textCol, n),
+      threshold, maxShingleFreq)
+
+  /** [[jaccardPairs]] over a pre-built `(doc_id, s)` shingle table — the
+    * reuse seam for incremental admission: a growing corpus materializes
+    * its kept-side shingles once and unions each batch's, instead of
+    * re-shingling the whole corpus per batch
+    * ([[Curation.admitIncrementalFromShingles]]). */
+  def jaccardPairsFromShingles(shingleDf: DataFrame,
       threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh0 = shingleTable(df, idCol, textCol, n)
+    val sh0 = shingleDf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
     val sh = if (maxShingleFreq <= 0) sh0
       else sh0.where(col("df") <= maxShingleFreq)
@@ -163,17 +173,15 @@ object NearDup {
     *
     * Result: (doc_id, component) for every doc appearing in `pairs`. */
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // init fuses the first propagation round: label0 = min(id, neighbors).
     // Min-label propagation converges to the component min from any
     // per-node upper bound, and starting one hop ahead saves a full
     // join+checkpoint round on shallow near-dup graphs.
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = ckpt(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__nmin"))
-      .select(col("id"), least(col("id"), col("__nmin")).as("label"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("__nmin")).as("label")))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -186,22 +194,44 @@ object NearDup {
           col("label").as("__old"))
       // pointer-jumping: label <- label's own label, shortcutting chains so
       // a path of length d converges in O(log d) rounds, not O(d)
-      val jumped = propagated.alias("p")
+      val jumped = ckpt(propagated.alias("p")
         .join(propagated.select(col("id").as("label"),
           col("label").as("__ll")).alias("j"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
           (col("__old") =!= least(col("label"),
-            coalesce(col("__ll"), col("label")))).as("__changed"))
-        .localCheckpoint()
+            coalesce(col("__ll"), col("label")))).as("__changed")))
       // the changed flag rides through the checkpoint: convergence is a
       // scan of materialized rows, not a recomputed join
       converged = jumped.where(col("__changed")).isEmpty
+      // the superseded round's checkpoint blocks would otherwise pile up in
+      // executor storage for the rest of the fixpoint (10+ rounds on a
+      // deep graph), so release each frame once its successor materializes
+      releaseCheckpoint(labels)
       labels = jumped.select("id", "label")
       it += 1
     }
+    releaseCheckpoint(edges) // final labels are materialized; edges are dead
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
+
+  /** Checkpoint for the CC fixpoint: reliable (driver-set checkpoint dir)
+    * when one is configured — executor-local checkpoint blocks are
+    * non-replicated, so at cluster scale a lost executor would kill the job
+    * mid-fixpoint — executor-local otherwise (fast, zero config). */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Drop a superseded checkpoint's storage blocks: unpersist every
+    * LogicalRDD in the frame's plan (a checkpointed frame — possibly under
+    * a projection — holds exactly its persisted RDD there). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact-duplicate groups by normalized-content fingerprint: one row per
     * fingerprint with >1 doc, keeping the lowest doc id (keep-"first" with a

@@ -73,13 +73,26 @@ object TokenSimilarity {
 
   /** Pairs (id_a, id_b, sim) with TF-IDF cosine ≥ threshold, id_a < id_b.
     * w(t, d) = tf · (ln((N+1)/(df_t+1)) + 1) — the smooth-IDF convention, so
-    * a token in every doc still gets weight tf (never zero/negative). */
+    * a token in every doc still gets weight tf (never zero/negative).
+    *
+    * `quantizeScale > 0` rounds each weight to that many decimal places and
+    * carries it as DECIMAL(18, scale), so every aggregate (Σ w², Σ w_a·w_b)
+    * is exact and order-independent — the dsum convention that makes the
+    * result reproducible at any parallelism AND bit-identical to a SQL
+    * oracle recomputing the same weights (raw doubles would drift with
+    * partial-aggregation order and with the engines' last-ulp `ln`
+    * differences). 0 = raw double weights (fastest, spec-tested only). */
   def tfidfPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxTokenFreq: Int = 0): DataFrame = {
+      threshold: Double, maxTokenFreq: Int = 0,
+      quantizeScale: Int = 0): DataFrame = {
     val n = df.count()
-    val kept = capped(df, idCol, textCol, maxTokenFreq)
-      .withColumn("w", col("tf") *
-        (log((lit(n) + 1).cast("double") / (col("dfreq") + 1)) + 1))
+    val idf = log((lit(n) + 1).cast("double") / (col("dfreq") + 1)) + 1
+    val base = capped(df, idCol, textCol, maxTokenFreq)
+    val kept =
+      if (quantizeScale > 0) base.withColumn("w",
+        round(col("tf") * idf, quantizeScale)
+          .cast(org.apache.spark.sql.types.DecimalType(18, quantizeScale)))
+      else base.withColumn("w", col("tf") * idf)
     weightedCosinePairs(kept, "w", threshold).drop("num")
   }
 }

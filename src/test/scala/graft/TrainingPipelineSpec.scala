@@ -71,6 +71,48 @@ class TrainingPipelineSpec extends AnyFunSuite {
       dropNearDups.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("admitIncrementalFromShingles: materialized kept side == recompute path, fewer shingle passes") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val kept = docs.where($"doc_id" % 2 === 0)
+    val batch = docs.where($"doc_id" % 2 === 1)
+    val cfg = graft.text.Curation.Config()
+    val expected = graft.text.Curation.admitIncremental(kept, batch,
+      "doc_id", "text", cfg).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    // production shape: kept-side shingles live as a materialized table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-keptsh-").toString
+    NearDup.shingleTable(kept, "doc_id", "text", cfg.shingleN)
+      .write.mode("overwrite").parquet(tmp)
+    val matSh = spark.read.parquet(tmp)
+    val got = graft.text.Curation.admitIncrementalFromShingles(
+      kept.select($"doc_id"), matSh, batch, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+
+    // plan audit: the pair stage over (materialized kept ∪ shingled batch)
+    // evaluates the compiled shingle expression only on the batch subtree —
+    // the kept side is a parquet read, not a recompute
+    def planOf(sh: org.apache.spark.sql.DataFrame): String =
+      NearDup.jaccardPairsFromShingles(sh, cfg.jaccardThreshold,
+        cfg.maxShingleFreq).queryExecution.executedPlan.toString
+    val matPlan = planOf(matSh.unionByName(
+      NearDup.shingleTable(batch, "doc_id", "text", cfg.shingleN)))
+    val fullPlan = planOf(NearDup.shingleTable(
+      kept.unionByName(batch), "doc_id", "text", cfg.shingleN))
+    assert(matPlan.contains("graft_shingles"),
+      "batch side must still be shingled by the compiled expression")
+    assert(matPlan.contains(tmp),
+      "kept side must come from the materialized parquet, not a recompute")
+    // each pair-stage consumer scans documents once (batch) in the
+    // materialized plan vs twice (kept + batch) when recomputing
+    def docScans(p: String): Int =
+      "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans(matPlan) * 2 == docScans(fullPlan),
+      s"kept-side corpus scans must disappear from the pair stage " +
+        s"(${docScans(matPlan)} vs ${docScans(fullPlan)})")
+  }
+
   test("incremental admission rejects cross-batch and within-batch near-dups") {
     val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     val kept = Seq((1L, base),

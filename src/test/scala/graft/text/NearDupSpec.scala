@@ -112,6 +112,21 @@ class NearDupSpec extends AnyFunSuite {
     assert(pc.toSeq == Seq(30L))
   }
 
+  test("duplicateComponents releases superseded checkpoints (storage-stable fixpoint)") {
+    val sc = spark.sparkContext
+    // a 51-node path needs several pointer-jumping rounds, each of which
+    // checkpoints a new labels frame; superseded rounds' storage must be
+    // released or a long fixpoint accumulates dead blocks in executors
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = sc.getPersistentRDDs.keySet
+    val comp = NearDup.duplicateComponents(pairs, maxIter = 30)
+    assert(comp.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1,
+      s"fixpoint leaked ${leftover.size} checkpointed RDDs (only the final " +
+        s"labels frame may stay persisted): $leftover")
+  }
+
   test("LSH bucket-size guard drops a planted mega-bucket, keeps small ones") {
     // 30 identical docs land every band hash in one 30-doc bucket;
     // 2 other identical docs form small buckets that must survive.
