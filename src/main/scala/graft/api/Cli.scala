@@ -7,7 +7,7 @@ import org.json4s.jackson.JsonMethods
 import graft.{Fixtures, Lakehouse}
 import graft.core.TableMeta
 import graft.dml.BatchOp
-import graft.governance.{MaskingPolicy, NotificationHandler, SlaPolicy, ValidationRule}
+import graft.governance.{Contract, MaskingPolicy, NotificationHandler, SlaPolicy, ValidationRule}
 import graft.orchestration.{MaintenancePolicy, PipelineStep, RetentionPolicy}
 
 /** CLI mirroring the reference's verb surface (reference cli.py, ~170 Click
@@ -52,6 +52,22 @@ object Cli {
     pos match {
       // ---- catalog --------------------------------------------------------
       case List("init") => println(s"warehouse ready at ${lh.warehouseDir}")
+      case List("serve") =>
+        // reference cli.py serve: run the MCP protocol loop on stdio
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(System.in))
+        McpServer.serve(lh, () => Option(in.readLine()), println(_))
+      case List("join", sql) =>
+        // reference cli.py join: federated join SQL, optionally --into a table
+        flags.get("into") match {
+          case Some(target) =>
+            val result = lh.engine.executeJoin(sql, Int.MaxValue)
+            if (!lh.catalog.tableExists(target))
+              lh.catalog.createTable(target, result.schema, Nil, Map.empty)
+            val snap = lh.catalog.loadTable(target).overwrite(result)
+            println(s"wrote ${snap.totalRows} rows to $target")
+          case None => show(lh.engine.executeJoin(sql, maxRows))
+        }
       case List("namespaces") => lh.catalog.listNamespaces().foreach(println)
       case List("namespace-create", ns) => lh.catalog.createNamespace(ns)
       case List("namespace-drop", ns) => lh.catalog.dropNamespace(ns)
@@ -127,6 +143,14 @@ object Cli {
           flags.contains("overwrite"))}")
       case List("verify-backup", tarGz) =>
         println(if (lh.backup.verifyBackup(tarGz)) "OK" else "CORRUPT")
+      case List("backup-ns", ns, dir) =>
+        // reference `backup create-ns`: one archive per table in the namespace
+        lh.catalog.listTables(ns).foreach { t =>
+          val target = java.nio.file.Paths.get(dir,
+            s"${t.replace('.', '_')}.tar.gz").toString
+          val m = lh.backup.backupTable(t, target)
+          println(s"$t -> $target (rows=${m.rowCount})")
+        }
 
       // ---- analytics ------------------------------------------------------
       case List("profile", table) =>
@@ -207,6 +231,12 @@ object Cli {
           flags.get("max-age-hours").map(_.toDouble),
           flags.get("max-snapshots").map(_.toInt),
           flags.getOrElse("min-keep", "1").toInt))
+      case List("retention-remove", table) =>
+        println(if (lh.retention.removePolicy(table)) "removed"
+        else s"no retention policy for $table")
+      case List("maintain-remove", table) =>
+        println(if (lh.maintenance.removePolicy(table)) "removed"
+        else s"no maintenance policy for $table")
       case List("auto-refresh", table) =>
         lh.autoRefresh.trigger(table).foreach(s =>
           println(s"${s.kind} ${s.name}: ${s.status}"))
@@ -421,6 +451,8 @@ object Cli {
       case List("lineage-impact", table) =>
         lh.lineage.impact(table).toList.sortBy(_._1).foreach { case (d, ts) =>
           println(s"$d: ${ts.mkString(", ")}") }
+      case List("lineage-remove", table) =>
+        println(s"removed ${lh.lineage.removeEdges(table)} edges")
       case List("lineage-graph") => lh.lineage.edges().foreach(e =>
         println(s"${e.sources.mkString("+")} -> ${e.target} (${e.operation})"))
 
@@ -464,6 +496,43 @@ object Cli {
         lh.contracts.coverage().toList.sortBy(_._1).foreach { case (k, v) =>
           println(s"$k=$v") }
       case List("contract-drop", table) => lh.contracts.drop(table)
+      // contract documents from JSON files (reference contract
+      // create/update/apply/dry-run take a JSON contract path)
+      case List("contract-create", file) =>
+        val c = lh.contracts.create(readContract(file))
+        println(s"created ${c.table} v${c.version}")
+      case List("contract-update", file) =>
+        val c = lh.contracts.update(readContract(file))
+        println(s"updated ${c.table} v${c.version}")
+      case List("contract-apply", file) =>
+        val c = lh.contracts.applyContract(readContract(file))
+        println(s"applied ${c.table} v${c.version}")
+      case List("contract-check-data", table, file) =>
+        // validate incoming rows (JSON file) BEFORE writing them;
+        // validateRows returns only the violations
+        val issues = lh.contracts.validateRows(table, lh.spark.read.json(file))
+        if (issues.isEmpty) println("OK")
+        else issues.foreach(c =>
+          println(s"FAIL ${c.kind} ${c.subject}: ${c.message}"))
+      case List("contract-dry-run", table, file) =>
+        lh.contracts.dryRun(table, readContract(file).copy(table = table))
+          .foreach(c => println(s"${if (c.passed) "PASS" else "FAIL"} " +
+            s"${c.kind} ${c.subject}: ${c.message}"))
+      case List("contract-dry-run-migration", table, file) =>
+        lh.contracts.dryRunMigration(table, readContract(file).copy(table = table))
+          .toList.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
+      case List("contract-deprecate", table) =>
+        val c = lh.contracts.deprecate(table)
+        println(s"${c.table} v${c.version}: ${c.status}")
+      case List("contract-status", table) =>
+        val c = lh.contracts.get(table)
+        println(s"${c.table} v${c.version}: ${c.status} " +
+          s"(created ${java.time.Instant.ofEpochMilli(c.createdMs)})")
+      case List("contract-consumers", table) =>
+        val reg = lh.contracts.registry().getOrElse(
+          if (table.contains(".")) table else s"default.$table", Map.empty)
+        println(s"consumers=${reg.getOrElse("consumers", Nil).mkString(",")} " +
+          s"producers=${reg.getOrElse("producers", Nil).mkString(",")}")
       case List("contract-dashboard") =>
         val cs = lh.contracts.list()
         println(s"contracts: ${cs.size}")
@@ -490,6 +559,9 @@ object Cli {
           flags.getOrElse("aliases", "").split(',').filter(_.nonEmpty).toList))
       case List("glossary-list") => lh.catalogMetadata.glossarySearch("")
         .foreach(t => println(s"${t.term}: ${t.definition}"))
+      case List("glossary-remove", term) =>
+        println(if (lh.catalogMetadata.removeGlossaryTerm(term)) "removed"
+        else s"no glossary term: $term")
       case List("glossary-search", q) => lh.catalogMetadata.glossarySearch(q)
         .foreach(t => println(s"${t.term}: ${t.definition}"))
       case List("classifications", table) =>
@@ -573,6 +645,51 @@ object Cli {
       case List("format-show", table) => println(lh.formats.resolve(table))
       case List("convert-format", table, fmt) =>
         println(s"converted, rewrote ${lh.formats.convertTable(table, fmt)} rows")
+      // file-level conversions + standalone-file query (reference cli.py
+      // convert / convert-table / query-vortex; "vortex" maps to the zstd
+      // parquet profile — the documented FormatResolver divergence)
+      case List("convert", src, dst) =>
+        val fmt = flags.getOrElse("to", "vortex")
+        lh.spark.read.parquet(src).write.mode("overwrite")
+          .options(lh.formats.writerOptions(fmt)).parquet(dst)
+        println(s"converted $src -> $dst ($fmt profile)")
+      case List("convert-table", table, dst) =>
+        val df = lh.catalog.loadTable(table).read()
+        val out = if (flags.contains("compact")) df.coalesce(1) else df
+        out.write.mode("overwrite")
+          .options(lh.formats.writerOptions("vortex")).parquet(dst)
+        println(s"exported $table -> $dst (vortex profile)")
+      case List("query-vortex", file, sql) =>
+        lh.spark.read.parquet(file)
+          .createOrReplaceTempView(flags.getOrElse("table-name", "data"))
+        show(lh.spark.sql(sql).limit(maxRows))
+      case List("benchmark") =>
+        // reference cli.py benchmark: parquet-vs-vortex write/read timings
+        // at a few row counts (micro-bench, setup-dominated — same caveat
+        // the reference documents in docs/benchmarks.md)
+        val rowCounts = flags.getOrElse("rows", "1000,10000")
+          .split(',').map(_.trim.toInt)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
+        println("rows\tformat\twrite_ms\tread_ms\tbytes")
+        rowCounts.foreach { n =>
+          Seq("parquet" -> Map.empty[String, String],
+            "vortex" -> lh.formats.writerOptions("vortex")).foreach {
+            case (fmt, opts) =>
+              val df = lh.spark.range(n).selectExpr("id",
+                "cast(id % 100 as double) / 7 as v", "concat('row-', id) as s")
+              val p = tmp.resolve(s"$fmt-$n").toString
+              val t0 = System.nanoTime()
+              df.write.mode("overwrite").options(opts).parquet(p)
+              val wMs = (System.nanoTime() - t0) / 1e6
+              val t1 = System.nanoTime()
+              lh.spark.read.parquet(p).count()
+              val rMs = (System.nanoTime() - t1) / 1e6
+              val bytes = java.nio.file.Files.walk(tmp.resolve(s"$fmt-$n"))
+                .filter(f => f.toString.endsWith(".parquet"))
+                .mapToLong(java.nio.file.Files.size(_)).sum()
+              println(f"$n\t$fmt\t$wMs%.1f\t$rMs%.1f\t$bytes")
+          }
+        }
 
       // ---- schema evolution inspection (schema_evolution.py) --------------
       case List("schema-history", table) =>
@@ -879,6 +996,9 @@ object Cli {
   private def parseRow(json: String): Map[String, Any] =
     JsonMethods.parse(json).values.asInstanceOf[Map[String, Any]]
 
+  private def readContract(file: String): Contract =
+    graft.core.Jsons.readFile[Contract](java.nio.file.Paths.get(file))
+
   private def parseRows(json: String): Seq[Map[String, Any]] =
     JsonMethods.parse(json).values match {
       case l: List[_] => l.map(_.asInstanceOf[Map[String, Any]])
@@ -894,13 +1014,15 @@ object Cli {
       |schema:  alter-add-column alter-drop-column alter-rename-column
       |         alter-get-property alter-remove-property schema-history
       |         schema-diff schema-migration schema-compat
-      |query:   query query-asof suggest-joins query-save query-list query-run
-      |         query-delete query-history query-history-clear cache-query
-      |         cache-stats cache-clear cache-policy cache-entries stats-all
+      |query:   query query-asof join suggest-joins query-save query-list
+      |         query-run query-delete query-history query-history-clear
+      |         cache-query cache-stats cache-clear cache-policy cache-entries
+      |         stats-all query-vortex serve
       |dml:     insert update delete upsert batch (--keys a,b)
       |history: snapshots rollback expire diff (--older-than 30d --retain-last N)
-      |io:      import export backup restore verify-backup backups format-set
-      |         format-set-table format-show convert-format
+      |io:      import export backup backup-ns restore verify-backup backups
+      |         format-set format-set-table format-show convert-format
+      |         convert convert-table benchmark
       |curate:  curate curate-admit (--languages en --min-quality 0.3 --jaccard 0.8)
       |         decontaminate (--jaccard 0.8 --remove) pii-report redact
       |         pack-sequences (--budget 512 --group-col source)
@@ -917,14 +1039,18 @@ object Cli {
       |         matview-create matview-refresh matview-fresh matview-list
       |         matview-drop matview-query pipeline-create pipeline-run
       |         pipeline-dry-run pipeline-drop pipeline-show pipelines
-      |         lineage lineage-add lineage-impact lineage-graph
-      |         maintain maintain-set maintain-show maintain-table
+      |         lineage lineage-add lineage-remove lineage-impact lineage-graph
+      |         maintain maintain-set maintain-show maintain-table maintain-remove
       |         maintenance-status compact cleanup partitions partition-stats
       |         retention-set retention-show retention-check retention-run
+      |         retention-remove
       |         auto-refresh auto-refresh-set auto-refresh-plan
       |         auto-refresh-history sample-stats dashboard
       |govern:  rule-add rules rule-drop validate-check mask-set mask-query
       |         mask-list mask-remove mask-preview contract-generate
+      |         contract-create contract-update contract-apply contract-check-data
+      |         contract-dry-run contract-dry-run-migration contract-deprecate
+      |         contract-status contract-consumers
       |         contract-monitor contract-list contract-show contract-history
       |         contract-validate contract-compliance contract-trends
       |         contract-add-consumer contract-add-producer contract-registry
@@ -935,7 +1061,8 @@ object Cli {
       |         tag tag-show tag-remove search describe-set bookmark unbookmark
       |         bookmarks classify classifications column-describe
       |         column-descriptions schema-enriched glossary-add glossary-list
-      |         glossary-search notify-add notify-list notify-history notify-test
+      |         glossary-search glossary-remove notify-add notify-list
+      |         notify-history notify-test
       |         audit audit-clear clone clone-promote clone-discard clone-list
       |         advisor-partitions advisor-cost advisor-materializations
       |         advisor-patterns advisor-report

@@ -22,7 +22,8 @@ case class Contract(
     constraints: List[ContractConstraint],
     owner: String = "",
     description: String = "",
-    createdMs: Long = 0)
+    createdMs: Long = 0,
+    status: String = "active")
 
 case class ContractCheck(kind: String, // schema | constraint
     subject: String, passed: Boolean, message: String, failedRows: Long = 0)
@@ -81,6 +82,22 @@ class Contracts(lh: Lakehouse) {
   def drop(table: String): Unit = synchronized {
     require(load().contains(table), s"no contract for $table")
     Jsons.writeFile(path, load() - table)
+  }
+
+  /** Create-or-update from a full contract document (reference cli.py
+    * contract apply): new tables get v1, existing ones a version bump with
+    * the old contract snapshotted into history. */
+  def applyContract(c: Contract): Contract = synchronized {
+    if (load().contains(c.table)) update(c) else create(c)
+  }
+
+  /** Lifecycle transition to `deprecated` (reference cli.py contract
+    * deprecate/status): in-place status flip, no version bump — the terms
+    * did not change, only their standing. */
+  def deprecate(table: String): Contract = synchronized {
+    val v = get(table).copy(status = "deprecated")
+    Jsons.writeFile(path, load() + (table -> v))
+    v
   }
 
   // ---- validation ---------------------------------------------------------

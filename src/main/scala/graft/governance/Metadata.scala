@@ -101,6 +101,13 @@ class CatalogMetadata(lh: Lakehouse) {
     Jsons.writeFile(path, s.copy(glossary = s.glossary + (t.term.toLowerCase -> t)))
   }
 
+  def removeGlossaryTerm(term: String): Boolean = synchronized {
+    val s = load()
+    val k = term.toLowerCase
+    if (!s.glossary.contains(k)) false
+    else { Jsons.writeFile(path, s.copy(glossary = s.glossary - k)); true }
+  }
+
   def glossarySearch(q: String): List[GlossaryTerm] = {
     val needle = q.toLowerCase
     load().glossary.values.filter(t =>

@@ -33,6 +33,16 @@ class Lineage(lh: Lakehouse) {
 
   def edges(): List[LineageEdge] = load()
 
+  /** Remove every edge targeting `table` (reference lineage remove);
+    * returns how many were dropped. */
+  def removeEdges(target: String): Int = synchronized {
+    val t = normalize(target)
+    val es = load()
+    val kept = es.filterNot(_.target == t)
+    Jsons.writeFile(path, kept)
+    es.size - kept.size
+  }
+
   /** BFS over the DAG. `dir`=up follows target→sources; down follows
     * source→targets. Cycle-guarded, depth-limited. */
   private def bfs(start: String, maxDepth: Int, up: Boolean): Map[String, Int] = {

@@ -30,6 +30,13 @@ class Maintenance(lh: Lakehouse) {
   def policy(table: String): MaintenancePolicy =
     load().getOrElse(table, MaintenancePolicy(table))
 
+  /** Drop a table's maintenance policy (falls back to defaults). */
+  def removePolicy(table: String): Boolean = synchronized {
+    val m = load()
+    if (!m.contains(table)) false
+    else { Jsons.writeFile(path, m - table); true }
+  }
+
   /** Evaluate (and unless dryRun, execute) maintenance for one table. */
   def maintainTable(table: String, dryRun: Boolean = false): List[MaintenanceAction] = {
     val p = policy(table)
@@ -78,6 +85,13 @@ class Retention(lh: Lakehouse) {
   }
 
   def policy(table: String): Option[RetentionPolicy] = load().get(table)
+
+  /** Drop a table's retention policy (reference retention remove). */
+  def removePolicy(table: String): Boolean = synchronized {
+    val m = load()
+    if (!m.contains(table)) false
+    else { Jsons.writeFile(path, m - table); true }
+  }
 
   /** Dry-run returns would-expire ids; otherwise expires them
     * (retention.py:228-231 delegates to retain_last semantics). */

@@ -303,6 +303,87 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "sample-stats", "default.t8", "default.t8s").contains("v.mean"))
   }
 
+  test("reference-parity verbs: join, convert, query-vortex, backup-ns, removers, contract docs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-par-").toString)
+    runCli(lh, "create-table", "default.emp", "id:long,name:string")
+    runCli(lh, "insert", "default.emp",
+      """[{"id":1,"name":"Alice"},{"id":2,"name":"Bob"}]""")
+    runCli(lh, "create-table", "default.dept", "id:long,dept:string")
+    runCli(lh, "insert", "default.dept",
+      """[{"id":1,"dept":"eng"},{"id":2,"dept":"ops"}]""")
+
+    // join: inline result + --into materialization
+    assert(runCli(lh, "join",
+      "SELECT e.name, d.dept FROM emp e JOIN dept d ON e.id = d.id")
+      .contains("eng"))
+    assert(runCli(lh, "join",
+      "SELECT e.name, d.dept FROM emp e JOIN dept d ON e.id = d.id",
+      "--into", "default.joined").contains("wrote 2 rows"))
+    assert(runCli(lh, "query", "SELECT count(*) AS n FROM joined").contains("2"))
+
+    // file-level convert + query-vortex over the converted file
+    val tmp = graft.SparkFixture.tmpDir("graft-conv-").toString
+    lh.catalog.loadTable("default.emp").read().write.parquet(s"$tmp/src")
+    runCli(lh, "convert", s"$tmp/src", s"$tmp/dst", "--to", "vortex")
+    assert(runCli(lh, "query-vortex", s"$tmp/dst",
+      "SELECT count(*) AS n FROM data").contains("2"))
+    runCli(lh, "convert-table", "default.emp", s"$tmp/exported", "--compact")
+    assert(spark.read.parquet(s"$tmp/exported").count() == 2)
+
+    // namespace backup: one archive per table
+    val bdir = graft.SparkFixture.tmpDir("graft-bk-").toString
+    val bk = runCli(lh, "backup-ns", "default", bdir)
+    assert(bk.contains("default.emp") && bk.contains("default.dept"))
+    assert(runCli(lh, "backups", "--dir", bdir).linesIterator.size >= 3)
+
+    // policy/metadata removers
+    runCli(lh, "retention-set", "default.emp", "--max-snapshots", "5")
+    assert(runCli(lh, "retention-remove", "default.emp").contains("removed"))
+    assert(runCli(lh, "retention-remove", "default.emp").contains("no retention"))
+    runCli(lh, "maintain-set", "default.emp")
+    assert(runCli(lh, "maintain-remove", "default.emp").contains("removed"))
+    runCli(lh, "glossary-add", "churn", "customer attrition rate")
+    assert(runCli(lh, "glossary-remove", "churn").contains("removed"))
+    assert(runCli(lh, "glossary-search", "churn").isEmpty)
+    runCli(lh, "lineage-add", "default.joined", "join")
+    assert(runCli(lh, "lineage-remove", "default.joined")
+      .contains("removed 1 edges"))
+
+    // contract documents from JSON files
+    import graft.governance.{Contract, ContractColumn, ContractConstraint}
+    val cfile = graft.SparkFixture.tmpDir("graft-ct-").resolve("c.json")
+    graft.core.Jsons.writeFile(cfile, Contract("default.emp", 0,
+      List(ContractColumn("id", "long", false),
+        ContractColumn("name", "string", false)),
+      List(ContractConstraint("id", "not_null"))))
+    assert(runCli(lh, "contract-create", cfile.toString).contains("v1"))
+    assert(runCli(lh, "contract-update", cfile.toString).contains("v2"))
+    assert(runCli(lh, "contract-apply", cfile.toString).contains("v3"))
+    assert(runCli(lh, "contract-dry-run", "default.emp", cfile.toString)
+      .contains("PASS"))
+    assert(runCli(lh, "contract-dry-run-migration", "default.emp",
+      cfile.toString).nonEmpty)
+    val rowsOk = cfile.getParent.resolve("rows.json")
+    java.nio.file.Files.write(rowsOk, """{"id":3,"name":"Carol"}""".getBytes)
+    assert(runCli(lh, "contract-check-data", "default.emp",
+      rowsOk.toString).contains("OK"))
+    val rowsBad = cfile.getParent.resolve("rows_bad.json")
+    java.nio.file.Files.write(rowsBad, """{"id":null,"name":"Dave"}""".getBytes)
+    assert(runCli(lh, "contract-check-data", "default.emp",
+      rowsBad.toString).contains("FAIL constraint not_null(id)"))
+    assert(runCli(lh, "contract-status", "default.emp").contains("active"))
+    assert(runCli(lh, "contract-deprecate", "default.emp")
+      .contains("deprecated"))
+    assert(runCli(lh, "contract-status", "default.emp").contains("deprecated"))
+    runCli(lh, "contract-add-consumer", "default.emp", "dashboards")
+    assert(runCli(lh, "contract-consumers", "default.emp")
+      .contains("dashboards"))
+
+    // benchmark prints a per-format timing table
+    val bench = runCli(lh, "benchmark", "--rows", "100")
+    assert(bench.contains("parquet") && bench.contains("vortex"))
+  }
+
   test("curate verb runs the funnel into a target table") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli9-").toString)
     runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
