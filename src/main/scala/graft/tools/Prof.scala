@@ -3,9 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling harness for plan iteration (not part of the library
-  * surface): times labelled stages of the slow bench queries in one JVM so
-  * A/B comparisons aren't poisoned by this box's noisy single-run timings. */
+/** Scratch A/B profiling harness. The box's timings are ±50% noisy, so
+  * variants must interleave in ONE JVM — never compare across runs. */
 object Prof {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -22,26 +21,21 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.Tables.load(spark, sfDir, "documents")
 
-    // warmup
-    time("warmup count")(docs.count())
+    def q35(parts: Option[Int]): Long = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      parts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+      try graft.SparkEntry.queries("q35_stream_hourly")(spark, sfDir).count()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
-    for (round <- 1 to 3) {
-      val pairs = time(s"r$round jaccardPairs") {
-        val p = graft.text.NearDup.jaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.8, maxShingleFreq = 100)
-        p.count(); p
-      }
-      time(s"r$round duplicateComponents") {
-        graft.text.NearDup.duplicateComponents(pairs).count()
-      }
-      time(s"r$round admitIncremental") {
-        graft.text.Curation.admitIncremental(
-          docs.where(col("doc_id") % 2 === 0),
-          docs.where(col("doc_id") % 2 === 1),
-          "doc_id", "text").select("doc_id").count()
-      }
+    // warm both shapes once (state-store + streaming-thread init)
+    time("warm q35 default")(q35(None))
+    time("warm q35 parts=8")(q35(Some(8)))
+    for (r <- 1 to 4) {
+      time(s"r$r q35 default-parts")(q35(None))
+      time(s"r$r q35 parts=8")(q35(Some(8)))
+      time(s"r$r q35 parts=4")(q35(Some(4)))
     }
     spark.stop()
   }
