@@ -1222,8 +1222,11 @@ object SparkEntry {
         |kept AS (SELECT * FROM wf WHERE dfreq <= 100),
         |nn AS (SELECT count(*) AS n FROM documents),
         |w AS (
+        |  -- micro-unit quantization: floor(x*1e6 + 0.5) is pure IEEE
+        |  -- mul/add/floor (identical in both engines); the scale cancels
+        |  -- in the cosine ratio
         |  SELECT doc_id, tok, dfreq,
-        |    CAST(round(tf * (ln((n + 1.0) / (dfreq + 1)) + 1), 6) AS DECIMAL(18,6)) AS w
+        |    CAST(floor(tf * (ln((n + 1.0) / (dfreq + 1)) + 1) * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS w
         |  FROM kept, nn),
         |sizes AS (SELECT doc_id, sum(w * w) AS ss FROM w GROUP BY 1),
         |spine AS (SELECT doc_id, tok, w FROM w WHERE dfreq >= 2),

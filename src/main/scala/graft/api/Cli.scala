@@ -61,7 +61,9 @@ object Cli {
         // reference cli.py join: federated join SQL, optionally --into a table
         flags.get("into") match {
           case Some(target) =>
-            val result = lh.engine.executeJoin(sql, Int.MaxValue)
+            // maxRows=0: no limit node — limit(Int.MaxValue) would funnel
+            // the whole result through one partition before the write
+            val result = lh.engine.executeJoin(sql, 0)
             if (!lh.catalog.tableExists(target))
               lh.catalog.createTable(target, result.schema, Nil, Map.empty)
             val snap = lh.catalog.loadTable(target).overwrite(result)
@@ -509,7 +511,9 @@ object Cli {
         println(s"applied ${c.table} v${c.version}")
       case List("contract-check-data", table, file) =>
         // validate incoming rows (JSON file) BEFORE writing them;
-        // validateRows returns only the violations
+        // validateRows returns only the violations. Resolve the contract
+        // first: a missing/misspelled table must error, not print OK.
+        lh.contracts.get(table)
         val issues = lh.contracts.validateRows(table, lh.spark.read.json(file))
         if (issues.isEmpty) println("OK")
         else issues.foreach(c =>
@@ -529,8 +533,9 @@ object Cli {
         println(s"${c.table} v${c.version}: ${c.status} " +
           s"(created ${java.time.Instant.ofEpochMilli(c.createdMs)})")
       case List("contract-consumers", table) =>
-        val reg = lh.contracts.registry().getOrElse(
-          if (table.contains(".")) table else s"default.$table", Map.empty)
+        // the registry stores keys exactly as registered (raw), so look up
+        // the name as given — qualifying here would miss raw-keyed entries
+        val reg = lh.contracts.registry().getOrElse(table, Map.empty)
         println(s"consumers=${reg.getOrElse("consumers", Nil).mkString(",")} " +
           s"producers=${reg.getOrElse("producers", Nil).mkString(",")}")
       case List("contract-dashboard") =>
@@ -684,12 +689,18 @@ object Cli {
               val t1 = System.nanoTime()
               lh.spark.read.parquet(p).count()
               val rMs = (System.nanoTime() - t1) / 1e6
-              val bytes = java.nio.file.Files.walk(tmp.resolve(s"$fmt-$n"))
-                .filter(f => f.toString.endsWith(".parquet"))
-                .mapToLong(java.nio.file.Files.size(_)).sum()
+              val walk = java.nio.file.Files.walk(tmp.resolve(s"$fmt-$n"))
+              val bytes =
+                try walk.filter(f => f.toString.endsWith(".parquet"))
+                  .mapToLong(java.nio.file.Files.size(_)).sum()
+                finally walk.close()
               println(f"$n\t$fmt\t$wMs%.1f\t$rMs%.1f\t$bytes")
           }
         }
+        val cleanup = java.nio.file.Files.walk(tmp)
+        try cleanup.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally cleanup.close()
 
       // ---- schema evolution inspection (schema_evolution.py) --------------
       case List("schema-history", table) =>
@@ -941,9 +952,11 @@ object Cli {
           .getOrElse(cols.take(1))
         // order before limiting: which rows survive the cap must be
         // deterministic (matching the other verbs), not whatever partition
-        // order the union happens to produce
+        // order the union happens to produce. Keys first so an update's
+        // BEFORE/AFTER rows stay adjacent — type-first would let the cap
+        // cut between the two halves of one update.
         val ch = graft.analytics.Cdc.classifyChanges(o, n, keys, cols)
-          .orderBy(col("change_type") +: keys.map(col): _*)
+          .orderBy(keys.map(col) :+ col("change_type"): _*)
           .limit(flags.getOrElse("limit", "1000").toInt)
         ch.collect().foreach { r =>
           val changed = r.getSeq[String](r.fieldIndex("changed_columns"))
@@ -971,9 +984,9 @@ object Cli {
   /** Flags that never take a value — without this list, `--remove train`
     * would swallow `train` as the flag's value and break the verb match
     * when a boolean flag precedes a positional argument. */
-  private val BoolFlags = Set("disable", "dry-run", "incremental", "no-caches",
-    "no-matviews", "no-orphan-cleanup", "no-pipelines", "overwrite", "remove",
-    "strict", "tfidf")
+  private val BoolFlags = Set("compact", "disable", "dry-run", "incremental",
+    "no-caches", "no-matviews", "no-orphan-cleanup", "no-pipelines",
+    "overwrite", "remove", "strict", "tfidf")
 
   private[api] def parseFlags(args: List[String]): (Map[String, String], List[String]) = {
     var flags = Map.empty[String, String]

@@ -877,7 +877,9 @@ object McpTools {
       sch(List("sql", "target_table"), "sql" -> S("Join SQL"),
         "target_table" -> S("Target table")),
       (lh, a) => {
-        val result = lh.engine.executeJoin(str(a, "sql"), Int.MaxValue)
+        // maxRows=0: no limit node — a limit(Int.MaxValue) sentinel would
+        // funnel the whole result through one partition before the write
+        val result = lh.engine.executeJoin(str(a, "sql"), 0)
         val target = str(a, "target_table")
         if (!lh.catalog.tableExists(target))
           lh.catalog.createTable(target, result.schema, Nil, Map.empty)

@@ -29,7 +29,12 @@ object Jsons {
 
   def writeString(path: Path, s: String): Unit = {
     Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    // unique temp name per writer: with a FIXED sibling name, two processes
+    // (CLI + MCP server) writing the same store concurrently could promote
+    // a half-written temp file; unique temps make the final move the only
+    // shared step, and that one is atomic
+    val tmp = Files.createTempFile(path.getParent,
+      "." + path.getFileName.toString, ".tmp")
     Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

@@ -41,11 +41,15 @@ class QueryEngine(lh: Lakehouse) {
     * when the SQL has no LIMIT substring, as the reference does. */
   def needsLimit(sql: String): Boolean = !sql.toUpperCase.contains("LIMIT")
 
+  /** `maxRows <= 0` disables the auto-LIMIT entirely — the path for
+    * materializing a full result to a table. A `limit(Int.MaxValue)`
+    * sentinel would NOT be free: GlobalLimit shuffles every row to a
+    * single partition, so "unlimited" must mean no limit node at all. */
   def execute(sql: String, maxRows: Int = 1000): DataFrame = {
     refresh()
     val df = spark.sql(rewriteNamespaces(sql))
     recordLineage(sql)
-    if (needsLimit(sql)) df.limit(maxRows) else df
+    if (maxRows > 0 && needsLimit(sql)) df.limit(maxRows) else df
   }
 
   /** Time-travel query: registers ONLY the named table, resolved at the

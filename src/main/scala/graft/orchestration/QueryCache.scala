@@ -47,18 +47,9 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
       ttlSeconds: Option[Long] = None): CachePolicy = {
     val p = CachePolicy(enabled, ttlSeconds.map(_ * 1000L))
     policies.put(qualify(table), p)
-    // write-to-temp + atomic rename: two processes (CLI + MCP server) may
-    // persist concurrently, and a concurrently-starting reader must never
-    // see a torn file (the load-time catch would silently degrade it to
-    // "no policies")
-    synchronized {
-      java.nio.file.Files.createDirectories(lh.metaDir)
-      val tmp = java.nio.file.Files.createTempFile(lh.metaDir, ".cache_policies", ".tmp")
-      graft.core.Jsons.writeFile(tmp, policies.toMap)
-      java.nio.file.Files.move(tmp, policyPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // Jsons.writeFile is unique-temp + atomic-move, so concurrent writers
+    // (CLI + MCP server) can never expose a torn file to a reader
+    synchronized { graft.core.Jsons.writeFile(policyPath, policies.toMap) }
     if (!enabled) invalidateTable(table)
     p
   }

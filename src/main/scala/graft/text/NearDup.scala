@@ -223,13 +223,21 @@ object NearDup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
-  /** Drop a superseded checkpoint's storage blocks: unpersist every
-    * LogicalRDD in the frame's plan (a checkpointed frame — possibly under
-    * a projection — holds exactly its persisted RDD there). */
+  /** Drop a superseded checkpoint's storage: unpersist every LogicalRDD in
+    * the frame's plan (a checkpointed frame — possibly under a projection —
+    * holds exactly its persisted RDD there). Reliable checkpoints live in
+    * FILES, not block storage, and Spark never deletes them on unpersist —
+    * so the checkpoint directory is removed too, or a 10-round fixpoint
+    * would leave O(rounds × data) dead snapshots on the checkpoint store. */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       case _ => ()
     }
 

@@ -75,13 +75,16 @@ object TokenSimilarity {
     * w(t, d) = tf · (ln((N+1)/(df_t+1)) + 1) — the smooth-IDF convention, so
     * a token in every doc still gets weight tf (never zero/negative).
     *
-    * `quantizeScale > 0` rounds each weight to that many decimal places and
-    * carries it as DECIMAL(18, scale), so every aggregate (Σ w², Σ w_a·w_b)
-    * is exact and order-independent — the dsum convention that makes the
-    * result reproducible at any parallelism AND bit-identical to a SQL
-    * oracle recomputing the same weights (raw doubles would drift with
-    * partial-aggregation order and with the engines' last-ulp `ln`
-    * differences). 0 = raw double weights (fastest, spec-tested only). */
+    * `quantizeScale > 0` quantizes each weight to integer "micro-units"
+    * (`floor(w·10^scale + 0.5)` carried as DECIMAL) so every aggregate
+    * (Σ w², Σ w_a·w_b) is exact and order-independent — the dsum convention
+    * that makes the result reproducible at any parallelism AND
+    * bit-identical to a SQL oracle recomputing the same weights. The scale
+    * factor cancels in the cosine ratio. floor(x·10^s + 0.5) is chosen over
+    * `round(x, s)` deliberately: it is pure IEEE multiply/add/floor, the
+    * same ops in any engine, whereas round() implementations differ
+    * (BigDecimal-on-decimal-repr vs scaled-multiply) and can disagree on
+    * boundary values. 0 = raw double weights (fastest, spec-tested only). */
   def tfidfPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenFreq: Int = 0,
       quantizeScale: Int = 0): DataFrame = {
@@ -90,8 +93,8 @@ object TokenSimilarity {
     val base = capped(df, idCol, textCol, maxTokenFreq)
     val kept =
       if (quantizeScale > 0) base.withColumn("w",
-        round(col("tf") * idf, quantizeScale)
-          .cast(org.apache.spark.sql.types.DecimalType(18, quantizeScale)))
+        floor(col("tf") * idf * lit(math.pow(10, quantizeScale)) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
       else base.withColumn("w", col("tf") * idf)
     weightedCosinePairs(kept, "w", threshold).drop("num")
   }

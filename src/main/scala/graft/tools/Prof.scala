@@ -22,20 +22,29 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def q35(parts: Option[Int]): Long = {
+    // build the stream DIRECTLY (not via the q35 gate closure, which pins
+    // its own partition count internally and would make the A/B a no-op)
+    def q35(parts: Int): Long = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      parts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
-      try graft.SparkEntry.queries("q35_stream_hourly")(spark, sfDir).count()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(graft.Tables.path(sfDir, "events"))
+        val stream = spark.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.streaming.Streaming.runToMemory(
+          graft.streaming.Streaming.windowedStats(stream), "prof_q35").count()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
     // warm both shapes once (state-store + streaming-thread init)
-    time("warm q35 default")(q35(None))
-    time("warm q35 parts=8")(q35(Some(8)))
+    time("warm q35 parts=32")(q35(32))
+    time("warm q35 parts=8")(q35(8))
     for (r <- 1 to 4) {
-      time(s"r$r q35 default-parts")(q35(None))
-      time(s"r$r q35 parts=8")(q35(Some(8)))
-      time(s"r$r q35 parts=4")(q35(Some(4)))
+      time(s"r$r q35 parts=32")(q35(32))
+      time(s"r$r q35 parts=8")(q35(8))
+      time(s"r$r q35 parts=4")(q35(4))
     }
     spark.stop()
   }

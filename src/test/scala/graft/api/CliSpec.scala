@@ -9,25 +9,9 @@ class CliSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
 
   private def runCli(lh: Lakehouse, args: String*): String = {
-    val (flags, pos) = {
-      // reuse Cli's flag parser via reflection-free duplication: simplest is
-      // to call run with pre-split args using the same shape the main uses
-      var f = Map.empty[String, String]
-      var p = List.empty[String]
-      val boolFlags = Set("disable", "dry-run", "incremental", "no-caches",
-        "no-matviews", "no-orphan-cleanup", "no-pipelines", "overwrite",
-        "remove", "strict", "tfidf")
-      var rest = args.toList
-      while (rest.nonEmpty) rest match {
-        case a :: t if a.startsWith("--") && boolFlags.contains(a.drop(2)) =>
-          f += a.drop(2) -> "true"; rest = t
-        case a :: v :: t if a.startsWith("--") && !v.startsWith("--") =>
-          f += a.drop(2) -> v; rest = t
-        case a :: t if a.startsWith("--") => f += a.drop(2) -> "true"; rest = t
-        case a :: t => p :+= a; rest = t
-      }
-      (f, p)
-    }
+    // the REAL parser (private[api]) — a duplicated copy here would drift
+    // out of sync with Cli.BoolFlags
+    val (flags, pos) = Cli.parseFlags(args.toList)
     val out = new ByteArrayOutputStream()
     Console.withOut(new PrintStream(out)) { Cli.run(lh, pos, flags) }
     out.toString
@@ -327,7 +311,9 @@ class CliSpec extends AnyFunSuite {
     runCli(lh, "convert", s"$tmp/src", s"$tmp/dst", "--to", "vortex")
     assert(runCli(lh, "query-vortex", s"$tmp/dst",
       "SELECT count(*) AS n FROM data").contains("2"))
-    runCli(lh, "convert-table", "default.emp", s"$tmp/exported", "--compact")
+    // --compact BEFORE the positionals: regression for the flag being
+    // registered in BoolFlags (a valued parse would swallow the table name)
+    runCli(lh, "convert-table", "--compact", "default.emp", s"$tmp/exported")
     assert(spark.read.parquet(s"$tmp/exported").count() == 2)
 
     // namespace backup: one archive per table

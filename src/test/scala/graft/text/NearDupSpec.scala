@@ -127,6 +127,34 @@ class NearDupSpec extends AnyFunSuite {
         s"labels frame may stay persisted): $leftover")
   }
 
+  test("duplicateComponents with a checkpoint dir: reliable files released per round") {
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-").toString
+    sc.setCheckpointDir(ckDir)
+    try {
+      val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val comp = NearDup.duplicateComponents(pairs, maxIter = 30)
+      assert(comp.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+      // unpersist alone does NOT delete reliable checkpoint files — every
+      // superseded round's rdd-* dir must be gone; only the final labels
+      // checkpoint may remain on disk
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      val rddDirs =
+        try walk.iterator().asScala
+          .count(p => p.getFileName.toString.startsWith("rdd-"))
+        finally walk.close()
+      assert(rddDirs <= 1, s"leaked reliable checkpoint dirs: $rddDirs")
+    } finally {
+      // the fixture session is shared and ckpt() keys off dir presence, so
+      // reset the (private) checkpointDir to keep other suites on the
+      // executor-local path
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
   test("LSH bucket-size guard drops a planted mega-bucket, keeps small ones") {
     // 30 identical docs land every band hash in one 30-doc bucket;
     // 2 other identical docs form small buckets that must survive.
