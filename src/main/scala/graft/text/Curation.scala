@@ -34,11 +34,18 @@ object Curation {
     val lang = docs.where(
       TextAnalysis.langId(text).isInCollection(cfg.languages.toSeq))
     val quality = lang.where(TextAnalysis.qualityScore(text) >= cfg.minQuality)
-    val exact = quality
+    // the filter chain above `exact` (marker-count langId + quality score +
+    // md5 + keep-min window) is expensive per evaluation and has THREE
+    // downstream consumers (pair spine ×2 via sizes, anti-join left side) —
+    // checkpointing it once measured ~15% faster end-to-end (Prof A/B,
+    // interleaved; the opposite trade from the cheap-scan hot paths where
+    // a persist loses to recompute). Reliable checkpoint when a dir is
+    // configured, executor-local otherwise (NearDup.ckpt).
+    val exact = NearDup.ckpt(quality
       .withColumn("__fp", TextAnalysis.fingerprint(text))
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
       .where(col(idCol) === col("__keep"))
-      .drop("__fp", "__keep")
+      .drop("__fp", "__keep"))
     val pairs = NearDup.jaccardPairs(exact, idCol, textCol,
       cfg.shingleN, cfg.jaccardThreshold, cfg.maxShingleFreq)
     val nonReps = NearDup.duplicateComponents(pairs)

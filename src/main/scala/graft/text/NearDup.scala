@@ -215,11 +215,12 @@ object NearDup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
-  /** Checkpoint for the CC fixpoint: reliable (driver-set checkpoint dir)
+  /** Checkpoint for the CC fixpoint (also used by [[Curation.funnel]] for
+    * its expensive filter stage): reliable (driver-set checkpoint dir)
     * when one is configured — executor-local checkpoint blocks are
     * non-replicated, so at cluster scale a lost executor would kill the job
     * mid-fixpoint — executor-local otherwise (fast, zero config). */
-  private def ckpt(df: DataFrame): DataFrame =
+  private[text] def ckpt(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch A/B profiling harness. The box's timings are ±50% noisy, so
@@ -21,30 +22,40 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
 
-    // build the stream DIRECTLY (not via the q35 gate closure, which pins
-    // its own partition count internally and would make the A/B a no-op)
-    def q35(parts: Int): Long = {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      try {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(graft.Tables.path(sfDir, "events"))
-        val stream = spark.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        graft.streaming.Streaming.runToMemory(
-          graft.streaming.Streaming.windowedStats(stream), "prof_q35").count()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    import graft.text.{NearDup, TextAnalysis}
+
+    // A: the shipped funnel (exact stage recomputed per consumer)
+    def funnelA(): Long =
+      graft.text.Curation.funnel(docs, "doc_id", "text",
+        graft.text.Curation.Config(), withStats = false)._1.count()
+
+    // B: identical logic, but the post-filter `exact` frame is
+    // checkpointed once so lang/quality/md5/window don't recompute for
+    // the pair stage, the sizes, and the anti-join left side
+    def funnelB(): Long = {
+      val text = col("text")
+      val lang = docs.where(TextAnalysis.langId(text).isInCollection(Seq("en")))
+      val quality = lang.where(TextAnalysis.qualityScore(text) >= 0.3)
+      val exact = quality
+        .withColumn("__fp", TextAnalysis.fingerprint(text))
+        .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy("__fp")))
+        .where(col("doc_id") === col("__keep"))
+        .drop("__fp", "__keep")
+        .localCheckpoint()
+      val pairs = NearDup.jaccardPairs(exact, "doc_id", "text", 3, 0.8, 100)
+      val nonReps = NearDup.duplicateComponents(pairs)
+        .where(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      exact.join(nonReps, Seq("doc_id"), "left_anti").count()
     }
 
-    // warm both shapes once (state-store + streaming-thread init)
-    time("warm q35 parts=32")(q35(32))
-    time("warm q35 parts=8")(q35(8))
-    for (r <- 1 to 4) {
-      time(s"r$r q35 parts=32")(q35(32))
-      time(s"r$r q35 parts=8")(q35(8))
-      time(s"r$r q35 parts=4")(q35(4))
+    time("warm A")(funnelA())
+    time("warm B")(funnelB())
+    for (r <- 1 to 3) {
+      time(s"r$r funnel recompute")(funnelA())
+      time(s"r$r funnel checkpointed")(funnelB())
     }
     spark.stop()
   }
