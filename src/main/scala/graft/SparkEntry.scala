@@ -501,6 +501,21 @@ object SparkEntry {
         "doc_id", "text").select("doc_id")
     }),
 
+    // incremental admission, PRODUCTION shape: the kept side's shingles come
+    // from a materialized table (one shingling pass per corpus lifetime, not
+    // per batch) — must be output-identical to q45's recompute path, so the
+    // two gates share one oracle
+    "q60_admission_materialized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.where(col("doc_id") % 2 === 0)
+      val keptSh = aux(graft.text.NearDup.shingleTable(kept, "doc_id", "text", 3),
+        "kept_shingles")
+      graft.text.Curation.admitIncrementalFromShingles(
+        kept.select(col("doc_id")), keptSh,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select("doc_id")
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -707,6 +722,42 @@ object SparkEntry {
       graft.analytics.Profile.columnCompleteness(c)
     })
   )
+
+  /** Shared by q45 (recompute path) and q60 (materialized kept-shingles
+    * path): the two operator shapes must produce identical admissions. */
+  private val admissionOracle =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, s FROM tok,
+      |    UNNEST(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |      ELSE [] END) AS t(s)),
+      |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b FROM prs
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+      |reach(id, label) AS (
+      |  SELECT DISTINCT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+      |blocked AS (SELECT DISTINCT component FROM comp WHERE id % 2 = 0),
+      |newcomp AS (SELECT id, component FROM comp WHERE id % 2 = 1),
+      |rejected AS (
+      |  SELECT id FROM newcomp WHERE component IN (SELECT component FROM blocked)
+      |  UNION ALL
+      |  SELECT id FROM newcomp WHERE component NOT IN (SELECT component FROM blocked) AND id <> component)
+      |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+      | AND doc_id NOT IN (SELECT id FROM rejected)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1001,39 +1052,10 @@ object SparkEntry {
         |FROM tok GROUP BY token
         |ORDER BY occurrences DESC, token ASC
         |LIMIT 100""".stripMargin,
-    "q45_incremental_admission" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, s FROM tok,
-        |    UNNEST(CASE WHEN len(w) >= 3
-        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-        |      ELSE [] END) AS t(s)),
-        |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id_a, id_b FROM prs
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, label) AS (
-        |  SELECT DISTINCT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
-        |blocked AS (SELECT DISTINCT component FROM comp WHERE id % 2 = 0),
-        |newcomp AS (SELECT id, component FROM comp WHERE id % 2 = 1),
-        |rejected AS (
-        |  SELECT id FROM newcomp WHERE component IN (SELECT component FROM blocked)
-        |  UNION ALL
-        |  SELECT id FROM newcomp WHERE component NOT IN (SELECT component FROM blocked) AND id <> component)
-        |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
-        | AND doc_id NOT IN (SELECT id FROM rejected)""".stripMargin,
+    "q45_incremental_admission" -> admissionOracle,
+    // q60 runs the materialized-kept-shingles operator against the SAME
+    // oracle: the production path must be indistinguishable from recompute
+    "q60_admission_materialized" -> admissionOracle,
     "q44_dup_components" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),

@@ -49,6 +49,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly 1 shuffle Exchange, got $shuffles:\n$p")
   }
 
+  test("q58 tfidf pair stage: inverted-index equi-join, never a quadratic strategy") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.text.TokenSimilarity.tfidfPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxTokenFreq = 100, quantizeScale = 6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "tfidf pairs must not cross join")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "tfidf pairs must not nested-loop join")
+  }
+
+  test("q57 pair stage: cluster-restricted equi-join, not all-pairs") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.vector.KMeansIvf.train(e, "vec_id", "embedding",
+      k = 8, dims = 64, iters = 1)
+    val p = graft.vector.KMeansIvf.dupPairsFromClusters(
+      graft.vector.KMeansIvf.assign(e, "embedding", cents),
+      "vec_id", "embedding", threshold = 0.45)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cluster"), "join must be keyed on the cluster column")
+    assert(!p.contains("CartesianProduct"), "cluster pairs must not cross join")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "cluster pairs must not nested-loop join")
+  }
+
   test("minhash signature stage is narrow — compiled expression, no explode") {
     // inspect the signatures stage directly: in the full q22 frame the
     // candidate set is localCheckpoint'ed, which hides this subtree
