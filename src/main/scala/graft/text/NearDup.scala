@@ -167,9 +167,14 @@ object NearDup {
     * takes the min of its own label and its neighbors'), the standard
     * distributed CC shape — each round is one join + groupBy shuffle on
     * node id; rounds needed = graph diameter (near-dup components are
-    * shallow). Labels are localCheckpoint'ed per round so the plan does
-    * not grow with iterations; the driver holds only a changed-count per
-    * round (the same fixpoint test every iterative graph algorithm runs).
+    * shallow). Labels are checkpointed per round so the plan does not
+    * grow with iterations — executor-local by default, reliable when a
+    * checkpoint dir is configured (survives executor loss mid-fixpoint) —
+    * and each superseded round's storage is released as soon as its
+    * successor materializes (blocks unpersisted, reliable files deleted),
+    * so a deep fixpoint is storage-stable. The driver holds only a
+    * changed-count per round (the same fixpoint test every iterative
+    * graph algorithm runs).
     *
     * Result: (doc_id, component) for every doc appearing in `pairs`. */
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
