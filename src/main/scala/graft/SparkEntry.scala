@@ -672,10 +672,11 @@ object SparkEntry {
     }),
 
     // beyond-reference: TF-IDF cosine near-dup pairs — the weighted cousin
-    // of q48's raw-TF cosine. Weights are quantized to DECIMAL(18,6) so
-    // every aggregate is exact and order-independent (the dsum convention;
-    // raw-double sums would drift with partial-aggregation order and the
-    // engines' last-ulp ln differences).
+    // of q48's raw-TF cosine. Weights are quantized to integer micro-units
+    // (floor(w*1e6+0.5) carried as DECIMAL(18,0) — the scale cancels in
+    // the cosine) so every aggregate is exact and order-independent; raw
+    // doubles would drift with partial-aggregation order, and round()
+    // would reintroduce engine-dependent rounding algorithms.
     "q58_tfidf_pairs" -> ((s, dir) => {
       graft.text.TokenSimilarity.tfidfPairs(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5, maxTokenFreq = 100,

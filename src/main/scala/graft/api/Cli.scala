@@ -675,32 +675,36 @@ object Cli {
         val rowCounts = flags.getOrElse("rows", "1000,10000")
           .split(',').map(_.trim.toInt)
         val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
-        println("rows\tformat\twrite_ms\tread_ms\tbytes")
-        rowCounts.foreach { n =>
-          Seq("parquet" -> Map.empty[String, String],
-            "vortex" -> lh.formats.writerOptions("vortex")).foreach {
-            case (fmt, opts) =>
-              val df = lh.spark.range(n).selectExpr("id",
-                "cast(id % 100 as double) / 7 as v", "concat('row-', id) as s")
-              val p = tmp.resolve(s"$fmt-$n").toString
-              val t0 = System.nanoTime()
-              df.write.mode("overwrite").options(opts).parquet(p)
-              val wMs = (System.nanoTime() - t0) / 1e6
-              val t1 = System.nanoTime()
-              lh.spark.read.parquet(p).count()
-              val rMs = (System.nanoTime() - t1) / 1e6
-              val walk = java.nio.file.Files.walk(tmp.resolve(s"$fmt-$n"))
-              val bytes =
-                try walk.filter(f => f.toString.endsWith(".parquet"))
-                  .mapToLong(java.nio.file.Files.size(_)).sum()
-                finally walk.close()
-              println(f"$n\t$fmt\t$wMs%.1f\t$rMs%.1f\t$bytes")
+        try {
+          println("rows\tformat\twrite_ms\tread_ms\tbytes")
+          rowCounts.foreach { n =>
+            Seq("parquet" -> Map.empty[String, String],
+              "vortex" -> lh.formats.writerOptions("vortex")).foreach {
+              case (fmt, opts) =>
+                val df = lh.spark.range(n).selectExpr("id",
+                  "cast(id % 100 as double) / 7 as v", "concat('row-', id) as s")
+                val p = tmp.resolve(s"$fmt-$n").toString
+                val t0 = System.nanoTime()
+                df.write.mode("overwrite").options(opts).parquet(p)
+                val wMs = (System.nanoTime() - t0) / 1e6
+                val t1 = System.nanoTime()
+                lh.spark.read.parquet(p).count()
+                val rMs = (System.nanoTime() - t1) / 1e6
+                val walk = java.nio.file.Files.walk(tmp.resolve(s"$fmt-$n"))
+                val bytes =
+                  try walk.filter(f => f.toString.endsWith(".parquet"))
+                    .mapToLong(java.nio.file.Files.size(_)).sum()
+                  finally walk.close()
+                println(f"$n\t$fmt\t$wMs%.1f\t$rMs%.1f\t$bytes")
+            }
           }
+        } finally {
+          // cleanup must survive a failed timing loop too
+          val cleanup = java.nio.file.Files.walk(tmp)
+          try cleanup.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally cleanup.close()
         }
-        val cleanup = java.nio.file.Files.walk(tmp)
-        try cleanup.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally cleanup.close()
 
       // ---- schema evolution inspection (schema_evolution.py) --------------
       case List("schema-history", table) =>
@@ -809,6 +813,10 @@ object Cli {
         if (!lh.catalog.tableExists(target))
           lh.catalog.createTable(target, curated.schema, Nil, Map.empty)
         lh.catalog.loadTable(target).overwrite(curated)
+        // the result is materialized into the target table — release the
+        // funnel's internal checkpoints (exact stage + CC labels) so a
+        // long-lived process doesn't accumulate one set per curate call
+        graft.text.NearDup.releaseResultCheckpoints(curated)
         stats.foreach(st => println(
           s"curated ${st.input} -> lang ${st.afterLanguage} -> " +
             s"quality ${st.afterQuality} -> exact ${st.afterExactDedup} -> " +

@@ -32,12 +32,17 @@ object Jsons {
     // unique temp name per writer: with a FIXED sibling name, two processes
     // (CLI + MCP server) writing the same store concurrently could promote
     // a half-written temp file; unique temps make the final move the only
-    // shared step, and that one is atomic
-    val tmp = Files.createTempFile(path.getParent,
-      "." + path.getFileName.toString, ".tmp")
-    Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // shared step, and that one is atomic. Plain Files.write (not
+    // createTempFile) so the file gets umask-default permissions — a 600
+    // temp would carry onto the store file and break a second process
+    // running as a different user.
+    val tmp = path.resolveSibling(
+      s".${path.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    try {
+      Files.write(tmp, s.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp) // no orphan on a failed write
   }
 
   def readString(path: Path): String =

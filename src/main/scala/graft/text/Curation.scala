@@ -26,7 +26,13 @@ object Curation {
     * The near-dup component stage is inherently eager (its fixpoint
     * iteration runs at call time); `withStats = true` additionally costs
     * one counting action per stage, each re-scanning the narrow filter
-    * chain above it — pass `withStats = false` to skip those. */
+    * chain above it — pass `withStats = false` to skip those.
+    *
+    * Checkpoint lifetime: the returned frame references two checkpoints
+    * (the exact stage below, the CC labels inside) that live until context
+    * stop. A long-lived process that calls the funnel repeatedly should
+    * release them once the result is materialized —
+    * [[NearDup.releaseResultCheckpoints]] (the curate verb does). */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(), withStats: Boolean = true)
       : (DataFrame, Option[FunnelStats]) = {

@@ -229,6 +229,13 @@ object NearDup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Release EVERY checkpoint a result frame still references — for
+    * callers that have fully materialized a checkpointed result (e.g. the
+    * curate verb after writing its output table) and would otherwise
+    * accumulate one checkpoint per call for the life of the process
+    * (serve/MCP). The frame must not be evaluated again afterwards. */
+  def releaseResultCheckpoints(df: DataFrame): Unit = releaseCheckpoint(df)
+
   /** Drop a superseded checkpoint's storage: unpersist every LogicalRDD in
     * the frame's plan (a checkpointed frame — possibly under a projection —
     * holds exactly its persisted RDD there). Reliable checkpoints live in

@@ -78,13 +78,17 @@ object TokenSimilarity {
     * `quantizeScale > 0` quantizes each weight to integer "micro-units"
     * (`floor(w·10^scale + 0.5)` carried as DECIMAL) so every aggregate
     * (Σ w², Σ w_a·w_b) is exact and order-independent — the dsum convention
-    * that makes the result reproducible at any parallelism AND
-    * bit-identical to a SQL oracle recomputing the same weights. The scale
+    * that makes the result reproducible at any parallelism. The scale
     * factor cancels in the cosine ratio. floor(x·10^s + 0.5) is chosen over
     * `round(x, s)` deliberately: it is pure IEEE multiply/add/floor, the
     * same ops in any engine, whereas round() implementations differ
     * (BigDecimal-on-decimal-repr vs scaled-multiply) and can disagree on
-    * boundary values. 0 = raw double weights (fastest, spec-tested only). */
+    * boundary values. Residual cross-engine risk, stated honestly: the
+    * floor input still contains each engine's own `ln`, so a weight
+    * landing within 1 ulp of a quantization boundary could floor
+    * differently — deterministic for a fixed corpus and vanishingly rare
+    * (the 1e-6 grid absorbs ulp noise everywhere else), but not
+    * impossible. 0 = raw double weights (fastest, spec-tested only). */
   def tfidfPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenFreq: Int = 0,
       quantizeScale: Int = 0): DataFrame = {

@@ -26,10 +26,24 @@ object Prof {
 
     import graft.text.{NearDup, TextAnalysis}
 
-    // A: the shipped funnel (exact stage recomputed per consumer)
-    def funnelA(): Long =
-      graft.text.Curation.funnel(docs, "doc_id", "text",
-        graft.text.Curation.Config(), withStats = false)._1.count()
+    // A: the funnel's PRE-round-4 shape — exact stage recomputed per
+    // consumer. Hand-built: the shipped Curation.funnel now checkpoints
+    // this stage itself, so calling it here would A/B two identical plans.
+    def funnelA(): Long = {
+      val text = col("text")
+      val lang = docs.where(TextAnalysis.langId(text).isInCollection(Seq("en")))
+      val quality = lang.where(TextAnalysis.qualityScore(text) >= 0.3)
+      val exact = quality
+        .withColumn("__fp", TextAnalysis.fingerprint(text))
+        .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy("__fp")))
+        .where(col("doc_id") === col("__keep"))
+        .drop("__fp", "__keep")
+      val pairs = NearDup.jaccardPairs(exact, "doc_id", "text", 3, 0.8, 100)
+      val nonReps = NearDup.duplicateComponents(pairs)
+        .where(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      exact.join(nonReps, Seq("doc_id"), "left_anti").count()
+    }
 
     // B: identical logic, but the post-filter `exact` frame is
     // checkpointed once so lang/quality/md5/window don't recompute for

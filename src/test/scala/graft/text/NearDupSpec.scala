@@ -148,10 +148,21 @@ class NearDupSpec extends AnyFunSuite {
     } finally {
       // the fixture session is shared and ckpt() keys off dir presence, so
       // reset the (private) checkpointDir to keep other suites on the
-      // executor-local path
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
+      // executor-local path. Reflection is version-fragile: fail LOUDLY if
+      // the field moves (a silent miss would flip every later suite to
+      // reliable checkpoints), without masking the assertion above.
+      val reset = scala.util.Try {
+        val f = sc.getClass.getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(sc, None)
+      }
+      val cleanup = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      try cleanup.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally cleanup.close()
+      assert(reset.isSuccess && sc.getCheckpointDir.isEmpty,
+        s"could not reset SparkContext.checkpointDir (Spark internals " +
+          s"changed?): $reset")
     }
   }
 
