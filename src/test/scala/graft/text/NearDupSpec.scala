@@ -112,6 +112,35 @@ class NearDupSpec extends AnyFunSuite {
     assert(pc.toSeq == Seq(30L))
   }
 
+  test("duplicateComponents matches driver-side union-find on random graphs") {
+    // property check against an independent reference implementation:
+    // min-label union-find (linking the larger root under the smaller
+    // keeps every tree's root = its component minimum)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val ids = Seq.fill(8 + rnd.nextInt(25))(rnd.nextInt(1000).toLong).distinct
+      val edges = Seq.fill(1 + 2 * ids.size) {
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+        def find(x: Long): Long = {
+          var r = x; while (parent(r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(i => i -> find(i)).toMap
+        val got = NearDup.duplicateComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial over ${edges.size} edges")
+      }
+    }
+  }
+
   test("duplicateComponents releases superseded checkpoints (storage-stable fixpoint)") {
     val sc = spark.sparkContext
     // a 51-node path needs several pointer-jumping rounds, each of which
