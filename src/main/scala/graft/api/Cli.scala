@@ -834,7 +834,11 @@ object Cli {
         val before = kept.currentSnapshot.map(_.totalRows).getOrElse(0L)
         val snap = kept.append(admitted)
         // count from the snapshot delta: the admission pipeline ran once
-        // inside append, no second evaluation
+        // inside append, no second evaluation. The result is materialized
+        // into the kept table — release the admission's CC-labels
+        // checkpoint so a long-lived serve process doesn't accumulate one
+        // per admitted batch
+        graft.text.NearDup.releaseResultCheckpoints(admitted)
         println(s"admitted ${snap.totalRows - before} docs into $keptTable " +
           s"(snapshot ${snap.id})")
 

@@ -220,31 +220,53 @@ object NearDup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** RDD ids of checkpoints created by [[ckpt]]. Release paths consult this
+    * so they only ever drop storage THIS module created — a caller-owned
+    * checkpointed / RDD-backed input that happens to sit in the same plan
+    * (e.g. a pre-checkpointed corpus passed into the funnel) is never
+    * unpersisted out from under the caller. Entries are ints; they are
+    * removed on release, so the set is bounded by live graft checkpoints. */
+  private val ownCkptIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Checkpoint for the CC fixpoint (also used by [[Curation.funnel]] for
     * its expensive filter stage): reliable (driver-set checkpoint dir)
     * when one is configured — executor-local checkpoint blocks are
     * non-replicated, so at cluster scale a lost executor would kill the job
-    * mid-fixpoint — executor-local otherwise (fast, zero config). */
-  private[text] def ckpt(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    * mid-fixpoint — executor-local otherwise (fast, zero config).
+    * The created RDD is recorded in [[ownCkptIds]] so release paths can
+    * distinguish it from caller-owned plan leaves. */
+  private[text] def ckpt(df: DataFrame): DataFrame = {
+    val out =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    out.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => ownCkptIds.add(lr.rdd.id)
+      case _ => ()
+    }
+    out
+  }
 
-  /** Release EVERY checkpoint a result frame still references — for
-    * callers that have fully materialized a checkpointed result (e.g. the
-    * curate verb after writing its output table) and would otherwise
-    * accumulate one checkpoint per call for the life of the process
-    * (serve/MCP). The frame must not be evaluated again afterwards. */
+  /** Release every checkpoint CREATED BY THIS MODULE that a result frame
+    * still references — for callers that have fully materialized a
+    * checkpointed result (e.g. the curate/admit verbs after writing their
+    * output table) and would otherwise accumulate one checkpoint per call
+    * for the life of the process (serve/MCP). Caller-owned checkpointed
+    * inputs in the same plan are left untouched (ownership is tracked per
+    * RDD id, not inferred from plan shape). The frame must not be
+    * evaluated again afterwards. */
   def releaseResultCheckpoints(df: DataFrame): Unit = releaseCheckpoint(df)
 
-  /** Drop a superseded checkpoint's storage: unpersist every LogicalRDD in
-    * the frame's plan (a checkpointed frame — possibly under a projection —
-    * holds exactly its persisted RDD there). Reliable checkpoints live in
-    * FILES, not block storage, and Spark never deletes them on unpersist —
-    * so the checkpoint directory is removed too, or a 10-round fixpoint
-    * would leave O(rounds × data) dead snapshots on the checkpoint store. */
+  /** Drop a superseded checkpoint's storage: unpersist each LogicalRDD in
+    * the frame's plan that [[ckpt]] created (a checkpointed frame —
+    * possibly under a projection — holds exactly its persisted RDD there).
+    * Reliable checkpoints live in FILES, not block storage, and Spark never
+    * deletes them on unpersist — so the checkpoint directory is removed
+    * too, or a 10-round fixpoint would leave O(rounds × data) dead
+    * snapshots on the checkpoint store. */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if ownCkptIds.remove(lr.rdd.id) =>
         lr.rdd.unpersist(blocking = false)
         lr.rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)

@@ -156,6 +156,23 @@ class NearDupSpec extends AnyFunSuite {
         s"labels frame may stay persisted): $leftover")
   }
 
+  test("releaseResultCheckpoints leaves caller-owned checkpointed inputs alive") {
+    // a caller pre-checkpoints their corpus, runs a graft operator over it,
+    // materializes the result, releases the operator's internal checkpoints
+    // — the caller's own checkpoint must survive (release is ownership-
+    // tracked, not pattern-matched over every LogicalRDD in the plan)
+    val callerOwned = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .localCheckpoint()
+    val comp = NearDup.duplicateComponents(callerOwned, maxIter = 30)
+    assert(comp.count() == 21L)
+    NearDup.releaseResultCheckpoints(comp)
+    // the operator's final labels checkpoint is gone, but the caller's
+    // input frame must still be fully evaluable — a localCheckpoint's
+    // lineage is truncated, so if release had wrongly unpersisted it this
+    // count would throw, not recompute
+    assert(callerOwned.count() == 20L)
+  }
+
   test("duplicateComponents with a checkpoint dir: reliable files released per round") {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
