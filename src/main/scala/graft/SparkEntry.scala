@@ -516,6 +516,42 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // cross-doc repeated k-token spans (exact-substring dedup, marking
+    // stage): per doc, how many 5-token windows also occur in >=2 docs
+    "q61_repeated_spans" -> ((s, dir) => {
+      graft.text.SpanDedup.markRepeatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+    }),
+
+    // span scrub (removal stage): drop every token covered by a cross-doc
+    // duplicated 5-span, rebuild the text, count removed positions
+    "q62_span_scrub" -> ((s, dir) => {
+      graft.text.SpanDedup.removeRepeatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+        .withColumn("n_removed", col("n_removed").cast("long"))
+    }),
+
+    // banded range join: point-in-interval as a bin equi-join (no
+    // BroadcastNestedLoop/Cartesian — PlanAuditSpec asserts) against 40
+    // overlapping value bands
+    "q63_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 40).select(col("id").as("band_id"),
+        (col("id") * lit(12.0)).as("lo"),
+        (col("id") * lit(12.0) + lit(30.0)).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+        t(s, dir, "events"), "value", bands, "lo", "hi", binWidth = 30.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_event_id"))
+    }),
+
+    // corpus unigram-LM scoring (CCNet-style quality proxy): per-doc
+    // average token log-probability, micro-unit-exact across engines
+    "q64_unigram_logprob" -> ((s, dir) => {
+      graft.text.LanguageModel.unigramLogProb(t(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1057,6 +1093,65 @@ object SparkEntry {
     // q60 runs the materialized-kept-shingles operator against the SAME
     // oracle: the production path must be indistinguishable from recompute
     "q60_admission_materialized" -> admissionOracle,
+    "q61_repeated_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS span
+        |  FROM tok, unnest(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |dup AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT sp.doc_id, count(*) AS n_spans, count(dup.span) AS n_dup_spans
+        |FROM sp LEFT JOIN dup ON sp.span = dup.span
+        |GROUP BY sp.doc_id""".stripMargin,
+    "q62_span_scrub" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS span
+        |  FROM tok, unnest(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |dup AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT sp.doc_id, u2.p
+        |  FROM sp JOIN dup ON sp.span = dup.span, unnest(range(sp.pos, sp.pos + 5)) AS u2(p)),
+        |tk AS (
+        |  SELECT doc_id, i - 1 AS p, t[i] AS tokn
+        |  FROM tok, unnest(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT tk.doc_id,
+        |    coalesce(string_agg(tk.tokn, ' ' ORDER BY tk.p)
+        |      FILTER (WHERE cov.p IS NULL), '') AS clean_text
+        |  FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+        |  GROUP BY tk.doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT k.doc_id, k.clean_text, COALESCE(r.n_removed, 0) AS n_removed
+        |FROM kept k LEFT JOIN rem r ON k.doc_id = r.doc_id""".stripMargin,
+    "q63_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 12.0 AS lo, i * 12.0 + 30.0 AS hi
+        |  FROM unnest(range(0, 40)) AS u(i))
+        |SELECT band_id, count(*) AS n_events,
+        |  CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band_id""".stripMargin,
+    "q64_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE length(token) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |lp AS (
+        |  -- micro-unit quantization: floor(x*1e6 + 0.5) is pure IEEE
+        |  -- mul/add/floor, identical in both engines
+        |  SELECT token, CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS lpq
+        |  FROM c, tot)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(lpq) AS DOUBLE) / (count(*) * 1000000.0) AS avg_logprob
+        |FROM tk JOIN lp USING (token)
+        |GROUP BY tk.doc_id""".stripMargin,
     "q44_dup_components" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),

@@ -75,6 +75,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "cluster pairs must not nested-loop join")
   }
 
+  test("q63 range join: bin equi-join, never a quadratic strategy") {
+    val p = planOf("q63_range_join")
+    assert(!p.contains("CartesianProduct"),
+      "banded range join must not cross join")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "banded range join must not nested-loop join — the bin key makes it " +
+        "a hash/sort-merge join")
+  }
+
+  test("q61: span-hash joins are hash-keyed, never quadratic") {
+    val p = planOf("q61_repeated_spans")
+    assert(!p.contains("CartesianProduct"), "span join must not cross join")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "span join must not nested-loop join")
+  }
+
+  test("q64: token scoring join is a hash join (1-row total broadcast aside)") {
+    val p = planOf("q64_unigram_logprob")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus-total rides in as a broadcast SINGLE ROW (planner lowers
+    // that cross join to a 1-row BroadcastNestedLoop — constant work, the
+    // same shape Mixture uses); the token join itself must be hash-keyed
+    assert(p.contains("HashJoin"), "tok->lp join must be a hash join")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the 1-row total broadcast may nested-loop: $p")
+  }
+
   test("minhash signature stage is narrow — compiled expression, no explode") {
     // inspect the signatures stage directly: in the full q22 frame the
     // candidate set is localCheckpoint'ed, which hides this subtree
