@@ -552,6 +552,28 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // bucketed-table join: co-bucketed copies of the two fact tables join
+    // with ZERO shuffle Exchanges (BucketingSpec asserts the plan); the
+    // gate proves the bucketed path is bit-identical to the plain join
+    "q65_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.io.Bucketing.drop(s, "gq65_li", purge = true)
+      graft.io.Bucketing.drop(s, "gq65_o", purge = true)
+      graft.io.Bucketing.writeBucketed(li, "gq65_li", s"$AuxDir/bk_li",
+        Seq("l_orderkey"), numBuckets = 8)
+      graft.io.Bucketing.writeBucketed(o, "gq65_o", s"$AuxDir/bk_o",
+        Seq("o_orderkey"), numBuckets = 8)
+      graft.io.Bucketing.read(s, "gq65_li")
+        .join(graft.io.Bucketing.read(s, "gq65_o"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(discPrice).cast("double").as("revenue"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1127,6 +1149,11 @@ object SparkEntry {
         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
         |SELECT k.doc_id, k.clean_text, COALESCE(r.n_removed, 0) AS n_removed
         |FROM kept k LEFT JOIN rem r ON k.doc_id = r.doc_id""".stripMargin,
+    "q65_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q63_range_join" ->
       """WITH bands AS (
         |  SELECT i AS band_id, i * 12.0 AS lo, i * 12.0 + 30.0 AS hi
