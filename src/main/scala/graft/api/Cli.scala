@@ -856,6 +856,39 @@ object Cli {
           .foreach(r => println(s"${r.get(0)} seq ${r.get(1)}: " +
             s"docs=${r.get(2)} tokens=${r.get(3)} oversize=${r.get(4)}"))
 
+      case List("scrub-spans", table, target) =>
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val k = flags.getOrElse("span-tokens", "20").toInt
+        val minDocs = flags.getOrElse("min-docs", "2").toInt
+        val scrubbed = graft.text.SpanDedup.removeRepeatedSpans(
+          lh.catalog.loadTable(table).read(), id, text, k, minDocs)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, scrubbed.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(scrubbed)
+        println(s"scrubbed $k-token repeated spans from ${snap.totalRows} " +
+          s"docs into $target")
+
+      case List("score-lm", table, target) =>
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val scored = graft.text.LanguageModel.unigramLogProb(
+          lh.catalog.loadTable(table).read(), id, text)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, scored.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(scored)
+        println(s"scored ${snap.totalRows} docs into $target")
+
+      case List("bucketize", table, name, path) =>
+        val keys = flags.getOrElse("keys", "").split(',').filter(_.nonEmpty)
+        if (keys.isEmpty)
+          throw new IllegalArgumentException("bucketize requires --keys k1,k2")
+        val n = flags.getOrElse("buckets", "32").toInt
+        graft.io.Bucketing.writeBucketed(
+          lh.catalog.loadTable(table).read(), name, path, keys.toSeq, n)
+        println(s"bucketed $table by ${keys.mkString(",")} x$n into $name " +
+          s"($path)")
+
       case List("chunk", table, target) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
@@ -1053,6 +1086,9 @@ object Cli {
       |         pack-sequences (--budget 512 --group-col source)
       |         mixture-plan <table> <target-tokens> (--weights web:0.5,code:0.5)
       |         chunk <table> <target> (--size 512 --stride 256)
+      |         scrub-spans <table> <target> (--span-tokens 20 --min-docs 2)
+      |         score-lm <table> <target>
+      |         bucketize <table> <name> <path> (--keys k1,k2 --buckets 32)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

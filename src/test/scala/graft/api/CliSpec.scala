@@ -383,6 +383,33 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "query", "SELECT count(*) AS n FROM curated").contains("2"))
   }
 
+  test("scrub-spans, score-lm and bucketize verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-span-").toString)
+    runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"text":"shared boiler plate header body one"},
+         {"doc_id":2,"text":"shared boiler plate header body two"},
+         {"doc_id":3,"text":"totally original content right here now"}]""")
+    val out = runCli(lh, "scrub-spans", "default.docs", "default.clean",
+      "--span-tokens", "5")
+    assert(out.contains("into default.clean"))
+    val clean = runCli(lh, "query",
+      "SELECT clean_text FROM clean WHERE doc_id = 1")
+    assert(clean.contains("one") && !clean.contains("shared"))
+
+    val lmOut = runCli(lh, "score-lm", "default.docs", "default.scored")
+    assert(lmOut.contains("scored 3 docs"))
+    assert(runCli(lh, "query",
+      "SELECT count(*) AS n FROM scored WHERE avg_logprob < 0").contains("3"))
+
+    val bdir = SparkFixture.tmpDir("graft-cli-bk-").toString
+    val bOut = runCli(lh, "bucketize", "default.docs", "bk_docs_cli",
+      s"$bdir/t", "--keys", "doc_id", "--buckets", "2")
+    assert(bOut.contains("bucketed default.docs by doc_id x2"))
+    assert(spark.table("bk_docs_cli").count() == 3)
+    graft.io.Bucketing.drop(spark, "bk_docs_cli", purge = true)
+  }
+
   test("similar-docs, completeness and classify-changes verbs") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli10-").toString)
     runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
