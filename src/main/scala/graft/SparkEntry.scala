@@ -574,6 +574,16 @@ object SparkEntry {
           sum(discPrice).cast("double").as("revenue"))
     }),
 
+    // int8-quantized embedding near-dup pairs: 4x less data through the
+    // pairwise stage, integer-exact at any parallelism; the oracle redoes
+    // the full quantize + integer-cosine pipeline in SQL
+    "q66_quantized_dup_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = graft.vector.Quantize.quantize(e, "embedding")
+      graft.vector.Quantize.qDupPairs(
+        q.select(col("vec_id"), col("q")), "vec_id", "q", threshold = 0.45)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1149,6 +1159,28 @@ object SparkEntry {
         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
         |SELECT k.doc_id, k.clean_text, COALESCE(r.n_removed, 0) AS n_removed
         |FROM kept k LEFT JOIN rem r ON k.doc_id = r.doc_id""".stripMargin,
+    "q66_quantized_dup_pairs" ->
+      """WITH am AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      (a, b) -> greatest(a, b)) AS m
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END) + 0.5) AS BIGINT)) AS qv
+        |  FROM am),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    sqrt(CAST(list_reduce(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1]),
+        |      (x, y) -> x + y) AS DOUBLE)) AS nrm
+        |  FROM q)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_reduce(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1]),
+        |    (x, y) -> x + y) AS DOUBLE) / (a.nrm * b.nrm) AS qcos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(len(a.qv)), i -> a.qv[i+1] * b.qv[i+1]),
+        |    (x, y) -> x + y) AS DOUBLE) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
     "q65_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

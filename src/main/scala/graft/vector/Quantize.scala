@@ -1,0 +1,66 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 quantization for embedding columns — the memory/IO scale
+  * lever for vector search: a 64-dim float32 embedding is 256 bytes, its
+  * int8 form is 64 bytes + one float scale. At 100 TB of embeddings that
+  * 4× cut is the difference between an ANN pass that fits executor memory
+  * and one that spills; quantized integer dot products are also
+  * ORDER-INDEPENDENT (exact integer sums), so scores are reproducible at
+  * any parallelism — no float-summation drift between cluster sizes.
+  *
+  * Symmetric per-vector scheme: scale = 127 / max|x_i|, q_i =
+  * floor(x_i·scale + 0.5) ∈ [-127, 127]. Cosine over quantized vectors
+  * divides the per-vector scales OUT (they cancel in the ratio), so
+  * quantized cosine ≈ float cosine with bounded rounding error (≤ ~1%
+  * at 64 dims) — and is bit-identical to any other engine computing the
+  * same integer math, which is what gate q66 checks against DuckDB.
+  */
+object Quantize {
+
+  /** int8-quantize `vecCol` (array<float/double>): adds `qCol`
+    * (array<int> in [-127,127]) and `scaleCol` (double; 0-vectors get
+    * scale 0 and all-zero codes). floor(x+0.5) rounding — pure IEEE,
+    * identical in every engine, unlike round-half-even variants. */
+  def quantize(df: DataFrame, vecCol: String, qCol: String = "q",
+      scaleCol: String = "q_scale"): DataFrame = {
+    val absMax = aggregate(transform(col(vecCol), x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    df.withColumn(scaleCol, when(absMax > 0, lit(127.0) / absMax)
+        .otherwise(lit(0.0)))
+      .withColumn(qCol, transform(col(vecCol), x =>
+        floor(x.cast("double") * col(scaleCol) + lit(0.5)).cast("int")))
+  }
+
+  /** Integer dot product of two quantized vectors — exact at any
+    * parallelism (long arithmetic, no float folding). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Quantized cosine: integer dots, scales cancel. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** Near-duplicate pairs over QUANTIZED vectors: all (id_a, id_b),
+    * a < b, quantized cosine >= threshold. Same brute-force baseline
+    * shape as [[VectorOps.cosineDupPairs]] (norms precomputed, one
+    * integer dot per pair) — compose with [[IvfIndex]]/[[KMeansIvf]]
+    * bucketing for the restricted-pair scale path, with 4× less data
+    * moving through the shuffle than the float form. */
+  def qDupPairs(df: DataFrame, idCol: String, qCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(qCol).as("qa"))
+      .withColumn("na", sqrt(qdot(col("qa"), col("qa")).cast("double")))
+    val b = df.select(col(idCol).as("id_b"), col(qCol).as("qb"))
+      .withColumn("nb", sqrt(qdot(col("qb"), col("qb")).cast("double")))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
+          .as("qcos"))
+      .where(col("qcos") >= threshold)
+  }
+}
