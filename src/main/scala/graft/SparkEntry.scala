@@ -584,6 +584,18 @@ object SparkEntry {
         q.select(col("vec_id"), col("q")), "vec_id", "q", threshold = 0.45)
     }),
 
+    // heap-pruned per-group top-k: bounded heaps per partition prune to
+    // <= k rows/(group x partition) BEFORE the shuffle — the window form
+    // shuffles every row; this shuffles the pruned remnant only
+    "q67_topk_per_group" -> ((s, dir) => {
+      graft.operators.TopK.topKPerGroup(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_returnflag"),
+        Seq(("l_quantity", false), ("l_orderkey", true), ("l_linenumber", true)),
+        k = 3)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1159,6 +1171,13 @@ object SparkEntry {
         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
         |SELECT k.doc_id, k.clean_text, COALESCE(r.n_removed, 0) AS n_removed
         |FROM kept k LEFT JOIN rem r ON k.doc_id = r.doc_id""".stripMargin,
+    "q67_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, rnk FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3""".stripMargin,
     "q66_quantized_dup_pairs" ->
       """WITH am AS (
         |  SELECT vec_id, embedding,
