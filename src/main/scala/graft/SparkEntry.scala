@@ -596,6 +596,29 @@ object SparkEntry {
         k = 3)
     }),
 
+    // interval-overlap join via the first-shared-bin trick: each
+    // overlapping pair matches exactly once, no dedup pass
+    "q68_interval_overlap" -> ((s, dir) => {
+      val a = s.range(0, 40).select(col("id").as("a_id"),
+        (col("id") * lit(12.0)).as("a_lo"),
+        (col("id") * lit(12.0) + lit(30.0)).as("a_hi"))
+      val b = s.range(0, 25).select(col("id").as("b_id"),
+        (col("id") * lit(17.0) + lit(5.0)).as("b_lo"),
+        (col("id") * lit(17.0) + lit(29.0)).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 16.0)
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_hi"), col("b_hi"))
+            - greatest(col("a_lo"), col("b_lo"))).as("overlap"))
+    }),
+
+    // §2.5 rollup aggregation (hierarchical totals in one pass)
+    "q69_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1171,6 +1194,19 @@ object SparkEntry {
         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
         |SELECT k.doc_id, k.clean_text, COALESCE(r.n_removed, 0) AS n_removed
         |FROM kept k LEFT JOIN rem r ON k.doc_id = r.doc_id""".stripMargin,
+    "q68_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT i AS a_id, i * 12.0 AS a_lo, i * 12.0 + 30.0 AS a_hi
+        |  FROM unnest(range(0, 40)) AS u(i)),
+        |b AS (
+        |  SELECT i AS b_id, i * 17.0 + 5.0 AS b_lo, i * 17.0 + 29.0 AS b_hi
+        |  FROM unnest(range(0, 25)) AS u(i))
+        |SELECT a_id, b_id, least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin,
+    "q69_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q67_topk_per_group" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, rnk FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,

@@ -43,4 +43,30 @@ object RangeJoin {
     p.join(iv, p("__pbin") === iv("__ibin") && bounds)
       .drop("__pbin", "__ibin")
   }
+
+  /** Interval×interval overlap join (half-open [lo, hi) semantics:
+    * overlap iff a.lo < b.hi AND b.lo < a.hi), as a bin equi-join. Both
+    * sides explode to covered bins; the extra predicate `bin ==
+    * floor(max(a.lo, b.lo) / width)` pins each overlapping pair to its
+    * FIRST SHARED bin — the overlap region's start lies inside both
+    * envelopes, so every qualifying pair matches exactly once with no
+    * dedup pass. Same cost model as [[pointInInterval]], with both sides
+    * fanning out by len/width. */
+  def intervalOverlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String, out: String) =
+      df.withColumn(out, explode(sequence(
+        floor(col(lo).cast("double") / binWidth).cast("long"),
+        floor(col(hi).cast("double") / binWidth).cast("long"))))
+    val l = binned(left, lloCol, lhiCol, "__lbin")
+    val r = binned(right, rloCol, rhiCol, "__rbin")
+    l.join(r,
+        col("__lbin") === col("__rbin") &&
+        col("__lbin") === floor(greatest(col(lloCol), col(rloCol))
+          .cast("double") / binWidth).cast("long") &&
+        col(lloCol) < col(rhiCol) && col(rloCol) < col(lhiCol))
+      .drop("__lbin", "__rbin")
+  }
 }

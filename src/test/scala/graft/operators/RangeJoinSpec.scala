@@ -58,6 +58,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval overlap join equals naive inequality join, exactly once per pair") {
+    val a = intervals.select(col("iid").as("a_id"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = spark.range(0, 35).select(col("id").as("b_id"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(800L)).cast("double") / 10.0
+          - 15.0).as("b_lo"))
+      .withColumn("b_hi", col("b_lo")
+        + pmod(xxhash64(col("b_id"), lit(8)), lit(250L)).cast("double") / 10.0)
+    val expect = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(expect.nonEmpty)
+    for (bw <- Seq(1.3, 8.0, 40.0, 900.0)) {
+      val got = RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi",
+        b, "b_lo", "b_hi", bw)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expect, s"binWidth=$bw diverged (dup or missing pairs)")
+    }
+  }
+
   test("rejects nonpositive binWidth") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 0.0)
