@@ -619,6 +619,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // span-level benchmark decontamination: even-id docs are the training
+    // corpus, odd-id docs the eval set; a 5-token span shared with eval
+    // marks the training doc contaminated
+    "q70_span_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.SpanDedup.crossSpanContamination(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", k = 5)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1194,6 +1204,18 @@ object SparkEntry {
         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
         |SELECT k.doc_id, k.clean_text, COALESCE(r.n_removed, 0) AS n_removed
         |FROM kept k LEFT JOIN rem r ON k.doc_id = r.doc_id""".stripMargin,
+    "q70_span_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |sp AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
+        |  FROM tok, unnest(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |train AS (SELECT * FROM sp WHERE doc_id % 2 = 0),
+        |ref AS (SELECT DISTINCT span FROM sp WHERE doc_id % 2 = 1)
+        |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
+        |FROM train LEFT JOIN ref ON train.span = ref.span
+        |GROUP BY train.doc_id""".stripMargin,
     "q68_interval_overlap" ->
       """WITH a AS (
         |  SELECT i AS a_id, i * 12.0 AS a_lo, i * 12.0 + 30.0 AS a_hi

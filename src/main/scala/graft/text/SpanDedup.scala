@@ -66,6 +66,26 @@ object SpanDedup {
       .agg(count(lit(1)).as("n_spans"), count(col("__d")).as("n_dup_spans"))
   }
 
+  /** Span-level cross-corpus contamination (the GPT-3/PaLM benchmark-
+    * decontamination method): a training doc is contaminated if any of
+    * its k-token spans also occurs in the reference (eval) corpus.
+    * Returns (doc_id, n_spans, n_hits) for every corpus doc with >= k
+    * tokens — n_hits = how many of its span occurrences appear anywhere
+    * in `ref`. Filter n_hits > 0 to drop, or join back for span-level
+    * scrubbing. The ref side is distinct span keys (tiny next to a 100 TB
+    * corpus — eval suites are small), so the join back broadcasts and
+    * fans nothing out. */
+  def crossSpanContamination(corpus: DataFrame, idCol: String,
+      textCol: String, ref: DataFrame, refIdCol: String, refTextCol: String,
+      k: Int): DataFrame = {
+    val sp = spans(corpus, idCol, textCol, k)
+    val refKeys = spans(ref, refIdCol, refTextCol, k)
+      .select("h1", "h2").distinct().withColumn("__hit", lit(1))
+    sp.join(refKeys, Seq("h1", "h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("__hit")).as("n_hits"))
+  }
+
   /** Scrub cross-doc repeated spans out of every document: tokens covered
     * by any duplicated k-span occurrence are dropped, the remaining tokens
     * are rejoined with single spaces. Output is one row per input doc:

@@ -53,6 +53,20 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(2L) == (("y", 4)))
   }
 
+  test("crossSpanContamination flags only training docs sharing a span with ref") {
+    val train = Seq(
+      (10L, "the secret benchmark answer is forty two"),
+      (20L, "completely clean training text goes right here")).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "quiz: the secret benchmark answer is forty two indeed"))
+      .toDF("doc_id", "text")
+    val got = SpanDedup.crossSpanContamination(train, "doc_id", "text",
+      ref, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L)._2 > 0) // shares 5-token spans with ref
+    assert(got(20L) == ((3L, 0L))) // 7 tokens -> 3 spans, none shared
+  }
+
   test("minDocs raises the duplication bar") {
     val df = Seq(
       (1L, "shared span here plus one"),
