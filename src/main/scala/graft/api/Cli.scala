@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.json4s.jackson.JsonMethods
 
 import graft.{Fixtures, Lakehouse}
@@ -999,9 +999,14 @@ object Cli {
         // deterministic (matching the other verbs), not whatever partition
         // order the union happens to produce. Keys first so an update's
         // BEFORE/AFTER rows stay adjacent — type-first would let the cap
-        // cut between the two halves of one update.
+        // cut between the two halves of one update. Within a key, an
+        // explicit rank puts BEFORE ahead of AFTER (alphabetical order
+        // would reverse the natural before→after event order).
+        val typeRank = when(col("change_type") === "UPDATE_BEFORE", lit(0))
+          .when(col("change_type") === "UPDATE_AFTER", lit(1))
+          .otherwise(lit(2))
         val ch = graft.analytics.Cdc.classifyChanges(o, n, keys, cols)
-          .orderBy(keys.map(col) :+ col("change_type"): _*)
+          .orderBy(keys.map(col) :+ typeRank :+ col("change_type"): _*)
           .limit(flags.getOrElse("limit", "1000").toInt)
         ch.collect().foreach { r =>
           val changed = r.getSeq[String](r.fieldIndex("changed_columns"))

@@ -48,7 +48,11 @@ class QueryCache(lh: Lakehouse, ttlMs: Long = 5 * 60 * 1000L,
     val p = CachePolicy(enabled, ttlSeconds.map(_ * 1000L))
     policies.put(qualify(table), p)
     // Jsons.writeFile is unique-temp + atomic-move, so concurrent writers
-    // (CLI + MCP server) can never expose a torn file to a reader
+    // (CLI + MCP server) can never expose a torn file to a reader. That is
+    // the only cross-process guarantee: the read-modify-write itself is
+    // guarded per-JVM (synchronized), so two PROCESSES updating the same
+    // store race last-whole-map-write-wins — acceptable for these small
+    // metadata stores, where the alternative is file locking on every write.
     synchronized { graft.core.Jsons.writeFile(policyPath, policies.toMap) }
     if (!enabled) invalidateTable(table)
     p

@@ -25,10 +25,21 @@ class CliParitySpec extends AnyFunSuite {
     scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty).toList
   }
 
-  /** Repo verb set, extracted from the Cli dispatch source. */
+  /** Repo verb set, extracted from the Cli dispatch source. The path is
+    * resolved by walking up from the working directory to the first ancestor
+    * containing the source tree, so the suite survives forked test JVMs whose
+    * CWD is not the repo root.
+    */
   private def repoVerbs: Set[String] = {
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/main/scala/graft/api/Cli.scala")), "UTF-8")
+    val rel = java.nio.file.Paths.get("src/main/scala/graft/api/Cli.scala")
+    val cliPath = Iterator
+      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(
+        _.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve(rel))
+      .find(java.nio.file.Files.isRegularFile(_))
+      .getOrElse(fail(s"Cli.scala not found above ${sys.props("user.dir")}"))
+    val src = new String(java.nio.file.Files.readAllBytes(cliPath), "UTF-8")
     """case List\("([a-z0-9-]+)"""".r.findAllMatchIn(src).map(_.group(1)).toSet
   }
 
