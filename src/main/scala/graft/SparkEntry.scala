@@ -629,6 +629,65 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text", k = 5)
     }),
 
+    // Bloom-filter join pruning (runtime filter): the fact side is pruned
+    // on the dim keys' Bloom bitmap BEFORE the join shuffle; the exact
+    // join behind it makes the result bit-identical to the plain join
+    // (which is exactly what the oracle runs)
+    "q71_bloom_join_prune" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      graft.operators.BloomPrune.prunedJoin(
+        t(s, dir, "orders"), "o_custkey", dim, "c_custkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // ordered event funnel: earliest signup -> first view after it ->
+    // first purchase after that, one shuffle for all three steps
+    "q72_event_funnel" -> ((s, dir) => {
+      graft.analytics.Funnel.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("signup", "view", "purchase"))
+    }),
+
+    // cohort retention: first-event-day cohorts x day offset
+    "q73_cohort_retention" -> ((s, dir) => {
+      graft.analytics.Funnel.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts")
+        .withColumn("day_offset", col("day_offset").cast("long"))
+    }),
+
+    // per-source quality curation: keep the top quarter of documents per
+    // source by quality score (total order via the doc_id tiebreak)
+    "q74_quality_top_fraction" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.operators.TopK.topFractionPerGroup(scored, Seq("source"),
+        Seq(("score", false), ("doc_id", true)), fraction = 0.25)
+    }),
+
+    // Z-order layout: Morton-interleaved (l_partkey, l_suppkey) z-values,
+    // bucketed into clusters — per-cluster min/max spans on BOTH dims are
+    // what parquet file skipping would see after a clusterByZ rewrite
+    "q75_zorder_cluster" -> ((s, dir) => {
+      val z = graft.operators.ZOrder.zvalue2(
+        col("l_partkey"), col("l_suppkey"), bits = 16)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+        .groupBy(shiftright(col("zval"), 14).as("z_cluster"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+          sum(col("zval")).as("sum_z"))
+    }),
+
+    // event-type transition matrix (lag window per user, one shuffle)
+    "q76_event_transitions" -> ((s, dir) => {
+      graft.analytics.Funnel.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1216,6 +1275,66 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q71_bloom_join_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q72_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |m2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN m1 ON e.user_id = m1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > m1.t GROUP BY 1),
+        |m3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN m2 ON e.user_id = m2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > m2.t GROUP BY 1)
+        |SELECT u.user_id, m1.t AS step_0_ts, m2.t AS step_1_ts, m3.t AS step_2_ts,
+        |  (CASE WHEN m1.t IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN m2.t IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN m3.t IS NULL THEN 0 ELSE 1 END) AS reached
+        |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+        |  LEFT JOIN m3 USING (user_id)""".stripMargin,
+    "q73_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q74_quality_top_fraction" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, ${graft.text.TextAnalysis.qualityScoreSql("text")} AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM scored)
+         |SELECT doc_id, source, score, rnk FROM r
+         |WHERE rnk <= greatest(CAST(ceil(n * 0.25) AS BIGINT), 1)""".stripMargin,
+    "q75_zorder_cluster" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${graft.operators.ZOrder.zvalue2Sql("l_partkey", "l_suppkey", bits = 16)} AS zval
+         |  FROM lineitem)
+         |SELECT zval >> 14 AS z_cluster, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+         |  CAST(SUM(zval) AS BIGINT) AS sum_z
+         |FROM z GROUP BY 1""".stripMargin,
+    "q76_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "q68_interval_overlap" ->
       """WITH a AS (
         |  SELECT i AS a_id, i * 12.0 AS a_lo, i * 12.0 + 30.0 AS a_hi

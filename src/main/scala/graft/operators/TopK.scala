@@ -71,6 +71,28 @@ object TopK {
     pruned.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Top `fraction` of rows per group (ceil(n·fraction), never below 1 row
+    * per non-empty group), best-first by `orderCols` — the "keep the best
+    * quarter of documents per source" curation shape. The group count and
+    * the rank share ONE window partitioning, so the whole selection is a
+    * single shuffle; no heap prune applies here because the cutoff depends
+    * on the group's total count, unknown until the group is assembled.
+    * Output schema = input schema + `rnk` (1-based within group). */
+  def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    require(groupCols.nonEmpty && orderCols.nonEmpty)
+    val wOrd = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("rnk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("rnk") <= greatest(ceil(col("__n") * fraction), lit(1)))
+      .drop("__n")
+  }
+
   /** Null-safe comparable compare: nulls sort FIRST ascending (Spark's
     * default; the asc/desc flip in the caller makes them last when
     * descending). */

@@ -42,6 +42,41 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Set((1, None, 1), (1, Some(2L), 2), (2, Some(1L), 1)))
   }
 
+  test("topFractionPerGroup equals the window-form reference") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    val got = TopK.topFractionPerGroup(li, Seq("l_returnflag"),
+      Seq(("l_quantity", false), ("l_orderkey", true), ("l_linenumber", true)),
+      fraction = 0.1)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(desc("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val expect = li
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .where(col("rnk") <= greatest(ceil(col("__n") * 0.1), lit(1)))
+      .drop("__n")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("topFractionPerGroup keeps at least one row per non-empty group") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "v")
+    val got = TopK.topFractionPerGroup(df, Seq("g"), Seq(("v", true)),
+      fraction = 0.01)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("b", 9L)))
+  }
+
+  test("topFractionPerGroup runs in a single shuffle") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    val plan = TopK.topFractionPerGroup(li, Seq("l_returnflag"),
+      Seq(("l_quantity", false), ("l_orderkey", true), ("l_linenumber", true)),
+      fraction = 0.25).queryExecution.executedPlan.toString
+    val shuffles = "Exchange (hash|range|single)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
   test("prune happens before the shuffle (MapPartitions below the Exchange)") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
