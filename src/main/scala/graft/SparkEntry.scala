@@ -688,6 +688,34 @@ object SparkEntry {
         "user_id", "ts", "event_type", "event_id")
     }),
 
+    // §2.5 cube aggregation (all grouping-set combinations in one pass)
+    "q77_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // sliding event-time windows (1 h length, 15 min slide): every event
+    // lands in exactly 4 overlapping windows; the same shape runs
+    // streaming via Streaming.windowedStats(slide = Some("15 minutes"))
+    "q78_sliding_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 6))).cast("double")
+            .as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // §2.12 profile: fixed-width value histogram, single pass, no global
+    // min/max pre-scan (bins derive per-row, empty bins absent)
+    "q79_value_histogram" -> ((s, dir) => {
+      graft.analytics.Profile.histogram(t(s, dir, "events"), "value",
+        binWidth = 25.0)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1275,6 +1303,32 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q77_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q78_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us,
+        |    (epoch_us(ts) // 900000000) * 900000000 AS ws0
+        |  FROM events),
+        |w AS (
+        |  -- 1h window / 15min slide: each event belongs to exactly the 4
+        |  -- slide-aligned windows starting at ws0 - i*15min, i in 0..3
+        |  SELECT e.event_type, e.value,
+        |    make_timestamp(e.ws0 - i * 900000000) AS window_start,
+        |    make_timestamp(e.ws0 - i * 900000000 + 3600000000) AS window_end
+        |  FROM e, unnest(range(0, 4)) AS u(i))
+        |SELECT window_start, window_end, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "q79_value_histogram" ->
+      """SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bin,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        | CAST(floor((value - 0.0) / 25.0) AS BIGINT) * 25.0 + 0.0 AS bin_lo
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q71_bloom_join_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

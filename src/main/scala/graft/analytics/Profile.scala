@@ -188,4 +188,20 @@ object Profile {
       .select(col("e.column_name"), col("e.n_rows"), col("e.n_nulls"),
         col("e.n_distinct"), col("e.completeness"))
   }
+
+  /** Fixed-width histogram of a numeric column: bin i covers
+    * [origin + i·width, origin + (i+1)·width). The bin is derived per-row
+    * with floor arithmetic — no global min/max pre-pass, so the histogram
+    * is one single-pass groupBy (map-side combined) and works unchanged on
+    * a stream. Empty bins are simply absent (sparse output). */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double,
+      origin: Double = 0.0): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(floor((col(valueCol) - origin) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("sum_value"))
+      .withColumn("bin_lo", col("bin") * binWidth + origin)
+  }
 }

@@ -37,10 +37,11 @@ object Streaming {
     * computed in exact decimal so the result is identical regardless of
     * micro-batch boundaries and partial-aggregation order. */
   def windowedStats(events: DataFrame, windowLen: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
           .cast("double").as("total_value"))

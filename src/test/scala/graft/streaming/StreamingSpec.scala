@@ -42,6 +42,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.where($"n" =!= $"batch_n").count() == 0)
   }
 
+  test("sliding windowed stats stream matches the batch sliding aggregation") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stats = Streaming.windowedStats(
+      Streaming.eventsStream(spark, dir, schema), "1 hour", "2 hours",
+      slide = Some("15 minutes"))
+    val q = stats.writeStream.outputMode("append").format("memory")
+      .queryName("slidestats").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("slidestats")
+    assert(got.count() > 0)
+    val batch = spark.read.parquet(dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val j = got.join(batch.select($"window.start".as("window_start"),
+      $"event_type", $"n".as("batch_n")), Seq("window_start", "event_type"))
+    assert(j.where($"n" =!= $"batch_n").count() == 0)
+    // sliding: each event contributes to 4 windows, so window rows for a
+    // given type outnumber the tumbling equivalent
+    val tumbling = spark.read.parquet(dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type").agg(count(lit(1)))
+    assert(batch.count() > tumbling.count())
+  }
+
   test("dedupStream drops duplicate keys within the watermark, state bounded") {
     val dir = SparkFixture.tmpDir("graft-dd-").toString
     val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
