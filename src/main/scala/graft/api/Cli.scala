@@ -889,6 +889,76 @@ object Cli {
         println(s"bucketed $table by ${keys.mkString(",")} x$n into $name " +
           s"($path)")
 
+      case List("funnel", table) =>
+        val user = flags.getOrElse("user-col", "user_id")
+        val ts = flags.getOrElse("ts-col", "ts")
+        val ty = flags.getOrElse("type-col", "event_type")
+        val steps = flags.getOrElse("steps", "").split(',').filter(_.nonEmpty)
+        if (steps.isEmpty)
+          throw new IllegalArgumentException("funnel requires --steps a,b,c")
+        graft.analytics.Funnel.funnelSummary(
+          lh.catalog.loadTable(table).read(), user, ts, ty, steps.toSeq)
+          .orderBy("step_no").collect().foreach(r =>
+            println(s"step ${r.get(0)} (${r.get(1)}): ${r.get(2)} users"))
+
+      case List("cohort", table) =>
+        val user = flags.getOrElse("user-col", "user_id")
+        val ts = flags.getOrElse("ts-col", "ts")
+        val limit = flags.getOrElse("limit", "100").toInt
+        graft.analytics.Funnel.cohortRetention(
+          lh.catalog.loadTable(table).read(), user, ts)
+          .orderBy("cohort_day", "day_offset").limit(limit)
+          .collect().foreach(r =>
+            println(s"${r.get(0)} +${r.get(1)}d: ${r.get(2)} users"))
+
+      case List("transitions", table) =>
+        val user = flags.getOrElse("user-col", "user_id")
+        val ts = flags.getOrElse("ts-col", "ts")
+        val ty = flags.getOrElse("type-col", "event_type")
+        val tie = flags.getOrElse("tie-col", "event_id")
+        graft.analytics.Funnel.transitions(
+          lh.catalog.loadTable(table).read(), user, ts, ty, tie)
+          .orderBy(org.apache.spark.sql.functions.desc("n"),
+            col("prev_type"), col("next_type"))
+          .limit(flags.getOrElse("limit", "100").toInt)
+          .collect().foreach(r =>
+            println(s"${r.get(0)} -> ${r.get(1)}: ${r.get(2)}"))
+
+      case List("histogram", table, column) =>
+        val width = flags.getOrElse("bin-width", "10").toDouble
+        val origin = flags.getOrElse("origin", "0").toDouble
+        graft.analytics.Profile.histogram(
+          lh.catalog.loadTable(table).read(), column, width, origin)
+          .orderBy("bin").limit(flags.getOrElse("limit", "200").toInt)
+          .collect().foreach(r => println(
+            f"[${r.getDouble(3)}%.2f, ${r.getDouble(3) + width}%.2f): " +
+              s"${r.get(1)} rows"))
+
+      case List("zorder", table, target) =>
+        val cols2 = flags.getOrElse("cols", "").split(',').filter(_.nonEmpty)
+        if (cols2.length != 2)
+          throw new IllegalArgumentException("zorder requires --cols x,y")
+        val parts = flags.getOrElse("partitions", "32").toInt
+        val clustered = graft.operators.ZOrder.clusterByZ(
+          lh.catalog.loadTable(table).read(), cols2(0), cols2(1), parts)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, clustered.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(clustered)
+        println(s"z-ordered ${snap.totalRows} rows of $table by " +
+          s"(${cols2(0)}, ${cols2(1)}) into $target ($parts partitions)")
+
+      case List("bloom-join", fact, dim) =>
+        val fk = flags.getOrElse("fact-key", "")
+        val dk = flags.getOrElse("dim-key", fk)
+        if (fk.isEmpty)
+          throw new IllegalArgumentException(
+            "bloom-join requires --fact-key (and --dim-key if it differs)")
+        val joined = graft.operators.BloomPrune.prunedJoin(
+          lh.catalog.loadTable(fact).read(), fk,
+          lh.catalog.loadTable(dim).read(), dk)
+        println(s"bloom-pruned join $fact x $dim on $fk=$dk: " +
+          s"${joined.count()} rows")
+
       case List("chunk", table, target) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
@@ -1094,10 +1164,15 @@ object Cli {
       |         scrub-spans <table> <target> (--span-tokens 20 --min-docs 2)
       |         score-lm <table> <target>
       |         bucketize <table> <name> <path> (--keys k1,k2 --buckets 32)
+      |         zorder <table> <target> (--cols x,y --partitions 32)
+      |         bloom-join <fact> <dim> (--fact-key k --dim-key k)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness
       |         similar-docs (--threshold 0.8 --max-token-freq 100 --tfidf)
+      |         funnel <table> (--steps signup,view,purchase)
+      |         cohort <table> transitions <table> (--user-col --ts-col)
+      |         histogram <table> <column> (--bin-width 10 --origin 0)
       |cdc:     changes change-log change-summary change-export incremental
       |         classify-changes (--keys a,b)
       |         watermark-set watermark-show watermark-reset watermarks

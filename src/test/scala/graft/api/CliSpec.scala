@@ -410,6 +410,43 @@ class CliSpec extends AnyFunSuite {
     graft.io.Bucketing.drop(spark, "bk_docs_cli", purge = true)
   }
 
+  test("funnel, cohort, transitions, histogram, zorder and bloom-join verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-ev-").toString)
+    runCli(lh, "create-table", "default.ev",
+      "event_id:long,user_id:long,ts:timestamp,event_type:string")
+    runCli(lh, "insert", "default.ev",
+      """[{"event_id":1,"user_id":1,"ts":"2024-01-01T00:00:00","event_type":"signup"},
+         {"event_id":2,"user_id":1,"ts":"2024-01-01T00:05:00","event_type":"view"},
+         {"event_id":3,"user_id":1,"ts":"2024-01-02T00:09:00","event_type":"purchase"},
+         {"event_id":4,"user_id":2,"ts":"2024-01-01T00:00:00","event_type":"signup"}]""")
+    val f = runCli(lh, "funnel", "default.ev",
+      "--steps", "signup,view,purchase")
+    assert(f.contains("step 1 (signup): 2 users"))
+    assert(f.contains("step 3 (purchase): 1 users"))
+    val c = runCli(lh, "cohort", "default.ev")
+    assert(c.contains("2024-01-01 +0d: 2 users"))
+    assert(c.contains("2024-01-01 +1d: 1 users"))
+    val tr = runCli(lh, "transitions", "default.ev")
+    assert(tr.contains("signup -> view: 1"))
+    assert(tr.contains("view -> purchase: 1"))
+
+    runCli(lh, "create-table", "default.pts", "x:long,y:long,v:double")
+    runCli(lh, "insert", "default.pts",
+      """[{"x":1,"y":1,"v":5.0},{"x":200,"y":9,"v":17.0},{"x":3,"y":300,"v":26.0}]""")
+    val h = runCli(lh, "histogram", "default.pts", "v", "--bin-width", "10")
+    assert(h.contains("[0.00, 10.00): 1 rows") && h.contains("[10.00, 20.00): 1 rows"))
+    val z = runCli(lh, "zorder", "default.pts", "default.pts_z",
+      "--cols", "x,y", "--partitions", "2")
+    assert(z.contains("z-ordered 3 rows"))
+    assert(runCli(lh, "query", "SELECT count(*) AS n FROM pts_z").contains("3"))
+
+    runCli(lh, "create-table", "default.dim", "k:long")
+    runCli(lh, "insert", "default.dim", """[{"k":1},{"k":3}]""")
+    val b = runCli(lh, "bloom-join", "default.pts", "default.dim",
+      "--fact-key", "x", "--dim-key", "k")
+    assert(b.contains("2 rows"), b)
+  }
+
   test("similar-docs, completeness and classify-changes verbs") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli10-").toString)
     runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
