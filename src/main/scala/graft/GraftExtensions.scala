@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, "graft_dot"),
         (args: Seq[Expression]) => DotProduct(args.head, args(1))))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[IntDotProduct].getName, "graft_qdot"),
+        (args: Seq[Expression]) => IntDotProduct(args.head, args(1))))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_tokens"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[BpeTokenCount].getName, "graft_bpe_tokens"),

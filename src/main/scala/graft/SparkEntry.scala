@@ -716,6 +716,22 @@ object SparkEntry {
         binWidth = 25.0)
     }),
 
+    // deterministic hash-based train/val/test split (md5-keyed so any
+    // engine re-derives the same assignment; no shuffle, pure projection)
+    "q80_hash_split" -> ((s, dir) => {
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.HashSplit.bucket(col("doc_id")).as("bucket"),
+        graft.operators.HashSplit.assign(col("doc_id"), fr).as("split"))
+    }),
+
+    // per-source n-gram diversity (distinct grams / total occurrences) —
+    // corpus-level variety signal next to the per-doc repetition filter
+    "q81_ngram_diversity" -> ((s, dir) => {
+      graft.text.TextAnalysis.ngramDiversity(t(s, dir, "documents"),
+        "source", "text", n = 3)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1303,6 +1319,24 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q80_hash_split" -> {
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      s"""SELECT doc_id,
+         | ${graft.operators.HashSplit.bucketSql("doc_id")} AS bucket,
+         | ${graft.operators.HashSplit.assignSql("doc_id", fr)} AS split
+         |FROM documents""".stripMargin
+    },
+    "q81_ngram_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM tok, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3)
+        |SELECT source, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
+        |  CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS diversity
+        |FROM g GROUP BY source""".stripMargin,
     "q77_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

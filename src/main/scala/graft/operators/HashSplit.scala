@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based dataset splitting (train/validation/test),
+  * beyond-reference.
+  *
+  * Random splits are not reproducible across runs, cluster sizes, or
+  * engines; a split keyed on a content-stable hash is. The bucket is the
+  * first 8 hex digits of md5(key) — md5 because every engine agrees on it
+  * bit-for-bit (the xxhash64 used elsewhere for speed has no cross-engine
+  * twin), so the assignment can be re-derived anywhere, including by the
+  * DuckDB oracle (gate q80) or a Python consumer reading the same table.
+  *
+  * Embarrassingly parallel: no shuffle, no state — one codegen'd
+  * projection. Keying on a GROUP column (e.g. source domain) instead of
+  * the row id keeps whole groups on one side of the split, the standard
+  * guard against near-duplicate leakage across train/test.
+  */
+object HashSplit {
+
+  /** Bucket in [0, buckets): first 8 md5 hex digits of the key, mod
+    * buckets. 32 bits of hash against ≤ ~10^4 buckets makes the modulo
+    * bias negligible (< 2^-18). */
+  def bucket(key: Column, buckets: Int = 10000): Column = {
+    require(buckets > 0 && buckets <= (1 << 20), s"buckets out of range: $buckets")
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+  }
+
+  /** Split-name assignment from cumulative fraction thresholds. Fractions
+    * must sum to ≤ 1; the LAST split absorbs any remainder (so 0.8/0.1/0.1
+    * is exact and rounding dust lands in the final split). */
+  def assign(key: Column, fractions: Seq[(String, Double)],
+      buckets: Int = 10000): Column = {
+    val b = bucket(key, buckets)
+    val thresholds = cumThresholds(fractions, buckets)
+    thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, t), rest) => when(b < t, name).otherwise(rest)
+    }
+  }
+
+  /** ANSI-SQL twin of [[bucket]] for oracle engines without conv(): the
+    * 8 hex digits fold to an integer via strpos arithmetic. */
+  def bucketSql(keyExpr: String, buckets: Int = 10000): String = {
+    val hex = s"md5(CAST($keyExpr AS VARCHAR))"
+    val digits = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($hex, $i, 1)) - 1)")
+    val folded = digits.reduce((a, d) => s"($a * 16 + $d)")
+    s"($folded % $buckets)"
+  }
+
+  /** ANSI-SQL twin of [[assign]]. */
+  def assignSql(keyExpr: String, fractions: Seq[(String, Double)],
+      buckets: Int = 10000): String = {
+    val b = bucketSql(keyExpr, buckets)
+    val thresholds = cumThresholds(fractions, buckets)
+    val whens = thresholds.init
+      .map { case (name, t) => s"WHEN $b < $t THEN '$name'" }.mkString(" ")
+    s"(CASE $whens ELSE '${thresholds.last._1}' END)"
+  }
+
+  /** (name, exclusive upper bucket bound) per split, in declaration order. */
+  private def cumThresholds(fractions: Seq[(String, Double)],
+      buckets: Int): Seq[(String, Long)] = {
+    require(fractions.nonEmpty, "need at least one split")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.map(_._1).zip(cums.map(c => math.floor(c * buckets).toLong))
+  }
+}

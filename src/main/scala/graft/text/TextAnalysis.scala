@@ -99,6 +99,29 @@ object TextAnalysis {
   def repetitionRatio(text: Column, n: Int = 2): Column =
     TextExpressions.repetitionRatio(text, n)
 
+  /** All n-token grams WITH repeats (unlike the per-doc-distinct
+    * [[shingles]] used for Jaccard): pure builtins, codegen-friendly. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-group n-gram diversity: distinct grams / total gram occurrences —
+    * the corpus-level variety signal (low values flag template/boilerplate
+    * sources; the per-document twin is [[repetitionRatio]]). One explode +
+    * one groupBy; the division is one long/long IEEE op, engine-exact. */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(groupCol), explode(ngrams(col(textCol), n)).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_grams"))
+
   // ---- SQL-generator side (DuckDB oracle) --------------------------------
 
   def tokensSql(t: String): String = s"regexp_split_to_array(trim(lower($t)), '\\s+')"

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -306,6 +307,41 @@ object TextExpressions {
         : DotProduct = copy(left = l, right = r)
   }
 
+  /** Exact integer dot product over two array<int> columns (quantized
+    * embeddings): one long accumulator in a primitive while loop. The
+    * higher-order-function form (`aggregate(zip_with(...))`) allocates an
+    * intermediate array and interprets two lambdas PER PAIR — measured 20×
+    * slower on the all-pairs stage (q66). Long arithmetic keeps the sum
+    * exact and order-independent at any parallelism. */
+  case class IntDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_qdot"
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_qdot expects (array<int>, array<int>), got ($l, $r)")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += a.getInt(i).toLong * b.getInt(i).toLong
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression)
+        : IntDotProduct = copy(left = l, right = r)
+  }
+
   /** BPE-ish subword token estimate without a vocabulary: letter runs
     * contribute ceil(len/4) subtokens (≈4 chars/token, the common BPE
     * average), each digit is one token, each non-alphanumeric non-space
@@ -363,6 +399,9 @@ object TextExpressions {
 
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def qdot(a: Column, b: Column): Column =
+    column(IntDotProduct(expression(a), expression(b)))
 
   def markerCount(text: Column, markers: Seq[String]): Column =
     column(MarkerCount(expression(text), markers))

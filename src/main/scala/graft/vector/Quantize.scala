@@ -26,19 +26,22 @@ object Quantize {
     * identical in every engine, unlike round-half-even variants. */
   def quantize(df: DataFrame, vecCol: String, qCol: String = "q",
       scaleCol: String = "q_scale"): DataFrame = {
-    val absMax = aggregate(transform(col(vecCol), x => abs(x.cast("double"))),
-      lit(0.0), (acc, x) => greatest(acc, x))
-    df.withColumn(scaleCol, when(absMax > 0, lit(127.0) / absMax)
-        .otherwise(lit(0.0)))
-      .withColumn(qCol, transform(col(vecCol), x =>
-        floor(x.cast("double") * col(scaleCol) + lit(0.5)).cast("int")))
+    // compiled single-pass expression; the HOF formulation (aggregate
+    // absMax referenced inside a per-element transform lambda) exploded
+    // after CollapseProject inlined the aggregate into every element —
+    // see VectorExpressions.Int8Quantize scaladoc
+    val q8 = graft.vector.VectorExpressions.int8Quantize(col(vecCol))
+    df.withColumn(scaleCol, q8.getField("scale"))
+      .withColumn(qCol, q8.getField("q"))
   }
 
   /** Integer dot product of two quantized vectors — exact at any
-    * parallelism (long arithmetic, no float folding). */
+    * parallelism (long arithmetic, no float folding). Compiled tight-loop
+    * expression: the higher-order `aggregate(zip_with(...))` form
+    * interprets two lambdas and allocates a zipped array per PAIR, which
+    * measured 20× slower on the all-pairs stage. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.text.TextExpressions.qdot(a, b)
 
   /** Quantized cosine: integer dots, scales cancel. */
   def qcosine(a: Column, b: Column): Column =

@@ -52,6 +52,49 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** int8 quantization in one compiled pass: struct(q array<int>, scale
+    * double) with scale = 127/max|x| (0 for zero vectors) and q_i =
+    * floor(x_i·scale + 0.5). Bit-identical to the HOF formulation
+    * (`transform` + `aggregate` greatest-fold — QuantizeSpec asserts), but
+    * one tight two-loop eval per row. The HOF form was pathological here:
+    * CollapseProject inlines the scale (containing the absMax aggregate)
+    * into EVERY lambda element, so each row paid dims × 2 re-evaluations
+    * of a dims-element fold — ~8k interpreted ops per 64-dim row, again
+    * per consumer of the column. */
+  case class Int8Quantize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("scale", DoubleType, nullable = false)))
+    override def prettyName: String = "graft_int8_quantize"
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = a.numElements()
+      var mx = 0.0
+      var i = 0
+      while (i < n) {
+        val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        if (v > mx) mx = v
+        i += 1
+      }
+      val scale = if (mx > 0) 127.0 / mx else 0.0
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(v * scale + 0.5).toInt
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out), scale)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Int8Quantize =
+      copy(child = c)
+  }
+
   /** Nearest-centroid assignment: index (0-based) of the centroid with the
     * smallest squared-L2 distance to the vector; ties break to the lowest
     * index. Centroids are embedded constants (the k-means driver loop
@@ -97,4 +140,6 @@ object VectorExpressions {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), centroids))
+
+  def int8Quantize(vec: Column): Column = column(Int8Quantize(expression(vec)))
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class HashSplitSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("assignment is deterministic and independent of partitioning") {
+    val a = spark.range(0, 1000)
+      .select(col("id"), HashSplit.assign(col("id"), fr).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = spark.range(0, 1000).repartition(7)
+      .select(col("id"), HashSplit.assign(col("id"), fr).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("split sizes approximate the requested fractions") {
+    val counts = spark.range(0, 10000)
+      .select(HashSplit.assign(col("id"), fr).as("s"))
+      .groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000) < 300, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 150, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 150, counts.toString)
+  }
+
+  test("keying on a group column keeps whole groups on one side") {
+    val df = spark.range(0, 600).select(
+      col("id"), (col("id") % 20).as("grp"))
+    val n = df.select(col("grp"), HashSplit.assign(col("grp"), fr).as("s"))
+      .groupBy("grp").agg(countDistinct("s").as("k"))
+      .where(col("k") =!= 1).count()
+    assert(n == 0, "a group was split across assignments")
+  }
+
+  test("fractions summing above 1 or non-positive are rejected") {
+    intercept[IllegalArgumentException] {
+      HashSplit.assign(col("id"), Seq("a" -> 0.9, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      HashSplit.assign(col("id"), Seq("a" -> 0.5, "b" -> -0.1))
+    }
+  }
+
+  test("last split absorbs rounding remainder (total coverage, no nulls)") {
+    val nulls = spark.range(0, 2000)
+      .select(HashSplit.assign(col("id"), Seq("x" -> (1.0 / 3),
+        "y" -> (1.0 / 3), "z" -> (1.0 / 3))).as("s"))
+      .where(col("s").isNull).count()
+    assert(nulls == 0)
+  }
+
+  test("split is a pure projection: no shuffle in the plan") {
+    val plan = spark.range(0, 100)
+      .select(HashSplit.assign(col("id"), fr))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

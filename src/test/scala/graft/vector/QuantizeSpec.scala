@@ -23,6 +23,18 @@ class QuantizeSpec extends AnyFunSuite {
     assert(s2 == 0.0 && q2.forall(_ == 0))
   }
 
+  test("compiled qdot equals the higher-order-function reference") {
+    val q = Quantize.quantize(
+      Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding")
+    val mismatches = q.select(
+      Quantize.qdot(col("q"), col("q")).as("fast"),
+      aggregate(zip_with(col("q"), col("q"), (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
   test("quantized cosine tracks float cosine within 2% on real embeddings") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(60)
