@@ -959,6 +959,34 @@ object Cli {
         println(s"bloom-pruned join $fact x $dim on $fk=$dk: " +
           s"${joined.count()} rows")
 
+      case List("split-assign", table, target) =>
+        val key = flags.getOrElse("key", "doc_id")
+        val fracs = flags.getOrElse("fractions", "train:0.8,val:0.1,test:0.1")
+          .split(',').toSeq.map { kv =>
+            kv.split(':') match {
+              case Array(n, f) if f.toDoubleOption.isDefined => n -> f.toDouble
+              case _ => throw new IllegalArgumentException(
+                s"bad --fractions entry '$kv': expected name:fraction,...")
+            }
+          }
+        val df = lh.catalog.loadTable(table).read()
+          .withColumn("split", graft.operators.HashSplit.assign(col(key), fracs))
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, df.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(df)
+        println(s"assigned ${snap.totalRows} rows of $table into splits " +
+          s"${fracs.map(_._1).mkString("/")} (keyed on $key) -> $target")
+
+      case List("diversity", table) =>
+        val group = flags.getOrElse("group-col", "source")
+        val text = flags.getOrElse("text-col", "text")
+        val n = flags.getOrElse("ngram", "3").toInt
+        graft.text.TextAnalysis.ngramDiversity(
+          lh.catalog.loadTable(table).read(), group, text, n)
+          .orderBy(group).collect().foreach(r => println(
+            f"${r.get(0)}: grams=${r.get(1)} distinct=${r.get(2)} " +
+              f"diversity=${r.getDouble(3)}%.4f"))
+
       case List("chunk", table, target) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
@@ -1166,6 +1194,9 @@ object Cli {
       |         bucketize <table> <name> <path> (--keys k1,k2 --buckets 32)
       |         zorder <table> <target> (--cols x,y --partitions 32)
       |         bloom-join <fact> <dim> (--fact-key k --dim-key k)
+      |         split-assign <table> <target> (--key doc_id
+      |           --fractions train:0.8,val:0.1,test:0.1)
+      |         diversity <table> (--group-col source --ngram 3)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

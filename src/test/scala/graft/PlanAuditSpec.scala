@@ -49,6 +49,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly 1 shuffle Exchange, got $shuffles:\n$p")
   }
 
+  test("q66: quantize + integer dot stay compiled — no interpreted HOF lambdas") {
+    // regression guard for the 40× blowup: CollapseProject once inlined the
+    // absMax aggregate into every transform lambda element, and the pair
+    // stage interpreted aggregate(zip_with(...)) per pair
+    val p = planOf("q66_quantized_dup_pairs")
+    assert(p.contains("graft_qdot"), p)
+    assert(p.contains("graft_int8_quantize"), p)
+    assert(!p.contains("lambdafunction"),
+      s"interpreted HOF lambda leaked into the q66 hot path:\n$p")
+  }
+
   test("q58 tfidf pair stage: inverted-index equi-join, never a quadratic strategy") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.text.TokenSimilarity.tfidfPairs(docs, "doc_id", "text",

@@ -447,6 +447,23 @@ class CliSpec extends AnyFunSuite {
     assert(b.contains("2 rows"), b)
   }
 
+  test("split-assign and diversity verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-sp-").toString)
+    runCli(lh, "create-table", "default.docs", "doc_id:long,source:string,text:string")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"source":"a","text":"one two three one two three"},
+         {"doc_id":2,"source":"a","text":"four five six seven eight nine"},
+         {"doc_id":3,"source":"b","text":"x y z x y z"}]""")
+    val s = runCli(lh, "split-assign", "default.docs", "default.splits",
+      "--key", "doc_id")
+    assert(s.contains("assigned 3 rows") && s.contains("train/val/test"))
+    val names = runCli(lh, "query",
+      "SELECT DISTINCT split FROM splits ORDER BY split")
+    assert(Seq("train", "val", "test").exists(names.contains))
+    val d = runCli(lh, "diversity", "default.docs", "--ngram", "3")
+    assert(d.contains("a: grams=") && d.contains("b: grams="), d)
+  }
+
   test("similar-docs, completeness and classify-changes verbs") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli10-").toString)
     runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
