@@ -732,6 +732,47 @@ object SparkEntry {
         "source", "text", n = 3)
     }),
 
+    // TPC-H Q21 shape (adapted to this schema): suppliers whose returned
+    // line sits on a finished multi-supplier order where NO other supplier
+    // had a return — correlated EXISTS + NOT EXISTS as semi + anti
+    // self-joins sharing the orderkey shuffle
+    "q82_sole_returning_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val sup = t(s, dir, "supplier")
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("k2") === col("l_orderkey")
+          && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("k3") === col("l_orderkey")
+          && col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name")).limit(20)
+    }),
+
+    // TPC-H Q22 shape (adapted): idle rich customers — scalar-subquery
+    // threshold (broadcast 1-row cross join) + anti join on orders
+    "q83_idle_rich_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("code", pmod(col("c_nationkey"), lit(10)))
+        .where(col("code").isin(1, 3, 5, 7))
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders").select("o_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totbal"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1319,6 +1360,31 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q82_sole_returning_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |  AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q83_idle_rich_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal, c_nationkey % 10 AS code
+        |  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7)),
+        |a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT code, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totbal
+        |FROM c, a
+        |WHERE c.c_acctbal > a.avg_bal
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        |GROUP BY code""".stripMargin,
     "q80_hash_split" -> {
       val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
       s"""SELECT doc_id,
