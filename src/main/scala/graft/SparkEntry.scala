@@ -773,6 +773,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totbal"))
     }),
 
+    // train/test leakage audit: near-dup pairs (q20 machinery) whose two
+    // docs landed on DIFFERENT sides of the hash split — the check a
+    // training pipeline runs after splitting; id-keyed split is leaky by
+    // construction, which is exactly what the audit must surface
+    "q84_split_leakage" -> ((s, dir) => {
+      val fr = Seq("train" -> 0.9, "test" -> 0.1)
+      val splits = t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.HashSplit.assign(col("doc_id"), fr).as("split"))
+      val pairs = graft.text.NearDup.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8, maxShingleFreq = 100)
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("split_a"), col("split_b"))
+    }),
+
+    // corpus manifest: the per-source dataset-card row — docs, chars,
+    // tokens, quality, English share — in ONE aggregation pass over the
+    // compiled text expressions
+    "q85_corpus_manifest" -> ((s, dir) => {
+      val ta = graft.text.TextAnalysis
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(ta.tokenCount(col("text"))).cast("long").as("n_tokens"),
+          // micro-unit quantization before summing: floor(q·1e6 + 0.5) is
+          // pure IEEE mul/add/floor (identical both engines) and the long
+          // sum is order-independent at any parallelism
+          sum(floor(ta.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("quality_micro"),
+          sum(when(ta.langId(col("text")) === "en", 1L).otherwise(0L))
+            .as("n_english"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1360,6 +1398,40 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q84_split_leakage" -> {
+      val fr = Seq("train" -> 0.9, "test" -> 0.1)
+      val split = graft.operators.HashSplit.assignSql("doc_id", fr)
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, s FROM tok,
+         |    UNNEST(CASE WHEN len(w) >= 3
+         |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+         |      ELSE [] END) AS t(s)),
+         |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b, CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+         |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+         |sp AS (SELECT doc_id, $split AS split FROM documents)
+         |SELECT jp.id_a, jp.id_b, jp.jaccard,
+         |  pa.split AS split_a, pb.split AS split_b
+         |FROM jp JOIN sp pa ON pa.doc_id = jp.id_a
+         |  JOIN sp pb ON pb.doc_id = jp.id_b
+         |WHERE pa.split <> pb.split""".stripMargin
+    },
+    "q85_corpus_manifest" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         | CAST(SUM(${graft.text.TextAnalysis.tokenCountSql("text")}) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CAST(floor((${graft.text.TextAnalysis.qualityScoreSql("text")}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS quality_micro,
+         | CAST(SUM(CASE WHEN ${graft.text.TextAnalysis.langIdSql("text")} = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english
+         |FROM documents GROUP BY source""".stripMargin,
     "q82_sole_returning_supplier" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM lineitem l1

@@ -100,14 +100,10 @@ object TextAnalysis {
     TextExpressions.repetitionRatio(text, n)
 
   /** All n-token grams WITH repeats (unlike the per-doc-distinct
-    * [[shingles]] used for Jaccard): pure builtins, codegen-friendly. */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * [[shingles]] used for Jaccard): compiled single-pass expression (the
+    * builtin transform/sequence/slice chain interprets three HOFs per
+    * gram — the q66 lesson, see TextExpressions.NGrams). */
+  def ngrams(text: Column, n: Int): Column = TextExpressions.ngrams(text, n)
 
   /** Per-group n-gram diversity: distinct grams / total gram occurrences —
     * the corpus-level variety signal (low values flag template/boilerplate

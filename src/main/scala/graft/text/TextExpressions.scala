@@ -307,6 +307,42 @@ object TextExpressions {
         : DotProduct = copy(left = l, right = r)
   }
 
+  /** All n-token grams WITH repeats — the multiset twin of [[Shingles]]
+    * (which dedups per doc for Jaccard). Compiled single pass; the builtin
+    * formulation (`transform(sequence(...), i -> concat_ws(slice(...)))`)
+    * interprets three nested HOFs and allocates a slice array per gram. */
+  case class NGrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ngrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+      val toks = s.split("\\s+", -1)
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): NGrams = copy(child = c)
+  }
+
   /** Exact integer dot product over two array<int> columns (quantized
     * embeddings): one long accumulator in a primitive while loop. The
     * higher-order-function form (`aggregate(zip_with(...))`) allocates an
@@ -402,6 +438,8 @@ object TextExpressions {
 
   def qdot(a: Column, b: Column): Column =
     column(IntDotProduct(expression(a), expression(b)))
+
+  def ngrams(text: Column, n: Int): Column = column(NGrams(expression(text), n))
 
   def markerCount(text: Column, markers: Seq[String]): Column =
     column(MarkerCount(expression(text), markers))
