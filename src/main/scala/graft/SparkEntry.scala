@@ -811,6 +811,38 @@ object SparkEntry {
             .as("n_english"))
     }),
 
+    // TPC-H Q14 shape: promo revenue share — conditional vs total decimal
+    // sums, one double division at the end (broadcast part dim)
+    "q86_promo_revenue_share" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0)
+          * sum(when(col("p_type") === "PROMO", discPrice)
+              .otherwise(lit(0).cast(D))).cast("double")
+          / sum(discPrice).cast("double")).as("promo_share"))
+    }),
+
+    // TPC-H Q19 shape: OR-of-ANDs join predicate (brand x size x quantity
+    // bands) — the optimizer must keep the equi-key join and evaluate the
+    // disjunction as a post-join filter, not fall back to a cross product
+    "q87_brand_predicate_revenue" -> ((s, dir) => {
+      val bands =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") && bands)
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1398,6 +1430,23 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q86_promo_revenue_share" ->
+      """SELECT 100.0
+        | * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        | / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        | AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'""".stripMargin,
+    "q87_brand_predicate_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q84_split_leakage" -> {
       val fr = Seq("train" -> 0.9, "test" -> 0.1)
       val split = graft.operators.HashSplit.assignSql("doc_id", fr)

@@ -60,6 +60,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"interpreted HOF lambda leaked into the q66 hot path:\n$p")
   }
 
+  test("q87: OR-of-ANDs predicate keeps the equi-key hash join, never a cross product") {
+    val p = planOf("q87_brand_predicate_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"OR-of-ANDs predicate degraded the join strategy:\n$p")
+  }
+
   test("q58 tfidf pair stage: inverted-index equi-join, never a quadratic strategy") {
     val docs = Tables.load(spark, dir, "documents")
     val p = graft.text.TokenSimilarity.tfidfPairs(docs, "doc_id", "text",
