@@ -189,6 +189,16 @@ object Profile {
         col("e.n_distinct"), col("e.completeness"))
   }
 
+  /** Approximate quantiles via Spark's Greenwald-Khanna sketch — the
+    * 100 TB percentile path. The exact form (gate q9's `percentile`)
+    * buffers every value per group; this streams one mergeable sketch of
+    * O(1/relativeError) size through the scan, at the cost of rank error
+    * ≤ relativeError·n (AnalyticsSpec bounds it against the exact answer).
+    * Use exact for gated correctness, this for production profiling. */
+  def approxQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      relativeError: Double = 0.01): Seq[Double] =
+    df.stat.approxQuantile(valueCol, probs.toArray, relativeError).toSeq
+
   /** Fixed-width histogram of a numeric column: bin i covers
     * [origin + i·width, origin + (i+1)·width). The bin is derived per-row
     * with floor arithmetic — no global min/max pre-pass, so the histogram

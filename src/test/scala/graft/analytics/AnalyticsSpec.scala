@@ -35,6 +35,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(id.distinctCount == 100 && id.nullCount == 0)
   }
 
+  test("approxQuantiles ranks within the sketch's relative-error bound") {
+    val df = spark.range(1, 10001).select(col("id").cast("double").as("v"))
+    val got = Profile.approxQuantiles(df, "v", Seq(0.25, 0.5, 0.75),
+      relativeError = 0.01)
+    // GK guarantee: returned value's rank within eps*n of the target rank
+    Seq(2500.0, 5000.0, 7500.0).zip(got).foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) <= 100.0 + 1,
+        s"approx $approx vs exact $exact exceeds eps*n")
+    }
+  }
+
   test("stats cache + staleness by snapshot id") {
     val lh = seeded()
     val s = lh.profile.computeStats("m")

@@ -68,6 +68,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > tumbling.count())
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val dim = Seq(("signup", 5.0), ("view", 1.0), ("purchase", 10.0),
+      ("click", 0.5), ("error", 0.0)).toDF("event_type", "weight")
+    val enriched = Streaming.eventsStream(spark, dir, schema)
+      .join(dim, "event_type") // static side broadcast per micro-batch
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"weight").as("w"))
+    val q = enriched.writeStream.outputMode("complete").format("memory")
+      .queryName("enriched").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("enriched")
+    val batch = spark.read.parquet(dir).join(dim, "event_type")
+      .groupBy($"event_type").agg(count(lit(1)).as("bn"))
+    val j = got.join(batch, Seq("event_type"))
+    assert(j.count() > 0)
+    assert(j.where($"n" =!= $"bn").count() == 0)
+  }
+
   test("dedupStream drops duplicate keys within the watermark, state bounded") {
     val dir = SparkFixture.tmpDir("graft-dd-").toString
     val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
