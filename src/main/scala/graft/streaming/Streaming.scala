@@ -17,6 +17,10 @@ case class SessionState(count: Long, firstTs: Long, lastTs: Long)
 case class UserSession(user_id: Long, events: Long, startMs: Long, endMs: Long,
     durationMs: Long)
 
+/** Per-user funnel progress: stepTsMicros(i) = earliest qualifying event
+  * time for step i (µs since epoch), -1 while unreached. */
+case class FunnelProgress(user_id: Long, stepTsMicros: Seq[Long], reached: Int)
+
 /** Structured Streaming facade. The reference has no continuous streaming —
   * its "incremental" is snapshot-diff micro-batch (SURVEY §2.10), which
   * [[graft.analytics.Incremental]] covers. This module is the Spark-native
@@ -90,6 +94,50 @@ object Streaming {
             state.update(next)
             state.setTimeoutDuration(gapMs)
             Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming ordered funnel — the real-time twin of
+    * [[graft.analytics.Funnel.funnel]]: per-user state is one timestamp
+    * per step (earliest event of step i strictly after step i-1 was
+    * reached), updated as events arrive, emitted whenever it advances
+    * (Update mode). State size = steps × 8 bytes per active user —
+    * independent of event volume.
+    *
+    * Ordering caveat (inherent to incremental funnels): events are
+    * processed in event-time order WITHIN each micro-batch; a late event
+    * arriving in a later batch can only advance, never rewind, the state.
+    * With a single AvailableNow batch the result is exactly the batch
+    * funnel (StreamingSpec asserts equality). */
+  def funnelStream(events: Dataset[Event], steps: Seq[String])
+      : Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(steps.size)(-1L))
+          val before = st.clone()
+          // full microsecond precision: getTime is millis-truncated, the
+          // sub-milli part lives in getNanos — dropping it would diverge
+          // from the batch operator's µs timestamp comparisons
+          def micros(e: Event): Long =
+            math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+          rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+            stepIdx.get(e.event_type).foreach { i =>
+              val tsMicros = micros(e)
+              val prevOk = i == 0 || (st(i - 1) >= 0 && tsMicros > st(i - 1))
+              if (st(i) < 0 && prevOk) st(i) = tsMicros
+            }
+          }
+          if (st.sameElements(before)) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(FunnelProgress(userId, st.toSeq,
+              st.count(_ >= 0)))
           }
       }
   }

@@ -68,6 +68,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > tumbling.count())
   }
 
+  test("funnelStream final state equals the batch funnel") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val steps = Seq("signup", "view", "purchase")
+    val stream = Streaming.eventsStream(spark, dir, schema).as[Event]
+    val q = Streaming.funnelStream(stream, steps)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnelst").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // update mode emits one row per state advance; the final state per
+    // user is the row with the highest reached count
+    val fin = spark.table("funnelst")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(desc("reached"))))
+      .where($"rn" === 1)
+      .select($"user_id", $"stepTsMicros", $"reached")
+    val batch = graft.analytics.Funnel.funnel(
+      spark.read.parquet(dir), "user_id", "ts", "event_type", steps)
+    val batchN = batch.select($"user_id",
+      array(steps.indices.map(i =>
+        coalesce(unix_micros(col(s"step_${i}_ts")), lit(-1L))): _*)
+        .as("stepTsMicros"),
+      $"reached".cast("int").as("reached"))
+    // streamed rows exist only for users who advanced at least one step
+    val batchReached = batchN.where($"reached" > 0)
+    assert(batchReached.count() > 0)
+    assert(fin.count() == batchReached.count())
+    val joined = fin.alias("s").join(batchN.alias("b"), "user_id")
+    val diff = joined.where(
+      col("s.reached") =!= col("b.reached") ||
+        col("s.stepTsMicros") =!= col("b.stepTsMicros")).count()
+    assert(diff == 0, "streaming funnel state diverged from batch funnel")
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     val dir = eventsDir()
     val schema = spark.read.parquet(dir).schema
