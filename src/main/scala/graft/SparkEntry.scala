@@ -843,6 +843,40 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // arbitrary GROUPING SETS (beyond rollup/cube): per-flag totals,
+    // per-status totals, and the grand total in one pass
+    "q88_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gq88_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM gq88_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
+    // native pivot (wide conditional aggregation; q30 is the CASE-WHEN
+    // form) — explicit value list so the plan needs no distinct pre-scan
+    "q89_native_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(D)).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+    }),
+
+    // unpivot/melt (wide -> long): the inverse reshape, one narrow pass
+    "q90_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("tax")), "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("total"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1430,6 +1464,24 @@ object SparkEntry {
         |SELECT train.doc_id, count(*) AS n_spans, count(ref.span) AS n_hits
         |FROM train LEFT JOIN ref ON train.span = ref.span
         |GROUP BY train.doc_id""".stripMargin,
+    "q88_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q89_native_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q90_unpivot" ->
+      """WITH long AS (
+        |  SELECT 'quantity' AS measure, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax' AS measure, CAST(l_tax AS DOUBLE) AS value FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM long GROUP BY measure""".stripMargin,
     "q86_promo_revenue_share" ->
       """SELECT 100.0
         | * CAST(SUM(CASE WHEN p_type = 'PROMO'
