@@ -199,6 +199,21 @@ object Profile {
       relativeError: Double = 0.01): Seq[Double] =
     df.stat.approxQuantile(valueCol, probs.toArray, relativeError).toSeq
 
+  /** Approximate distinct counts per column via HyperLogLog++ — the scale
+    * twin of the exact `countDistinct` in [[columnCompleteness]]: exact
+    * distinct shuffles every distinct value; the HLL sketch is fixed-size
+    * mergeable state per column with relative error ~rsd. One pass, all
+    * columns at once. */
+  def approxDistinct(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val aggs = df.columns.toSeq.map(c =>
+      approx_count_distinct(col(c), rsd).as(c))
+    val entries = df.columns.toSeq.map(c =>
+      struct(lit(c).as("column_name"), col(c).as("approx_distinct")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.approx_distinct"))
+  }
+
   /** Fixed-width histogram of a numeric column: bin i covers
     * [origin + i·width, origin + (i+1)·width). The bin is derived per-row
     * with floor arithmetic — no global min/max pre-pass, so the histogram

@@ -46,6 +46,16 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxDistinct lands within the HLL error envelope per column") {
+    val df = spark.range(1, 5001).select(
+      col("id"), (col("id") % 100).as("mod100"), lit("const").as("c"))
+    val got = Profile.approxDistinct(df, rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("id") - 5000L) <= 500, got.toString)
+    assert(math.abs(got("mod100") - 100L) <= 10, got.toString)
+    assert(got("c") == 1L)
+  }
+
   test("stats cache + staleness by snapshot id") {
     val lh = seeded()
     val s = lh.profile.computeStats("m")
