@@ -70,6 +70,16 @@ object BloomPrune {
     */
   def prunedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    // xxhash64 is TYPE-sensitive (hash of int 5 != long 5 != "5"), while
+    // the equi-join behind the filter would implicitly cast and match —
+    // mismatched key types would silently drop every row whose hashes
+    // disagree across the two sides. Fail fast instead.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloom-pruned join requires identical key types (fact $factKey: $ft, " +
+        s"dim $dimKey: $dt) — cast one side first; xxhash64 is type-sensitive " +
+        "so a widening cast inside the join would not reach the bloom probes")
     val bitmap = build(dim, dimKey, numBits, numHashes)
     fact.where(mightContain(bitmap, col(factKey), numBits, numHashes))
       .join(dim, col(factKey) === col(dimKey))

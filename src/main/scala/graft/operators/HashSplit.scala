@@ -31,14 +31,17 @@ object HashSplit {
 
   /** Split-name assignment from cumulative fraction thresholds. Fractions
     * must sum to ≤ 1; the LAST split absorbs any remainder (so 0.8/0.1/0.1
-    * is exact and rounding dust lands in the final split). */
+    * is exact and rounding dust lands in the final split). A NULL key
+    * yields a NULL assignment — silently folding null-keyed rows into one
+    * split would skew it and defeat the grouped-key leakage guard. */
   def assign(key: Column, fractions: Seq[(String, Double)],
       buckets: Int = 10000): Column = {
     val b = bucket(key, buckets)
     val thresholds = cumThresholds(fractions, buckets)
-    thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+    val assigned = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
       case ((name, t), rest) => when(b < t, name).otherwise(rest)
     }
+    when(key.isNull, lit(null).cast("string")).otherwise(assigned)
   }
 
   /** ANSI-SQL twin of [[bucket]] for oracle engines without conv(): the
@@ -51,14 +54,23 @@ object HashSplit {
     s"($folded % $buckets)"
   }
 
-  /** ANSI-SQL twin of [[assign]]. */
+  /** ANSI-SQL twin of [[assign]], including the NULL-key and single-split
+    * cases (a searched CASE with zero WHEN branches is invalid SQL), with
+    * split names quoted safely. */
   def assignSql(keyExpr: String, fractions: Seq[(String, Double)],
       buckets: Int = 10000): String = {
+    def quote(name: String) = "'" + name.replace("'", "''") + "'"
     val b = bucketSql(keyExpr, buckets)
     val thresholds = cumThresholds(fractions, buckets)
-    val whens = thresholds.init
-      .map { case (name, t) => s"WHEN $b < $t THEN '$name'" }.mkString(" ")
-    s"(CASE $whens ELSE '${thresholds.last._1}' END)"
+    val core =
+      if (thresholds.size == 1) quote(thresholds.last._1)
+      else {
+        val whens = thresholds.init
+          .map { case (name, t) => s"WHEN $b < $t THEN ${quote(name)}" }
+          .mkString(" ")
+        s"(CASE $whens ELSE ${quote(thresholds.last._1)} END)"
+      }
+    s"(CASE WHEN ($keyExpr) IS NULL THEN NULL ELSE $core END)"
   }
 
   /** (name, exclusive upper bucket bound) per split, in declaration order. */

@@ -37,6 +37,22 @@ object TopK {
     require(k > 0, s"k must be positive, got $k")
     require(groupCols.nonEmpty && orderCols.nonEmpty)
     val schema = df.schema
+    // fail fast on the driver: the heap prune compares EXTERNAL row values,
+    // which are java.lang Comparables only for atomic non-binary types.
+    // (The window form sorts binary/array/struct fine — use it for those.)
+    orderCols.foreach { case (c, _) =>
+      import org.apache.spark.sql.types._
+      val dt = schema(c).dataType
+      val comparable = dt match {
+        case _: NumericType => true
+        case StringType | BooleanType | DateType | TimestampType
+            | TimestampNTZType => true
+        case _ => false
+      }
+      require(comparable,
+        s"topKPerGroup order column '$c' has type $dt, which the heap prune " +
+          "cannot compare — use the plain window form for binary/complex keys")
+    }
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val oIdx = orderCols.map { case (c, asc) => (schema.fieldIndex(c), asc) }
     // best-first lexicographic row ordering over the order columns;

@@ -40,7 +40,12 @@ object SpanDedup {
         i => array_join(slice(col("__t"), i + lit(1), lit(k)), " "))))
       .select(col("doc_id"), col("pos"),
         xxhash64(col("col")).as("h1"),
-        xxhash64(col("col"), lit(0x5eed)).as("h2"))
+        // literal FIRST: multi-arg xxhash64 chains left-to-right with the
+        // running hash as seed, so xxhash64(span, lit) would be a pure
+        // function of h1 (h1 collision ⟹ h2 collision — 64 bits of
+        // entropy, not 128). xxhash64(lit, span) re-hashes the span under
+        // an independent seed (hash(0x5eed, 42)).
+        xxhash64(lit(0x5eed), col("col")).as("h2"))
   }
 
   /** Hash pairs of spans occurring in >= `minDocs` distinct documents —

@@ -58,6 +58,15 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(kept == 0)
   }
 
+  test("mismatched key types fail fast instead of silently dropping rows") {
+    val fact = Seq(1, 2, 3).toDF("fk") // int
+    val dim = Seq(1L, 2L).toDF("k")    // long — xxhash64 hashes differently
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin(fact, "fk", dim, "k")
+    }
+    assert(e.getMessage.contains("identical key types"))
+  }
+
   test("membership test stays codegen-compiled (no UDF in the plan)") {
     val bitmap = BloomPrune.build(Seq(1L, 2L).toDF("k"), "k")
     val plan = spark.range(10)

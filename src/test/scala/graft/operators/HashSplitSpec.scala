@@ -56,6 +56,23 @@ class HashSplitSpec extends AnyFunSuite {
     assert(nulls == 0)
   }
 
+  test("null keys get a null assignment, not a silent last-split landing") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val got = df.select(col("id"), HashSplit.assign(col("id"), fr).as("s"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        -> Option(r.getString(1))).toMap
+    assert(got(None).isEmpty)
+    assert(got(Some(1L)).nonEmpty && got(Some(3L)).nonEmpty)
+  }
+
+  test("assignSql stays valid SQL for a single split and quotes names") {
+    val one = HashSplit.assignSql("k", Seq("all" -> 1.0))
+    assert(!one.contains("CASE  ELSE"), one)
+    assert(one.contains("'all'"), one)
+    val quoted = HashSplit.assignSql("k", Seq("o'brien" -> 0.5, "rest" -> 0.5))
+    assert(quoted.contains("'o''brien'"), quoted)
+  }
+
   test("split is a pure projection: no shuffle in the plan") {
     val plan = spark.range(0, 100)
       .select(HashSplit.assign(col("id"), fr))

@@ -42,6 +42,14 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Set((1, None, 1), (1, Some(2L), 2), (2, Some(1L), 1)))
   }
 
+  test("non-comparable order columns are rejected at the driver, not mid-task") {
+    val df = Seq(("a", Array[Byte](1, 2))).toDF("g", "b")
+    val e = intercept[IllegalArgumentException] {
+      TopK.topKPerGroup(df, Seq("g"), Seq(("b", true)), k = 1)
+    }
+    assert(e.getMessage.contains("heap prune"))
+  }
+
   test("topFractionPerGroup equals the window-form reference") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
