@@ -877,6 +877,35 @@ object SparkEntry {
           sum(col("value").cast(D)).cast("double").as("total"))
     }),
 
+    // deterministic fixed-N per-group sample (balanced eval sets): order
+    // inside each source by an md5 hash of the id — pseudorandom but
+    // engine-portable and stable across runs/cluster sizes — and keep 5,
+    // through the heap-pruned top-k (shuffles only the pruned remnant)
+    "q91_group_sample_n" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      graft.operators.TopK.topKPerGroup(keyed, Seq("source"),
+        Seq(("hk", true), ("doc_id", true)), k = 5)
+    }),
+
+    // best-representative dedup: within each near-dup cluster (q44's
+    // components) keep the HIGHEST-quality doc, not the min-id one —
+    // the curation policy that preserves the best copy of each template
+    "q92_best_rep_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.text.NearDup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
+      val comps = graft.text.NearDup.duplicateComponents(pairs)
+      val scored = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(desc("score"), col("doc_id"))
+      comps.join(scored, "doc_id")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("component"), col("doc_id").as("rep_doc_id"), col("score"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1469,6 +1498,50 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q91_group_sample_n" ->
+      """SELECT source, doc_id, hk, rnk FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 5""".stripMargin,
+    "q92_best_rep_dedup" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, s FROM tok,
+         |    UNNEST(CASE WHEN len(w) >= 3
+         |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+         |      ELSE [] END) AS t(s)),
+         |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (
+         |  SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+         |  FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT doc_id, ${graft.text.TextAnalysis.qualityScoreSql("text")} AS score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT comp.component, comp.doc_id, scored.score,
+         |    row_number() OVER (PARTITION BY comp.component
+         |      ORDER BY scored.score DESC, comp.doc_id) AS rnk
+         |  FROM comp JOIN scored USING (doc_id))
+         |SELECT component, doc_id AS rep_doc_id, score
+         |FROM ranked WHERE rnk = 1""".stripMargin,
     "q89_native_pivot" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
