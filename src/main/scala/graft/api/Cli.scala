@@ -987,6 +987,38 @@ object Cli {
             f"${r.get(0)}: grams=${r.get(1)} distinct=${r.get(2)} " +
               f"diversity=${r.getDouble(3)}%.4f"))
 
+      case List("dedup-best", table, target) =>
+        val id = flags.getOrElse("id-col", "doc_id")
+        val text = flags.getOrElse("text-col", "text")
+        val thr = flags.getOrElse("threshold", "0.8").toDouble
+        val maxFreq = flags.getOrElse("max-shingle-freq", "100").toInt
+        val docs = lh.catalog.loadTable(table).read()
+        val pairs = graft.text.NearDup.jaccardPairs(docs, id, text,
+          n = 3, threshold = thr, maxShingleFreq = maxFreq)
+        val comps = graft.text.NearDup.duplicateComponents(pairs)
+        val scored = docs.select(col(id).as("doc_id"),
+          graft.text.TextAnalysis.qualityScore(col(text)).as("__score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))
+          .orderBy(org.apache.spark.sql.functions.desc("__score"), col("doc_id"))
+        // drop every clustered doc except its best-quality representative
+        val losers = comps.join(scored, "doc_id")
+          .withColumn("__rnk",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("__rnk") > 1).select(col("doc_id").as(id))
+        val kept = docs.join(losers, Seq(id), "left_anti")
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, kept.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(kept)
+        graft.text.NearDup.releaseResultCheckpoints(comps)
+        println(s"kept ${snap.totalRows} docs (best-per-cluster) into $target")
+
+      case List("approx-profile", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        graft.analytics.Profile.approxDistinct(df)
+          .orderBy("column_name").collect().foreach(r =>
+            println(s"${r.getString(0)}: ~${r.getLong(1)} distinct"))
+
       case List("chunk", table, target) =>
         val id = flags.getOrElse("id-col", "doc_id")
         val text = flags.getOrElse("text-col", "text")
@@ -1197,6 +1229,8 @@ object Cli {
       |         split-assign <table> <target> (--key doc_id
       |           --fractions train:0.8,val:0.1,test:0.1)
       |         diversity <table> (--group-col source --ngram 3)
+      |         dedup-best <table> <target> (--threshold 0.8)
+      |         approx-profile <table>
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

@@ -464,6 +464,21 @@ class CliSpec extends AnyFunSuite {
     assert(d.contains("a: grams=") && d.contains("b: grams="), d)
   }
 
+  test("dedup-best and approx-profile verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-db-").toString)
+    runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta"},
+         {"doc_id":2,"text":"alpha beta gamma delta epsilon zeta"},
+         {"doc_id":3,"text":"completely different text goes right here"}]""")
+    val out = runCli(lh, "dedup-best", "default.docs", "default.best")
+    assert(out.contains("kept 2 docs"), out)
+    val ids = runCli(lh, "query", "SELECT doc_id FROM best ORDER BY doc_id")
+    assert(ids.contains("3"))
+    val ap = runCli(lh, "approx-profile", "default.docs")
+    assert(ap.contains("doc_id: ~3 distinct"), ap)
+  }
+
   test("similar-docs, completeness and classify-changes verbs") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli10-").toString)
     runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
