@@ -34,6 +34,37 @@ object SparkEntry {
 
   private val AuxDir = "/tmp/graft_aux"
 
+  /** Shared oracle CTE chain: documents → capped 3-gram shingles → Jaccard
+    * ≥ 0.8 pairs → bidirectional edges → recursive transitive closure
+    * (`reach`). Used by BOTH q44 (components) and q92 (best representative
+    * per component) so the two gates cannot drift to checking different
+    * near-dup semantics. Callers prepend `WITH RECURSIVE ` and consume
+    * `reach(id, label)`. */
+  private val componentCtes: String =
+    """tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, s FROM tok,
+      |    UNNEST(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |      ELSE [] END) AS t(s)),
+      |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b FROM prs
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+      |reach(id, label) AS (
+      |  SELECT DISTINCT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
   /** Exact decimal sum of a double column, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
@@ -892,16 +923,8 @@ object SparkEntry {
     // components) keep the HIGHEST-quality doc, not the min-id one —
     // the curation policy that preserves the best copy of each template
     "q92_best_rep_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = graft.text.NearDup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8, maxShingleFreq = 100)
-      val comps = graft.text.NearDup.duplicateComponents(pairs)
-      val scored = docs.select(col("doc_id"),
-        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
-      val w = Window.partitionBy(col("component"))
-        .orderBy(desc("score"), col("doc_id"))
-      comps.join(scored, "doc_id")
-        .withColumn("rnk", row_number().over(w))
+      graft.text.Curation.rankedClusterMembers(t(s, dir, "documents"),
+        "doc_id", "text", graft.text.TextAnalysis.qualityScore(col("text")))
         .where(col("rnk") === 1)
         .select(col("component"), col("doc_id").as("rep_doc_id"), col("score"))
     }),
@@ -1506,29 +1529,7 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rnk <= 5""".stripMargin,
     "q92_best_rep_dedup" ->
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
-         |sh0 AS (
-         |  SELECT DISTINCT doc_id, s FROM tok,
-         |    UNNEST(CASE WHEN len(w) >= 3
-         |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-         |      ELSE [] END) AS t(s)),
-         |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |prs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |jp AS (
-         |  SELECT id_a, id_b FROM prs
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
-         |reach(id, label) AS (
-         |  SELECT DISTINCT src AS id, src AS label FROM edges
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      s"""WITH RECURSIVE $componentCtes,
          |comp AS (
          |  SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
          |  FROM reach GROUP BY id),
@@ -1808,31 +1809,9 @@ object SparkEntry {
         |FROM tk JOIN lp USING (token)
         |GROUP BY tk.doc_id""".stripMargin,
     "q44_dup_components" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, s FROM tok,
-        |    UNNEST(CASE WHEN len(w) >= 3
-        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-        |      ELSE [] END) AS t(s)),
-        |shf AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN shf USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |prs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id_a, id_b FROM prs
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, label) AS (
-        |  SELECT DISTINCT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
-        |FROM reach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+         |FROM reach GROUP BY id""".stripMargin,
     "q43_event_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

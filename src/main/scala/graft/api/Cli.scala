@@ -993,24 +993,17 @@ object Cli {
         val thr = flags.getOrElse("threshold", "0.8").toDouble
         val maxFreq = flags.getOrElse("max-shingle-freq", "100").toInt
         val docs = lh.catalog.loadTable(table).read()
-        val pairs = graft.text.NearDup.jaccardPairs(docs, id, text,
-          n = 3, threshold = thr, maxShingleFreq = maxFreq)
-        val comps = graft.text.NearDup.duplicateComponents(pairs)
-        val scored = docs.select(col(id).as("doc_id"),
-          graft.text.TextAnalysis.qualityScore(col(text)).as("__score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("component"))
-          .orderBy(org.apache.spark.sql.functions.desc("__score"), col("doc_id"))
-        // drop every clustered doc except its best-quality representative
-        val losers = comps.join(scored, "doc_id")
-          .withColumn("__rnk",
-            org.apache.spark.sql.functions.row_number().over(w))
-          .where(col("__rnk") > 1).select(col("doc_id").as(id))
+        // same pipeline as gate q92 (shared helper, cannot drift): drop
+        // every clustered doc except its best-quality representative
+        val ranked = graft.text.Curation.rankedClusterMembers(docs, id, text,
+          graft.text.TextAnalysis.qualityScore(col(text)),
+          threshold = thr, maxShingleFreq = maxFreq)
+        val losers = ranked.where(col("rnk") > 1).select(col("doc_id").as(id))
         val kept = docs.join(losers, Seq(id), "left_anti")
         if (!lh.catalog.tableExists(target))
           lh.catalog.createTable(target, kept.schema, Nil, Map.empty)
         val snap = lh.catalog.loadTable(target).overwrite(kept)
-        graft.text.NearDup.releaseResultCheckpoints(comps)
+        graft.text.NearDup.releaseResultCheckpoints(ranked)
         println(s"kept ${snap.totalRows} docs (best-per-cluster) into $target")
 
       case List("approx-profile", table) =>

@@ -47,6 +47,9 @@ object TopK {
         case _: NumericType => true
         case StringType | BooleanType | DateType | TimestampType
             | TimestampNTZType => true
+        // external type java.time.Duration is Comparable (YearMonthInterval's
+        // java.time.Period is NOT — excluded)
+        case _: DayTimeIntervalType => true
         case _ => false
       }
       require(comparable,
@@ -116,6 +119,14 @@ object TopK {
     case (null, null) => 0
     case (null, _) => -1
     case (_, null) => 1
+    // Strings must compare in UTF-8 BINARY order (what Spark's sort and the
+    // final window use), not java.lang.String's UTF-16 order — the two
+    // disagree on supplementary-plane characters (a surrogate pair sorts
+    // below U+E000 in UTF-16 but above it in UTF-8), which would make the
+    // heap prune lossy for such rows
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
     case (x, y) => throw new IllegalArgumentException(
       s"unorderable order-column values: $x (${x.getClass}) vs $y")

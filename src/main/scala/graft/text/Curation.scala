@@ -78,6 +78,30 @@ object Curation {
     * same connected-components pass the batch funnel uses. Components
     * containing a kept doc reject all their new members; all-new
     * components keep their min id, which IS the component label. */
+  /** Near-dup cluster members ranked best-first within their cluster:
+    * (doc_id, component, score, rnk), rnk 1 = the cluster's representative.
+    * `score` is an arbitrary expression over the doc's columns (typically
+    * `TextAnalysis.qualityScore(col(textCol))`), evaluated only AFTER the
+    * join down to clustered docs — the expensive scoring never runs over
+    * the unclustered majority of the corpus. Ties break to the lowest id.
+    * Shared by gate q92 and the `dedup-best` CLI verb so the two cannot
+    * drift apart. */
+  def rankedClusterMembers(docs: DataFrame, idCol: String, textCol: String,
+      score: org.apache.spark.sql.Column, n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val pairs = NearDup.jaccardPairs(docs, idCol, textCol, n, threshold,
+      maxShingleFreq)
+    val comps = NearDup.duplicateComponents(pairs)
+    val members = comps
+      .join(docs.withColumnRenamed(idCol, "doc_id"), "doc_id")
+      .withColumn("__score", score)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(desc("__score"), col("doc_id"))
+    members.withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("__score").as("score"),
+        col("rnk"))
+  }
+
   def admitIncremental(kept: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, cfg: Config = Config()): DataFrame =
     admitIncrementalFromShingles(kept.select(col(idCol)),

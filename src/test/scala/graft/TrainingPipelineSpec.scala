@@ -71,6 +71,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
       dropNearDups.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("rankedClusterMembers picks the HIGHEST-score representative, id tiebreak") {
+    // two near-dup clusters; the injectable score column makes the
+    // selection policy testable independent of the quality formula
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val docs = Seq(
+      (1L, base), (2L, base), (5L, base), // cluster A
+      (3L, other), (4L, other),           // cluster B
+      (9L, "a lonely unclustered document with completely unique words here")
+    ).toDF("doc_id", "text")
+    // score = doc_id: rep must be the MAX id (desc order), proving the
+    // policy is best-score-first, not min-id
+    val ranked = graft.text.Curation.rankedClusterMembers(
+      docs, "doc_id", "text", col("doc_id").cast("double"))
+    val reps = ranked.where(col("rnk") === 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(reps.values.toSet == Set(5L, 4L), reps.toString)
+    // unclustered doc 9 never appears (components only cover clustered docs)
+    assert(ranked.where(col("doc_id") === 9L).count() == 0)
+    // every cluster member is ranked, ties impossible with distinct scores
+    assert(ranked.count() == 5)
+    NearDup.releaseResultCheckpoints(ranked)
+  }
+
   test("admitIncrementalFromShingles: materialized kept side == recompute path, fewer shingle passes") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val kept = docs.where($"doc_id" % 2 === 0)
