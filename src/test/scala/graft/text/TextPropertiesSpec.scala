@@ -45,6 +45,32 @@ class TextPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("NGrams == sliding n-grams WITH repeats; count = max(0, tokens-n+1)") {
+    forAll(Gen.zip(genText, Gen.choose(1, 4))) { case (text, n) =>
+      val got = evalOne("ng", TextAnalysis.ngrams($"text", n), text)
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+      val sqlTrimmed = text.toLowerCase
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = sqlTrimmed.split("\\s+", -1).toSeq
+      val expect =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got == expect, s"text=${text.take(60)} n=$n")
+      assert(got.size == math.max(0, toks.length - n + 1))
+    }
+  }
+
+  test("IntDotProduct == exact BigInt dot over random int vectors") {
+    val genVec = Gen.listOfN(16, Gen.choose(-127, 127))
+    forAll(Gen.zip(genVec, genVec)) { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(TextExpressions.qdot($"a", $"b").as("d")).head().getLong(0)
+      val expect = a.zip(b).map { case (x, y) =>
+        BigInt(x) * BigInt(y) }.sum
+      assert(BigInt(got) == expect)
+    }
+  }
+
   test("BpeTokenCount == letter-run ceil(len/4) + digits + punct reference") {
     forAll(genText) { text =>
       val got = evalOne("bpe", TextAnalysis.bpeTokenCount($"text"), text)
