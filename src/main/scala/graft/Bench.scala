@@ -28,6 +28,16 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Steady-state pass at the MEASURED sf: pays one-time fixture
+    // materialization (SparkEntry.aux memoizes per (name, dir), so the
+    // timed run below measures the production read-from-parquet path, not
+    // fixture construction) and brings JIT/page cache to the state a
+    // long-running cluster would be in. Skippable for quick local loops.
+    if (!sys.env.get("SPARK_GRAFT_BENCH_NO_STEADY").contains("1")) {
+      selected.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // benchmark hygiene between queries, outside the timed section:
       // drop cached plans/broadcast refs and collect garbage so earlier

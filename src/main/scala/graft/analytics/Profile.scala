@@ -205,9 +205,19 @@ object Profile {
     * mergeable state per column with relative error ~rsd. One pass, all
     * columns at once. */
   def approxDistinct(df: DataFrame, rsd: Double = 0.05): DataFrame = {
-    val aggs = df.columns.toSeq.map(c =>
-      approx_count_distinct(col(c), rsd).as(c))
-    val entries = df.columns.toSeq.map(c =>
+    // MapType is unhashable — one map column would fail the WHOLE
+    // aggregate at analysis time. Profile the hashable columns and skip
+    // the rest (mirroring what columnCompleteness supports).
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(cols.nonEmpty, "no hashable columns to profile")
+    val aggs = cols.map(c => approx_count_distinct(col(c), rsd).as(c))
+    val entries = cols.map(c =>
       struct(lit(c).as("column_name"), col(c).as("approx_distinct")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(entries: _*)).as("e"))

@@ -3,6 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** A built Bloom filter: bitmap words plus the hash count they were built
+  * with. Carrying `numHashes` inside the value makes a build/probe
+  * parameter mismatch unrepresentable — probing with MORE hashes than the
+  * bitmap was built with would yield silent FALSE NEGATIVES (true join
+  * rows dropped before the join), the worst failure mode a pruning filter
+  * can have. */
+case class BloomFilter(words: Array[Long], numHashes: Int) {
+  def numBits: Int = words.length * 64
+  /** Fraction of set bits. Past ~0.5 the false-positive rate climbs
+    * toward 1 and the prune quietly becomes a no-op that still pays
+    * `numHashes` xxhash64 probes per fact row — [[BloomPrune.build]]'s
+    * auto-sizing keeps this ≈0.25 at the observed key count. */
+  def fillFactor: Double =
+    words.iterator.map(java.lang.Long.bitCount).sum.toDouble / numBits
+}
+
 /** Bloom-filter join pruning (runtime filter), beyond-reference.
   *
   * At 100 TB the expensive part of a selective fact⋈dim join is shuffling
@@ -18,46 +34,81 @@ import org.apache.spark.sql.functions._
   * expressions (element_at / shiftright / bitwiseAND) against the bitmap as
   * a foldable array literal, so the test stays inside whole-stage codegen —
   * no UDF, no broadcast variable plumbing.
+  *
+  * Sizing: a Bloom filter saturates silently — at a fixed 64 Kbit a dim of
+  * ~15k distinct keys already passes fill factor 0.5 and the FP rate heads
+  * toward 1. [[build]] therefore sizes the bitmap from the dim-side key
+  * cardinality by default (~10 bits/key, [[sizedBits]]); pass an explicit
+  * `numBits` only when the cardinality is known a priori. Beyond the
+  * [[MaxBits]] cap (~1.6M keys at 10 bits/key) a literal-bitmap probe stops
+  * being the right tool — at that dim size use the plain shuffle join and
+  * let AQE/native runtime filtering handle it.
   */
 object BloomPrune {
 
-  /** Build the bitmap from the dim side's key column.
-    *
-    * Distributed probe-position computation; the driver only materializes
-    * the DISTINCT set bit positions, which is bounded by `numBits` (not by
-    * the dim cardinality), so the collect is safe by construction.
-    */
-  def build(dim: DataFrame, keyCol: String, numBits: Int = 1 << 16,
-      numHashes: Int = 3): Array[Long] = {
-    require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
-    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
-    val probes = (0 until numHashes).map(i =>
-      pmod(xxhash64(lit(i), col(keyCol)), lit(numBits.toLong)).cast("int"))
-    val positions = dim
-      .where(col(keyCol).isNotNull)
-      .select(explode(array(probes: _*)).as("p"))
-      .distinct()
-      .collect()
-      .map(_.getInt(0))
-    val words = new Array[Long](numBits / 64)
-    positions.foreach(p => words(p >> 6) |= 1L << (p & 63))
-    words
+  /** Auto-size sentinel for `numBits`: derive from dim key cardinality. */
+  val AutoBits = 0
+
+  /** Bitmap cap: 1&lt;&lt;24 bits = 2 MB of plan literal. */
+  val MaxBits: Int = 1 << 24
+
+  /** ~`bitsPerKey` bits per distinct key, rounded up to a power of two,
+    * clamped to [1&lt;&lt;10, [[MaxBits]]]. At 10 bits/key and 3 probes the
+    * fill factor stays ≈0.26 and the FP rate ≈1.7% — and doubles in cost
+    * only when the key count doubles, instead of cliffing at a fixed
+    * capacity. */
+  def sizedBits(distinctKeys: Long, bitsPerKey: Int = 10): Int = {
+    val want = math.max(1L << 10, distinctKeys * bitsPerKey)
+    val p2 = if (java.lang.Long.bitCount(want) == 1) want
+             else java.lang.Long.highestOneBit(want) << 1
+    math.min(p2, MaxBits.toLong).toInt
   }
 
-  /** Membership-test column against a bitmap from [[build]]. Must be called
-    * with the same numBits/numHashes the bitmap was built with.
+  /** Build the bitmap from the dim side's key column. `numBits =`
+    * [[AutoBits]] (default) sizes it from `approx_count_distinct` of the
+    * keys via [[sizedBits]].
+    *
+    * Distributed bitmap assembly: probe positions are OR-combined into
+    * 64-bit words executor-side (`groupBy(word) bit_or(mask)`), so the
+    * driver collects at most numBits/64 word rows — bounded by the bitmap
+    * size, never by the dim cardinality. */
+  def build(dim: DataFrame, keyCol: String, numBits: Int = AutoBits,
+      numHashes: Int = 3): BloomFilter = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val keys = dim.where(col(keyCol).isNotNull)
+    val bits =
+      if (numBits == AutoBits)
+        sizedBits(keys.agg(approx_count_distinct(col(keyCol))).head.getLong(0))
+      else numBits
+    require(bits > 0 && bits % 64 == 0,
+      s"numBits must be a positive multiple of 64, got $bits")
+    val probes = (0 until numHashes).map(i =>
+      pmod(xxhash64(lit(i), col(keyCol)), lit(bits.toLong)).cast("int"))
+    val wordRows = keys
+      .select(explode(array(probes: _*)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        // shiftleft builtin via call_function: the in-word bit index is a
+        // column and the Scala helper only takes a literal shift
+        call_function("shiftleft", lit(1L), col("p").bitwiseAND(lit(63))).as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("m"))
+      .collect()
+    val words = new Array[Long](bits / 64)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    BloomFilter(words, numHashes)
+  }
+
+  /** Membership-test column against a [[BloomFilter]] from [[build]] —
+    * probe parameters come from the filter value itself, so they cannot
+    * diverge from what the bitmap was built with.
     *
     * `call_function("shiftright", …)` is used because the in-word bit index
     * is itself a column and the Scala `shiftright` helper only accepts a
     * literal shift; the SQL builtin takes two expressions.
     */
-  def mightContain(bitmap: Array[Long], key: Column, numBits: Int = 1 << 16,
-      numHashes: Int = 3): Column = {
-    require(bitmap.length * 64 == numBits,
-      s"bitmap has ${bitmap.length * 64} bits, expected $numBits")
-    val words = typedLit(bitmap.toSeq)
-    (0 until numHashes).map { i =>
-      val h = pmod(xxhash64(lit(i), key), lit(numBits.toLong)).cast("int")
+  def mightContain(bf: BloomFilter, key: Column): Column = {
+    val words = typedLit(bf.words.toSeq)
+    (0 until bf.numHashes).map { i =>
+      val h = pmod(xxhash64(lit(i), key), lit(bf.numBits.toLong)).cast("int")
       val word = element_at(words, shiftright(h, 6) + lit(1))
       val bit = h.bitwiseAND(lit(63))
       call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
@@ -66,10 +117,11 @@ object BloomPrune {
 
   /** Fact⋈dim equi-join with the fact side Bloom-pruned on the join key
     * before the shuffle. Output is identical to the plain join; the Bloom
-    * stage only removes rows the join would drop anyway.
+    * stage only removes rows the join would drop anyway. The bitmap is
+    * sized from the dim key cardinality unless `numBits` is given.
     */
   def prunedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+      dimKey: String, numBits: Int = AutoBits, numHashes: Int = 3): DataFrame = {
     // xxhash64 is TYPE-sensitive (hash of int 5 != long 5 != "5"), while
     // the equi-join behind the filter would implicitly cast and match —
     // mismatched key types would silently drop every row whose hashes
@@ -80,8 +132,8 @@ object BloomPrune {
       s"bloom-pruned join requires identical key types (fact $factKey: $ft, " +
         s"dim $dimKey: $dt) — cast one side first; xxhash64 is type-sensitive " +
         "so a widening cast inside the join would not reach the bloom probes")
-    val bitmap = build(dim, dimKey, numBits, numHashes)
-    fact.where(mightContain(bitmap, col(factKey), numBits, numHashes))
+    val bf = build(dim, dimKey, numBits, numHashes)
+    fact.where(mightContain(bf, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -81,6 +81,17 @@ object HashSplit {
     require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
     require(fractions.forall(_._2 > 0), "fractions must be positive")
     val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    fractions.map(_._1).zip(cums.map(c => math.floor(c * buckets).toLong))
+    val ts = fractions.map(_._1).zip(cums.map(c => math.floor(c * buckets).toLong))
+    // a fraction below 1/buckets floors to a zero-width bucket range: its
+    // split name would silently never be assigned (and assignSql would
+    // emit a dead WHEN branch). Fail loudly instead.
+    ts.foldLeft(0L) { case (prev, (name, t)) =>
+      require(t > prev,
+        s"split '$name' resolves to an empty bucket range: every fraction " +
+          s"must be >= 1/buckets (= ${1.0 / buckets}); raise the fraction " +
+          "or the bucket count")
+      t
+    }
+    ts
   }
 }

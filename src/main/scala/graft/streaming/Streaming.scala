@@ -102,42 +102,67 @@ object Streaming {
     * [[graft.analytics.Funnel.funnel]]: per-user state is one timestamp
     * per step (earliest event of step i strictly after step i-1 was
     * reached), updated as events arrive, emitted whenever it advances
-    * (Update mode). State size = steps × 8 bytes per active user —
-    * independent of event volume.
+    * (Update mode). State size = steps × 8 bytes per ACTIVE user — and
+    * BOUNDED: a user idle for `idleGap` past the event-time watermark is
+    * evicted (EventTimeTimeout), so on an unbounded user population the
+    * state store holds only the working set, not every user ever seen.
+    * An event arriving after its user was evicted restarts that funnel
+    * from scratch — the same late-data contract as every watermarked
+    * stateful operator here ([[dedupStream]], sessionization).
     *
     * Ordering caveat (inherent to incremental funnels): events are
     * processed in event-time order WITHIN each micro-batch; a late event
     * arriving in a later batch can only advance, never rewind, the state.
     * With a single AvailableNow batch the result is exactly the batch
-    * funnel (StreamingSpec asserts equality). */
-  def funnelStream(events: Dataset[Event], steps: Seq[String])
+    * funnel (StreamingSpec asserts equality; also across batch splits
+    * where later batches carry later event times). */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+      watermark: String = "2 hours", idleGapMs: Long = 24L * 3600 * 1000)
       : Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Array[Long], FunnelProgress](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
-          val st = state.getOption.getOrElse(Array.fill(steps.size)(-1L))
-          val before = st.clone()
-          // full microsecond precision: getTime is millis-truncated, the
-          // sub-milli part lives in getNanos — dropping it would diverge
-          // from the batch operator's µs timestamp comparisons
-          def micros(e: Event): Long =
-            math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
-          rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
-            stepIdx.get(e.event_type).foreach { i =>
-              val tsMicros = micros(e)
-              val prevOk = i == 0 || (st(i - 1) >= 0 && tsMicros > st(i - 1))
-              if (st(i) < 0 && prevOk) st(i) = tsMicros
+          if (state.hasTimedOut) {
+            // idle past the horizon: the funnel can no longer legally
+            // advance within the late-data contract — drop the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val st = state.getOption.getOrElse(Array.fill(steps.size)(-1L))
+            val before = st.clone()
+            // full microsecond precision: getTime is millis-truncated, the
+            // sub-milli part lives in getNanos — dropping it would diverge
+            // from the batch operator's µs timestamp comparisons
+            def micros(e: Event): Long =
+              math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+            batch.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+              stepIdx.get(e.event_type).foreach { i =>
+                val tsMicros = micros(e)
+                val prevOk = i == 0 || (st(i - 1) >= 0 && tsMicros > st(i - 1))
+                if (st(i) < 0 && prevOk) st(i) = tsMicros
+              }
             }
-          }
-          if (st.sameElements(before)) Iterator.empty
-          else {
-            state.update(st)
-            Iterator.single(FunnelProgress(userId, st.toSeq,
-              st.count(_ >= 0)))
+            val advanced = !st.sameElements(before)
+            if (advanced) state.update(st)
+            if (state.exists) {
+              // refresh the eviction horizon on any activity: evict once
+              // the watermark passes idleGapMs beyond the user's newest
+              // event (clamped ahead of the current watermark, which
+              // setTimeoutTimestamp requires)
+              val maxMs = batch.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxMs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            if (advanced)
+              Iterator.single(FunnelProgress(userId, st.toSeq,
+                st.count(_ >= 0)))
+            else Iterator.empty
           }
       }
   }

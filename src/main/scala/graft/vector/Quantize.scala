@@ -49,11 +49,12 @@ object Quantize {
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
   /** Near-duplicate pairs over QUANTIZED vectors: all (id_a, id_b),
-    * a < b, quantized cosine >= threshold. Same brute-force baseline
-    * shape as [[VectorOps.cosineDupPairs]] (norms precomputed, one
-    * integer dot per pair) — compose with [[IvfIndex]]/[[KMeansIvf]]
-    * bucketing for the restricted-pair scale path, with 4× less data
-    * moving through the shuffle than the float form. */
+    * a < b, quantized cosine >= threshold. Brute-force O(n²/2) — the
+    * oracle-checkable BASELINE for [[qDupPairsFromClusters]], same
+    * relationship as [[VectorOps.cosineDupPairs]] to
+    * [[KMeansIvf.dupPairsFromClusters]]. At corpus scale run the
+    * cluster-restricted form; this one exists so the quantized kernels
+    * have an exhaustive ground truth. */
   def qDupPairs(df: DataFrame, idCol: String, qCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(qCol).as("qa"))
@@ -61,6 +62,26 @@ object Quantize {
     val b = df.select(col(idCol).as("id_b"), col(qCol).as("qb"))
       .withColumn("nb", sqrt(qdot(col("qb"), col("qb")).cast("double")))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
+          .as("qcos"))
+      .where(col("qcos") >= threshold)
+  }
+
+  /** Cluster-restricted quantized near-dup pairs — the 100 TB composition:
+    * `adf` carries a `cluster` column (from [[KMeansIvf.assign]] or
+    * [[IvfIndex.bucketed]] renamed) plus the int8 codes, so the pair join
+    * shuffles 4× less data than the float form AND costs Σ cluster²
+    * instead of n²/2. Integer dots → scores exact at any parallelism.
+    * Result: (id_a, id_b, qcos), id_a < id_b. */
+  def qDupPairsFromClusters(adf: DataFrame, idCol: String, qCol: String,
+      threshold: Double): DataFrame = {
+    val a = adf.select(col("cluster"), col(idCol).as("id_a"), col(qCol).as("qa"))
+      .withColumn("na", sqrt(qdot(col("qa"), col("qa")).cast("double")))
+    val b = adf.select(col("cluster"), col(idCol).as("id_b"), col(qCol).as("qb"))
+      .withColumn("nb", sqrt(qdot(col("qb"), col("qb")).cast("double")))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
           .as("qcos"))

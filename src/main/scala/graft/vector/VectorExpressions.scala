@@ -1,6 +1,7 @@
 package graft.vector
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,6 +24,12 @@ object VectorExpressions {
     require(nPlanes >= 1 && nPlanes <= 63)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hyperplane_sig"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got $other")
+    }
 
     @transient private lazy val planes: Array[Array[Double]] =
       Array.tabulate(nPlanes, dims)(VectorOps.planeComponent)
@@ -68,6 +75,12 @@ object VectorExpressions {
       StructField("scale", DoubleType, nullable = false)))
     override def prettyName: String = "graft_int8_quantize"
 
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got $other")
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
       val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -105,6 +118,12 @@ object VectorExpressions {
     require(centroids.nonEmpty)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "graft_nearest_centroid"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got $other")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]

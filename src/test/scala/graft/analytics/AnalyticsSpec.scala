@@ -56,6 +56,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("c") == 1L)
   }
 
+  test("approxDistinct skips unhashable map columns instead of failing the query") {
+    val df = spark.range(1, 101).select(
+      col("id"), map(lit("k"), col("id")).as("m"), (col("id") % 10).as("mod10"))
+    val got = Profile.approxDistinct(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("m"), got.toString)
+    assert(got.contains("id") && got.contains("mod10"), got.toString)
+    val mapsOnly = spark.range(1).select(map(lit("k"), col("id")).as("m"))
+    val e = intercept[IllegalArgumentException] { Profile.approxDistinct(mapsOnly) }
+    assert(e.getMessage.contains("no hashable columns"))
+  }
+
   test("stats cache + staleness by snapshot id") {
     val lh = seeded()
     val s = lh.profile.computeStats("m")

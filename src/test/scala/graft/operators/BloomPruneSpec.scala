@@ -13,9 +13,9 @@ class BloomPruneSpec extends AnyFunSuite {
   test("no false negatives: every dim key passes its own filter") {
     val dim = Tables.load(spark, dir, "customer")
       .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
-    val bitmap = BloomPrune.build(dim, "c_custkey")
+    val bf = BloomPrune.build(dim, "c_custkey")
     val misses = dim
-      .where(!BloomPrune.mightContain(bitmap, col("c_custkey")))
+      .where(!BloomPrune.mightContain(bf, col("c_custkey")))
       .count()
     assert(misses == 0, s"$misses dim keys rejected by their own bloom filter")
   }
@@ -34,14 +34,14 @@ class BloomPruneSpec extends AnyFunSuite {
     val dim = Tables.load(spark, dir, "customer")
       .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val fact = Tables.load(spark, dir, "orders")
-    val bitmap = BloomPrune.build(dim, "c_custkey")
+    val bf = BloomPrune.build(dim, "c_custkey")
     val total = fact.count()
     val kept = fact
-      .where(BloomPrune.mightContain(bitmap, col("o_custkey"))).count()
+      .where(BloomPrune.mightContain(bf, col("o_custkey"))).count()
     val matched = fact.join(dim, col("o_custkey") === col("c_custkey"),
       "left_semi").count()
-    // with 64k bits for a few hundred keys the false-positive rate is tiny:
-    // kept must be >= the true matches and well under the total
+    // auto-sized bitmap keeps the false-positive rate tiny: kept must be
+    // >= the true matches and well under the total
     assert(kept >= matched, s"bloom dropped true matches: kept=$kept matched=$matched")
     assert(kept < total,
       s"bloom filter pruned nothing: kept=$kept of $total (matched=$matched)")
@@ -49,12 +49,45 @@ class BloomPruneSpec extends AnyFunSuite {
       s"false-positive rate too high: kept=$kept matched=$matched total=$total")
   }
 
+  test("auto-sizing: FP rate stays bounded at n ~ capacity of the old fixed 64Kbit") {
+    // 100k distinct keys — the dim size where a fixed 64 Kbit bitmap
+    // saturates (fill -> 1, FP -> 1). Auto-sizing must keep the filter
+    // useful: fill factor ~0.25, FP rate within 3x of the ~1.7%
+    // theoretical value for 10 bits/key and 3 probes.
+    val n = 100000L
+    val dim = spark.range(0, n).select(col("id").as("k"))
+    val bf = BloomPrune.build(dim, "k")
+    assert(bf.numBits >= 10 * n, s"bitmap undersized: ${bf.numBits} bits for $n keys")
+    assert(bf.fillFactor < 0.5, s"saturated: fill=${bf.fillFactor}")
+    // probe 100k keys strictly disjoint from the built set
+    val probes = spark.range(n, 2 * n).select(col("id").as("k"))
+    val fp = probes.where(BloomPrune.mightContain(bf, col("k"))).count()
+    val fpRate = fp.toDouble / n
+    assert(fpRate < 0.05, s"FP rate $fpRate at n=$n (expected ~0.017)")
+    // and the prune still drops rows: a fact side with 1% true matches
+    // must lose the overwhelming majority of its rows
+    val fact = spark.range(0, 100 * n, 100).select((col("id") / 100 + n - 1000).cast("long").as("k"))
+    val kept = fact.where(BloomPrune.mightContain(bf, col("k"))).count()
+    assert(kept < fact.count() / 2,
+      s"prune is a no-op at 100k-key dim: kept $kept of ${fact.count()}")
+  }
+
+  test("sizedBits: power of two, >=10 bits/key, clamped to the cap") {
+    assert(BloomPrune.sizedBits(0) == 1024)
+    assert(BloomPrune.sizedBits(100) == 1024)
+    assert(BloomPrune.sizedBits(15000) == 262144) // old 64Kbit cliff: 4x the keys, sized 4x up
+    assert(BloomPrune.sizedBits(100000) == 1 << 20)
+    assert(BloomPrune.sizedBits(1L << 40) == BloomPrune.MaxBits)
+    val exact = BloomPrune.sizedBits(1 << 16, bitsPerKey = 16) // want is already a pow2
+    assert(exact == 1 << 20)
+  }
+
   test("empty dim side rejects everything") {
     val dim = Seq.empty[Long].toDF("k")
-    val bitmap = BloomPrune.build(dim, "k")
-    assert(bitmap.forall(_ == 0L))
+    val bf = BloomPrune.build(dim, "k")
+    assert(bf.words.forall(_ == 0L))
     val kept = spark.range(100)
-      .where(BloomPrune.mightContain(bitmap, col("id"))).count()
+      .where(BloomPrune.mightContain(bf, col("id"))).count()
     assert(kept == 0)
   }
 
@@ -68,9 +101,9 @@ class BloomPruneSpec extends AnyFunSuite {
   }
 
   test("membership test stays codegen-compiled (no UDF in the plan)") {
-    val bitmap = BloomPrune.build(Seq(1L, 2L).toDF("k"), "k")
+    val bf = BloomPrune.build(Seq(1L, 2L).toDF("k"), "k")
     val plan = spark.range(10)
-      .where(BloomPrune.mightContain(bitmap, col("id")))
+      .where(BloomPrune.mightContain(bf, col("id")))
       .queryExecution.executedPlan.toString
     // "*(n)" prefix marks whole-stage-codegen'd operators in the plan string
     assert(plan.contains("*(1) Filter"), plan)

@@ -73,6 +73,19 @@ class HashSplitSpec extends AnyFunSuite {
     assert(quoted.contains("'o''brien'"), quoted)
   }
 
+  test("a fraction below 1/buckets is rejected, not silently unassignable") {
+    // 0.00005 of 10000 buckets floors to a zero-width range: the split
+    // name would never be assigned and assignSql would emit a dead WHEN
+    val e = intercept[IllegalArgumentException] {
+      HashSplit.assign(col("id"),
+        Seq("train" -> 0.9, "tiny" -> 0.00005, "rest" -> 0.09))
+    }
+    assert(e.getMessage.contains("tiny") && e.getMessage.contains("1/buckets"), e.getMessage)
+    // the same fraction is fine with enough buckets
+    HashSplit.assign(col("id"),
+      Seq("train" -> 0.9, "tiny" -> 0.00005, "rest" -> 0.09), buckets = 1 << 20)
+  }
+
   test("split is a pure projection: no shuffle in the plan") {
     val plan = spark.range(0, 100)
       .select(HashSplit.assign(col("id"), fr))

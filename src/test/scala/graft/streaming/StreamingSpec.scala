@@ -105,6 +105,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0, "streaming funnel state diverged from batch funnel")
   }
 
+  test("funnelStream across two micro-batches: monotone advance, final state equals batch") {
+    // batch 2 carries strictly later event times than batch 1, so the
+    // incremental funnel's ordering caveat does not bite and the final
+    // state must equal the batch funnel over the union
+    val b1 = Seq(
+      Event(1, new Timestamp(1000), 1, "signup", 0.0),
+      Event(2, new Timestamp(2000), 1, "view", 0.0),
+      Event(3, new Timestamp(1500), 2, "signup", 0.0))
+    val b2 = Seq(
+      Event(4, new Timestamp(9000), 1, "purchase", 0.0),
+      Event(5, new Timestamp(9500), 2, "view", 0.0),
+      Event(6, new Timestamp(9700), 3, "signup", 0.0))
+    val steps = Seq("signup", "view", "purchase")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = Streaming.funnelStream(ms.toDS(), steps)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel2b").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck-").toString)
+      .start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("funnel2b").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel2b")
+    // monotone: user 1 advanced 2 -> 3, user 2 advanced 1 -> 2; no rewind
+    assert(afterB1 == Map(1L -> 2, 2L -> 1))
+    val fin = rows
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(desc("reached"))))
+      .where($"rn" === 1)
+      .select($"user_id", $"stepTsMicros", $"reached")
+    val all = (b1 ++ b2).toDF()
+    val batch = graft.analytics.Funnel.funnel(all, "user_id", "ts", "event_type", steps)
+    val batchN = batch.select($"user_id",
+      array(steps.indices.map(i =>
+        coalesce(unix_micros(col(s"step_${i}_ts")), lit(-1L))): _*)
+        .as("stepTsMicros"),
+      $"reached".cast("int").as("reached"))
+      .where($"reached" > 0)
+    assert(fin.count() == batchN.count())
+    val diff = fin.alias("s").join(batchN.alias("b"), "user_id")
+      .where(col("s.reached") =!= col("b.reached") ||
+        col("s.stepTsMicros") =!= col("b.stepTsMicros")).count()
+    assert(diff == 0, "two-batch streaming funnel diverged from batch funnel")
+  }
+
+  test("funnelStream evicts idle users' state once the watermark passes the idle gap") {
+    val steps = Seq("signup", "view")
+    val ckpt = SparkFixture.tmpDir("graft-ck-").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    // zero-delay watermark + 150s idle gap: user 7 (t=1s, horizon 151s) is
+    // evicted once the watermark reaches 200s; users 8 (horizon 250s) and
+    // 9 (horizon 350s) survive. Spark fires expired timers in the no-data
+    // batch it runs after each watermark advance.
+    val q = Streaming.funnelStream(ms.toDS(), steps,
+      watermark = "0 seconds", idleGapMs = 150000L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnelev").option("checkpointLocation", ckpt)
+      .start()
+    ms.addData(Event(1, new Timestamp(1000), 7, "signup", 0.0))
+    q.processAllAvailable()
+    ms.addData(Event(2, new Timestamp(100000), 8, "signup", 0.0))
+    q.processAllAvailable()
+    ms.addData(Event(3, new Timestamp(200000), 9, "signup", 0.0))
+    q.processAllAvailable() // watermark -> 200s: user 7's timer fires, state removed
+    // a view for user 7 after eviction must NOT advance (state restarted),
+    // so no new emission for user 7 appears
+    ms.addData(Event(4, new Timestamp(210000), 7, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("funnelev").where($"user_id" === 7)
+    assert(emitted.count() == 1, "evicted user must not advance from forgotten state")
+    assert(emitted.select(max($"reached")).head.getInt(0) == 1)
+    // state-store assertion: user 7's row is physically gone
+    val stateKeys = spark.read.format("statestore").load(ckpt)
+      .select("key.*").collect().map(_.getLong(0)).toSet
+    assert(!stateKeys.contains(7L), s"user 7 still in state store: $stateKeys")
+    assert(stateKeys.contains(8L) && stateKeys.contains(9L))
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     val dir = eventsDir()
     val schema = spark.read.parquet(dir).schema

@@ -50,6 +50,37 @@ class QuantizeSpec extends AnyFunSuite {
     assert(drift < 0.02, s"quantization drift $drift exceeds 2%")
   }
 
+  test("int8Quantize rejects non-float arrays at analysis time, not executor runtime") {
+    import spark.implicits._
+    val strings = Seq(Seq("a", "b")).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      strings.select(VectorExpressions.int8Quantize(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+    val ints = Seq(Seq(1, 2, 3)).toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(VectorExpressions.int8Quantize(col("v"))).collect()
+    }
+    // the documented escape hatch: cast numeric elements to double first
+    val ok = ints.select(VectorExpressions.int8Quantize(
+      col("v").cast("array<double>")).getField("q")).head.getSeq[Int](0)
+    assert(ok == Seq(42, 85, 127))
+  }
+
+  test("qDupPairsFromClusters equals qDupPairs restricted to within-cluster pairs") {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(80)
+    val q = Quantize.quantize(e, "embedding").select(col("vec_id"), col("q"))
+    val clustered = q.withColumn("cluster", (col("vec_id") % 3).cast("int"))
+    val got = Quantize.qDupPairsFromClusters(clustered, "vec_id", "q", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Quantize.qDupPairs(q, "vec_id", "q", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 3 == p._2 % 3)
+    assert(got == brute)
+  }
+
   test("qDupPairs is deterministic and matches qcosine thresholding") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(80)
