@@ -1,0 +1,190 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Manifest-level file pruning by predicate against the per-file column
+  * bounds collected at commit time ([[FileEntry.bounds]]).
+  *
+  * The evaluation is deliberately THREE-VALUED: a conjunct either proves a
+  * file cannot contain a matching row (drop) or it cannot (keep). Any
+  * predicate shape this module doesn't understand — casts, functions,
+  * disjunctions, non-literal comparands — simply never prunes; the exact
+  * `.where(filter)` applied after the pruned read keeps semantics identical
+  * to an unpruned read in every case. That makes the prune safe to run on
+  * arbitrary user predicates.
+  *
+  * All bound values are canonical strings ([[ColBounds]]); comparisons
+  * happen in the column's logical domain. Strings compare by UNSIGNED
+  * UTF-8 bytes — the ordering BOTH parquet uses for binary min/max and
+  * Spark's UTF8String uses, and NOT what java.lang.String.compareTo does
+  * (UTF-16 code units diverge on supplementary characters).
+  */
+object FilePruning {
+
+  /** One prunable conjunct: `op` ∈ =, <, <=, >, >=, isnull, isnotnull,
+    * with `value` already canonicalized to the column's domain. */
+  case class Conjunct(field: String, op: String, value: Option[String])
+
+  // ---- canonical-domain comparison ----------------------------------------
+
+  /** Unsigned byte-wise UTF-8 comparison (parquet binary stats order ==
+    * Spark UTF8String order). */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Compare two canonical strings in the logical domain of `dt`. */
+  def compare(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType |
+         TimestampNTZType | DateType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case StringType => utf8Compare(a, b)
+    case other => throw new IllegalArgumentException(s"no ordering for $other")
+  }
+
+  /** Types [[compare]] and the footer collector support. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType |
+         TimestampNTZType | DateType | FloatType | DoubleType | BooleanType |
+         StringType => true
+    case _ => false
+  }
+
+  // ---- predicate extraction ------------------------------------------------
+
+  /** Split a user filter Column into prunable conjuncts (via
+    * [[ColumnBridge.prunableConjuncts]], which walks the `private[sql]`
+    * ColumnNode AST and parses `expr("…")` SQL): anything not of the shape
+    * `attr op literal` under a top-level AND chain is dropped — never
+    * pruned on, still enforced by the exact filter. */
+  def conjunctsOf(filter: Column, schema: StructType): Seq[Conjunct] =
+    ColumnBridge.prunableConjuncts(filter).flatMap { leaf =>
+      leaf.op match {
+        case "isnull" | "isnotnull" => Some(Conjunct(leaf.field, leaf.op, None))
+        case op =>
+          schema.fields.find(_.name == leaf.field).flatMap(f =>
+            canonicalLiteral(f.dataType, leaf.value, leaf.litType).map(cv =>
+              Conjunct(leaf.field, op, Some(cv))))
+      }
+    }
+
+  /** Canonicalize a raw literal value into the COLUMN's domain; None = not
+    * coercible (no prune on this conjunct). Values may be Scala-side (the
+    * Column DSL) or Catalyst-internal (parsed SQL: UTF8String, Decimal,
+    * date days / timestamp micros carried as Int/Long with `litType`
+    * declaring which). */
+  private[core] def canonicalLiteral(dt: DataType, v: Any,
+      litType: Option[DataType]): Option[String] = try {
+    val decl = litType.getOrElse(NullType)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        // an Int/Long literal is only a plain number when it is not a
+        // date/timestamp internal representation
+        case _ if decl == DateType || decl == TimestampType ||
+          decl == TimestampNTZType => None
+        case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+                  _: java.lang.Long) =>
+          Some(n.asInstanceOf[java.lang.Number].longValue.toString)
+        case d: org.apache.spark.sql.types.Decimal =>
+          val bd = d.toBigDecimal
+          if (bd.isWhole) Some(bd.toLongExact.toString) else None
+        case _ => None
+      }
+      case FloatType | DoubleType => v match {
+        case _ if decl == DateType || decl == TimestampType ||
+          decl == TimestampNTZType => None
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble.toString)
+        case n: java.lang.Number => Some(n.doubleValue.toString)
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(s)
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean => Some(b.toString)
+        case _ => None
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case n: java.lang.Long
+          if decl == TimestampType || decl == TimestampNTZType =>
+          Some(n.toString) // catalyst timestamp literal: already micros
+        case t: java.sql.Timestamp =>
+          Some((math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString)
+        case i: java.time.Instant =>
+          Some((math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L).toString)
+        case s: String => Some((IceTable.parseInstantMs(s) * 1000L).toString)
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some((IceTable.parseInstantMs(s.toString) * 1000L).toString)
+        case _ => None
+      }
+      case DateType => v match {
+        case n: java.lang.Integer if decl == DateType =>
+          Some(n.toLong.toString) // catalyst date literal: already days
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+        case s: String => Some(java.time.LocalDate.parse(s).toEpochDay.toString)
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(java.time.LocalDate.parse(s.toString).toEpochDay.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  // ---- file-level evaluation -----------------------------------------------
+
+  /** Can `f` possibly contain a row matching every conjunct? Unknown bounds
+    * (absent entry, absent min/max) keep the file. `schema` is the CURRENT
+    * table schema — the conjunct's field name resolves to a field-id, which
+    * is how bounds survive renames. */
+  def keepFile(f: FileEntry, conjs: Seq[Conjunct], schema: StructType): Boolean =
+    conjs.forall { c =>
+      val field = schema.fields.find(_.name == c.field)
+      field match {
+        case None => true
+        case Some(fld) if !supported(fld.dataType) => true
+        case Some(fld) =>
+          val b = TableMeta.fieldId(fld)
+            .flatMap(id => f.bounds.get(id.toString))
+            .getOrElse(ColBounds())
+          c.op match {
+            case "isnull" => b.nulls.forall(_ > 0)
+            case "isnotnull" => !b.nulls.contains(f.rows) || f.rows == 0
+            case cmpOp =>
+              val v = c.value.get
+              // a file of only nulls can't match any comparison
+              if (b.nulls.contains(f.rows) && f.rows > 0) false
+              else (b.min, b.max) match {
+                case (Some(mn), Some(mx)) => cmpOp match {
+                  case "=" => compare(fld.dataType, mn, v) <= 0 &&
+                    compare(fld.dataType, mx, v) >= 0
+                  case "<" => compare(fld.dataType, mn, v) < 0
+                  case "<=" => compare(fld.dataType, mn, v) <= 0
+                  case ">" => compare(fld.dataType, mx, v) > 0
+                  case ">=" => compare(fld.dataType, mx, v) >= 0
+                  case _ => true
+                }
+                case _ => true
+              }
+          }
+      }
+    }
+}

@@ -104,6 +104,38 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         else readSnapshot(Some(s.copy(files = files)))
     }
 
+  /** Predicate-pruned read: drops every data file whose manifest column
+    * bounds ([[FileEntry.bounds]], collected from parquet footers at commit
+    * time) prove `filter` cannot match any of its rows, then applies
+    * `filter` exactly over the survivors — result always identical to
+    * `read().where(filter)`, but on a clustered layout (e.g. a
+    * [[graft.operators.ZOrder]]-written table) a selective range predicate
+    * opens a small fraction of the files. Predicate shapes the pruner
+    * doesn't understand never prune; they are still enforced by the final
+    * filter. This is file-level skipping ABOVE parquet's row-group
+    * skipping: at 100 TB it removes the per-file open/footer/seek cost for
+    * the files the predicate can never touch, which row-group pushdown
+    * alone still pays. */
+  def prunedRead(filter: Column): DataFrame =
+    currentSnapshot.filter(_.files.nonEmpty) match {
+      case None => emptyDf(schema)
+      case Some(s) =>
+        val conjs = FilePruning.conjunctsOf(filter, schema)
+        val files = s.files.filter(f => FilePruning.keepFile(f, conjs, schema))
+        if (files.isEmpty) emptyDf(schema)
+        else readSnapshot(Some(s.copy(files = files))).where(filter)
+    }
+
+  /** Fraction/count diagnostics for a predicate: (matchingFiles, totalFiles).
+    * Exposed for tests and the CLI `scan-stats` style introspection. */
+  def pruneStats(filter: Column): (Int, Int) =
+    currentSnapshot match {
+      case None => (0, 0)
+      case Some(s) =>
+        val conjs = FilePruning.conjunctsOf(filter, schema)
+        (s.files.count(f => FilePruning.keepFile(f, conjs, schema)), s.files.size)
+    }
+
   def emptyDf(s: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
 
@@ -138,13 +170,26 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         case Some("vortex") => Map("compression" -> "zstd")
         case _ => Map.empty[String, String]
       }
-      if (tfs.isEmpty) {
-        aligned.write.options(codec).parquet(commitDir.toString)
-      } else {
-        tfs.foldLeft(aligned)((d, t) =>
-            d.withColumn(t.name, t.columnFor(m.schema(t.source).dataType)))
-          .write.options(codec).partitionBy(tfs.map(_.name): _*)
-          .parquet(commitDir.toString)
+      // TIMESTAMP_MICROS, not Spark's legacy INT96 default: INT96 footers
+      // carry no usable min/max statistics, which would leave timestamp
+      // columns invisible to manifest pruning (and INT96 is deprecated in
+      // the parquet spec). Session conf — no per-write option exists — so
+      // set/restore around the write.
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try {
+        if (tfs.isEmpty) {
+          aligned.write.options(codec).parquet(commitDir.toString)
+        } else {
+          tfs.foldLeft(aligned)((d, t) =>
+              d.withColumn(t.name, t.columnFor(m.schema(t.source).dataType)))
+            .write.options(codec).partitionBy(tfs.map(_.name): _*)
+            .parquet(commitDir.toString)
+        }
+      } finally prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
       }
       val newFiles = listParquet(commitDir, m.currentSchemaId)
       val files =
@@ -276,10 +321,13 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   private def listParquet(commitDir: Path, schemaId: Int): List[FileEntry] = {
     val conf = new Configuration()
+    val schema = meta.schemas.find(_.id == schemaId).map(_.struct)
+      .getOrElse(meta.schema)
     Files.walk(commitDir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map { p =>
-        FileEntry(p.toString, parquetRowCount(p, conf), Files.size(p), schemaId)
+        val (rows, bounds) = parquetFileStats(p, conf, schema)
+        FileEntry(p.toString, rows, Files.size(p), schemaId, bounds)
       }.toList.sortBy(_.path)
   }
 }
@@ -323,6 +371,100 @@ object IceTable {
     val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
     val r = ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** Row count + per-column value bounds from ONE footer read (the same
+    * footer the row count already required — stats collection adds no I/O
+    * to the commit path). Bounds are keyed by field-id and canonicalized
+    * per [[ColBounds]]; a column with missing/unusable statistics in ANY
+    * block is simply absent (= never pruned). INT96 timestamps carry no
+    * usable stats and are skipped. */
+  def parquetFileStats(p: Path, conf: Configuration,
+      schema: StructType): (Long, Map[String, ColBounds]) = {
+    import org.apache.parquet.column.statistics.Statistics
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.types._
+
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toList
+      val rows = blocks.map(_.getRowCount).sum
+
+      // canonical string of a footer stat value in the field's domain;
+      // `prim` disambiguates timestamp encodings (MILLIS/MICROS/NANOS get
+      // normalized to micros; INT96 has Binary stats and falls through to
+      // None = no pruning on that column)
+      def canon(dt: DataType, v: Any,
+          prim: org.apache.parquet.schema.PrimitiveType): Option[String] = (dt, v) match {
+        case (ByteType | ShortType | IntegerType | LongType, n: java.lang.Number) =>
+          Some(n.longValue.toString)
+        case (FloatType | DoubleType, n: java.lang.Number) =>
+          val d = n.doubleValue
+          if (d.isNaN) None else Some(d.toString)
+        case (StringType, b: org.apache.parquet.io.api.Binary) =>
+          Some(new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8))
+        case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+        case (TimestampType | TimestampNTZType, n: java.lang.Long) =>
+          prim.getLogicalTypeAnnotation match {
+            case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+              ts.getUnit match {
+                case TimeUnit.MICROS => Some(n.toString)
+                case TimeUnit.MILLIS => Some((n * 1000L).toString)
+                // truncating nanos would LOWER a max bound below real
+                // values — unsafe for pruning; Spark never writes NANOS
+                case TimeUnit.NANOS => None
+              }
+            case _ => None
+          }
+        case (DateType, n: java.lang.Integer) => Some(n.toLong.toString)
+        case _ => None
+      }
+
+      val fields = schema.fields.toSeq
+        .filter(f => FilePruning.supported(f.dataType))
+        .flatMap(f => TableMeta.fieldId(f).map(id => f.name -> (id, f.dataType)))
+        .toMap
+
+      val acc = scala.collection.mutable.Map.empty[String, ColBounds]
+      val dead = scala.collection.mutable.Set.empty[String]
+      blocks.foreach { blk =>
+        blk.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          fields.get(name).filterNot(_ => dead(name)).foreach { case (id, dt) =>
+            val key = id.toString
+            val st = c.getStatistics.asInstanceOf[Statistics[_]]
+            val allNull = st != null && st.isNumNullsSet &&
+              st.getNumNulls == c.getValueCount
+            if (st == null || st.isEmpty || (!st.hasNonNullValue && !allNull)) {
+              dead += name; acc.remove(key)
+            } else {
+              val prev = acc.getOrElse(key, ColBounds(nulls = Some(0L)))
+              val nulls =
+                if (st.isNumNullsSet) prev.nulls.map(_ + st.getNumNulls) else None
+              val (mn, mx) =
+                if (!st.hasNonNullValue) (prev.min, prev.max) // all-null block
+                else {
+                  val bmn = canon(dt, st.genericGetMin, c.getPrimitiveType)
+                  val bmx = canon(dt, st.genericGetMax, c.getPrimitiveType)
+                  if (bmn.isEmpty || bmx.isEmpty) { dead += name; (None, None) }
+                  else (
+                    Some((prev.min.toList ++ bmn)
+                      .minBy(identity)(Ordering.fromLessThan[String](
+                        (a, b) => FilePruning.compare(dt, a, b) < 0))),
+                    Some((prev.max.toList ++ bmx)
+                      .maxBy(identity)(Ordering.fromLessThan[String](
+                        (a, b) => FilePruning.compare(dt, a, b) < 0))))
+                }
+              if (!dead(name)) acc(key) = ColBounds(mn, mx, nulls)
+            }
+          }
+        }
+      }
+      (rows, acc.toMap)
+    } finally r.close()
   }
 
   /** ISO instant or local datetime → epoch millis. */

@@ -2,10 +2,28 @@ package graft.core
 
 import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
 
+/** Per-file, per-column value bounds from the parquet footer, keyed by the
+  * column's FIELD-ID (not name — renames must not orphan stats). `min`/`max`
+  * are canonical strings of the column's logical type (integral/timestamp
+  * micros/date days as longs, floating point via `java.lang.Double
+  * .toString`, strings verbatim, booleans `true`/`false`); absent when the
+  * footer had no usable statistics for the column. Parquet guarantees
+  * min <= all values <= max even when string stats are truncated, so the
+  * bounds are always safe for pruning. */
+case class ColBounds(min: Option[String] = None, max: Option[String] = None,
+    nulls: Option[Long] = None)
+
 /** One data file tracked by a snapshot. `schemaId` records which schema
   * version the file was written under, so reads after rename/drop/add
-  * evolution can resolve columns by field-id per file group. */
-case class FileEntry(path: String, rows: Long, bytes: Long, schemaId: Int = 1)
+  * evolution can resolve columns by field-id per file group. `bounds`
+  * (field-id → [[ColBounds]], collected once from the parquet footer at
+  * commit time) lets [[IceTable.prunedRead]] drop whole files by predicate
+  * BEFORE Catalyst ever lists them — at 1000-executor scale the difference
+  * between opening every file of a 100 TB table and opening the few a
+  * range predicate can touch. Older manifests deserialize with an empty
+  * map (= unknown = never pruned). */
+case class FileEntry(path: String, rows: Long, bytes: Long, schemaId: Int = 1,
+    bounds: Map[String, ColBounds] = Map.empty)
 
 /** One table version. Every write commits a new snapshot whose `files` list
   * is the COMPLETE set of live data files at that version (append = parent

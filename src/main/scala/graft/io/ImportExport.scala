@@ -64,8 +64,13 @@ class ImportExport(lh: Lakehouse) {
   def exportTable(table: String, path: String, format: String = "csv",
       where: Option[String] = None, columns: Seq[String] = Nil,
       limit: Option[Int] = None): Long = {
-    var df = lh.catalog.loadTable(table).read()
-    where.foreach(w => df = df.where(expr(w)))
+    // a --where export goes through the manifest pruner: files whose
+    // commit-time column bounds exclude the predicate are never opened
+    // (result identical — prunedRead re-applies the filter exactly)
+    var df = where match {
+      case Some(w) => lh.catalog.loadTable(table).prunedRead(expr(w))
+      case None => lh.catalog.loadTable(table).read()
+    }
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     limit.foreach(n => df = df.limit(n))
     val rows = df.count()

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object NearDup {
 
   /** Per-doc distinct shingle table: (doc_id, s). */
+  // String keys, not xxhash64 longs, deliberately: an interleaved A/B at
+  // sf0.1 (tools/AbShingle, 4 alternating runs in one JVM) measured the
+  // hashed-key pair pipeline ~50% SLOWER (median 1.58s vs 1.06s) — the
+  // extra projection over the exploded rows costs more than the narrower
+  // shuffle key saves at gate scale, and string keys keep the table
+  // directly joinable by the DuckDB oracle with zero collision caveats.
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("s"))

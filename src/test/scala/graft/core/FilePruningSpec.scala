@@ -1,0 +1,155 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class FilePruningSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newCatalog() =
+    Catalog.open(spark, SparkFixture.tmpDir("graft-wh-").toString)
+
+  test("commit collects per-file column bounds keyed by field-id") {
+    val cat = newCatalog()
+    cat.createTable("default.b", Seq("v" -> "long", "s" -> "string"), Nil, Map.empty)
+    val t = cat.loadTable("default.b")
+    t.append(Seq((10L, "apple"), (20L, "pear")).toDF("v", "s").coalesce(1))
+    val f = t.currentSnapshot.get.files.head
+    val ids = t.schema.fields.flatMap(TableMeta.fieldId).map(_.toString)
+    assert(ids.forall(f.bounds.contains), f.bounds.keySet.toString)
+    val vB = f.bounds(TableMeta.fieldId(t.schema("v")).get.toString)
+    assert(vB.min.contains("10") && vB.max.contains("20") && vB.nulls.contains(0L))
+    val sB = f.bounds(TableMeta.fieldId(t.schema("s")).get.toString)
+    assert(sB.min.contains("apple") && sB.max.contains("pear"))
+  }
+
+  test("range predicate on a z-ordered table reads strictly fewer files, same result") {
+    val cat = newCatalog()
+    cat.createTable("default.z", Seq("x" -> "long", "y" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.z")
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    t.overwrite(graft.operators.ZOrder.clusterByZ(df, "x", "y", numPartitions = 8))
+    val total = t.currentSnapshot.get.files.size
+    assert(total == 8, s"expected 8 z-clustered files, got $total")
+    // a corner of the (x, y) plane lives in few z-runs -> few files
+    val filter = col("x") < 8 && col("y") < 8
+    val (kept, all) = t.pruneStats(filter)
+    assert(all == total && kept < total && kept >= 1,
+      s"z-ordered range predicate must prune files: kept $kept of $all")
+    val got = t.prunedRead(filter).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = t.read().where(filter).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.size == 64)
+  }
+
+  test("bounds survive column rename (field-id keyed, not name keyed)") {
+    val cat = newCatalog()
+    cat.createTable("default.r", Seq("v" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.r")
+    t.append(Seq(1L, 2L, 3L).toDF("v").coalesce(1))
+    t.append(Seq(100L, 200L).toDF("v").coalesce(1))
+    t.renameColumn("v", "w")
+    val t2 = cat.loadTable("default.r")
+    val (kept, all) = t2.pruneStats(col("w") > 50L)
+    assert((kept, all) == ((1, 2)), s"rename must not orphan bounds: $kept/$all")
+    assert(t2.prunedRead(col("w") > 50L).count() == 2)
+  }
+
+  test("string bounds compare by UTF-8 bytes, not UTF-16 code units") {
+    val cat = newCatalog()
+    cat.createTable("default.u", Seq("s" -> "string"), Nil, Map.empty)
+    val t = cat.loadTable("default.u")
+    t.append(Seq("😀").toDF("s").coalesce(1)) // U+1F600, UTF-8 F0 9F 98 80
+    t.append(Seq("apple").toDF("s").coalesce(1))
+    // U+FF5E: UTF-8 EF BD 9E sorts BELOW the emoji; UTF-16 0xFF5E sorts
+    // ABOVE its surrogate 0xD83D — a code-unit comparison would wrongly
+    // prune the emoji file here
+    val filter = col("s") >= "～"
+    val (kept, all) = t.pruneStats(filter)
+    assert((kept, all) == ((1, 2)), s"UTF-8 ordering violated: $kept/$all")
+    assert(t.prunedRead(filter).count() == 1)
+  }
+
+  test("date-typed bounds prune by ISO string literals") {
+    val cat = newCatalog()
+    cat.createTable("default.d", Seq("day" -> "date", "v" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.d")
+    t.append(Seq(("2025-11-01", 1L), ("2025-11-20", 2L)).toDF("day", "v")
+      .withColumn("day", to_date(col("day"))).coalesce(1))
+    t.append(Seq(("2025-12-01", 3L), ("2025-12-20", 4L)).toDF("day", "v")
+      .withColumn("day", to_date(col("day"))).coalesce(1))
+    val filter = col("day") >= "2025-12-01"
+    assert(t.pruneStats(filter) == ((1, 2)))
+    assert(t.prunedRead(filter).count() == 2)
+  }
+
+  test("null-count bounds: isNull / isNotNull prune, all-null file fails comparisons") {
+    val cat = newCatalog()
+    cat.createTable("default.n", Seq("v" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.n")
+    t.append(Seq(Some(1L), Some(2L)).toDF("v").coalesce(1))
+    t.append(spark.range(3).select(lit(null).cast("long").as("v")).coalesce(1))
+    assert(t.pruneStats(col("v").isNull) == ((1, 2)))
+    assert(t.pruneStats(col("v").isNotNull) == ((1, 2)))
+    // a comparison can never match the all-null file even though it has
+    // no min/max to test against
+    assert(t.pruneStats(col("v") > 0L) == ((1, 2)))
+    assert(t.prunedRead(col("v").isNotNull).count() == 2)
+  }
+
+  test("unsupported predicates never prune and stay exact") {
+    val cat = newCatalog()
+    cat.createTable("default.x", Seq("v" -> "long", "s" -> "string"), Nil, Map.empty)
+    val t = cat.loadTable("default.x")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("v", "s").coalesce(1))
+    t.append(Seq((10L, "c"), (20L, "d")).toDF("v", "s").coalesce(1))
+    // disjunction, function-of-column, non-literal comparand: all opaque
+    for (f <- Seq(col("v") === 1L || col("v") === 20L,
+        length(col("s")) > 0, col("v") > col("v") - 1)) {
+      assert(t.pruneStats(f)._1 == 2, s"opaque predicate must keep all files: $f")
+      assert(t.prunedRead(f).collect().toSet == t.read().where(f).collect().toSet)
+    }
+    // mixed AND: the prunable conjunct prunes, the opaque one rides along
+    val mixed = col("v") > 5L && length(col("s")) > 0
+    assert(t.pruneStats(mixed) == ((1, 2)))
+    assert(t.prunedRead(mixed).count() == 2)
+  }
+
+  test("SQL-string predicates (expr / CLI --where) prune too, including typed literals") {
+    val cat = newCatalog()
+    cat.createTable("default.sq",
+      Seq("v" -> "long", "ts" -> "timestamp", "day" -> "date"), Nil, Map.empty)
+    val t = cat.loadTable("default.sq")
+    def df(vs: Seq[Long], d: String) = vs.toDF("v")
+      .withColumn("ts", to_timestamp(lit(s"$d 12:00:00")))
+      .withColumn("day", to_date(lit(d)))
+    t.append(df(Seq(1L, 5L), "2025-01-15").coalesce(1))
+    t.append(df(Seq(100L, 200L), "2025-06-15").coalesce(1))
+    assert(t.pruneStats(expr("v > 50")) == ((1, 2)))
+    assert(t.pruneStats(expr("v > 50 AND v < 150")) == ((1, 2)))
+    assert(t.pruneStats(expr("ts >= timestamp'2025-03-01 00:00:00'")) == ((1, 2)))
+    assert(t.pruneStats(expr("day < date'2025-03-01'")) == ((1, 2)))
+    // a bare numeric literal must NOT be misread as date/timestamp internals
+    assert(t.pruneStats(expr("v = 5")) == ((1, 2)))
+    assert(t.prunedRead(expr("v > 50")).count() == 2)
+    // exportTable --where rides the same pruner and stays exact
+    val lh = graft.Lakehouse.open(spark, t.dir.getParent.getParent.toString)
+    val out = SparkFixture.tmpDir("graft-exp-").toString + "/x"
+    val n = lh.importExport.exportTable("default.sq", out, "parquet", Some("v > 50"))
+    assert(n == 2 && spark.read.parquet(out).count() == 2)
+  }
+
+  test("manifests without bounds (older snapshots) read fine and never prune") {
+    val f = FileEntry("/nope.parquet", 10, 100, 1)
+    val schema = TableMeta.schemaOf(Seq("v" -> "long"))
+    val conjs = Seq(FilePruning.Conjunct("v", ">", Some("1000")))
+    assert(FilePruning.keepFile(f, conjs, schema))
+    // and a JSON roundtrip without the bounds field deserializes to empty
+    val json = """{"path":"/p.parquet","rows":5,"bytes":50,"schemaId":1}"""
+    val fe = Jsons.read[FileEntry](json)
+    assert(fe.bounds.isEmpty && fe.rows == 5)
+  }
+}

@@ -108,6 +108,73 @@ class TextPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing == independent reference (rightmost-min per window, value-deduped)") {
+    // straight reimplementation from the Schleimer/Wilkerson/Aiken paper:
+    // polynomial gram hashes, rightmost minimal hash of each w-window,
+    // first-occurrence dedup — written against the PAPER, not the
+    // expression code, so a transcription bug in either shows up here
+    def winnowRef(raw: String, k: Int, w: Int): Seq[Long] = {
+      val s = raw.toLowerCase
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .replaceAll("\\s+", " ")
+      if (s.length < k) return Seq.empty
+      val Base = 1000003L
+      val grams = (0 to s.length - k).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = h * Base + s.charAt(j))
+        h
+      }
+      if (grams.length <= w) return Seq(grams.min)
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      (0 to grams.length - w).foreach { start =>
+        var minIdx = start
+        ((start + 1) until (start + w)).foreach(i =>
+          if (grams(i) <= grams(minIdx)) minIdx = i)
+        out += grams(minIdx)
+      }
+      out.toSeq
+    }
+    forAll(Gen.zip(genText, Gen.choose(2, 6), Gen.choose(1, 6))) { case (text, k, w) =>
+      val got = evalOne("wf", TextExpressions.winnow($"text", k, w), text)
+        .asInstanceOf[scala.collection.Seq[Long]].toSeq
+      assert(got == winnowRef(text, k, w), s"text=${text.take(60)} k=$k w=$w")
+    }
+  }
+
+  test("SpanDedup.spans == brute-force k-token window enumeration (positions + hash bijection)") {
+    // small vocab forces cross-doc repeats, so the hash-bijection check
+    // actually exercises equal-span collisions across documents
+    val genDoc = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "ab")).map(_.mkString(" "))
+      .flatMap(t => Gen.choose(0, 10).map(cut => t.split(" ").take(cut).mkString(" ")))
+    forAll(Gen.zip(Gen.listOfN(6, genDoc), Gen.choose(2, 4))) { case (texts, k) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = SpanDedup.spans(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), (r.getLong(2), r.getLong(3))))
+      // brute force: every k-token window of every doc with >= k tokens
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+          .reverse.split("\\s+", -1).toSeq
+        if (t.isEmpty || toks.length < k) Nil
+        else (0 to toks.length - k).map(p =>
+          ((i.toLong, p), toks.slice(p, p + k).mkString(" ")))
+      }.toMap
+      assert(got.map(r => (r._1, r._2)).toSet == expect.keySet,
+        s"span positions diverged, k=$k texts=${texts.take(3)}")
+      // (h1, h2) must be a bijection of the span STRING on this sample:
+      // equal spans hash equal (dedup completeness), different spans hash
+      // different (no false merges at property scale)
+      val byHash = got.groupBy(_._3).view.mapValues(_.map(r => expect((r._1, r._2))).toSet)
+      byHash.foreach { case (h, ss) =>
+        assert(ss.size == 1, s"hash $h covers distinct spans $ss")
+      }
+      val bySpan = got.groupBy(r => expect((r._1, r._2))).view.mapValues(_.map(_._3).toSet)
+      bySpan.foreach { case (sp, hs) =>
+        assert(hs.size == 1, s"span '$sp' got distinct hashes $hs")
+      }
+    }
+  }
+
   test("winnowing guarantee: shared substring >= w+k-1 chars -> shared fingerprint") {
     val gk = 5; val gw = 4
     val genPair = for {
