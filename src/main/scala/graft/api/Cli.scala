@@ -1105,6 +1105,16 @@ object Cli {
           .limit(flags.getOrElse("limit", "100").toInt).collect()
           .foreach(r => println(f"${r.get(0)} ~ ${r.get(1)}: ${r.getDouble(2)}%.4f"))
 
+      case List("quantize", table, target) =>
+        val vecCol = flags.getOrElse("vec-col", "embedding")
+        val q = graft.vector.Quantize.quantize(
+          lh.catalog.loadTable(table).read(), vecCol)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, q.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(q)
+        println(s"int8-quantized $vecCol of ${snap.totalRows} rows into " +
+          s"$target (q + q_scale columns; 4x smaller, integer-exact cosine)")
+
       case List("completeness", table) =>
         graft.analytics.Profile.columnCompleteness(
           lh.catalog.loadTable(table).read()).collect()
@@ -1223,6 +1233,7 @@ object Cli {
       |           --fractions train:0.8,val:0.1,test:0.1)
       |         diversity <table> (--group-col source --ngram 3)
       |         dedup-best <table> <target> (--threshold 0.8)
+      |         quantize <table> <target> (--vec-col embedding)
       |         approx-profile <table>
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table

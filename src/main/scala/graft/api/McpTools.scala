@@ -17,10 +17,11 @@ import graft.orchestration.{AutoRefreshConfig, MaintenancePolicy, PipelineStep, 
 case class ToolDef(name: String, description: String, inputSchema: JObject,
     handler: (Lakehouse, JObject) => String)
 
-/** The 155-tool registry mirroring the reference MCP server
-  * (server.py:49-2350). Tool names, argument names and semantics follow
-  * the reference; each handler is a thin dispatch into the same engine
-  * modules the CLI uses, so both surfaces stay behavior-identical. */
+/** The tool registry: 155 tools mirroring the reference MCP server 1:1
+  * (server.py:49-2350; names, argument names and semantics follow the
+  * reference) plus the `graft_`-prefixed beyond-reference training-data
+  * tools. Each handler is a thin dispatch into the same engine modules the
+  * CLI uses, so both surfaces stay behavior-identical. */
 object McpTools {
   private implicit val formats: Formats = DefaultFormats
 
@@ -1105,9 +1106,163 @@ object McpTools {
       }),
   )
 
-  val all: List[ToolDef] = queryTools ++ dmlTools ++ ioTools ++ statsTools ++
-    queryMgmtTools ++ governanceTools ++ analyticsTools ++ maintenanceTools ++
-    orchestrationTools ++ metadataTools ++ contractTools
+  // ---- training-data tools (beyond-reference) -----------------------------
+
+  /** Materialize `df` into `target` (created if absent), releasing any
+    * near-dup checkpoints the plan carries so a long-lived server doesn't
+    * accumulate one checkpoint set per call. */
+  private def writeTable(lh: Lakehouse, target: String, df: DataFrame): Long = {
+    if (!lh.catalog.tableExists(target))
+      lh.catalog.createTable(target, df.schema, Nil, Map.empty)
+    val snap = lh.catalog.loadTable(target).overwrite(df)
+    graft.text.NearDup.releaseResultCheckpoints(df)
+    snap.totalRows
+  }
+
+  private def idCol(a: JObject): String = strOpt(a, "id_col").getOrElse("doc_id")
+  private def textCol(a: JObject): String = strOpt(a, "text_col").getOrElse("text")
+
+  /** BEYOND-REFERENCE: the training-data curation operators (SURVEY §2.16)
+    * exposed over MCP, so an agent driving this server can run the same
+    * dedup / decontamination / packing pipeline the CLI's training verbs
+    * offer. Every name carries the `graft_` prefix — the reference's 155
+    * tools above stay mirrored 1:1 and un-collided (McpServerSpec asserts
+    * the partition). */
+  private val trainingTools = List(
+    ToolDef("graft_curate",
+      "Training-data curation funnel (language -> quality -> exact dedup -> near-dup); writes the curated corpus and reports per-stage counts.",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Source documents table"),
+        "target_table" -> S("Curated output table"),
+        "languages" -> S("Comma-separated language allowlist (default en)"),
+        "min_quality" -> N("Quality-score gate (default 0.3)"),
+        "jaccard_threshold" -> N("Near-dup Jaccard threshold (default 0.8)"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "text_col" -> S("Text column (default text)")),
+      (lh, a) => {
+        val cfg = graft.text.Curation.Config(
+          languages = strOpt(a, "languages").getOrElse("en")
+            .split(',').filter(_.nonEmpty).toSet,
+          minQuality = dblOpt(a, "min_quality").getOrElse(0.3),
+          jaccardThreshold = dblOpt(a, "jaccard_threshold").getOrElse(0.8))
+        val (curated, stats) = graft.text.Curation.funnel(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          idCol(a), textCol(a), cfg)
+        val rows = writeTable(lh, str(a, "target_table"), curated)
+        val st = stats.get
+        s"curated $rows rows into ${str(a, "target_table")} " +
+          s"(input=${st.input}, after language=${st.afterLanguage}, " +
+          s"quality=${st.afterQuality}, exact dedup=${st.afterExactDedup}, " +
+          s"near dedup=${st.afterNearDedup})"
+      }),
+    ToolDef("graft_dedup_best",
+      "Near-dup dedup keeping each cluster's HIGHEST-quality doc (not min-id); writes the deduped corpus.",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Source documents table"),
+        "target_table" -> S("Deduped output table"),
+        "threshold" -> N("Jaccard threshold (default 0.8)"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "text_col" -> S("Text column (default text)")),
+      (lh, a) => {
+        val id = idCol(a); val text = textCol(a)
+        val docs = lh.catalog.loadTable(str(a, "table_name")).read()
+        // same pipeline as gate q92 / the dedup-best CLI verb (shared
+        // helper, cannot drift)
+        val ranked = graft.text.Curation.rankedClusterMembers(docs, id, text,
+          graft.text.TextAnalysis.qualityScore(
+            org.apache.spark.sql.functions.col(text)),
+          threshold = dblOpt(a, "threshold").getOrElse(0.8))
+        val losers = ranked.where(org.apache.spark.sql.functions.col("rnk") > 1)
+          .select(org.apache.spark.sql.functions.col("doc_id").as(id))
+        val kept = docs.join(losers, Seq(id), "left_anti")
+        val rows = writeTable(lh, str(a, "target_table"), kept)
+        graft.text.NearDup.releaseResultCheckpoints(ranked)
+        s"kept $rows best-per-cluster docs into ${str(a, "target_table")}"
+      }),
+    ToolDef("graft_scrub_spans",
+      "Remove cross-document repeated k-token spans (exact-substring dedup) and write the scrubbed corpus.",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Source documents table"),
+        "target_table" -> S("Scrubbed output table"),
+        "span_tokens" -> I("Span length in tokens (default 20)"),
+        "min_docs" -> I("Cross-doc threshold (default 2)"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "text_col" -> S("Text column (default text)")),
+      (lh, a) => {
+        val scrubbed = graft.text.SpanDedup.removeRepeatedSpans(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          idCol(a), textCol(a),
+          intOpt(a, "span_tokens").getOrElse(20),
+          intOpt(a, "min_docs").getOrElse(2))
+        val rows = writeTable(lh, str(a, "target_table"), scrubbed)
+        s"scrubbed repeated spans from $rows docs into ${str(a, "target_table")}"
+      }),
+    ToolDef("graft_decontaminate",
+      "Cross-corpus contamination report: eval/test docs sharing >= threshold n-gram Jaccard with any training doc.",
+      sch(List("train_table", "eval_table"),
+        "train_table" -> S("Training corpus table"),
+        "eval_table" -> S("Eval/test corpus table"),
+        "ngram" -> I("Shingle size (default 3)"),
+        "jaccard_threshold" -> N("Jaccard threshold (default 0.8)"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "text_col" -> S("Text column (default text)")),
+      (lh, a) => {
+        val pairs = graft.text.NearDup.crossJaccardPairs(
+          lh.catalog.loadTable(str(a, "train_table")).read(),
+          lh.catalog.loadTable(str(a, "eval_table")).read(),
+          idCol(a), textCol(a),
+          n = intOpt(a, "ngram").getOrElse(3),
+          threshold = dblOpt(a, "jaccard_threshold").getOrElse(0.8),
+          maxShingleFreq = 100)
+        val contaminated = pairs
+          .select(org.apache.spark.sql.functions.col("id_b")).distinct().count()
+        s"$contaminated contaminated eval docs (${pairs.count()} contaminated pairs)"
+      }),
+    ToolDef("graft_split_assign",
+      "Deterministic md5-hash train/val/test split assignment (engine-portable, leakage-safe when keyed on a group column); writes table + split column.",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Source table"),
+        "target_table" -> S("Output table with a 'split' column"),
+        "key" -> S("Hash key column (default doc_id)"),
+        "fractions" -> S("name:fraction,... (default train:0.8,val:0.1,test:0.1)")),
+      (lh, a) => {
+        val fracs = strOpt(a, "fractions")
+          .getOrElse("train:0.8,val:0.1,test:0.1")
+          .split(',').toSeq.map { kv =>
+            kv.split(':') match {
+              case Array(n, f) if f.toDoubleOption.isDefined => n -> f.toDouble
+              case _ => throw new IllegalArgumentException(
+                s"bad fractions entry '$kv': expected name:fraction,...")
+            }
+          }
+        val df2 = lh.catalog.loadTable(str(a, "table_name")).read()
+          .withColumn("split", graft.operators.HashSplit.assign(
+            org.apache.spark.sql.functions.col(
+              strOpt(a, "key").getOrElse("doc_id")), fracs))
+        val rows = writeTable(lh, str(a, "target_table"), df2)
+        s"assigned $rows rows into splits ${fracs.map(_._1).mkString("/")}"
+      }),
+    ToolDef("graft_quantize",
+      "int8-quantize an embedding column (adds q: array<int> and q_scale: double; 4x smaller, integer-exact cosine); writes the quantized table.",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Source table with an embedding column"),
+        "target_table" -> S("Quantized output table"),
+        "vec_col" -> S("Embedding column (default embedding)")),
+      (lh, a) => {
+        val q = graft.vector.Quantize.quantize(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          strOpt(a, "vec_col").getOrElse("embedding"))
+        val rows = writeTable(lh, str(a, "target_table"), q)
+        s"quantized $rows rows into ${str(a, "target_table")}"
+      }),
+  )
+
+  /** Reference-mirrored tools only (155, 1:1 with server.py). */
+  val referenceTools: List[ToolDef] = queryTools ++ dmlTools ++ ioTools ++
+    statsTools ++ queryMgmtTools ++ governanceTools ++ analyticsTools ++
+    maintenanceTools ++ orchestrationTools ++ metadataTools ++ contractTools
+
+  val all: List[ToolDef] = referenceTools ++ trainingTools
 
   val byName: Map[String, ToolDef] = {
     val m = all.map(t => t.name -> t).toMap

@@ -81,8 +81,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           val raw = spark.read.schema(fileSchema).parquet(files.map(_.path): _*)
           val cols: Array[Column] = cur.fields.map { cf =>
             TableMeta.fieldId(cf).flatMap(idToName.get) match {
-              // .as(name, metadata) keeps the field-id on the read schema
-              case Some(oldName) => col(oldName).cast(cf.dataType).as(cf.name, cf.metadata)
+              // .as(name, metadata) keeps the field-id on the read schema.
+              // sameType (nullability-insensitive) gate: Catalyst refuses
+              // to cast array<float, nullable> to array<float, non-null>,
+              // so only cast when the TYPE actually changed
+              case Some(oldName) =>
+                val src = col(oldName)
+                val conv = if (IceTable.sameTypeIgnoringNullability(
+                    fileSchema(oldName).dataType, cf.dataType)) src
+                  else src.cast(cf.dataType)
+                conv.as(cf.name, cf.metadata)
               case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
             }
           }
@@ -312,10 +320,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   // ---- helpers -----------------------------------------------------------
 
   private def align(df: DataFrame, s: StructType): DataFrame = {
-    val have = df.columns.toSet
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(s.fields.map { f =>
-      (if (have.contains(f.name)) col(f.name).cast(f.dataType)
-       else lit(null).cast(f.dataType)).as(f.name)
+      (have.get(f.name) match {
+        // sameType: don't cast when only nullability differs (Catalyst
+        // refuses nullable -> non-null array element casts)
+        case Some(dt) if IceTable.sameTypeIgnoringNullability(dt, f.dataType) =>
+          col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType)
+        case None => lit(null).cast(f.dataType)
+      }).as(f.name)
     }.toSeq: _*)
   }
 
@@ -337,6 +351,28 @@ object IceTable {
 
   private def lockFor(dir: Path): Object =
     locks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
+
+  /** Structural type equality ignoring nullability at every level (the
+    * public twin of Catalyst's private `sameType`): casting only on REAL
+    * type changes avoids Catalyst's refusal to cast a nullable-element
+    * array to a non-null-element one. Field metadata is ignored too —
+    * file schemas carry field-ids, incoming frames don't. */
+  def sameTypeIgnoringNullability(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoringNullability(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoringNullability(x.keyType, y.keyType) &&
+          sameTypeIgnoringNullability(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameTypeIgnoringNullability(f.dataType, g.dataType)
+        }
+      case (x, y) => x == y
+    }
+  }
 
   /** `_p_k=v` path segments → partition values (catalog.py:2442-2460). */
   def partitionValuesOf(path: String): Map[String, String] =

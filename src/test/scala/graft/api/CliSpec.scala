@@ -479,6 +479,23 @@ class CliSpec extends AnyFunSuite {
     assert(ap.contains("doc_id: ~3 distinct"), ap)
   }
 
+  test("quantize verb writes int8 codes + scale for an embedding column") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-qz-").toString)
+    import spark.implicits._
+    val e = Seq((1L, Seq(1.0f, -2.0f)), (2L, Seq(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    lh.catalog.createTable("default.emb", e.schema, Nil, Map.empty)
+    lh.catalog.loadTable("default.emb").append(e)
+    val out = runCli(lh, "quantize", "default.emb", "default.embq")
+    assert(out.contains("2 rows") && out.contains("q + q_scale"), out)
+    val q = lh.catalog.loadTable("default.embq").read()
+      .orderBy("vec_id").collect()
+    // scale = 127/max|x|: vec 1 -> 63.5, codes [64, -127]
+    assert(q(0).getSeq[Int](q(0).fieldIndex("q")).toSeq == Seq(64, -127))
+    assert(q(0).getAs[Double]("q_scale") == 63.5)
+    assert(q(1).getSeq[Int](q(1).fieldIndex("q")).toSeq == Seq(127, 64))
+  }
+
   test("similar-docs, completeness and classify-changes verbs") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli10-").toString)
     runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")

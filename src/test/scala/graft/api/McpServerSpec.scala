@@ -33,8 +33,15 @@ class McpServerSpec extends AnyFunSuite {
     assert((init \ "result" \ "serverInfo" \ "name") == JString("graft-lakehouse"))
     assert((rpc(lh, "ping") \ "result") == JObject())
     val tools = (rpc(lh, "tools/list") \ "result" \ "tools").children
-    assert(tools.size == 155)
+    // 155 reference-mirrored tools + the graft_-prefixed training-data
+    // tools; the reference set stays exactly 1:1 and collision-free
+    assert(McpTools.referenceTools.size == 155)
+    assert(McpTools.referenceTools.forall(t => !t.name.startsWith("graft_")))
+    assert(tools.size == McpTools.all.size)
     val names = tools.map(t => (t \ "name").extract[String]).toSet
+    for (n <- Seq("graft_curate", "graft_dedup_best", "graft_scrub_spans",
+      "graft_decontaminate", "graft_split_assign", "graft_quantize"))
+      assert(names.contains(n), s"missing training tool $n")
     // spot-check one per module family
     for (n <- Seq("query", "insert", "backup_table", "schema_diff",
       "set_cache_policy", "find_duplicates", "dashboard", "create_pipeline",
@@ -129,5 +136,38 @@ class McpServerSpec extends AnyFunSuite {
          "target_table":"default.selfjoin"}""")
     assert(callTool(lh, "query", """{"sql":"SELECT count(*) AS n FROM selfjoin"}""")
       .contains("\"n\":3"))
+  }
+
+  test("training-data tools dispatch end-to-end: split, scrub, dedup-best") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-mcp3-").toString)
+    callTool(lh, "create_table",
+      """{"table_name":"default.docs","columns":[
+        {"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}""")
+    // two exact near-dups (1, 2) + one unique (3) + a repeated 3-token span
+    callTool(lh, "insert", """{"table_name":"default.docs","rows":[
+      {"doc_id":1,"text":"the quick brown fox jumps over the lazy dog again"},
+      {"doc_id":2,"text":"the quick brown fox jumps over the lazy dog again"},
+      {"doc_id":3,"text":"an entirely different document about spark engines"}]}""")
+    val split = callTool(lh, "graft_split_assign",
+      """{"table_name":"default.docs","target_table":"default.docs_split",
+         "key":"doc_id"}""")
+    assert(split.contains("3 rows") && split.contains("train/val/test"), split)
+    assert(callTool(lh, "query",
+      """{"sql":"SELECT count(DISTINCT split) AS k FROM docs_split"}""")
+      .contains("\"k\""))
+    val scrub = callTool(lh, "graft_scrub_spans",
+      """{"table_name":"default.docs","target_table":"default.docs_scrubbed",
+         "span_tokens":3}""")
+    assert(scrub.contains("into default.docs_scrubbed"), scrub)
+    // docs 1 and 2 are identical: every 3-token span repeats cross-doc,
+    // so their scrubbed text is empty; doc 3 is untouched
+    assert(callTool(lh, "query",
+      """{"sql":"SELECT count(*) AS n FROM docs_scrubbed WHERE n_removed > 0"}""")
+      .contains("\"n\":2"))
+    val dedup = callTool(lh, "graft_dedup_best",
+      """{"table_name":"default.docs","target_table":"default.docs_deduped"}""")
+    assert(dedup.contains("kept 2"), dedup)
+    assert(callTool(lh, "query",
+      """{"sql":"SELECT count(*) AS n FROM docs_deduped"}""").contains("\"n\":2"))
   }
 }
