@@ -109,8 +109,8 @@ object FilePruning {
       case FloatType | DoubleType => v match {
         case _ if decl == DateType || decl == TimestampType ||
           decl == TimestampNTZType => None
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble.toString)
-        case n: java.lang.Number => Some(n.doubleValue.toString)
+        case d: org.apache.spark.sql.types.Decimal => Some(normFp(d.toDouble))
+        case n: java.lang.Number => Some(normFp(n.doubleValue))
         case _ => None
       }
       case StringType => v match {
@@ -130,9 +130,11 @@ object FilePruning {
           Some((math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString)
         case i: java.time.Instant =>
           Some((math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L).toString)
-        case s: String => Some((IceTable.parseInstantMs(s) * 1000L).toString)
-        case s: org.apache.spark.unsafe.types.UTF8String =>
-          Some((IceTable.parseInstantMs(s.toString) * 1000L).toString)
+        // NO bare-string path: Spark casts a string literal to timestamp in
+        // the SESSION timezone, so a UTC-parsed prune boundary would diverge
+        // from the exact filter in non-UTC sessions and could drop matching
+        // files. Typed timestamp'...' literals and java.sql/java.time values
+        // are zone-resolved already and stay prunable.
         case _ => None
       }
       case DateType => v match {
@@ -148,6 +150,14 @@ object FilePruning {
       case _ => None
     }
   } catch { case _: Exception => None }
+
+  /** -0.0 and 0.0 are EQUAL in SQL comparisons but Double.compare orders
+    * them — normalize so a file whose stats carry -0.0 is never pruned
+    * away from a 0.0 predicate (and vice versa). NaN is left as-is:
+    * Double.compare places it above everything, which matches Spark's
+    * NaN-is-largest comparison semantics. */
+  private[core] def normFp(d: Double): String =
+    (if (d == 0.0) 0.0 else d).toString
 
   // ---- file-level evaluation -----------------------------------------------
 

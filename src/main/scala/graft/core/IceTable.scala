@@ -438,7 +438,7 @@ object IceTable {
           Some(n.longValue.toString)
         case (FloatType | DoubleType, n: java.lang.Number) =>
           val d = n.doubleValue
-          if (d.isNaN) None else Some(d.toString)
+          if (d.isNaN) None else Some(FilePruning.normFp(d))
         case (StringType, b: org.apache.parquet.io.api.Binary) =>
           Some(new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8))
         case (BooleanType, b: java.lang.Boolean) => Some(b.toString)

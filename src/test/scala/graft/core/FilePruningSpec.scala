@@ -142,6 +142,34 @@ class FilePruningSpec extends AnyFunSuite {
     assert(n == 2 && spark.read.parquet(out).count() == 2)
   }
 
+  test("-0.0 bounds never prune a 0.0 predicate (SQL treats them equal)") {
+    val cat = newCatalog()
+    cat.createTable("default.fz", Seq("v" -> "double"), Nil, Map.empty)
+    val t = cat.loadTable("default.fz")
+    t.append(Seq(-0.0).toDF("v").coalesce(1))
+    t.append(Seq(42.0).toDF("v").coalesce(1))
+    val f = col("v") === 0.0
+    // the -0.0 file must survive pruning and its row must match
+    assert(t.pruneStats(f)._1 >= 1)
+    assert(t.prunedRead(f).count() == t.read().where(f).count())
+    assert(t.prunedRead(f).count() == 1)
+  }
+
+  test("bare-string timestamp literals never prune (session-timezone dependent)") {
+    val cat = newCatalog()
+    cat.createTable("default.tz", Seq("ts" -> "timestamp"), Nil, Map.empty)
+    val t = cat.loadTable("default.tz")
+    t.append(spark.sql("SELECT timestamp'2025-01-15 12:00:00' AS ts").coalesce(1))
+    t.append(spark.sql("SELECT timestamp'2025-06-15 12:00:00' AS ts").coalesce(1))
+    // a string literal casts to timestamp in the SESSION zone — pruning on
+    // a UTC parse could drop matching files in non-UTC sessions, so it
+    // must not prune at all; the typed literal still does
+    assert(t.pruneStats(expr("ts >= '2025-03-01'")) == ((2, 2)))
+    assert(t.pruneStats(col("ts") >= "2025-03-01") == ((2, 2)))
+    assert(t.pruneStats(expr("ts >= timestamp'2025-03-01 00:00:00'")) == ((1, 2)))
+    assert(t.prunedRead(col("ts") >= "2025-03-01").count() == 1)
+  }
+
   test("manifests without bounds (older snapshots) read fine and never prune") {
     val f = FileEntry("/nope.parquet", 10, 100, 1)
     val schema = TableMeta.schemaOf(Seq("v" -> "long"))
