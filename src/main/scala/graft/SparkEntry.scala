@@ -51,6 +51,31 @@ object SparkEntry {
 
   private val AuxDir = "/tmp/graft_aux"
 
+  /** Build an IceLite warehouse fixture under the aux dir once per source
+    * dir (same memo discipline as [[aux]]), so gates can exercise
+    * TABLE-level engine features (manifest bounds pruning) against data
+    * files the DuckDB oracle can also glob. The warehouse is recreated
+    * from scratch on first use per dir, so each table has exactly ONE
+    * commit and the oracle's `data/commit-00001` glob sees exactly the
+    * file set `prunedRead` prunes over. */
+  private def auxTable(s: SparkSession, dir: String, name: String)
+      (build: graft.Lakehouse => Unit): graft.Lakehouse = {
+    val whDir = s"$AuxDir/$name"
+    auxWritten.synchronized {
+      if (!auxWritten.contains((name, dir))) {
+        def del(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(del))
+          p.delete(); ()
+        }
+        del(new java.io.File(whDir))
+        build(graft.Lakehouse.open(s, whDir))
+        auxWritten.filterInPlace(_._1 != name)
+        auxWritten += ((name, dir))
+      }
+    }
+    graft.Lakehouse.open(s, whDir)
+  }
+
   /** Shared oracle CTE chain: documents → capped 3-gram shingles → Jaccard
     * ≥ 0.8 pairs → bidirectional edges → recursive transitive closure
     * (`reach`). Used by BOTH q44 (components) and q92 (best representative
@@ -966,6 +991,28 @@ object SparkEntry {
         "vec_id", "q", threshold = 0.45)
     }),
 
+    // manifest file-skipping gate: lineitem z-ordered by (l_orderkey,
+    // l_partkey) into an IceLite table whose commit collected per-file
+    // column bounds; prunedRead drops the files the range predicate can
+    // never touch, then applies it exactly. The oracle reads EVERY data
+    // file of the same table and applies the same predicate — hash
+    // equality proves file skipping loses no rows.
+    "q94_pruned_manifest_scan" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh94") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val z = graft.operators.ZOrder.clusterByZ(li, "l_orderkey",
+          "l_partkey", numPartitions = 8)
+        lh.catalog.createTable("default.li_z", z.schema, Nil, Map.empty)
+        lh.catalog.loadTable("default.li_z").append(z)
+      }
+      lh.catalog.loadTable("default.li_z")
+        .prunedRead(col("l_orderkey") < 600L && col("l_quantity") >= 25.0)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1793,6 +1840,12 @@ object SparkEntry {
         |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
         |  FROM lineitem)
         |WHERE rnk <= 3""".stripMargin,
+    "q94_pruned_manifest_scan" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM read_parquet('/tmp/graft_aux/wh94/default/li_z/data/commit-00001/*.parquet')
+        |WHERE l_orderkey < 600 AND l_quantity >= 25.0
+        |GROUP BY l_orderkey""".stripMargin,
     "q93_quantized_ivf_pairs" ->
       """WITH ck AS (
         |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/qivf_clusters/*.parquet')),
