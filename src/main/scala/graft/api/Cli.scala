@@ -316,9 +316,13 @@ object Cli {
 
       // ---- table maintenance (cli.py compact/cleanup/maintenance-status) --
       case List("compact", table) =>
+        val clusterBy = flags.get("cluster-by").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
         val s = lh.catalog.loadTable(table)
-          .compact(flags.getOrElse("target-files", "1").toInt)
-        println(s"compacted to ${s.files.size} files (snapshot ${s.id})")
+          .compact(flags.getOrElse("target-files", "1").toInt, clusterBy)
+        println(s"compacted to ${s.files.size} files (snapshot ${s.id})" +
+          (if (clusterBy.nonEmpty) s", clustered by ${clusterBy.mkString(",")}"
+           else ""))
       case List("cleanup", table) =>
         val orphans = lh.catalog.loadTable(table)
           .orphanFiles(delete = !flags.contains("dry-run"))
@@ -1251,7 +1255,8 @@ object Cli {
       |         pipeline-dry-run pipeline-drop pipeline-show pipelines
       |         lineage lineage-add lineage-remove lineage-impact lineage-graph
       |         maintain maintain-set maintain-show maintain-table maintain-remove
-      |         maintenance-status compact cleanup partitions partition-stats
+      |         maintenance-status compact (--target-files 8 --cluster-by x,y)
+      |         cleanup partitions partition-stats
       |         retention-set retention-show retention-check retention-run
       |         retention-remove
       |         auto-refresh auto-refresh-set auto-refresh-plan

@@ -161,6 +161,96 @@ object FilePruning {
 
   // ---- file-level evaluation -----------------------------------------------
 
+  /** Partition-directory pruning: can `f`'s `_p_*` dir values satisfy every
+    * conjunct on a partition transform's SOURCE column? Works without any
+    * footer stats (covers manifests written before bounds collection).
+    * Conservative by construction: transforms whose inverse is unsafe never
+    * prune — Bucket (would require reimplementing Spark's Murmur3 hash) and
+    * time transforms over TIMESTAMP sources (year()/date_format() use the
+    * session timezone at write time, so a read-time recomputation can
+    * disagree); DATE sources are timezone-free and do prune. */
+  def keepFileByPartitions(f: FileEntry, conjs: Seq[Conjunct],
+      transforms: Seq[PartitionTransform], schema: StructType): Boolean = {
+    if (transforms.isEmpty || conjs.isEmpty) return true
+    val dirs = IceTable.partitionValuesOf(f.path)
+    conjs.forall { c =>
+      transforms.filter(_.source == c.field).forall { t =>
+        dirs.get(t.name).forall(raw => partitionCompatible(t, raw, c, schema))
+      }
+    }
+  }
+
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  private def partitionCompatible(t: PartitionTransform, raw: String,
+      c: Conjunct, schema: StructType): Boolean = {
+    val isNullDir = raw == NullDir
+    c.op match {
+      case "isnull" => isNullDir
+      case "isnotnull" => !isNullDir
+      case op =>
+        if (isNullDir) false
+        else schema.fields.find(_.name == c.field) match {
+          case None => true
+          case Some(fld) =>
+            transformedCompare(t, fld.dataType, raw, c.value.get) match {
+              case None => true // unsupported combination: never prune
+              case Some(cmp) => op match {
+                case "=" => cmp == 0
+                // monotone non-decreasing transforms: src > L implies
+                // T(src) >= T(L), so both strict and non-strict ops prune
+                // with the non-strict dir comparison
+                case ">" | ">=" => cmp >= 0
+                case "<" | "<=" => cmp <= 0
+                case _ => true
+              }
+            }
+        }
+    }
+  }
+
+  /** compare(dirValue, T(literal)) in the transform's output domain, or
+    * None when this (transform, source type) pair cannot safely prune.
+    * `canonical` is the literal in the SOURCE column's canonical form. */
+  private def transformedCompare(t: PartitionTransform, dt: DataType,
+      raw: String, canonical: String): Option[Int] = try {
+    def isoDate(days: Long): java.time.LocalDate =
+      java.time.LocalDate.ofEpochDay(days)
+    t match {
+      case PartitionTransform.Identity(_) => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(java.lang.Long.compare(raw.toLong, canonical.toLong))
+        case StringType => Some(utf8Compare(raw, canonical))
+        case BooleanType =>
+          Some(java.lang.Boolean.compare(raw.toBoolean, canonical.toBoolean))
+        case DateType => Some(java.lang.Long.compare(
+          java.time.LocalDate.parse(raw).toEpochDay, canonical.toLong))
+        case _ => None
+      }
+      case PartitionTransform.Year(_) if dt == DateType =>
+        Some(java.lang.Long.compare(raw.toLong,
+          isoDate(canonical.toLong).getYear.toLong))
+      case PartitionTransform.Month(_) if dt == DateType =>
+        val d = isoDate(canonical.toLong)
+        Some(utf8Compare(raw, f"${d.getYear}%04d-${d.getMonthValue}%02d"))
+      case PartitionTransform.Day(_) if dt == DateType =>
+        Some(utf8Compare(raw, isoDate(canonical.toLong).toString))
+      case PartitionTransform.Hour(_) if dt == DateType =>
+        // date_format(date, "yyyy-MM-dd-HH") pins HH to 00 for dates
+        Some(utf8Compare(raw, isoDate(canonical.toLong).toString + "-00"))
+      case PartitionTransform.Truncate(n, _) => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val l = canonical.toLong
+          Some(java.lang.Long.compare(raw.toLong, l - (((l % n) + n) % n)))
+        case StringType =>
+          Some(utf8Compare(raw,
+            canonical.substring(0, math.min(canonical.length, n))))
+        case _ => None
+      }
+      case _ => None // Bucket; time transforms over timestamp sources
+    }
+  } catch { case _: Exception => None }
+
   /** Can `f` possibly contain a row matching every conjunct? Unknown bounds
     * (absent entry, absent min/max) keep the file. `schema` is the CURRENT
     * table schema — the conjunct's field name resolves to a field-id, which

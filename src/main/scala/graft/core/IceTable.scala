@@ -128,8 +128,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     currentSnapshot.filter(_.files.nonEmpty) match {
       case None => emptyDf(schema)
       case Some(s) =>
-        val conjs = FilePruning.conjunctsOf(filter, schema)
-        val files = s.files.filter(f => FilePruning.keepFile(f, conjs, schema))
+        val files = pruneFiles(s, filter)
         if (files.isEmpty) emptyDf(schema)
         else readSnapshot(Some(s.copy(files = files))).where(filter)
     }
@@ -139,10 +138,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def pruneStats(filter: Column): (Int, Int) =
     currentSnapshot match {
       case None => (0, 0)
-      case Some(s) =>
-        val conjs = FilePruning.conjunctsOf(filter, schema)
-        (s.files.count(f => FilePruning.keepFile(f, conjs, schema)), s.files.size)
+      case Some(s) => (pruneFiles(s, filter).size, s.files.size)
     }
+
+  /** Both manifest pruning layers: partition-directory values (works even
+    * on manifests with no collected bounds) AND per-file column bounds. */
+  private def pruneFiles(s: Snapshot, filter: Column): List[FileEntry] = {
+    val m = meta
+    val conjs = FilePruning.conjunctsOf(filter, m.schema)
+    val tfs = m.transforms
+    s.files.filter(f =>
+      FilePruning.keepFileByPartitions(f, conjs, tfs, m.schema) &&
+        FilePruning.keepFile(f, conjs, m.schema))
+  }
 
   def emptyDf(s: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
@@ -257,9 +265,22 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   }
 
   /** Rewrite current data as `targetFiles` files (compaction,
-    * catalog.py:2014-2084 read-all + overwrite). */
-  def compact(targetFiles: Int = 1): Snapshot = locked {
-    val df = read().repartition(math.max(targetFiles, 1))
+    * catalog.py:2014-2084 read-all + overwrite). `clusterBy` (beyond
+    * reference — the OPTIMIZE ... ZORDER BY of the big lakehouses)
+    * range-clusters the rewrite instead: one column sorts, two interleave
+    * via the Morton curve, and because every commit collects per-file
+    * column bounds, the rewritten files become immediately skippable by
+    * [[prunedRead]] range predicates on the clustered columns. */
+  def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Nil): Snapshot = locked {
+    val n = math.max(targetFiles, 1)
+    val base = read()
+    val df = clusterBy match {
+      case Nil => base.repartition(n)
+      case Seq(x) => base.repartitionByRange(n, col(x)).sortWithinPartitions(x)
+      case Seq(x, y) => graft.operators.ZOrder.clusterByZ(base, x, y, n)
+      case other => throw new IllegalArgumentException(
+        s"clusterBy supports 1 or 2 columns, got ${other.size}")
+    }
     commit(df, "replace", keepParent = false)
   }
 

@@ -170,6 +170,79 @@ class FilePruningSpec extends AnyFunSuite {
     assert(t.prunedRead(col("ts") >= "2025-03-01").count() == 1)
   }
 
+  test("partition-dir pruning: month transform on a date column, null dirs, bucket never prunes") {
+    val cat = newCatalog()
+    cat.createTable("default.pm",
+      Seq("day" -> "date", "v" -> "long", "k" -> "string"),
+      List("month(day)", "bucket(4,k)"), Map.empty)
+    val t = cat.loadTable("default.pm")
+    val rows = Seq(("2025-01-10", 1L, "a"), ("2025-02-20", 2L, "b"),
+      ("2025-06-05", 3L, "c"), (null, 4L, "d"))
+    t.append(rows.toDF("day", "v", "k").withColumn("day", to_date(col("day"))))
+    val total = t.currentSnapshot.get.files.size
+    assert(total >= 4, s"expected one file per month dir + null dir, got $total")
+    // range predicate on the SOURCE column prunes by month dir
+    val f1 = col("day") >= "2025-03-01"
+    val (k1, _) = t.pruneStats(f1)
+    assert(k1 < total && k1 >= 1, s"month-dir prune failed: $k1/$total")
+    assert(t.prunedRead(f1).collect().map(_.getLong(1)).toSeq == Seq(3L))
+    // mid-month boundary keeps the containing month
+    assert(t.prunedRead(col("day") > "2025-01-15").collect()
+      .map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    // null-dir handling: isNull keeps only the null dir, comparisons drop it
+    assert(t.prunedRead(col("day").isNull).collect().map(_.getLong(1)).toSeq == Seq(4L))
+    val (kNotNull, _) = t.pruneStats(col("day").isNotNull)
+    assert(kNotNull == total - 1)
+    // the bucket DIR layer must never prune (no safe literal inverse) —
+    // checked in isolation because the column-bounds layer legitimately
+    // prunes k === 'a' down to its single file here
+    val conjs = FilePruning.conjunctsOf(col("k") === "a", t.schema)
+    assert(t.currentSnapshot.get.files.forall(f =>
+      FilePruning.keepFileByPartitions(f, conjs, t.meta.transforms, t.schema)))
+    assert(t.prunedRead(col("k") === "a").count() == 1)
+  }
+
+  test("partition-dir pruning: identity and integral truncate transforms") {
+    val cat = newCatalog()
+    cat.createTable("default.pt", Seq("region" -> "string", "v" -> "long"),
+      List("identity(region)", "truncate(10,v)"), Map.empty)
+    val t = cat.loadTable("default.pt")
+    t.append(Seq(("eu", 3L), ("us", 17L), ("ap", 25L)).toDF("region", "v"))
+    val total = t.currentSnapshot.get.files.size
+    assert(t.pruneStats(col("region") === "us")._1 < total)
+    assert(t.prunedRead(col("region") === "us").count() == 1)
+    // truncate(10): v >= 20 can only live in dirs floored >= 20
+    val (kt, _) = t.pruneStats(col("v") >= 20L)
+    assert(kt < total, s"truncate-dir prune failed: $kt/$total")
+    assert(t.prunedRead(col("v") >= 20L).collect().map(_.getString(0)).toSeq == Seq("ap"))
+  }
+
+  test("clustered compact rewrites a scattered table into a prunable layout") {
+    val cat = newCatalog()
+    cat.createTable("default.cc", Seq("x" -> "long", "y" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.cc")
+    // scattered appends: every file covers the whole x range -> no pruning
+    (0 until 4).foreach { i =>
+      t.append(spark.range(0, 256).select(
+        ((col("id") * 7 + i) % 64).as("x"), (col("id") / 4).as("y")).coalesce(1))
+    }
+    val filter = col("x") < 8L
+    assert(t.pruneStats(filter)._1 == 4, "scattered layout should not prune")
+    val before = t.read().where(filter).count()
+    // single-column range clustering
+    t.compact(targetFiles = 8, clusterBy = Seq("x"))
+    val (kept, total) = t.pruneStats(filter)
+    assert(total == 8 && kept < total && kept >= 1,
+      s"clustered compact must make the range prunable: $kept/$total")
+    assert(t.prunedRead(filter).count() == before)
+    // two-column z-order clustering keeps both dimensions prunable
+    t.compact(targetFiles = 8, clusterBy = Seq("x", "y"))
+    val f2 = col("x") < 8L && col("y") < 8L
+    val (kz, tz) = t.pruneStats(f2)
+    assert(tz == 8 && kz < tz, s"z-order compact must prune: $kz/$tz")
+    assert(t.prunedRead(f2).collect().toSet == t.read().where(f2).collect().toSet)
+  }
+
   test("manifests without bounds (older snapshots) read fine and never prune") {
     val f = FileEntry("/nope.parquet", 10, 100, 1)
     val schema = TableMeta.schemaOf(Seq("v" -> "long"))
