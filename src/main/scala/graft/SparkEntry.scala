@@ -1013,6 +1013,28 @@ object SparkEntry {
           dsum(col("l_extendedprice")).as("total_price"))
     }),
 
+    // deterministic epoch shuffle: md5(seed:id) global order WITHOUT a
+    // single-task window (GlobalOrder range-partitions + assembles ranks
+    // zipWithIndex-style) — reproducible training example order on any
+    // engine at any parallelism
+    "q95_epoch_shuffle" -> ((s, dir) => {
+      graft.text.Selection.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("shuffle_rank"))
+    }),
+
+    // quality-first token-budget selection: fill a token budget with the
+    // best-scoring docs via an exact DISTRIBUTED prefix sum (same
+    // GlobalOrder primitive — no single-task cumulative window)
+    "q96_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.text.Selection.tokenBudgetSelect(docs, "doc_id", "n_tokens",
+        "score", budgetTokens = 50000L)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1840,6 +1862,24 @@ object SparkEntry {
         |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
         |  FROM lineitem)
         |WHERE rnk <= 3""".stripMargin,
+    "q95_epoch_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |  ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
+    "q96_token_budget" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(${graft.text.TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+         |    ${graft.text.TextAnalysis.qualityScoreSql("text")} AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sel_rank,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, score, sel_rank, cum_tokens
+         |FROM r WHERE cum_tokens <= 50000""".stripMargin,
     "q94_pruned_manifest_scan" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
