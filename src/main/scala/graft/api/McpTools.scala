@@ -1214,9 +1214,13 @@ object McpTools {
           n = intOpt(a, "ngram").getOrElse(3),
           threshold = dblOpt(a, "jaccard_threshold").getOrElse(0.8),
           maxShingleFreq = 100)
-        val contaminated = pairs
-          .select(org.apache.spark.sql.functions.col("id_b")).distinct().count()
-        s"$contaminated contaminated eval docs (${pairs.count()} contaminated pairs)"
+        // ONE action for both numbers — the cross-corpus shingle join is
+        // the expensive part and must not run once per count
+        val fs = org.apache.spark.sql.functions
+        val r = pairs.agg(
+          fs.countDistinct(fs.col("id_b")).as("docs"),
+          fs.count(fs.lit(1)).as("pairs")).head()
+        s"${r.getLong(0)} contaminated eval docs (${r.getLong(1)} contaminated pairs)"
       }),
     ToolDef("graft_split_assign",
       "Deterministic md5-hash train/val/test split assignment (engine-portable, leakage-safe when keyed on a group column); writes table + split column.",

@@ -184,16 +184,28 @@ object FilePruning {
 
   private def partitionCompatible(t: PartitionTransform, raw: String,
       c: Conjunct, schema: StructType): Boolean = {
+    // Bucket never prunes AT ALL, including null checks: pmod(hash(col), n)
+    // is NON-null for a null source (Murmur3 hash(null) = the seed), so
+    // null-keyed rows land in a regular numeric bucket dir, never the
+    // default dir — an isnull conjunct judged by dir name would silently
+    // drop every file holding them.
+    if (t.isInstanceOf[PartitionTransform.Bucket]) return true
+    val srcType = schema.fields.find(_.name == c.field).map(_.dataType)
+    // Spark writes BOTH null and "" partition values as the default dir
+    // (ExternalCatalogUtils escapes empty to __HIVE_DEFAULT_PARTITION__),
+    // so for string-typed sources the default dir's contents are UNKNOWN —
+    // it may hold real empty-string rows. Never prune it.
     val isNullDir = raw == NullDir
+    if (isNullDir && srcType.contains(StringType)) return true
     c.op match {
       case "isnull" => isNullDir
       case "isnotnull" => !isNullDir
       case op =>
         if (isNullDir) false
-        else schema.fields.find(_.name == c.field) match {
+        else srcType match {
           case None => true
-          case Some(fld) =>
-            transformedCompare(t, fld.dataType, raw, c.value.get) match {
+          case Some(dt) =>
+            transformedCompare(t, dt, raw, c.value.get) match {
               case None => true // unsupported combination: never prune
               case Some(cmp) => op match {
                 case "=" => cmp == 0
@@ -243,8 +255,12 @@ object FilePruning {
           val l = canonical.toLong
           Some(java.lang.Long.compare(raw.toLong, l - (((l % n) + n) % n)))
         case StringType =>
-          Some(utf8Compare(raw,
-            canonical.substring(0, math.min(canonical.length, n))))
+          // CODE-POINT prefix, matching Spark's substring(): a UTF-16-unit
+          // substring could split a surrogate pair, and the lone surrogate
+          // encodes as '?' in UTF-8 — a different truncation than the dir
+          // value, which would wrongly prune matching files
+          val cps = canonical.codePoints().limit(n.toLong).toArray
+          Some(utf8Compare(raw, new String(cps, 0, cps.length)))
         case _ => None
       }
       case _ => None // Bucket; time transforms over timestamp sources
@@ -254,37 +270,57 @@ object FilePruning {
   /** Can `f` possibly contain a row matching every conjunct? Unknown bounds
     * (absent entry, absent min/max) keep the file. `schema` is the CURRENT
     * table schema — the conjunct's field name resolves to a field-id, which
-    * is how bounds survive renames. */
-  def keepFile(f: FileEntry, conjs: Seq[Conjunct], schema: StructType): Boolean =
+    * is how bounds survive renames. `fileSchemaOf` resolves a schemaId to
+    * the schema the file was WRITTEN under, so a type-changing evolution
+    * disables pruning for pre-change files instead of comparing bounds in
+    * the wrong domain. */
+  def keepFile(f: FileEntry, conjs: Seq[Conjunct], schema: StructType,
+      fileSchemaOf: Int => Option[StructType] = _ => None): Boolean =
     conjs.forall { c =>
       val field = schema.fields.find(_.name == c.field)
       field match {
         case None => true
         case Some(fld) if !supported(fld.dataType) => true
         case Some(fld) =>
-          val b = TableMeta.fieldId(fld)
-            .flatMap(id => f.bounds.get(id.toString))
-            .getOrElse(ColBounds())
-          c.op match {
-            case "isnull" => b.nulls.forall(_ > 0)
-            case "isnotnull" => !b.nulls.contains(f.rows) || f.rows == 0
-            case cmpOp =>
-              val v = c.value.get
-              // a file of only nulls can't match any comparison
-              if (b.nulls.contains(f.rows) && f.rows > 0) false
-              else (b.min, b.max) match {
-                case (Some(mn), Some(mx)) => cmpOp match {
-                  case "=" => compare(fld.dataType, mn, v) <= 0 &&
-                    compare(fld.dataType, mx, v) >= 0
-                  case "<" => compare(fld.dataType, mn, v) < 0
-                  case "<=" => compare(fld.dataType, mn, v) <= 0
-                  case ">" => compare(fld.dataType, mx, v) > 0
-                  case ">=" => compare(fld.dataType, mx, v) >= 0
+          val id = TableMeta.fieldId(fld)
+          // bounds were canonicalized under the WRITE-time type; a
+          // type-changing schema evolution (readSnapshot casts old files)
+          // makes the stored domain differ from the current one — such
+          // files are never pruned
+          val writeType = for {
+            fid <- id
+            fs <- fileSchemaOf(f.schemaId)
+            wf <- fs.fields.find(x => TableMeta.fieldId(x).contains(fid))
+          } yield wf.dataType
+          if (writeType.exists(wt =>
+              !IceTable.sameTypeIgnoringNullability(wt, fld.dataType))) true
+          else try {
+            val b = id.flatMap(i => f.bounds.get(i.toString))
+              .getOrElse(ColBounds())
+            c.op match {
+              case "isnull" => b.nulls.forall(_ > 0)
+              case "isnotnull" => !b.nulls.contains(f.rows) || f.rows == 0
+              case cmpOp =>
+                val v = c.value.get
+                // a file of only nulls can't match any comparison
+                if (b.nulls.contains(f.rows) && f.rows > 0) false
+                else (b.min, b.max) match {
+                  case (Some(mn), Some(mx)) => cmpOp match {
+                    case "=" => compare(fld.dataType, mn, v) <= 0 &&
+                      compare(fld.dataType, mx, v) >= 0
+                    case "<" => compare(fld.dataType, mn, v) < 0
+                    case "<=" => compare(fld.dataType, mn, v) <= 0
+                    case ">" => compare(fld.dataType, mx, v) > 0
+                    case ">=" => compare(fld.dataType, mx, v) >= 0
+                    case _ => true
+                  }
                   case _ => true
                 }
-                case _ => true
-              }
-          }
+            }
+          // belt for callers without a schema resolver: a cross-domain
+          // parse failure (e.g. "apple".toLong after string->long
+          // evolution) keeps the file rather than crashing the read
+          } catch { case _: Exception => true }
       }
     }
 }

@@ -126,10 +126,13 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * alone still pays. */
   def prunedRead(filter: Column): DataFrame =
     currentSnapshot.filter(_.files.nonEmpty) match {
-      case None => emptyDf(schema)
+      // .where(filter) on the empty frame too: an invalid predicate (typo'd
+      // column, type error) must throw exactly as read().where(filter)
+      // would, not silently return zero rows
+      case None => emptyDf(schema).where(filter)
       case Some(s) =>
         val files = pruneFiles(s, filter)
-        if (files.isEmpty) emptyDf(schema)
+        if (files.isEmpty) emptyDf(schema).where(filter)
         else readSnapshot(Some(s.copy(files = files))).where(filter)
     }
 
@@ -147,9 +150,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val m = meta
     val conjs = FilePruning.conjunctsOf(filter, m.schema)
     val tfs = m.transforms
+    val fileSchemaOf: Int => Option[StructType] =
+      sid => m.schemas.find(_.id == sid).map(_.struct)
     s.files.filter(f =>
       FilePruning.keepFileByPartitions(f, conjs, tfs, m.schema) &&
-        FilePruning.keepFile(f, conjs, m.schema))
+        FilePruning.keepFile(f, conjs, m.schema, fileSchemaOf))
   }
 
   def emptyDf(s: StructType): DataFrame =

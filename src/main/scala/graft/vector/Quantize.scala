@@ -56,32 +56,33 @@ object Quantize {
     * cluster-restricted form; this one exists so the quantized kernels
     * have an exhaustive ground truth. */
   def qDupPairs(df: DataFrame, idCol: String, qCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(qCol).as("qa"))
-      .withColumn("na", sqrt(qdot(col("qa"), col("qa")).cast("double")))
-    val b = df.select(col(idCol).as("id_b"), col(qCol).as("qb"))
-      .withColumn("nb", sqrt(qdot(col("qb"), col("qb")).cast("double")))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
-          .as("qcos"))
-      .where(col("qcos") >= threshold)
-  }
+      threshold: Double): DataFrame =
+    pairsImpl(df, idCol, qCol, threshold, restrictOn = None)
 
   /** Cluster-restricted quantized near-dup pairs — the 100 TB composition:
-    * `adf` carries a `cluster` column (from [[KMeansIvf.assign]] or
-    * [[IvfIndex.bucketed]] renamed) plus the int8 codes, so the pair join
-    * shuffles 4× less data than the float form AND costs Σ cluster²
-    * instead of n²/2. Integer dots → scores exact at any parallelism.
+    * `adf` carries a cluster/bucket column (from [[KMeansIvf.assign]] or
+    * [[IvfIndex.bucketed]]) plus the int8 codes, so the pair join shuffles
+    * 4× less data than the float form AND costs Σ cluster² instead of
+    * n²/2. Integer dots → scores exact at any parallelism.
     * Result: (id_a, id_b, qcos), id_a < id_b. */
   def qDupPairsFromClusters(adf: DataFrame, idCol: String, qCol: String,
-      threshold: Double): DataFrame = {
-    val a = adf.select(col("cluster"), col(idCol).as("id_a"), col(qCol).as("qa"))
+      threshold: Double, clusterCol: String = "cluster"): DataFrame =
+    pairsImpl(adf, idCol, qCol, threshold, restrictOn = Some(clusterCol))
+
+  /** Shared pair pipeline: the brute-force and cluster-restricted forms
+    * differ ONLY in the equi-join key — one body, so they cannot drift. */
+  private def pairsImpl(df: DataFrame, idCol: String, qCol: String,
+      threshold: Double, restrictOn: Option[String]): DataFrame = {
+    val keyCols = restrictOn.toSeq.map(col)
+    val a = df.select(keyCols :+ col(idCol).as("id_a") :+ col(qCol).as("qa"): _*)
       .withColumn("na", sqrt(qdot(col("qa"), col("qa")).cast("double")))
-    val b = adf.select(col("cluster"), col(idCol).as("id_b"), col(qCol).as("qb"))
+    val b = df.select(keyCols :+ col(idCol).as("id_b") :+ col(qCol).as("qb"): _*)
       .withColumn("nb", sqrt(qdot(col("qb"), col("qb")).cast("double")))
-    a.join(b, Seq("cluster"))
-      .where(col("id_a") < col("id_b"))
+    val joined = restrictOn match {
+      case Some(k) => a.join(b, Seq(k)).where(col("id_a") < col("id_b"))
+      case None => a.join(b, col("id_a") < col("id_b"))
+    }
+    joined
       .select(col("id_a"), col("id_b"),
         (qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
           .as("qcos"))

@@ -243,6 +243,50 @@ class FilePruningSpec extends AnyFunSuite {
     assert(t.prunedRead(f2).collect().toSet == t.read().where(f2).collect().toSet)
   }
 
+  test("bucket dirs never answer null checks: hash(null) lands in a real bucket") {
+    val cat = newCatalog()
+    cat.createTable("default.bn", Seq("k" -> "long", "v" -> "long"),
+      List("bucket(4,k)"), Map.empty)
+    val t = cat.loadTable("default.bn")
+    t.append(Seq((Some(1L), 10L), (Some(2L), 20L), (None, 30L))
+      .toDF("k", "v"))
+    // Spark's hash(null) = the seed, so the null-k row lives in a NUMERIC
+    // bucket dir — judging isNull by dir name would drop it
+    val nulls = t.prunedRead(col("k").isNull).collect().map(_.getLong(1))
+    assert(nulls.toSeq == Seq(30L),
+      s"null-keyed row lost through bucket-dir pruning: ${nulls.toSeq}")
+    assert(t.prunedRead(col("k").isNotNull).count() == 2)
+  }
+
+  test("empty-string partition values share the null dir and are never pruned") {
+    val cat = newCatalog()
+    cat.createTable("default.es", Seq("s" -> "string", "v" -> "long"),
+      List("identity(s)"), Map.empty)
+    val t = cat.loadTable("default.es")
+    t.append(Seq(("", 1L), ("x", 2L), (null, 3L)).toDF("s", "v"))
+    // "" and null both serialize as __HIVE_DEFAULT_PARTITION__ — the dir
+    // layer cannot distinguish them, so neither comparisons nor isNotNull
+    // may drop that dir for string sources
+    assert(t.prunedRead(col("s") === "").collect().map(_.getLong(1)).toSeq == Seq(1L))
+    assert(t.prunedRead(col("s").isNotNull).collect().map(_.getLong(1)).sorted.toSeq
+      == Seq(1L, 2L))
+    assert(t.prunedRead(col("s").isNull).collect().map(_.getLong(1)).toSeq == Seq(3L))
+  }
+
+  test("prunedRead surfaces filter analysis errors even when everything prunes away") {
+    val cat = newCatalog()
+    cat.createTable("default.ae", Seq("v" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.ae")
+    // empty table: the typo must still throw like read().where would
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.prunedRead(col("no_such_col") > 5).collect()
+    }
+    t.append(Seq(1L, 2L).toDF("v").coalesce(1))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.prunedRead(col("no_such_col") > 5).collect()
+    }
+  }
+
   test("manifests without bounds (older snapshots) read fine and never prune") {
     val f = FileEntry("/nope.parquet", 10, 100, 1)
     val schema = TableMeta.schemaOf(Seq("v" -> "long"))
