@@ -131,4 +131,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "no explode in the signature pass")
     assert(!p.contains("Exchange"), "signature pass must not shuffle")
   }
+
+  test("q95/q96: global ordering never plans a single-partition exchange") {
+    // the GlobalOrder primitive replaces the classic Window.orderBy (one
+    // task sorts everything) with range partition + offsets — the gates
+    // themselves must keep that shape
+    for (q <- Seq("q95_epoch_shuffle", "q96_token_budget")) {
+      val p = planOf(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q collapsed to a single-partition exchange:\n$p")
+    }
+  }
 }
