@@ -1035,6 +1035,18 @@ object SparkEntry {
         "score", budgetTokens = 50000L)
     }),
 
+    // deterministic importance sampling: accept iff md5-uniform(seed:id)
+    // < score² — quality-temperature sampling whose admitted set is
+    // identical on any engine at any parallelism (rand(seed) is seeded
+    // per partition and is not). score² via multiplication (IEEE-exact;
+    // pow() could differ between libm implementations)
+    "q97_importance_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("score"))
+      graft.text.Selection.importanceSample(docs, "doc_id",
+        col("score") * col("score"), seed = 7L)
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -1862,6 +1874,14 @@ object SparkEntry {
         |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
         |  FROM lineitem)
         |WHERE rnk <= 3""".stripMargin,
+    "q97_importance_sample" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, ${graft.text.TextAnalysis.qualityScoreSql("text")} AS score
+         |  FROM documents)
+         |SELECT doc_id, score FROM sc
+         |WHERE CAST(${graft.operators.HashSplit.bucketSql(
+               "'7:' || CAST(doc_id AS VARCHAR)", 1 << 20)} AS DOUBLE)
+         |  / 1048576.0 < score * score""".stripMargin,
     "q95_epoch_shuffle" ->
       """SELECT doc_id, CAST(row_number() OVER (
         |  ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank

@@ -30,6 +30,27 @@ object Selection {
       .drop("__shuffle_key")
   }
 
+  /** md5-derived deterministic uniform in [0,1): fold the first 8 hex
+    * digits of md5(seed ":" id) into 2^20 buckets (a power of two, so the
+    * 32-bit fold has ZERO modulo bias) and scale. 20 fractional bits are
+    * exactly representable in a double, so the value — and any comparison
+    * against it — is bit-identical in every engine. */
+  def uniform01(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    graft.operators.HashSplit.bucket(
+      concat_ws(":", lit(seed.toString), id.cast("string")), 1 << 20)
+      .cast("double") / lit((1 << 20).toDouble)
+
+  /** Deterministic importance sampling: keep a row iff `uniform01(id) <
+    * prob`, where `prob` is any per-row acceptance probability expression
+    * (e.g. a quality score sharpened by a temperature). Unlike
+    * `df.sample`/`rand(seed)` — which are seeded PER PARTITION and change
+    * with the physical layout — the decision depends only on (seed, id),
+    * so the same sample comes out on any engine at any parallelism, and a
+    * re-run admits exactly the same rows. */
+  def importanceSample(df: DataFrame, idCol: String,
+      prob: org.apache.spark.sql.Column, seed: Long): DataFrame =
+    df.where(uniform01(col(idCol), seed) < prob)
+
   /** Quality-first token-budget selection: keep the best-scoring docs whose
     * INCLUSIVE cumulative token count still fits `budgetTokens` — the
     * "fill a 10B-token budget with the best documents" step of corpus

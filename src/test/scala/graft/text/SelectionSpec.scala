@@ -24,6 +24,24 @@ class SelectionSpec extends AnyFunSuite {
     assert(a.map(_._2).sorted == (1L to a.size.toLong))
   }
 
+  test("importanceSample: partitioning-invariant, tracks the acceptance probability") {
+    val n = 5000L
+    val docs = spark.range(0, n).select(col("id").as("doc_id"))
+    def sample(df: org.apache.spark.sql.DataFrame, p: Double, seed: Long) =
+      Selection.importanceSample(df, "doc_id", lit(p), seed)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = sample(docs, 0.3, 7L)
+    // identical admitted SET at any physical layout — the property
+    // rand(seed)-based sampling does not have
+    assert(a == sample(docs.repartition(13), 0.3, 7L))
+    assert(math.abs(a.size - n * 0.3) < n * 0.05,
+      s"acceptance rate off: ${a.size} of $n at p=0.3")
+    // different seeds give different samples; p=0 none, p=1 all
+    assert(a != sample(docs, 0.3, 8L))
+    assert(sample(docs, 0.0, 7L).isEmpty)
+    assert(sample(docs, 1.0, 7L).size == n)
+  }
+
   test("tokenBudgetSelect == local greedy reference, boundary inclusive") {
     val docs = Seq(
       (1L, 10L, 0.9), (2L, 20L, 0.8), (3L, 15L, 0.8),
