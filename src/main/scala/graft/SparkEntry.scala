@@ -1252,6 +1252,65 @@ object SparkEntry {
           when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
             .otherwise(col("c_acctbal")))
       graft.analytics.Profile.columnCompleteness(c)
+    }),
+
+    // distributed global rank + inclusive prefix sum over lineitem — the
+    // GlobalOrder primitive itself under an oracle (q95/q96 gate its
+    // md5-shuffle/token-budget compositions). Unique (price desc,
+    // orderkey, linenumber) order; cum_qty in exact integer arithmetic.
+    "q98_global_rank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      graft.operators.GlobalOrder.rankWithPrefixSum(li,
+        sortCols = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber")),
+        rankCol = "rnk", sumOf = Some((col("l_quantity"), "cum_qty")))
+        .where(col("rnk") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rnk"), col("cum_qty"))
+    }),
+
+    // salted skew join: output must be IDENTICAL to the plain equi-join
+    // (salting only changes physical row placement) — proven here against
+    // the unsalted SQL join, aggregated per nation to keep output bounded
+    "q99_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(li, sup, Seq("suppkey"), salt = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // CCNet-style line-level boilerplate removal: lines (4-token chunks —
+    // the corpus has no newlines, so the multi-line fixture is built
+    // identically here and in the oracle) repeated across >= 2 docs are
+    // scrubbed from every doc, text rebuilt in original order
+    "q100_line_dedup" -> ((s, dir) => {
+      val toks = graft.text.TextAnalysis.tokens(col("text"))
+      val nl = ceil(size(toks) / lit(4.0)).cast("int")
+      val mtext = when(size(toks) > 0,
+        array_join(transform(sequence(lit(0), nl - 1),
+          i => array_join(slice(toks, i * lit(4) + 1, lit(4)), " ")), "\n"))
+        .otherwise(lit(""))
+      val prepped = t(s, dir, "documents")
+        .select(col("doc_id"), mtext.as("mtext"))
+      graft.text.LineDedup.removeRepeatedLines(prepped, "doc_id", "mtext",
+        minDocs = 2)
+    }),
+
+    // exact heavy hitters WITHOUT a full-cardinality groupBy: Misra-Gries
+    // candidate sketch (bounded memory, provable superset) + exact verify
+    // of candidates only. minShare = 1/512 (exact binary fraction) makes
+    // the threshold arithmetic engine-portable.
+    "q101_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      graft.operators.HeavyHitters.frequentItems(toks, "tok",
+        minShare = 1.0 / 512)
     })
   )
 
@@ -2300,6 +2359,56 @@ object SparkEntry {
         |       count(DISTINCT c_acctbal), CAST(count(c_acctbal) AS DOUBLE) / count(*) FROM c
         |UNION ALL
         |SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
-        |       count(DISTINCT c_mktsegment), CAST(count(c_mktsegment) AS DOUBLE) / count(*) FROM c""".stripMargin
+        |       count(DISTINCT c_mktsegment), CAST(count(c_mktsegment) AS DOUBLE) / count(*) FROM c""".stripMargin,
+    "q98_global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rnk, cum_qty FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rnk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_qty
+        |  FROM lineitem)
+        |WHERE rnk <= 2000""".stripMargin,
+    "q99_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+    "q100_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |m AS (
+        |  SELECT doc_id, coalesce(list_aggregate(
+        |    list_transform(range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT)),
+        |      i -> array_to_string(tk[i*4+1:i*4+4], ' ')),
+        |    'string_agg', chr(10)), '') AS mtext
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, i AS idx, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM m),
+        |    unnest(range(1, len(ls) + 1)) AS u(i)),
+        |dup AS (
+        |  SELECT trim(lower(line)) AS k FROM ln WHERE len(trim(line)) > 0
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM ln
+        |  WHERE len(trim(line)) = 0 OR trim(lower(line)) NOT IN (SELECT k FROM dup)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT m.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(m.mtext, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(m.mtext, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM m LEFT JOIN reb ON m.doc_id = reb.doc_id""".stripMargin,
+    "q101_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, count(*) AS cnt
+        |FROM toks, tot
+        |GROUP BY tok, tot.n
+        |HAVING count(*) >= ceil(n / 512.0)""".stripMargin
   )
 }
