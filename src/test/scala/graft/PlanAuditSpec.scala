@@ -136,10 +136,28 @@ class PlanAuditSpec extends AnyFunSuite {
     // the GlobalOrder primitive replaces the classic Window.orderBy (one
     // task sorts everything) with range partition + offsets — the gates
     // themselves must keep that shape
-    for (q <- Seq("q95_epoch_shuffle", "q96_token_budget")) {
+    for (q <- Seq("q95_epoch_shuffle", "q96_token_budget",
+        "q98_global_rank")) {
       val p = planOf(q)
       assert(!p.contains("SinglePartition"),
         s"$q collapsed to a single-partition exchange:\n$p")
     }
+  }
+
+  test("q100: line dedup joins stay hash-based — no nested-loop anywhere") {
+    val p = planOf("q100_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"line dedup must never plan a quadratic join:\n$p")
+  }
+
+  test("q101: heavy-hitter verify joins the bounded candidate set broadcast") {
+    // the whole point of the MG pass: only candidate rows shuffle; the
+    // candidate set itself (<= capacity entries) rides a broadcast, so a
+    // sort-merge join against the corpus would defeat the design
+    val p = planOf("q101_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate filter must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join defeats the candidate design:\n$p")
   }
 }
