@@ -1311,6 +1311,36 @@ object SparkEntry {
           .as("tok"))
       graft.operators.HeavyHitters.frequentItems(toks, "tok",
         minShare = 1.0 / 512)
+    }),
+
+    // EXACT Jaccard pairs via prefix filtering — the lossless counterpart
+    // of q20's doc-frequency-capped join: rare-first global shingle order,
+    // index only each doc's prefix, verify candidates exactly. Oracle is
+    // the UNCAPPED all-pairs SQL, proving no pair is missed.
+    "q102_prefix_jaccard" -> ((s, dir) => {
+      graft.text.PrefixFilterJoin.jaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8)
+    }),
+
+    // weighted PageRank over the event-type transition graph (q76's edge
+    // derivation) — 3 fixed power iterations, damping 0.85, dangling mass
+    // redistributed. The oracle unrolls the same 3 iterations in SQL;
+    // ranks compare micro-rounded (float sum order is the only freedom).
+    "q103_event_pagerank" -> ((s, dir) => {
+      val edges = graft.analytics.Funnel.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+      graft.operators.PageRank.ranks(edges, "prev_type", "next_type", "n",
+        iters = 3, damping = 0.85)
+        .select(col("node"),
+          round(col("rank") * lit(1e6)).cast("long").as("rank_micro"))
+    }),
+
+    // gap-filled hourly resample: every (event_type, hour) bucket in the
+    // observed span appears, empty buckets zero-filled (215 gap rows at
+    // sf0.01 — the fill path is genuinely exercised, not vacuous)
+    "q104_gap_fill" -> ((s, dir) => {
+      graft.operators.Resample.gapFill(t(s, dir, "events"),
+        "event_type", "ts", "value", unit = "hour")
     })
   )
 
@@ -2409,6 +2439,70 @@ object SparkEntry {
         |SELECT tok, count(*) AS cnt
         |FROM toks, tot
         |GROUP BY tok, tot.n
-        |HAVING count(*) >= ceil(n / 512.0)""".stripMargin
+        |HAVING count(*) >= ceil(n / 512.0)""".stripMargin,
+    // uncapped exact all-pairs Jaccard — the prefix filter must lose NOTHING
+    "q102_prefix_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    // 3 power iterations unrolled; same float ops per term as the Spark
+    // side, micro-rounded so summation order cannot flip the compare
+    "q103_event_pagerank" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |edges AS (
+        |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, 1.0/n AS r FROM nodes CROSS JOIN cnt),
+        |c1 AS (SELECT e.dst AS node, sum(r.r * e.w / o.ow) AS c
+        |  FROM edges e JOIN r0 r ON r.node = e.src JOIN outw o ON o.src = e.src GROUP BY 1),
+        |d1 AS (SELECT coalesce(sum(r.r), 0.0) AS dm
+        |  FROM r0 r LEFT JOIN outw o ON o.src = r.node WHERE o.src IS NULL),
+        |r1 AS (SELECT nd.node, (1-0.85)/cnt.n + 0.85*(coalesce(c1.c, 0.0) + d1.dm/cnt.n) AS r
+        |  FROM nodes nd CROSS JOIN cnt CROSS JOIN d1 LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.r * e.w / o.ow) AS c
+        |  FROM edges e JOIN r1 r ON r.node = e.src JOIN outw o ON o.src = e.src GROUP BY 1),
+        |d2 AS (SELECT coalesce(sum(r.r), 0.0) AS dm
+        |  FROM r1 r LEFT JOIN outw o ON o.src = r.node WHERE o.src IS NULL),
+        |r2 AS (SELECT nd.node, (1-0.85)/cnt.n + 0.85*(coalesce(c2.c, 0.0) + d2.dm/cnt.n) AS r
+        |  FROM nodes nd CROSS JOIN cnt CROSS JOIN d2 LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.r * e.w / o.ow) AS c
+        |  FROM edges e JOIN r2 r ON r.node = e.src JOIN outw o ON o.src = e.src GROUP BY 1),
+        |d3 AS (SELECT coalesce(sum(r.r), 0.0) AS dm
+        |  FROM r2 r LEFT JOIN outw o ON o.src = r.node WHERE o.src IS NULL),
+        |r3 AS (SELECT nd.node, (1-0.85)/cnt.n + 0.85*(coalesce(c3.c, 0.0) + d3.dm/cnt.n) AS r
+        |  FROM nodes nd CROSS JOIN cnt CROSS JOIN d3 LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node, CAST(round(r * 1000000.0) AS BIGINT) AS rank_micro FROM r3""".stripMargin,
+    "q104_gap_fill" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket, value FROM events),
+        |actual AS (
+        |  SELECT grp, bucket, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |  FROM b GROUP BY 1, 2),
+        |span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        |grid AS (
+        |  SELECT g.grp, unnest(generate_series(span.lo, span.hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT DISTINCT grp FROM b) g CROSS JOIN span)
+        |SELECT grid.grp, grid.bucket, coalesce(actual.n, 0) AS n,
+        |  coalesce(actual.total, 0.0) AS total
+        |FROM grid LEFT JOIN actual ON grid.grp = actual.grp AND grid.bucket = actual.bucket""".stripMargin
   )
 }

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via prefix filtering (AllPairs / PPJoin
+  * family: Bayardo et al., "Scaling Up All Pairs Similarity Search",
+  * WWW'07; Xiao et al., "Efficient Similarity Joins for Near Duplicate
+  * Detection", WWW'08).
+  *
+  * [[NearDup.jaccardPairs]] bounds its candidate self-join with a
+  * doc-frequency CAP — dropping stop-shingles is an approximation (pairs
+  * held together only by hot shingles are missed). Prefix filtering is
+  * the EXACT alternative at the same cost class: order every doc's
+  * shingles by a global rare-first total order and index only the first
+  * `|d| - ceil(t*|d|) + 1` of them. Any pair with Jaccard >= t MUST
+  * share a prefix token (pigeonhole over the required overlap
+  * `ceil(t/(1+t)*(na+nb))`), so joining prefixes loses nothing — and
+  * because prefixes hold each doc's RAREST shingles, hot shingles never
+  * reach the join unless a doc consists almost entirely of them.
+  *
+  * Exactness guard: the prefix length and the size filter are computed
+  * with a 1e-9 slack (`ceil(0.8 * 5)` is 5 in IEEE doubles, not 4 —
+  * an unguarded ceil SHORTENS the prefix and silently drops true
+  * pairs). Slack only ever lengthens the prefix / widens the size
+  * window, so it can add candidates, never lose them; the exact verify
+  * step removes any extras.
+  *
+  * Plan shape (the 100 TB posture):
+  *   - doc-frequency and per-doc rank are two window passes (one
+  *     shuffle by `s`, one by `doc_id`), no driver state;
+  *   - the candidate join's input is the prefix table only — for
+  *     t = 0.8 about 20% of each doc's shingles, and the globally
+  *     rarest ones, so bucket sizes on the join key stay small without
+  *     any lossy cap;
+  *   - a size filter (`t*max <= min`) prunes length-incompatible pairs
+  *     inside the join condition;
+  *   - verification recomputes shingle ARRAYS for candidate docs only
+  *     (semi-join first, then one `array_intersect` per pair — the
+  *     [[MinHashLSH.nearDuplicates]] shape), so the corpus-wide
+  *     exploded table is never joined against itself.
+  */
+object PrefixFilterJoin {
+
+  private val Eps = 1e-9
+
+  /** Exact pairwise n-gram Jaccard >= threshold, prefix-filtered.
+    * Result: (id_a, id_b, inter, na, nb, jaccard), id_a < id_b —
+    * identical to an uncapped [[NearDup.jaccardPairs]] / the all-pairs
+    * SQL, at prefix-join cost. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1]: $threshold")
+    val sh = NearDup.shingleTable(df, idCol, textCol, n)
+    val cands = candidatePairs(sh, threshold).localCheckpoint(eager = false)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val arrs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(candIds, "doc_id")
+      .select(col("doc_id"),
+        TextAnalysis.shingles(col("__text"), n).as("sh"))
+      .withColumn("nn", size(col("sh")).cast("long"))
+    cands
+      .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sa"),
+        col("nn").as("na")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sb"),
+        col("nn").as("nb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Candidate pairs from a per-doc-distinct `(doc_id, s)` shingle
+    * table: a provable SUPERSET of all pairs with Jaccard >= threshold
+    * (prefix-filter completeness), typically a tiny multiple of the true
+    * pair count. Result: (id_a, id_b), id_a < id_b, distinct. */
+  def candidatePairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    // global rare-first total order: (doc frequency, shingle text) — every
+    // shingle gets one rank, so per-doc prefixes are mutually consistent
+    val ranked = shingleDf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("p", row_number()
+        .over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefixLen =
+      col("n") - ceil(lit(threshold) * col("n") - lit(Eps)) + lit(1)
+    val prefix = ranked.where(col("p") <= prefixLen)
+      .select("doc_id", "s", "n")
+    prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(Eps) &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(Eps))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+}
