@@ -1341,6 +1341,48 @@ object SparkEntry {
     "q104_gap_fill" -> ((s, dir) => {
       graft.operators.Resample.gapFill(t(s, dir, "events"),
         "event_type", "ts", "value", unit = "hour")
+    }),
+
+    // trailing 3-bucket moving average over the gap-filled grid — the
+    // composition gap fill exists for: on the dense grid "3 rows back"
+    // IS "3 hours back". Windowed sum goes through decimal (window-frame
+    // accumulation order is engine-internal), ONE double division after.
+    "q105_moving_avg" -> ((s, dir) => {
+      val filled = graft.operators.Resample.gapFill(t(s, dir, "events"),
+        "event_type", "ts", "value", unit = "hour")
+      graft.operators.Resample.movingAvg(filled, window = 3)
+    }),
+
+    // degree-oriented triangle enumeration over the part co-purchase
+    // graph (parts sharing >= 2 orders) — every triangle found exactly
+    // once from its minimum-(degree,id) corner; output id-canonical so
+    // the oracle's id-ordered 3-way join must match row for row
+    "q106_triangles" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pe.alias("a").join(pe.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      graft.operators.Triangles.triangles(edges, "u", "v")
+    }),
+
+    // BM25 ranked retrieval over the corpus inverted index — postings
+    // filtered to the query terms FIRST, per-term stats broadcast, every
+    // per-(doc,term) contribution micro-quantized before the integer
+    // per-doc sum (q64's engine-portable log discipline)
+    "q107_bm25_search" -> ((s, dir) => {
+      graft.text.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("hash", "join", "spark"))
+    }),
+
+    // PMI collocation mining over adjacent token pairs (phrase/vocab
+    // detection); counts exact, ln micro-quantized per pair
+    "q108_collocations" -> ((s, dir) => {
+      graft.text.Collocations.pmiBigrams(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 5L)
     })
   )
 
@@ -2503,6 +2545,83 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT grp FROM b) g CROSS JOIN span)
         |SELECT grid.grp, grid.bucket, coalesce(actual.n, 0) AS n,
         |  coalesce(actual.total, 0.0) AS total
-        |FROM grid LEFT JOIN actual ON grid.grp = actual.grp AND grid.bucket = actual.bucket""".stripMargin
+        |FROM grid LEFT JOIN actual ON grid.grp = actual.grp AND grid.bucket = actual.bucket""".stripMargin,
+    "q105_moving_avg" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket, value FROM events),
+        |actual AS (
+        |  SELECT grp, bucket, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |  FROM b GROUP BY 1, 2),
+        |span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        |grid AS (
+        |  SELECT g.grp, unnest(generate_series(span.lo, span.hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT DISTINCT grp FROM b) g CROSS JOIN span),
+        |filled AS (
+        |  SELECT grid.grp, grid.bucket, coalesce(actual.n, 0) AS n,
+        |    coalesce(actual.total, 0.0) AS total
+        |  FROM grid LEFT JOIN actual ON grid.grp = actual.grp AND grid.bucket = actual.bucket)
+        |SELECT grp, bucket, n, total,
+        |  CAST(SUM(CAST(total AS DECIMAL(28,6))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mavg
+        |FROM filled
+        |WINDOW w AS (PARTITION BY grp ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q106_triangles" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pairs WHERE w >= 2)
+        |SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |FROM e ab JOIN e bc ON ab.v = bc.u
+        |  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v""".stripMargin,
+    // float literals written as the SAME arithmetic the Spark side runs
+    // ((1.2 + 1.0), not 2.2 — the sum is an exact-halfway rounding case,
+    // so a decimal literal could differ from the computed double by 1 ulp)
+    "q107_bm25_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE length(token) > 0),
+        |post AS (SELECT token, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qp AS (SELECT * FROM post WHERE token IN ('hash', 'join', 'spark')),
+        |dfq AS (SELECT token, count(*) AS df FROM qp GROUP BY 1),
+        |contrib AS (
+        |  SELECT qp.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+        |          (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        |  FROM qp JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |FROM contrib GROUP BY 1""".stripMargin,
+    "q108_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |bg AS (
+        |  SELECT array_to_string(t[i:i+1], ' ') AS g
+        |  FROM tok, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS t1 FROM uni),
+        |t2 AS (SELECT count(*) AS t2 FROM bg),
+        |bic AS (SELECT g, count(*) AS c12 FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |sp AS (
+        |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2, c12
+        |  FROM bic),
+        |spf AS (SELECT * FROM sp WHERE length(w1) > 0 AND length(w2) > 0)
+        |SELECT w1, w2, c12,
+        |  CAST(floor(ln(
+        |    (CAST(c12 AS DOUBLE) / CAST(t2.t2 AS DOUBLE)) /
+        |    ((CAST(u1.c AS DOUBLE) / CAST(t1.t1 AS DOUBLE)) *
+        |     (CAST(u2.c AS DOUBLE) / CAST(t1.t1 AS DOUBLE))))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM spf JOIN uni u1 ON u1.w = spf.w1 JOIN uni u2 ON u2.w = spf.w2
+        |  CROSS JOIN t1 CROSS JOIN t2""".stripMargin
   )
 }

@@ -1119,6 +1119,54 @@ object Cli {
         println(s"int8-quantized $vecCol of ${snap.totalRows} rows into " +
           s"$target (q + q_scale columns; 4x smaller, integer-exact cosine)")
 
+      case List("dedup-exact-pairs", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        val pairs = graft.text.PrefixFilterJoin.jaccardPairs(df,
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          n = flags.getOrElse("ngram", "3").toInt,
+          threshold = flags.getOrElse("threshold", "0.8").toDouble)
+        pairs.orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(flags.getOrElse("limit", "100").toInt).collect()
+          .foreach(r => println(f"${r.get(0)} ~ ${r.get(1)}: " +
+            f"jaccard ${r.getAs[Double]("jaccard")}%.4f " +
+            f"(inter ${r.getAs[Long]("inter")})"))
+
+      case List("pagerank", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        val src = flags.getOrElse("src-col", "src")
+        val dst = flags.getOrElse("dst-col", "dst")
+        val w = flags.getOrElse("weight-col", "w")
+        val ranks = graft.operators.PageRank.ranks(df, src, dst, w,
+          iters = flags.getOrElse("iters", "3").toInt,
+          damping = flags.getOrElse("damping", "0.85").toDouble)
+        ranks.orderBy(col("rank").desc)
+          .limit(flags.getOrElse("limit", "20").toInt).collect()
+          .foreach(r => println(f"${r.get(0)}: ${r.getDouble(1)}%.6f"))
+
+      case List("triangles", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        val counts = graft.operators.Triangles.triangleCounts(df,
+          flags.getOrElse("u-col", "u"), flags.getOrElse("v-col", "v"))
+        counts.orderBy(col("n_triangles").desc, col("node"))
+          .limit(flags.getOrElse("limit", "20").toInt).collect()
+          .foreach(r => println(s"${r.get(0)}: ${r.getLong(1)} triangles"))
+
+      case List("gap-fill", table) =>
+        val df = lh.catalog.loadTable(table).read()
+        val filled = graft.operators.Resample.gapFill(df,
+          flags.getOrElse("group-col", "event_type"),
+          flags.getOrElse("ts-col", "ts"),
+          flags.getOrElse("value-col", "value"),
+          flags.getOrElse("unit", "hour"))
+        val out = flags.get("moving-avg") match {
+          case Some(wdw) => graft.operators.Resample.movingAvg(filled, wdw.toInt)
+          case None => filled
+        }
+        out.orderBy(col("grp"), col("bucket"))
+          .limit(flags.getOrElse("limit", "50").toInt).collect()
+          .foreach(r => println(r.mkString(" | ")))
+
       case List("completeness", table) =>
         graft.analytics.Profile.columnCompleteness(
           lh.catalog.loadTable(table).read()).collect()
@@ -1237,8 +1285,13 @@ object Cli {
       |           --fractions train:0.8,val:0.1,test:0.1)
       |         diversity <table> (--group-col source --ngram 3)
       |         dedup-best <table> <target> (--threshold 0.8)
+      |         dedup-exact-pairs <table> (--threshold 0.8 --ngram 3)
       |         quantize <table> <target> (--vec-col embedding)
       |         approx-profile <table>
+      |         pagerank <table> (--src-col src --dst-col dst --iters 3)
+      |         triangles <table> (--u-col u --v-col v)
+      |         gap-fill <table> (--group-col event_type --unit hour
+      |           --moving-avg 3)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

@@ -1259,6 +1259,42 @@ object McpTools {
         val rows = writeTable(lh, str(a, "target_table"), q)
         s"quantized $rows rows into ${str(a, "target_table")}"
       }),
+    ToolDef("graft_dedup_exact_pairs",
+      "exact near-duplicate pairs via prefix-filtered Jaccard join (no frequency-cap approximation); writes (id_a, id_b, inter, na, nb, jaccard).",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Document table"),
+        "target_table" -> S("Output pair table"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "text_col" -> S("Text column (default text)"),
+        "threshold" -> S("Jaccard threshold (default 0.8)")),
+      (lh, a) => {
+        val pairs = graft.text.PrefixFilterJoin.jaccardPairs(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          strOpt(a, "id_col").getOrElse("doc_id"),
+          strOpt(a, "text_col").getOrElse("text"),
+          threshold = strOpt(a, "threshold").map(_.toDouble).getOrElse(0.8))
+        val rows = writeTable(lh, str(a, "target_table"), pairs)
+        s"found $rows exact near-dup pairs into ${str(a, "target_table")}"
+      }),
+    ToolDef("graft_pagerank",
+      "weighted PageRank over an edge table (src, dst, weight); writes (node, rank) summing to 1.",
+      sch(List("table_name", "target_table"),
+        "table_name" -> S("Edge table"),
+        "target_table" -> S("Output rank table"),
+        "src_col" -> S("Source column (default src)"),
+        "dst_col" -> S("Destination column (default dst)"),
+        "weight_col" -> S("Weight column (default w)"),
+        "iters" -> S("Power iterations (default 3)")),
+      (lh, a) => {
+        val ranks = graft.operators.PageRank.ranks(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          strOpt(a, "src_col").getOrElse("src"),
+          strOpt(a, "dst_col").getOrElse("dst"),
+          strOpt(a, "weight_col").getOrElse("w"),
+          iters = strOpt(a, "iters").map(_.toInt).getOrElse(3))
+        val rows = writeTable(lh, str(a, "target_table"), ranks)
+        s"ranked $rows nodes into ${str(a, "target_table")}"
+      }),
   )
 
   /** Reference-mirrored tools only (155, 1:1 with server.py). */

@@ -48,4 +48,29 @@ object Resample {
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("total"), lit(0.0)).as("total"))
   }
+
+  /** Trailing moving aggregate over a gap-filled grid: for each (grp,
+    * bucket) the sum/mean of `total` across the last `window` buckets
+    * (current included). Run on [[gapFill]] output — on a dense grid
+    * "`window` rows back" IS "`window` buckets back"; on raw sparse
+    * aggregates it silently is not, which is exactly why the
+    * densification step exists.
+    *
+    * Determinism: the windowed sum goes through decimal (window sum
+    * order is engine-internal — DuckDB slides a segment tree, Spark
+    * scans the frame — so double accumulation diverges in ulps; decimal
+    * is order-exact), then ONE double division by the frame row count.
+    *
+    * Scale: one window shuffle on grp — same key as [[gapFill]]'s final
+    * join, so AQE coalesces them into adjacent stages; frame is
+    * row-bounded (`window` rows), state O(window) per partition. */
+  def movingAvg(filled: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window >= 1: $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bucket")
+      .rowsBetween(-(window - 1), 0)
+    filled.select(col("grp"), col("bucket"), col("n"), col("total"),
+      (sum(col("total").cast("decimal(28,6)")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("mavg"))
+  }
 }

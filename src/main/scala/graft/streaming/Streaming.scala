@@ -182,6 +182,35 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-STREAM interval correlation: pair each `lead` event with the
+    * `follow` events of the same key whose timestamp lands in
+    * [lead_ts, lead_ts + within] — click→purchase attribution, request→
+    * error correlation, impression→conversion joins.
+    *
+    * Both sides carry an event-time watermark and the join condition
+    * time-bounds follow_ts relative to lead_ts; together these let the
+    * engine EVICT buffered rows once the watermark passes their legal
+    * match interval — the Structured Streaming requirement for
+    * stream-stream joins with bounded state (state size ~ events inside
+    * one watermark window per side, not stream history).
+    *
+    * Inner join ⇒ Append output mode; result rows are final and equal
+    * the batch interval join over the same data regardless of
+    * micro-batch boundaries. */
+  def correlateStreams(lead: DataFrame, follow: DataFrame, keyCol: String,
+      tsCol: String = "ts", within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = lead.select(col(keyCol).as("k"), col(tsCol).as("lead_ts"))
+      .withWatermark("lead_ts", watermark)
+    val f = follow.select(col(keyCol).as("__fk"), col(tsCol).as("follow_ts"))
+      .withWatermark("follow_ts", watermark)
+    l.join(f,
+        col("k") === col("__fk") &&
+          col("follow_ts") >= col("lead_ts") &&
+          col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $within"))
+      .select(col("k").as(keyCol), col("lead_ts"), col("follow_ts"))
+  }
+
   /** Sink each micro-batch into an IceLite table: one snapshot per batch,
     * so replays/time travel work on streamed data too. */
   def writeToTable(df: DataFrame, lh: Lakehouse, table: String,

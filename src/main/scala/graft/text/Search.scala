@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: inverted-index construction and
+  * BM25 ranking (Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond", 2009) — the search primitive a curation
+  * pipeline uses for targeted quality audits ("show me the docs about
+  * X") and retrieval-based decontamination lookups.
+  *
+  * Scale posture: the index is ONE explode + groupBy shuffle keyed on
+  * (token, doc); scoring FILTERS the postings to the query terms first
+  * (a handful of tokens — the filter sits directly on the postings
+  * scan), so corpus-sized data never joins corpus-sized data: the
+  * per-term statistics ride a broadcast, and the final per-doc sum
+  * groups only rows of docs that match at least one query term.
+  *
+  * Determinism (gate discipline, [[LanguageModel]]'s micro-unit rule):
+  * every per-(doc, term) BM25 contribution is quantized to integer
+  * micro-units — floor(x·1e6 + 0.5), pure IEEE mul/add/floor identical
+  * in any engine — BEFORE the per-doc sum, which is then exact integer
+  * arithmetic with no float-summation-order freedom.
+  */
+object Search {
+
+  /** Postings: (token, doc_id, tf), empty-string tokens dropped. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 scores of every document matching ≥1 query term:
+    * (doc_id, n_terms, score_micro) where score_micro is the integer
+    * micro-unit sum of per-term contributions and n_terms the number of
+    * distinct query terms present. Query terms are matched after the
+    * same normalization as the index (lowercase, whitespace split). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    val postings = invertedIndex(df, idCol, textCol)
+      .localCheckpoint(eager = false) // reused: doc lengths + query scan
+    val docLen = postings.groupBy("doc_id")
+      .agg(sum("tf").as("dl"))
+    // corpus scalars: one aggregated row, broadcast
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_tokens"))
+    val qPost = postings.where(col("token").isin(terms: _*))
+    val dfreq = qPost.groupBy("token").agg(count(lit(1)).as("df"))
+    qPost
+      .join(broadcast(dfreq), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("tfpart",
+        col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("c_micro",
+        floor(col("idf") * col("tfpart") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c_micro").as("score_micro"))
+  }
+}

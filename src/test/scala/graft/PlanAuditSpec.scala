@@ -160,4 +160,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side sort-merge join defeats the candidate design:\n$p")
   }
+
+  test("q102: prefix join and verify stay equi-keyed — no quadratic strategy") {
+    val p = planOf("q102_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"prefix-filtered join must never plan a quadratic join:\n$p")
+  }
+
+  test("q106: oriented wedge + closure joins are hash-keyed, no cartesian") {
+    val p = planOf("q106_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"triangle enumeration must never plan a quadratic join:\n$p")
+  }
+
+  test("q104/q105: grid join is equi-keyed; only the 1-row span broadcasts") {
+    for (q <- Seq("q104_gap_fill", "q105_moving_avg")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$p")
+      // the span crossJoin is a broadcast of ONE aggregated row; the
+      // grid-to-actual join itself must be hash-keyed on (grp, bucket)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q: span scalar must ride a broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin"),
+        s"$q: grid-actual join must be equi-keyed:\n$p")
+    }
+  }
 }

@@ -209,6 +209,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(j.where($"n" =!= $"bn").count() == 0)
   }
 
+  test("correlateStreams: stream-stream interval join equals batch join") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val mkLead = (df: org.apache.spark.sql.DataFrame) =>
+      df.where($"event_type" === "click")
+    val mkFollow = (df: org.apache.spark.sql.DataFrame) =>
+      df.where($"event_type" === "purchase")
+    val streamed = Streaming.correlateStreams(
+      mkLead(Streaming.eventsStream(spark, dir, schema)),
+      mkFollow(Streaming.eventsStream(spark, dir, schema)),
+      keyCol = "user_id", tsCol = "ts", within = "1 hour")
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("corr_stream").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck3-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("corr_stream")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    val ev = spark.read.parquet(dir)
+    val batch = mkLead(ev).select($"user_id".as("k"), $"ts".as("lead_ts"))
+      .join(mkFollow(ev).select($"user_id".as("fk"), $"ts".as("follow_ts")),
+        $"k" === $"fk" && $"follow_ts" >= $"lead_ts" &&
+          $"follow_ts" <= $"lead_ts" + expr("INTERVAL 1 hour"))
+      .select($"k", $"lead_ts", $"follow_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must contain click->purchase pairs")
+    assert(got == batch)
+  }
+
   test("dedupStream drops duplicate keys within the watermark, state bounded") {
     val dir = SparkFixture.tmpDir("graft-dd-").toString
     val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
