@@ -1383,6 +1383,29 @@ object SparkEntry {
     "q108_collocations" -> ((s, dir) => {
       graft.text.Collocations.pmiBigrams(t(s, dir, "documents"),
         "doc_id", "text", minCount = 5L)
+    }),
+
+    // sorted-neighborhood blocking (third dedup-blocking family next to
+    // LSH and prefix filtering): global rank by normalized text prefix
+    // via GlobalOrder (no single-partition sort), adjacent-bucket
+    // equi-join for |rank diff| <= 10, exact Jaccard verify. The method
+    // is lossy OUTSIDE the window by design; the oracle runs the same
+    // window so equality is exact.
+    "q109_sorted_neighborhood" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.SortedNeighborhood.jaccardPairs(docs, "doc_id",
+        "text",
+        sortCols = Seq(substring(trim(lower(col("text"))), 1, 20),
+          col("doc_id")),
+        window = 10, n = 3, threshold = 0.8)
+    }),
+
+    // per-source KL divergence from the global token distribution —
+    // mixture drift monitoring; per-token terms micro-quantized before
+    // the exact integer per-slice sum
+    "q110_kl_drift" -> ((s, dir) => {
+      graft.text.Drift.tokenKlDivergence(t(s, dir, "documents"),
+        "source", "text")
     })
   )
 
@@ -2622,6 +2645,53 @@ object SparkEntry {
         |     (CAST(u2.c AS DOUBLE) / CAST(t1.t1 AS DOUBLE))))
         |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
         |FROM spf JOIN uni u1 ON u1.w = spf.w1 JOIN uni u2 ON u2.w = spf.w2
-        |  CROSS JOIN t1 CROSS JOIN t2""".stripMargin
+        |  CROSS JOIN t1 CROSS JOIN t2""".stripMargin,
+    "q109_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(trim(lower(text)), 1, 20) AS k FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn FROM s),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |    JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter, sa.n AS na, sb.n AS nb,
+        |  CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+        |  JOIN sizes sb ON sb.doc_id = i.id_b
+        |WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.8""".stripMargin,
+    "q110_kl_drift" ->
+      """WITH stf AS (
+        |  SELECT slice, w FROM (
+        |    SELECT source AS slice,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |sc AS (SELECT slice, w, count(*) AS c_sw FROM stf GROUP BY 1, 2),
+        |g AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_gw FROM sc GROUP BY 1),
+        |stot AS (SELECT slice, CAST(sum(c_sw) AS BIGINT) AS c_s FROM sc GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(c_s) AS BIGINT) AS c_g FROM stot),
+        |terms AS (
+        |  SELECT sc.slice, sc.c_sw,
+        |    CAST(floor(
+        |      (CAST(c_sw AS DOUBLE) / CAST(c_s AS DOUBLE)) *
+        |      ln((CAST(c_sw AS DOUBLE) / CAST(c_s AS DOUBLE)) /
+        |         (CAST(c_gw AS DOUBLE) / CAST(c_g AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+        |  FROM sc JOIN g USING (w) JOIN stot USING (slice) CROSS JOIN gtot)
+        |SELECT slice, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(sum(term_micro) AS BIGINT) AS kl_micro
+        |FROM terms GROUP BY 1""".stripMargin
   )
 }

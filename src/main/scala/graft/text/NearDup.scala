@@ -74,6 +74,36 @@ object NearDup {
       .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Exact Jaccard verification of a candidate pair set: the shared
+    * final stage of every blocking method (LSH bands, prefix filter,
+    * sorted neighborhood). Shingle ARRAYS are recomputed for candidate
+    * docs only (semi-join first), the intersection is a per-row
+    * `array_intersect` — no corpus-wide exploded join, only candidate
+    * pairs pay. Result: (id_a, id_b, inter, na, nb, jaccard) filtered to
+    * jaccard >= threshold; id_a/id_b keep the orientation of `cands`. */
+  def verifyPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val arrs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(candIds, "doc_id")
+      .select(col("doc_id"),
+        TextAnalysis.shingles(col("__text"), n).as("sh"))
+      .withColumn("nn", size(col("sh")).cast("long"))
+    cands
+      .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sa"),
+        col("nn").as("na")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sb"),
+        col("nn").as("nb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+  }
+
   /** Cross-corpus contamination pairs — the decontamination primitive of a
     * training pipeline: which documents of corpus B (e.g. an eval/test set)
     * share ≥ threshold n-gram Jaccard with any document of corpus A (the

@@ -55,25 +55,7 @@ object PrefixFilterJoin {
       s"threshold in (0,1]: $threshold")
     val sh = NearDup.shingleTable(df, idCol, textCol, n)
     val cands = candidatePairs(sh, threshold).localCheckpoint(eager = false)
-    val candIds = cands
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val arrs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(candIds, "doc_id")
-      .select(col("doc_id"),
-        TextAnalysis.shingles(col("__text"), n).as("sh"))
-      .withColumn("nn", size(col("sh")).cast("long"))
-    cands
-      .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sa"),
-        col("nn").as("na")), "id_a")
-      .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sb"),
-        col("nn").as("nb")), "id_b")
-      .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+    NearDup.verifyPairs(df, idCol, textCol, n, cands, threshold)
   }
 
   /** Candidate pairs from a per-doc-distinct `(doc_id, s)` shingle

@@ -173,6 +173,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"triangle enumeration must never plan a quadratic join:\n$p")
   }
 
+  test("q109: sorted-neighborhood keeps GlobalOrder's shape — no single-partition sort, no quadratic join") {
+    val p = planOf("q109_sorted_neighborhood")
+    assert(!p.contains("SinglePartition"),
+      s"blocking sort must not collapse to one partition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"rank-distance join must stay an adjacent-bucket equi-join:\n$p")
+  }
+
+  test("q110: KL terms join by token/slice keys; only the 1-row total broadcasts") {
+    val p = planOf("q110_kl_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"KL drift must not plan a cartesian product:\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"only the corpus-total scalar may nested-loop:\n$p")
+  }
+
   test("q104/q105: grid join is equi-keyed; only the 1-row span broadcasts") {
     for (q <- Seq("q104_gap_fill", "q105_moving_avg")) {
       val p = planOf(q)
