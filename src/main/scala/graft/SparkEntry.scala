@@ -1406,6 +1406,15 @@ object SparkEntry {
     "q110_kl_drift" -> ((s, dir) => {
       graft.text.Drift.tokenKlDivergence(t(s, dir, "documents"),
         "source", "text")
+    }),
+
+    // SCD Type-2 history build: per-user event_type runs collapse into
+    // validity intervals [valid_from, valid_to), null-safe struct
+    // compare, both windows share ONE key shuffle
+    "q111_scd2" -> ((s, dir) => {
+      graft.analytics.Scd.scd2(t(s, dir, "events"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        attrCols = Seq("event_type"))
     })
   )
 
@@ -2692,6 +2701,25 @@ object SparkEntry {
         |  FROM sc JOIN g USING (w) JOIN stot USING (slice) CROSS JOIN gtot)
         |SELECT slice, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
         |  count(*) AS n_distinct, CAST(sum(term_micro) AS BIGINT) AS kl_micro
-        |FROM terms GROUP BY 1""".stripMargin
+        |FROM terms GROUP BY 1""".stripMargin,
+    // rn = 1 keeps each key's first observation even if its attr is
+    // null (Spark lags the STRUCT, which is non-null on real rows);
+    // IS DISTINCT FROM mirrors the null-safe compare on later rows
+    "q111_scd2" ->
+      """WITH ord AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ord
+        |  WHERE rn = 1 OR prev_attr IS DISTINCT FROM event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM iv""".stripMargin
   )
 }

@@ -1167,6 +1167,18 @@ object Cli {
           .limit(flags.getOrElse("limit", "50").toInt).collect()
           .foreach(r => println(r.mkString(" | ")))
 
+      case List("scd2", table, target) =>
+        val df = lh.catalog.loadTable(table).read()
+        val keys = flags.getOrElse("keys", "user_id").split(',').toSeq
+        val attrs = flags.getOrElse("attrs", "event_type").split(',').toSeq
+        val h = graft.analytics.Scd.scd2(df, keys,
+          flags.getOrElse("ts-col", "ts"),
+          flags.getOrElse("tie-col", "event_id"), attrs)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, h.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(h)
+        println(s"built SCD2 history: ${snap.totalRows} intervals into $target")
+
       case List("completeness", table) =>
         graft.analytics.Profile.columnCompleteness(
           lh.catalog.loadTable(table).read()).collect()
@@ -1301,6 +1313,8 @@ object Cli {
       |         histogram <table> <column> (--bin-width 10 --origin 0)
       |cdc:     changes change-log change-summary change-export incremental
       |         classify-changes (--keys a,b)
+      |         scd2 <table> <target> (--keys user_id --attrs event_type
+      |           --ts-col ts --tie-col event_id)
       |         watermark-set watermark-show watermark-reset watermarks
       |orchestrate: view-create views view-query view-drop view-show
       |         matview-create matview-refresh matview-fresh matview-list

@@ -152,9 +152,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val tfs = m.transforms
     val fileSchemaOf: Int => Option[StructType] =
       sid => m.schemas.find(_.id == sid).map(_.struct)
+    val bloomCols = BloomIndex.bloomColumns(m.properties)
+    val hconf = new Configuration()
     s.files.filter(f =>
       FilePruning.keepFileByPartitions(f, conjs, tfs, m.schema) &&
-        FilePruning.keepFile(f, conjs, m.schema, fileSchemaOf))
+        FilePruning.keepFile(f, conjs, m.schema, fileSchemaOf) &&
+        // bloom probe LAST: it is the only layer that costs I/O (one
+        // footer + bloom page per still-candidate file)
+        (bloomCols.isEmpty ||
+          BloomIndex.keepFile(f, conjs, m.schema, fileSchemaOf, bloomCols,
+            hconf)))
   }
 
   def emptyDf(s: StructType): DataFrame =
@@ -187,10 +194,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val tfs = m.transforms
       // "vortex" format label → alternate parquet profile (zstd); see
       // graft.io.FormatResolver for the resolution chain
-      val codec = m.properties.get("write.format.default") match {
+      val codec = (m.properties.get("write.format.default") match {
         case Some("vortex") => Map("compression" -> "zstd")
         case _ => Map.empty[String, String]
-      }
+      }) ++ BloomIndex.writeOptions(m.properties)
       // TIMESTAMP_MICROS, not Spark's legacy INT96 default: INT96 footers
       // carry no usable min/max statistics, which would leave timestamp
       // columns invisible to manifest pruning (and INT96 is deprecated in

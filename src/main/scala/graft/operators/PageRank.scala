@@ -40,8 +40,12 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    // pin the edge list once: it feeds nodes, outW and EVERY iteration's
+    // join — without this an expensive upstream (e.g. a transition
+    // window over the raw event log) re-executes 2 + iters times
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)

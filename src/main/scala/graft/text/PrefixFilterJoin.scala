@@ -72,7 +72,11 @@ object PrefixFilterJoin {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefixLen =
       col("n") - ceil(lit(threshold) * col("n") - lit(Eps)) + lit(1)
-    val prefix = ranked.where(col("p") <= prefixLen)
+    // df >= 2: a singleton shingle can never match another prefix — in a
+    // large corpus most shingles are singletons, so this removes the
+    // bulk of the join input without touching completeness (a shared
+    // prefix token has df >= 2 by definition)
+    val prefix = ranked.where(col("p") <= prefixLen && col("df") >= 2)
       .select("doc_id", "s", "n")
     prefix.alias("a")
       .join(prefix.alias("b"),
