@@ -64,39 +64,116 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   def readAsOf(ref: String): DataFrame = readSnapshot(Some(resolveRef(ref)))
 
-  def readSnapshot(snap: Option[Snapshot]): DataFrame = {
+  def readSnapshot(snap: Option[Snapshot]): DataFrame =
+    snap.filter(_.files.nonEmpty) match {
+      case None => emptyDf(meta.schema)
+      case Some(s) if s.deleteFiles.isEmpty => assemble(s, withLineage = false)
+      case Some(s) =>
+        applyPositionDeletes(assemble(s, withLineage = true), s)
+          .drop(LineageFileCol, LineagePosCol)
+    }
+
+  /** Assemble a snapshot's data files into one frame, resolving each
+    * schema-version group by field-id. `withLineage` additionally exposes
+    * parquet row lineage (`_metadata.file_path`, `_metadata.row_index`) as
+    * [[IceTable.LineageFileCol]]/[[IceTable.LineagePosCol]] — the row
+    * identity merge-on-read deletes key on. Lineage must be projected AT
+    * the scan (hidden `_metadata` does not survive a projection). */
+  private def assemble(s: Snapshot, withLineage: Boolean): DataFrame = {
     val m = meta
     val cur = m.schema
-    snap.filter(_.files.nonEmpty) match {
-      case None => emptyDf(cur)
-      case Some(s) =>
-        // Files may have been written under older schema versions; resolve
-        // each group by field-id to the current schema (rename/drop/add-safe).
-        val byVersion = s.files.groupBy(_.schemaId).toSeq.sortBy(_._1)
-        byVersion.map { case (sid, files) =>
-          val fileSchema = m.schemas.find(_.id == sid)
-            .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
-          val idToName = fileSchema.fields.flatMap(f =>
-            TableMeta.fieldId(f).map(_ -> f.name)).toMap
-          val raw = spark.read.schema(fileSchema).parquet(files.map(_.path): _*)
-          val cols: Array[Column] = cur.fields.map { cf =>
-            TableMeta.fieldId(cf).flatMap(idToName.get) match {
-              // .as(name, metadata) keeps the field-id on the read schema.
-              // sameType (nullability-insensitive) gate: Catalyst refuses
-              // to cast array<float, nullable> to array<float, non-null>,
-              // so only cast when the TYPE actually changed
-              case Some(oldName) =>
-                val src = col(oldName)
-                val conv = if (IceTable.sameTypeIgnoringNullability(
-                    fileSchema(oldName).dataType, cf.dataType)) src
-                  else src.cast(cf.dataType)
-                conv.as(cf.name, cf.metadata)
-              case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
-            }
-          }
-          raw.select(cols: _*)
-        }.reduce(_.unionByName(_))
+    // Files may have been written under older schema versions; resolve
+    // each group by field-id to the current schema (rename/drop/add-safe).
+    val byVersion = s.files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    byVersion.map { case (sid, files) =>
+      val fileSchema = m.schemas.find(_.id == sid)
+        .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
+      val idToName = fileSchema.fields.flatMap(f =>
+        TableMeta.fieldId(f).map(_ -> f.name)).toMap
+      val raw = spark.read.schema(fileSchema).parquet(files.map(_.path): _*)
+      val cols: Array[Column] = cur.fields.map { cf =>
+        TableMeta.fieldId(cf).flatMap(idToName.get) match {
+          // .as(name, metadata) keeps the field-id on the read schema.
+          // sameType (nullability-insensitive) gate: Catalyst refuses
+          // to cast array<float, nullable> to array<float, non-null>,
+          // so only cast when the TYPE actually changed
+          case Some(oldName) =>
+            val src = col(oldName)
+            val conv = if (IceTable.sameTypeIgnoringNullability(
+                fileSchema(oldName).dataType, cf.dataType)) src
+              else src.cast(cf.dataType)
+            conv.as(cf.name, cf.metadata)
+          case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
+        }
+      }
+      val lineage: Array[Column] =
+        if (withLineage)
+          Array(col("_metadata.file_path").as(LineageFileCol),
+            col("_metadata.row_index").as(LineagePosCol))
+        else Array.empty
+      raw.select(cols ++ lineage: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Anti-join away position-deleted rows. The delete set is usually tiny
+    * relative to the data (that is the whole point of merge-on-read), so
+    * below [[IceTable.BroadcastDeleteRows]] manifest rows it broadcasts —
+    * a map-side hash anti-join with NO shuffle of the 100 TB data side.
+    * A pathological giant delete set falls back to a shuffled anti-join
+    * rather than OOMing executors (and is the signal to compact). */
+  private def applyPositionDeletes(data: DataFrame, s: Snapshot): DataFrame = {
+    val dels = spark.read.schema(DeleteSchema)
+      .parquet(s.deleteFiles.map(_.path): _*)
+    val delRows = s.deleteFiles.map(_.rows).sum
+    val side = if (delRows <= BroadcastDeleteRows) broadcast(dels) else dels
+    data.join(side,
+      data(LineageFileCol) === side("file_path") &&
+        data(LineagePosCol) === side("pos"),
+      "left_anti")
+  }
+
+  /** Merge-on-read delete: write the matching rows' `(file_path, pos)`
+    * identities as a position-delete file and commit a snapshot that keeps
+    * every data file untouched. Returns the deleted row count (from the
+    * delete file's own footer — no extra counting pass). History is
+    * preserved exactly as with copy-on-write: older snapshots carry their
+    * own (shorter) delete-file lists. */
+  def deleteWhereMor(filter: Column): Long = tableLock.synchronized {
+    val snaps = snapshots
+    val cur = snaps.lastOption.filter(_.files.nonEmpty).getOrElse {
+      // empty table: nothing can match, but keep the snapshot-per-write
+      // invariant only when there is a snapshot log at all
+      return 0L
     }
+    val id = cur.id + 1
+    val delDir = dataDir.resolve(f"commit-$id%05d-deletes")
+    val base = applyIfDeletes(assemble(cur, withLineage = true), cur)
+    val hits = base.where(filter)
+      .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
+      // cluster by file so a reader's broadcast probe set stays compact
+      // and each delete file covers a contiguous file range
+      .sortWithinPartitions("file_path", "pos")
+    hits.write.parquet(delDir.toString)
+    val delFiles = listDeleteParquet(delDir)
+    val deleted = delFiles.map(_.rows).sum
+    val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
+      "delete", cur.files, cur.schemaId,
+      Map("deleted-rows" -> deleted.toString,
+        "delete-files" -> delFiles.size.toString),
+      deleteFiles = cur.deleteFiles ++ delFiles.filter(_.rows > 0))
+    Jsons.writeFile(snapshotsPath, snaps :+ snap)
+    deleted
+  }
+
+  private def applyIfDeletes(data: DataFrame, s: Snapshot): DataFrame =
+    if (s.deleteFiles.isEmpty) data else applyPositionDeletes(data, s)
+
+  private def listDeleteParquet(dir: Path): List[FileEntry] = {
+    val conf = new Configuration()
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => FileEntry(p.toString, parquetRowCount(p, conf), Files.size(p)))
+      .toList.sortBy(_.path)
   }
 
   /** Read only the files whose partition-directory values satisfy `keep` —
@@ -223,10 +300,18 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val files =
         if (keepParent) snaps.lastOption.map(_.files).getOrElse(Nil) ++ newFiles
         else newFiles
+      // append keeps the parent's position deletes (they reference parent
+      // files, which stay live); overwrite/replace rewrote the data from a
+      // deletes-applied read, so the deletes are absorbed — compaction IS
+      // this path
+      val dels =
+        if (keepParent) snaps.lastOption.map(_.deleteFiles).getOrElse(Nil)
+        else Nil
       val snap = Snapshot(id, snaps.lastOption.map(_.id), System.currentTimeMillis(),
         op, files, m.currentSchemaId,
         Map("added-files" -> newFiles.size.toString,
-          "added-rows" -> newFiles.map(_.rows).sum.toString))
+          "added-rows" -> newFiles.map(_.rows).sum.toString),
+        deleteFiles = dels)
       Jsons.writeFile(snapshotsPath, snaps :+ snap)
       snap
     }
@@ -239,7 +324,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val id = snaps.last.id + 1
     val snap = Snapshot(id, Some(snaps.last.id), System.currentTimeMillis(),
       "replace", target.files, target.schemaId,
-      Map("rolled-back-to" -> target.id.toString))
+      Map("rolled-back-to" -> target.id.toString),
+      // restore the target's merge-on-read state too: rolling back past a
+      // MoR delete must resurrect the rows, rolling back TO one must not
+      deleteFiles = target.deleteFiles)
     Jsons.writeFile(snapshotsPath, snaps :+ snap)
     snap
   }
@@ -267,7 +355,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   /** Files under data/ referenced by no live snapshot (maintenance.py orphan
     * cleanup). Dry-run returns paths; delete=true removes them. */
   def orphanFiles(delete: Boolean = false): Seq[String] = {
-    val live = snapshots.flatMap(_.files.map(_.path)).toSet
+    val live = snapshots
+      .flatMap(s => (s.files ++ s.deleteFiles).map(_.path)).toSet
     if (!Files.exists(dataDir)) return Nil
     val all = Files.walk(dataDir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
@@ -380,6 +469,23 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 }
 
 object IceTable {
+  /** Row-lineage column names used internally by merge-on-read deletes.
+    * Prefixed to stay clear of any user column. */
+  val LineageFileCol = "_gf_lineage_file"
+  val LineagePosCol = "_gf_lineage_pos"
+
+  /** Position-delete file schema (Iceberg v2's `file_path, pos` shape). */
+  val DeleteSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Broadcast the delete set below this many positions (~16 bytes/row
+    * of long + pointer-compressed path strings → low hundreds of MB at the
+    * cap, inside a healthy executor's broadcast budget). */
+  val BroadcastDeleteRows: Long = 4L * 1000 * 1000
+
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def lockFor(dir: Path): Object =

@@ -29,17 +29,29 @@ case class FileEntry(path: String, rows: Long, bytes: Long, schemaId: Int = 1,
   * is the COMPLETE set of live data files at that version (append = parent
   * files + new files; overwrite = new files only) — mirroring the Iceberg
   * snapshot model the reference exposes (reference catalog.py:204-237).
-  */
+  *
+  * `deleteFiles` (empty on old manifests — json4s falls back to the
+  * default) are merge-on-read POSITION deletes, the Iceberg-v2 idea: each
+  * is a small parquet file of `(file_path, pos)` rows naming individual
+  * data-file rows that are logically deleted at this version. Reads
+  * subtract them with an anti-join; a small delete against a 100 TB table
+  * costs KBs of new data instead of rewriting TBs (the copy-on-write
+  * path, which remains the default). */
 case class Snapshot(
     id: Long,
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | overwrite | replace
+    operation: String, // append | overwrite | replace | delete
     files: List[FileEntry],
     schemaId: Int,
-    summary: Map[String, String] = Map.empty) {
+    summary: Map[String, String] = Map.empty,
+    deleteFiles: List[FileEntry] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
+  /** Physical rows minus position-deleted rows. Exact: delete files are
+    * written from the MoR-applied read, so a position is never deleted
+    * twice and every position references a live file. */
+  def liveRows: Long = totalRows - deleteFiles.map(_.rows).sum
 }
 
 /** A schema version: Spark StructType JSON + stable field-ids in field

@@ -113,15 +113,31 @@ class Dml(lh: Lakehouse) {
   }
 
   /** Keep only rows NOT matching the filter (catalog.py:765-831). Returns
-    * deleted count. */
+    * deleted count.
+    *
+    * Table property `write.delete.mode=merge-on-read` switches from the
+    * reference's copy-on-write (full read + overwrite — rewrites the whole
+    * table for a 1-row delete) to position-delete files
+    * ([[graft.core.IceTable.deleteWhereMor]]): at 100 TB a small delete
+    * costs KBs instead of re-copying every data file. Results, audit and
+    * history semantics are identical either way. */
   def delete(table: String, filter: String): Long = {
     val tbl = catalog.loadTable(table)
     tbl.locked {
-      val df = tbl.read()
-      val cond = expr(filter)
-      val deleted = df.where(cond).count()
-      tbl.overwrite(df.where(!coalesce(cond, lit(false))))
-      lh.audit.log(table, "delete", Map("deleted" -> deleted.toString, "filter" -> filter))
+      val mor = tbl.meta.properties.get("write.delete.mode")
+        .contains("merge-on-read")
+      val deleted =
+        if (mor) tbl.deleteWhereMor(expr(filter))
+        else {
+          val df = tbl.read()
+          val cond = expr(filter)
+          val n = df.where(cond).count()
+          tbl.overwrite(df.where(!coalesce(cond, lit(false))))
+          n
+        }
+      lh.audit.log(table, "delete",
+        Map("deleted" -> deleted.toString, "filter" -> filter,
+          "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
       deleted
     }
   }

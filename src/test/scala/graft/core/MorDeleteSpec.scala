@@ -1,0 +1,153 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** Merge-on-read position deletes: a delete commits a tiny
+  * `(file_path, pos)` parquet instead of rewriting data files — the
+  * Iceberg-v2 scale path for small deletes against huge tables. Every
+  * assertion compares against the copy-on-write result, which is the
+  * semantic oracle. */
+class MorDeleteSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newCatalog() =
+    Catalog.open(spark, SparkFixture.tmpDir("graft-mor-").toString)
+
+  private def seeded(cat: Catalog, name: String): IceTable = {
+    cat.createTable(name, Seq("id" -> "long", "grp" -> "string", "v" -> "double"),
+      Nil, Map.empty)
+    val t = cat.loadTable(name)
+    val df = spark.range(0, 1000)
+      .select(col("id"), concat(lit("g"), pmod(col("id"), lit(7))).as("grp"),
+        (col("id") * 1.5).as("v"))
+      .repartition(4, col("id"))
+    t.overwrite(df)
+    t
+  }
+
+  private def ids(t: IceTable): Seq[Long] =
+    t.read().select("id").as[Long].collect().toSeq.sorted
+
+  test("MoR delete equals copy-on-write delete; data files untouched") {
+    val cat = newCatalog()
+    val mor = seeded(cat, "default.mor")
+    val cow = seeded(cat, "default.cow")
+    val filesBefore = mor.currentSnapshot.get.files.map(_.path).toSet
+
+    val nMor = mor.deleteWhereMor(col("grp") === "g3" || col("id") < 10)
+    // copy-on-write twin via the overwrite path
+    val keep = cow.read().where(!(col("grp") === "g3" || col("id") < 10))
+    cow.overwrite(keep)
+
+    assert(nMor > 0)
+    assert(ids(mor) == ids(cow), "MoR read must equal COW result")
+    val snap = mor.currentSnapshot.get
+    assert(snap.files.map(_.path).toSet == filesBefore,
+      "MoR delete must not rewrite or drop any data file")
+    assert(snap.deleteFiles.nonEmpty && snap.operation == "delete")
+    assert(snap.liveRows == 1000 - nMor)
+  }
+
+  test("history preserved: pre-delete snapshot still sees every row") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.hist")
+    val before = t.currentSnapshot.get.id
+    t.deleteWhereMor(col("id") % 2 === 0)
+    assert(t.read().count() == 500)
+    assert(t.readAsOf(before.toString).count() == 1000,
+      "time travel to the pre-delete snapshot must resurrect the rows")
+  }
+
+  test("deletes stack: second delete removes from the already-deleted view") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.stack")
+    val n1 = t.deleteWhereMor(col("id") < 100)
+    // overlapping predicate: rows < 100 are already gone, so only
+    // [100, 200) match — positions are never deleted twice
+    val n2 = t.deleteWhereMor(col("id") < 200)
+    assert(n1 == 100 && n2 == 100)
+    assert(t.read().count() == 800)
+    assert(t.currentSnapshot.get.liveRows == 800)
+  }
+
+  test("append after MoR delete keeps old deletes; new rows unaffected") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.app")
+    t.deleteWhereMor(col("id") < 500)
+    t.append(Seq((5000L, "gX", 1.0), (5001L, "gX", 2.0))
+      .toDF("id", "grp", "v"))
+    val got = ids(t)
+    assert(got.size == 502 && got.head == 500L && got.takeRight(2) == Seq(5000L, 5001L))
+  }
+
+  test("compaction absorbs deletes: files rewritten, delete list cleared") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.comp")
+    t.deleteWhereMor(col("id") >= 900)
+    val before = ids(t)
+    t.compact(targetFiles = 2)
+    val snap = t.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty, "compaction must absorb position deletes")
+    assert(snap.files.size == 2)
+    assert(ids(t) == before)
+  }
+
+  test("zero-match delete commits an empty-delete snapshot and changes nothing") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.zero")
+    val n = t.deleteWhereMor(col("id") === -1L)
+    assert(n == 0)
+    assert(t.read().count() == 1000)
+    assert(t.currentSnapshot.get.deleteFiles.isEmpty,
+      "a 0-row delete file must not be tracked")
+  }
+
+  test("orphan scan treats delete files as live") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.orph")
+    t.deleteWhereMor(col("id") < 10)
+    assert(t.orphanFiles() == Nil)
+  }
+
+  test("rollback past a delete resurrects rows; rollback to a delete keeps it") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.rb")
+    val preDelete = t.currentSnapshot.get.id
+    t.deleteWhereMor(col("id") < 100)
+    val postDelete = t.currentSnapshot.get.id
+    t.rollbackTo(preDelete.toString)
+    assert(t.read().count() == 1000)
+    t.rollbackTo(postDelete.toString)
+    assert(t.read().count() == 900)
+  }
+
+  test("small delete set broadcasts: no shuffle of the data side") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.bc")
+    t.deleteWhereMor(col("id") < 10)
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join for a tiny delete set, got:\n$plan")
+  }
+
+  test("Dml.delete honors write.delete.mode=merge-on-read") {
+    val cat = newCatalog()
+    val lh = graft.Lakehouse.open(spark, cat.warehouse.toString)
+    lh.catalog.createTable("default.dmor",
+      Seq("id" -> "long", "v" -> "string"), Nil,
+      Map("write.delete.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.dmor")
+    t.overwrite(spark.range(0, 100)
+      .select(col("id"), concat(lit("x"), col("id")).as("v")))
+    val filesBefore = t.currentSnapshot.get.files.map(_.path).toSet
+    val n = lh.dml.delete("default.dmor", "id < 25")
+    assert(n == 25)
+    val t2 = lh.catalog.loadTable("default.dmor")
+    assert(t2.read().count() == 75)
+    assert(t2.currentSnapshot.get.files.map(_.path).toSet == filesBefore,
+      "property must route the CLI/API delete through the MoR path")
+  }
+}
