@@ -1415,6 +1415,85 @@ object SparkEntry {
       graft.analytics.Scd.scd2(t(s, dir, "events"),
         keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
         attrCols = Seq("event_type"))
+    }),
+
+    // blocked fuzzy matching: within 16-char-prefix blocks, customer-name
+    // pairs at edit distance <= 2; the bounded distance histogram is the
+    // reported summary (pair lists scale with Σ block²)
+    "q112_fuzzy_match" -> ((s, dir) => {
+      graft.text.FuzzyJoin.pairDistanceCounts(t(s, dir, "customer"),
+        "c_custkey", "c_name",
+        substring(col("c_name"), 1, 16), maxDist = 2)
+    }),
+
+    // equal-frequency binning by global rank (range partition + offsets,
+    // never a single-task global window); integer bin formula is
+    // engine-portable
+    "q113_eqfreq_bins" -> ((s, dir) => {
+      graft.operators.Binning.binStats(t(s, dir, "lineitem"),
+        "l_extendedprice",
+        tieBreak = Seq(col("l_orderkey"), col("l_linenumber")), k = 32)
+    }),
+
+    // exact per-stratum proportional split: md5-ordered within language,
+    // first ceil(0.8·n) rows train, rest test — sizes exact per stratum
+    "q114_stratified_split" -> ((s, dir) => {
+      graft.operators.HashSplit.stratifiedAssign(t(s, dir, "documents"),
+        strataCols = Seq(col("lang")), idCol = col("doc_id"),
+        fractions = Seq("train" -> 0.8, "test" -> 0.2), seed = 7L)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // final-state EMA per user with dyadic α=1/2: every weight is a power
+    // of two, terms micro-quantize exactly, sum is order-independent
+    "q115_dyadic_ema" -> ((s, dir) => {
+      graft.analytics.Ema.dyadicEmaFinal(t(s, dir, "events"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        valCol = "value", m = 1)
+    }),
+
+    // exact rank-sum ROC-AUC: grouped by distinct score, distributed
+    // prefix sum of negatives, every term an integer — no pair join, no
+    // single-task sort
+    "q116_rank_sum_auc" -> ((s, dir) => {
+      graft.analytics.Auc.aucCounts(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase")
+    }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // key = -ln(u)/w from md5-uniform u, k smallest keys win; pure
+    // function of (seed, id, weight), heap top-k (no global sort)
+    "q117_weighted_sample" -> ((s, dir) => {
+      graft.analytics.WeightedSample.sampleWithoutReplacement(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+        k = 200, seed = 5L)
+        .select("doc_id", "n_chars", "key_pico")
+    }),
+
+    // vocabulary coverage curve: smallest frequency-ranked token prefix
+    // covering 50/80/95% of occurrences; integer coverage test
+    "q118_vocab_coverage" -> ((s, dir) => {
+      graft.text.Coverage.coverageThresholds(t(s, dir, "documents"),
+        "text", Seq(50, 80, 95))
+    }),
+
+    // time-weighted average: value held until next observation; value
+    // micro-quantized BEFORE the duration product so the mass sum is a
+    // pure integer sum
+    "q119_twap" -> ((s, dir) => {
+      graft.analytics.Twap.timeWeighted(t(s, dir, "events"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        valCol = "value")
+    }),
+
+    // calibration/reliability deciles: equal-frequency score bins
+    // (distributed rank) with integer-exact per-bin positives and
+    // micro-quantized score mass
+    "q120_calibration" -> ((s, dir) => {
+      graft.analytics.Auc.calibrationBins(t(s, dir, "events"),
+        col("value"), col("event_type") === "purchase",
+        tieBreak = Seq(col("event_id")), k = 10)
     })
   )
 
@@ -2720,6 +2799,150 @@ object SparkEntry {
         |  FROM ch)
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
-        |FROM iv""".stripMargin
+        |FROM iv""".stripMargin,
+
+    // blocking mirrored exactly (16-char prefix); DuckDB levenshtein is
+    // the same unit-cost edit distance as Spark's
+    "q112_fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS s, substr(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |p AS (
+        |  SELECT levenshtein(a.s, b.s) AS dist
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 2)
+        |SELECT dist, count(*) AS n_pairs FROM p GROUP BY 1""".stripMargin,
+
+    // (rank-1)*k // n: integer arithmetic — no float rounding at bin
+    // boundaries in either engine
+    "q113_eqfreq_bins" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS x,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |b AS (SELECT x, ((rnk - 1) * 32) // n AS bin FROM r)
+        |SELECT bin, count(*) AS n_rows, min(x) AS min_v, max(x) AS max_v
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // md5('7:' || id) ordering mirrors HashSplit.stratifiedAssign's key;
+    // fractions sum to 1 so the last split is the ELSE remainder
+    "q114_stratified_split" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)),
+        |               CAST(doc_id AS VARCHAR)) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang,
+        |    CASE WHEN rn <= ceil(0.8 * n) THEN 'train' ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT lang, split, count(*) AS n_docs FROM a GROUP BY 1, 2""".stripMargin,
+
+    // mirror of Ema.dyadicEmaFinal term-by-term: 0.5·x (exact), exact
+    // 2^-k shift, one ·1e6 rounding, away-from-zero round in both engines
+    "q115_dyadic_ema" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    CASE WHEN (n - rn) > 60 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(
+        |        (CASE WHEN rn = 1 THEN value ELSE 0.5 * value END)
+        |          / CAST(CAST(1 AS BIGINT) << (n - rn) AS DOUBLE)
+        |          * 1000000.0) AS BIGINT) END AS tm
+        |  FROM o)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(tm) AS BIGINT) AS ema_micro
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // Mann-Whitney identity over per-distinct-score counts: 2U =
+    // Σ np·(2·negBelow + nn) — integers end to end, no pair join
+    "q116_rank_sum_auc" ->
+      """WITH g AS (
+        |  SELECT value AS s,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT np, nn,
+        |    sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS below
+        |  FROM g)
+        |SELECT CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2,
+        |  CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin,
+
+    // same md5-uniform u = (v+1/2)/2^52 (exact double) and the same
+    // pico-rounded -ln(u)/w key; ties at the boundary break by doc_id
+    "q117_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(round(-ln(
+        |        (('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 0.5)
+        |          / 4503599627370496.0)
+        |      / n_chars * 1000000000000.0) AS BIGINT) AS key_pico
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars, key_pico FROM w
+        |ORDER BY key_pico, doc_id LIMIT 200""".stripMargin,
+
+    // integer coverage test cum·100 >= pct·total lands on the same token
+    // on every engine; ranks tie-broken lexicographically
+    "q118_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT t.token FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+        |  WHERE len(t.token) > 0),
+        |g AS (SELECT token, count(*) AS occ FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT occ,
+        |    row_number() OVER (ORDER BY occ DESC, token) AS rnk,
+        |    sum(occ) OVER (ORDER BY occ DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(occ) OVER () AS total
+        |  FROM g),
+        |p AS (SELECT * FROM (VALUES (50), (80), (95)) AS v(pct))
+        |SELECT pct, CAST(min(rnk) AS BIGINT) AS n_tokens,
+        |  CAST(min_by(cum, rnk) AS BIGINT) AS covered_occurrences
+        |FROM r, p WHERE cum * 100 >= pct * total GROUP BY 1""".stripMargin,
+
+    // duration = whole-second epoch floor diff to the next observation
+    // (last → 0); value micro-quantized BEFORE the product
+    "q119_twap" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nes
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, CAST(round(value * 1000000.0) AS BIGINT) AS vm,
+        |    COALESCE(nes - es, 0) AS dur
+        |  FROM o)
+        |SELECT user_id, count(*) AS n_obs,
+        |  CAST(sum(vm * dur) AS BIGINT) AS twap_num,
+        |  CAST(sum(dur) AS BIGINT) AS twap_den
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // the q113 integer bin formula over (value, event_id) rank, then
+    // integer-exact per-bin aggregates
+    "q120_calibration" ->
+      """WITH r AS (
+        |  SELECT value AS s, event_type = 'purchase' AS y,
+        |    row_number() OVER (ORDER BY value, event_id) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT s, y, ((rnk - 1) * 10) // n AS bin FROM r)
+        |SELECT bin, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CAST(round(s * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |FROM b GROUP BY 1""".stripMargin
   )
 }

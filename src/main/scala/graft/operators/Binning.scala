@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Equal-frequency (quantile) binning: each row gets one of `k` bins by its
+  * GLOBAL rank in a sort order, bin sizes differing by at most one row —
+  * the discretization step of feature pipelines (score deciles, price
+  * quantiles, curriculum difficulty tiers).
+  *
+  * Distribution: the global rank rides [[GlobalOrder.rankWithPrefixSum]]
+  * (range partition + per-partition offsets), NOT `ntile()` over an
+  * unpartitioned window — Spark plans the latter onto a single task, the
+  * canonical 100 TB killer. The bin formula `(rank-1)*k div n` is integer
+  * arithmetic (engine-portable, no float rounding at bin boundaries) and
+  * distributes the remainder evenly across bins; it is deliberately NOT
+  * ntile's all-big-buckets-first layout, which cannot be assembled from
+  * rank without a second global pass. */
+object Binning {
+
+  /** Adds `binCol` (0-based, `[0, k)`) by global `sortCols` order. Include
+    * a tie-break column in `sortCols` for a reproducible assignment of
+    * equal keys. `n` (total row count) is taken with one metadata-cheap
+    * count on the source. */
+  def equalFrequency(df: DataFrame, sortCols: Seq[Column], k: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count()
+    if (n == 0) return df.withColumn(binCol, lit(null).cast("long"))
+    val ranked = GlobalOrder.rankWithPrefixSum(df, sortCols, "__gf_rank")
+    ranked
+      .withColumn(binCol, expr(s"((__gf_rank - 1) * $k) div $n"))
+      .drop("__gf_rank")
+  }
+
+  /** Per-bin summary of `valueCol` over the equal-frequency binning —
+    * the k-row report (count, min, max) a profiler emits. */
+  def binStats(df: DataFrame, valueCol: String, tieBreak: Seq[Column],
+      k: Int): DataFrame =
+    equalFrequency(df, col(valueCol) +: tieBreak, k)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based dataset splitting (train/validation/test),
@@ -71,6 +72,45 @@ object HashSplit {
         s"(CASE $whens ELSE ${quote(thresholds.last._1)} END)"
       }
     s"(CASE WHEN ($keyExpr) IS NULL THEN NULL ELSE $core END)"
+  }
+
+  /** EXACT per-stratum proportional split: within each stratum, rows are
+    * ordered by `md5(seed ":" id)` (engine-portable, parallelism-invariant
+    * — same convention as [[graft.text.Selection.epochShuffle]]) and the
+    * first `ceil(cum_i · n_stratum)` positions go to split i. Unlike
+    * [[assign]] (hash buckets — proportions hold only in expectation),
+    * every stratum's split sizes are exact to the row, the property
+    * stratified evaluation sets need. Rows beyond the last cumulative
+    * boundary (fractions summing < 1) get NULL = held out; when fractions
+    * sum to 1 the last split takes the stratum remainder exactly.
+    *
+    * One shuffle: the rank and the stratum count share the stratum-key
+    * window partitioning. */
+  def stratifiedAssign(df: DataFrame, strataCols: Seq[Column], idCol: Column,
+      fractions: Seq[(String, Double)], seed: Long = 0L,
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    require(cums.last <= 1.0 + 1e-9, s"fractions sum to ${cums.last} > 1")
+    val sumIsOne = math.abs(cums.last - 1.0) <= 1e-9
+    val key = md5(concat_ws(":", lit(seed.toString), idCol.cast("string")))
+    val w = Window.partitionBy(strataCols: _*).orderBy(key, idCol.cast("string"))
+    val wAll = Window.partitionBy(strataCols: _*)
+    val rn = col("__gf_rn")
+    val bounds: Seq[(String, Column)] =
+      fractions.map(_._1).zip(cums).zipWithIndex.map { case ((name, c), i) =>
+        val b = if (i == fractions.size - 1 && sumIsOne) col("__gf_n")
+          else ceil(lit(c) * col("__gf_n"))
+        (name, b)
+      }
+    val assigned = bounds.foldRight(lit(null).cast("string"): Column) {
+      case ((name, b), rest) => when(rn <= b, name).otherwise(rest)
+    }
+    df.withColumn("__gf_rn", row_number().over(w))
+      .withColumn("__gf_n", count(lit(1)).over(wAll))
+      .withColumn(splitCol, assigned)
+      .drop("__gf_rn", "__gf_n")
   }
 
   /** (name, exclusive upper bucket bound) per split, in declaration order. */

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy matching (record linkage on dirty string keys): candidate
+  * pairs are generated only WITHIN a user-supplied blocking key, then kept
+  * when their Levenshtein edit distance is at most `maxDist` — the classic
+  * blocking + edit-distance design of entity-resolution systems, and the
+  * fourth blocking family here next to LSH ([[NearDup]]), prefix filtering
+  * ([[PrefixFilterJoin]]) and sorted neighborhood
+  * ([[graft.operators.SortedNeighborhood]]).
+  *
+  * Scale: the self-join is an equi-join on the block key — Catalyst
+  * shuffles both sides by block, never builds the global cross product.
+  * Work is Σ block² pair distance checks, so the blocking function
+  * controls cost exactly like LSH band width does; the distance check
+  * itself uses Spark's banded `levenshtein(l, r, threshold)` which
+  * abandons a pair as soon as the running distance exceeds `maxDist`
+  * (O(maxDist·len) instead of O(len²) per pair — matters when maxDist is
+  * 1-2 and strings are long). Like every blocking method this trades
+  * recall for tractability: pairs straddling blocks are missed by design;
+  * callers union several blockings for higher recall.
+  */
+object FuzzyJoin {
+
+  /** Within-block pairs of `(idCol, strCol)` rows at edit distance
+    * `<= maxDist`. Output: `id_a, id_b, s_a, s_b, dist` with
+    * `id_a < id_b` (each unordered pair exactly once). */
+  def blockedPairs(df: DataFrame, idCol: String, strCol: String,
+      blockBy: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val side = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      blockBy.as("blk"))
+    val a = side.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = side.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      // banded distance: -1 the moment the band exceeds maxDist
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select("id_a", "id_b", "s_a", "s_b", "dist")
+  }
+
+  /** Distance histogram of the blocked pairs — the bounded-size summary a
+    * 100 TB dedup audit actually reports (the pair list itself scales with
+    * Σ block²). */
+  def pairDistanceCounts(df: DataFrame, idCol: String, strCol: String,
+      blockBy: Column, maxDist: Int): DataFrame =
+    blockedPairs(df, idCol, strCol, blockBy, maxDist)
+      .groupBy(col("dist").cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+}

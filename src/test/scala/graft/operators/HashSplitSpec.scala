@@ -92,4 +92,53 @@ class HashSplitSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("stratifiedAssign: per-stratum sizes are exact to the row") {
+    // strata of deliberately awkward sizes: 7, 10, 23
+    val df = spark.range(0, 40).select(col("id"),
+      when(col("id") < 7, "a").when(col("id") < 17, "b").otherwise("c")
+        .as("g"))
+    val counts = HashSplit
+      .stratifiedAssign(df, Seq(col("g")), col("id"),
+        Seq("train" -> 0.8, "test" -> 0.2), seed = 3L)
+      .groupBy("g", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for ((g, n) <- Seq(("a", 7L), ("b", 10L), ("c", 23L))) {
+      val tr = math.ceil(0.8 * n).toLong
+      assert(counts((g, "train")) == tr, s"$g train")
+      assert(counts.getOrElse((g, "test"), 0L) == n - tr, s"$g test")
+    }
+  }
+
+  test("stratifiedAssign is invariant to partitioning and row order") {
+    val df = spark.range(0, 300).select(col("id"), (col("id") % 5).as("g"))
+    def run(d: org.apache.spark.sql.DataFrame) = HashSplit
+      .stratifiedAssign(d, Seq(col("g")), col("id"),
+        Seq("x" -> 0.5, "y" -> 0.5), seed = 11L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(run(df) == run(df.orderBy(rand(9)).repartition(13)))
+  }
+
+  test("stratifiedAssign: fractions summing below 1 hold out the tail") {
+    val df = spark.range(0, 100).select(col("id"), lit("g").as("g"))
+    val counts = HashSplit
+      .stratifiedAssign(df, Seq(col("g")), col("id"),
+        Seq("sample" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts(Some("sample")) == 10L)
+    assert(counts(None) == 90L)
+  }
+
+  test("stratifiedAssign rejects bad fractions") {
+    val df = spark.range(0, 10).select(col("id"), lit("g").as("g"))
+    intercept[IllegalArgumentException] {
+      HashSplit.stratifiedAssign(df, Seq(col("g")), col("id"),
+        Seq("a" -> 0.9, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      HashSplit.stratifiedAssign(df, Seq(col("g")), col("id"), Seq.empty)
+    }
+  }
 }
