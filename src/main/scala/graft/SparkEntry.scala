@@ -1494,6 +1494,41 @@ object SparkEntry {
       graft.analytics.Auc.calibrationBins(t(s, dir, "events"),
         col("value"), col("event_type") === "purchase",
         tieBreak = Seq(col("event_id")), k = 10)
+    }),
+
+    // KMV distinct sketch: k smallest distinct 52-bit md5 hashes, kept in
+    // O(k) per partition; integer estimator (k-1)·2^52 div h_k
+    "q121_kmv_distinct" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .where(length(col("token")) > 0)
+      graft.analytics.Kmv.distinctEstimate(tok, col("token"), k = 256)
+    }),
+
+    // incremental aggregate maintenance: base state + CDC delta (inserts
+    // of id%3==0, deletes of id%5==0 base rows) must equal full recompute
+    "q122_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.where(col("event_id") % 3 =!= 0)
+      val state = graft.analytics.IncrementalAgg.countSumState(
+        base, Seq("user_id"), "value")
+      val delta = ev.where(col("event_id") % 3 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(ev.where(col("event_id") % 3 =!= 0 &&
+          col("event_id") % 5 === 0).withColumn("op", lit("D")))
+      graft.analytics.IncrementalAgg.maintain(state, delta,
+        Seq("user_id"), "value", "op")
+    }),
+
+    // last-touch attribution: purchases credited to the latest click of
+    // the same user within 7 days — one key-partitioned window, no range
+    // join
+    "q123_last_touch" -> ((s, dir) => {
+      graft.analytics.Attribution.lastTouch(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        typeCol = "event_type", touchType = "click", convType = "purchase",
+        lookbackSec = 7L * 24 * 3600)
     })
   )
 
@@ -2943,6 +2978,60 @@ object SparkEntry {
         |SELECT bin, count(*) AS n_rows,
         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(CAST(round(s * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
-        |FROM b GROUP BY 1""".stripMargin
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // k smallest distinct 52-bit md5 hashes; the integer estimator
+    // (k-1)·2^52 div h_k reproduces on any engine, unlike HLL
+    "q121_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT t.token FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+        |  WHERE len(t.token) > 0),
+        |h AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(token), 1, 13))::UBIGINT AS hv FROM tok),
+        |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        |s AS (SELECT count(*) AS n_kept, max(hv) AS kth FROM k)
+        |SELECT CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(kth AS BIGINT) AS kth_hash,
+        |  CAST(CASE WHEN n_kept < 256 THEN n_kept
+        |    ELSE (255 * 4503599627370496) // kth END AS BIGINT) AS est
+        |FROM s""".stripMargin,
+
+    // full recompute over the rows that survive the delta: inserts are
+    // id%3==0, deletes are id%5==0 base rows → keep (id%3=0) OR (id%5<>0)
+    "q122_incremental_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events
+        |WHERE (event_id % 3 = 0) OR (event_id % 5 <> 0)
+        |GROUP BY 1""".stripMargin,
+
+    // same carry: clicks sort before purchases at equal ts, ties by
+    // event_id; gap on whole-second epoch floors; 7d lookback
+    "q123_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type = 'click' AS is_touch
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |s AS (
+        |  SELECT user_id, ts, event_id, is_touch,
+        |    last_value(CASE WHEN is_touch THEN event_id END IGNORE NULLS)
+        |      OVER w AS touch_id,
+        |    last_value(CASE WHEN is_touch THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, CASE WHEN is_touch THEN 0 ELSE 1 END, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT user_id, event_id, ts AS conv_ts, touch_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(touch_ts)) AS BIGINT) AS gap
+        |  FROM s WHERE NOT is_touch)
+        |SELECT user_id, event_id, conv_ts,
+        |  CASE WHEN touch_id IS NOT NULL AND gap <= 604800
+        |    THEN touch_id END AS attributed,
+        |  CASE WHEN touch_id IS NOT NULL AND gap <= 604800
+        |    THEN gap END AS gap_sec
+        |FROM p""".stripMargin
   )
 }

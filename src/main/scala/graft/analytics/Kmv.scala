@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** KMV (k-minimum-values) distinct-count sketch — DETERMINISTIC approximate
+  * COUNT(DISTINCT) whose result is a pure function of the value set: the k
+  * smallest distinct 52-bit `md5` hashes. Unlike HLL (whose estimate
+  * depends on library internals), every engine that can compute `md5` can
+  * reproduce this sketch bit-for-bit, so it oracle-verifies exactly AND
+  * merges associatively (k-min of a union = k-min of the k-mins) — the
+  * property that lets 1000 executors each keep an O(k) heap and ship k
+  * rows to a union instead of shuffling every distinct value the way exact
+  * COUNT(DISTINCT) must.
+  *
+  * Estimator: with `u_k` = the kth smallest hash normalized to (0,1],
+  * `est = (k-1)/u_k` (Beyer et al., "On Synopses for Distinct-Value
+  * Estimation Under Multiset Operations", SIGMOD'07); relative error
+  * ≈ 1/√(k−2). Emitted as the INTEGER `(k-1)·2⁵² div h_k` so the gate
+  * compares integers, never floats. Below k distinct values the sketch IS
+  * the value set and the count is exact. */
+object Kmv {
+
+  /** 52-bit md5 hash (13 hex chars), the shared engine-portable uniform. */
+  def hash52(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** The k smallest distinct hashes of `valueCol` as a one-column frame
+    * (`hv`). Each partition keeps a bounded O(k) tree (never more than k
+    * live entries), so only `k · numPartitions` rows reach the final
+    * merge — the sketch's whole point at scale. Null values are skipped
+    * (they have no hash). */
+  def kSmallestDistinctHashes(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(hash52(valueCol).as("hv"))
+      .where(col("hv").isNotNull).as[Long]
+    val local = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { v =>
+        if (set.size < k) set.add(v)
+        else if (v < set.last) { if (set.add(v)) { set.pollLast(); () } }
+      }
+      set.iterator.asScala.map(_.longValue())
+    }
+    // <= k rows per partition survive; dedup across partitions then the
+    // global k-min is a TakeOrdered heap, not a sort
+    local.toDF("hv").distinct().orderBy("hv").limit(k)
+  }
+
+  /** One row: `n_kept` (sketch fill), `kth_hash` (largest kept hash),
+    * `est` (integer distinct-count estimate; exact when n_kept < k). */
+  def distinctEstimate(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    val twoPow52 = 4503599627370496L
+    kSmallestDistinctHashes(df, valueCol, k)
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hash"))
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
+  }
+}

@@ -1167,6 +1167,51 @@ object Cli {
           .limit(flags.getOrElse("limit", "50").toInt).collect()
           .foreach(r => println(r.mkString(" | ")))
 
+      case List("weighted-sample", table, target) =>
+        val sample = graft.analytics.WeightedSample.sampleWithoutReplacement(
+          lh.catalog.loadTable(table).read(),
+          col(flags.getOrElse("id-col", "doc_id")),
+          col(flags.getOrElse("weight-col", "n_chars")),
+          k = flags.getOrElse("k", "1000").toInt,
+          seed = flags.getOrElse("seed", "0").toLong)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, sample.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(sample)
+        println(s"sampled ${snap.totalRows} rows into $target " +
+          s"(weighted without replacement, deterministic)")
+
+      case List("kmv-distinct", table, column) =>
+        val r = graft.analytics.Kmv.distinctEstimate(
+          lh.catalog.loadTable(table).read(), col(column),
+          k = flags.getOrElse("k", "256").toInt).collect()(0)
+        println(s"kmv($column): est=${r.getLong(2)} " +
+          s"(fill=${r.getLong(0)}, kth_hash=${r.getLong(1)})")
+
+      case List("vocab-coverage", table) =>
+        graft.text.Coverage.coverageThresholds(
+          lh.catalog.loadTable(table).read(),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("percents", "50,90,99").split(',')
+            .filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+          .orderBy("pct").collect()
+          .foreach(r => println(s"${r.getInt(0)}%: ${r.getLong(1)} tokens " +
+            s"(${r.getLong(2)} occurrences)"))
+
+      case List("attribute", table, target) =>
+        val out = graft.analytics.Attribution.lastTouch(
+          lh.catalog.loadTable(table).read(),
+          flags.getOrElse("key-col", "user_id"),
+          flags.getOrElse("ts-col", "ts"),
+          flags.getOrElse("tie-col", "event_id"),
+          flags.getOrElse("type-col", "event_type"),
+          flags.getOrElse("touch", "click"),
+          flags.getOrElse("conv", "purchase"),
+          flags.getOrElse("lookback-sec", "604800").toLong)
+        if (!lh.catalog.tableExists(target))
+          lh.catalog.createTable(target, out.schema, Nil, Map.empty)
+        val snap = lh.catalog.loadTable(target).overwrite(out)
+        println(s"attributed ${snap.totalRows} conversions into $target")
+
       case List("scd2", table, target) =>
         val df = lh.catalog.loadTable(table).read()
         val keys = flags.getOrElse("keys", "user_id").split(',').toSeq
@@ -1304,6 +1349,11 @@ object Cli {
       |         triangles <table> (--u-col u --v-col v)
       |         gap-fill <table> (--group-col event_type --unit hour
       |           --moving-avg 3)
+      |         weighted-sample <table> <target> (--weight-col n_chars --k 1000)
+      |         kmv-distinct <table> <column> (--k 256)
+      |         vocab-coverage <table> (--percents 50,90,99)
+      |         attribute <table> <target> (--touch click --conv purchase
+      |           --lookback-sec 604800)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

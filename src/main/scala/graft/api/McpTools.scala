@@ -1295,6 +1295,76 @@ object McpTools {
         val rows = writeTable(lh, str(a, "target_table"), ranks)
         s"ranked $rows nodes into ${str(a, "target_table")}"
       }),
+    ToolDef("graft_weighted_sample",
+      "Deterministic weighted sampling without replacement (Efraimidis-Spirakis, md5-keyed); writes the k-row sample.",
+      sch(List("table_name", "target_table", "weight_col", "k"),
+        "table_name" -> S("Source table"),
+        "target_table" -> S("Sample output table"),
+        "weight_col" -> S("Positive weight column"),
+        "k" -> I("Sample size"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "seed" -> I("Seed (default 0)")),
+      (lh, a) => {
+        val sample = graft.analytics.WeightedSample.sampleWithoutReplacement(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          org.apache.spark.sql.functions.col(idCol(a)),
+          org.apache.spark.sql.functions.col(str(a, "weight_col")),
+          k = str(a, "k").toInt,
+          seed = strOpt(a, "seed").map(_.toLong).getOrElse(0L))
+        val rows = writeTable(lh, str(a, "target_table"), sample)
+        s"sampled $rows rows into ${str(a, "target_table")}"
+      }),
+    ToolDef("graft_kmv_distinct",
+      "Deterministic KMV distinct-count sketch of a column (k smallest md5 hashes); returns fill, kth hash, and the integer estimate.",
+      sch(List("table_name", "column"),
+        "table_name" -> S("Source table"),
+        "column" -> S("Column to estimate distinct values of"),
+        "k" -> I("Sketch size (default 256)")),
+      (lh, a) => {
+        val r = graft.analytics.Kmv.distinctEstimate(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          org.apache.spark.sql.functions.col(str(a, "column")),
+          k = strOpt(a, "k").map(_.toInt).getOrElse(256)).collect()(0)
+        s"kmv(${str(a, "column")}): est=${r.getLong(2)} " +
+          s"(fill=${r.getLong(0)}, kth_hash=${r.getLong(1)})"
+      }),
+    ToolDef("graft_vocab_coverage",
+      "Vocabulary coverage thresholds: distinct tokens needed to cover each given percent of token occurrences.",
+      sch(List("table_name"),
+        "table_name" -> S("Document table"),
+        "text_col" -> S("Text column (default text)"),
+        "percents" -> S("Comma-separated integer percents (default 50,90,99)")),
+      (lh, a) => {
+        val pcts = strOpt(a, "percents").getOrElse("50,90,99")
+          .split(',').filter(_.nonEmpty).map(_.trim.toInt).toSeq
+        val rows = graft.text.Coverage.coverageThresholds(
+          lh.catalog.loadTable(str(a, "table_name")).read(), textCol(a), pcts)
+          .orderBy("pct").collect()
+        rows.map(r => s"${r.getInt(0)}%: ${r.getLong(1)} tokens " +
+          s"(${r.getLong(2)} occurrences)").mkString("; ")
+      }),
+    ToolDef("graft_last_touch",
+      "Last-touch attribution: credit each conversion to the most recent touch of the same key within the lookback; writes the attribution table.",
+      sch(List("table_name", "target_table", "key_col", "ts_col", "tie_col",
+          "type_col", "touch_type", "conv_type"),
+        "table_name" -> S("Event table"),
+        "target_table" -> S("Attribution output table"),
+        "key_col" -> S("Entity key column"),
+        "ts_col" -> S("Event-time column"),
+        "tie_col" -> S("Unique tie-break id column"),
+        "type_col" -> S("Event-type column"),
+        "touch_type" -> S("Type credited (e.g. click)"),
+        "conv_type" -> S("Type converted (e.g. purchase)"),
+        "lookback_sec" -> I("Attribution window seconds (default 604800)")),
+      (lh, a) => {
+        val out = graft.analytics.Attribution.lastTouch(
+          lh.catalog.loadTable(str(a, "table_name")).read(),
+          str(a, "key_col"), str(a, "ts_col"), str(a, "tie_col"),
+          str(a, "type_col"), str(a, "touch_type"), str(a, "conv_type"),
+          strOpt(a, "lookback_sec").map(_.toLong).getOrElse(604800L))
+        val rows = writeTable(lh, str(a, "target_table"), out)
+        s"attributed $rows conversions into ${str(a, "target_table")}"
+      }),
   )
 
   /** Reference-mirrored tools only (155, 1:1 with server.py). */

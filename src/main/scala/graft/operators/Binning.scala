@@ -20,17 +20,15 @@ object Binning {
 
   /** Adds `binCol` (0-based, `[0, k)`) by global `sortCols` order. Include
     * a tie-break column in `sortCols` for a reproducible assignment of
-    * equal keys. `n` (total row count) is taken with one metadata-cheap
-    * count on the source. */
+    * equal keys. `n` (total row count) rides the rank computation's
+    * already-collected per-partition totals — no separate count scan. */
   def equalFrequency(df: DataFrame, sortCols: Seq[Column], k: Int,
       binCol: String = "bin"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val n = df.count()
-    if (n == 0) return df.withColumn(binCol, lit(null).cast("long"))
-    val ranked = GlobalOrder.rankWithPrefixSum(df, sortCols, "__gf_rank")
-    ranked
-      .withColumn(binCol, expr(s"((__gf_rank - 1) * $k) div $n"))
-      .drop("__gf_rank")
+    GlobalOrder.rankWithTotal(df, sortCols, "__gf_rank", "__gf_n")
+      .withColumn(binCol,
+        expr(s"((__gf_rank - 1) * $k) div __gf_n"))
+      .drop("__gf_rank", "__gf_n")
   }
 
   /** Per-bin summary of `valueCol` over the equal-frequency binning —

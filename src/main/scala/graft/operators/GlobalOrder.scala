@@ -26,9 +26,19 @@ object GlobalOrder {
     * running sum of `value` in that order. Ties in `sortCols` get an
     * arbitrary-but-deterministic order only if the caller includes a
     * tie-break column — pass one (e.g. the row id) for reproducibility. */
+  /** As [[rankWithPrefixSum]], plus `totalCol` = the TOTAL row count as a
+    * literal column — free, because the per-partition totals the offset
+    * step already collects sum to it; callers needing `rank` and `n`
+    * together (equal-frequency binning, percentile normalization) save a
+    * full extra scan over the input. */
+  def rankWithTotal(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+      totalCol: String, numPartitions: Int = 0): DataFrame =
+    rankWithPrefixSum(df, sortCols, rankCol, None, numPartitions,
+      totalCol = totalCol)
+
   def rankWithPrefixSum(df: DataFrame, sortCols: Seq[Column],
       rankCol: String = "rank", sumOf: Option[(Column, String)] = None,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, totalCol: String = null): DataFrame = {
     require(sortCols.nonEmpty, "need at least one sort column")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -67,6 +77,9 @@ object GlobalOrder {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case None => withPos
     }
-    withSum.drop("__pid", "__coff", "__soff", "__val")
+    val withTotal = if (totalCol == null) withSum
+      else withSum.withColumn(totalCol,
+        lit(totals.map(_.getLong(1)).sum))
+    withTotal.drop("__pid", "__coff", "__soff", "__val")
   }
 }

@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class KmvSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("bounded-heap path equals the naive distinct-sort-limit path") {
+    val df = spark.range(0, 5000)
+      .select((col("id") % 1300).cast("string").as("v")).repartition(7)
+    val fast = Kmv.kSmallestDistinctHashes(df, col("v"), 64)
+      .collect().map(_.getLong(0)).toSeq
+    val naive = df.select(Kmv.hash52(col("v")).as("hv"))
+      .distinct().orderBy("hv").limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == naive)
+    assert(fast.size == 64 && fast == fast.sorted && fast.distinct == fast)
+  }
+
+  test("sketch merges: k-min of a union == k-min of the two k-mins") {
+    val a = spark.range(0, 800).select(col("id").cast("string").as("v"))
+    val b = spark.range(500, 1500).select(col("id").cast("string").as("v"))
+    val k = 32
+    val whole = Kmv.kSmallestDistinctHashes(a.union(b), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    val merged = Kmv.kSmallestDistinctHashes(a, col("v"), k)
+      .union(Kmv.kSmallestDistinctHashes(b, col("v"), k))
+      .distinct().orderBy("hv").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(whole == merged)
+  }
+
+  test("estimate is exact below k and within sampling error above") {
+    val small = spark.range(0, 100).select(col("id").cast("string").as("v"))
+    val rs = Kmv.distinctEstimate(small, col("v"), 256).collect()(0)
+    assert(rs.getLong(0) == 100L && rs.getLong(2) == 100L)
+    val big = spark.range(0, 20000)
+      .select(col("id").cast("string").as("v"))
+    val rb = Kmv.distinctEstimate(big, col("v"), 256).collect()(0)
+    val est = rb.getLong(2)
+    // stderr ~ 1/sqrt(254) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - 20000) < 20000 * 0.25, s"est=$est")
+  }
+
+  test("estimate is a pure function of the value SET (duplicates ignored)") {
+    val once = spark.range(0, 3000).select(col("id").cast("string").as("v"))
+    val tripled = once.union(once).union(once).repartition(11)
+    val e1 = Kmv.distinctEstimate(once, col("v"), 128).collect()(0).getLong(2)
+    val e3 = Kmv.distinctEstimate(tripled, col("v"), 128).collect()(0).getLong(2)
+    assert(e1 == e3)
+  }
+
+  test("nulls are skipped; k < 2 rejected") {
+    val df = Seq(Some("a"), None, Some("b")).toDF("v")
+    assert(Kmv.distinctEstimate(df, col("v"), 16).collect()(0).getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      Kmv.kSmallestDistinctHashes(df, col("v"), 1)
+    }
+  }
+}
