@@ -1529,6 +1529,20 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
         typeCol = "event_type", touchType = "click", convType = "purchase",
         lookbackSec = 7L * 24 * 3600)
+    }),
+
+    // directed set-containment join: |A∩B| >= 0.9·|A| — the asymmetric
+    // subset-dedup relation Jaccard misses; one-sided prefix filter
+    "q124_containment" -> ((s, dir) => {
+      graft.text.PrefixFilterJoin.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.9)
+    }),
+
+    // add-one-smoothed bigram LM scoring: word-order quality signal;
+    // micro-quantized per-bigram log-probs, DECIMAL sum (order-free)
+    "q125_bigram_logprob" -> ((s, dir) => {
+      graft.text.LanguageModel.bigramLogProb(t(s, dir, "documents"),
+        "doc_id", "text")
     })
   )
 
@@ -3032,6 +3046,49 @@ object SparkEntry {
         |    THEN touch_id END AS attributed,
         |  CASE WHEN touch_id IS NOT NULL AND gap <= 604800
         |    THEN gap END AS gap_sec
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q102's shingle/size CTEs, directed pairs, and the division-free
+    // predicate inter >= 0.9·na (one shared float expression)
+    "q124_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(inter AS DOUBLE) / sa.n AS containment
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) >= 0.9 * CAST(sa.n AS DOUBLE)""".stripMargin,
+
+    // bigrams as aligned struct lists; (c2+1)/(cp+V) with the same double
+    // casts; micro-quantized DECIMAL sum like q64
+    "q125_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |big AS (
+        |  SELECT doc_id, t.s.p AS p, t.s.c AS c FROM d,
+        |    UNNEST(CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(len(w)-1), i -> {'p': w[i+1], 'c': w[i+2]})
+        |      ELSE [] END) AS t(s)),
+        |bc AS (SELECT p, c, count(*) AS c2 FROM big GROUP BY 1, 2),
+        |pc AS (SELECT p, sum(c2) AS cp FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t.token) AS vv FROM d, UNNEST(w) AS t(token)),
+        |lp AS (
+        |  SELECT bc.p, bc.c, CAST(floor(ln(
+        |      CAST(c2 + 1 AS DOUBLE) / CAST(cp + vv AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS lpq
+        |  FROM bc JOIN pc USING (p), v)
+        |SELECT big.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lpq) AS DOUBLE) / (count(*) * 1000000.0) AS avg_logprob
+        |FROM big JOIN lp ON big.p = lp.p AND big.c = lp.c
+        |GROUP BY big.doc_id""".stripMargin
   )
 }

@@ -21,6 +21,11 @@ case class UserSession(user_id: Long, events: Long, startMs: Long, endMs: Long,
   * time for step i (µs since epoch), -1 while unreached. */
 case class FunnelProgress(user_id: Long, stepTsMicros: Seq[Long], reached: Int)
 
+/** Per-user streaming EMA: `ema_micro` = current EMA · 10⁶ (rounded),
+  * `n_events` processed, `last_ts_micros` of the newest folded event. */
+case class EmaProgress(user_id: Long, n_events: Long, ema_micro: Long,
+    last_ts_micros: Long)
+
 /** Structured Streaming facade. The reference has no continuous streaming —
   * its "incremental" is snapshot-diff micro-batch (SURVEY §2.10), which
   * [[graft.analytics.Incremental]] covers. This module is the Spark-native
@@ -162,6 +167,63 @@ object Streaming {
             if (advanced)
               Iterator.single(FunnelProgress(userId, st.toSeq,
                 st.count(_ >= 0)))
+            else Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming per-key EMA (α = 1 − 2⁻ᵐ, the dyadic family of
+    * [[graft.analytics.Ema]]): state is ONE (ts, tie, ema, n) tuple per
+    * user — O(keys), not O(events) — folded with the exact sequential
+    * recurrence `ema ← α·x + (1−α)·ema`. Within a micro-batch events sort
+    * by (event-time µs, event_id); ACROSS batches an event at or before
+    * the already-folded frontier is dropped (an order-sensitive recurrence
+    * cannot retro-correct without buffering the history — the same caveat
+    * as [[funnelStream]]; with AvailableNow or time-ordered batches the
+    * result equals the batch recurrence exactly). Idle keys evict via
+    * EventTimeTimeout once the watermark passes `idleGapMs` beyond their
+    * newest event, so state is bounded under key churn; an evicted key's
+    * next event restarts its EMA from scratch. Emits Update-mode rows only
+    * when a batch advances the key. */
+  def emaStream(events: Dataset[Event], m: Int = 1,
+      watermark: String = "2 hours", idleGapMs: Long = 24L * 3600 * 1000)
+      : Dataset[EmaProgress] = {
+    require(m >= 1 && m <= 30, s"m in [1,30], got $m")
+    import events.sparkSession.implicits._
+    val alpha = 1.0 - 1.0 / (1L << m).toDouble
+    // state: (lastTsMicros, lastTie, ema, n)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double, Long), EmaProgress](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, Long, Double, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def micros(e: Event): Long =
+              math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000L
+            val batch = rows.toSeq
+            var (lastTs, lastTie, ema, n) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0, 0L))
+            val before = n
+            batch.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+              val ts = micros(e)
+              // frontier guard: only strictly-later (ts, tie) events fold
+              if (ts > lastTs || (ts == lastTs && e.event_id > lastTie)) {
+                ema = if (n == 0) e.value else alpha * e.value + (1 - alpha) * ema
+                n += 1; lastTs = ts; lastTie = e.event_id
+              }
+            }
+            if (n != before) state.update((lastTs, lastTie, ema, n))
+            if (state.exists) {
+              val maxMs = batch.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxMs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            if (n != before)
+              Iterator.single(EmaProgress(userId, n,
+                math.round(ema * 1e6), lastTs))
             else Iterator.empty
           }
       }

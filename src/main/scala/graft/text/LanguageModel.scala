@@ -45,4 +45,44 @@ object LanguageModel {
         (sum(col("__lpq")).cast("double") / (count(lit(1)) * lit(1000000.0)))
           .as("avg_logprob"))
   }
+
+  /** Per-document average BIGRAM log-probability with add-one (Laplace)
+    * smoothing: `p(w_i | w_{i-1}) = (c(w_{i-1}w_i)+1) / (c_prefix(w_{i-1})
+    * + V)` where `c_prefix` counts the prefix followed by anything and `V`
+    * is the corpus vocabulary — the next-order LM quality signal after
+    * [[unigramLogProb]]: repetitive or word-salad text that unigram
+    * statistics cannot separate (right words, wrong order) scores low.
+    *
+    * Same exactness discipline: per-bigram log-probs micro-quantize
+    * (`floor(x·1e6 + 0.5)`) and sum as DECIMAL, order-free. Shape: one
+    * posexplode; bigrams via `lead` over the (doc, pos) window — one
+    * shuffle by doc_id, reused by the final per-doc aggregation; bigram
+    * counts and prefix counts shuffle the distinct-bigram frame only; V
+    * broadcasts as a single row. Docs with fewer than two tokens have no
+    * bigrams and drop out. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val big = tok
+      .withColumn("nxt",
+        lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("nxt").isNotNull)
+      .select("doc_id", "w", "nxt")
+    val bc = big.groupBy("w", "nxt").agg(count(lit(1)).as("c2"))
+    val pc = bc.groupBy("w").agg(sum(col("c2")).as("cp"))
+    val vocab = tok.agg(countDistinct(col("w")).as("__v"))
+    val lp = bc.join(pc, "w").crossJoin(broadcast(vocab))
+      .select(col("w"), col("nxt"),
+        floor(log((col("c2") + lit(1)).cast("double") /
+            (col("cp") + col("__v")).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast(DecimalType(18, 0)).as("__lpq"))
+    big.join(lp, Seq("w", "nxt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__lpq")).cast("double") / (count(lit(1)) * lit(1000000.0)))
+          .as("avg_logprob"))
+  }
 }

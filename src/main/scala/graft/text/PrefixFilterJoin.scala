@@ -86,4 +86,65 @@ object PrefixFilterJoin {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** DIRECTED set-containment join: pairs `(a, b)` with
+    * `|A∩B| >= threshold·|A|` — "a is (mostly) contained in b", the
+    * asymmetric relation Jaccard misses: a paragraph quoted inside a much
+    * longer document scores near-zero Jaccard but containment ≈ 1. The
+    * subset-dedup primitive for nested/quoted/expanded-document removal.
+    *
+    * Prefix filtering is one-sided here: only the CONTAINED side may skip
+    * tokens (at most `|A| - ceil(t·|A|)` of them, pigeonhole), so side a
+    * indexes its `|A| - ceil(t·|A|) + 1` rarest shingles and side b must
+    * index all of its shingles. Rare-first ordering still keeps every
+    * join key's a-side bucket small, bounding each key's candidate
+    * product; `df >= 2` prunes both sides (a df=1 shingle cannot appear
+    * in two docs). A size filter `|B| >= t·|A|` rides the join condition.
+    * Verification recomputes arrays for candidate docs only and applies
+    * the EXACT predicate `inter >= t·|A|` (no division — the same float
+    * expression any SQL engine evaluates identically).
+    *
+    * Result: (id_a, id_b, inter, na, nb, containment), id_a ≠ id_b, both
+    * directions reported independently. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1]: $threshold")
+    val sh = NearDup.shingleTable(df, idCol, textCol, n)
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("p", row_number()
+        .over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val aPrefixLen =
+      col("n") - ceil(lit(threshold) * col("n") - lit(Eps)) + lit(1)
+    val aPref = ranked.where(col("p") <= aPrefixLen && col("df") >= 2)
+      .select(col("doc_id").as("id_a"), col("s"), col("n").as("na"))
+    val bAll = ranked.where(col("df") >= 2)
+      .select(col("doc_id").as("id_b"), col("s"), col("n").as("nb"))
+    val cands = aPref.join(bAll, Seq("s"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("nb") >= lit(threshold) * col("na") - lit(Eps))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint(eager = false)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val arrs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(candIds, "doc_id")
+      .select(col("doc_id"), TextAnalysis.shingles(col("__text"), n).as("sh"))
+      .withColumn("nn", size(col("sh")).cast("long"))
+    cands
+      .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sa"),
+        col("nn").as("na")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sb"),
+        col("nn").as("nb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(col("inter").cast("double") >=
+        lit(threshold) * col("na").cast("double"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na"))
+      .select("id_a", "id_b", "inter", "na", "nb", "containment")
+  }
 }

@@ -286,6 +286,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(8L)._1 == 1L)
   }
 
+  test("emaStream: single batch equals the sequential recurrence exactly") {
+    val events = Seq(
+      Event(1, new Timestamp(1000), 1, "view", 10.0),
+      Event(2, new Timestamp(2000), 1, "view", 20.0),
+      Event(3, new Timestamp(3000), 1, "view", 30.0),
+      Event(4, new Timestamp(1000), 2, "view", 5.0),
+      Event(5, new Timestamp(4000), 2, "view", -7.5))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = Streaming.emaStream(ms.toDS(), m = 1)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ema1b").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck-").toString).start()
+    ms.addData(events: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("ema1b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def seqEma(xs: Seq[Double]): Long =
+      math.round(xs.tail.foldLeft(xs.head)((e, x) => 0.5 * x + 0.5 * e) * 1e6)
+    assert(got(1L) == ((3L, seqEma(Seq(10.0, 20.0, 30.0)))))
+    assert(got(2L) == ((2L, seqEma(Seq(5.0, -7.5)))))
+    // and within n micro-units of the batch closed form
+    val batch = graft.analytics.Ema.dyadicEmaFinal(events.toDF(),
+      Seq("user_id"), "ts", "event_id", "value", m = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(math.abs(got(1L)._2 - batch(1L)) <= 3)
+    assert(math.abs(got(2L)._2 - batch(2L)) <= 2)
+  }
+
+  test("emaStream across time-ordered batches equals the one-batch run") {
+    val b1 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0),
+      Event(2, new Timestamp(2000), 1, "view", 20.0))
+    val b2 = Seq(Event(3, new Timestamp(9000), 1, "view", 30.0),
+      Event(4, new Timestamp(9500), 1, "view", 40.0))
+    def run(batches: Seq[Seq[Event]], name: String): Map[Long, (Long, Long)] = {
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+      val q = Streaming.emaStream(ms.toDS(), m = 2)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).option("checkpointLocation",
+          SparkFixture.tmpDir("graft-ck-").toString).start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) =>
+          val last = rs.maxBy(_.getLong(1))
+          u -> ((last.getLong(1), last.getLong(2)))
+        }
+    }
+    assert(run(Seq(b1, b2), "ema2b") == run(Seq(b1 ++ b2), "emaall"))
+  }
+
+  test("emaStream evicts idle keys; a post-eviction event restarts the EMA") {
+    val ckpt = SparkFixture.tmpDir("graft-ck-").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = Streaming.emaStream(ms.toDS(), m = 1,
+      watermark = "0 seconds", idleGapMs = 150000L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("emaev").option("checkpointLocation", ckpt).start()
+    ms.addData(Event(1, new Timestamp(1000), 7, "view", 100.0))
+    q.processAllAvailable()
+    ms.addData(Event(2, new Timestamp(200000), 8, "view", 1.0))
+    q.processAllAvailable() // watermark 200s > 7's horizon 151s: evicted
+    ms.addData(Event(3, new Timestamp(210000), 7, "view", 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("emaev").where($"user_id" === 7)
+      .orderBy($"last_ts_micros").collect()
+    // restart: second emission has n_events == 1 and ema == 50, not a
+    // continuation of the forgotten 100-seeded state
+    assert(u7.length == 2)
+    assert(u7(1).getLong(1) == 1L && u7(1).getLong(2) == 50000000L)
+  }
+
   test("foreachBatch sink commits micro-batches as IceLite snapshots") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh-").toString)
     val dir = eventsDir()

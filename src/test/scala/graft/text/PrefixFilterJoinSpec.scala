@@ -29,6 +29,34 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     assert(p == e)
   }
 
+  test("containment equals the naive all-pairs directed check") {
+    val sh = NearDup.shingleTable(docs, "doc_id", "text", 3)
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val t = 0.85
+    val naive = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b
+      inter = (sa & sb).size
+      if inter.toDouble >= t * sa.size.toDouble
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    val got = asPairSet(PrefixFilterJoin.containmentPairs(
+      docs, "doc_id", "text", n = 3, threshold = t))
+    assert(naive.nonEmpty, "fixture must contain at least one containment")
+    assert(got == naive)
+  }
+
+  test("containment is directed: a quote inside a long doc, not the reverse") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),                      // 2 shingles
+      (2L, "intro words alpha beta gamma delta more tail text here end")
+    ).toDF("doc_id", "text")
+    val got = PrefixFilterJoin.containmentPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // 1 ⊂ 2 only
+  }
+
   test("completeness survives ceil float overshoot (t*n an exact integer)") {
     // 5 shingles each, overlap 4: jaccard = 4/(5+5-4) = 2/3 at t=2/3 —
     // t*n = 10/3; and the classic trap t=0.8, n=5 → IEEE 0.8*5 > 4
