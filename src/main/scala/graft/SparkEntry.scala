@@ -1543,6 +1543,39 @@ object SparkEntry {
     "q125_bigram_logprob" -> ((s, dir) => {
       graft.text.LanguageModel.bigramLogProb(t(s, dir, "documents"),
         "doc_id", "text")
+    }),
+
+    // event-path mining: per-user ordered event-type journey (capped at
+    // 50 events), top-25 paths by user count
+    "q126_event_paths" -> ((s, dir) => {
+      graft.analytics.Paths.topPaths(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        typeCol = "event_type", k = 25, maxLen = 50)
+    }),
+
+    // median/MAD robust outliers per event type: quarter-micro integer
+    // units keep both interpolated medians exactly integral
+    "q127_mad_outliers" -> ((s, dir) => {
+      graft.analytics.Robust.madOutliers(t(s, dir, "events"),
+        Seq("event_type"), "value")
+    }),
+
+    // join-key skew diagnostics on orders.o_custkey: the pre-join report
+    // that decides broadcast/salt/AQE strategy
+    "q128_skew_report" -> ((s, dir) => {
+      graft.operators.SkewReport.keySkew(t(s, dir, "orders"),
+        col("o_custkey"), partitions = 32)
+    }),
+
+    // interval coalescing: each event opens a 300s availability span;
+    // merged per user into maximal disjoint spans (touching merges)
+    "q129_interval_coalesce" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("user_id"),
+        col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + lit(300L)).as("e"),
+        col("event_id"))
+      graft.operators.Intervals.coalesce(iv, Seq("user_id"), "s", "e",
+        "event_id")
     })
   )
 
@@ -3089,6 +3122,80 @@ object SparkEntry {
         |SELECT big.doc_id, count(*) AS n_bigrams,
         |  CAST(sum(lpq) AS DOUBLE) / (count(*) * 1000000.0) AS avg_logprob
         |FROM big JOIN lp ON big.p = lp.p AND big.c = lp.c
-        |GROUP BY big.doc_id""".stripMargin
+        |GROUP BY big.doc_id""".stripMargin,
+
+    // ordered string_agg mirrors the sorted-struct path assembly; same
+    // 50-event cap and (count desc, path) top-25
+    "q126_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 50 GROUP BY 1)
+        |SELECT path, count(*) AS n_keys FROM p GROUP BY 1
+        |ORDER BY n_keys DESC, path LIMIT 25""".stripMargin,
+
+    // quarter-micro units make both interpolated medians exact integers;
+    // the outlier test compares the same integral doubles
+    "q127_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) * 4 AS qm
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY qm) AS med
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT b.event_type, qm, abs(qm - med) AS dev, med
+        |  FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(any_value(med) AS BIGINT) AS med_qm,
+        |  CAST(any_value(mad) AS BIGINT) AS mad_qm,
+        |  CAST(sum(CASE WHEN dev * 10000.0 > 44478.0 * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    // the q9 percentile convention for p99; integer ceil-div salt factor
+    "q128_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |    max(cnt) AS max_count,
+        |    PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY cnt) AS p99_count
+        |  FROM c),
+        |t AS (SELECT k AS top_key FROM c ORDER BY cnt DESC, k LIMIT 1)
+        |SELECT n_keys, total_rows, max_count, p99_count, top_key,
+        |  CAST((max_count * 32 + total_rows - 1) // total_rows AS BIGINT)
+        |    AS salt_factor
+        |FROM s, t""".stripMargin,
+
+    // same cummax-and-flag single pass: a span opens when start exceeds
+    // every prior end (touching merges); running flag sum numbers spans
+    "q129_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, s, e, event_id,
+        |    CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |n AS (
+        |  SELECT user_id, s, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_seq
+        |  FROM g)
+        |SELECT user_id, span_seq, min(s) AS span_start, max(e) AS span_end,
+        |  count(*) AS n_merged
+        |FROM n GROUP BY 1, 2""".stripMargin
   )
 }
