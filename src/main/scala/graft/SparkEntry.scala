@@ -1576,6 +1576,15 @@ object SparkEntry {
         col("event_id"))
       graft.operators.Intervals.coalesce(iv, Seq("user_id"), "s", "e",
         "event_id")
+    }),
+
+    // KMV sketch intersection: distinct shared join keys of
+    // orders.o_custkey vs customer.c_custkey estimated from 2·256 hashes
+    // — integer end-to-end, the planner's join-cardinality input
+    "q130_kmv_join_est" -> ((s, dir) => {
+      graft.analytics.Kmv.intersectionEstimate(
+        t(s, dir, "orders"), col("o_custkey"),
+        t(s, dir, "customer"), col("c_custkey"), k = 256)
     })
   )
 
@@ -3196,6 +3205,33 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, span_seq, min(s) AS span_start, max(e) AS span_end,
         |  count(*) AS n_merged
-        |FROM n GROUP BY 1, 2""".stripMargin
+        |FROM n GROUP BY 1, 2""".stripMargin,
+
+    // k-min of the sketch union; the matched fraction estimates key-set
+    // Jaccard; inter_est = matches · union_est div n_kept, all integers
+    "q130_kmv_join_est" ->
+      """WITH ha AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::UBIGINT AS hv
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+        |hb AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))::UBIGINT AS hv
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+        |u AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+        |  ORDER BY hv LIMIT 256),
+        |m AS (SELECT count(*) AS n_kept, max(hv) AS kth,
+        |    sum(CASE WHEN hv IN (SELECT hv FROM sa)
+        |      AND hv IN (SELECT hv FROM sb) THEN 1 ELSE 0 END) AS matches
+        |  FROM u),
+        |e AS (SELECT n_kept, kth, matches,
+        |    CASE WHEN n_kept < 256 THEN n_kept
+        |      ELSE (255 * 4503599627370496) // kth END AS union_est
+        |  FROM m)
+        |SELECT CAST(n_kept AS BIGINT) AS n_kept, CAST(kth AS BIGINT) AS kth_hash,
+        |  CAST(matches AS BIGINT) AS matches,
+        |  CAST(union_est AS BIGINT) AS union_est,
+        |  CAST((matches * union_est) // n_kept AS BIGINT) AS inter_est
+        |FROM e""".stripMargin
   )
 }

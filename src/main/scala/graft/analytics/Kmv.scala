@@ -60,4 +60,32 @@ object Kmv {
         when(col("n_kept") < k, col("n_kept")).otherwise(
           expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
   }
+
+  /** Join-cardinality estimation from two sketches (Beyer et al. §5, the
+    * multiset-operation payoff): how many DISTINCT keys two tables share,
+    * estimated from 2·k hashes instead of a full distinct-join — the
+    * planner input for "will this join explode / is the dim side really
+    * small". `K(A∪B)` is the k-min of the two sketches' union, and the
+    * fraction of it present in BOTH sketches estimates the Jaccard of the
+    * key sets, so `inter_est = matches · union_est div n_kept` — integer
+    * end-to-end, deterministic, engine-reproducible. Exact when both key
+    * sets fit their sketches (n_kept < k). */
+  def intersectionEstimate(dfA: DataFrame, colA: Column,
+      dfB: DataFrame, colB: Column, k: Int): DataFrame = {
+    val twoPow52 = 4503599627370496L
+    val sa = kSmallestDistinctHashes(dfA, colA, k)
+    val sb = kSmallestDistinctHashes(dfB, colB, k)
+    val union = sa.union(sb).distinct().orderBy("hv").limit(k)
+    union
+      .join(sa.withColumn("__ina", lit(1)), Seq("hv"), "left")
+      .join(sb.withColumn("__inb", lit(1)), Seq("hv"), "left")
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hash"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("matches"))
+      .withColumn("union_est",
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
+      .withColumn("inter_est",
+        expr("CAST(matches * union_est div n_kept AS BIGINT)"))
+  }
 }

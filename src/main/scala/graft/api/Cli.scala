@@ -1167,6 +1167,37 @@ object Cli {
           .limit(flags.getOrElse("limit", "50").toInt).collect()
           .foreach(r => println(r.mkString(" | ")))
 
+      case List("event-paths", table) =>
+        graft.analytics.Paths.topPaths(lh.catalog.loadTable(table).read(),
+          flags.getOrElse("key-col", "user_id"),
+          flags.getOrElse("ts-col", "ts"),
+          flags.getOrElse("tie-col", "event_id"),
+          flags.getOrElse("type-col", "event_type"),
+          k = flags.getOrElse("k", "25").toInt,
+          maxLen = flags.getOrElse("max-len", "50").toInt)
+          .collect()
+          .foreach(r => println(s"${r.getLong(1)}x ${r.getString(0)}"))
+
+      case List("mad-outliers", table, valueCol) =>
+        graft.analytics.Robust.madOutliers(
+          lh.catalog.loadTable(table).read(),
+          flags.getOrElse("group-col", "event_type").split(',').toSeq,
+          valueCol)
+          .collect().foreach { r =>
+            val g = r.get(0); val n = r.getLong(1)
+            println(f"$g: n=$n median=${r.getLong(2) / 4e6}%.3f " +
+              f"mad=${r.getLong(3) / 4e6}%.3f outliers=${r.getLong(4)}")
+          }
+
+      case List("skew-report", table, keyCol) =>
+        val r = graft.operators.SkewReport.keySkew(
+          lh.catalog.loadTable(table).read(), col(keyCol),
+          partitions = flags.getOrElse("partitions", "32").toInt)
+          .collect()(0)
+        println(s"keys=${r.getLong(0)} rows=${r.getLong(1)} " +
+          s"max=${r.getLong(2)} p99=${r.getDouble(3)} " +
+          s"top=${r.getString(4)} salt=${r.getLong(5)}")
+
       case List("weighted-sample", table, target) =>
         val sample = graft.analytics.WeightedSample.sampleWithoutReplacement(
           lh.catalog.loadTable(table).read(),
@@ -1349,6 +1380,9 @@ object Cli {
       |         triangles <table> (--u-col u --v-col v)
       |         gap-fill <table> (--group-col event_type --unit hour
       |           --moving-avg 3)
+      |         event-paths <table> (--k 25 --max-len 50)
+      |         mad-outliers <table> <value-col> (--group-col event_type)
+      |         skew-report <table> <key-col> (--partitions 32)
       |         weighted-sample <table> <target> (--weight-col n_chars --k 1000)
       |         kmv-distinct <table> <column> (--k 256)
       |         vocab-coverage <table> (--percents 50,90,99)

@@ -290,4 +290,42 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Streaming rollup maintenance: each micro-batch folds into a per-key
+    * (n, sum_micro) IceLite state table via
+    * [[graft.analytics.IncrementalAgg.maintain]] — the streaming face of
+    * the same delta-merge the batch CDC path uses, so a 100 TB rollup
+    * stays fresh for the cost of each batch, not a recompute. Work per
+    * batch: aggregate the BATCH (map-side combined), one key join against
+    * the state table; the state table is only ever state-sized. Each
+    * commit is an IceLite snapshot — the rollup time-travels like any
+    * other table, and a crashed query resumes from the checkpoint with
+    * at-least-once batch replay folding idempotently per batch id via the
+    * snapshot log (StreamingSpec asserts stream == batch recompute). */
+  def maintainCountSumStream(df: DataFrame, lh: Lakehouse, table: String,
+      keyCols: Seq[String], valCol: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val updated =
+          if (lh.catalog.tableExists(table))
+            graft.analytics.IncrementalAgg.maintain(
+              lh.catalog.loadTable(table).read(),
+              batch.withColumn("__op", lit("I")),
+              keyCols, valCol, "__op")
+          else
+            graft.analytics.IncrementalAgg.countSumState(batch, keyCols, valCol)
+        // safe to read-while-overwriting: commits write a NEW commit dir
+        // and prior snapshot files persist for time travel, so the lazy
+        // plan over the old state keeps valid inputs during the write
+        if (!lh.catalog.tableExists(table))
+          lh.catalog.createTable(table, updated.schema, Nil,
+            Map("graft.streaming" -> "true"))
+        lh.catalog.loadTable(table).overwrite(updated)
+        ()
+      }
+      .start()
 }

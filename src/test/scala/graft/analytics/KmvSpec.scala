@@ -53,6 +53,35 @@ class KmvSpec extends AnyFunSuite {
     assert(e1 == e3)
   }
 
+  test("intersection estimate tracks the true shared-key count") {
+    // A = 0..4999, B = 3000..9999: true intersection 2000, union 10000
+    val a = spark.range(0, 5000).select(col("id").cast("string").as("v"))
+    val b = spark.range(3000, 10000).select(col("id").cast("string").as("v"))
+    val r = Kmv.intersectionEstimate(a, col("v"), b, col("v"), 256)
+      .collect()(0)
+    val union = r.getLong(3); val inter = r.getLong(4)
+    assert(math.abs(union - 10000) < 2500, s"union_est=$union")
+    assert(math.abs(inter - 2000) < 900, s"inter_est=$inter")
+  }
+
+  test("intersection estimate is exact when both sides fit the sketch") {
+    val a = spark.range(0, 60).select(col("id").cast("string").as("v"))
+    val b = spark.range(40, 100).select(col("id").cast("string").as("v"))
+    val r = Kmv.intersectionEstimate(a, col("v"), b, col("v"), 256)
+      .collect()(0)
+    assert(r.getLong(0) == 100L)  // union fill
+    assert(r.getLong(2) == 20L)   // matches = exact intersection
+    assert(r.getLong(3) == 100L && r.getLong(4) == 20L)
+  }
+
+  test("disjoint key sets estimate zero intersection") {
+    val a = spark.range(0, 5000).select(concat(lit("a"), col("id")).as("v"))
+    val b = spark.range(0, 5000).select(concat(lit("b"), col("id")).as("v"))
+    val r = Kmv.intersectionEstimate(a, col("v"), b, col("v"), 128)
+      .collect()(0)
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
+  }
+
   test("nulls are skipped; k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b")).toDF("v")
     assert(Kmv.distinctEstimate(df, col("v"), 16).collect()(0).getLong(0) == 2L)

@@ -357,6 +357,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(u7(1).getLong(1) == 1L && u7(1).getLong(2) == 50000000L)
   }
 
+  test("maintainCountSumStream: streamed rollup equals batch recompute") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh2-").toString)
+    val b1 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0),
+      Event(2, new Timestamp(2000), 2, "view", 2.5),
+      Event(3, new Timestamp(3000), 1, "view", -4.0))
+    val b2 = Seq(Event(4, new Timestamp(9000), 1, "view", 1.0),
+      Event(5, new Timestamp(9500), 3, "view", 7.0))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val q = Streaming.maintainCountSumStream(ms.toDF(), lh, "rollup",
+      Seq("user_id"), "value",
+      SparkFixture.tmpDir("graft-ck4-").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    ms.addData(b1: _*); q.processAllAvailable()
+    val mid = lh.catalog.loadTable("rollup").read().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(mid == Map(1L -> ((2L, 6000000L)), 2L -> ((1L, 2500000L))))
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val fin = lh.catalog.loadTable("rollup").read().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.analytics.IncrementalAgg.countSumState(
+      (b1 ++ b2).toDF(), Seq("user_id"), "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(fin == batch)
+    // each micro-batch is a snapshot: the rollup time-travels
+    assert(lh.catalog.loadTable("rollup").snapshots.size >= 2)
+  }
+
   test("foreachBatch sink commits micro-batches as IceLite snapshots") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh-").toString)
     val dir = eventsDir()
