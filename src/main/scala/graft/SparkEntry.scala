@@ -1585,6 +1585,14 @@ object SparkEntry {
       graft.analytics.Kmv.intersectionEstimate(
         t(s, dir, "orders"), col("o_custkey"),
         t(s, dir, "customer"), col("c_custkey"), k = 256)
+    }),
+
+    // per-group KMV via the bounded typed Aggregator: k hashes per group
+    // shuffle, never the distinct values — approx distinct users per
+    // event type
+    "q131_kmv_by_group" -> ((s, dir) => {
+      graft.analytics.Kmv.groupDistinctEstimate(t(s, dir, "events"),
+        Seq("event_type"), col("user_id"), k = 64)
     })
   )
 
@@ -2928,7 +2936,8 @@ object SparkEntry {
         |  FROM documents),
         |a AS (
         |  SELECT lang,
-        |    CASE WHEN rn <= ceil(0.8 * n) THEN 'train' ELSE 'test' END AS split
+        |    CASE WHEN rn <= ceil(0.8 * n - 0.000000001 - (0.8 * n) * 0.000000000001)
+        |      THEN 'train' ELSE 'test' END AS split
         |  FROM r)
         |SELECT lang, split, count(*) AS n_docs FROM a GROUP BY 1, 2""".stripMargin,
 
@@ -3232,6 +3241,23 @@ object SparkEntry {
         |  CAST(matches AS BIGINT) AS matches,
         |  CAST(union_est AS BIGINT) AS union_est,
         |  CAST((matches * union_est) // n_kept AS BIGINT) AS inter_est
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // per-group k smallest distinct hashes via window rank; the Spark
+    // side's bounded Aggregator must land on the same k-min set
+    "q131_kmv_by_group" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (SELECT event_type, count(*) AS n_kept, max(hv) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(kth AS BIGINT) AS kth_hash,
+        |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |    ELSE (63 * 4503599627370496) // kth END AS BIGINT) AS est
+        |FROM s""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -87,5 +88,70 @@ object Kmv {
           expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
       .withColumn("inter_est",
         expr("CAST(matches * union_est div n_kept AS BIGINT)"))
+  }
+
+  /** The sketch as a typed [[Aggregator]] — the per-GROUP form: map-side
+    * partial aggregation keeps one bounded sorted array per (partition,
+    * group), merges are sorted-array unions trimmed to k, and only k
+    * hashes per group ever shuffle. This is the shape that makes
+    * "approx distinct users per segment" a one-shuffle bounded-memory
+    * aggregation at 100 TB, where exact count-distinct shuffles every
+    * distinct value per group. Input hashes come from [[hash52]]. */
+  private class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, v)
+      if (pos >= 0) buf // already present
+      else {
+        val ins = -pos - 1
+        if (buf.length >= k && ins >= k) buf // larger than the kth smallest
+        else {
+          val out = new Array[Long](math.min(buf.length + 1, k))
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = v
+          System.arraycopy(buf, ins, out, ins + 1,
+            math.min(buf.length, k - 1) - ins)
+          out
+        }
+      }
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted-array union, deduped, trimmed to k
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      var last = 0L; var first = true
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (first || v != last) { out(n) = v; n += 1; last = v; first = false }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group distinct estimate via the bounded [[KmvAgg]] aggregator:
+    * (groupCols..., n_kept, kth_hash, est) with the same integer
+    * estimator as [[distinctEstimate]]. */
+  def groupDistinctEstimate(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val twoPow52 = 4503599627370496L
+    val agg = udaf(new KmvAgg(k))
+    df.select(groupCols.map(col) :+ hash52(valueCol).as("__hv"): _*)
+      .where(col("__hv").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__hv")).as("__sk"))
+      .select(groupCols.map(col) :+
+        size(col("__sk")).cast("long").as("n_kept") :+
+        element_at(col("__sk"), -1).as("kth_hash"): _*)
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
   }
 }

@@ -100,8 +100,17 @@ object HashSplit {
     val rn = col("__gf_rn")
     val bounds: Seq[(String, Column)] =
       fractions.map(_._1).zip(cums).zipWithIndex.map { case ((name, c), i) =>
+        // epsilon guard (abs + relative): ceil(f·n) on a mathematically-
+        // integer boundary can land one row HIGH in IEEE doubles (e.g.
+        // f=3/17, n=85 → 15.000000000000002); the slack dwarfs the
+        // product's rounding error (~2⁻⁵²·f·n) at every magnitude while
+        // only boundary-exact products can cross an integer under it —
+        // the same trap PrefixFilterJoin guards in its prefix length
         val b = if (i == fractions.size - 1 && sumIsOne) col("__gf_n")
-          else ceil(lit(c) * col("__gf_n"))
+          else {
+            val cn = lit(c) * col("__gf_n")
+            ceil(cn - lit(1e-9) - cn * lit(1e-12))
+          }
         (name, b)
       }
     val assigned = bounds.foldRight(lit(null).cast("string"): Column) {

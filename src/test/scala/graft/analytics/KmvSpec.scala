@@ -82,6 +82,36 @@ class KmvSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
   }
 
+  test("group aggregator equals the window-rank formulation per group") {
+    val df = spark.range(0, 6000)
+      .select((col("id") % 4).cast("string").as("g"),
+        (col("id") % 700).cast("string").as("v")).repartition(9)
+    val got = Kmv.groupDistinctEstimate(df, Seq("g"), col("v"), 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reference: per-group k smallest distinct hashes via plain ops
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("hv")
+    val ref = df.select(col("g"), Kmv.hash52(col("v")).as("hv")).distinct()
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 32)
+      .groupBy("g").agg(count(lit(1)).as("n"), max("hv").as("kth"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (g, (n, kth, _)) =>
+      assert((n, kth) == ref(g), s"group $g") }
+  }
+
+  test("group aggregator: small groups are exact, estimates track truth") {
+    val df = spark.range(0, 10000).select(
+      when(col("id") < 20, "tiny").otherwise("big").as("g"),
+      col("id").cast("string").as("v"))
+    val got = Kmv.groupDistinctEstimate(df, Seq("g"), col("v"), 128)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("tiny") == 20L)
+    assert(math.abs(got("big") - 9980) < 9980 * 0.35, got("big").toString)
+  }
+
   test("nulls are skipped; k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b")).toDF("v")
     assert(Kmv.distinctEstimate(df, col("v"), 16).collect()(0).getLong(0) == 2L)
