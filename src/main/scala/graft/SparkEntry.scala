@@ -1593,6 +1593,19 @@ object SparkEntry {
     "q131_kmv_by_group" -> ((s, dir) => {
       graft.analytics.Kmv.groupDistinctEstimate(t(s, dir, "events"),
         Seq("event_type"), col("user_id"), k = 64)
+    }),
+
+    // per-group weighted sampling: 10 docs per language weighted by
+    // n_chars — the balanced-corpus sampler; group summary keeps the
+    // gate's output bounded
+    "q132_group_weighted_sample" -> ((s, dir) => {
+      graft.analytics.WeightedSample.sampleByGroup(t(s, dir, "documents"),
+        groupCols = Seq(col("lang")), idCol = col("doc_id"),
+        weightCol = col("n_chars"), k = 10, seed = 11L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("key_pico")).as("sum_keys"))
     })
   )
 
@@ -3258,6 +3271,24 @@ object SparkEntry {
         |  CAST(kth AS BIGINT) AS kth_hash,
         |  CAST(CASE WHEN n_kept < 64 THEN n_kept
         |    ELSE (63 * 4503599627370496) // kth END AS BIGINT) AS est
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // same md5 A-Res key, rank within language, first 10 per group;
+    // sums keep the compared output bounded but pin the exact selection
+    "q132_group_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id,
+        |    CAST(round(-ln((('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 0.5)
+        |        / 4503599627370496.0)
+        |      / n_chars * 1000000000000.0) AS BIGINT) AS key_pico
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (
+        |  SELECT lang, doc_id, key_pico,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key_pico, doc_id) AS rn
+        |  FROM w)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(key_pico) AS BIGINT) AS sum_keys
+        |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin
   )
 }

@@ -135,23 +135,36 @@ object Kmv {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** The bounded sketch as a reusable UDAF column function — also valid
+    * as a STREAMING aggregate (its merge is associative and the buffer is
+    * bounded, exactly what incremental state maintenance needs). */
+  def sketchUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    udaf(new KmvAgg(k))
+  }
+
+  /** Expands a sketch array column into (n_kept, kth_hash, est). */
+  def estimateFromSketch(df: DataFrame, sketchCol: String, k: Int): DataFrame = {
+    val twoPow52 = 4503599627370496L
+    df.withColumn("n_kept", size(col(sketchCol)).cast("long"))
+      .withColumn("kth_hash", element_at(col(sketchCol), -1))
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
+      .drop(sketchCol)
+  }
+
   /** Per-group distinct estimate via the bounded [[KmvAgg]] aggregator:
     * (groupCols..., n_kept, kth_hash, est) with the same integer
     * estimator as [[distinctEstimate]]. */
   def groupDistinctEstimate(df: DataFrame, groupCols: Seq[String],
       valueCol: Column, k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val twoPow52 = 4503599627370496L
-    val agg = udaf(new KmvAgg(k))
-    df.select(groupCols.map(col) :+ hash52(valueCol).as("__hv"): _*)
-      .where(col("__hv").isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(agg(col("__hv")).as("__sk"))
-      .select(groupCols.map(col) :+
-        size(col("__sk")).cast("long").as("n_kept") :+
-        element_at(col("__sk"), -1).as("kth_hash"): _*)
-      .withColumn("est",
-        when(col("n_kept") < k, col("n_kept")).otherwise(
-          expr(s"CAST(${k - 1}L * ${twoPow52}L div kth_hash AS BIGINT)")))
+    val agg = sketchUdaf(k)
+    estimateFromSketch(
+      df.select(groupCols.map(col) :+ hash52(valueCol).as("__hv"): _*)
+        .where(col("__hv").isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(agg(col("__hv")).as("__sk")),
+      "__sk", k)
   }
 }

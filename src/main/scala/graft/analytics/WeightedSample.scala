@@ -36,4 +36,27 @@ object WeightedSample {
       .orderBy(col("key_pico"), idCol)
       .limit(k)
   }
+
+  /** Per-GROUP weighted sampling without replacement: `k` rows from each
+    * group, same A-Res keys, selected with a group-partitioned window
+    * rank — the balanced-corpus sampler ("k docs per source, weighted by
+    * quality") where the global variant would let one group swallow the
+    * budget. One shuffle on the group key; groups smaller than k return
+    * whole. */
+  def sampleByGroup(df: DataFrame, groupCols: Seq[Column], idCol: Column,
+      weightCol: Column, k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat_ws(":", lit(seed.toString),
+      idCol.cast("string"))), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
+    val key = -log(u) / weightCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*)
+      .orderBy(col("key_pico"), idCol)
+    df.where(weightCol.isNotNull && weightCol.cast("double") > 0)
+      .withColumn("key_pico", round(key * lit(1e12)).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -290,6 +290,29 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Streaming windowed approximate distinct — "distinct users per hour"
+    * over an unbounded stream with BOUNDED state: the KMV sketch
+    * ([[graft.analytics.Kmv]]) is an associative bounded-buffer
+    * aggregate, so it slots into a watermarked window aggregation as
+    * incremental state of at most k longs per window (exact streaming
+    * COUNT(DISTINCT) would hold every distinct value per window — the
+    * thing that OOMs on high-cardinality keys). Append mode emits each
+    * window once its watermark closes; the estimate is the same
+    * deterministic integer as the batch sketch, so stream == batch is
+    * asserted in the spec, not hoped. */
+  def windowedDistinctStream(events: DataFrame, tsCol: String,
+      valueCol: Column, windowLen: String = "1 hour",
+      watermark: String = "2 hours", k: Int = 256): DataFrame = {
+    val agg = graft.analytics.Kmv.sketchUdaf(k)
+    graft.analytics.Kmv.estimateFromSketch(
+      events.withWatermark(tsCol, watermark)
+        .select(col(tsCol), graft.analytics.Kmv.hash52(valueCol).as("__hv"))
+        .where(col("__hv").isNotNull)
+        .groupBy(window(col(tsCol), windowLen))
+        .agg(agg(col("__hv")).as("__sk")),
+      "__sk", k)
+  }
 
   /** Streaming rollup maintenance: each micro-batch folds into a per-key
     * (n, sum_micro) IceLite state table via

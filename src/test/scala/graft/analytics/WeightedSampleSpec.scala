@@ -47,6 +47,33 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(heavy > 140, s"heavy class took only $heavy of 200")
   }
 
+  test("sampleByGroup: k per group, same keys as the global sampler") {
+    val df = spark.range(0, 400)
+      .select(col("id"), (col("id") % 4).as("g"), (col("id") % 7 + 1).as("w"))
+    val got = WeightedSample.sampleByGroup(df, Seq(col("g")), col("id"),
+      col("w"), k = 5, seed = 2L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == (0L until 4L).toSet)
+    assert(got.values.forall(_.size == 5))
+    // per-group winners = the 5 smallest (key, id) of that group's rows:
+    // replay with the global sampler restricted to the group
+    (0L until 4L).foreach { g =>
+      val ref = WeightedSample.sampleWithoutReplacement(
+        df.where(col("g") === g), col("id"), col("w"), 5, 2L)
+        .collect().map(_.getLong(0)).toSet
+      assert(got(g) == ref, s"group $g")
+    }
+  }
+
+  test("sampleByGroup: groups smaller than k return whole") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 1L), (3L, "b", 2L))
+      .toDF("id", "g", "w")
+    val got = WeightedSample.sampleByGroup(df, Seq(col("g")), col("id"),
+      col("w"), k = 10)
+    assert(got.count() == 3)
+  }
+
   test("non-positive and null weights are excluded") {
     val df = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(-2L)),
       (4L, None)).toDF("id", "w")

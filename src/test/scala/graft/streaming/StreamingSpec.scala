@@ -357,6 +357,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(u7(1).getLong(1) == 1L && u7(1).getLong(2) == 50000000L)
   }
 
+  test("windowedDistinctStream: bounded-state sketch equals batch per window") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val q = Streaming.windowedDistinctStream(
+      Streaming.eventsStream(spark, dir, schema), "ts", $"user_id",
+      windowLen = "1 hour", k = 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wdist").option("checkpointLocation",
+        SparkFixture.tmpDir("graft-ck5-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("wdist")
+      .select($"window.start", $"n_kept", $"kth_hash", $"est")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // batch reference: the deterministic sketch over the same windows
+    val batch = graft.analytics.Kmv.estimateFromSketch(
+      spark.read.parquet(dir)
+        .select(window($"ts", "1 hour").as("w"),
+          graft.analytics.Kmv.hash52($"user_id").as("__hv"))
+        .groupBy("w").agg(graft.analytics.Kmv.sketchUdaf(16)($"__hv").as("__sk")),
+      "__sk", 16)
+      .select($"w.start", $"n_kept", $"kth_hash", $"est")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    // append mode withholds the trailing windows still inside the
+    // watermark; every CLOSED window must match the batch sketch exactly,
+    // and only trailing windows may be missing
+    got.foreach { case (w, v) =>
+      assert(batch(w) == v, s"window $w diverged from batch") }
+    val missing = batch.keySet -- got.keySet
+    val closedMax = got.keys.max((a: java.sql.Timestamp, b: java.sql.Timestamp)
+      => a.compareTo(b))
+    assert(missing.forall(_.after(closedMax)),
+      s"non-trailing windows missing: $missing")
+  }
+
   test("maintainCountSumStream: streamed rollup equals batch recompute") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh2-").toString)
     val b1 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0),
