@@ -1606,6 +1606,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("sum_ids"),
           sum(col("key_pico")).as("sum_keys"))
+    }),
+
+    // Spark's NATIVE session_window (the built-in Sessionize/q43 is the
+    // custom twin): a new session opens when the gap reaches 30 min;
+    // window end = last event + gap
+    "q133_native_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("w_start"),
+          col("sw.end").as("w_end"), col("n_events"))
     })
   )
 
@@ -3289,6 +3301,23 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(key_pico) AS BIGINT) AS sum_keys
-        |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin
+        |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin,
+
+    // session_window semantics: a gap of exactly 30 min STARTS a new
+    // session (event at last+gap falls outside [start, last+gap)); end
+    // is last event + gap
+    "q133_native_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sno FROM g)
+        |SELECT user_id, MIN(ts) AS w_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  COUNT(*) AS n_events
+        |FROM sx GROUP BY user_id, sno""".stripMargin
   )
 }

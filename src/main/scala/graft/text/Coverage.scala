@@ -35,7 +35,16 @@ object Coverage {
       Seq(col("occ").desc, col("token")),
       rankCol = "__rank", sumOf = Some((col("occ"), "__cum")))
       .localCheckpoint(eager = false) // one pass feeds every threshold
-    val total = ranked.agg(sum("occ")).collect()(0).getLong(0)
+    val totalRow = ranked.agg(sum("occ")).collect()(0)
+    // token-less corpus: no threshold is reachable — empty result, not an
+    // NPE from the null SUM over zero rows
+    if (totalRow.isNullAt(0))
+      return ranked.sparkSession.emptyDataFrame
+        .withColumn("pct", lit(0))
+        .withColumn("n_tokens", lit(0L))
+        .withColumn("covered_occurrences", lit(0L))
+        .limit(0)
+    val total = totalRow.getLong(0)
     val pctDf = docs.sparkSession.createDataFrame(
       pcts.map(p => Tuple1(p))).toDF("pct")
     // per pct: min rank whose cumulative mass reaches pct% — the join is

@@ -578,6 +578,48 @@ class CliSpec extends AnyFunSuite {
     assert(ch.contains("wrote 4 chunks"))
   }
 
+  test("round-7 analytics verbs: kmv-distinct, skew-report, vocab-coverage, weighted-sample") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-r7-").toString)
+    runCli(lh, "create-table", "default.docs",
+      "doc_id:long,text:string,n_chars:long")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"text":"alpha beta alpha","n_chars":16},
+         {"doc_id":2,"text":"alpha gamma","n_chars":11},
+         {"doc_id":3,"text":"beta beta beta","n_chars":14}]""")
+    val kmv = runCli(lh, "kmv-distinct", "default.docs", "doc_id")
+    assert(kmv.contains("est=3"), kmv) // 3 distinct ids, below k: exact
+    val skew = runCli(lh, "skew-report", "default.docs", "doc_id")
+    assert(skew.contains("keys=3") && skew.contains("salt=1"), skew)
+    val cov = runCli(lh, "vocab-coverage", "default.docs",
+      "--percents", "50,100")
+    // corpus tokens: alpha x3, beta x4, gamma x1 -> 50% needs 'beta' only
+    assert(cov.contains("50%: 1 tokens"), cov)
+    assert(cov.contains("100%: 3 tokens"), cov)
+    runCli(lh, "weighted-sample", "default.docs", "default.ws",
+      "--weight-col", "n_chars", "--k", "2")
+    assert(runCli(lh, "query", "SELECT count(*) AS n FROM ws").contains("2"))
+  }
+
+  test("round-7 event verbs: event-paths, mad-outliers, attribute") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-r7e-").toString)
+    runCli(lh, "create-table", "default.ev",
+      "event_id:long,ts:timestamp,user_id:long,event_type:string,value:double")
+    runCli(lh, "insert", "default.ev",
+      """[{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":1,"event_type":"click","value":1.0},
+         {"event_id":2,"ts":"2024-01-01T00:05:00","user_id":1,"event_type":"purchase","value":9.0},
+         {"event_id":3,"ts":"2024-01-01T00:00:00","user_id":2,"event_type":"click","value":2.0},
+         {"event_id":4,"ts":"2024-01-01T00:01:00","user_id":2,"event_type":"click","value":100.0}]""")
+    val paths = runCli(lh, "event-paths", "default.ev")
+    assert(paths.contains("1x click>purchase") && paths.contains("1x click>click"),
+      paths)
+    val mad = runCli(lh, "mad-outliers", "default.ev", "value")
+    assert(mad.contains("click: n=3"), mad)
+    runCli(lh, "attribute", "default.ev", "default.attr")
+    val attr = runCli(lh, "query",
+      "SELECT attributed FROM attr WHERE event_id = 2")
+    assert(attr.contains("1"), attr)
+  }
+
   test("parseFlags: boolean flags never swallow a following positional") {
     val (f1, p1) = Cli.parseFlags(List("decontaminate", "--remove", "train", "eval"))
     assert(f1 == Map("remove" -> "true") && p1 == List("decontaminate", "train", "eval"))

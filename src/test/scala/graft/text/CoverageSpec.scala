@@ -39,6 +39,14 @@ class CoverageSpec extends AnyFunSuite {
     assert(a == run(docs.repartition(9)))
   }
 
+  test("a token-less corpus yields an empty result, not an error") {
+    val docs = Seq("   ", "").toDF("text")
+    val got = Coverage.coverageThresholds(docs, "text", Seq(50, 90))
+    assert(got.count() == 0)
+    assert(got.columns.toSeq ==
+      Seq("pct", "n_tokens", "covered_occurrences"))
+  }
+
   test("bad percents are rejected") {
     val docs = Seq("a").toDF("text")
     intercept[IllegalArgumentException] {
