@@ -1618,6 +1618,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("w_start"),
           col("sw.end").as("w_end"), col("n_events"))
+    }),
+
+    // TPC-H Q2 shape: CORRELATED scalar subquery (min offer per part) via
+    // spark.sql — exercises Catalyst's decorrelation into an aggregate +
+    // join rather than a per-row re-execution
+    "q134_min_cost_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li134")
+      t(s, dir, "supplier").createOrReplaceTempView("sup134")
+      t(s, dir, "part").createOrReplaceTempView("part134")
+      s.sql("""
+        SELECT p.p_partkey, s.s_suppkey, s.s_name, o.offer
+        FROM (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer
+              FROM li134 GROUP BY 1, 2) o
+        JOIN part134 p ON p.p_partkey = o.l_partkey
+        JOIN sup134 s ON s.s_suppkey = o.l_suppkey
+        WHERE o.offer = (SELECT MIN(l_extendedprice) FROM li134 i
+                         WHERE i.l_partkey = o.l_partkey)
+        ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+        LIMIT 100""")
+    }),
+
+    // TPC-H Q15 shape: aggregated view + scalar-subquery MAX selection;
+    // revenue through the exact-decimal convention so the float compare
+    // is engine-identical
+    "q135_top_revenue_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li135")
+      t(s, dir, "supplier").createOrReplaceTempView("sup135")
+      s.sql("""
+        WITH rev AS (
+          SELECT l_suppkey AS suppkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+          FROM li135
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM sup135 s JOIN rev r ON s.s_suppkey = r.suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s.s_suppkey""")
     })
   )
 
@@ -3318,6 +3358,33 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS w_start,
         |  MAX(ts) + INTERVAL 30 MINUTE AS w_end,
         |  COUNT(*) AS n_events
-        |FROM sx GROUP BY user_id, sno""".stripMargin
+        |FROM sx GROUP BY user_id, sno""".stripMargin,
+
+    // identical SQL, base table names — MIN is exact on doubles so the
+    // correlated-subquery equality compares identically
+    "q134_min_cost_supplier" ->
+      """SELECT p.p_partkey, s.s_suppkey, s.s_name, o.offer
+        |FROM (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer
+        |      FROM lineitem GROUP BY 1, 2) o
+        |JOIN part p ON p.p_partkey = o.l_partkey
+        |JOIN supplier s ON s.s_suppkey = o.l_suppkey
+        |WHERE o.offer = (SELECT MIN(l_extendedprice) FROM lineitem i
+        |                 WHERE i.l_partkey = o.l_partkey)
+        |ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+        |LIMIT 100""".stripMargin,
+
+    "q135_top_revenue_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+        |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin
   )
 }
