@@ -1167,6 +1167,13 @@ object Cli {
           .limit(flags.getOrElse("limit", "50").toInt).collect()
           .foreach(r => println(r.mkString(" | ")))
 
+      case List("delete-keys", table, keysTable) =>
+        val cols = flags.getOrElse("cols", "id").split(',').toSeq
+        val matched = lh.catalog.loadTable(table).deleteKeysMor(cols,
+          lh.catalog.loadTable(keysTable).read())
+        println(s"equality-deleted $matched rows from $table " +
+          s"(keys from $keysTable on ${cols.mkString(",")}; no data files rewritten)")
+
       case List("event-paths", table) =>
         graft.analytics.Paths.topPaths(lh.catalog.loadTable(table).read(),
           flags.getOrElse("key-col", "user_id"),
@@ -1380,6 +1387,7 @@ object Cli {
       |         triangles <table> (--u-col u --v-col v)
       |         gap-fill <table> (--group-col event_type --unit hour
       |           --moving-avg 3)
+      |         delete-keys <table> <keys-table> (--cols id)
       |         event-paths <table> (--k 25 --max-len 50)
       |         mad-outliers <table> <value-col> (--group-col event_type)
       |         skew-report <table> <key-col> (--partitions 32)

@@ -67,9 +67,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def readSnapshot(snap: Option[Snapshot]): DataFrame =
     snap.filter(_.files.nonEmpty) match {
       case None => emptyDf(meta.schema)
-      case Some(s) if s.deleteFiles.isEmpty => assemble(s, withLineage = false)
+      case Some(s) if s.deleteFiles.isEmpty && s.eqDeleteFiles.isEmpty =>
+        assemble(s, withLineage = false)
       case Some(s) =>
-        applyPositionDeletes(assemble(s, withLineage = true), s)
+        applyAllDeletes(assemble(s, withLineage = true), s)
           .drop(LineageFileCol, LineagePosCol)
     }
 
@@ -147,7 +148,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     }
     val id = cur.id + 1
     val delDir = dataDir.resolve(f"commit-$id%05d-deletes")
-    val base = applyIfDeletes(assemble(cur, withLineage = true), cur)
+    val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
     val hits = base.where(filter)
       .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
       // cluster by file so a reader's broadcast probe set stays compact
@@ -160,13 +161,81 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       "delete", cur.files, cur.schemaId,
       Map("deleted-rows" -> deleted.toString,
         "delete-files" -> delFiles.size.toString),
-      deleteFiles = cur.deleteFiles ++ delFiles.filter(_.rows > 0))
+      deleteFiles = cur.deleteFiles ++ delFiles.filter(_.rows > 0),
+      eqDeleteFiles = cur.eqDeleteFiles)
     Jsons.writeFile(snapshotsPath, snaps :+ snap)
     deleted
   }
 
-  private def applyIfDeletes(data: DataFrame, s: Snapshot): DataFrame =
-    if (s.deleteFiles.isEmpty) data else applyPositionDeletes(data, s)
+  /** Merge-on-read EQUALITY delete: drop every current row whose `keyCols`
+    * values appear in `keysDf` — by writing only the (distinct, non-null)
+    * KEY SET and committing a snapshot; no data file is touched and no
+    * per-row positions are computed, so deleting a million users from a
+    * 100 TB table costs one small parquet write (position deletes would
+    * first SCAN the table to find the rows). Later appends of the same
+    * keys survive (the entry covers only the files live at commit).
+    * Returns the matched logical row count (one counting job, also
+    * recorded for exact [[Snapshot.liveRows]]). */
+  def deleteKeysMor(keyCols: Seq[String], keysDf: DataFrame): Long =
+    tableLock.synchronized {
+      require(keyCols.nonEmpty, "need at least one key column")
+      val snaps = snapshots
+      val cur = snaps.lastOption.filter(_.files.nonEmpty).getOrElse {
+        return 0L
+      }
+      val id = cur.id + 1
+      val delDir = dataDir.resolve(f"commit-$id%05d-eqdeletes")
+      keysDf.select(keyCols.map(col): _*).na.drop("any").dropDuplicates()
+        .write.parquet(delDir.toString)
+      val keyFiles = listDeleteParquet(delDir)
+      val keyRows = keyFiles.map(_.rows).sum
+      val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
+      val matched = base.join(
+        broadcast(spark.read.parquet(delDir.toString)), keyCols, "left_semi")
+        .count()
+      val entry = EqDeleteEntry(delDir.toString, rows = matched,
+        keyRows = keyRows, bytes = keyFiles.map(_.bytes).sum,
+        cols = keyCols.toList, covered = cur.files.map(_.path))
+      val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
+        "delete", cur.files, cur.schemaId,
+        Map("deleted-rows" -> matched.toString,
+          "eq-delete-keys" -> keyRows.toString,
+          "eq-delete-cols" -> keyCols.mkString(",")),
+        deleteFiles = cur.deleteFiles,
+        eqDeleteFiles = cur.eqDeleteFiles :+ entry)
+      Jsons.writeFile(snapshotsPath, snaps :+ snap)
+      matched
+    }
+
+  private def applyAllDeletes(data: DataFrame, s: Snapshot): DataFrame = {
+    val pos = if (s.deleteFiles.isEmpty) data
+      else applyPositionDeletes(data, s)
+    applyEqualityDeletes(pos, s)
+  }
+
+  /** Anti-join away equality-deleted rows, one entry at a time: a row is
+    * dropped when its key matches AND it lives in the entry's covered
+    * files (appends after the delete keep matching keys — Iceberg's
+    * sequence rule, here as an explicit file list). Rows with a null in
+    * any key column never match (standard equi-join semantics; the writer
+    * also drops null keys). Key sets are small by contract (that is why
+    * one chose equality deletes), so below [[IceTable.BroadcastDeleteRows]]
+    * keys they broadcast — no shuffle of the data side. */
+  private def applyEqualityDeletes(data: DataFrame, s: Snapshot): DataFrame =
+    s.eqDeleteFiles.foldLeft(data) { (d, e) =>
+      val keys = spark.read.parquet(e.dir)
+        .withColumn("__eq_hit", lit(1))
+      val side = if (e.keyRows <= IceTable.BroadcastDeleteRows)
+        broadcast(keys) else keys
+      // `_metadata.file_path` is a URI (file:///…); manifest entries are
+      // plain paths — strip the scheme before the membership test
+      val lineagePath = regexp_replace(col(LineageFileCol),
+        "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+      d.join(side, e.cols, "left")
+        .where(col("__eq_hit").isNull ||
+          !lineagePath.isInCollection(e.covered))
+        .drop("__eq_hit")
+    }
 
   private def listDeleteParquet(dir: Path): List[FileEntry] = {
     val conf = new Configuration()
@@ -307,11 +376,14 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val dels =
         if (keepParent) snaps.lastOption.map(_.deleteFiles).getOrElse(Nil)
         else Nil
+      val eqDels =
+        if (keepParent) snaps.lastOption.map(_.eqDeleteFiles).getOrElse(Nil)
+        else Nil
       val snap = Snapshot(id, snaps.lastOption.map(_.id), System.currentTimeMillis(),
         op, files, m.currentSchemaId,
         Map("added-files" -> newFiles.size.toString,
           "added-rows" -> newFiles.map(_.rows).sum.toString),
-        deleteFiles = dels)
+        deleteFiles = dels, eqDeleteFiles = eqDels)
       Jsons.writeFile(snapshotsPath, snaps :+ snap)
       snap
     }
@@ -327,7 +399,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       Map("rolled-back-to" -> target.id.toString),
       // restore the target's merge-on-read state too: rolling back past a
       // MoR delete must resurrect the rows, rolling back TO one must not
-      deleteFiles = target.deleteFiles)
+      deleteFiles = target.deleteFiles,
+      eqDeleteFiles = target.eqDeleteFiles)
     Jsons.writeFile(snapshotsPath, snaps :+ snap)
     snap
   }
@@ -355,12 +428,17 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   /** Files under data/ referenced by no live snapshot (maintenance.py orphan
     * cleanup). Dry-run returns paths; delete=true removes them. */
   def orphanFiles(delete: Boolean = false): Seq[String] = {
-    val live = snapshots
+    val snaps = snapshots
+    val live = snaps
       .flatMap(s => (s.files ++ s.deleteFiles).map(_.path)).toSet
+    // equality-delete entries reference a DIRECTORY: everything under a
+    // live eq-delete dir is live
+    val eqDirs = snaps.flatMap(_.eqDeleteFiles.map(_.dir)).distinct
     if (!Files.exists(dataDir)) return Nil
     val all = Files.walk(dataDir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
-    val orphans = all.filterNot(live)
+    val orphans = all.filterNot(p =>
+      live(p) || eqDirs.exists(d => p.startsWith(d + "/") || p.startsWith(d)))
     if (delete) orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
     orphans
   }

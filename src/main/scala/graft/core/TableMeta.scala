@@ -45,14 +45,30 @@ case class Snapshot(
     files: List[FileEntry],
     schemaId: Int,
     summary: Map[String, String] = Map.empty,
-    deleteFiles: List[FileEntry] = Nil) {
+    deleteFiles: List[FileEntry] = Nil,
+    eqDeleteFiles: List[EqDeleteEntry] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
-  /** Physical rows minus position-deleted rows. Exact: delete files are
-    * written from the MoR-applied read, so a position is never deleted
-    * twice and every position references a live file. */
-  def liveRows: Long = totalRows - deleteFiles.map(_.rows).sum
+  /** Physical rows minus merge-on-read deleted rows. Exact: position
+    * delete files are written from the all-deletes-applied read (a
+    * position is never deleted twice), and equality entries record their
+    * matched count against the same base restricted to their covered
+    * files — the three sets are disjoint by construction. */
+  def liveRows: Long = totalRows - deleteFiles.map(_.rows).sum -
+    eqDeleteFiles.map(_.rows).sum
 }
+
+/** Merge-on-read EQUALITY delete (the second Iceberg-v2 delete flavor):
+  * `dir` holds parquet of distinct KEY VALUES over `cols`; a read drops
+  * rows matching any key — but only rows living in `covered` (the data
+  * files present when the delete committed), so later appends of the same
+  * keys are NOT retro-deleted, mirroring Iceberg's sequence-number rule.
+  * The explicit covered-file list is the IceLite simplification of
+  * sequence numbers; it is bounded by one snapshot's file count, the same
+  * order as the manifest itself. `rows` = matched LOGICAL rows at commit
+  * (for exact liveRows); `keyRows` = distinct keys (broadcast sizing). */
+case class EqDeleteEntry(dir: String, rows: Long, keyRows: Long,
+    bytes: Long, cols: List[String], covered: List[String])
 
 /** A schema version: Spark StructType JSON + stable field-ids in field
   * metadata (key [[TableMeta.FieldIdKey]]) so rename/drop evolve by id,

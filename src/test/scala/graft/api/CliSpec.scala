@@ -620,6 +620,19 @@ class CliSpec extends AnyFunSuite {
     assert(attr.contains("1"), attr)
   }
 
+  test("delete-keys verb equality-deletes by key set, merge-on-read") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-eq-").toString)
+    runCli(lh, "create-table", "default.t", "id:long,v:double")
+    runCli(lh, "insert", "default.t",
+      """[{"id":1,"v":1.0},{"id":2,"v":2.0},{"id":3,"v":3.0}]""")
+    runCli(lh, "create-table", "default.victims", "id:long")
+    runCli(lh, "insert", "default.victims", """[{"id":1},{"id":3}]""")
+    val out = runCli(lh, "delete-keys", "default.t", "default.victims",
+      "--cols", "id")
+    assert(out.contains("equality-deleted 2 rows"), out)
+    assert(runCli(lh, "query", "SELECT count(*) AS n FROM t").contains("1"))
+  }
+
   test("parseFlags: boolean flags never swallow a following positional") {
     val (f1, p1) = Cli.parseFlags(List("decontaminate", "--remove", "train", "eval"))
     assert(f1 == Map("remove" -> "true") && p1 == List("decontaminate", "train", "eval"))

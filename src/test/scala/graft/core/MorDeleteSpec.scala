@@ -133,6 +133,74 @@ class MorDeleteSpec extends AnyFunSuite {
       s"expected broadcast anti-join for a tiny delete set, got:\n$plan")
   }
 
+  test("equality delete drops matching keys without touching data files") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq1")
+    val before = t.currentSnapshot.get.files.map(_.path).toSet
+    val keys = Seq(1L, 5L, 999L, 123456L).toDF("id") // 123456 matches nothing
+    val matched = t.deleteKeysMor(Seq("id"), keys)
+    assert(matched == 3L)
+    assert(t.currentSnapshot.get.files.map(_.path).toSet == before)
+    assert(!ids(t).exists(Set(1L, 5L, 999L)))
+    assert(ids(t).size == 997)
+    assert(t.currentSnapshot.get.liveRows == 997L)
+  }
+
+  test("equality delete does not retro-delete later appends of the same key") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq2")
+    t.deleteKeysMor(Seq("id"), Seq(7L).toDF("id"))
+    assert(!ids(t).contains(7L))
+    // re-insert id 7: the new row lives in a file the delete does not cover
+    t.append(Seq((7L, "g0", 10.5)).toDF("id", "grp", "v"))
+    assert(ids(t).count(_ == 7L) == 1)
+    assert(t.currentSnapshot.get.liveRows == 1000L)
+  }
+
+  test("equality and position deletes stack with exact liveRows") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq3")
+    t.deleteKeysMor(Seq("id"), Seq(1L, 2L).toDF("id"))
+    val posDeleted = t.deleteWhereMor(col("id") < 10) // 0..9 minus eq-deleted 1,2
+    assert(posDeleted == 8L)
+    assert(ids(t).size == 990)
+    assert(t.currentSnapshot.get.liveRows == 990L)
+    // deleting an eq-deleted key again matches nothing (disjoint sets)
+    assert(t.deleteKeysMor(Seq("id"), Seq(1L).toDF("id")) == 0L)
+  }
+
+  test("multi-column equality keys; null keys never match") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq4")
+    val keys = Seq((Some(3L), Some("g3")), (Some(4L), None))
+      .toDF("id", "grp") // (4, null) dropped by the writer
+    val matched = t.deleteKeysMor(Seq("id", "grp"), keys)
+    assert(matched == 1L)
+    assert(!ids(t).contains(3L) && ids(t).contains(4L))
+  }
+
+  test("compaction absorbs equality deletes; rollback restores them") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq5")
+    t.deleteKeysMor(Seq("id"), Seq(0L).toDF("id"))
+    val delSnap = t.currentSnapshot.get.id
+    t.compact(targetFiles = 2)
+    assert(t.currentSnapshot.get.eqDeleteFiles.isEmpty)
+    assert(ids(t).size == 999 && !ids(t).contains(0L))
+    t.append(Seq((0L, "g0", 0.0)).toDF("id", "grp", "v"))
+    assert(ids(t).contains(0L))
+    t.rollbackTo(delSnap.toString)
+    assert(!ids(t).contains(0L) && ids(t).size == 999)
+  }
+
+  test("orphan scan treats equality-delete files as live") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq6")
+    t.deleteKeysMor(Seq("id"), Seq(10L).toDF("id"))
+    assert(t.orphanFiles(delete = false).isEmpty)
+    assert(ids(t).size == 999) // a scan after the (no-op) orphan pass
+  }
+
   test("Dml.delete honors write.delete.mode=merge-on-read") {
     val cat = newCatalog()
     val lh = graft.Lakehouse.open(spark, cat.warehouse.toString)
