@@ -1343,6 +1343,21 @@ object McpTools {
         rows.map(r => s"${r.getInt(0)}%: ${r.getLong(1)} tokens " +
           s"(${r.getLong(2)} occurrences)").mkString("; ")
       }),
+    ToolDef("graft_delete_keys",
+      "Merge-on-read EQUALITY delete: drop all rows matching the key table's values without rewriting or even scanning data files; later appends of the same keys survive.",
+      sch(List("table_name", "keys_table", "cols"),
+        "table_name" -> S("Target table"),
+        "keys_table" -> S("Table holding the key values to delete"),
+        "cols" -> S("Comma-separated key columns")),
+      (lh, a) => {
+        val cols = str(a, "cols").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val matched = lh.catalog.loadTable(str(a, "table_name"))
+          .deleteKeysMor(cols,
+            lh.catalog.loadTable(str(a, "keys_table")).read())
+        s"equality-deleted $matched rows from ${str(a, "table_name")} " +
+          "(no data files rewritten)"
+      }),
     ToolDef("graft_last_touch",
       "Last-touch attribution: credit each conversion to the most recent touch of the same key within the lookback; writes the attribution table.",
       sch(List("table_name", "target_table", "key_col", "ts_col", "tie_col",

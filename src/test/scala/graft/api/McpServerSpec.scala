@@ -42,7 +42,7 @@ class McpServerSpec extends AnyFunSuite {
     for (n <- Seq("graft_curate", "graft_dedup_best", "graft_scrub_spans",
       "graft_decontaminate", "graft_split_assign", "graft_quantize",
       "graft_weighted_sample", "graft_kmv_distinct", "graft_vocab_coverage",
-      "graft_last_touch"))
+      "graft_last_touch", "graft_delete_keys"))
       assert(names.contains(n), s"missing training tool $n")
     // spot-check one per module family
     for (n <- Seq("query", "insert", "backup_table", "schema_diff",
