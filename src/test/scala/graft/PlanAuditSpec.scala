@@ -204,4 +204,39 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: grid-actual join must be equi-keyed:\n$p")
     }
   }
+
+  test("q112 fuzzy join: block equi-join, never a cartesian product") {
+    val p = planOf("q112_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy blocking must equi-join on the block key:\n$p")
+  }
+
+  test("q113/q120 binning: no unpartitioned window, no global sort") {
+    for (q <- Seq("q113_eqfreq_bins", "q120_calibration")) {
+      val p = planOf(q)
+      // the only windows are partition-local (__pid-keyed); a global
+      // ntile would show a windowspecdefinition without partition keys
+      assert(!"Window \\[[^\\]]*windowspecdefinition\\((?!__pid)"
+        .r.findFirstIn(p).isDefined, s"$q: unpartitioned window:\n$p")
+    }
+  }
+
+  test("q122 incremental agg: delta aggregates partially before the state join") {
+    val p = planOf("q122_incremental_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Join"), "state merge must be a join")
+  }
+
+  test("q126 paths: the cap window and the path groupBy share the key shuffle") {
+    val p = planOf("q126_event_paths")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected the user-key shuffle (+path count), got $exchanges:\n$p")
+  }
+
+  test("q134 correlated subquery decorrelates: joins, no per-row subquery") {
+    val p = planOf("q134_min_cost_supplier")
+    assert(!p.contains("ScalarSubquery"),
+      s"correlated MIN must decorrelate to aggregate+join:\n$p")
+    assert(p.contains("Join"), p)
+  }
 }

@@ -112,6 +112,28 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(got("big") - 9980) < 9980 * 0.35, got("big").toString)
   }
 
+  test("group aggregator property: random partitions/merges == TreeSet reference") {
+    // the sorted-array reduce/merge is the most intricate low-level code
+    // here; drive it through real partitioned aggregation on random data
+    // and compare against an independent driver-side TreeSet k-min
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val k = Seq(2, 3, 8, 33, 64)(trial - 1)
+      val n = 200 + rnd.nextInt(2000)
+      val vals = Seq.fill(n)(rnd.nextInt(300).toString)
+      val df = vals.toDF("v").repartition(1 + rnd.nextInt(12))
+      val got = Kmv.groupDistinctEstimate(df.withColumn("g", lit("x")),
+        Seq("g"), col("v"), k).collect()(0)
+      val hashes = vals.distinct.map { s =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13), 16)
+      }.distinct.sorted.take(k)
+      assert(got.getLong(1) == hashes.size.toLong, s"trial $trial fill")
+      assert(got.getLong(2) == hashes.last, s"trial $trial kth")
+    }
+  }
+
   test("nulls are skipped; k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b")).toDF("v")
     assert(Kmv.distinctEstimate(df, col("v"), 16).collect()(0).getLong(0) == 2L)
