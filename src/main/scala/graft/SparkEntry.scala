@@ -1642,6 +1642,32 @@ object SparkEntry {
     // TPC-H Q15 shape: aggregated view + scalar-subquery MAX selection;
     // revenue through the exact-decimal convention so the float compare
     // is engine-identical
+    // merge-on-read READ path oracle-verified end-to-end: position delete
+    // (quantity < 5) + equality delete (orderkey % 50 = 0) + an append
+    // that RE-INSERTS equality-deleted keys (must survive: the delete
+    // covers only the files live at its commit). The oracle recomputes
+    // from the raw data files with the same predicates — hash equality
+    // proves both anti-joins drop exactly the right rows and nothing else.
+    "q136_mor_read" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh136") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_mor", li.schema, Nil, Map.empty)
+        val tbl = lh.catalog.loadTable("default.li_mor")
+        tbl.append(li)                                   // snapshot 1
+        tbl.deleteWhereMor(col("l_quantity") < 5.0)      // snapshot 2
+        tbl.deleteKeysMor(Seq("l_orderkey"),             // snapshot 3
+          li.where(col("l_orderkey") % 50 === 0)
+            .select(col("l_orderkey")).distinct())
+        tbl.append(li.where(col("l_orderkey") % 50 === 0 // snapshot 4
+          && col("l_quantity") >= 45))
+      }
+      lh.catalog.loadTable("default.li_mor").read()
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
     "q135_top_revenue_supplier" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("li135")
       t(s, dir, "supplier").createOrReplaceTempView("sup135")
@@ -3372,6 +3398,21 @@ object SparkEntry {
         |                 WHERE i.l_partkey = o.l_partkey)
         |ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
         |LIMIT 100""".stripMargin,
+
+    // raw data files + the same two delete predicates; appended rows
+    // (commit-00004) are all live regardless of key
+    "q136_mor_read" ->
+      """WITH base AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh136/default/li_mor/data/commit-00001/*.parquet')),
+        |appended AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh136/default/li_mor/data/commit-00004/*.parquet')),
+        |live AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (l_quantity < 5.0) AND l_orderkey % 50 <> 0
+        |  UNION ALL SELECT * FROM appended)
+        |SELECT l_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM live GROUP BY 1""".stripMargin,
 
     "q135_top_revenue_supplier" ->
       """WITH rev AS (
