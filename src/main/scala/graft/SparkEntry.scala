@@ -3303,7 +3303,8 @@ object SparkEntry {
         |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_seq
         |  FROM g)
-        |SELECT user_id, span_seq, min(s) AS span_start, max(e) AS span_end,
+        |SELECT user_id, CAST(span_seq AS BIGINT) AS span_seq,
+        |  min(s) AS span_start, max(e) AS span_end,
         |  count(*) AS n_merged
         |FROM n GROUP BY 1, 2""".stripMargin,
 

@@ -190,12 +190,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val keyFiles = listDeleteParquet(delDir)
       val keyRows = keyFiles.map(_.rows).sum
       val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
-      val matched = base.join(
-        broadcast(spark.read.parquet(delDir.toString)), keyCols, "left_semi")
-        .count()
+      // same broadcast gate as the read path: a pathological giant key set
+      // must not OOM executors during the commit-time count either
+      val keysRead = spark.read.parquet(delDir.toString)
+      val keySide =
+        if (keyRows <= BroadcastDeleteRows) broadcast(keysRead) else keysRead
+      val matched = base.join(keySide, keyCols, "left_semi").count()
+      val m = meta
+      val keyIds = keyCols.toList.map(c =>
+        TableMeta.fieldId(m.schema(c)).getOrElse(throw new IllegalStateException(
+          s"key column '$c' has no field-id")))
       val entry = EqDeleteEntry(delDir.toString, rows = matched,
         keyRows = keyRows, bytes = keyFiles.map(_.bytes).sum,
-        cols = keyCols.toList, covered = cur.files.map(_.path))
+        cols = keyCols.toList, coveredUpTo = cur.id, colIds = keyIds)
       val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
         "delete", cur.files, cur.schemaId,
         Map("deleted-rows" -> matched.toString,
@@ -214,28 +221,47 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   }
 
   /** Anti-join away equality-deleted rows, one entry at a time: a row is
-    * dropped when its key matches AND it lives in the entry's covered
-    * files (appends after the delete keep matching keys — Iceberg's
-    * sequence rule, here as an explicit file list). Rows with a null in
-    * any key column never match (standard equi-join semantics; the writer
-    * also drops null keys). Key sets are small by contract (that is why
-    * one chose equality deletes), so below [[IceTable.BroadcastDeleteRows]]
-    * keys they broadcast — no shuffle of the data side. */
-  private def applyEqualityDeletes(data: DataFrame, s: Snapshot): DataFrame =
+    * dropped when its key matches AND its data file was committed at or
+    * before the entry's `coveredUpTo` watermark (appends after the delete
+    * keep matching keys — Iceberg's sequence-number rule). The file's
+    * commit id is parsed from its `data/commit-NNNNN/` path segment, so
+    * the scoping test is ONE scalar comparison per row — the plan stays
+    * O(1) no matter how many files the table has (an explicit file list
+    * would serialize 10⁵–10⁶ literals into every task at 100 TB).
+    * Key columns resolve by FIELD-ID against the current schema, so a
+    * rename between delete and read still lands on the right column
+    * (Iceberg v2 `equality_ids`). Rows with a null in any key column
+    * never match (standard equi-join semantics; the writer also drops
+    * null keys). Key sets are small by contract (that is why one chose
+    * equality deletes), so below [[IceTable.BroadcastDeleteRows]] keys
+    * they broadcast — no shuffle of the data side. */
+  private def applyEqualityDeletes(data: DataFrame, s: Snapshot): DataFrame = {
+    if (s.eqDeleteFiles.isEmpty) return data
+    val curById = meta.schema.fields.flatMap(f =>
+      TableMeta.fieldId(f).map(_ -> f.name)).toMap
+    val fileCommit = regexp_extract(col(LineageFileCol),
+      "/commit-(\\d+)", 1).cast("long")
     s.eqDeleteFiles.foldLeft(data) { (d, e) =>
+      // current names of the key columns; entries written before colIds
+      // existed fall back to write-time names
+      val names =
+        if (e.colIds.isEmpty) e.cols
+        else e.colIds.zip(e.cols).map { case (id, was) =>
+          curById.getOrElse(id, throw new IllegalStateException(
+            s"equality-delete key column (field-id $id, was '$was') was " +
+              "dropped while the delete entry is live"))
+        }
+      // the key parquet is stored under write-time names; realias to now
       val keys = spark.read.parquet(e.dir)
+        .select(e.cols.zip(names).map { case (o, n) => col(o).as(n) }: _*)
         .withColumn("__eq_hit", lit(1))
       val side = if (e.keyRows <= IceTable.BroadcastDeleteRows)
         broadcast(keys) else keys
-      // `_metadata.file_path` is a URI (file:///…); manifest entries are
-      // plain paths — strip the scheme before the membership test
-      val lineagePath = regexp_replace(col(LineageFileCol),
-        "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
-      d.join(side, e.cols, "left")
-        .where(col("__eq_hit").isNull ||
-          !lineagePath.isInCollection(e.covered))
+      d.join(side, names, "left")
+        .where(col("__eq_hit").isNull || fileCommit > lit(e.coveredUpTo))
         .drop("__eq_hit")
     }
+  }
 
   private def listDeleteParquet(dir: Path): List[FileEntry] = {
     val conf = new Configuration()
@@ -437,8 +463,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     if (!Files.exists(dataDir)) return Nil
     val all = Files.walk(dataDir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
+    // separator-anchored prefix only: a sibling dir sharing a live
+    // eq-delete dir's name as a plain prefix must still be collectible
     val orphans = all.filterNot(p =>
-      live(p) || eqDirs.exists(d => p.startsWith(d + "/") || p.startsWith(d)))
+      live(p) || eqDirs.exists(d => p.startsWith(d + "/")))
     if (delete) orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
     orphans
   }
@@ -491,7 +519,18 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       if (f.name == from) f.copy(name = to) else f)))
 
   def dropColumn(name: String): TableMeta = {
-    require(meta.schema.fields.exists(_.name == name), s"no such column: $name")
+    val m = meta
+    require(m.schema.fields.exists(_.name == name), s"no such column: $name")
+    // renames are safe (eq-delete keys resolve by field-id), but dropping
+    // a column referenced by a live equality-delete entry would make the
+    // current snapshot unreadable — refuse, like Iceberg does
+    val fid = TableMeta.fieldId(m.schema(name))
+    currentSnapshot.toList.flatMap(_.eqDeleteFiles).foreach { e =>
+      val hit = fid.exists(e.colIds.contains) ||
+        (e.colIds.isEmpty && e.cols.contains(name))
+      require(!hit, s"cannot drop '$name': it is a key column of a live " +
+        s"equality-delete entry (${e.dir}); compact the table first")
+    }
     evolveSchema(s => StructType(s.fields.filterNot(_.name == name)))
   }
 

@@ -60,15 +60,24 @@ case class Snapshot(
 
 /** Merge-on-read EQUALITY delete (the second Iceberg-v2 delete flavor):
   * `dir` holds parquet of distinct KEY VALUES over `cols`; a read drops
-  * rows matching any key — but only rows living in `covered` (the data
-  * files present when the delete committed), so later appends of the same
-  * keys are NOT retro-deleted, mirroring Iceberg's sequence-number rule.
-  * The explicit covered-file list is the IceLite simplification of
-  * sequence numbers; it is bounded by one snapshot's file count, the same
-  * order as the manifest itself. `rows` = matched LOGICAL rows at commit
-  * (for exact liveRows); `keyRows` = distinct keys (broadcast sizing). */
+  * rows matching any key — but only rows in data files committed at or
+  * before `coveredUpTo` (the snapshot id current when the delete
+  * committed), so later appends of the same keys are NOT retro-deleted.
+  * This is exactly Iceberg's sequence-number rule: commit ids are
+  * monotone and every data file's id is recoverable from its
+  * `data/commit-NNNNN/` path, so the read-side membership test is one
+  * scalar comparison — O(1) plan size regardless of table file count
+  * (an explicit covered-file list would inline 10⁵–10⁶ path literals
+  * into every read plan at 100 TB scale).
+  * `cols` are the key column NAMES at write time (they also name the
+  * columns inside the key parquet); `colIds` are the same keys' stable
+  * field-ids, so reads resolve to CURRENT names after a rename — the
+  * Iceberg v2 `equality_ids` idea. `rows` = matched LOGICAL rows at
+  * commit (for exact liveRows); `keyRows` = distinct keys (broadcast
+  * sizing). */
 case class EqDeleteEntry(dir: String, rows: Long, keyRows: Long,
-    bytes: Long, cols: List[String], covered: List[String])
+    bytes: Long, cols: List[String], coveredUpTo: Long,
+    colIds: List[Long] = Nil)
 
 /** A schema version: Spark StructType JSON + stable field-ids in field
   * metadata (key [[TableMeta.FieldIdKey]]) so rename/drop evolve by id,

@@ -201,6 +201,89 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(ids(t).size == 999) // a scan after the (no-op) orphan pass
   }
 
+  test("interleaved append/eq-delete: each entry scopes to its own watermark") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq7") // ids 0..999
+    // delete 1: covers the seed files only
+    t.deleteKeysMor(Seq("id"), Seq(1L, 2L).toDF("id"))
+    // append re-inserts id 1 (not covered by delete 1) and adds 2000
+    t.append(Seq((1L, "gA", 1.0), (2000L, "gA", 2.0)).toDF("id", "grp", "v"))
+    // delete 2: covers seed + first append — kills the re-inserted 1 and 2000
+    t.deleteKeysMor(Seq("id"), Seq(1L, 2000L, 3L).toDF("id"))
+    // append again: id 2000 comes back, above delete 2's watermark
+    t.append(Seq((2000L, "gB", 3.0)).toDF("id", "grp", "v"))
+    val got = ids(t)
+    assert(!got.contains(1L), "id 1 eq-deleted by the second entry")
+    assert(!got.contains(2L) && !got.contains(3L))
+    assert(got.count(_ == 2000L) == 1, "last append of 2000 must survive")
+    assert(got.size == 997 + 1) // 1000 - {1,2,3} + final 2000
+    val snap = t.currentSnapshot.get
+    assert(snap.eqDeleteFiles.size == 2)
+    val Seq(e1, e2) = snap.eqDeleteFiles.sortBy(_.coveredUpTo)
+    assert(e1.coveredUpTo < e2.coveredUpTo,
+      "watermarks must be the snapshot ids current at each delete")
+    assert(snap.liveRows == got.size.toLong)
+  }
+
+  test("eq-delete read plan carries no per-file path literals") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq8")
+    t.deleteKeysMor(Seq("id"), Seq(1L).toDF("id"))
+    val plan = t.read().queryExecution.optimizedPlan.toString
+    val nFiles = t.currentSnapshot.get.files.size
+    assert(nFiles > 1, "seed must produce multiple files for this to bite")
+    // the old design inlined every covered file path via isInCollection —
+    // O(files) literals serialized to every task at 100 TB scale
+    assert(!plan.contains("commit-00001/part-"),
+      s"read plan must not embed data-file path literals:\n$plan")
+    assert(plan.contains("commit-"), // the scalar watermark extract is fine
+      "expected the commit-id extraction in the plan")
+  }
+
+  test("rename of an eq-delete key column resolves by field-id") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq9")
+    t.deleteKeysMor(Seq("id"), Seq(5L, 6L).toDF("id"))
+    t.renameColumn("id", "doc_id")
+    val t2 = cat.loadTable("eq9")
+    val got = t2.read().select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got.size == 998 && !got.contains(5L) && !got.contains(6L),
+      "rename must not detach the live equality delete")
+    // and the delete still scopes: re-insert under the new name survives
+    t2.append(Seq((5L, "g0", 0.0)).toDF("doc_id", "grp", "v"))
+    assert(t2.read().where(col("doc_id") === 5L).count() == 1)
+  }
+
+  test("dropping a live eq-delete key column is refused; non-key drop fine") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq10")
+    t.deleteKeysMor(Seq("id"), Seq(9L).toDF("id"))
+    val ex = intercept[IllegalArgumentException](t.dropColumn("id"))
+    assert(ex.getMessage.contains("equality-delete"))
+    t.dropColumn("v") // not a key column — allowed
+    assert(ids(t).size == 999)
+    // compaction absorbs the entry, after which the drop is legal
+    t.compact(targetFiles = 1)
+    cat.loadTable("eq10").dropColumn("id")
+  }
+
+  test("orphan scan is separator-anchored: sibling dir sharing an eq-dir prefix is collectible") {
+    val cat = newCatalog()
+    val t = seeded(cat, "eq11")
+    t.deleteKeysMor(Seq("id"), Seq(10L).toDF("id"))
+    val eqDir = t.currentSnapshot.get.eqDeleteFiles.head.dir
+    // a stray file in a SIBLING dir whose name extends the eq-dir's name
+    val strayDir = java.nio.file.Paths.get(eqDir + "-tmp")
+    java.nio.file.Files.createDirectories(strayDir)
+    val stray = strayDir.resolve("leftover.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    assert(t.orphanFiles(delete = false).contains(stray.toString),
+      "prefix match without the separator must not shield sibling dirs")
+    t.orphanFiles(delete = true)
+    assert(!java.nio.file.Files.exists(stray))
+    assert(ids(t).size == 999) // table unharmed
+  }
+
   test("Dml.delete honors write.delete.mode=merge-on-read") {
     val cat = newCatalog()
     val lh = graft.Lakehouse.open(spark, cat.warehouse.toString)
