@@ -352,11 +352,17 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * Cross-process writers remain last-writer-wins, as in the reference. */
   def locked[T](f: => T): T = tableLock.synchronized(f)
 
-  def append(df: DataFrame): Snapshot = commit(df, "append", keepParent = true)
+  /** `extraSummary` entries land in the snapshot summary ATOMICALLY with
+    * the commit — the hook streaming sinks use to record their batch id
+    * in the same atomic write as the data (idempotent foreachBatch). */
+  def append(df: DataFrame, extraSummary: Map[String, String] = Map.empty): Snapshot =
+    commit(df, "append", keepParent = true, extraSummary)
 
-  def overwrite(df: DataFrame): Snapshot = commit(df, "overwrite", keepParent = false)
+  def overwrite(df: DataFrame, extraSummary: Map[String, String] = Map.empty): Snapshot =
+    commit(df, "overwrite", keepParent = false, extraSummary)
 
-  private def commit(df: DataFrame, op: String, keepParent: Boolean): Snapshot =
+  private def commit(df: DataFrame, op: String, keepParent: Boolean,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
     tableLock.synchronized {
       val m = meta
       val snaps = snapshots
@@ -408,7 +414,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val snap = Snapshot(id, snaps.lastOption.map(_.id), System.currentTimeMillis(),
         op, files, m.currentSchemaId,
         Map("added-files" -> newFiles.size.toString,
-          "added-rows" -> newFiles.map(_.rows).sum.toString),
+          "added-rows" -> newFiles.map(_.rows).sum.toString) ++ extraSummary,
         deleteFiles = dels, eqDeleteFiles = eqDels)
       Jsons.writeFile(snapshotsPath, snaps :+ snap)
       snap
