@@ -273,8 +273,41 @@ object Streaming {
       .select(col("k").as(keyCol), col("lead_ts"), col("follow_ts"))
   }
 
+  /** Snapshot-summary key recording the last streaming batch id folded
+    * into a sink table. foreachBatch is at-least-once: a crash between
+    * the IceLite commit and the checkpoint offset commit replays the
+    * batch. Recording the batch id IN the snapshot summary (same atomic
+    * write as the data) and skipping already-applied ids makes the sink
+    * exactly-once — the standard idempotent-foreachBatch pattern. */
+  private[graft] val BatchIdKey = "graft.stream.batch-id"
+
+  /** True iff `batchId` has already been committed to `table` — i.e. the
+    * latest snapshot carrying a batch-id stamp is >= this one. Batch ids
+    * are monotone per checkpoint, so one watermark suffices (no set). */
+  private[graft] def batchAlreadyApplied(lh: Lakehouse, table: String,
+      batchId: Long): Boolean =
+    lh.catalog.tableExists(table) &&
+      lh.catalog.loadTable(table).snapshots.reverseIterator
+        .flatMap(_.summary.get(BatchIdKey)).take(1)
+        .exists(_.toLong >= batchId)
+
+  /** One micro-batch of [[writeToTable]]; package-visible so the replay
+    * spec can re-drive a batch id and assert no duplicate rows. */
+  private[graft] def appendBatch(lh: Lakehouse, table: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!lh.catalog.tableExists(table))
+      lh.catalog.createTable(table, batch.schema, Nil,
+        Map("graft.streaming" -> "true"))
+    if (!batchAlreadyApplied(lh, table, batchId)) {
+      lh.catalog.loadTable(table)
+        .append(batch, Map(BatchIdKey -> batchId.toString))
+      ()
+    }
+  }
+
   /** Sink each micro-batch into an IceLite table: one snapshot per batch,
-    * so replays/time travel work on streamed data too. */
+    * so replays/time travel work on streamed data too. Idempotent under
+    * at-least-once replay via the snapshot-summary batch-id watermark. */
   def writeToTable(df: DataFrame, lh: Lakehouse, table: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
@@ -282,13 +315,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!lh.catalog.tableExists(table))
-          lh.catalog.createTable(table, batch.schema, Nil,
-            Map("graft.streaming" -> "true"))
-        lh.catalog.loadTable(table).append(batch)
-        ()
-      }
+      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(lh, table)(b, id) }
       .start()
 
   /** Streaming windowed approximate distinct — "distinct users per hour"
@@ -324,7 +351,9 @@ object Streaming {
     * commit is an IceLite snapshot — the rollup time-travels like any
     * other table, and a crashed query resumes from the checkpoint with
     * at-least-once batch replay folding idempotently per batch id via the
-    * snapshot log (StreamingSpec asserts stream == batch recompute). */
+    * snapshot-summary watermark ([[BatchIdKey]]): a replayed id is a
+    * no-op, so double-folding cannot corrupt counts/sums (StreamingSpec
+    * asserts both stream == batch recompute and replay == no-op). */
   def maintainCountSumStream(df: DataFrame, lh: Lakehouse, table: String,
       keyCols: Seq[String], valCol: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -332,23 +361,34 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val updated =
-          if (lh.catalog.tableExists(table))
-            graft.analytics.IncrementalAgg.maintain(
-              lh.catalog.loadTable(table).read(),
-              batch.withColumn("__op", lit("I")),
-              keyCols, valCol, "__op")
-          else
-            graft.analytics.IncrementalAgg.countSumState(batch, keyCols, valCol)
-        // safe to read-while-overwriting: commits write a NEW commit dir
-        // and prior snapshot files persist for time travel, so the lazy
-        // plan over the old state keeps valid inputs during the write
-        if (!lh.catalog.tableExists(table))
-          lh.catalog.createTable(table, updated.schema, Nil,
-            Map("graft.streaming" -> "true"))
-        lh.catalog.loadTable(table).overwrite(updated)
-        ()
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        foldCountSumBatch(lh, table, keyCols, valCol)(b, id)
       }
       .start()
+
+  /** One micro-batch of [[maintainCountSumStream]]; package-visible so
+    * the replay spec can re-drive a batch id and assert the fold is
+    * skipped (state unchanged). */
+  private[graft] def foldCountSumBatch(lh: Lakehouse, table: String,
+      keyCols: Seq[String], valCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batchAlreadyApplied(lh, table, batchId)) return
+    val updated =
+      if (lh.catalog.tableExists(table))
+        graft.analytics.IncrementalAgg.maintain(
+          lh.catalog.loadTable(table).read(),
+          batch.withColumn("__op", lit("I")),
+          keyCols, valCol, "__op")
+      else
+        graft.analytics.IncrementalAgg.countSumState(batch, keyCols, valCol)
+    // safe to read-while-overwriting: commits write a NEW commit dir
+    // and prior snapshot files persist for time travel, so the lazy
+    // plan over the old state keeps valid inputs during the write
+    if (!lh.catalog.tableExists(table))
+      lh.catalog.createTable(table, updated.schema, Nil,
+        Map("graft.streaming" -> "true"))
+    lh.catalog.loadTable(table)
+      .overwrite(updated, Map(BatchIdKey -> batchId.toString))
+    ()
+  }
 }

@@ -424,6 +424,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("rollup").snapshots.size >= 2)
   }
 
+  test("at-least-once replay of a batch id is a no-op (idempotent fold)") {
+    // foreachBatch replays a batch after a crash between the table commit
+    // and the checkpoint offset commit; the snapshot-summary batch-id
+    // watermark must make the second delivery a no-op.
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh3-").toString)
+    val b0 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0),
+      Event(2, new Timestamp(2000), 2, "view", 2.5)).toDF()
+    val b1 = Seq(Event(3, new Timestamp(3000), 1, "view", -4.0)).toDF()
+    val fold = Streaming.foldCountSumBatch(lh, "rollup_r", Seq("user_id"), "value") _
+    fold(b0, 0L)
+    fold(b1, 1L)
+    val before = lh.catalog.loadTable("rollup_r").read().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val snapsBefore = lh.catalog.loadTable("rollup_r").snapshots.size
+    fold(b1, 1L) // replay: must not double-fold
+    fold(b0, 0L) // stale replay: must not fold either
+    val after = lh.catalog.loadTable("rollup_r").read().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after == before)
+    assert(lh.catalog.loadTable("rollup_r").snapshots.size == snapsBefore)
+    // a NEW batch id still folds
+    fold(Seq(Event(4, new Timestamp(4000), 3, "view", 1.0)).toDF(), 2L)
+    assert(lh.catalog.loadTable("rollup_r").read().count() == 3)
+
+    // same contract for the append sink
+    val app = Streaming.appendBatch(lh, "events_r") _
+    app(b0, 0L); app(b1, 1L)
+    app(b1, 1L); app(b0, 0L) // replays: no duplicate rows
+    assert(lh.catalog.loadTable("events_r").read().count() == 3)
+  }
+
   test("foreachBatch sink commits micro-batches as IceLite snapshots") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh-").toString)
     val dir = eventsDir()
