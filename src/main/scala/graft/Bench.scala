@@ -61,6 +61,16 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LATEST.json"),
       (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // ...and append to a cumulative history so per-query timings survive
+    // across rounds (BENCH_LATEST is overwritten per run; round files used
+    // to carry only totals, making cross-round regression diffs impossible)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (s"""{"ts":${System.currentTimeMillis()},""" +
+        detailed.stripPrefix("{") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LATEST.json"}"""
     println(compact)

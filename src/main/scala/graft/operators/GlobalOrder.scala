@@ -26,11 +26,13 @@ object GlobalOrder {
     * running sum of `value` in that order. Ties in `sortCols` get an
     * arbitrary-but-deterministic order only if the caller includes a
     * tie-break column — pass one (e.g. the row id) for reproducibility. */
-  /** As [[rankWithPrefixSum]], plus `totalCol` = the TOTAL row count as a
-    * literal column — free, because the per-partition totals the offset
-    * step already collects sum to it; callers needing `rank` and `n`
-    * together (equal-frequency binning, percentile normalization) save a
-    * full extra scan over the input. */
+  /** As [[rankWithPrefixSum]], plus `totalCol` = the grand total as a
+    * literal column: the row count when no `sumOf` is given, the summed
+    * value's corpus total otherwise — free either way, because the
+    * per-partition totals the offset step already collects sum to it;
+    * callers needing `rank` and `n` together (equal-frequency binning,
+    * vocabulary coverage, percentile normalization) save a full extra
+    * scan over the input. */
   def rankWithTotal(df: DataFrame, sortCols: Seq[Column], rankCol: String,
       totalCol: String, numPartitions: Int = 0): DataFrame =
     rankWithPrefixSum(df, sortCols, rankCol, None, numPartitions,
@@ -77,9 +79,12 @@ object GlobalOrder {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case None => withPos
     }
+    // grand total of __val: row count when sumOf is None (__val = 1),
+    // the summed value's corpus total otherwise — the per-partition
+    // totals are already on the driver, so either is free
     val withTotal = if (totalCol == null) withSum
       else withSum.withColumn(totalCol,
-        lit(totals.map(_.getLong(1)).sum))
+        lit(totals.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum))
     withTotal.drop("__pid", "__coff", "__soff", "__val")
   }
 }

@@ -31,27 +31,22 @@ object Coverage {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("occ"))
+    // the prefix-sum pass also yields the corpus-total occurrence mass as
+    // a free literal (its per-partition totals are already on the driver)
+    // — no separate agg(sum).collect() scan; a token-less corpus gives an
+    // empty vocabulary frame and therefore an empty (correctly-typed)
+    // result with no special case
     val ranked = GlobalOrder.rankWithPrefixSum(counts,
       Seq(col("occ").desc, col("token")),
-      rankCol = "__rank", sumOf = Some((col("occ"), "__cum")))
-      .localCheckpoint(eager = false) // one pass feeds every threshold
-    val totalRow = ranked.agg(sum("occ")).collect()(0)
-    // token-less corpus: no threshold is reachable — empty result, not an
-    // NPE from the null SUM over zero rows
-    if (totalRow.isNullAt(0))
-      return ranked.sparkSession.emptyDataFrame
-        .withColumn("pct", lit(0))
-        .withColumn("n_tokens", lit(0L))
-        .withColumn("covered_occurrences", lit(0L))
-        .limit(0)
-    val total = totalRow.getLong(0)
+      rankCol = "__rank", sumOf = Some((col("occ"), "__cum")),
+      totalCol = "__total")
     val pctDf = docs.sparkSession.createDataFrame(
       pcts.map(p => Tuple1(p))).toDF("pct")
     // per pct: min rank whose cumulative mass reaches pct% — the join is
     // broadcast (pcts is a literal handful) so this is one scan of the
     // vocabulary frame, not one per threshold
     ranked.crossJoin(broadcast(pctDf))
-      .where(col("__cum") * lit(100L) >= col("pct") * lit(total))
+      .where(col("__cum") * lit(100L) >= col("pct") * col("__total"))
       .groupBy("pct")
       .agg(min(col("__rank")).as("n_tokens"),
         min_by(col("__cum"), col("__rank")).as("covered_occurrences"))

@@ -339,13 +339,18 @@ object MinHashLSH {
     * signature slots are hashed; a shared (band, hash) bucket → candidate.
     * Shuffle cost O(docs × bands), never a full cross join.
     *
-    * `maxBucketSize` (0 = off) drops degenerate buckets holding more than
-    * that many docs before the self-join — a bucket of B docs costs B²/2
-    * candidate rows, so one pathological bucket can dominate the stage at
-    * corpus scale. The guard is a windowed count on the join key (same
-    * pattern as [[NearDup.jaccardPairs]]' shingle cap). It trades recall
-    * for boundedness, so gate queries whose oracle demands exact recall
-    * leave it off. */
+    * `maxBucketSize` (0 = off) bounds degenerate buckets before the
+    * self-join — a bucket of B docs costs B²/2 candidate rows, so one
+    * pathological bucket (boilerplate, identical spam) can dominate the
+    * stage at corpus scale. Oversized buckets are NOT dropped: they
+    * degrade to a doc_id-ordered consecutive CHAIN (B−1 candidates,
+    * O(B) not O(B²)). If the bucket really is one near-dup cluster, every
+    * chain link passes exact verification and
+    * [[NearDup.duplicateComponents]] recovers the full cluster from the
+    * spanning chain; if it is a hash collision of unrelated docs, the
+    * links fail verify and cost nothing further. Pair-level recall within
+    * oversized buckets is capped (only the chain is emitted), so gate
+    * queries whose oracle demands exact pair recall leave the guard off. */
   def candidatePairs(sig: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
@@ -358,22 +363,32 @@ object MinHashLSH {
     }
     val buckets0 = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val buckets =
-      if (maxBucketSize <= 0) buckets0
+    val allPairs =
+      if (maxBucketSize <= 0) selfJoinPairs(buckets0)
       else {
         import org.apache.spark.sql.expressions.Window
-        buckets0.withColumn("bsz",
-          count(lit(1)).over(Window.partitionBy("band", "bh")))
-          .where(col("bsz") <= maxBucketSize)
-          .select("doc_id", "band", "bh")
+        val w = Window.partitionBy("band", "bh")
+        val sized = buckets0.withColumn("bsz", count(lit(1)).over(w))
+        val small = selfJoinPairs(
+          sized.where(col("bsz") <= maxBucketSize).select("doc_id", "band", "bh"))
+        // one extra window over the same (band, bh) partitioning — the
+        // count and lead share a single Exchange
+        val chained = sized.where(col("bsz") > maxBucketSize)
+          .withColumn("nxt", lead("doc_id", 1).over(w.orderBy("doc_id")))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id").as("id_a"), col("nxt").as("id_b"))
+        small.unionByName(chained)
       }
+    allPairs.distinct()
+  }
+
+  /** All ordered pairs of docs sharing a (band, bh) bucket. */
+  private def selfJoinPairs(buckets: DataFrame): DataFrame =
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-  }
 
   /** Full pipeline: shingle → minhash → LSH candidates → exact Jaccard
     * verification restricted to candidates. Result matches

@@ -212,9 +212,10 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH bucket-size guard drops a planted mega-bucket, keeps small ones") {
-    // 30 identical docs land every band hash in one 30-doc bucket;
-    // 2 other identical docs form small buckets that must survive.
+  test("LSH bucket-size guard chains a planted mega-bucket, keeps small ones") {
+    // Adversarial corpus: 30 identical docs land every band hash in one
+    // 30-doc bucket (unguarded: 435 = B²/2 candidates); 2 other identical
+    // docs form small buckets that must survive untouched.
     val rows = (1L to 30L).map(i => (i, "common repeated text body")) ++
       Seq((100L, "rare pair text alpha beta"), (101L, "rare pair text alpha beta"))
     val df = rows.toDF("doc_id", "text")
@@ -223,7 +224,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(unguarded >= 30L * 29 / 2) // mega-bucket candidates present
     val guarded = MinHashLSH.candidatePairs(sig, 16, 4, maxBucketSize = 10)
     val pairs = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((100L, 101L))) // mega-bucket gone, small bucket kept
+    // candidate count bounded: B-1 chain links, not B²/2 all-pairs
+    val chain = (1L to 29L).map(i => (i, i + 1)).toSet
+    assert(pairs == chain + ((100L, 101L)))
+    // recall preserved through verify + components: the chain links all
+    // pass exact verification (identical docs), and the component stage
+    // recovers the full 30-doc cluster from the spanning chain
+    val verified = NearDup.verifyPairs(df, "doc_id", "text", n = 3,
+      cands = guarded, threshold = 0.8)
+    val compDf = NearDup.duplicateComponents(verified.select("id_a", "id_b"))
+    val comps = compDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 30L).map(comps).toSet.size == 1) // one cluster, all 30
+    assert(comps(100L) == comps(101L))
+    NearDup.releaseResultCheckpoints(compDf)
   }
 
   test("exactDupGroups finds planted duplicates deterministically") {
