@@ -1684,6 +1684,85 @@ object SparkEntry {
         FROM sup135 s JOIN rev r ON s.s_suppkey = r.suppkey
         WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
         ORDER BY s.s_suppkey""")
+    }),
+
+    // TPC-H Q20 shape: nested IN + CORRELATED scalar aggregate — the
+    // supplier qualifies through a derived per-(part,supplier) aggregate
+    // compared against a correlated per-(part,supplier) sum. Catalyst
+    // must decorrelate the scalar into an aggregate-join; quantities sum
+    // in exact decimal so the inequality is engine-identical ("running
+    // low": pre-1996 stock × 8 < post-1996 demand; an empty demand sum is
+    // NULL → excluded, same in both engines)
+    "q137_low_stock_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li137")
+      t(s, dir, "supplier").createOrReplaceTempView("sup137")
+      t(s, dir, "part").createOrReplaceTempView("part137")
+      s.sql("""
+        SELECT s.s_suppkey, s.s_name
+        FROM sup137 s
+        WHERE s.s_suppkey IN (
+          SELECT ps.suppkey FROM (
+            SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS availqty
+            FROM li137 WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY 1, 2) ps
+          WHERE ps.partkey IN (SELECT p_partkey FROM part137 WHERE p_name LIKE '%a%')
+            AND ps.availqty * 8 < (
+              SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM li137 l
+              WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'))
+        ORDER BY s.s_suppkey""")
+    }),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS, both correlated to the outer
+    // block — and the NOT EXISTS correlates on TWO outer tables
+    // (l1.l_orderkey AND o.o_orderdate), the multi-correlation Catalyst
+    // has to pull apart. "The only late supplier in a multi-supplier
+    // order"; late = shipped >60 days after the order date (this corpus
+    // has no receipt/commit dates). COUNT is exact — no float hazards
+    "q138_lone_late_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li138")
+      t(s, dir, "supplier").createOrReplaceTempView("sup138")
+      t(s, dir, "orders").createOrReplaceTempView("ord138")
+      s.sql("""
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        FROM sup138 s, li138 l1, ord138 o
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (SELECT 1 FROM li138 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li138 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_suppkey""")
+    }),
+
+    // TPC-H Q22 shape: scalar "average" threshold + anti-join (NOT EXISTS
+    // with a correlated range predicate: customers with no RECENT orders).
+    // The average compare is exact: acctbal×count > sum in decimal, no
+    // FP average whose parallel summation order could flip a borderline
+    // row between engines
+    "q139_dormant_rich_customers" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust139")
+      t(s, dir, "orders").createOrReplaceTempView("ord139")
+      s.sql("""
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM cust139 c
+        WHERE c_nationkey IN (1,3,5,7,9,11,13)
+          AND CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM cust139
+                WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13))
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM cust139
+                WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13))
+          AND NOT EXISTS (SELECT 1 FROM ord139 o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode""")
     })
   )
 
@@ -3427,6 +3506,55 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, r.total_rev
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
         |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
-        |ORDER BY s.s_suppkey""".stripMargin
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    // identical SQL on base names — decimal sums make the correlated
+    // inequality exact in both engines
+    "q137_low_stock_supplier" ->
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.suppkey FROM (
+        |    SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS availqty
+        |    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |    GROUP BY 1, 2) ps
+        |  WHERE ps.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+        |    AND ps.availqty * 8 < (
+        |      SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l
+        |      WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+        |        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'))
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q138_lone_late_supplier" ->
+      """SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE s.s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY numwait DESC, s.s_suppkey""".stripMargin,
+
+    "q139_dormant_rich_customers" ->
+      """SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_nationkey IN (1,3,5,7,9,11,13)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM customer
+        |        WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13))
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |        WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin
   )
 }

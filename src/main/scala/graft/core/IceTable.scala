@@ -32,17 +32,65 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def metaPath: Path = dir.resolve("meta.json")
   def snapshotsPath: Path = dir.resolve("snapshots.json")
   def dataDir: Path = dir.resolve("data")
+  def manifestsDir: Path = dir.resolve("manifests")
 
   def meta: TableMeta = Jsons.readFile[TableMeta](metaPath)
   def schema: StructType = meta.schema
 
-  def snapshots: List[Snapshot] =
+  /** Raw snapshot-log entries: constant-size records whose file lists are
+    * manifest POINTERS, not contents (legacy entries may still inline).
+    * Commit paths work on these — a commit must never pay for resolving
+    * every snapshot's files. */
+  private def snapshotRefs: List[Snapshot] =
     if (Files.exists(snapshotsPath)) Jsons.readFile[List[Snapshot]](snapshotsPath).sortBy(_.id)
     else Nil
 
-  def currentSnapshot: Option[Snapshot] = snapshots.lastOption
+  /** Inline a ref's manifest-list contents so callers see the full
+    * `files`/`deleteFiles`/`eqDeleteFiles` exactly as the legacy format
+    * stored them. Manifest files are immutable → contents come from the
+    * [[Manifests]] cache after first touch. */
+  private def resolve(s: Snapshot): Snapshot = s.manifestList match {
+    case None => s
+    case Some(p) =>
+      val ml = Manifests.readList(p)
+      s.copy(files = ml.dataManifests.flatMap(Manifests.readManifest),
+        deleteFiles = ml.deleteManifests.flatMap(Manifests.readManifest),
+        eqDeleteFiles = ml.eqDeleteFiles)
+  }
 
-  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  /** Persist the snapshot log. Entries carrying a manifest-list pointer are
+    * stored COMPACT (inline lists stripped): the log grows by one
+    * constant-size entry per commit, never by O(files). */
+  private def writeLog(entries: List[Snapshot]): Unit =
+    Jsons.writeFile(snapshotsPath, entries.map(e =>
+      if (e.manifestList.isDefined)
+        e.copy(files = Nil, deleteFiles = Nil, eqDeleteFiles = Nil)
+      else e))
+
+  /** A ref's manifest list; a LEGACY inline ref has none, so its lists are
+    * materialized as manifest files once (named after the child commit
+    * that needed them) and the table is new-format from then on. */
+  private def manifestListOf(ref: Snapshot, childId: Long): ManifestList =
+    ref.manifestList match {
+      case Some(p) => Manifests.readList(p)
+      case None =>
+        val dm =
+          if (ref.files.isEmpty) Nil
+          else List(Manifests.writeManifest(
+            manifestsDir.resolve(f"m-$childId%05d-parent-data.json"), ref.files))
+        val del =
+          if (ref.deleteFiles.isEmpty) Nil
+          else List(Manifests.writeManifest(
+            manifestsDir.resolve(f"m-$childId%05d-parent-del.json"), ref.deleteFiles))
+        ManifestList(dm, del, ref.eqDeleteFiles)
+    }
+
+  def snapshots: List[Snapshot] = snapshotRefs.map(resolve)
+
+  def currentSnapshot: Option[Snapshot] = snapshotRefs.lastOption.map(resolve)
+
+  def snapshotById(id: Long): Option[Snapshot] =
+    snapshotRefs.find(_.id == id).map(resolve)
 
   /** Resolve a time-travel ref: integer snapshot-id first, else ISO
     * timestamp → latest snapshot at-or-before it (catalog.py:265-288). */
@@ -53,8 +101,9 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           throw new IllegalArgumentException(s"no snapshot with id $id"))
       case None =>
         val ts = parseInstantMs(ref)
-        snapshots.filter(_.timestampMs <= ts).lastOption.getOrElse(
-          throw new IllegalArgumentException(s"no snapshot at or before $ref"))
+        snapshotRefs.filter(_.timestampMs <= ts).lastOption.map(resolve)
+          .getOrElse(
+            throw new IllegalArgumentException(s"no snapshot at or before $ref"))
     }
   }
 
@@ -140,8 +189,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * preserved exactly as with copy-on-write: older snapshots carry their
     * own (shorter) delete-file lists. */
   def deleteWhereMor(filter: Column): Long = tableLock.synchronized {
-    val snaps = snapshots
-    val cur = snaps.lastOption.filter(_.files.nonEmpty).getOrElse {
+    val refs = snapshotRefs
+    val cur = refs.lastOption.map(resolve).filter(_.files.nonEmpty).getOrElse {
       // empty table: nothing can match, but keep the snapshot-per-write
       // invariant only when there is a snapshot log at all
       return 0L
@@ -157,13 +206,22 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     hits.write.parquet(delDir.toString)
     val delFiles = listDeleteParquet(delDir)
     val deleted = delFiles.map(_.rows).sum
+    // data manifests unchanged; ONE new delete manifest with this commit's
+    // delete files — O(new delete files) written, data file list untouched
+    val parentMl = manifestListOf(refs.last, id)
+    val newDel = delFiles.filter(_.rows > 0)
+    val delManifests = parentMl.deleteManifests ++
+      (if (newDel.isEmpty) Nil
+       else List(Manifests.writeManifest(
+         manifestsDir.resolve(f"m-$id%05d-del.json"), newDel)))
+    val listPath = Manifests.writeList(manifestsDir.resolve(f"list-$id%05d.json"),
+      parentMl.copy(deleteManifests = delManifests))
     val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
-      "delete", cur.files, cur.schemaId,
+      "delete", Nil, cur.schemaId,
       Map("deleted-rows" -> deleted.toString,
         "delete-files" -> delFiles.size.toString),
-      deleteFiles = cur.deleteFiles ++ delFiles.filter(_.rows > 0),
-      eqDeleteFiles = cur.eqDeleteFiles)
-    Jsons.writeFile(snapshotsPath, snaps :+ snap)
+      manifestList = Some(listPath))
+    writeLog(refs :+ snap)
     deleted
   }
 
@@ -179,8 +237,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def deleteKeysMor(keyCols: Seq[String], keysDf: DataFrame): Long =
     tableLock.synchronized {
       require(keyCols.nonEmpty, "need at least one key column")
-      val snaps = snapshots
-      val cur = snaps.lastOption.filter(_.files.nonEmpty).getOrElse {
+      val refs = snapshotRefs
+      val cur = refs.lastOption.map(resolve).filter(_.files.nonEmpty).getOrElse {
         return 0L
       }
       val id = cur.id + 1
@@ -203,14 +261,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val entry = EqDeleteEntry(delDir.toString, rows = matched,
         keyRows = keyRows, bytes = keyFiles.map(_.bytes).sum,
         cols = keyCols.toList, coveredUpTo = cur.id, colIds = keyIds)
+      // data + position-delete manifests unchanged; only the (inline,
+      // one-record-per-commit) eq-delete entry list grows
+      val parentMl = manifestListOf(refs.last, id)
+      val listPath = Manifests.writeList(
+        manifestsDir.resolve(f"list-$id%05d.json"),
+        parentMl.copy(eqDeleteFiles = parentMl.eqDeleteFiles :+ entry))
       val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
-        "delete", cur.files, cur.schemaId,
+        "delete", Nil, cur.schemaId,
         Map("deleted-rows" -> matched.toString,
           "eq-delete-keys" -> keyRows.toString,
           "eq-delete-cols" -> keyCols.mkString(",")),
-        deleteFiles = cur.deleteFiles,
-        eqDeleteFiles = cur.eqDeleteFiles :+ entry)
-      Jsons.writeFile(snapshotsPath, snaps :+ snap)
+        manifestList = Some(listPath))
+      writeLog(refs :+ snap)
       matched
     }
 
@@ -365,8 +428,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     tableLock.synchronized {
       val m = meta
-      val snaps = snapshots
-      val id = snaps.lastOption.map(_.id + 1).getOrElse(1L)
+      val refs = snapshotRefs
+      val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
       val commitDir = dataDir.resolve(f"commit-$id%05d")
       val aligned = align(df, m.schema)
       val tfs = m.transforms
@@ -398,43 +461,62 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         case None => spark.conf.unset(tsKey)
       }
       val newFiles = listParquet(commitDir, m.currentSchemaId)
-      val files =
-        if (keepParent) snaps.lastOption.map(_.files).getOrElse(Nil) ++ newFiles
-        else newFiles
-      // append keeps the parent's position deletes (they reference parent
-      // files, which stay live); overwrite/replace rewrote the data from a
-      // deletes-applied read, so the deletes are absorbed — compaction IS
-      // this path
-      val dels =
-        if (keepParent) snaps.lastOption.map(_.deleteFiles).getOrElse(Nil)
-        else Nil
-      val eqDels =
-        if (keepParent) snaps.lastOption.map(_.eqDeleteFiles).getOrElse(Nil)
-        else Nil
-      val snap = Snapshot(id, snaps.lastOption.map(_.id), System.currentTimeMillis(),
-        op, files, m.currentSchemaId,
+      // manifest layer: write ONE new data manifest holding this commit's
+      // files; an append REFERENCES the parent's manifests instead of
+      // re-listing their contents, so commit write-cost is O(new files) +
+      // O(#manifests), never O(all files). Append keeps the parent's
+      // position deletes (they reference parent files, which stay live);
+      // overwrite/replace rewrote the data from a deletes-applied read, so
+      // the deletes are absorbed — compaction IS this path.
+      val parentMl =
+        if (keepParent) refs.lastOption.map(r => manifestListOf(r, id))
+        else None
+      val newDataM =
+        if (newFiles.isEmpty) Nil
+        else List(Manifests.writeManifest(
+          manifestsDir.resolve(f"m-$id%05d-data.json"), newFiles))
+      val ml = ManifestList(
+        parentMl.map(_.dataManifests).getOrElse(Nil) ++ newDataM,
+        parentMl.map(_.deleteManifests).getOrElse(Nil),
+        parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
+      val listPath =
+        Manifests.writeList(manifestsDir.resolve(f"list-$id%05d.json"), ml)
+      val snap = Snapshot(id, refs.lastOption.map(_.id), System.currentTimeMillis(),
+        op, Nil, m.currentSchemaId,
         Map("added-files" -> newFiles.size.toString,
           "added-rows" -> newFiles.map(_.rows).sum.toString) ++ extraSummary,
-        deleteFiles = dels, eqDeleteFiles = eqDels)
-      Jsons.writeFile(snapshotsPath, snaps :+ snap)
-      snap
+        manifestList = Some(listPath))
+      writeLog(refs :+ snap)
+      resolve(snap) // callers get the inline view (files, deletes) as before
     }
 
   /** Roll back to an old snapshot: a NEW snapshot referencing the old
     * snapshot's files (zero-copy; history preserved — catalog.py:834-906). */
   def rollbackTo(ref: String): Snapshot = tableLock.synchronized {
-    val target = resolveRef(ref)
-    val snaps = snapshots
-    val id = snaps.last.id + 1
-    val snap = Snapshot(id, Some(snaps.last.id), System.currentTimeMillis(),
-      "replace", target.files, target.schemaId,
-      Map("rolled-back-to" -> target.id.toString),
-      // restore the target's merge-on-read state too: rolling back past a
-      // MoR delete must resurrect the rows, rolling back TO one must not
-      deleteFiles = target.deleteFiles,
-      eqDeleteFiles = target.eqDeleteFiles)
-    Jsons.writeFile(snapshotsPath, snaps :+ snap)
-    snap
+    val refs = snapshotRefs
+    val targetRef = ref.toLongOption match {
+      case Some(i) => refs.find(_.id == i).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot with id $i"))
+      case None =>
+        val ts = parseInstantMs(ref)
+        refs.filter(_.timestampMs <= ts).lastOption.getOrElse(
+          throw new IllegalArgumentException(s"no snapshot at or before $ref"))
+    }
+    val id = refs.last.id + 1
+    // zero-copy: the new manifest list re-references the target's manifests
+    // (restoring its merge-on-read state too: rolling back past a MoR
+    // delete must resurrect the rows, rolling back TO one must not). A new
+    // list FILE is written so every snapshot owns its list — sharing one
+    // would couple expiry lifetimes.
+    val listPath = Manifests.writeList(
+      manifestsDir.resolve(f"list-$id%05d.json"),
+      manifestListOf(targetRef, id))
+    val snap = Snapshot(id, Some(refs.last.id), System.currentTimeMillis(),
+      "replace", Nil, targetRef.schemaId,
+      Map("rolled-back-to" -> targetRef.id.toString),
+      manifestList = Some(listPath))
+    writeLog(refs :+ snap)
+    resolve(snap)
   }
 
   /** Expire snapshots older than a cutoff (`ISO` or `30d/24h/5m` duration,
@@ -442,7 +524,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * never expired (catalog.py:977-979). Returns expired ids. */
   def expireSnapshots(olderThan: Option[String] = None,
       retainLast: Option[Int] = None): List[Long] = tableLock.synchronized {
-    val snaps = snapshots
+    // refs only — expiry decisions need ids + timestamps, never file lists
+    val snaps = snapshotRefs
     if (snaps.isEmpty) return Nil
     val currentId = snaps.last.id
     val cutoff = olderThan.map(parseCutoffMs)
@@ -453,26 +536,44 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       keep = keep.intersect(retained) + snaps.last
     }
     val expired = snaps.filterNot(keep).map(_.id)
-    if (expired.nonEmpty) Jsons.writeFile(snapshotsPath, snaps.filter(keep).sortBy(_.id))
+    if (expired.nonEmpty) writeLog(snaps.filter(keep).sortBy(_.id))
     expired
   }
 
   /** Files under data/ referenced by no live snapshot (maintenance.py orphan
-    * cleanup). Dry-run returns paths; delete=true removes them. */
+    * cleanup), plus manifest/list JSON under manifests/ referenced by no
+    * live snapshot (expired snapshots strand their manifest files — the
+    * manifest layer's own garbage). Dry-run returns paths; delete=true
+    * removes them. */
   def orphanFiles(delete: Boolean = false): Seq[String] = {
-    val snaps = snapshots
+    val refs = snapshotRefs
+    val snaps = refs.map(resolve)
     val live = snaps
       .flatMap(s => (s.files ++ s.deleteFiles).map(_.path)).toSet
     // equality-delete entries reference a DIRECTORY: everything under a
     // live eq-delete dir is live
     val eqDirs = snaps.flatMap(_.eqDeleteFiles.map(_.dir)).distinct
-    if (!Files.exists(dataDir)) return Nil
-    val all = Files.walk(dataDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
-    // separator-anchored prefix only: a sibling dir sharing a live
-    // eq-delete dir's name as a plain prefix must still be collectible
-    val orphans = all.filterNot(p =>
-      live(p) || eqDirs.exists(d => p.startsWith(d + "/")))
+    val dataOrphans =
+      if (!Files.exists(dataDir)) Nil
+      else {
+        val all = Files.walk(dataDir).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
+        // separator-anchored prefix only: a sibling dir sharing a live
+        // eq-delete dir's name as a plain prefix must still be collectible
+        all.filterNot(p =>
+          live(p) || eqDirs.exists(d => p.startsWith(d + "/")))
+      }
+    val liveMeta: Set[String] = refs.flatMap(_.manifestList.toList.flatMap { p =>
+      val ml = Manifests.readList(p)
+      p :: (ml.dataManifests ++ ml.deleteManifests)
+    }).toSet
+    val manifestOrphans =
+      if (!Files.exists(manifestsDir)) Nil
+      else Files.walk(manifestsDir).iterator().asScala
+        // .json only — skips in-flight `.…tmp` files of a concurrent writer
+        .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
+        .map(_.toString).filterNot(liveMeta).toList
+    val orphans = dataOrphans ++ manifestOrphans
     if (delete) orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
     orphans
   }

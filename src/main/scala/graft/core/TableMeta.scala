@@ -36,7 +36,19 @@ case class FileEntry(path: String, rows: Long, bytes: Long, schemaId: Int = 1,
   * data-file rows that are logically deleted at this version. Reads
   * subtract them with an anti-join; a small delete against a 100 TB table
   * costs KBs of new data instead of rewriting TBs (the copy-on-write
-  * path, which remains the default). */
+  * path, which remains the default).
+  *
+  * ON DISK the file lists live in append-only manifest files, not in the
+  * snapshot log: `manifestList` points at a [[ManifestList]] and the log
+  * entry stores EMPTY `files`/`deleteFiles`/`eqDeleteFiles` — so each
+  * commit appends O(new files) manifest bytes plus one constant-size log
+  * entry, instead of rewriting every snapshot's full file list
+  * (O(snapshots × files) per commit — at 10⁵–10⁶ files and thousands of
+  * commits, the manifest-list problem Iceberg's avro manifests solve).
+  * IN MEMORY, [[graft.core.IceTable]] resolves the pointer back into the
+  * inline lists before handing a Snapshot to any caller, so the rest of
+  * the engine never sees the difference. Entries with `manifestList`
+  * absent are the legacy inline format and stay readable. */
 case class Snapshot(
     id: Long,
     parentId: Option[Long],
@@ -46,7 +58,8 @@ case class Snapshot(
     schemaId: Int,
     summary: Map[String, String] = Map.empty,
     deleteFiles: List[FileEntry] = Nil,
-    eqDeleteFiles: List[EqDeleteEntry] = Nil) {
+    eqDeleteFiles: List[EqDeleteEntry] = Nil,
+    manifestList: Option[String] = None) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Physical rows minus merge-on-read deleted rows. Exact: position

@@ -9,7 +9,12 @@ case class MaintenancePolicy(
     table: String,
     compactFileThreshold: Int = 10,
     snapshotRetain: Int = 5,
-    orphanCleanup: Boolean = true)
+    orphanCleanup: Boolean = true,
+    // merge-on-read debt cap: reads pay ONE anti-join per live eq-delete
+    // entry (and per position-delete file set), so an entry chain that
+    // only ever grows would slowly poison every read plan. Compaction
+    // absorbs all MoR deletes (overwrite from a deletes-applied read).
+    eqDeleteEntryThreshold: Int = 5)
 
 case class MaintenanceAction(table: String, action: String, detail: String)
 
@@ -43,9 +48,16 @@ class Maintenance(lh: Lakehouse) {
     val tbl = lh.catalog.loadTable(table)
     var actions = List.empty[MaintenanceAction]
     val files = tbl.currentSnapshot.map(_.files.size).getOrElse(0)
+    val eqEntries = tbl.currentSnapshot.map(_.eqDeleteFiles.size).getOrElse(0)
     if (files >= p.compactFileThreshold) {
       if (!dryRun) tbl.compact(targetFiles = 1)
       actions :+= MaintenanceAction(table, "compact", s"$files files")
+    } else if (eqEntries >= p.eqDeleteEntryThreshold) {
+      // long eq-delete chain: compact to fold the anti-join chain back to
+      // zero even when the file count alone wouldn't trigger
+      if (!dryRun) tbl.compact(targetFiles = math.max(files, 1))
+      actions :+= MaintenanceAction(table, "compact",
+        s"$eqEntries eq-delete entries")
     }
     val snaps = tbl.snapshots.size
     if (snaps > p.snapshotRetain) {

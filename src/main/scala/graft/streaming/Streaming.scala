@@ -281,15 +281,50 @@ object Streaming {
     * exactly-once — the standard idempotent-foreachBatch pattern. */
   private[graft] val BatchIdKey = "graft.stream.batch-id"
 
-  /** True iff `batchId` has already been committed to `table` — i.e. the
-    * latest snapshot carrying a batch-id stamp is >= this one. Batch ids
-    * are monotone per checkpoint, so one watermark suffices (no set). */
+  /** Snapshot-summary key recording WHICH streaming query stamped
+    * [[BatchIdKey]]. Batch ids are monotone only within one checkpoint:
+    * a wiped/migrated checkpoint restarts them at 0, so a watermark
+    * keyed by batch id alone would silently skip every micro-batch of
+    * the new incarnation until its ids catch up — data loss, not
+    * idempotency. Scoping the watermark by the streaming query id
+    * (stable across restarts of the same checkpoint, fresh when the
+    * checkpoint is) is exactly how Iceberg's Spark streaming sink
+    * scopes its epoch watermark. */
+  private[graft] val QueryIdKey = "graft.stream.query-id"
+
+  /** The streaming query id of the current foreachBatch invocation, read
+    * from the local property the stream execution thread sets; None when
+    * called outside a streaming query (tests driving batches by hand). */
+  private[graft] def currentQueryId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+
+  /** True iff `batchId` has already been committed to `table` BY THE SAME
+    * streaming query — i.e. the latest snapshot carrying a batch-id stamp
+    * belongs to this query id and is >= this batch. Batch ids are
+    * monotone per checkpoint, so one watermark suffices (no set). A
+    * stamp from a DIFFERENT query id (fresh checkpoint into an existing
+    * sink) never matches, so the new incarnation's batches all apply.
+    * Malformed stamps (hand-edited metadata) are treated as absent, not
+    * fatal. */
   private[graft] def batchAlreadyApplied(lh: Lakehouse, table: String,
-      batchId: Long): Boolean =
-    lh.catalog.tableExists(table) &&
-      lh.catalog.loadTable(table).snapshots.reverseIterator
-        .flatMap(_.summary.get(BatchIdKey)).take(1)
-        .exists(_.toLong >= batchId)
+      queryId: Option[String], batchId: Long): Boolean =
+    lh.catalog.tableExists(table) && {
+      val stamped = lh.catalog.loadTable(table).snapshots.reverseIterator
+        .filter(_.summary.contains(BatchIdKey)).take(1).toSeq.headOption
+      stamped.exists { s =>
+        s.summary.get(QueryIdKey) == queryId &&
+          s.summary.get(BatchIdKey)
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .exists(_ >= batchId)
+      }
+    }
+
+  /** Summary stamps for one micro-batch commit: batch id plus the owning
+    * query id when running inside a real streaming query. */
+  private def batchStamp(spark: SparkSession, batchId: Long)
+      : Map[String, String] =
+    Map(BatchIdKey -> batchId.toString) ++
+      currentQueryId(spark).map(QueryIdKey -> _)
 
   /** One micro-batch of [[writeToTable]]; package-visible so the replay
     * spec can re-drive a batch id and assert no duplicate rows. */
@@ -298,9 +333,10 @@ object Streaming {
     if (!lh.catalog.tableExists(table))
       lh.catalog.createTable(table, batch.schema, Nil,
         Map("graft.streaming" -> "true"))
-    if (!batchAlreadyApplied(lh, table, batchId)) {
+    val qid = currentQueryId(batch.sparkSession)
+    if (!batchAlreadyApplied(lh, table, qid, batchId)) {
       lh.catalog.loadTable(table)
-        .append(batch, Map(BatchIdKey -> batchId.toString))
+        .append(batch, batchStamp(batch.sparkSession, batchId))
       ()
     }
   }
@@ -372,7 +408,8 @@ object Streaming {
   private[graft] def foldCountSumBatch(lh: Lakehouse, table: String,
       keyCols: Seq[String], valCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    if (batchAlreadyApplied(lh, table, batchId)) return
+    if (batchAlreadyApplied(lh, table,
+        currentQueryId(batch.sparkSession), batchId)) return
     val updated =
       if (lh.catalog.tableExists(table))
         graft.analytics.IncrementalAgg.maintain(
@@ -388,7 +425,7 @@ object Streaming {
       lh.catalog.createTable(table, updated.schema, Nil,
         Map("graft.streaming" -> "true"))
     lh.catalog.loadTable(table)
-      .overwrite(updated, Map(BatchIdKey -> batchId.toString))
+      .overwrite(updated, batchStamp(batch.sparkSession, batchId))
     ()
   }
 }

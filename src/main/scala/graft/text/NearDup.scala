@@ -344,13 +344,17 @@ object MinHashLSH {
     * pathological bucket (boilerplate, identical spam) can dominate the
     * stage at corpus scale. Oversized buckets are NOT dropped: they
     * degrade to a doc_id-ordered consecutive CHAIN (B−1 candidates,
-    * O(B) not O(B²)). If the bucket really is one near-dup cluster, every
-    * chain link passes exact verification and
-    * [[NearDup.duplicateComponents]] recovers the full cluster from the
-    * spanning chain; if it is a hash collision of unrelated docs, the
-    * links fail verify and cost nothing further. Pair-level recall within
-    * oversized buckets is capped (only the chain is emitted), so gate
-    * queries whose oracle demands exact pair recall leave the guard off. */
+    * O(B) not O(B²)). Full-cluster recovery via the spanning chain +
+    * [[NearDup.duplicateComponents]] is guaranteed only when the
+    * oversized bucket is HOMOGENEOUS (a single near-dup cluster): then
+    * every link verifies and the chain spans it. A MIXED bucket (two
+    * clusters, or collided unrelated docs, interleaved by doc_id) breaks
+    * the chain where consecutive links cross clusters — sub-clusters can
+    * lose connectivity entirely, not just individual pairs. Still
+    * strictly better than dropping the bucket (pure collisions fail
+    * verify and cost nothing), but recall within oversized buckets is
+    * capped at chain connectivity, so gate queries whose oracle demands
+    * exact pair recall leave the guard off. */
   def candidatePairs(sig: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")

@@ -106,10 +106,12 @@ object PrefixFilterJoin {
     *
     * Result: (id_a, id_b, inter, na, nb, containment), id_a ≠ id_b, both
     * directions reported independently. */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold in (0,1]: $threshold")
+  /** Candidate stage of [[containmentPairs]], exposed so scale rehearsals
+    * can measure the candidate count (the quantity whose growth must stay
+    * sub-quadratic) without paying the exact-verify stage. Superset of
+    * the true result by prefix-filter completeness. */
+  def containmentCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
     val sh = NearDup.shingleTable(df, idCol, textCol, n)
     val ranked = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
@@ -122,10 +124,17 @@ object PrefixFilterJoin {
       .select(col("doc_id").as("id_a"), col("s"), col("n").as("na"))
     val bAll = ranked.where(col("df") >= 2)
       .select(col("doc_id").as("id_b"), col("s"), col("n").as("nb"))
-    val cands = aPref.join(bAll, Seq("s"))
+    aPref.join(bAll, Seq("s"))
       .where(col("id_a") =!= col("id_b") &&
         col("nb") >= lit(threshold) * col("na") - lit(Eps))
       .select("id_a", "id_b").distinct()
+  }
+
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1]: $threshold")
+    val cands = containmentCandidates(df, idCol, textCol, n, threshold)
       .localCheckpoint(eager = false)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))

@@ -171,7 +171,9 @@ class IceTableSpec extends AnyFunSuite {
     tbl.overwrite(sampleDf.limit(1))
     tbl.expireSnapshots(retainLast = Some(1))
     val orphans = tbl.orphanFiles()
-    assert(orphans.nonEmpty && orphans.forall(_.contains("commit-00001")))
+    // expired snapshot 1 strands its data files AND its manifest JSON
+    assert(orphans.nonEmpty && orphans.forall(p =>
+      p.contains("commit-00001") || p.contains("00001") && p.endsWith(".json")))
     tbl.orphanFiles(delete = true)
     assert(tbl.orphanFiles().isEmpty)
     assert(tbl.read().count() == 1)

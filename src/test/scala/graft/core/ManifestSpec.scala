@@ -1,0 +1,130 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** The append-only manifest layer: commits must write O(new files) bytes,
+  * not O(snapshots × files) — the snapshot log holds constant-size
+  * entries pointing at per-commit manifest files, and an append REUSES
+  * the parent's manifests by reference (Iceberg's manifest-list design).
+  * Legacy inline snapshot logs must stay readable and migrate on the
+  * next commit. */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newCatalog() =
+    Catalog.open(spark, SparkFixture.tmpDir("graft-mwh-").toString)
+
+  private def df(ids: Range) = ids.map(i => (i.toLong, s"row$i")).toDF("id", "name")
+
+  test("commit write-cost is O(new files): log entries are constant-size, " +
+      "each data manifest holds only its own commit's files") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    val logSizes = (1 to 5).map { i =>
+      tbl.append(df(i * 10 until i * 10 + 5).repartition(2))
+      Files.size(tbl.snapshotsPath)
+    }
+    // raw log entries inline NO file lists (they point at manifests)
+    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    assert(raw.size == 5)
+    assert(raw.forall(_.manifestList.isDefined))
+    assert(raw.forall(r => r.files.isEmpty && r.deleteFiles.isEmpty))
+    // per-commit log growth is ~constant: appending snapshot 5 (10 live
+    // files) must cost about what appending snapshot 2 (4 live files)
+    // did — not grow with total file count. Generous 2× slack for id
+    // widths; the OLD design grew the delta linearly (full re-list).
+    val deltas = logSizes.zip(logSizes.tail).map { case (a, b) => b - a }
+    assert(deltas.last <= deltas.head * 2,
+      s"log growth not O(1) per commit: $deltas")
+    // the newest data manifest lists ONLY commit 5's files
+    val ml = Manifests.readList(raw.last.manifestList.get)
+    assert(ml.dataManifests.size == 5) // one per append, shared by reference
+    val newest = Manifests.readManifest(ml.dataManifests.last)
+    assert(newest.size == 2)
+    assert(newest.forall(_.path.contains("commit-00005")))
+    // manifests of earlier commits are SHARED by reference, not rewritten:
+    // snapshot 4's list is a strict prefix of snapshot 5's
+    val ml4 = Manifests.readList(raw(3).manifestList.get)
+    assert(ml.dataManifests.startsWith(ml4.dataManifests))
+    // resolved view is unchanged semantics: full live file set + rows
+    assert(tbl.currentSnapshot.get.files.size == 10)
+    assert(tbl.read().count() == 25)
+    // time travel still resolves old snapshots' file sets
+    assert(tbl.readAsOf(raw.head.id.toString).count() == 5)
+  }
+
+  test("MOR deletes ride the manifest layer: delete commits write only " +
+      "delete manifests; eq-delete entries stay inline in the list") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t2", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(df(0 until 100).repartition(4))
+    tbl.deleteWhereMor(col("id") < 10)
+    tbl.deleteKeysMor(Seq("id"), Seq(50L, 51L).toDF("id"))
+    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    assert(raw.size == 3)
+    val ml2 = Manifests.readList(raw(1).manifestList.get)
+    val ml3 = Manifests.readList(raw(2).manifestList.get)
+    // the position-delete commit added ONE delete manifest, reused data
+    assert(ml2.dataManifests == Manifests.readList(raw.head.manifestList.get).dataManifests)
+    assert(ml2.deleteManifests.size == 1)
+    // the eq-delete commit added an inline entry, touched no manifests
+    assert(ml3.dataManifests == ml2.dataManifests)
+    assert(ml3.deleteManifests == ml2.deleteManifests)
+    assert(ml3.eqDeleteFiles.size == 1)
+    assert(tbl.read().count() == 88)
+    // rollback to the pre-delete snapshot resurrects everything
+    tbl.rollbackTo(raw.head.id.toString)
+    assert(tbl.read().count() == 100)
+  }
+
+  test("legacy inline snapshot log stays readable and migrates on commit") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t3", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(df(0 until 20))
+    tbl.append(df(20 until 30))
+    // rewrite the log in the OLD format: inline file lists, no pointers
+    val inline = tbl.snapshots.map(_.copy(manifestList = None))
+    Jsons.writeFile(tbl.snapshotsPath, inline)
+    assert(tbl.read().count() == 30)
+    assert(tbl.readAsOf(inline.head.id.toString).count() == 20)
+    // next commit bridges the legacy parent into manifest files
+    tbl.append(df(30 until 35))
+    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    assert(raw.last.manifestList.isDefined)
+    assert(raw.last.files.isEmpty)
+    assert(tbl.read().count() == 35)
+    val ml = Manifests.readList(raw.last.manifestList.get)
+    // parent's inline list was materialized as one manifest + one new
+    assert(ml.dataManifests.size == 2)
+  }
+
+  test("expire + orphanFiles collect stranded manifest files") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t4", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(df(0 until 10))
+    val firstData = tbl.currentSnapshot.get.files.map(_.path)
+    tbl.overwrite(df(10 until 20)) // snapshot 1's files now dead weight
+    val expired = tbl.expireSnapshots(retainLast = Some(1))
+    assert(expired.nonEmpty)
+    val orphans = tbl.orphanFiles()
+    // snapshot 1's data files AND its manifest/list JSON are orphaned
+    assert(firstData.forall(orphans.contains))
+    assert(orphans.exists(_.endsWith("list-00001.json")))
+    assert(orphans.exists(p => p.contains("m-00001") && p.endsWith(".json")))
+    tbl.orphanFiles(delete = true)
+    assert(tbl.orphanFiles().isEmpty)
+    assert(tbl.read().count() == 10)
+    // the survivor's manifests are untouched
+    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    assert(Files.exists(Paths.get(raw.last.manifestList.get)))
+  }
+}

@@ -192,6 +192,31 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("sales").snapshots.size <= 3)
   }
 
+  test("maintenance: eq-delete entry chain triggers compaction") {
+    import org.apache.spark.sql.functions.col
+    val lh = seeded()
+    val tbl = lh.catalog.loadTable("sales")
+    // N key-delete commits, each one eq-delete entry; file count stays at
+    // 1-2, far below the compact threshold — only the entry chain grows
+    (1 to 5).foreach(i =>
+      tbl.deleteKeysMor(Seq("id"), Seq(i.toLong).toDF("id")))
+    assert(tbl.currentSnapshot.get.eqDeleteFiles.size == 5)
+    lh.maintenance.setPolicy(MaintenancePolicy("default.sales",
+      compactFileThreshold = 100, snapshotRetain = 50,
+      eqDeleteEntryThreshold = 5))
+    val planned = lh.maintenance.maintainTable("default.sales", dryRun = true)
+    assert(planned.exists(a => a.action == "compact" &&
+      a.detail.contains("eq-delete")))
+    lh.maintenance.maintainTable("default.sales")
+    val after = lh.catalog.loadTable("sales").currentSnapshot.get
+    // compaction absorbed the chain: reads pay zero eq-delete anti-joins
+    assert(after.eqDeleteFiles.isEmpty)
+    assert(after.deleteFiles.isEmpty)
+    assert(lh.catalog.loadTable("sales").read().count() == 45)
+    assert(!lh.catalog.loadTable("sales").read()
+      .where(col("id") <= 5).limit(1).collect().nonEmpty)
+  }
+
   test("auto-refresh cascade refreshes stale downstream matviews") {
     val lh = seeded()
     lh.matviews.create("totals", "SELECT region, sum(amount) AS t FROM sales GROUP BY region")

@@ -455,6 +455,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("events_r").read().count() == 3)
   }
 
+  test("fresh checkpoint (new query id) restarts batch ids without data loss") {
+    // Batch ids restart at 0 when the checkpoint is wiped/migrated; the
+    // idempotency watermark is scoped by streaming query id so the new
+    // incarnation's batches APPLY instead of being skipped until its ids
+    // pass the stale watermark (silent data loss).
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh4-").toString)
+    val b0 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0),
+      Event(2, new Timestamp(2000), 2, "view", 2.5)).toDF()
+    val b1 = Seq(Event(3, new Timestamp(3000), 1, "view", -4.0)).toDF()
+    val sc = spark.sparkContext
+    val app = Streaming.appendBatch(lh, "events_q") _
+    def n() = lh.catalog.loadTable("events_q").read().count()
+    sc.setLocalProperty("sql.streaming.queryId", "query-A")
+    try {
+      app(b0, 0L); app(b1, 1L)
+      assert(n() == 3)
+      app(b1, 1L) // replay inside query A: no-op
+      assert(n() == 3)
+      // checkpoint wiped -> Spark assigns a NEW query id, ids restart at 0
+      sc.setLocalProperty("sql.streaming.queryId", "query-B")
+      app(b0, 0L) // stale watermark (A, 1) must NOT swallow (B, 0)
+      assert(n() == 5)
+      app(b0, 0L) // replay inside query B: no-op again
+      assert(n() == 5)
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("malformed batch-id stamp is treated as absent, not fatal") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh5-").toString)
+    val b0 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0)).toDF()
+    lh.catalog.createTable("events_m", b0.schema, Nil, Map.empty)
+    // simulate a hand-edited/foreign stamp that does not parse as Long
+    lh.catalog.loadTable("events_m")
+      .append(b0, Map(Streaming.BatchIdKey -> "not-a-number"))
+    assert(!Streaming.batchAlreadyApplied(lh, "events_m", None, 0L))
+    Streaming.appendBatch(lh, "events_m")(b0, 0L) // must not throw
+    assert(lh.catalog.loadTable("events_m").read().count() == 2)
+  }
+
   test("foreachBatch sink commits micro-batches as IceLite snapshots") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh-").toString)
     val dir = eventsDir()
