@@ -51,33 +51,51 @@ object ScaleRehearsal {
           n = 3, numHashes = 128)
         text.MinHashLSH.candidatePairs(sig, numHashes = 128, bands = 32).count()
       }
-      // q102 family: prefix-filter Jaccard candidates (pre-verify)
+      // q102 family: prefix-filter Jaccard candidates (pre-verify) AND the
+      // verified true pairs — candidate growth only means something
+      // relative to how fast the TRUE pair count grows (template corpora
+      // grow near-dup clusters with corpus size, so true pairs are not
+      // linear either)
       val ppj = measured {
         val sh = text.NearDup.shingleTable(docs, "doc_id", "text", 3)
         text.PrefixFilterJoin.candidatePairs(sh, 0.8).count()
       }
-      // q124 family: one-sided containment candidates (pre-verify)
+      val ppjTrue = measured {
+        text.PrefixFilterJoin.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          .count()
+      }
+      // q124 family: one-sided containment candidates (pre-verify) + true
       val cont = measured {
         text.PrefixFilterJoin.containmentCandidates(
           docs, "doc_id", "text", 3, 0.9).count()
       }
-      // q57/q93 family: Σ cluster² candidate bound from k-means IVF cells
-      val ivf = measured {
+      val contTrue = measured {
+        text.PrefixFilterJoin.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+          .count()
+      }
+      // q57/q93 family: Σ cluster² candidate bound from k-means IVF cells.
+      // k is the scale knob: fixed k makes Σ cluster² ≈ N²/k (quadratic);
+      // k ∝ N (bounded cell size) keeps it linear. Measure both.
+      def ivfBound(k: Int): Long = {
         val centroids = vector.KMeansIvf.train(emb, "vec_id", "embedding",
-          k = 8, dims = 64, iters = 3)
+          k = k, dims = 64, iters = 3)
         vector.KMeansIvf.assign(emb, "embedding", centroids)
           .groupBy("cluster").agg(count(lit(1)).as("m"))
-          .agg(sum(col("m") * (col("m") - 1) / 2)).head.getLong(0)
+          .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head.getLong(0)
       }
-      // q66 family documented baseline: hyperplane-LSH bucket pair bound
+      val ivf = measured { ivfBound(8) } // the gates' fixed k=8
+      val ivfScaled = measured { ivfBound(math.max(8, (nVecs / 60).toInt)) }
+      // q66 family baseline: hyperplane-LSH bucket pair bound; planes are
+      // its scale knob (buckets = 2^planes)
       val hyp = measured {
         vector.IvfIndex.bucketed(emb, "embedding", nPlanes = 12, dims = 64)
           .groupBy("bucket").agg(count(lit(1)).as("m"))
-          .agg(sum(col("m") * (col("m") - 1) / 2)).head.getLong(0)
+          .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head.getLong(0)
       }
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
-          "containment_q124" -> cont, "kmeans_ivf_q57_q93" -> ivf,
-          "hyperplane_q66" -> hyp)) {
+          "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,
+          "containment_q124_true" -> contTrue, "kmeans_ivf_k8" -> ivf,
+          "kmeans_ivf_kscaled" -> ivfScaled, "hyperplane_q66" -> hyp)) {
         if (!first) out.append(",")
         first = false
         out.append(s"""{"sf":"$sf","docs":$nDocs,"vecs":$nVecs,""" +

@@ -1763,6 +1763,45 @@ object SparkEntry {
                           AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_nationkey
         ORDER BY cntrycode""")
+    }),
+
+    // STREAMING plan under the batch oracle: windowedStats (watermarked
+    // tumbling-window count + exact-decimal sum) driven to completion via
+    // AvailableNow + Complete-mode memory sink — Complete emits every
+    // window, so the oracle is the plain batch aggregation with no
+    // closed-window filter. The events fixture is re-materialized through
+    // Tables.load so the stream source sees micro-precision timestamps
+    // (the raw nanos parquet is rejected by the streaming reader)
+    "q140_stream_windowed_stats" -> ((s, dir) => {
+      aux(t(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value")),
+        "stream140", dir)
+      val path = s"$AuxDir/stream140"
+      val schema = s.read.parquet(path).schema
+      val stats = graft.streaming.Streaming.windowedStats(
+        graft.streaming.Streaming.eventsStream(s, path, schema),
+        "1 hour", "2 hours")
+      graft.streaming.Streaming.runToMemory(stats, "q140_sink")
+    }),
+
+    // STREAM-STREAM interval join under the batch oracle: view→purchase
+    // correlation within 1 hour per user. Single-directory bounded source
+    // + AvailableNow = one micro-batch, so the Append-mode inner join
+    // emits exactly the batch interval-join result (watermark eviction
+    // never fires before both sides are fully buffered)
+    "q141_stream_correlate" -> ((s, dir) => {
+      aux(t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type")),
+        "stream141", dir)
+      val path = s"$AuxDir/stream141"
+      val schema = s.read.parquet(path).schema
+      def src() = graft.streaming.Streaming.eventsStream(s, path, schema)
+      val joined = graft.streaming.Streaming.correlateStreams(
+        src().where(col("event_type") === "view"),
+        src().where(col("event_type") === "purchase"),
+        "user_id", "ts", within = "1 hour", watermark = "2 hours")
+      graft.streaming.Streaming.runToMemory(joined, "q141_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
     })
   )
 
@@ -3555,6 +3594,21 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey
-        |ORDER BY cntrycode""".stripMargin
+        |ORDER BY cntrycode""".stripMargin,
+
+    // batch twin of the streaming windowed aggregation: Spark's
+    // window(ts, '1 hour') aligns to epoch hours = time_bucket
+    "q140_stream_windowed_stats" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // batch twin of the stream-stream interval join
+    "q141_stream_correlate" ->
+      """SELECT l.user_id, l.ts AS lead_ts, f.ts AS follow_ts
+        |FROM events l JOIN events f ON l.user_id = f.user_id
+        |WHERE l.event_type = 'view' AND f.event_type = 'purchase'
+        |  AND f.ts >= l.ts AND f.ts <= l.ts + INTERVAL '1' HOUR""".stripMargin
   )
 }

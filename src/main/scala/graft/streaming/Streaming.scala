@@ -62,11 +62,21 @@ object Streaming {
     * standard way to assert a streaming plan's output equals its batch
     * equivalent. Gate/test scale only — a production sink is
     * [[writeToTable]]. */
-  def runToMemory(df: DataFrame, name: String): DataFrame = {
+  def runToMemory(df: DataFrame, name: String): DataFrame =
+    runToMemory(df, name, OutputMode.Complete())
+
+  /** As [[runToMemory]] but with an explicit output mode: stream-stream
+    * joins only support Append (Complete would have to retain both full
+    * streams), and an Append aggregation emits only watermark-closed
+    * windows. With a bounded single-directory source and no
+    * maxFilesPerTrigger, AvailableNow processes everything in one
+    * micro-batch, so an Append inner join emits the complete batch-join
+    * result deterministically. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
