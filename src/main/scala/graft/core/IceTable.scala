@@ -471,12 +471,25 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val parentMl =
         if (keepParent) refs.lastOption.map(r => manifestListOf(r, id))
         else None
+      // manifest MERGING (Iceberg's min-count-to-merge): a pure append
+      // chain grows one manifest per commit, so after 10⁴ appends every
+      // resolve would touch 10⁴ files. When the parent's chain reaches
+      // MergeManifestCount, fold it into ONE manifest — an occasional
+      // O(live files) metadata write that keeps the list O(1) amortized.
+      // Old manifests stay on disk for older snapshots that reference
+      // them (orphan GC collects them once those expire).
+      val parentDataM = parentMl.map(_.dataManifests).getOrElse(Nil)
+      val mergedParentM =
+        if (parentDataM.size < IceTable.MergeManifestCount) parentDataM
+        else List(Manifests.writeManifest(
+          manifestsDir.resolve(f"m-$id%05d-merged.json"),
+          parentDataM.flatMap(Manifests.readManifest)))
       val newDataM =
         if (newFiles.isEmpty) Nil
         else List(Manifests.writeManifest(
           manifestsDir.resolve(f"m-$id%05d-data.json"), newFiles))
       val ml = ManifestList(
-        parentMl.map(_.dataManifests).getOrElse(Nil) ++ newDataM,
+        mergedParentM ++ newDataM,
         parentMl.map(_.deleteManifests).getOrElse(Nil),
         parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
       val listPath =
@@ -709,6 +722,12 @@ object IceTable {
     * of long + pointer-compressed path strings → low hundreds of MB at the
     * cap, inside a healthy executor's broadcast budget). */
   val BroadcastDeleteRows: Long = 4L * 1000 * 1000
+
+  /** Fold a data-manifest chain into one manifest when it reaches this
+    * length (Iceberg's commit.manifest-merge.min-count-to-merge idea):
+    * keeps per-snapshot manifest lists O(1) amortized on pure append
+    * chains instead of one entry per commit forever. */
+  val MergeManifestCount: Int = 32
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

@@ -106,6 +106,24 @@ class ManifestSpec extends AnyFunSuite {
     assert(ml.dataManifests.size == 2)
   }
 
+  test("long append chains fold their manifest list (merge-on-commit)") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t5", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    val n = IceTable.MergeManifestCount + 1
+    (1 to n).foreach(i => tbl.append(df(i until i + 1).coalesce(1)))
+    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    val ml = Manifests.readList(raw.last.manifestList.get)
+    // chain was folded: merged manifest + the latest commit's own, not n
+    assert(ml.dataManifests.size < IceTable.MergeManifestCount,
+      s"expected merged chain, got ${ml.dataManifests.size} manifests")
+    // nothing lost: full live file set and every row still readable
+    assert(tbl.currentSnapshot.get.files.size == n)
+    assert(tbl.read().count() == n)
+    // pre-merge snapshots still resolve (their manifests stay on disk)
+    assert(tbl.readAsOf(raw.head.id.toString).count() == 1)
+  }
+
   test("expire + orphanFiles collect stranded manifest files") {
     val cat = newCatalog()
     val tbl = cat.createTable("t4", Seq("id" -> "long", "name" -> "string"),
