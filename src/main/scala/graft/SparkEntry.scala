@@ -402,10 +402,19 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(Tables.path(dir, "events"))
       // FileStreamSource needs a directory base path; glob-filter selects
-      // just the events file out of the sf directory.
-      val stream = s.readStream.schema(raw.schema)
+      // just the events file out of the sf directory. The ts conversion
+      // branches on the resolved type exactly like Tables.load (the
+      // driver's events generation has shipped both nanos-as-long and
+      // NTZ-micros).
+      val stream0 = s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          stream0.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => stream0
+      }
       // state-partition sizing: ~3.4k (window, type) keys of state don't
       // need 32 state stores — 8 cuts per-query state-store init ~25%
       // (Prof A/B, interleaved). Sizing state partitions to state volume
@@ -1781,7 +1790,12 @@ object SparkEntry {
       val stats = graft.streaming.Streaming.windowedStats(
         graft.streaming.Streaming.eventsStream(s, path, schema),
         "1 hour", "2 hours")
-      graft.streaming.Streaming.runToMemory(stats, "q140_sink")
+      // state-partition sizing to state volume (q35's measured knob):
+      // a few thousand (window, type) keys don't need 32 state stores
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streaming.runToMemory(stats, "q140_sink")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     // STREAM-STREAM interval join under the batch oracle: view→purchase
@@ -1800,8 +1814,80 @@ object SparkEntry {
         src().where(col("event_type") === "view"),
         src().where(col("event_type") === "purchase"),
         "user_id", "ts", within = "1 hour", watermark = "2 hours")
-      graft.streaming.Streaming.runToMemory(joined, "q141_sink",
+      // stream-stream join state stores scale with shuffle partitions
+      // (two sides x partitions); size them to the per-user key volume
+      // like q35/q140 rather than paying 32 store inits per side
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streaming.runToMemory(joined, "q141_sink",
         org.apache.spark.sql.streaming.OutputMode.Append())
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // per-doc Shannon entropy of the token distribution (information-
+    // density quality signal: ~0 for repeated-token spam) — every
+    // c·ln c term micro-quantized BEFORE the integer per-doc sum
+    "q142_token_entropy" -> ((s, dir) => {
+      graft.text.TextAnalysis.tokenEntropy(t(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
+    // Count-Min sketch over the corpus token stream: bounded depth×width
+    // grid (md5-derived row hashes → engine-reproducible), point
+    // estimates for the exact top-30 tokens ride a broadcast of the
+    // grid; est >= exact always (one-sided CMS guarantee, visible in
+    // the gate rows wherever a cell collides)
+    "q143_cms_freq" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0)
+      val sk = graft.analytics.Cms.sketch(tok, col("token"), depth = 4, width = 512)
+      val probes = tok.groupBy("token").agg(count(lit(1)).as("exact_c"))
+        .orderBy(desc("exact_c"), col("token")).limit(30)
+      graft.analytics.Cms.estimates(sk, probes, "token", depth = 4, width = 512)
+        .join(probes.select(col("token").as("key"), col("exact_c")), Seq("key"))
+    }),
+
+    // hybrid retrieval: BM25 lexical ranks ∘ embedding-cosine semantic
+    // ranks fused by Reciprocal Rank Fusion — integer 10⁹ div (60+rank)
+    // terms, TakeOrdered pools, constant-size rank windows
+    "q144_hybrid_rrf" -> ((s, dir) => {
+      graft.text.Search.hybridRrf(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
+        query = Seq("hash", "join", "spark"), queryVecId = 1L)
+    }),
+
+    // k-fold cross-validation assignment: md5("seed:key") fold ids,
+    // shuffle-free projection, per-(lang, fold) counts as the gate
+    "q145_kfold_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.operators.HashSplit.kFold(col("doc_id"), k = 5, seed = 7L)
+            .as("fold"))
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ORC round-trip through the ImportExport API: documents exported to
+    // ORC, read back via the orc reader, aggregated with a 48-bit
+    // md5-prefix checksum over the text column — equality against the
+    // oracle's parquet-side aggregate proves the conversion is lossless
+    // byte-for-byte, not just row-count-preserving
+    "q146_orc_roundtrip" -> ((s, dir) => {
+      val outPath = s"$AuxDir/orc146_out"
+      val lh = auxTable(s, dir, "wh146") { lh =>
+        val docs = t(s, dir, "documents")
+        lh.catalog.createTable("default.docs", docs.schema, Nil, Map.empty)
+        lh.catalog.loadTable("default.docs").append(docs)
+        new graft.io.ImportExport(lh).exportTable("default.docs", outPath,
+          format = "orc")
+        ()
+      }
+      new graft.io.ImportExport(lh).readFile(outPath, Some("orc"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+            .as("text_hash_sum"))
     })
   )
 
@@ -3609,6 +3695,109 @@ object SparkEntry {
       """SELECT l.user_id, l.ts AS lead_ts, f.ts AS follow_ts
         |FROM events l JOIN events f ON l.user_id = f.user_id
         |WHERE l.event_type = 'view' AND f.event_type = 'purchase'
-        |  AND f.ts >= l.ts AND f.ts <= l.ts + INTERVAL '1' HOUR""".stripMargin
+        |  AND f.ts >= l.ts AND f.ts <= l.ts + INTERVAL '1' HOUR""".stripMargin,
+
+    // c·ln c terms micro-quantized before the integer per-doc sum; one
+    // fixed scalar IEEE expression after (the q110 ln discipline)
+    "q142_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.w FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(w)
+        |  WHERE length(t.w) > 0),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM tf GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, c,
+        |    CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+        |  FROM c),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(term_micro) AS BIGINT) AS sum_clnc_micro
+        |  FROM tm GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, sum_clnc_micro,
+        |  CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+        |    - CAST(sum_clnc_micro AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS entropy_micro
+        |FROM d""".stripMargin,
+
+    // identical md5 row hashes -> identical grid -> identical estimates;
+    // est >= exact by construction (one-sided CMS error)
+    "q143_cms_freq" ->
+      """WITH tok AS (
+        |  SELECT t.token FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+        |  WHERE len(t.token) > 0),
+        |cells AS (
+        |  SELECT u.j, CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || token), 1, 13))::UBIGINT % 512 AS BIGINT) AS bucket
+        |  FROM tok, UNNEST([0, 1, 2, 3]) AS u(j)),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT token AS key, count(*) AS exact_c FROM tok GROUP BY 1
+        |  ORDER BY exact_c DESC, key LIMIT 30),
+        |pe AS (
+        |  SELECT key, exact_c, u.j,
+        |    CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || key), 1, 13))::UBIGINT % 512 AS BIGINT) AS bucket
+        |  FROM probes, UNNEST([0, 1, 2, 3]) AS u(j))
+        |SELECT key, CAST(min(exact_c) AS BIGINT) AS exact_c,
+        |  CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM pe LEFT JOIN sk USING (j, bucket) GROUP BY key""".stripMargin,
+
+    // BM25 chain is q107's; cosine chain is q21's; both ranked with the
+    // same (score desc, id) tie-break, fused with INTEGER division terms
+    "q144_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE length(token) > 0),
+        |post AS (SELECT token, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qp AS (SELECT * FROM post WHERE token IN ('hash', 'join', 'spark')),
+        |dfq AS (SELECT token, count(*) AS df FROM qp GROUP BY 1),
+        |contrib AS (
+        |  SELECT qp.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+        |          (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        |  FROM qp JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY 1),
+        |bmrank AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS bm_rank
+        |  FROM bm ORDER BY score_micro DESC, doc_id LIMIT 50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |vs AS (SELECT vec_id AS doc_id,
+        |  list_reduce(list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(qe[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(qe)), i -> CAST(qe[i+1] AS DOUBLE)*CAST(qe[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |  FROM embeddings, q WHERE vec_id != 1),
+        |vrank AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+        |  FROM vs ORDER BY cos DESC, doc_id LIMIT 50),
+        |f AS (
+        |  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, b.bm_rank, v.vec_rank,
+        |    coalesce(1000000000 // (60 + b.bm_rank), 0)
+        |      + coalesce(1000000000 // (60 + v.vec_rank), 0) AS rrf_nano
+        |  FROM bmrank b FULL OUTER JOIN vrank v ON b.doc_id = v.doc_id)
+        |SELECT doc_id, bm_rank, vec_rank, CAST(rrf_nano AS BIGINT) AS rrf_nano
+        |FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q145_kfold_assign" ->
+      """SELECT lang,
+        |  CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 5) AS BIGINT) AS fold,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // oracle aggregates the PARQUET originals; the Spark side aggregates
+    // the ORC re-export — equality proves the conversion lossless,
+    // including byte-exact text (48-bit md5-prefix checksum sum)
+    "q146_orc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 12))::UBIGINT) AS BIGINT) AS text_hash_sum
+        |FROM documents GROUP BY 1, 2""".stripMargin
   )
 }

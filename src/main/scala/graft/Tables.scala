@@ -19,14 +19,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read as long nanos and truncate to microseconds
-      // (Spark's native timestamp precision).
+      // events.ts has varied across driver generations: TIMESTAMP(NANOS)
+      // (rejected by the vectorized reader unless read as long nanos) and
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (resolves as
+      // TIMESTAMP_NTZ). Branch on the RESOLVED type so both generations
+      // load to the same session-UTC TimestampType at micro precision:
+      // long nanos floor-truncate to micros; NTZ micros cast 1:1 (the
+      // session timezone is pinned to UTC, so the wall clock IS the
+      // instant).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(path(dir, name))
 
   def loadAll(spark: SparkSession, dir: String): Map[String, DataFrame] =

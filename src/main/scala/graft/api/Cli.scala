@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, count, desc, lit, when}
 import org.json4s.jackson.JsonMethods
 
 import graft.{Fixtures, Lakehouse}
@@ -1295,6 +1295,57 @@ object Cli {
             (if (changed.nonEmpty) s" [changed: ${changed.mkString(",")}]" else ""))
         }
 
+      case List("entropy", table) =>
+        val out = graft.text.TextAnalysis.tokenEntropy(
+          lh.catalog.loadTable(table).read(),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"))
+          .orderBy("entropy_micro")
+          .limit(flags.getOrElse("limit", "20").toInt)
+        out.collect().foreach(r => println(s"doc ${r.getLong(0)}: " +
+          s"entropy=${r.getLong(4) / 1e6} (${r.getLong(1)} tokens, " +
+          s"${r.getLong(2)} distinct)"))
+
+      case List("cms-freq", table, column) =>
+        val df = lh.catalog.loadTable(table).read()
+        val depth = flags.getOrElse("depth", "4").toInt
+        val width = flags.getOrElse("width", "512").toInt
+        val sk = graft.analytics.Cms.sketch(df, col(column), depth, width)
+        val probes = df.select(col(column)).where(col(column).isNotNull)
+          .groupBy(column).agg(count(lit(1)).as("exact_c"))
+          .orderBy(desc("exact_c"), col(column))
+          .limit(flags.getOrElse("top", "20").toInt)
+        graft.analytics.Cms.estimates(sk, probes, column, depth, width)
+          .orderBy(desc("est"), col("key")).collect()
+          .foreach(r => println(s"${r.get(0)}: est=${r.getLong(1)}"))
+
+      case List("hybrid-search", docsTable, embTable) =>
+        val terms = flags.getOrElse("query", "hash,join,spark")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val out = graft.text.Search.hybridRrf(
+          lh.catalog.loadTable(docsTable).read(),
+          lh.catalog.loadTable(embTable).read(),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("vec-id-col", "vec_id"),
+          flags.getOrElse("vec-col", "embedding"),
+          terms, flags.getOrElse("query-vec", "1").toLong,
+          poolK = flags.getOrElse("pool", "50").toInt,
+          topN = flags.getOrElse("top", "20").toInt)
+        out.collect().foreach(r => println(s"doc ${r.getLong(0)}: " +
+          s"rrf=${r.getLong(3)} bm25_rank=${Option(r.get(1)).getOrElse("-")} " +
+          s"vec_rank=${Option(r.get(2)).getOrElse("-")}"))
+
+      case List("kfold", table) =>
+        val fold = graft.operators.HashSplit.kFold(
+          col(flags.getOrElse("id-col", "doc_id")),
+          flags.getOrElse("k", "5").toInt,
+          flags.getOrElse("seed", "0").toLong).as("fold")
+        lh.catalog.loadTable(table).read().select(fold)
+          .groupBy("fold").agg(count(lit(1)).as("n")).orderBy("fold")
+          .collect()
+          .foreach(r => println(s"fold ${r.getLong(0)}: ${r.getLong(1)} rows"))
+
       // ---- validation extras ----------------------------------------------
       case List("validate-check", table) =>
         val df = lh.catalog.loadTable(table).read()
@@ -1396,6 +1447,11 @@ object Cli {
       |         vocab-coverage <table> (--percents 50,90,99)
       |         attribute <table> <target> (--touch click --conv purchase
       |           --lookback-sec 604800)
+      |         entropy <table> (--id-col doc_id --text-col text --limit 20)
+      |         cms-freq <table> <column> (--depth 4 --width 512 --top 20)
+      |         hybrid-search <docs-table> <emb-table> (--query hash,join
+      |           --query-vec 1 --pool 50 --top 20)
+      |         kfold <table> (--k 5 --seed 0 --id-col doc_id)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table
       |         quality quality-report quality-history anomalies completeness

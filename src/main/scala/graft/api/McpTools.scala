@@ -1380,6 +1380,91 @@ object McpTools {
         val rows = writeTable(lh, str(a, "target_table"), out)
         s"attributed $rows conversions into ${str(a, "target_table")}"
       }),
+    ToolDef("graft_token_entropy",
+      "Per-document Shannon entropy of the token distribution in micro-nats (information-density quality signal; ~0 for repeated-token spam); returns the lowest-entropy documents.",
+      sch(List("table_name"),
+        "table_name" -> S("Document table"),
+        "id_col" -> S("Id column (default doc_id)"),
+        "text_col" -> S("Text column (default text)"),
+        "limit" -> I("Rows returned, lowest entropy first (default 20)")),
+      (lh, a) => {
+        val rows = graft.text.TextAnalysis.tokenEntropy(
+          lh.catalog.loadTable(str(a, "table_name")).read(), idCol(a),
+          textCol(a))
+          .orderBy("entropy_micro")
+          .limit(strOpt(a, "limit").map(_.toInt).getOrElse(20)).collect()
+        rows.map(r => s"doc ${r.getLong(0)}: entropy=${r.getLong(4) / 1e6} " +
+          s"(${r.getLong(1)} tokens, ${r.getLong(2)} distinct)").mkString("; ")
+      }),
+    ToolDef("graft_cms_freq",
+      "Count-Min sketch frequency estimates (bounded depth x width grid, md5 row hashes — deterministic): estimates for the column's top-N exact values; est >= exact always.",
+      sch(List("table_name", "column"),
+        "table_name" -> S("Source table"),
+        "column" -> S("Column to sketch"),
+        "depth" -> I("Grid rows (default 4)"),
+        "width" -> I("Grid columns (default 512)"),
+        "top" -> I("Probe the top-N values (default 20)")),
+      (lh, a) => {
+        val c = org.apache.spark.sql.functions.col(str(a, "column"))
+        val depth = strOpt(a, "depth").map(_.toInt).getOrElse(4)
+        val width = strOpt(a, "width").map(_.toInt).getOrElse(512)
+        val df = lh.catalog.loadTable(str(a, "table_name")).read()
+        val sk = graft.analytics.Cms.sketch(df, c, depth, width)
+        val probes = df.select(c).where(c.isNotNull)
+          .groupBy(str(a, "column"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("exact_c"))
+          .orderBy(org.apache.spark.sql.functions.desc("exact_c"), c)
+          .limit(strOpt(a, "top").map(_.toInt).getOrElse(20))
+        graft.analytics.Cms.estimates(sk, probes, str(a, "column"),
+            depth, width)
+          .orderBy(org.apache.spark.sql.functions.desc("est"),
+            org.apache.spark.sql.functions.col("key"))
+          .collect().map(r => s"${r.get(0)}: est=${r.getLong(1)}")
+          .mkString("; ")
+      }),
+    ToolDef("graft_hybrid_search",
+      "Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine ranks by Reciprocal Rank Fusion (integer 1e9 div (60+rank) scores).",
+      sch(List("docs_table", "emb_table", "query"),
+        "docs_table" -> S("Document table"),
+        "emb_table" -> S("Embedding table"),
+        "query" -> S("Comma-separated query terms"),
+        "query_vec_id" -> I("Query vector id (default 1)"),
+        "pool" -> I("Per-ranker candidate pool (default 50)"),
+        "top" -> I("Fused results returned (default 20)")),
+      (lh, a) => {
+        val terms = str(a, "query").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        graft.text.Search.hybridRrf(
+          lh.catalog.loadTable(str(a, "docs_table")).read(),
+          lh.catalog.loadTable(str(a, "emb_table")).read(),
+          "doc_id", "text", "vec_id", "embedding", terms,
+          strOpt(a, "query_vec_id").map(_.toLong).getOrElse(1L),
+          poolK = strOpt(a, "pool").map(_.toInt).getOrElse(50),
+          topN = strOpt(a, "top").map(_.toInt).getOrElse(20))
+          .collect().map(r => s"doc ${r.getLong(0)}: rrf=${r.getLong(3)}")
+          .mkString("; ")
+      }),
+    ToolDef("graft_kfold",
+      "Deterministic md5-keyed k-fold cross-validation assignment; returns per-fold row counts.",
+      sch(List("table_name"),
+        "table_name" -> S("Source table"),
+        "id_col" -> S("Key column (default doc_id)"),
+        "k" -> I("Fold count (default 5)"),
+        "seed" -> I("Seed (default 0)")),
+      (lh, a) => {
+        val fold = graft.operators.HashSplit.kFold(
+          org.apache.spark.sql.functions.col(idCol(a)),
+          strOpt(a, "k").map(_.toInt).getOrElse(5),
+          strOpt(a, "seed").map(_.toLong).getOrElse(0L)).as("fold")
+        lh.catalog.loadTable(str(a, "table_name")).read().select(fold)
+          .groupBy("fold")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("fold").collect()
+          .map(r => s"fold ${r.getLong(0)}: ${r.getLong(1)} rows")
+          .mkString("; ")
+      }),
   )
 
   /** Reference-mirrored tools only (155, 1:1 with server.py). */

@@ -23,6 +23,7 @@ class ImportExport(lh: Lakehouse) {
     else if (p.endsWith(".jsonl") || p.endsWith(".ndjson")) "ndjson"
     else if (p.endsWith(".json")) "json"
     else if (p.endsWith(".parquet")) "parquet"
+    else if (p.endsWith(".orc")) "orc"
     else throw new IllegalArgumentException(s"cannot detect format of $path")
   }
 
@@ -35,6 +36,10 @@ class ImportExport(lh: Lakehouse) {
       // a bare JSON array needs multiLine (catalog.py JSON-array handling)
       case "json" => spark.read.option("multiLine", "true").json(path)
       case "parquet" => spark.read.parquet(path)
+      // columnar interchange beyond the reference's surface: Spark ships a
+      // native vectorized ORC reader/writer (no extra dependency), and ORC
+      // round-trips the full type lattice losslessly (gate q147)
+      case "orc" => spark.read.orc(path)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
@@ -78,6 +83,7 @@ class ImportExport(lh: Lakehouse) {
       case "csv" => df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
       case "json" | "ndjson" => df.write.mode(SaveMode.Overwrite).json(path)
       case "parquet" => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case "orc" => df.write.mode(SaveMode.Overwrite).orc(path)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
     lh.audit.log(table, "export", Map("path" -> path, "format" -> format))

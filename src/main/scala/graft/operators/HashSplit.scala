@@ -45,6 +45,27 @@ object HashSplit {
     when(key.isNull, lit(null).cast("string")).otherwise(assigned)
   }
 
+  /** K-fold cross-validation fold id in [0, k): md5 of "seed:key", so
+    * folds are (a) deterministic and engine-portable like [[bucket]],
+    * (b) decorrelated from the train/test bucket AND from other seeds —
+    * re-seeding yields an independent fold scheme over the same keys.
+    * Shuffle-free one-pass projection; every fold is usable as a
+    * validation slice with the other k−1 as train. NULL keys stay NULL
+    * (same rationale as [[assign]]). */
+  def kFold(key: Column, k: Int, seed: Long = 0L): Column = {
+    require(k >= 2 && k <= 10000, s"fold count out of range: $k")
+    // concat_ws silently DROPS nulls (every null key would land on
+    // md5("<seed>")'s fold — a hidden skew), so null keys are guarded to
+    // a null fold explicitly, matching [[assign]]
+    when(key.isNull, lit(null).cast("long")).otherwise(
+      conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8),
+        16, 10).cast("long") % k)
+  }
+
+  /** DuckDB twin of [[kFold]]. */
+  def kFoldSql(keyExpr: String, k: Int, seed: Long = 0L): String =
+    s"(('0x' || substr(md5('$seed:' || CAST($keyExpr AS VARCHAR)), 1, 8))::UBIGINT % $k)"
+
   /** ANSI-SQL twin of [[bucket]] for oracle engines without conv(): the
     * 8 hex digits fold to an integer via strpos arithmetic. */
   def bucketSql(keyExpr: String, buckets: Int = 10000): String = {

@@ -68,4 +68,49 @@ object Search {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c_micro").as("score_micro"))
   }
+
+  /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher, "Reciprocal Rank Fusion outperforms
+    * Condorcet and individual rank learning methods", SIGIR'09): BM25
+    * ranks one candidate pool, embedding-cosine similarity to a query
+    * vector ranks another, and each doc's fused score is
+    * Σ 1/(rrfK + rank) over the lists it appears in — the standard
+    * two-tower RAG retrieval pattern.
+    *
+    * Scale posture: each ranker reduces to its top `poolK` via a
+    * TakeOrdered heap (never a global sort), so the only unpartitioned
+    * windows run over constant-size poolK-row frames, and the fused
+    * outer join touches ≤ 2·poolK rows. The vector side broadcasts the
+    * single query vector; the BM25 side inherits [[bm25]]'s
+    * postings-filter-first shape.
+    *
+    * Determinism: ranks tie-break on doc id in both rankers; the fused
+    * score is the INTEGER 10⁹ div (rrfK + rank) — no float enters, so
+    * the gate compares integers end-to-end (q144). */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, idCol: String,
+      textCol: String, vecIdCol: String, vecCol: String,
+      query: Seq[String], queryVecId: Long, poolK: Int = 50,
+      rrfK: Int = 60, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmPool = bm25(docs, idCol, textCol, query)
+      .orderBy(desc("score_micro"), col("doc_id")).limit(poolK)
+    val bmRanked = bmPool.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("score_micro"), col("doc_id")))
+        .cast("long").as("bm_rank"))
+    val qv = embeddings.where(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).as("qe"))
+    val vecPool = embeddings.where(col(vecIdCol) =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col(vecIdCol).as("doc_id"),
+        graft.vector.VectorOps.cosine(col(vecCol), col("qe")).as("cos"))
+      .orderBy(desc("cos"), col("doc_id")).limit(poolK)
+    val vecRanked = vecPool.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("cos"), col("doc_id")))
+        .cast("long").as("vec_rank"))
+    bmRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"1000000000L div ($rrfK + bm_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div ($rrfK + vec_rank)"), lit(0L)))
+      .orderBy(desc("rrf_nano"), col("doc_id")).limit(topN)
+  }
 }

@@ -118,6 +118,35 @@ object TextAnalysis {
       .withColumn("diversity",
         col("n_distinct").cast("double") / col("n_grams"))
 
+  /** Per-document Shannon entropy of the token distribution, in integer
+    * micro-nats — the information-density quality signal (near-zero for
+    * repeated-token spam, ~ln(n_tokens) for fully varied text; the
+    * classic complement to [[repetitionRatio]] in corpus-quality
+    * filters, cf. Rae et al., "Scaling Language Models: … Gopher", 2021
+    * §A.1.1 repetition heuristics).
+    *
+    * Determinism (the gate discipline): H = ln(N) − (Σ cᵢ·ln cᵢ)/N is
+    * computed with each cᵢ·ln cᵢ term quantized to integer micro-units
+    * BEFORE the per-doc sum — the sum is exact integer arithmetic with
+    * no float-order freedom — and one fixed scalar IEEE expression
+    * after. Two shuffles, both keyed by doc (then (doc, token)): the
+    * same shape as exact per-doc vocabulary counting, scale-safe. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term_micro",
+        floor(col("c").cast("double") * log(col("c").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum("term_micro").as("sum_clnc_micro"))
+      .withColumn("entropy_micro",
+        floor((log(col("n_tokens").cast("double")) -
+          col("sum_clnc_micro").cast("double") / lit(1e6) /
+            col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+
   // ---- SQL-generator side (DuckDB oracle) --------------------------------
 
   def tokensSql(t: String): String = s"regexp_split_to_array(trim(lower($t)), '\\s+')"

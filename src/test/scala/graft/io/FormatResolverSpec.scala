@@ -41,4 +41,28 @@ class FormatResolverSpec extends AnyFunSuite {
       assert(codecs.toString.toLowerCase == "zstd")
     } finally footer.close()
   }
+
+  test("ORC export/import round-trips values exactly (types, nulls, arrays)") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-orc-").toString)
+    val ie = new ImportExport(lh)
+    val df = (1 to 500).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"text_$i", i * 0.25,
+        java.sql.Timestamp.valueOf(s"2026-01-01 00:0${i % 6}:00"))
+    }.toDF("id", "s", "x", "ts")
+    lh.catalog.createTable("orcsrc", df.schema, Nil, Map.empty)
+    lh.catalog.loadTable("orcsrc").append(df)
+    val out = SparkFixture.tmpDir("graft-orc-out-").toString + "/data.orc"
+    val n = ie.exportTable("default.orcsrc", out, format = "orc")
+    assert(n == 500)
+    assert(ie.detectFormat(out) == "orc")
+    val back = ie.readFile(out)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val orig = df.collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == orig)
+    // import path: ORC file -> new table
+    val imported = ie.importFile(out, "orcdst", format = Some("orc"))
+    assert(imported == 500)
+    assert(lh.catalog.loadTable("orcdst").read().count() == 500)
+  }
 }

@@ -131,6 +131,28 @@ class HashSplitSpec extends AnyFunSuite {
     assert(counts(None) == 90L)
   }
 
+  test("kFold: full [0,k) range, balanced, seed-decorrelated, null-safe") {
+    val folds = spark.range(0, 5000)
+      .select(HashSplit.kFold(col("id"), k = 5, seed = 7L).as("f"))
+      .groupBy("f").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // md5-uniform: each fold within 20% of n/k
+    folds.values.foreach(n => assert(math.abs(n - 1000) < 200, s"fold=$n"))
+    // a different seed reassigns a nontrivial share of keys
+    val moved = spark.range(0, 5000)
+      .select(HashSplit.kFold(col("id"), 5, 7L).as("a"),
+        HashSplit.kFold(col("id"), 5, 8L).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(moved > 3000, s"seeds correlated: only $moved/5000 moved")
+    // null key -> null fold (concat_ws would silently hash the bare seed)
+    val nf = Seq(Option(1L), None).toDF("id")
+      .select(HashSplit.kFold(col("id"), 5).as("f")).collect()
+    assert(nf.count(_.isNullAt(0)) == 1)
+    intercept[IllegalArgumentException](HashSplit.kFold(col("id"), 1))
+    ()
+  }
+
   test("stratifiedAssign rejects bad fractions") {
     val df = spark.range(0, 10).select(col("id"), lit("g").as("g"))
     intercept[IllegalArgumentException] {

@@ -74,4 +74,51 @@ class SearchSpec extends AnyFunSuite {
     assert(nested == join1, "equal-df equal-tf terms score identically")
     assert(got.nonEmpty)
   }
+
+  test("hybridRrf == independent rank fusion of scalar BM25 + scalar cosine") {
+    // embeddings aligned with corpus ids; vec 1 is the query vector
+    val vecs = Map(
+      1L -> Array(1.0f, 0.0f, 0.0f),
+      2L -> Array(0.9f, 0.1f, 0.0f),   // closest to the query
+      3L -> Array(0.0f, 1.0f, 0.0f),
+      4L -> Array(0.5f, 0.5f, 0.0f),
+      5L -> Array(0.0f, 0.0f, 1.0f))
+    val emb = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Search.hybridRrf(df, emb, "doc_id", "text", "vec_id",
+      "embedding", query = Seq("join", "hash"), queryVecId = 1L,
+      poolK = 3, rrfK = 60, topN = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    // scalar twin: BM25 ranks from referenceBm25, cosine ranks by hand
+    val bmRank = referenceBm25(Seq("join", "hash")).toSeq
+      .sortBy { case (id, (_, s)) => (-s, id) }.take(3)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val vecRank = vecs.toSeq.filter(_._1 != 1L)
+      .map { case (id, v) => id -> cos(v, vecs(1L)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val ids = (bmRank.keySet ++ vecRank.keySet)
+    val expect = ids.map { id =>
+      val rrf = bmRank.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        vecRank.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      id -> ((bmRank.get(id), vecRank.get(id), rrf))
+    }.toSeq.sortBy { case (id, (_, _, rrf)) => (-rrf, id) }.take(4).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, (br, vr, rrf)) =>
+      val (gbr, gvr, grrf) = got(id)
+      assert(gbr.map(_.asInstanceOf[Long]) == br && gvr.map(_.asInstanceOf[Long]) == vr,
+        s"ranks for doc $id")
+      assert(grrf == rrf, s"rrf for doc $id")
+    }
+    // a doc present in BOTH lists must outrank one present in only one
+    // list at similar single-list rank (the RRF consensus property)
+    assert(got.contains(2L) && got(2L)._1.isDefined && got(2L)._2.isDefined)
+  }
 }

@@ -28,6 +28,35 @@ class TextPropertiesSpec extends AnyFunSuite {
       text: String): Any =
     Seq(text).toDF("text").select(c.as("r")).head().get(0)
 
+  test("tokenEntropy == independent scalar Shannon entropy (micro-quantized)") {
+    val docs = Seq(
+      (1L, "a a a a a a"),                  // zero entropy: one token
+      (2L, "a b c d e f"),                  // max entropy: ln 6
+      (3L, "a a b b c c"),                  // uniform over 3: ln 3
+      (4L, "the the the cat sat"),
+      (5L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    def ref(toks: Seq[String]): (Long, Long, Long) = {
+      val counts = toks.groupBy(identity).map(_._2.size.toLong).toSeq
+      val n = counts.sum
+      val sumMicro = counts
+        .map(c => math.floor(c.toDouble * math.log(c.toDouble) * 1e6 + 0.5).toLong)
+        .sum
+      val h = math.floor(
+        (math.log(n.toDouble) - sumMicro.toDouble / 1e6 / n.toDouble) * 1e6 + 0.5).toLong
+      (n, counts.size.toLong, h)
+    }
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      assert(got(r.getLong(0)) == ref(toks), s"doc ${r.getLong(0)}")
+    }
+    assert(got(1L)._3 == 0L, "single-token doc has zero entropy")
+    assert(got(2L)._3 == math.floor(math.log(6.0) * 1e6 + 0.5).toLong)
+    assert(got(3L)._3 > got(4L)._3, "more skew, less entropy")
+  }
+
   test("Shingles == distinct sliding n-grams of lowercased whitespace tokens") {
     forAll(Gen.zip(genText, Gen.choose(1, 4))) { case (text, n) =>
       val got = evalOne("sh", TextAnalysis.shingles($"text", n), text)
