@@ -399,6 +399,9 @@ object SparkEntry {
     // stream (watermark + tumbling window), run to completion; the result
     // must equal the DuckDB batch aggregation.
     "q35_stream_hourly" -> ((s, dir) => {
+      // Pin the session timezone like Tables.load does: the NTZ cast below
+      // interprets the wall clock in the session timezone.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(Tables.path(dir, "events"))
       // FileStreamSource needs a directory base path; glob-filter selects
@@ -3785,8 +3788,8 @@ object SparkEntry {
         |FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
 
     "q145_kfold_assign" ->
-      """SELECT lang,
-        |  CAST((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 5) AS BIGINT) AS fold,
+      s"""SELECT lang,
+        |  CAST(${graft.operators.HashSplit.kFoldSql("doc_id", 5, 7L)} AS BIGINT) AS fold,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
 

@@ -24,9 +24,12 @@ object Tables {
       // TIMESTAMP(MICROS, isAdjustedToUTC=false) (resolves as
       // TIMESTAMP_NTZ). Branch on the RESOLVED type so both generations
       // load to the same session-UTC TimestampType at micro precision:
-      // long nanos floor-truncate to micros; NTZ micros cast 1:1 (the
-      // session timezone is pinned to UTC, so the wall clock IS the
-      // instant).
+      // long nanos floor-truncate to micros; NTZ micros cast 1:1. The NTZ
+      // cast interprets the wall clock in the session timezone, so pin it
+      // to UTC HERE — not just in Verify/Cli — so Bench/Prof/ScaleRehearsal
+      // sessions on a non-UTC host load the same instants as the
+      // correctness run.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
       raw.schema("ts").dataType match {

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (`md5("j:" ++ value)` → first 13 hex digits → mod width), so the
   * whole sketch is a pure function of the multiset and any engine
   * reproduces it bit-for-bit — the DuckDB oracle verifies construction
-  * AND estimation exactly (gate q145), which no library HLL/CMS with
+  * AND estimation exactly (gate q143), which no library HLL/CMS with
   * private seeds can offer.
   *
   * Scale posture: construction is ONE scan (posexplode of the depth

@@ -1344,7 +1344,9 @@ object Cli {
         lh.catalog.loadTable(table).read().select(fold)
           .groupBy("fold").agg(count(lit(1)).as("n")).orderBy("fold")
           .collect()
-          .foreach(r => println(s"fold ${r.getLong(0)}: ${r.getLong(1)} rows"))
+          // null id keys map to a null fold (kFold contract) — don't getLong it
+          .foreach(r => println(s"fold ${if (r.isNullAt(0)) "null"
+            else r.getLong(0)}: ${r.getLong(1)} rows"))
 
       // ---- validation extras ----------------------------------------------
       case List("validate-check", table) =>

@@ -1462,7 +1462,9 @@ object McpTools {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("n"))
           .orderBy("fold").collect()
-          .map(r => s"fold ${r.getLong(0)}: ${r.getLong(1)} rows")
+          // null id keys map to a null fold (kFold contract)
+          .map(r => s"fold ${if (r.isNullAt(0)) "null" else r.getLong(0)}: " +
+            s"${r.getLong(1)} rows")
           .mkString("; ")
       }),
   )

@@ -31,6 +31,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   def metaPath: Path = dir.resolve("meta.json")
   def snapshotsPath: Path = dir.resolve("snapshots.json")
+  def headsDir: Path = dir.resolve("heads")
   def dataDir: Path = dir.resolve("data")
   def manifestsDir: Path = dir.resolve("manifests")
 
@@ -41,9 +42,113 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * manifest POINTERS, not contents (legacy entries may still inline).
     * Commit paths work on these — a commit must never pay for resolving
     * every snapshot's files. */
-  private def snapshotRefs: List[Snapshot] =
-    if (Files.exists(snapshotsPath)) Jsons.readFile[List[Snapshot]](snapshotsPath).sortBy(_.id)
-    else Nil
+  private def snapshotRefs: List[Snapshot] = logHead._2
+
+  private def headPath(v: Long): Path = headsDir.resolve(f"v-$v%09d.json")
+
+  /** Current log (version, entries). Version 0 = the legacy whole-file
+    * `snapshots.json` (or an empty table); versions >= 1 are immutable
+    * `heads/v-N.json` files, each holding the FULL compact log as of that
+    * commit (constant size per entry — entries are manifest pointers).
+    * Readers take the max version present; head files are write-once, so
+    * a reader can never observe a torn or half-replaced log the way a
+    * rewritten single file could expose under a non-atomic writer. */
+  private def logHead: (Long, List[Snapshot]) = {
+    val latest: Option[Long] =
+      if (!Files.isDirectory(headsDir)) None
+      else {
+        val s = Files.list(headsDir)
+        try s.iterator.asScala
+          .flatMap(p => IceTable.HeadRe.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toLong))
+          .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
+        finally s.close()
+      }
+    latest match {
+      case Some(v) =>
+        (v, Jsons.readFile[List[Snapshot]](headPath(v)).sortBy(_.id))
+      case None =>
+        if (Files.exists(snapshotsPath))
+          (0L, Jsons.readFile[List[Snapshot]](snapshotsPath).sortBy(_.id))
+        else (0L, Nil)
+    }
+  }
+
+  /** One CAS attempt on the log: write the new log to a writer-unique temp
+    * file, then atomically claim version `expected + 1` via hard-link
+    * creation — link(2) fails with EEXIST when the target exists, which is
+    * the local filesystem's compare-and-swap primitive (same role as the
+    * atomic metadata-file rename in Iceberg's HadoopTableOperations).
+    * Returns false when another writer — thread or PROCESS — claimed the
+    * version first; the caller re-reads and retries. */
+  private def casLog(expected: Long, entries: List[Snapshot]): Boolean = {
+    Files.createDirectories(headsDir)
+    val tmp = headsDir.resolve(s".cas-${java.util.UUID.randomUUID()}.tmp")
+    try {
+      Files.write(tmp, Jsons.write(compactLog(entries))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        Files.createLink(headPath(expected + 1), tmp)
+        pruneHeads(expected + 1)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Drop head versions older than the retention window, best-effort: every
+    * reader takes the MAX version, so deleting older ones never races a
+    * read; keeping a few protects a reader that listed just before a
+    * concurrent commit landed. Bounds head storage at O(KeepHeads × log). */
+  private def pruneHeads(current: Long): Unit = {
+    // every commit prunes, so exactly one version falls out of the window
+    // per commit — O(1), no directory walk
+    val v = current - IceTable.KeepHeads
+    if (v >= 1)
+      try Files.deleteIfExists(headPath(v))
+      catch { case _: java.io.IOException => () }
+  }
+
+  /** Test-only interleaving hook: runs between the head read and the CAS
+    * attempt of a commit — the window where a competing process can land
+    * its own commit. Lets a spec simulate cross-process races inside one
+    * JVM (the in-JVM [[tableLock]] is reentrant, so the hook can run a
+    * full competing commit on another IceTable instance). */
+  private[core] var onCommitAttempt: List[Snapshot] => Unit = _ => ()
+
+  /** Thrown by a commit body to signal "lost a filesystem race before the
+    * CAS" (e.g. the `commit-<id>` data-dir name was claimed by a competing
+    * writer); control flow only. */
+  private[core] object CommitRace extends RuntimeException("commit race") {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Optimistic read-modify-write on the snapshot log — Iceberg's commit
+    * protocol: build the new log against the freshest head, CAS it in as
+    * version+1, and on conflict re-read and rebuild. `f` returns Left to
+    * finish without writing (e.g. nothing to expire). Same-JVM writers are
+    * serialized by [[tableLock]] and never conflict; the retry loop exists
+    * for writers in OTHER processes, which the previous whole-file log
+    * rewrite silently dropped (last-writer-wins). The expensive work of a
+    * commit (data/manifest file writes) stays OUTSIDE `f` or is O(metadata)
+    * inside it, so a retry costs metadata only, never a data rewrite. */
+  private def commitLog[T](f: List[Snapshot] => Either[T, (List[Snapshot], T)]): T = {
+    var attempt = 0
+    while (attempt < IceTable.MaxCommitRetries) {
+      val (v, refs) = logHead
+      onCommitAttempt(refs)
+      try {
+        f(refs) match {
+          case Left(out) => return out
+          case Right((entries, out)) =>
+            if (casLog(v, entries)) return out
+        }
+      } catch { case CommitRace => () }
+      attempt += 1
+      Thread.sleep(math.min(100L, 5L * attempt)) // linear backoff, capped
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit to $dir lost the log CAS ${IceTable.MaxCommitRetries} times")
+  }
 
   /** Inline a ref's manifest-list contents so callers see the full
     * `files`/`deleteFiles`/`eqDeleteFiles` exactly as the legacy format
@@ -58,14 +163,14 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         eqDeleteFiles = ml.eqDeleteFiles)
   }
 
-  /** Persist the snapshot log. Entries carrying a manifest-list pointer are
-    * stored COMPACT (inline lists stripped): the log grows by one
-    * constant-size entry per commit, never by O(files). */
-  private def writeLog(entries: List[Snapshot]): Unit =
-    Jsons.writeFile(snapshotsPath, entries.map(e =>
+  /** Compact form of the log for persistence: entries carrying a
+    * manifest-list pointer are stored with inline lists stripped, so the
+    * log grows by one constant-size entry per commit, never by O(files). */
+  private def compactLog(entries: List[Snapshot]): List[Snapshot] =
+    entries.map(e =>
       if (e.manifestList.isDefined)
         e.copy(files = Nil, deleteFiles = Nil, eqDeleteFiles = Nil)
-      else e))
+      else e)
 
   /** A ref's manifest list; a LEGACY inline ref has none, so its lists are
     * materialized as manifest files once (named after the child commit
@@ -412,7 +517,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   /** Run a read-modify-write cycle under the table's commit lock, so an
     * in-JVM concurrent writer cannot commit between the read and the
     * overwrite (the lock alone only makes individual commits atomic).
-    * Cross-process writers remain last-writer-wins, as in the reference. */
+    * Cross-PROCESS commits are serialized by the optimistic log CAS in
+    * [[commitLog]]; a compound cycle run through this wrapper gets
+    * snapshot-isolation semantics against foreign processes (each commit
+    * lands on the freshest log, computed content is as-of its read). */
   def locked[T](f: => T): T = tableLock.synchronized(f)
 
   /** `extraSummary` entries land in the snapshot summary ATOMICALLY with
@@ -428,9 +536,15 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       extraSummary: Map[String, String] = Map.empty): Snapshot =
     tableLock.synchronized {
       val m = meta
-      val refs = snapshotRefs
-      val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
-      val commitDir = dataDir.resolve(f"commit-$id%05d")
+      // Stage the data under a writer-UNIQUE dot-name first: the expensive
+      // part of a commit (the distributed parquet write) is conflict-free
+      // by construction — two processes can never write into each other's
+      // staging dir. Claiming the final `commit-<id>` name and publishing
+      // the log happen in the cheap CAS retry loop below; a lost race
+      // re-costs metadata only, never the data write. A crashed writer's
+      // stage dir is referenced by no snapshot → orphan GC collects it.
+      val stage = dataDir.resolve(
+        s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
       val aligned = align(df, m.schema)
       val tfs = m.transforms
       // "vortex" format label → alternate parquet profile (zstd); see
@@ -449,57 +563,81 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       spark.conf.set(tsKey, "TIMESTAMP_MICROS")
       try {
         if (tfs.isEmpty) {
-          aligned.write.options(codec).parquet(commitDir.toString)
+          aligned.write.options(codec).parquet(stage.toString)
         } else {
           tfs.foldLeft(aligned)((d, t) =>
               d.withColumn(t.name, t.columnFor(m.schema(t.source).dataType)))
             .write.options(codec).partitionBy(tfs.map(_.name): _*)
-            .parquet(commitDir.toString)
+            .parquet(stage.toString)
         }
       } finally prevTs match {
         case Some(v) => spark.conf.set(tsKey, v)
         case None => spark.conf.unset(tsKey)
       }
-      val newFiles = listParquet(commitDir, m.currentSchemaId)
-      // manifest layer: write ONE new data manifest holding this commit's
-      // files; an append REFERENCES the parent's manifests instead of
-      // re-listing their contents, so commit write-cost is O(new files) +
-      // O(#manifests), never O(all files). Append keeps the parent's
-      // position deletes (they reference parent files, which stay live);
-      // overwrite/replace rewrote the data from a deletes-applied read, so
-      // the deletes are absorbed — compaction IS this path.
-      val parentMl =
-        if (keepParent) refs.lastOption.map(r => manifestListOf(r, id))
-        else None
-      // manifest MERGING (Iceberg's min-count-to-merge): a pure append
-      // chain grows one manifest per commit, so after 10⁴ appends every
-      // resolve would touch 10⁴ files. When the parent's chain reaches
-      // MergeManifestCount, fold it into ONE manifest — an occasional
-      // O(live files) metadata write that keeps the list O(1) amortized.
-      // Old manifests stay on disk for older snapshots that reference
-      // them (orphan GC collects them once those expire).
-      val parentDataM = parentMl.map(_.dataManifests).getOrElse(Nil)
-      val mergedParentM =
-        if (parentDataM.size < IceTable.MergeManifestCount) parentDataM
-        else List(Manifests.writeManifest(
-          manifestsDir.resolve(f"m-$id%05d-merged.json"),
-          parentDataM.flatMap(Manifests.readManifest)))
-      val newDataM =
-        if (newFiles.isEmpty) Nil
-        else List(Manifests.writeManifest(
-          manifestsDir.resolve(f"m-$id%05d-data.json"), newFiles))
-      val ml = ManifestList(
-        mergedParentM ++ newDataM,
-        parentMl.map(_.deleteManifests).getOrElse(Nil),
-        parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
-      val listPath =
-        Manifests.writeList(manifestsDir.resolve(f"list-$id%05d.json"), ml)
-      val snap = Snapshot(id, refs.lastOption.map(_.id), System.currentTimeMillis(),
-        op, Nil, m.currentSchemaId,
-        Map("added-files" -> newFiles.size.toString,
-          "added-rows" -> newFiles.map(_.rows).sum.toString) ++ extraSummary,
-        manifestList = Some(listPath))
-      writeLog(refs :+ snap)
+      var curDir = stage
+      val snap = commitLog[Snapshot] { refs =>
+        val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
+        val commitDir = dataDir.resolve(f"commit-$id%05d")
+        // Claim the id's data-dir name by atomic rename: the eq-delete
+        // watermark parses the commit id from `data/commit-NNNNN/` file
+        // paths, so the dir name MUST equal the snapshot id that lands.
+        // An existing target = a competing in-flight writer claimed this
+        // id → treat like a lost CAS and retry on the next id. If WE
+        // claimed a name earlier but then lost the log CAS (the winner was
+        // a data-less commit: rollback/expire/MOR delete), the same rename
+        // moves our data forward onto the new id.
+        if (curDir != commitDir) {
+          try {
+            Files.move(curDir, commitDir)
+            curDir = commitDir
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => throw CommitRace
+            case _: java.nio.file.FileSystemException => throw CommitRace
+          }
+        }
+        val newFiles = listParquet(curDir, m.currentSchemaId)
+        // manifest layer: write ONE new data manifest holding this commit's
+        // files; an append REFERENCES the parent's manifests instead of
+        // re-listing their contents, so commit write-cost is O(new files) +
+        // O(#manifests), never O(all files). Append keeps the parent's
+        // position deletes (they reference parent files, which stay live);
+        // overwrite/replace rewrote the data from a deletes-applied read, so
+        // the deletes are absorbed — compaction IS this path. On a CAS
+        // retry, `refs.last` is the WINNER's snapshot, so a concurrent
+        // append's files are carried forward — neither commit is lost.
+        val parentMl =
+          if (keepParent) refs.lastOption.map(r => manifestListOf(r, id))
+          else None
+        // manifest MERGING (Iceberg's min-count-to-merge): a pure append
+        // chain grows one manifest per commit, so after 10⁴ appends every
+        // resolve would touch 10⁴ files. When the parent's chain reaches
+        // MergeManifestCount, fold it into ONE manifest — an occasional
+        // O(live files) metadata write that keeps the list O(1) amortized.
+        // Old manifests stay on disk for older snapshots that reference
+        // them (orphan GC collects them once those expire).
+        val parentDataM = parentMl.map(_.dataManifests).getOrElse(Nil)
+        val mergedParentM =
+          if (parentDataM.size < IceTable.MergeManifestCount) parentDataM
+          else List(Manifests.writeManifest(
+            manifestsDir.resolve(f"m-$id%05d-merged.json"),
+            parentDataM.flatMap(Manifests.readManifest)))
+        val newDataM =
+          if (newFiles.isEmpty) Nil
+          else List(Manifests.writeManifest(
+            manifestsDir.resolve(f"m-$id%05d-data.json"), newFiles))
+        val ml = ManifestList(
+          mergedParentM ++ newDataM,
+          parentMl.map(_.deleteManifests).getOrElse(Nil),
+          parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
+        val listPath =
+          Manifests.writeList(manifestsDir.resolve(f"list-$id%05d.json"), ml)
+        val s = Snapshot(id, refs.lastOption.map(_.id), System.currentTimeMillis(),
+          op, Nil, m.currentSchemaId,
+          Map("added-files" -> newFiles.size.toString,
+            "added-rows" -> newFiles.map(_.rows).sum.toString) ++ extraSummary,
+          manifestList = Some(listPath))
+        Right((refs :+ s, s))
+      }
       resolve(snap) // callers get the inline view (files, deletes) as before
     }
 
@@ -728,6 +866,17 @@ object IceTable {
     * keeps per-snapshot manifest lists O(1) amortized on pure append
     * chains instead of one entry per commit forever. */
   val MergeManifestCount: Int = 32
+
+  /** Head files (`heads/v-N.json`) retained behind the current version.
+    * Readers always take the max, so anything older is garbage — a few are
+    * kept so a reader that listed the directory just before a commit still
+    * finds the version it picked. */
+  val KeepHeads: Long = 4L
+
+  /** Bound on CAS retries per commit; each retry costs metadata only. */
+  val MaxCommitRetries: Int = 20
+
+  private[core] val HeadRe = "^v-(\\d+)\\.json$".r
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

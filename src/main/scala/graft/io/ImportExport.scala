@@ -38,7 +38,7 @@ class ImportExport(lh: Lakehouse) {
       case "parquet" => spark.read.parquet(path)
       // columnar interchange beyond the reference's surface: Spark ships a
       // native vectorized ORC reader/writer (no extra dependency), and ORC
-      // round-trips the full type lattice losslessly (gate q147)
+      // round-trips the full type lattice losslessly (gate q146)
       case "orc" => spark.read.orc(path)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
