@@ -1891,6 +1891,64 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
           sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
             .as("text_hash_sum"))
+    }),
+
+    // BATCHED hybrid retrieval: 3 queries through ONE corpus pass — shared
+    // postings/doc-length/df builds, broadcast query batch, every ranking
+    // a row_number window PARTITIONED by query_id (no single-partition
+    // sort). Integer micro-unit BM25 + integer RRF fusion as q144
+    "q147_rrf_batch" -> ((s, dir) => {
+      graft.text.Search.hybridRrfBatch(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
+        queries = Seq(
+          (1L, Seq("hash", "join", "spark"), 1L),
+          (2L, Seq("scan", "filter", "merge"), 2L),
+          (3L, Seq("column", "vector", "data"), 3L)))
+    }),
+
+    // TPC-H Q17 shape: correlated aggregate threshold ("quantity below
+    // 1/5 of the part's average") — decorrelated by Catalyst into
+    // aggregate joins. Exactness: avg compare multiplied through
+    // (qty·5·count < sum) so only exact decimal products/sums are
+    // compared, never a float division
+    "q148_tpch_q17" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li148")
+      t(s, dir, "part").createOrReplaceTempView("part148")
+      s.sql("""
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM li148 l JOIN part148 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4' AND p.p_type = 'MEDIUM'
+          AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5
+              * (SELECT COUNT(*) FROM li148 i WHERE i.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(i2.l_quantity AS DECIMAL(18,2))) FROM li148 i2
+               WHERE i2.l_partkey = l.l_partkey)""")
+    }),
+
+    // TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-volume
+    // orders) joined back through customer/orders/lineitem — the
+    // semi-join decorrelation partner to q148's scalar form. Quantity
+    // sums exact-decimal; top-100 with unique o_orderkey tie-break
+    "q149_tpch_q18" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust149")
+      t(s, dir, "orders").createOrReplaceTempView("ord149")
+      t(s, dir, "lineitem").createOrReplaceTempView("li149")
+      s.sql("""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+          date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+          o.o_totalprice,
+          CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM cust149 c
+        JOIN ord149 o ON c.c_custkey = o.o_custkey
+        JOIN li149 l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM li149
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+          date_format(o.o_orderdate, 'yyyy-MM-dd'), o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100""")
     })
   )
 
@@ -3801,6 +3859,88 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(('0x' || substr(md5(text), 1, 12))::UBIGINT) AS BIGINT) AS text_hash_sum
-        |FROM documents GROUP BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // batched q144: same BM25/cosine/RRF chains, every rank window
+    // PARTITIONED by query_id; query batch inlined as VALUES CTEs
+    "q147_rrf_batch" ->
+      """WITH qt(query_id, token) AS (VALUES
+        |    (1, 'hash'), (1, 'join'), (1, 'spark'),
+        |    (2, 'scan'), (2, 'filter'), (2, 'merge'),
+        |    (3, 'column'), (3, 'vector'), (3, 'data')),
+        |qv(query_id, q_vec_id) AS (VALUES (1, 1), (2, 2), (3, 3)),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE length(token) > 0),
+        |post AS (SELECT token, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |qp AS (SELECT * FROM post WHERE token IN (SELECT token FROM qt)),
+        |dfq AS (SELECT token, count(*) AS df FROM qp GROUP BY 1),
+        |contrib AS (
+        |  SELECT qp.token, qp.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+        |          (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+        |  FROM qp JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (SELECT qt.query_id, c.doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+        |  FROM contrib c JOIN qt USING (token) GROUP BY 1, 2),
+        |bmrank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS bm_rank
+        |  FROM bm QUALIFY bm_rank <= 50),
+        |qe AS (SELECT qv.query_id, qv.q_vec_id, e.embedding AS qe
+        |  FROM qv JOIN embeddings e ON e.vec_id = qv.q_vec_id),
+        |vs AS (SELECT qe.query_id, e.vec_id AS doc_id,
+        |  list_reduce(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE)*CAST(qe.qe[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE)*CAST(e.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(len(qe.qe)), i -> CAST(qe.qe[i+1] AS DOUBLE)*CAST(qe.qe[i+1] AS DOUBLE)), (x,y) -> x+y))) AS cos
+        |  FROM embeddings e JOIN qe ON e.vec_id != qe.q_vec_id),
+        |vrank AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+        |  FROM vs QUALIFY vec_rank <= 50),
+        |f AS (
+        |  SELECT coalesce(b.query_id, v.query_id) AS query_id,
+        |    coalesce(b.doc_id, v.doc_id) AS doc_id, b.bm_rank, v.vec_rank,
+        |    coalesce(1000000000 // (60 + b.bm_rank), 0)
+        |      + coalesce(1000000000 // (60 + v.vec_rank), 0) AS rrf_nano
+        |  FROM bmrank b FULL OUTER JOIN vrank v
+        |    ON b.query_id = v.query_id AND b.doc_id = v.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm_rank, vec_rank,
+        |  CAST(rrf_nano AS BIGINT) AS rrf_nano
+        |FROM f
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) <= 20""".stripMargin,
+
+    // same multiplied-through exact-decimal threshold as the Spark side
+    "q148_tpch_q17" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#4' AND p.p_type = 'MEDIUM'
+        |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5
+        |      * (SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(i2.l_quantity AS DECIMAL(18,2))) FROM lineitem i2
+        |       WHERE i2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q149_tpch_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o.o_totalprice,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }

@@ -44,7 +44,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * every snapshot's files. */
   private def snapshotRefs: List[Snapshot] = logHead._2
 
-  private def headPath(v: Long): Path = headsDir.resolve(f"v-$v%09d.json")
+  private[core] def headPath(v: Long): Path = headsDir.resolve(f"v-$v%09d.json")
 
   /** Current log (version, entries). Version 0 = the legacy whole-file
     * `snapshots.json` (or an empty table); versions >= 1 are immutable
@@ -53,8 +53,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * Readers take the max version present; head files are write-once, so
     * a reader can never observe a torn or half-replaced log the way a
     * rewritten single file could expose under a non-atomic writer. */
-  private def logHead: (Long, List[Snapshot]) = {
-    val latest: Option[Long] =
+  private[core] def logHead: (Long, List[Snapshot]) = {
+    def listLatest: Option[Long] =
       if (!Files.isDirectory(headsDir)) None
       else {
         val s = Files.list(headsDir)
@@ -64,14 +64,29 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
         finally s.close()
       }
-    latest match {
-      case Some(v) =>
-        (v, Jsons.readFile[List[Snapshot]](headPath(v)).sortBy(_.id))
-      case None =>
-        if (Files.exists(snapshotsPath))
-          (0L, Jsons.readFile[List[Snapshot]](snapshotsPath).sortBy(_.id))
-        else (0L, Nil)
+    // Bounded retry covers two benign read races: (1) the max version a
+    // reader picked was pruned because KeepHeads newer commits landed
+    // between its listing and its read — re-list finds the newer head;
+    // (2) the legacy snapshots.json was tombstoned by the first CAS commit
+    // between this reader's (empty) heads listing and its existence check
+    // — by then heads/v-1 exists, so a re-list finds it.
+    var attempt = 0
+    while (true) {
+      listLatest match {
+        case Some(v) =>
+          try return (v, Jsons.readFile[List[Snapshot]](headPath(v)).sortBy(_.id))
+          catch {
+            case e: java.nio.file.NoSuchFileException =>
+              if (attempt >= 5) throw e
+          }
+        case None =>
+          if (Files.exists(snapshotsPath))
+            return (0L, Jsons.readFile[List[Snapshot]](snapshotsPath).sortBy(_.id))
+          else if (attempt >= 1 && listLatest.isEmpty) return (0L, Nil)
+      }
+      attempt += 1
     }
+    sys.error("unreachable")
   }
 
   /** One CAS attempt on the log: write the new log to a writer-unique temp
@@ -89,6 +104,14 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try {
         Files.createLink(headPath(expected + 1), tmp)
+        // v0 → v1 migration: the legacy whole-file log is now superseded
+        // (its content lives in v-1); tombstone it so no maintenance tool
+        // mistakes it for live state. Readers that listed heads/ before
+        // the link see the tombstone miss and re-list (logHead retry).
+        if (expected == 0L && Files.exists(snapshotsPath))
+          try Files.move(snapshotsPath,
+            dir.resolve("snapshots.json.v0-migrated"))
+          catch { case _: java.io.IOException => () }
         pruneHeads(expected + 1)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -149,6 +172,27 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     throw new java.util.ConcurrentModificationException(
       s"commit to $dir lost the log CAS ${IceTable.MaxCommitRetries} times")
   }
+
+  /** Abort a merge-on-read delete whose read snapshot (`asOfId`) was
+    * overtaken by a competing commit that REWROTE data files (overwrite or
+    * compaction): position deletes reference the replaced files and an
+    * equality entry's `coveredUpTo` watermark would exempt the rewritten
+    * copies — committing would silently drop the delete. Appends, other
+    * MoR deletes and zero-copy rollbacks (which re-reference existing
+    * files, keeping every targeted path valid) commute and are allowed —
+    * Iceberg's validateNoConflictingData idea. */
+  private def failOnConflictingRewrite(refs: List[Snapshot], asOfId: Long,
+      what: String): Unit =
+    refs.dropWhile(_.id <= asOfId)
+      .find(r => (r.operation == "overwrite" || r.operation == "replace") &&
+        !r.summary.contains("rolled-back-to"))
+      .foreach(r => throw new java.util.ConcurrentModificationException(
+        s"$what computed against snapshot $asOfId conflicts with concurrent " +
+          s"${r.operation} snapshot ${r.id} which rewrote the data files"))
+
+  /** Raw constant-size log entries as persisted (manifest pointers, no
+    * inline file lists) — the compact view tests and tooling inspect. */
+  def rawLog: List[Snapshot] = snapshotRefs
 
   /** Inline a ref's manifest-list contents so callers see the full
     * `files`/`deleteFiles`/`eqDeleteFiles` exactly as the legacy format
@@ -294,14 +338,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * preserved exactly as with copy-on-write: older snapshots carry their
     * own (shorter) delete-file lists. */
   def deleteWhereMor(filter: Column): Long = tableLock.synchronized {
-    val refs = snapshotRefs
-    val cur = refs.lastOption.map(resolve).filter(_.files.nonEmpty).getOrElse {
+    val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
       // empty table: nothing can match, but keep the snapshot-per-write
       // invariant only when there is a snapshot log at all
       return 0L
     }
-    val id = cur.id + 1
-    val delDir = dataDir.resolve(f"commit-$id%05d-deletes")
+    // Expensive distributed work happens ONCE, outside the CAS retry loop,
+    // against the snapshot read above: the delete dir is writer-unique (no
+    // name to race on — manifests reference it by full path), so a lost
+    // log CAS re-costs metadata only. Delete semantics under a concurrent
+    // winner are snapshot-isolation: rows are deleted as-of this read;
+    // positions referencing files a competitor removed are inert, and a
+    // competitor's appended rows are untouched (they were not read).
+    val delDir = dataDir.resolve(
+      s"del-${java.util.UUID.randomUUID().toString.take(12)}")
     val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
     val hits = base.where(filter)
       .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
@@ -311,23 +361,30 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     hits.write.parquet(delDir.toString)
     val delFiles = listDeleteParquet(delDir)
     val deleted = delFiles.map(_.rows).sum
-    // data manifests unchanged; ONE new delete manifest with this commit's
-    // delete files — O(new delete files) written, data file list untouched
-    val parentMl = manifestListOf(refs.last, id)
     val newDel = delFiles.filter(_.rows > 0)
-    val delManifests = parentMl.deleteManifests ++
-      (if (newDel.isEmpty) Nil
-       else List(Manifests.writeManifest(
-         manifestsDir.resolve(f"m-$id%05d-del.json"), newDel)))
-    val listPath = Manifests.writeList(manifestsDir.resolve(f"list-$id%05d.json"),
-      parentMl.copy(deleteManifests = delManifests))
-    val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
-      "delete", Nil, cur.schemaId,
-      Map("deleted-rows" -> deleted.toString,
-        "delete-files" -> delFiles.size.toString),
-      manifestList = Some(listPath))
-    writeLog(refs :+ snap)
-    deleted
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    commitLog[Long] { refs =>
+      failOnConflictingRewrite(refs, cur.id, "position delete")
+      val parent = refs.last
+      val id = parent.id + 1
+      // data manifests unchanged; ONE new delete manifest with this commit's
+      // delete files — O(new delete files) written inside the retry body
+      // (the protocol's O(metadata) budget), keyed off the freshest parent
+      val parentMl = manifestListOf(parent, id)
+      val delManifests = parentMl.deleteManifests ++
+        (if (newDel.isEmpty) Nil
+         else List(Manifests.writeManifest(
+           manifestsDir.resolve(f"m-$id%05d-del-$uid.json"), newDel)))
+      val listPath = Manifests.writeList(
+        manifestsDir.resolve(f"list-$id%05d-$uid.json"),
+        parentMl.copy(deleteManifests = delManifests))
+      val snap = Snapshot(id, Some(parent.id), System.currentTimeMillis(),
+        "delete", Nil, parent.schemaId,
+        Map("deleted-rows" -> deleted.toString,
+          "delete-files" -> delFiles.size.toString),
+        manifestList = Some(listPath))
+      Right((refs :+ snap, deleted))
+    }
   }
 
   /** Merge-on-read EQUALITY delete: drop every current row whose `keyCols`
@@ -342,12 +399,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def deleteKeysMor(keyCols: Seq[String], keysDf: DataFrame): Long =
     tableLock.synchronized {
       require(keyCols.nonEmpty, "need at least one key column")
-      val refs = snapshotRefs
-      val cur = refs.lastOption.map(resolve).filter(_.files.nonEmpty).getOrElse {
+      val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
         return 0L
       }
-      val id = cur.id + 1
-      val delDir = dataDir.resolve(f"commit-$id%05d-eqdeletes")
+      // Key-set write + matched-count scan run ONCE outside the CAS retry
+      // loop, against the snapshot read above. `coveredUpTo` stays pinned
+      // to that read snapshot even if the commit lands later: a competing
+      // append's files get a HIGHER commit id and therefore survive the
+      // delete — exactly the sequence-number scoping the entry encodes.
+      val delDir = dataDir.resolve(
+        s"eqdel-${java.util.UUID.randomUUID().toString.take(12)}")
       keysDf.select(keyCols.map(col): _*).na.drop("any").dropDuplicates()
         .write.parquet(delDir.toString)
       val keyFiles = listDeleteParquet(delDir)
@@ -366,20 +427,25 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val entry = EqDeleteEntry(delDir.toString, rows = matched,
         keyRows = keyRows, bytes = keyFiles.map(_.bytes).sum,
         cols = keyCols.toList, coveredUpTo = cur.id, colIds = keyIds)
-      // data + position-delete manifests unchanged; only the (inline,
-      // one-record-per-commit) eq-delete entry list grows
-      val parentMl = manifestListOf(refs.last, id)
-      val listPath = Manifests.writeList(
-        manifestsDir.resolve(f"list-$id%05d.json"),
-        parentMl.copy(eqDeleteFiles = parentMl.eqDeleteFiles :+ entry))
-      val snap = Snapshot(id, Some(cur.id), System.currentTimeMillis(),
-        "delete", Nil, cur.schemaId,
-        Map("deleted-rows" -> matched.toString,
-          "eq-delete-keys" -> keyRows.toString,
-          "eq-delete-cols" -> keyCols.mkString(",")),
-        manifestList = Some(listPath))
-      writeLog(refs :+ snap)
-      matched
+      val uid = java.util.UUID.randomUUID().toString.take(12)
+      commitLog[Long] { refs =>
+        failOnConflictingRewrite(refs, cur.id, "equality delete")
+        val parent = refs.last
+        val id = parent.id + 1
+        // data + position-delete manifests unchanged; only the (inline,
+        // one-record-per-commit) eq-delete entry list grows
+        val parentMl = manifestListOf(parent, id)
+        val listPath = Manifests.writeList(
+          manifestsDir.resolve(f"list-$id%05d-$uid.json"),
+          parentMl.copy(eqDeleteFiles = parentMl.eqDeleteFiles :+ entry))
+        val snap = Snapshot(id, Some(parent.id), System.currentTimeMillis(),
+          "delete", Nil, parent.schemaId,
+          Map("deleted-rows" -> matched.toString,
+            "eq-delete-keys" -> keyRows.toString,
+            "eq-delete-cols" -> keyCols.mkString(",")),
+          manifestList = Some(listPath))
+        Right((refs :+ snap, matched))
+      }
     }
 
   private def applyAllDeletes(data: DataFrame, s: Snapshot): DataFrame = {
@@ -574,8 +640,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         case Some(v) => spark.conf.set(tsKey, v)
         case None => spark.conf.unset(tsKey)
       }
+      // manifest/list files carry the stage uid so two processes racing on
+      // the same snapshot id can never overwrite each other's metadata —
+      // the log entry references the full path, so names are free
+      val uid = stage.getFileName.toString.stripPrefix(".stage-")
       var curDir = stage
-      val snap = commitLog[Snapshot] { refs =>
+      def commitBody(refs: List[Snapshot]): Either[Snapshot, (List[Snapshot], Snapshot)] = {
         val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
         val commitDir = dataDir.resolve(f"commit-$id%05d")
         // Claim the id's data-dir name by atomic rename: the eq-delete
@@ -619,18 +689,18 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         val mergedParentM =
           if (parentDataM.size < IceTable.MergeManifestCount) parentDataM
           else List(Manifests.writeManifest(
-            manifestsDir.resolve(f"m-$id%05d-merged.json"),
+            manifestsDir.resolve(f"m-$id%05d-merged-$uid.json"),
             parentDataM.flatMap(Manifests.readManifest)))
         val newDataM =
           if (newFiles.isEmpty) Nil
           else List(Manifests.writeManifest(
-            manifestsDir.resolve(f"m-$id%05d-data.json"), newFiles))
+            manifestsDir.resolve(f"m-$id%05d-data-$uid.json"), newFiles))
         val ml = ManifestList(
           mergedParentM ++ newDataM,
           parentMl.map(_.deleteManifests).getOrElse(Nil),
           parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
         val listPath =
-          Manifests.writeList(manifestsDir.resolve(f"list-$id%05d.json"), ml)
+          Manifests.writeList(manifestsDir.resolve(f"list-$id%05d-$uid.json"), ml)
         val s = Snapshot(id, refs.lastOption.map(_.id), System.currentTimeMillis(),
           op, Nil, m.currentSchemaId,
           Map("added-files" -> newFiles.size.toString,
@@ -638,35 +708,53 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           manifestList = Some(listPath))
         Right((refs :+ s, s))
       }
+      val snap =
+        try commitLog[Snapshot](commitBody)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            // un-claim: a permanently-parked `commit-N` dir would block
+            // every future commit at id N (rename would always fail) —
+            // move the data back under a stage name; orphan GC owns it
+            if (curDir != stage)
+              try { Files.move(curDir, stage); curDir = stage }
+              catch { case _: java.io.IOException => () }
+            throw e
+        }
       resolve(snap) // callers get the inline view (files, deletes) as before
     }
 
   /** Roll back to an old snapshot: a NEW snapshot referencing the old
     * snapshot's files (zero-copy; history preserved — catalog.py:834-906). */
   def rollbackTo(ref: String): Snapshot = tableLock.synchronized {
-    val refs = snapshotRefs
-    val targetRef = ref.toLongOption match {
-      case Some(i) => refs.find(_.id == i).getOrElse(
-        throw new IllegalArgumentException(s"no snapshot with id $i"))
-      case None =>
-        val ts = parseInstantMs(ref)
-        refs.filter(_.timestampMs <= ts).lastOption.getOrElse(
-          throw new IllegalArgumentException(s"no snapshot at or before $ref"))
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    // pure metadata commit: target resolution AND the new list-file write
+    // both run inside the retry body (O(metadata) per attempt), keyed off
+    // the freshest log — a competitor's commit between attempts changes
+    // only which snapshot is the rollback's parent, never the target
+    val snap = commitLog[Snapshot] { refs =>
+      val targetRef = ref.toLongOption match {
+        case Some(i) => refs.find(_.id == i).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot with id $i"))
+        case None =>
+          val ts = parseInstantMs(ref)
+          refs.filter(_.timestampMs <= ts).lastOption.getOrElse(
+            throw new IllegalArgumentException(s"no snapshot at or before $ref"))
+      }
+      val id = refs.last.id + 1
+      // zero-copy: the new manifest list re-references the target's manifests
+      // (restoring its merge-on-read state too: rolling back past a MoR
+      // delete must resurrect the rows, rolling back TO one must not). A new
+      // list FILE is written so every snapshot owns its list — sharing one
+      // would couple expiry lifetimes.
+      val listPath = Manifests.writeList(
+        manifestsDir.resolve(f"list-$id%05d-$uid.json"),
+        manifestListOf(targetRef, id))
+      val s = Snapshot(id, Some(refs.last.id), System.currentTimeMillis(),
+        "replace", Nil, targetRef.schemaId,
+        Map("rolled-back-to" -> targetRef.id.toString),
+        manifestList = Some(listPath))
+      Right((refs :+ s, s))
     }
-    val id = refs.last.id + 1
-    // zero-copy: the new manifest list re-references the target's manifests
-    // (restoring its merge-on-read state too: rolling back past a MoR
-    // delete must resurrect the rows, rolling back TO one must not). A new
-    // list FILE is written so every snapshot owns its list — sharing one
-    // would couple expiry lifetimes.
-    val listPath = Manifests.writeList(
-      manifestsDir.resolve(f"list-$id%05d.json"),
-      manifestListOf(targetRef, id))
-    val snap = Snapshot(id, Some(refs.last.id), System.currentTimeMillis(),
-      "replace", Nil, targetRef.schemaId,
-      Map("rolled-back-to" -> targetRef.id.toString),
-      manifestList = Some(listPath))
-    writeLog(refs :+ snap)
     resolve(snap)
   }
 
@@ -675,20 +763,28 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * never expired (catalog.py:977-979). Returns expired ids. */
   def expireSnapshots(olderThan: Option[String] = None,
       retainLast: Option[Int] = None): List[Long] = tableLock.synchronized {
-    // refs only — expiry decisions need ids + timestamps, never file lists
-    val snaps = snapshotRefs
-    if (snaps.isEmpty) return Nil
-    val currentId = snaps.last.id
+    // relative cutoffs ("30d") anchor at call time, not per CAS attempt
     val cutoff = olderThan.map(parseCutoffMs)
-    var keep = snaps.toSet
-    cutoff.foreach { c => keep = keep.filter(s => s.timestampMs >= c || s.id == currentId) }
-    retainLast.foreach { n =>
-      val retained = snaps.sortBy(-_.id).take(math.max(n, 1)).toSet
-      keep = keep.intersect(retained) + snaps.last
+    // refs only — expiry decisions need ids + timestamps, never file lists;
+    // the whole decision re-runs per attempt off the freshest log, so a
+    // snapshot a competitor just committed is never expired by accident
+    commitLog[List[Long]] { snaps =>
+      if (snaps.isEmpty) Left(Nil)
+      else {
+        val currentId = snaps.last.id
+        var keep = snaps.toSet
+        cutoff.foreach { c =>
+          keep = keep.filter(s => s.timestampMs >= c || s.id == currentId)
+        }
+        retainLast.foreach { n =>
+          val retained = snaps.sortBy(-_.id).take(math.max(n, 1)).toSet
+          keep = keep.intersect(retained) + snaps.last
+        }
+        val expired = snaps.filterNot(keep).map(_.id)
+        if (expired.isEmpty) Left(Nil)
+        else Right((snaps.filter(keep).sortBy(_.id), expired))
+      }
     }
-    val expired = snaps.filterNot(keep).map(_.id)
-    if (expired.nonEmpty) writeLog(snaps.filter(keep).sortBy(_.id))
-    expired
   }
 
   /** Files under data/ referenced by no live snapshot (maintenance.py orphan
@@ -724,8 +820,38 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         // .json only — skips in-flight `.…tmp` files of a concurrent writer
         .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
         .map(_.toString).filterNot(liveMeta).toList
-    val orphans = dataOrphans ++ manifestOrphans
-    if (delete) orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    // a crashed writer's empty staging dir (died before writing any
+    // parquet) has no file entry to flag — report the dir itself
+    def isEmptyDir(p: Path): Boolean = {
+      val s = Files.list(p)
+      try !s.iterator().hasNext finally s.close()
+    }
+    val emptyStageDirs =
+      if (!Files.exists(dataDir)) Nil
+      else {
+        val s = Files.list(dataDir)
+        try s.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(".stage-") && isEmptyDir(p))
+          .map(_.toString).toList
+        finally s.close()
+      }
+    val orphans = dataOrphans ++ manifestOrphans ++ emptyStageDirs
+    if (delete) {
+      orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
+      // sweep dirs the file deletion emptied (stranded .stage-*/del-* dirs,
+      // fully-expired commit dirs) — deepest first so parents empty out;
+      // the walk is bounded by live dir count, never by file count
+      if (Files.exists(dataDir)) {
+        val dirs = Files.walk(dataDir).iterator().asScala
+          .filter(p => Files.isDirectory(p) && p != dataDir)
+          .toList.sortBy(-_.getNameCount)
+        dirs.foreach { d =>
+          try { if (isEmptyDir(d)) Files.delete(d) }
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    }
     orphans
   }
 

@@ -113,4 +113,100 @@ object Search {
           coalesce(expr(s"1000000000L div ($rrfK + vec_rank)"), lit(0L)))
       .orderBy(desc("rrf_nano"), col("doc_id")).limit(topN)
   }
+
+  /** BATCHED [[hybridRrf]]: retrieval for Q queries in ONE pass over the
+    * corpus — (query_id, terms, query-vector id) triples in, the per-query
+    * fused top-N out as (query_id, doc_id, bm_rank, vec_rank, rrf_nano).
+    *
+    * Scale posture: the corpus-sized work is paid ONCE for the whole
+    * batch, not per query — one postings build, one doc-length aggregate,
+    * one filter to the UNION of all query terms (document frequency is a
+    * per-token corpus statistic, so it is shared too), one embedding
+    * scan. The query batch itself (terms and vectors — Q·dims values)
+    * rides a broadcast into both sides, and every ranking runs as a
+    * `row_number` window PARTITIONED by query_id — Q parallel rank
+    * computations, never a single-partition sort. Q single-query calls
+    * would re-scan the corpus Q times; the batch makes retrieval
+    * throughput per query ~Q× cheaper, which is what an embedding-based
+    * decontamination or RAG-eval sweep over thousands of queries needs.
+    *
+    * Determinism: identical arithmetic to [[hybridRrf]] (integer
+    * micro-unit BM25, integer 10⁹ div fusion, doc-id tie-breaks), so a
+    * batch of one query returns exactly the single-query result. */
+  def hybridRrfBatch(docs: DataFrame, embeddings: DataFrame, idCol: String,
+      textCol: String, vecIdCol: String, vecCol: String,
+      queries: Seq[(Long, Seq[String], Long)], poolK: Int = 50,
+      rrfK: Int = 60, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "need at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, terms, _) =>
+      terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct.map((qid, _))
+    }.toDF("query_id", "token")
+    val allTerms =
+      queries.flatMap(_._2.map(_.trim.toLowerCase).filter(_.nonEmpty)).distinct
+    require(allTerms.nonEmpty, "queries must contain at least one term")
+
+    val postings = invertedIndex(docs, idCol, textCol)
+      .localCheckpoint(eager = false) // reused: doc lengths + query scan
+    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_tokens"))
+    // one postings filter for the whole batch: the union of query terms
+    val qPost = postings.where(col("token").isin(allTerms: _*))
+    val dfreq = qPost.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = qPost
+      .join(broadcast(dfreq), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("tfpart",
+        col("tf").cast("double") * lit(1.2 + 1.0) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(1.0 - 0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("c_micro",
+        floor(col("idf") * col("tfpart") * lit(1e6) + lit(0.5)).cast("long"))
+    // fan each (token, doc) contribution out to the queries that contain
+    // the token — the batch is tiny, so this join broadcasts — then sum
+    // per (query, doc)
+    val bm = contrib.join(broadcast(qTerms), "token")
+      .groupBy("query_id", "doc_id").agg(sum("c_micro").as("score_micro"))
+    val wB = Window.partitionBy("query_id")
+      .orderBy(desc("score_micro"), col("doc_id"))
+    val bmRanked = bm
+      .withColumn("bm_rank", row_number().over(wB).cast("long"))
+      .where(col("bm_rank") <= poolK)
+      .select("query_id", "doc_id", "bm_rank")
+
+    val qMap = queries.map(q => (q._1, q._3)).toDF("query_id", "q_vec_id")
+    val qVecs = embeddings
+      .select(col(vecIdCol).as("q_vec_id"), col(vecCol).as("qe"))
+      .join(broadcast(qMap), "q_vec_id")
+    val scored = embeddings
+      // broadcast nested-loop by construction: Q query vectors against the
+      // embedding scan, each query excluding its own vector
+      .join(broadcast(qVecs), col(vecIdCol) =!= col("q_vec_id"))
+      .select(col("query_id"), col(vecIdCol).as("doc_id"),
+        graft.vector.VectorOps.cosine(col(vecCol), col("qe")).as("cos"))
+    val wV = Window.partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
+    val vecRanked = scored
+      .withColumn("vec_rank", row_number().over(wV).cast("long"))
+      .where(col("vec_rank") <= poolK)
+      .select("query_id", "doc_id", "vec_rank")
+
+    val fused = bmRanked
+      .join(vecRanked, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"1000000000L div ($rrfK + bm_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div ($rrfK + vec_rank)"), lit(0L)))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(desc("rrf_nano"), col("doc_id"))
+    fused.withColumn("rn", row_number().over(wF)).where(col("rn") <= topN)
+      .drop("rn")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.core
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
@@ -28,10 +29,10 @@ class ManifestSpec extends AnyFunSuite {
       Nil, Map.empty)
     val logSizes = (1 to 5).map { i =>
       tbl.append(df(i * 10 until i * 10 + 5).repartition(2))
-      Files.size(tbl.snapshotsPath)
+      Files.size(tbl.headPath(tbl.logHead._1))
     }
     // raw log entries inline NO file lists (they point at manifests)
-    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    val raw = tbl.rawLog
     assert(raw.size == 5)
     assert(raw.forall(_.manifestList.isDefined))
     assert(raw.forall(r => r.files.isEmpty && r.deleteFiles.isEmpty))
@@ -67,7 +68,7 @@ class ManifestSpec extends AnyFunSuite {
     tbl.append(df(0 until 100).repartition(4))
     tbl.deleteWhereMor(col("id") < 10)
     tbl.deleteKeysMor(Seq("id"), Seq(50L, 51L).toDF("id"))
-    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    val raw = tbl.rawLog
     assert(raw.size == 3)
     val ml2 = Manifests.readList(raw(1).manifestList.get)
     val ml3 = Manifests.readList(raw(2).manifestList.get)
@@ -90,16 +91,23 @@ class ManifestSpec extends AnyFunSuite {
       Nil, Map.empty)
     tbl.append(df(0 until 20))
     tbl.append(df(20 until 30))
-    // rewrite the log in the OLD format: inline file lists, no pointers
+    // rewrite the table in the OLD format: inline whole-file snapshots.json
+    // log, no heads/ directory (pre-CAS layout)
     val inline = tbl.snapshots.map(_.copy(manifestList = None))
     Jsons.writeFile(tbl.snapshotsPath, inline)
+    Files.walk(tbl.headsDir).iterator().asScala.toList
+      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
     assert(tbl.read().count() == 30)
     assert(tbl.readAsOf(inline.head.id.toString).count() == 20)
-    // next commit bridges the legacy parent into manifest files
+    // next commit bridges the legacy parent into manifest files AND
+    // migrates the log to heads/v-1, tombstoning snapshots.json
     tbl.append(df(30 until 35))
-    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    val raw = tbl.rawLog
     assert(raw.last.manifestList.isDefined)
     assert(raw.last.files.isEmpty)
+    assert(!Files.exists(tbl.snapshotsPath),
+      "legacy snapshots.json must be tombstoned after the first CAS commit")
+    assert(Files.exists(tbl.dir.resolve("snapshots.json.v0-migrated")))
     assert(tbl.read().count() == 35)
     val ml = Manifests.readList(raw.last.manifestList.get)
     // parent's inline list was materialized as one manifest + one new
@@ -112,7 +120,7 @@ class ManifestSpec extends AnyFunSuite {
       Nil, Map.empty)
     val n = IceTable.MergeManifestCount + 1
     (1 to n).foreach(i => tbl.append(df(i until i + 1).coalesce(1)))
-    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    val raw = tbl.rawLog
     val ml = Manifests.readList(raw.last.manifestList.get)
     // chain was folded: merged manifest + the latest commit's own, not n
     assert(ml.dataManifests.size < IceTable.MergeManifestCount,
@@ -136,13 +144,13 @@ class ManifestSpec extends AnyFunSuite {
     val orphans = tbl.orphanFiles()
     // snapshot 1's data files AND its manifest/list JSON are orphaned
     assert(firstData.forall(orphans.contains))
-    assert(orphans.exists(_.endsWith("list-00001.json")))
+    assert(orphans.exists(_.contains("list-00001")))
     assert(orphans.exists(p => p.contains("m-00001") && p.endsWith(".json")))
     tbl.orphanFiles(delete = true)
     assert(tbl.orphanFiles().isEmpty)
     assert(tbl.read().count() == 10)
     // the survivor's manifests are untouched
-    val raw = Jsons.readFile[List[Snapshot]](tbl.snapshotsPath)
+    val raw = tbl.rawLog
     assert(Files.exists(Paths.get(raw.last.manifestList.get)))
   }
 }
