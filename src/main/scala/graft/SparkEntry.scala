@@ -1949,6 +1949,94 @@ object SparkEntry {
           date_format(o.o_orderdate, 'yyyy-MM-dd'), o.o_totalprice
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT 100""")
+    }),
+
+    // STREAMING heavy hitters via Count-Min: the windowed stream sketch is
+    // maintained by per-batch counter addition (CMS linearity — state ≤
+    // depth×width per window, never key-cardinality), then every distinct
+    // user is screened per window against est >= ceil(n/8) with integer
+    // arithmetic; n recovered from the sketch's j=0 row. Complete mode +
+    // AvailableNow drives the stream to the exact batch grid (q140's
+    // convention), so the oracle is the same chain in plain SQL
+    "q150_stream_cms_hh" -> ((s, dir) => {
+      aux(t(s, dir, "events").select(col("ts"), col("user_id")),
+        "stream150", dir)
+      val path = s"$AuxDir/stream150"
+      val schema = s.read.parquet(path).schema
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sketch =
+        try graft.streaming.Streaming.runToMemory(
+          graft.streaming.Streaming.windowedCmsStream(
+            graft.streaming.Streaming.eventsStream(s, path, schema),
+            "ts", col("user_id"), "1 hour", "2 hours",
+            depth = 4, width = 512),
+          "q150_sink", org.apache.spark.sql.streaming.OutputMode.Complete())
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val probes = s.read.schema(schema).parquet(path).select(col("user_id"))
+      graft.analytics.Cms.windowedHeavyHitters(sketch, probes, "user_id",
+          denom = 8, depth = 4, width = 512)
+        .select(col("window.start").as("window_start"), col("key"),
+          col("n"), col("est"))
+    }),
+
+    // TPC-H Q11 shape: group-HAVING against GLOBAL scalar aggregates —
+    // parts whose value exceeds 1.3× the average part value. TPC-H scales
+    // Q11's share fraction by SF; making the threshold relative to the
+    // part count keeps the gate selective at every SF. Multiplied through
+    // (sum·n_parts·10 > total·13) so only exact decimal/integer products
+    // compare — no fractional literal, no division
+    "q151_tpch_q11" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li151")
+      s.sql("""
+        SELECT l_partkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        FROM li151
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               * (SELECT COUNT(DISTINCT l_partkey) FROM li151) * 10 >
+          (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM li151) * 13""")
+    }),
+
+    // TPC-H Q16 shape: anti-membership (NOT IN subquery) + COUNT DISTINCT
+    // per group — supplier exclusion set is the negative-balance list
+    "q152_tpch_q16" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li152")
+      t(s, dir, "part").createOrReplaceTempView("part152")
+      t(s, dir, "supplier").createOrReplaceTempView("sup152")
+      s.sql("""
+        SELECT p.p_brand, p.p_type,
+          COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM li152 l JOIN part152 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'PROMO%'
+          AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM sup152 WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type""")
+    }),
+
+    // TPC-H Q7 shape: bi-national volume — 6-way join with a symmetric
+    // nation-pair predicate and event-time year extraction; revenue in
+    // exact decimal
+    "q153_tpch_q7" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li153")
+      t(s, dir, "supplier").createOrReplaceTempView("sup153")
+      t(s, dir, "orders").createOrReplaceTempView("ord153")
+      t(s, dir, "customer").createOrReplaceTempView("cust153")
+      t(s, dir, "nation").createOrReplaceTempView("nat153")
+      s.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM li153 l
+        JOIN sup153 s ON s.s_suppkey = l.l_suppkey
+        JOIN ord153 o ON o.o_orderkey = l.l_orderkey
+        JOIN cust153 c ON c.c_custkey = o.o_custkey
+        JOIN nat153 n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nat153 n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""")
     })
   )
 
@@ -3941,6 +4029,63 @@ object SparkEntry {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o.o_totalprice DESC, o.o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // identical md5 row hashes per (j, key) -> identical windowed grid;
+    // n from the j=0 row; integer ceil threshold — bit-identical screen
+    "q150_stream_cms_hh" ->
+      """WITH ev AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT w, u.j,
+        |    CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT % 512 AS BIGINT) AS bucket
+        |  FROM ev, UNNEST([0, 1, 2, 3]) AS u(j)),
+        |sk AS (SELECT w, j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+        |nw AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS n FROM sk WHERE j = 0 GROUP BY 1),
+        |probes AS (SELECT DISTINCT user_id AS key FROM events WHERE user_id IS NOT NULL),
+        |pe AS (
+        |  SELECT nw.w, probes.key, nw.n, u.j,
+        |    CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 13))::UBIGINT % 512 AS BIGINT) AS bucket
+        |  FROM probes CROSS JOIN nw CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)),
+        |est AS (
+        |  SELECT w, key, CAST(min(n) AS BIGINT) AS n,
+        |    CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |  FROM pe LEFT JOIN sk USING (w, j, bucket) GROUP BY 1, 2)
+        |SELECT w AS window_start, key, n, est
+        |FROM est WHERE est >= (n + 7) // 8""".stripMargin,
+
+    "q151_tpch_q11" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       * (SELECT count(DISTINCT l_partkey) FROM lineitem) * 10 >
+        |  (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem) * 13""".stripMargin,
+
+    "q152_tpch_q16" ->
+      """SELECT p.p_brand, p.p_type,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'PROMO%'
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type""".stripMargin,
+
+    "q153_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin
   )
 }

@@ -72,4 +72,51 @@ object Cms {
       .join(broadcast(sketchDf), Seq("j", "bucket"), "left")
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Heavy-hitter screen over a WINDOWED sketch — `sketchDf` shaped
+    * (window, j, bucket, cnt) as produced by
+    * [[graft.streaming.Streaming.windowedCmsStream]]: estimate every
+    * candidate key against every window's grid and keep (window, key)
+    * pairs with est >= ceil(n/denom), where n is the window's exact event
+    * count RECOVERED FROM THE SKETCH itself (every event increments
+    * exactly one row-0 cell, so n = Σ cnt over j = 0 — no second
+    * aggregation pass). The threshold is pure integer arithmetic
+    * ((n + denom−1) div denom), so any engine reproduces the screen
+    * bit-for-bit. One-sided CMS error means the result is a GUARANTEED
+    * SUPERSET of the true ≥1/denom-share keys per window; exact-verify
+    * the survivors (they are few) when false positives matter —
+    * [[graft.operators.HeavyHitters.frequentItems]] is the batch
+    * equivalent of screen+verify in one call.
+    *
+    * Scale posture: the sketch is ≤ windows×depth×width rows and rides a
+    * broadcast; the candidate side streams — candidates × windows × depth
+    * rows shuffle at most, never the event stream itself. */
+  def windowedHeavyHitters(sketchDf: DataFrame, probes: DataFrame,
+      keyCol: String, denom: Int, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(denom >= 2, s"denom must be >= 2: $denom")
+    // attribute-fresh copy: the n-per-window frame and the probe join both
+    // descend from sketchDf (a self-join); streaming memory-sink views
+    // break Catalyst's automatic reference dedup, so give the tiny n side
+    // (≤ #windows rows) its own expression ids via an RDD round-trip
+    val n = {
+      val n0 = sketchDf.where(col("j") === 0)
+        .groupBy("window").agg(sum("cnt").as("n"))
+      n0.sparkSession.createDataFrame(n0.toJavaRDD, n0.schema)
+    }
+    val pe = probes.select(col(keyCol).as("key")).where(col("key").isNotNull)
+      .distinct()
+      .select(col("key"), posexplode(array((0 until depth).map(j =>
+        bucket(col("key"), j, width)): _*)).as(Seq("j", "bucket")))
+      // every candidate is estimated in every window: absent cells are
+      // exact zeros (no colliding key landed there), so the left join +
+      // coalesce(0) keeps the one-sided guarantee per window
+      .crossJoin(broadcast(n))
+      .join(broadcast(sketchDf), Seq("window", "j", "bucket"), "left")
+      .groupBy("window", "key")
+      .agg(min(col("n")).as("n"), min(coalesce(col("cnt"), lit(0L))).as("est"))
+    // `div` is integer division on longs — the ceil threshold never
+    // routes through a double
+    pe.where(expr(s"est >= (n + ${denom - 1}) div $denom"))
+  }
 }

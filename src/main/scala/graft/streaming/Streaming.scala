@@ -387,6 +387,29 @@ object Streaming {
       "__sk", k)
   }
 
+  /** Streaming Count-Min sketch per tumbling window: the incremental
+    * stateful count over exploded (window, row, bucket) cells IS the CMS
+    * merge law — the grid is linear in the multiset ([[graft.analytics
+    * .Cms]], merge law proven in CmsSpec), so per-batch counter addition
+    * by Spark's windowed aggregation reconstructs exactly the sketch a
+    * batch build over the same data would produce (asserted stream ==
+    * batch in StreamingSpec). State per window is AT MOST depth×width
+    * counters REGARDLESS of key cardinality — the streaming heavy-hitter
+    * screen over trillion-token streams where exact per-key windowed
+    * counts would hold every distinct key in the state store. Output
+    * rows: (window, j, bucket, cnt); feed to [[graft.analytics.Cms
+    * .windowedHeavyHitters]] (or Cms.estimates per window) to screen. */
+  def windowedCmsStream(events: DataFrame, tsCol: String, valueCol: Column,
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      depth: Int = 4, width: Int = 512): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .where(valueCol.isNotNull)
+      .select(col(tsCol), posexplode(array((0 until depth).map(j =>
+        graft.analytics.Cms.bucket(valueCol, j, width)): _*))
+        .as(Seq("j", "bucket")))
+      .groupBy(window(col(tsCol), windowLen), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming rollup maintenance: each micro-batch folds into a per-key
     * (n, sum_micro) IceLite state table via
     * [[graft.analytics.IncrementalAgg.maintain]] — the streaming face of

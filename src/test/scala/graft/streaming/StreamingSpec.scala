@@ -395,6 +395,66 @@ class StreamingSpec extends AnyFunSuite {
       s"non-trailing windows missing: $missing")
   }
 
+  test("windowedCmsStream: per-batch counter addition equals the batch " +
+      "sketch; screen+verify equals HeavyHitters.frequentItems per window") {
+    val dir = eventsDir()
+    val schema = spark.read.parquet(dir).schema
+    // Complete mode: every window's final grid is emitted (the sketch is
+    // the incremental sum of all batches — CMS linearity)
+    val got = Streaming.runToMemory(
+      Streaming.windowedCmsStream(
+        Streaming.eventsStream(spark, dir, schema), "ts", $"user_id",
+        "1 hour", "2 hours", depth = 4, width = 64),
+      "wcms", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select($"window.start".as("ws"), $"j", $"bucket", $"cnt")
+    val batchEvents = spark.read.parquet(dir)
+    val batch = batchEvents.where($"user_id".isNotNull)
+      .select(window($"ts", "1 hour").as("window"),
+        posexplode(array((0 until 4).map(j =>
+          graft.analytics.Cms.bucket($"user_id", j, 64)): _*))
+          .as(Seq("j", "bucket")))
+      .groupBy($"window", $"j", $"bucket").agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("ws"), $"j", $"bucket", $"cnt")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream sketch must equal the batch sketch cell-for-cell")
+
+    // heavy-hitter screen: one-sided CMS error -> per-window SUPERSET of
+    // the exact >=1/8-share keys; exact verify of the survivors == the
+    // exact answer (HeavyHitters.frequentItems, per window)
+    val sketch = Streaming.runToMemory(
+      Streaming.windowedCmsStream(
+        Streaming.eventsStream(spark, dir, schema), "ts", $"user_id",
+        "1 hour", "2 hours", depth = 4, width = 64),
+      "wcms2", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val screened = graft.analytics.Cms.windowedHeavyHitters(
+      sketch, batchEvents.select($"user_id"), "user_id", denom = 8,
+      depth = 4, width = 64)
+      .select($"window.start".as("ws"), $"key", $"n", $"est")
+    val windows = batchEvents.select(window($"ts", "1 hour")("start").as("ws"))
+      .distinct().collect().map(_.getTimestamp(0))
+    windows.foreach { w =>
+      val perWin = batchEvents
+        .where(window($"ts", "1 hour")("start") === w && $"user_id".isNotNull)
+      val exact = graft.operators.HeavyHitters
+        .frequentItems(perWin, "user_id", 1.0 / 8)
+        .collect().map(r => r.getString(0).toLong -> r.getLong(1)).toMap
+      val cand = screened.where($"ws" === w)
+        .collect().map(_.getLong(1)).toSet
+      assert(exact.keySet.subsetOf(cand),
+        s"window $w: screen must be a superset of the exact heavy hitters")
+      // exact verify of the screened candidates recovers exactly the
+      // frequentItems answer (false positives die on their true count)
+      val n = perWin.count()
+      val verified = perWin.groupBy($"user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .where($"user_id".isInCollection(cand) &&
+          $"cnt" >= math.ceil(n / 8.0).toLong)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(verified == exact, s"window $w: verify(screen) != exact")
+    }
+  }
+
   test("maintainCountSumStream: streamed rollup equals batch recompute") {
     val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-stlh2-").toString)
     val b1 = Seq(Event(1, new Timestamp(1000), 1, "view", 10.0),

@@ -121,4 +121,40 @@ class SearchSpec extends AnyFunSuite {
     // list at similar single-list rank (the RRF consensus property)
     assert(got.contains(2L) && got(2L)._1.isDefined && got(2L)._2.isDefined)
   }
+
+  test("hybridRrfBatch: each query's slice equals its single-query run; " +
+      "every rank window is partitioned by query_id") {
+    val vecs = Map(
+      1L -> Array(1.0f, 0.0f, 0.0f),
+      2L -> Array(0.9f, 0.1f, 0.0f),
+      3L -> Array(0.0f, 1.0f, 0.0f),
+      4L -> Array(0.5f, 0.5f, 0.0f),
+      5L -> Array(0.0f, 0.0f, 1.0f))
+    val emb = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (10L, Seq("join", "hash"), 1L),
+      (20L, Seq("sort", "shuffle"), 3L))
+    val batch = Search.hybridRrfBatch(df, emb, "doc_id", "text", "vec_id",
+      "embedding", queries, poolK = 3, rrfK = 60, topN = 4)
+    // identical arithmetic: a batch slice IS the single-query result
+    queries.foreach { case (qid, terms, vid) =>
+      val single = Search.hybridRrf(df, emb, "doc_id", "text", "vec_id",
+        "embedding", terms, vid, poolK = 3, rrfK = 60, topN = 4)
+        .select("doc_id", "bm_rank", "vec_rank", "rrf_nano")
+      val slice = batch.where($"query_id" === qid)
+        .select("doc_id", "bm_rank", "vec_rank", "rrf_nano")
+      assert(slice.exceptAll(single).isEmpty &&
+        single.exceptAll(slice).isEmpty,
+        s"query $qid: batch slice != single-query result")
+    }
+    // scale shape: every window in the batch plan is keyed by query_id —
+    // Q queries rank in parallel, never through one global sort partition
+    val plan = batch.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("query_id#"),
+      s"window not partitioned by query_id: $w"))
+  }
 }
