@@ -2037,6 +2037,18 @@ object SparkEntry {
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""")
+    }),
+
+    // per-doc 3-gram NOVELTY of a candidate batch (doc_id%5=0) against the
+    // reference corpus (the rest): distinct-gram sets on both sides, 1:≤1
+    // equi-join (no hot-key blowup), integer ppm — the "how much NEW
+    // content does this batch add" admission signal
+    "q154_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Drift.ngramNovelty(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
     })
   )
 
@@ -4086,6 +4098,24 @@ object SparkEntry {
         |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin,
+
+    // same 3-gram construction as q81's oracle; novelty in integer ppm
+    "q154_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM tok, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cand AS (SELECT DISTINCT doc_id, g FROM g0 WHERE doc_id % 5 = 0),
+        |ref AS (SELECT DISTINCT g FROM g0 WHERE doc_id % 5 <> 0)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM cand c LEFT JOIN ref r ON c.g = r.g
+        |GROUP BY c.doc_id""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, desc, lit, when}
+import org.apache.spark.sql.functions.{array, col, count, desc, lit, posexplode, when, window}
 import org.json4s.jackson.JsonMethods
 
 import graft.{Fixtures, Lakehouse}
@@ -1336,6 +1336,49 @@ object Cli {
           s"rrf=${r.getLong(3)} bm25_rank=${Option(r.get(1)).getOrElse("-")} " +
           s"vec_rank=${Option(r.get(2)).getOrElse("-")}"))
 
+      case List("rrf-batch", docsTable, embTable) =>
+        // batch spec: 'qid:terms:vecid' triples separated by ';',
+        // terms comma-separated — e.g. '1:hash,join:1;2:scan,filter:2'
+        val qs = flags.getOrElse("queries", "1:hash,join,spark:1")
+          .split(';').map(_.trim).filter(_.nonEmpty).map { spec =>
+            val Array(qid, terms, vid) = spec.split(':')
+            (qid.trim.toLong,
+              terms.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+              vid.trim.toLong)
+          }.toSeq
+        val out = graft.text.Search.hybridRrfBatch(
+          lh.catalog.loadTable(docsTable).read(),
+          lh.catalog.loadTable(embTable).read(),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("vec-id-col", "vec_id"),
+          flags.getOrElse("vec-col", "embedding"), qs,
+          poolK = flags.getOrElse("pool", "50").toInt,
+          topN = flags.getOrElse("top", "20").toInt)
+        out.orderBy(col("query_id"), desc("rrf_nano"), col("doc_id"))
+          .collect().foreach(r => println(s"q${r.getLong(0)} " +
+            s"doc ${r.getLong(1)}: rrf=${r.getLong(4)} " +
+            s"bm25_rank=${Option(r.get(2)).getOrElse("-")} " +
+            s"vec_rank=${Option(r.get(3)).getOrElse("-")}"))
+
+      case List("window-heavy-hitters", table, tsCol, keyCol) =>
+        val df = lh.catalog.loadTable(table).read()
+        val win = flags.getOrElse("window", "1 hour")
+        val sketch = df.where(col(keyCol).isNotNull)
+          .select(col(tsCol), posexplode(array((0 until 4).map(j =>
+            graft.analytics.Cms.bucket(col(keyCol), j, 512)): _*))
+            .as(Seq("j", "bucket")))
+          .groupBy(window(col(tsCol), win), col("j"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.analytics.Cms.windowedHeavyHitters(sketch,
+            df.select(col(keyCol)), keyCol,
+            denom = flags.getOrElse("denom", "8").toInt)
+          .orderBy(desc("est"), col("key"))
+          .limit(flags.getOrElse("limit", "50").toInt)
+          .collect().foreach(r =>
+            println(s"${r.getStruct(0).getTimestamp(0)} key=${r.get(1)}: " +
+              s"est=${r.getLong(3)} of ${r.getLong(2)}"))
+
       case List("kfold", table) =>
         val fold = graft.operators.HashSplit.kFold(
           col(flags.getOrElse("id-col", "doc_id")),
@@ -1453,6 +1496,10 @@ object Cli {
       |         cms-freq <table> <column> (--depth 4 --width 512 --top 20)
       |         hybrid-search <docs-table> <emb-table> (--query hash,join
       |           --query-vec 1 --pool 50 --top 20)
+      |         rrf-batch <docs-table> <emb-table>
+      |           (--queries '1:hash,join:1;2:scan,filter:2' --pool 50 --top 20)
+      |         window-heavy-hitters <table> <ts-col> <key-col>
+      |           (--window '1 hour' --denom 8 --limit 50)
       |         kfold <table> (--k 5 --seed 0 --id-col doc_id)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table

@@ -1467,6 +1467,66 @@ object McpTools {
             s"${r.getLong(1)} rows")
           .mkString("; ")
       }),
+    ToolDef("graft_rrf_batch",
+      "Batched hybrid retrieval: Q queries fused in ONE corpus pass (shared postings/df builds, rank windows partitioned by query id). Queries as 'qid:terms:vecid' triples separated by ';' with comma-separated terms.",
+      sch(List("docs_table", "emb_table", "queries"),
+        "docs_table" -> S("Document table"),
+        "emb_table" -> S("Embedding table"),
+        "queries" -> S("Batch spec, e.g. '1:hash,join:1;2:scan,filter:2'"),
+        "pool" -> I("Per-ranker candidate pool (default 50)"),
+        "top" -> I("Fused results per query (default 20)")),
+      (lh, a) => {
+        val qs = str(a, "queries").split(';').map(_.trim).filter(_.nonEmpty)
+          .map { spec =>
+            val Array(qid, terms, vid) = spec.split(':')
+            (qid.trim.toLong,
+              terms.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+              vid.trim.toLong)
+          }.toSeq
+        graft.text.Search.hybridRrfBatch(
+          lh.catalog.loadTable(str(a, "docs_table")).read(),
+          lh.catalog.loadTable(str(a, "emb_table")).read(),
+          "doc_id", "text", "vec_id", "embedding", qs,
+          poolK = strOpt(a, "pool").map(_.toInt).getOrElse(50),
+          topN = strOpt(a, "top").map(_.toInt).getOrElse(20))
+          .orderBy(org.apache.spark.sql.functions.col("query_id"),
+            org.apache.spark.sql.functions.desc("rrf_nano"),
+            org.apache.spark.sql.functions.col("doc_id"))
+          .collect()
+          .map(r => s"q${r.getLong(0)} doc ${r.getLong(1)}: " +
+            s"rrf=${r.getLong(4)}")
+          .mkString("; ")
+      }),
+    ToolDef("graft_window_heavy_hitters",
+      "Per-window heavy hitters via a Count-Min sketch (bounded depth x width grid per window; integer ceil(n/denom) share screen). Batch twin of the streaming windowedCmsStream path.",
+      sch(List("table_name", "ts_col", "key_col"),
+        "table_name" -> S("Source table"),
+        "ts_col" -> S("Event-time column"),
+        "key_col" -> S("Key column to screen"),
+        "window" -> S("Window length (default '1 hour')"),
+        "denom" -> I("Share denominator: keep keys with count >= ceil(n/denom) (default 8)"),
+        "limit" -> I("Max rows printed (default 50)")),
+      (lh, a) => {
+        import org.apache.spark.sql.functions._
+        val df = lh.catalog.loadTable(str(a, "table_name")).read()
+        val tsc = str(a, "ts_col"); val keyc = str(a, "key_col")
+        val win = strOpt(a, "window").getOrElse("1 hour")
+        val sketch = df.where(col(keyc).isNotNull)
+          .select(col(tsc), posexplode(array((0 until 4).map(j =>
+            graft.analytics.Cms.bucket(col(keyc), j, 512)): _*))
+            .as(Seq("j", "bucket")))
+          .groupBy(window(col(tsc), win), col("j"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.analytics.Cms.windowedHeavyHitters(sketch,
+            df.select(col(keyc)), keyc,
+            denom = strOpt(a, "denom").map(_.toInt).getOrElse(8))
+          .orderBy(desc("est"), col("key"))
+          .limit(strOpt(a, "limit").map(_.toInt).getOrElse(50))
+          .collect()
+          .map(r => s"${r.getStruct(0).getTimestamp(0)} key=${r.get(1)}: " +
+            s"est=${r.getLong(3)}/${r.getLong(2)}")
+          .mkString("; ")
+      }),
   )
 
   /** Reference-mirrored tools only (155, 1:1 with server.py). */

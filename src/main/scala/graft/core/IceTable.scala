@@ -598,8 +598,15 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def overwrite(df: DataFrame, extraSummary: Map[String, String] = Map.empty): Snapshot =
     commit(df, "overwrite", keepParent = false, extraSummary)
 
+  /** `requireParentId`: data-preserving rewrites (compaction) pass the
+    * snapshot id their input was read from — if a FOREIGN-process commit
+    * overtakes it before the CAS lands, the rewrite must abort rather
+    * than publish a file list that silently drops the competitor's rows
+    * (plain `overwrite` intentionally replaces whatever is current, so it
+    * passes None — replacing a concurrent append IS its semantic). */
   private def commit(df: DataFrame, op: String, keepParent: Boolean,
-      extraSummary: Map[String, String] = Map.empty): Snapshot =
+      extraSummary: Map[String, String] = Map.empty,
+      requireParentId: Option[Long] = None): Snapshot =
     tableLock.synchronized {
       val m = meta
       // Stage the data under a writer-UNIQUE dot-name first: the expensive
@@ -646,6 +653,14 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val uid = stage.getFileName.toString.stripPrefix(".stage-")
       var curDir = stage
       def commitBody(refs: List[Snapshot]): Either[Snapshot, (List[Snapshot], Snapshot)] = {
+        requireParentId.foreach { expected =>
+          val cur = refs.lastOption.map(_.id).getOrElse(0L)
+          if (cur != expected)
+            throw new java.util.ConcurrentModificationException(
+              s"$op computed against snapshot $expected but the table " +
+                s"advanced to $cur — rewriting now would drop the " +
+                "concurrent commit's rows; re-run against the new state")
+        }
         val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
         val commitDir = dataDir.resolve(f"commit-$id%05d")
         // Claim the id's data-dir name by atomic rename: the eq-delete
@@ -864,6 +879,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * [[prunedRead]] range predicates on the clustered columns. */
   def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Nil): Snapshot = locked {
     val n = math.max(targetFiles, 1)
+    // record the snapshot the rewrite reads from: compaction must be
+    // DATA-PRESERVING, so if a foreign-process commit lands between this
+    // read and the log CAS, the commit aborts instead of publishing a
+    // file list that silently drops the competitor's rows
+    val asOf = currentSnapshot.map(_.id).getOrElse(0L)
     val base = read()
     val df = clusterBy match {
       case Nil => base.repartition(n)
@@ -872,7 +892,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       case other => throw new IllegalArgumentException(
         s"clusterBy supports 1 or 2 columns, got ${other.size}")
     }
-    commit(df, "replace", keepParent = false)
+    commit(df, "replace", keepParent = false, requireParentId = Some(asOf))
   }
 
   // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------

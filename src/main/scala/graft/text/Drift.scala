@@ -46,4 +46,39 @@ object Drift {
       .agg(sum("c_sw").as("n_tokens"), count(lit(1)).as("n_distinct"),
         sum("term_micro").as("kl_micro"))
   }
+
+  /** Per-candidate-doc n-gram NOVELTY against a reference corpus:
+    * (doc_id, n_grams, novel, novelty_ppm) where `n_grams` counts the
+    * doc's DISTINCT n-grams, `novel` those absent from the reference
+    * corpus's distinct n-gram set, and novelty_ppm = novel·10⁶ div
+    * n_grams (integer — engine-exact). The "how much NEW content does
+    * this batch add" curation signal: near-duplicates of reference
+    * content score ~0, genuinely novel text ~10⁶ — the incremental-
+    * admission complement to [[graft.text.NearDup]] (which finds
+    * pairwise duplicates; this measures aggregate content overlap
+    * without any pair join).
+    *
+    * Scale posture: both sides reduce to DISTINCT gram sets before the
+    * join, so each gram appears at most once per side — the equi-join is
+    * 1:≤1 per (doc, gram) with NO possibility of a hot-key blowup, and
+    * partial aggregation collapses the per-doc counts map-side. The
+    * reference set never materializes anywhere; it streams through the
+    * shuffle keyed by gram. Docs with fewer than n tokens carry no grams
+    * and are absent (same in the SQL twin). */
+  def ngramNovelty(candidates: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val cand = candidates
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.ngrams(col(textCol), n)).as("g"))
+      .distinct()
+    val ref = reference
+      .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    cand.join(ref, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty_ppm", expr("novel * 1000000 div n_grams"))
+  }
 }

@@ -633,6 +633,38 @@ class CliSpec extends AnyFunSuite {
     assert(runCli(lh, "query", "SELECT count(*) AS n FROM t").contains("1"))
   }
 
+  test("rrf-batch and window-heavy-hitters verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-rb-").toString)
+    import spark.implicits._
+    runCli(lh, "create-table", "default.docs", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.docs",
+      """[{"doc_id":1,"text":"hash join beats nested loop join"},
+         {"doc_id":2,"text":"sort merge join shuffles both sides"},
+         {"doc_id":3,"text":"broadcast hash join avoids the shuffle"}]""")
+    val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    lh.catalog.createTable("default.emb", e.schema, Nil, Map.empty)
+    lh.catalog.loadTable("default.emb").append(e)
+    val out = runCli(lh, "rrf-batch", "default.docs", "default.emb",
+      "--queries", "1:hash,join:1;2:merge,sort:3", "--pool", "3", "--top", "3")
+    // both queries produced fused results
+    assert(out.contains("q1 doc") && out.contains("q2 doc"), out)
+
+    runCli(lh, "create-table", "default.ev", "ts:timestamp,k:string")
+    runCli(lh, "insert", "default.ev",
+      """[{"ts":"2024-01-01T00:01:00","k":"a"},
+         {"ts":"2024-01-01T00:02:00","k":"a"},
+         {"ts":"2024-01-01T00:03:00","k":"a"},
+         {"ts":"2024-01-01T00:04:00","k":"b"},
+         {"ts":"2024-01-01T01:01:00","k":"c"}]""")
+    val hh = runCli(lh, "window-heavy-hitters", "default.ev", "ts", "k",
+      "--denom", "2")
+    // hour 0: n=4, threshold 2 -> only 'a' (3 >= 2); hour 1: 'c' (1 >= 1)
+    assert(hh.contains("key=a") && hh.contains("key=c") && !hh.contains("key=b"),
+      hh)
+  }
+
   test("parseFlags: boolean flags never swallow a following positional") {
     val (f1, p1) = Cli.parseFlags(List("decontaminate", "--remove", "train", "eval"))
     assert(f1 == Map("remove" -> "true") && p1 == List("decontaminate", "train", "eval"))

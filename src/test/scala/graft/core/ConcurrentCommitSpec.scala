@@ -175,6 +175,28 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       "rows appended concurrently with the delete must survive it")
   }
 
+  test("compaction vs concurrent append: the rewrite ABORTS instead of " +
+      "silently dropping the appended rows") {
+    val cat = newCatalog()
+    val a = cat.createTable("t11", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 50).repartition(4))
+    val b = cat.loadTable("t11")
+    // b's append lands between compaction's read and its CAS: publishing
+    // the compacted (pre-append) file list would lose b's 10 rows
+    injectOnce(a)(b.append(df(100 until 110)))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.compact(targetFiles = 1)
+    }
+    assert(e.getMessage.contains("drop the concurrent commit"))
+    // nothing lost, table healthy, a re-run compaction succeeds
+    assert(a.read().count() == 60)
+    assertLinear(a)
+    a.orphanFiles(delete = true)
+    val snap = a.compact(targetFiles = 1)
+    assert(snap.files.size == 1 && a.read().count() == 60)
+  }
+
   test("expire vs expire: second expire sees the shrunk log and no-ops " +
       "without a new head version") {
     val cat = newCatalog()

@@ -53,4 +53,23 @@ class DriftSpec extends AnyFunSuite {
     assert(got("mild")._3 > got("balanced")._3)
     assert(got.values.forall(_._3 >= 0), "KL is non-negative")
   }
+
+  test("ngramNovelty matches a hand-computed reference; boundaries exact") {
+    // reference corpus grams: "a b c", "b c d" (doc 1) and "x y z" (doc 2)
+    val ref = Seq((1L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b c d"),        // grams {a b c, b c d} — all seen -> 0 ppm
+      (11L, "p q r s"),        // {p q r, q r s} — none seen -> 1e6 ppm
+      (12L, "a b c q r s"),    // {a b c, b c q, c q r, q r s} — 3/4 novel
+      (13L, "a b"))            // < 3 tokens: no grams -> absent
+      .toDF("doc_id", "text")
+    val got = Drift.ngramNovelty(cand, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      10L -> ((2L, 0L, 0L)),
+      11L -> ((2L, 2L, 1000000L)),
+      12L -> ((4L, 3L, 750000L))))
+    assert(!got.contains(13L), "sub-n docs carry no grams")
+  }
 }
