@@ -2049,6 +2049,42 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 === 0),
         docs.where(col("doc_id") % 5 =!= 0),
         "doc_id", "text")
+    }),
+
+    // TPC-H Q19 shape: disjunction of per-branch conjunctions spanning
+    // BOTH join sides — the predicate the optimizer must split into a
+    // pushable part-side filter (brand ∪ size ranges) plus a post-join
+    // residual; revenue exact-decimal
+    "q155_tpch_q19" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li155")
+      t(s, dir, "part").createOrReplaceTempView("part155")
+      s.sql("""
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM li155 l JOIN part155 p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)""")
+    }),
+
+    // TPC-H Q12 shape: conditional CASE-sum counts per group over a
+    // late-shipment join (priority split high vs low) — COUNTs exact
+    "q156_tpch_q12" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li156")
+      t(s, dir, "orders").createOrReplaceTempView("ord156")
+      s.sql("""
+        SELECT l.l_returnflag,
+          SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS low_line_count
+        FROM ord156 o JOIN li156 l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY
+        GROUP BY l.l_returnflag""")
     })
   )
 
@@ -4116,6 +4152,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS novelty_ppm
         |FROM cand c LEFT JOIN ref r ON c.g = r.g
-        |GROUP BY c.doc_id""".stripMargin
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q155_tpch_q19" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q156_tpch_q12" ->
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l.l_returnflag""".stripMargin
   )
 }

@@ -104,19 +104,26 @@ object Cms {
         .groupBy("window").agg(sum("cnt").as("n"))
       n0.sparkSession.createDataFrame(n0.toJavaRDD, n0.schema)
     }
+    // Inner-join the candidates' cells against the sketch instead of
+    // cross-joining candidates × windows: a key can only pass the screen
+    // with est >= 1 (the ceil threshold is >= 1 whenever the window
+    // exists), and est >= 1 requires ALL `depth` of its cells occupied in
+    // that window — so (window, key) groups with fewer than `depth`
+    // joined cells are exactly the est = 0 pairs and can be dropped
+    // unmaterialized. Work scales with OCCUPIED cells the candidates
+    // hash into, not with candidates × windows.
     val pe = probes.select(col(keyCol).as("key")).where(col("key").isNotNull)
       .distinct()
       .select(col("key"), posexplode(array((0 until depth).map(j =>
         bucket(col("key"), j, width)): _*)).as(Seq("j", "bucket")))
-      // every candidate is estimated in every window: absent cells are
-      // exact zeros (no colliding key landed there), so the left join +
-      // coalesce(0) keeps the one-sided guarantee per window
-      .crossJoin(broadcast(n))
-      .join(broadcast(sketchDf), Seq("window", "j", "bucket"), "left")
+      .join(broadcast(sketchDf), Seq("j", "bucket"))
       .groupBy("window", "key")
-      .agg(min(col("n")).as("n"), min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .agg(count(lit(1)).as("__cells"), min(col("cnt")).as("est"))
+      .where(col("__cells") === depth)
+      .join(broadcast(n), "window")
     // `div` is integer division on longs — the ceil threshold never
     // routes through a double
     pe.where(expr(s"est >= (n + ${denom - 1}) div $denom"))
+      .select(col("window"), col("key"), col("n"), col("est"))
   }
 }
