@@ -32,11 +32,90 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def metaPath: Path = dir.resolve("meta.json")
   def snapshotsPath: Path = dir.resolve("snapshots.json")
   def headsDir: Path = dir.resolve("heads")
+  def metaVersionsDir: Path = dir.resolve("meta-v")
   def dataDir: Path = dir.resolve("data")
   def manifestsDir: Path = dir.resolve("manifests")
 
-  def meta: TableMeta = Jsons.readFile[TableMeta](metaPath)
+  def meta: TableMeta = metaHead._2
   def schema: StructType = meta.schema
+
+  private def metaVPath(v: Long): Path =
+    metaVersionsDir.resolve(f"v-$v%09d.json")
+
+  /** Current table metadata (version, value). Version 0 is the bootstrap
+    * `meta.json` Catalog.createTable wrote (kept forever as the
+    * table-existence marker — its CONTENT is superseded the moment any
+    * `meta-v/v-N.json` exists); versions >= 1 are write-once files, the
+    * same CAS shape as the snapshot log's heads. Readers take the max
+    * version; bounded retry covers a reader whose pick was pruned by
+    * KeepHeads newer metadata commits landing mid-read. */
+  private[core] def metaHead: (Long, TableMeta) = {
+    def listLatest: Option[Long] =
+      if (!Files.isDirectory(metaVersionsDir)) None
+      else {
+        val s = Files.list(metaVersionsDir)
+        try s.iterator.asScala
+          .flatMap(p => IceTable.HeadRe.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toLong))
+          .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
+        finally s.close()
+      }
+    var attempt = 0
+    while (true) {
+      listLatest match {
+        case Some(v) =>
+          try return (v, Jsons.readFile[TableMeta](metaVPath(v)))
+          catch {
+            case e: java.nio.file.NoSuchFileException =>
+              if (attempt >= 5) throw e
+          }
+        case None =>
+          return (0L, Jsons.readFile[TableMeta](metaPath))
+      }
+      attempt += 1
+    }
+    sys.error("unreachable")
+  }
+
+  /** Test-only interleaving hook for metadata commits — fires between the
+    * meta-head read and the CAS attempt (the foreign-process window). */
+  private[core] var onMetaAttempt: TableMeta => Unit = _ => ()
+
+  /** Optimistic read-modify-write on table METADATA (schema evolution,
+    * properties) — the same cross-process CAS protocol as the snapshot
+    * log: without it, two processes evolving concurrently would rewrite
+    * meta.json last-writer-wins and silently drop one process's column
+    * or property. `f` runs against the freshest metadata each attempt,
+    * so the loser's retry composes (both columns land, field-ids
+    * re-floored against the winner's). */
+  private def updateMeta(f: TableMeta => TableMeta): TableMeta =
+    tableLock.synchronized {
+      var attempt = 0
+      while (attempt < IceTable.MaxCommitRetries) {
+        val (v, m) = metaHead
+        onMetaAttempt(m)
+        val next = f(m)
+        Files.createDirectories(metaVersionsDir)
+        val tmp = metaVersionsDir.resolve(
+          s".cas-${java.util.UUID.randomUUID()}.tmp")
+        try {
+          Files.write(tmp, Jsons.write(next)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            Files.createLink(metaVPath(v + 1), tmp)
+            val old = v + 1 - IceTable.KeepHeads
+            if (old >= 1)
+              try Files.deleteIfExists(metaVPath(old))
+              catch { case _: java.io.IOException => () }
+            return next
+          } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        } finally Files.deleteIfExists(tmp)
+        attempt += 1
+        Thread.sleep(math.min(100L, 5L * attempt))
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"metadata update on $dir lost the CAS ${IceTable.MaxCommitRetries} times")
+    }
 
   /** Raw snapshot-log entries: constant-size records whose file lists are
     * manifest POINTERS, not contents (legacy entries may still inline).
@@ -897,21 +976,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------
 
-  def evolveSchema(f: StructType => StructType): TableMeta = tableLock.synchronized {
-    val m = meta
+  def evolveSchema(f: StructType => StructType): TableMeta = updateMeta { m =>
     // Field-id floor spans ALL schema versions, not just the current one:
     // a dropped column's id lives on in old versions, and reusing it for a
     // new column would resurrect the dropped data through the field-id
-    // read resolution (the Iceberg last-column-id invariant).
+    // read resolution (the Iceberg last-column-id invariant). Re-derived
+    // per CAS attempt, so a concurrent process's new columns raise the
+    // floor before ours are assigned.
     val maxEver = m.schemas
       .flatMap(_.struct.fields.flatMap(TableMeta.fieldId))
       .foldLeft(0L)(math.max)
     val evolved = TableMeta.assignFieldIds(f(m.schema), floor = maxEver)
     val newId = m.schemas.map(_.id).max + 1
-    val nm = m.copy(schemas = m.schemas :+ SchemaVersion(newId, evolved.json),
+    m.copy(schemas = m.schemas :+ SchemaVersion(newId, evolved.json),
       currentSchemaId = newId)
-    Jsons.writeFile(metaPath, nm)
-    nm
   }
 
   def addColumn(name: String, typeName: String): TableMeta =
@@ -940,11 +1018,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   // ---- properties --------------------------------------------------------
 
-  def setProperty(k: String, v: String): Unit = tableLock.synchronized {
-    val m = meta; Jsons.writeFile(metaPath, m.copy(properties = m.properties + (k -> v)))
+  def setProperty(k: String, v: String): Unit = {
+    updateMeta(m => m.copy(properties = m.properties + (k -> v))); ()
   }
-  def removeProperty(k: String): Unit = tableLock.synchronized {
-    val m = meta; Jsons.writeFile(metaPath, m.copy(properties = m.properties - k))
+  def removeProperty(k: String): Unit = {
+    updateMeta(m => m.copy(properties = m.properties - k)); ()
   }
 
   // ---- stats -------------------------------------------------------------

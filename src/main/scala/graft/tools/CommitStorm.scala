@@ -11,11 +11,18 @@ import org.apache.spark.sql.SparkSession
   * these and asserts no commit was lost and the snapshot chain is linear
   * and dense.
   *
-  * Args: warehouseDir tableIdent startId count
+  * Args: warehouseDir tableIdent startId count [mode]
+  * mode `append` (default): `count` single-row appends starting at
+  * `startId`; mode `addcols`: `count` addColumn evolutions named
+  * `c<startId>_<i>` — drives the metadata CAS instead of the log CAS.
   */
 object CommitStorm {
   def main(args: Array[String]): Unit = {
-    val Array(whDir, table, start, count) = args
+    val (whDir, table, start, count, mode) = args match {
+      case Array(w, t, s, c) => (w, t, s, c, "append")
+      case Array(w, t, s, c, m) => (w, t, s, c, m)
+      case _ => sys.error("args: warehouseDir table startId count [mode]")
+    }
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -27,8 +34,16 @@ object CommitStorm {
       val cat = graft.core.Catalog.open(spark, whDir)
       val tbl = cat.loadTable(table)
       val s = start.toLong
-      (0 until count.toInt).foreach { i =>
-        tbl.append(Seq((s + i, s"p$s-$i")).toDF("id", "name"))
+      mode match {
+        case "append" =>
+          (0 until count.toInt).foreach { i =>
+            tbl.append(Seq((s + i, s"p$s-$i")).toDF("id", "name"))
+          }
+        case "addcols" =>
+          (0 until count.toInt).foreach { i =>
+            tbl.addColumn(s"c${s}_$i", "long")
+          }
+        case other => sys.error(s"unknown mode: $other")
       }
     } finally spark.stop()
   }

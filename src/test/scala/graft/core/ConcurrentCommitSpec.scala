@@ -243,6 +243,36 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(a.read().where(col("id") >= 500 && col("id") < 510).count() == 0)
   }
 
+  test("metadata CAS: concurrent schema evolutions both land with " +
+      "distinct field-ids; properties compose with evolutions") {
+    val cat = newCatalog()
+    val a = cat.createTable("t12", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    val b = cat.loadTable("t12")
+    // b's addColumn lands between a's meta read and its CAS: a must
+    // retry on the fresh meta so BOTH columns land, and a's field-id
+    // must re-floor ABOVE b's new column's id (no id reuse)
+    var fired = false
+    a.onMetaAttempt = _ => if (!fired) { fired = true; b.addColumn("from_b", "long") }
+    a.addColumn("from_a", "string")
+    a.onMetaAttempt = _ => ()
+    val m = a.meta
+    assert(m.schema.fieldNames.contains("from_a") &&
+      m.schema.fieldNames.contains("from_b"),
+      s"lost a concurrent evolution: ${m.schema.fieldNames.toSeq}")
+    val ids = m.schema.fields.flatMap(TableMeta.fieldId)
+    assert(ids.distinct.length == ids.length, s"field-id collision: ${ids.toSeq}")
+    // property set racing an evolution: both survive
+    fired = false
+    a.onMetaAttempt = _ => if (!fired) { fired = true; b.addColumn("from_b2", "long") }
+    a.setProperty("owner", "alice")
+    a.onMetaAttempt = _ => ()
+    assert(a.meta.properties.get("owner").contains("alice"))
+    assert(a.meta.schema.fieldNames.contains("from_b2"))
+    // schema versions stayed linear (each evolution a new version)
+    assert(a.meta.schemas.map(_.id) == a.meta.schemas.map(_.id).sorted)
+  }
+
   test("head pruning keeps a bounded window and readers always resolve") {
     val cat = newCatalog()
     val a = cat.createTable("t9", Seq("id" -> "long", "name" -> "string"),

@@ -60,4 +60,30 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(tbl.orphanFiles().isEmpty,
       "concurrent commits left orphaned files")
   }
+
+  test("two real JVMs evolving schema concurrently: every column lands, " +
+      "field-ids unique, versions linear") {
+    val wh = SparkFixture.tmpDir("graft-xmeta-").toString
+    val cat = Catalog.open(spark, wh)
+    val tbl = cat.createTable("t", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    val perProc = 3
+    val p1 = launch(Seq(wh, "t", "100", perProc.toString, "addcols"))
+    val p2 = launch(Seq(wh, "t", "200", perProc.toString, "addcols"))
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "storm processes did not finish in time")
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0)
+    val m = tbl.meta
+    val names = m.schema.fieldNames.toSet
+    val expect = Set("id", "name") ++
+      (0 until perProc).map(i => s"c100_$i") ++
+      (0 until perProc).map(i => s"c200_$i")
+    assert(names == expect, s"lost columns: ${expect -- names}")
+    val ids = m.schema.fields.flatMap(TableMeta.fieldId)
+    assert(ids.distinct.length == ids.length, s"field-id collision: ${ids.toSeq}")
+    // one schema version per evolution, ids strictly increasing
+    assert(m.schemas.size == 1 + 2 * perProc)
+    assert(m.schemas.map(_.id) == (1 to (1 + 2 * perProc)).toList)
+  }
 }
