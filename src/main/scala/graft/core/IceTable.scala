@@ -920,20 +920,31 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val s = Files.list(p)
       try !s.iterator().hasNext finally s.close()
     }
-    val emptyStageDirs =
+    // a crashed writer's staging dir is garbage WHOLESALE once no live
+    // file lives under it (which is always — stage dirs are renamed
+    // before their files are ever referenced): report the dir and remove
+    // it recursively on delete, _SUCCESS/.crc side files included
+    val deadStageDirs =
       if (!Files.exists(dataDir)) Nil
       else {
         val s = Files.list(dataDir)
         try s.iterator().asScala
           .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(".stage-") && isEmptyDir(p))
+            p.getFileName.toString.startsWith(".stage-") &&
+            !Files.walk(p).iterator().asScala.exists(f => live(f.toString)))
           .map(_.toString).toList
         finally s.close()
       }
-    val orphans = dataOrphans ++ manifestOrphans ++ emptyStageDirs
+    val orphans = dataOrphans ++ manifestOrphans ++ deadStageDirs
     if (delete) {
-      orphans.foreach(p => Files.deleteIfExists(java.nio.file.Paths.get(p)))
-      // sweep dirs the file deletion emptied (stranded .stage-*/del-* dirs,
+      orphans.foreach { p =>
+        val path = java.nio.file.Paths.get(p)
+        if (Files.isDirectory(path))
+          Files.walk(path).iterator().asScala.toList
+            .sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+        else Files.deleteIfExists(path)
+      }
+      // sweep dirs the file deletion emptied (del-*/eqdel-* dirs,
       // fully-expired commit dirs) — deepest first so parents empty out;
       // the walk is bounded by live dir count, never by file count
       if (Files.exists(dataDir)) {

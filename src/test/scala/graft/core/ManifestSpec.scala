@@ -132,6 +132,32 @@ class ManifestSpec extends AnyFunSuite {
     assert(tbl.readAsOf(raw.head.id.toString).count() == 1)
   }
 
+  test("crashed-writer stage dirs are reported and deleted by orphanFiles") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t6", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(df(0 until 10))
+    // simulate a writer that died mid-stage (data written, never claimed)
+    val dead = tbl.dataDir.resolve(".stage-deadbeef0000")
+    Files.createDirectories(dead)
+    df(100 until 105).coalesce(1).write.mode("overwrite")
+      .parquet(dead.toString)
+    // ...and one that died before writing anything (empty stage dir)
+    val empty = tbl.dataDir.resolve(".stage-deadbeef0001")
+    Files.createDirectories(empty)
+    val orphans = tbl.orphanFiles()
+    assert(orphans.exists(_.contains(".stage-deadbeef0000")),
+      s"stranded stage parquet not reported: $orphans")
+    assert(orphans.contains(empty.toString),
+      s"empty stage dir not reported: $orphans")
+    tbl.orphanFiles(delete = true)
+    assert(!Files.exists(dead) && !Files.exists(empty),
+      "stage dirs must be fully removed, not just their files")
+    // live data untouched
+    assert(tbl.read().count() == 10)
+    assert(tbl.orphanFiles().isEmpty)
+  }
+
   test("expire + orphanFiles collect stranded manifest files") {
     val cat = newCatalog()
     val tbl = cat.createTable("t4", Seq("id" -> "long", "name" -> "string"),
