@@ -2085,6 +2085,37 @@ object SparkEntry {
         FROM ord156 o JOIN li156 l ON o.o_orderkey = l.l_orderkey
         WHERE l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY
         GROUP BY l.l_returnflag""")
+    }),
+
+    // ANN index QUALITY evaluation: recall@10 of IVF probing (k=8
+    // clusters, 2 probes) against the exact brute-force top-10, per
+    // query — the metric that tells a pipeline whether its ANN index is
+    // good enough to replace exact search at 100 TB. Assignments AND
+    // centroid values are materialized to aux so the oracle replays the
+    // IDENTICAL index in SQL: probe selection, candidate restriction,
+    // ranking and the recall division are all re-derived independently
+    "q157_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") <= 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      val centroids = graft.vector.KMeansIvf.train(e, "vec_id", "embedding",
+        k = 8, dims = 64, iters = 3)
+      aux(graft.vector.KMeansIvf.assign(e, "embedding", centroids)
+        .select(col("vec_id"), col("cluster")), "ivf_clusters157", dir)
+      aux(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "cent"), "ivf_centroids157", dir)
+      val exact = graft.vector.VectorOps
+        .bruteForceTopK(queries, corpus, k = 10).select("qid", "nid")
+      val approx = graft.vector.KMeansIvf
+        .topK(queries, corpus, k = 10, centroids, probes = 2)
+        .select(col("qid"), col("nid"), lit(1).as("__hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall_ppm", expr("n_hit * 1000000 div k_exact"))
     })
   )
 
@@ -4174,6 +4205,49 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-        |GROUP BY l.l_returnflag""".stripMargin
+        |GROUP BY l.l_returnflag""".stripMargin,
+
+    // full IVF replay from the aux'd index: probe selection by expanded
+    // ||q-c||² (same left-assoc double arithmetic), candidate restriction
+    // to probed clusters, (score desc, id) ranking — then recall vs the
+    // brute-force exact top-10, integer ppm
+    "q157_ann_recall" ->
+      """WITH ck AS (
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters157/*.parquet')),
+        |cent AS (
+        |  SELECT cluster, cent FROM read_parquet('/tmp/graft_aux/ivf_centroids157/*.parquet')),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 10),
+        |qc AS (
+        |  SELECT q.qid, q.qe, c.cluster,
+        |    list_reduce(list_transform(range(len(q.qe)), i -> CAST(q.qe[i+1] AS DOUBLE)*CAST(q.qe[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |    - 2.0 * list_reduce(list_transform(range(len(q.qe)), i -> CAST(q.qe[i+1] AS DOUBLE)*CAST(c.cent[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |    + list_reduce(list_transform(range(len(c.cent)), i -> CAST(c.cent[i+1] AS DOUBLE)*CAST(c.cent[i+1] AS DOUBLE)), (x,y) -> x+y) AS dist
+        |  FROM q CROSS JOIN cent c),
+        |qp AS (
+        |  SELECT qid, qe, cluster FROM qc
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, cluster) <= 2),
+        |cand AS (
+        |  SELECT qp.qid, e.vec_id AS nid,
+        |    list_reduce(list_transform(range(len(qp.qe)), i -> CAST(qp.qe[i+1] AS DOUBLE)*CAST(e.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(len(qp.qe)), i -> CAST(qp.qe[i+1] AS DOUBLE)*CAST(qp.qe[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE)*CAST(e.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS score
+        |  FROM embeddings e JOIN ck ON e.vec_id = ck.vec_id
+        |  JOIN qp ON ck.cluster = qp.cluster
+        |  WHERE e.vec_id != qp.qid),
+        |approx AS (
+        |  SELECT qid, nid FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) <= 10),
+        |exactk AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_reduce(list_transform(range(len(q.qe)), i -> CAST(q.qe[i+1] AS DOUBLE)*CAST(e.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(len(q.qe)), i -> CAST(q.qe[i+1] AS DOUBLE)*CAST(q.qe[i+1] AS DOUBLE)), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE)*CAST(e.embedding[i+1] AS DOUBLE)), (x,y) -> x+y))) AS score
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) <= 10)
+        |SELECT ex.qid, count(*) AS k_exact,
+        |  CAST(count(a.nid) AS BIGINT) AS n_hit,
+        |  CAST(count(a.nid) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM exactk ex LEFT JOIN approx a ON ex.qid = a.qid AND ex.nid = a.nid
+        |GROUP BY ex.qid""".stripMargin
   )
 }
