@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, count, desc, lit, posexplode, when, window}
+import org.apache.spark.sql.functions.{array, col, count, desc, lit, posexplode, sum, when, window}
 import org.json4s.jackson.JsonMethods
 
 import graft.{Fixtures, Lakehouse}
@@ -1379,6 +1379,44 @@ object Cli {
             println(s"${r.getStruct(0).getTimestamp(0)} key=${r.get(1)}: " +
               s"est=${r.getLong(3)} of ${r.getLong(2)}"))
 
+      case List("novelty", candTable, refTable) =>
+        val out = graft.text.Drift.ngramNovelty(
+          lh.catalog.loadTable(candTable).read(),
+          lh.catalog.loadTable(refTable).read(),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          n = flags.getOrElse("n", "3").toInt)
+          .orderBy(desc("novelty_ppm"), col("doc_id"))
+          .limit(flags.getOrElse("limit", "20").toInt)
+        out.collect().foreach(r => println(s"doc ${r.getLong(0)}: " +
+          s"novelty=${r.getLong(3) / 10000.0}% " +
+          s"(${r.getLong(2)}/${r.getLong(1)} grams unseen)"))
+
+      case List("ann-recall", embTable) =>
+        val e = lh.catalog.loadTable(embTable).read()
+        val idc = flags.getOrElse("id-col", "vec_id")
+        val vc = flags.getOrElse("vec-col", "embedding")
+        val k = flags.getOrElse("k", "10").toInt
+        val nq = flags.getOrElse("queries", "10").toLong
+        val queries = e.where(col(idc) <= nq)
+          .select(col(idc).as("qid"), col(vc).as("qe"))
+        val corpus = e.select(col(idc).as("nid"), col(vc).as("ne"))
+        val centroids = graft.vector.KMeansIvf.train(e, idc, vc,
+          k = flags.getOrElse("clusters", "8").toInt,
+          dims = flags.getOrElse("dims", "64").toInt, iters = 3)
+        val exact = graft.vector.VectorOps.bruteForceTopK(queries, corpus, k)
+          .select("qid", "nid")
+        val approx = graft.vector.KMeansIvf.topK(queries, corpus, k,
+            centroids, probes = flags.getOrElse("probes", "2").toInt)
+          .select(col("qid"), col("nid"), lit(1).as("__hit"))
+        exact.join(approx, Seq("qid", "nid"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("k_exact"),
+            sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .orderBy("qid")
+          .collect().foreach(r => println(s"query ${r.getLong(0)}: " +
+            s"recall@$k = ${r.getLong(2)}/${r.getLong(1)}"))
+
       case List("kfold", table) =>
         val fold = graft.operators.HashSplit.kFold(
           col(flags.getOrElse("id-col", "doc_id")),
@@ -1500,6 +1538,9 @@ object Cli {
       |           (--queries '1:hash,join:1;2:scan,filter:2' --pool 50 --top 20)
       |         window-heavy-hitters <table> <ts-col> <key-col>
       |           (--window '1 hour' --denom 8 --limit 50)
+      |         novelty <cand-table> <ref-table> (--n 3 --limit 20)
+      |         ann-recall <emb-table> (--k 10 --queries 10 --clusters 8
+      |           --probes 2 --dims 64)
       |         kfold <table> (--k 5 --seed 0 --id-col doc_id)
       |analyze: profile stats dedup-find dedup-remove dedup-summary dedup-report
       |         sample sample-stratified sample-systematic sample-to-table

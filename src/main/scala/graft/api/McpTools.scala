@@ -1527,6 +1527,60 @@ object McpTools {
             s"est=${r.getLong(3)}/${r.getLong(2)}")
           .mkString("; ")
       }),
+    ToolDef("graft_novelty",
+      "Per-doc n-gram novelty of a candidate table against a reference corpus (distinct-gram equi-join, integer ppm) — the 'how much NEW content does this batch add' admission signal.",
+      sch(List("cand_table", "ref_table"),
+        "cand_table" -> S("Candidate document table"),
+        "ref_table" -> S("Reference corpus table"),
+        "n" -> I("Gram size (default 3)"),
+        "limit" -> I("Max rows returned (default 20)")),
+      (lh, a) => {
+        import org.apache.spark.sql.functions._
+        graft.text.Drift.ngramNovelty(
+          lh.catalog.loadTable(str(a, "cand_table")).read(),
+          lh.catalog.loadTable(str(a, "ref_table")).read(),
+          "doc_id", "text", n = strOpt(a, "n").map(_.toInt).getOrElse(3))
+          .orderBy(desc("novelty_ppm"), col("doc_id"))
+          .limit(strOpt(a, "limit").map(_.toInt).getOrElse(20))
+          .collect()
+          .map(r => s"doc ${r.getLong(0)}: ${r.getLong(3)} ppm " +
+            s"(${r.getLong(2)}/${r.getLong(1)})")
+          .mkString("; ")
+      }),
+    ToolDef("graft_ann_recall",
+      "ANN index quality: per-query recall@k of IVF cluster probing vs the exact brute-force top-k over an embedding table.",
+      sch(List("emb_table"),
+        "emb_table" -> S("Embedding table (vec_id, embedding)"),
+        "k" -> I("Top-k depth (default 10)"),
+        "queries" -> I("Query ids 0..N used as the query set (default 10)"),
+        "clusters" -> I("IVF cluster count (default 8)"),
+        "probes" -> I("Clusters probed per query (default 2)"),
+        "dims" -> I("Embedding dims (default 64)")),
+      (lh, a) => {
+        import org.apache.spark.sql.functions._
+        val e = lh.catalog.loadTable(str(a, "emb_table")).read()
+        val k = strOpt(a, "k").map(_.toInt).getOrElse(10)
+        val queries = e.where(col("vec_id") <=
+            strOpt(a, "queries").map(_.toLong).getOrElse(10L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val centroids = graft.vector.KMeansIvf.train(e, "vec_id", "embedding",
+          k = strOpt(a, "clusters").map(_.toInt).getOrElse(8),
+          dims = strOpt(a, "dims").map(_.toInt).getOrElse(64), iters = 3)
+        val exact = graft.vector.VectorOps.bruteForceTopK(queries, corpus, k)
+          .select("qid", "nid")
+        val approx = graft.vector.KMeansIvf.topK(queries, corpus, k,
+            centroids, probes = strOpt(a, "probes").map(_.toInt).getOrElse(2))
+          .select(col("qid"), col("nid"), lit(1).as("__hit"))
+        exact.join(approx, Seq("qid", "nid"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("k_exact"),
+            sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .orderBy("qid")
+          .collect()
+          .map(r => s"q${r.getLong(0)}: ${r.getLong(2)}/${r.getLong(1)}")
+          .mkString("; ")
+      }),
   )
 
   /** Reference-mirrored tools only (155, 1:1 with server.py). */

@@ -665,6 +665,32 @@ class CliSpec extends AnyFunSuite {
       hh)
   }
 
+  test("novelty and ann-recall verbs") {
+    val lh = Lakehouse.open(spark, SparkFixture.tmpDir("graft-cli-nv-").toString)
+    runCli(lh, "create-table", "default.ref", "doc_id:long,text:string")
+    runCli(lh, "create-table", "default.cand", "doc_id:long,text:string")
+    runCli(lh, "insert", "default.ref",
+      """[{"doc_id":1,"text":"alpha beta gamma delta"}]""")
+    runCli(lh, "insert", "default.cand",
+      """[{"doc_id":10,"text":"alpha beta gamma delta"},
+         {"doc_id":11,"text":"totally new content here"}]""")
+    val nv = runCli(lh, "novelty", "default.cand", "default.ref")
+    assert(nv.contains("doc 11: novelty=100.0%"), nv)
+    assert(nv.contains("doc 10: novelty=0.0%"), nv)
+
+    import spark.implicits._
+    val e = (0L until 30L).map(i =>
+      (i, Seq(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat)))
+      .toDF("vec_id", "embedding")
+    lh.catalog.createTable("default.emb", e.schema, Nil, Map.empty)
+    lh.catalog.loadTable("default.emb").append(e)
+    val rc = runCli(lh, "ann-recall", "default.emb",
+      "--k", "3", "--queries", "4", "--clusters", "4", "--dims", "2")
+    // one line per query, recall fractions over k=3
+    assert((0L to 4L).forall(q => rc.contains(s"query $q: ")), rc)
+    assert(rc.contains("/3"), rc)
+  }
+
   test("parseFlags: boolean flags never swallow a following positional") {
     val (f1, p1) = Cli.parseFlags(List("decontaminate", "--remove", "train", "eval"))
     assert(f1 == Map("remove" -> "true") && p1 == List("decontaminate", "train", "eval"))
