@@ -2116,6 +2116,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("k_exact"),
           sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
         .withColumn("recall_ppm", expr("n_hit * 1000000 div k_exact"))
+    }),
+
+    // TPC-H Q3 shape: shipping-priority top-10 — segment-filtered
+    // 3-way join, revenue on unshipped-as-of-date lines, unique
+    // l_orderkey tie-break under the LIMIT
+    "q158_tpch_q3" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust158")
+      t(s, dir, "orders").createOrReplaceTempView("ord158")
+      t(s, dir, "lineitem").createOrReplaceTempView("li158")
+      s.sql("""
+        SELECT l.l_orderkey,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+          o.o_orderpriority
+        FROM cust158 c
+        JOIN ord158 o ON c.c_custkey = o.o_custkey
+        JOIN li158 l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd'),
+          o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10""")
+    }),
+
+    // TPC-H Q4 shape: EXISTS semi-join per order (any line shipped >30
+    // days after order) with a date-window filter; exact counts
+    "q159_tpch_q4" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("ord159")
+      t(s, dir, "lineitem").createOrReplaceTempView("li159")
+      s.sql("""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM ord159 o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM li159 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY)
+        GROUP BY o.o_orderpriority""")
     })
   )
 
@@ -4248,6 +4289,33 @@ object SparkEntry {
         |  CAST(count(a.nid) AS BIGINT) AS n_hit,
         |  CAST(count(a.nid) * 1000000 // count(*) AS BIGINT) AS recall_ppm
         |FROM exactk ex LEFT JOIN approx a ON ex.qid = a.qid AND ex.nid = a.nid
-        |GROUP BY ex.qid""".stripMargin
+        |GROUP BY ex.qid""".stripMargin,
+
+    "q158_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+        |  o.o_orderpriority
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q159_tpch_q4" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o.o_orderpriority""".stripMargin
   )
 }
