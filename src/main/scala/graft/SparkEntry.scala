@@ -2157,6 +2157,119 @@ object SparkEntry {
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY)
         GROUP BY o.o_orderpriority""")
+    }),
+
+    // TPC-H Q5 shape: local-supplier volume — 6-way join where supplier
+    // and customer must share a nation (the c_nationkey = s_nationkey
+    // equi-constraint rides the supplier join), region + date-window
+    // filters, exact-decimal revenue per nation
+    "q160_tpch_q5" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust160")
+      t(s, dir, "orders").createOrReplaceTempView("ord160")
+      t(s, dir, "lineitem").createOrReplaceTempView("li160")
+      t(s, dir, "supplier").createOrReplaceTempView("sup160")
+      t(s, dir, "nation").createOrReplaceTempView("nat160")
+      t(s, dir, "region").createOrReplaceTempView("reg160")
+      s.sql("""
+        SELECT n.n_name,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM cust160 c
+        JOIN ord160 o ON o.o_custkey = c.c_custkey
+        JOIN li160 l ON l.l_orderkey = o.o_orderkey
+        JOIN sup160 s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nat160 n ON n.n_nationkey = s.s_nationkey
+        JOIN reg160 r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name""")
+    }),
+
+    // TPC-H Q8 shape: national market share — 8-way join (nation twice:
+    // customer side picks the region, supplier side picks the tracked
+    // nation), per-year conditional volume. Numerator and denominator are
+    // surfaced as separate exact-decimal sums instead of a float quotient
+    // so the gate stays bit-exact against the oracle
+    "q161_tpch_q8" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part161")
+      t(s, dir, "lineitem").createOrReplaceTempView("li161")
+      t(s, dir, "supplier").createOrReplaceTempView("sup161")
+      t(s, dir, "orders").createOrReplaceTempView("ord161")
+      t(s, dir, "customer").createOrReplaceTempView("cust161")
+      t(s, dir, "nation").createOrReplaceTempView("nat161")
+      t(s, dir, "region").createOrReplaceTempView("reg161")
+      s.sql("""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+            THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+        FROM part161 p
+        JOIN li161 l ON l.l_partkey = p.p_partkey
+        JOIN sup161 s ON s.s_suppkey = l.l_suppkey
+        JOIN ord161 o ON o.o_orderkey = l.l_orderkey
+        JOIN cust161 c ON c.c_custkey = o.o_custkey
+        JOIN nat161 n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN reg161 r ON r.r_regionkey = n1.n_regionkey
+        JOIN nat161 n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        GROUP BY year(o.o_orderdate)
+        ORDER BY o_year""")
+    }),
+
+    // TPC-H Q9 shape: product-type profit by (nation, year) — substring
+    // part filter, 5-way join, profit = revenue minus a supply-cost term.
+    // The testdata has no partsupp table, so supply cost is derived
+    // deterministically as 60% of retail price (one double multiply, one
+    // decimal cast — IEEE-identical in both engines)
+    "q162_tpch_q9" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part162")
+      t(s, dir, "lineitem").createOrReplaceTempView("li162")
+      t(s, dir, "supplier").createOrReplaceTempView("sup162")
+      t(s, dir, "orders").createOrReplaceTempView("ord162")
+      t(s, dir, "nation").createOrReplaceTempView("nat162")
+      s.sql("""
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+            - CAST(l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        FROM part162 p
+        JOIN li162 l ON l.l_partkey = p.p_partkey
+        JOIN sup162 s ON s.s_suppkey = l.l_suppkey
+        JOIN ord162 o ON o.o_orderkey = l.l_orderkey
+        JOIN nat162 n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY nation, o_year""")
+    }),
+
+    // TPC-H Q10 shape: returned-item reporting — quarter window on orders,
+    // returnflag filter on lineitem, customer/nation detail columns ride
+    // the GROUP BY, top-20 by exact-decimal lost revenue
+    "q163_tpch_q10" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust163")
+      t(s, dir, "orders").createOrReplaceTempView("ord163")
+      t(s, dir, "lineitem").createOrReplaceTempView("li163")
+      t(s, dir, "nation").createOrReplaceTempView("nat163")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          c.c_acctbal, n.n_name
+        FROM cust163 c
+        JOIN ord163 o ON o.o_custkey = c.c_custkey
+        JOIN li163 l ON l.l_orderkey = o.o_orderkey
+        JOIN nat163 n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20""")
     })
   )
 
@@ -4316,6 +4429,72 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-        |GROUP BY o.o_orderpriority""".stripMargin
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "q160_tpch_q5" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+
+    "q161_tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        |GROUP BY year(o.o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+
+    "q162_tpch_q9" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |    - CAST(l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin,
+
+    "q163_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin
   )
 }

@@ -239,4 +239,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"correlated MIN must decorrelate to aggregate+join:\n$p")
     assert(p.contains("Join"), p)
   }
+
+  test("q160-q163 TPC-H joins: broadcast dims, equi-keys, no quadratic strategy") {
+    for (q <- Seq("q160_tpch_q5", "q161_tpch_q8", "q162_tpch_q9",
+        "q163_tpch_q10")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degraded to a non-equi join strategy:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: small dimension sides must broadcast:\n$p")
+    }
+  }
+
+  test("q162: substring part filter pushed into the parquet scan") {
+    val p = planOf("q162_tpch_q9")
+    assert(p.contains("StringContains(p_name,widget)"),
+      s"LIKE '%widget%' must reach the part scan as StringContains:\n$p")
+  }
+
+  test("q163: returnflag pushed to lineitem scan; top-20 fuses, no global sort") {
+    val p = planOf("q163_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT 20 must fuse into top-k:\n$p")
+  }
 }
