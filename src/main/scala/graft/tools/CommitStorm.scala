@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   * Args: warehouseDir tableIdent startId count [mode]
   * mode `append` (default): `count` single-row appends starting at
   * `startId`; mode `addcols`: `count` addColumn evolutions named
-  * `c<startId>_<i>` — drives the metadata CAS instead of the log CAS.
+  * `c<startId>_<i>` — drives the metadata CAS instead of the log CAS;
+  * mode `mixed`: appends every iteration, MOR-deletes one of its OWN
+  * earlier rows every 3rd, compacts every 5th — the conflicting-rewrite
+  * aborts (`ConcurrentModificationException`) that deletes/compactions
+  * legally take under cross-process racing are caught and recorded, and
+  * the process writes `storm-report-<startId>.txt` (lines `A <id>` /
+  * `D <id>`) into the warehouse dir so the asserting spec knows exactly
+  * which operations LANDED.
   */
 object CommitStorm {
   def main(args: Array[String]): Unit = {
@@ -43,6 +50,33 @@ object CommitStorm {
           (0 until count.toInt).foreach { i =>
             tbl.addColumn(s"c${s}_$i", "long")
           }
+        case "mixed" =>
+          import org.apache.spark.sql.functions.col
+          val landed = scala.collection.mutable.ListBuffer[String]()
+          (0 until count.toInt).foreach { i =>
+            val id = s + i
+            tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
+            landed += s"A $id"
+            if (i % 3 == 2) {
+              // delete one of our OWN earlier rows: under snapshot
+              // isolation it is always visible to us, so the only legal
+              // non-1 outcome is a conflicting-rewrite abort
+              val victim = s + i / 3
+              try {
+                val n = tbl.deleteWhereMor(col("id") === victim)
+                require(n == 1L, s"delete of own row $victim removed $n rows")
+                landed += s"D $victim"
+              } catch {
+                case _: java.util.ConcurrentModificationException => ()
+              }
+            }
+            if (i % 5 == 4)
+              try tbl.compact(targetFiles = 2)
+              catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),
+            landed.mkString("", "\n", "\n"))
         case other => sys.error(s"unknown mode: $other")
       }
     } finally spark.stop()

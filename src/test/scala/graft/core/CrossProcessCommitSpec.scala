@@ -86,4 +86,50 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(m.schemas.size == 1 + 2 * perProc)
     assert(m.schemas.map(_.id) == (1 to (1 + 2 * perProc)).toList)
   }
+
+  test("two real JVMs mixing appends, MOR deletes and compactions: final " +
+      "state is exactly the landed operations, no row lost or resurrected") {
+    val wh = SparkFixture.tmpDir("graft-xmixed-").toString
+    val cat = Catalog.open(spark, wh)
+    val tbl = cat.createTable("t", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(Seq((0L, "seed")).toDF("id", "name"))
+    val perProc = 6
+    val p1 = launch(Seq(wh, "t", "1000", perProc.toString, "mixed"))
+    val p2 = launch(Seq(wh, "t", "2000", perProc.toString, "mixed"))
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "storm processes did not finish in time")
+    assert(p1.exitValue() == 0, "process 1 failed")
+    assert(p2.exitValue() == 0, "process 2 failed")
+    // each process reported exactly which of its operations LANDED
+    // (conflicting-rewrite aborts are legal and excluded by the storm)
+    val ops = Seq("1000", "2000").flatMap { s =>
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(wh, s"storm-report-$s.txt")).toArray
+        .map(_.toString).filter(_.nonEmpty)
+    }
+    val appended = ops.collect { case l if l.startsWith("A ") => l.drop(2).toLong }
+    val deleted = ops.collect { case l if l.startsWith("D ") => l.drop(2).toLong }
+    assert(appended.size == 2 * perProc, "every append must land (appends never abort)")
+    val expect = ((Seq(0L) ++ appended).toSet -- deleted.toSet).toSeq.sorted
+    val live = tbl.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(live == expect,
+      s"live rows diverge from landed ops: missing=${expect.diff(live)} " +
+        s"resurrected=${live.diff(expect)}")
+    // the snapshot chain stayed linear through the mixed racing
+    val log = tbl.rawLog
+    log.sliding(2).foreach {
+      case List(a, b) => assert(b.parentId.contains(a.id),
+        s"chain fork: ${b.id} parent ${b.parentId} after ${a.id}")
+      case _ =>
+    }
+    assert(log.map(_.id) == log.map(_.id).sorted, "snapshot ids not monotone")
+    // aborted rewrites may leave stranded stage dirs — GC must collect
+    // them WITHOUT touching live data
+    tbl.orphanFiles(delete = true)
+    val liveAfterGc = tbl.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(liveAfterGc == expect, "orphan GC deleted live data")
+    assert(tbl.orphanFiles().isEmpty, "orphans survived the GC sweep")
+  }
 }
