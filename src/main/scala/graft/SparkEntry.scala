@@ -2270,6 +2270,31 @@ object SparkEntry {
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20""")
+    }),
+
+    // STREAMING ingestion-side exact dedup under the batch oracle:
+    // dropDuplicatesWithinWatermark keyed on (user_id, event_type). A
+    // single AvailableNow micro-batch processes every row before the
+    // watermark first advances, so exactly one row per key is emitted —
+    // the batch twin is SELECT DISTINCT. Key-only projection so
+    // first-arrival payload nondeterminism can't reach the hash-compare
+    "q164_stream_dedup" -> ((s, dir) => {
+      aux(t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type")),
+        "stream164", dir)
+      val path = s"$AuxDir/stream164"
+      val schema = s.read.parquet(path).schema
+      val deduped = graft.streaming.Streaming.dedupStream(
+        graft.streaming.Streaming.eventsStream(s, path, schema),
+        Seq("user_id", "event_type"), "ts", "2 hours")
+        .select(col("user_id"), col("event_type"))
+      // dedup state stores scale with shuffle partitions; size them to
+      // the key volume like q35/q140/q141
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.Streaming.runToMemory(deduped, "q164_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
@@ -4495,6 +4520,10 @@ object SparkEntry {
         |  AND l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // batch twin of the streaming watermark dedup
+    "q164_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }
