@@ -81,7 +81,7 @@ object ScaleRehearsal {
           k = k, dims = 64, iters = 3)
         vector.KMeansIvf.assign(emb, "embedding", centroids)
           .groupBy("cluster").agg(count(lit(1)).as("m"))
-          .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head.getLong(0)
+          .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head().getLong(0)
       }
       val ivf = measured { ivfBound(8) } // the gates' fixed k=8
       val ivfScaled = measured { ivfBound(math.max(8, (nVecs / 60).toInt)) }
@@ -90,7 +90,7 @@ object ScaleRehearsal {
       val hyp = measured {
         vector.IvfIndex.bucketed(emb, "embedding", nPlanes = 12, dims = 64)
           .groupBy("bucket").agg(count(lit(1)).as("m"))
-          .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head.getLong(0)
+          .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head().getLong(0)
       }
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
           "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,

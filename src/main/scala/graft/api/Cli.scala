@@ -1056,7 +1056,7 @@ object Cli {
           lh.catalog.loadTable(table).read(), id, text)
         val kinds = graft.text.Redaction.patterns.map(_._1)
         val totals = rep.select(kinds.map(k =>
-          org.apache.spark.sql.functions.sum(col(s"n_$k")).as(k)): _*).head
+          org.apache.spark.sql.functions.sum(col(s"n_$k")).as(k)): _*).head()
         kinds.zipWithIndex.foreach { case (k, i) =>
           println(s"$k: ${if (totals.isNullAt(i)) 0L else totals.getLong(i)}") }
 

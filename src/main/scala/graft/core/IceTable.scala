@@ -389,7 +389,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           Array(col("_metadata.file_path").as(LineageFileCol),
             col("_metadata.row_index").as(LineagePosCol))
         else Array.empty
-      raw.select(cols ++ lineage: _*)
+      raw.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols ++ lineage): _*)
     }.reduce(_.unionByName(_))
   }
 

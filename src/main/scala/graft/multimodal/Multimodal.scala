@@ -116,7 +116,7 @@ object Multimodal {
     * uniform at 100 TB (media sizes are heavily skewed). */
   def repartitionByBytes(df: DataFrame, targetBytes: Long,
       contentCol: String = "content"): DataFrame = {
-    val totalBytes = df.agg(sum(length(col(contentCol)))).head.getLong(0)
+    val totalBytes = df.agg(sum(length(col(contentCol)))).head().getLong(0)
     val parts = math.max(1, (totalBytes / math.max(targetBytes, 1)).toInt)
     df.repartition(parts)
   }

@@ -78,7 +78,7 @@ object BloomPrune {
     val keys = dim.where(col(keyCol).isNotNull)
     val bits =
       if (numBits == AutoBits)
-        sizedBits(keys.agg(approx_count_distinct(col(keyCol))).head.getLong(0))
+        sizedBits(keys.agg(approx_count_distinct(col(keyCol))).head().getLong(0))
       else numBits
     require(bits > 0 && bits % 64 == 0,
       s"numBits must be a positive multiple of 64, got $bits")

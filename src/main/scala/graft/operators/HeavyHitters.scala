@@ -75,7 +75,7 @@ object HeavyHitters {
       minShare: Double): DataFrame = {
     require(minShare > 0 && minShare < 1, s"minShare in (0,1): $minShare")
     val spark = df.sparkSession
-    val items = df.select(col(itemCol).cast("string").as(itemCol)).na.drop
+    val items = df.select(col(itemCol).cast("string").as(itemCol)).na.drop()
     val cap = math.max(2, math.ceil(2.0 / minShare).toInt)
     // pass 1: bounded-memory candidate sketch + exact N in the same scan
     // (imperative per-partition logic — one of the few places an RDD is

@@ -62,7 +62,7 @@ object PageRank {
       // dangling mass: rank held by nodes with no out-edges (one scalar)
       val dangling = ranks.join(outW, ranks("node") === outW("src"),
           "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
