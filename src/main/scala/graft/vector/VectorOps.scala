@@ -91,6 +91,9 @@ object VectorOps {
   }
 
   private[vector] def planeComponent(plane: Int, dim: Int): Double =
+    // productHash is deprecated in favor of caseClassHash, but the two
+    // hash differently: migrating would flip hyperplane signs and change
+    // every LSH bucket assignment (and the q34/q66 oracle fixtures)
     if (scala.util.hashing.MurmurHash3.productHash((plane, dim)) % 2 == 0) 1.0 else -1.0
 }
 
