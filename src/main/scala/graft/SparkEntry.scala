@@ -2279,10 +2279,12 @@ object SparkEntry {
     // the batch twin is SELECT DISTINCT. Key-only projection so
     // first-arrival payload nondeterminism can't reach the hash-compare
     "q164_stream_dedup" -> ((s, dir) => {
+      // same projection as q141's fixture — share it (aux memoizes per
+      // (name, dir), so whichever gate runs first pays the one write)
       aux(t(s, dir, "events")
         .select(col("ts"), col("user_id"), col("event_type")),
-        "stream164", dir)
-      val path = s"$AuxDir/stream164"
+        "stream141", dir)
+      val path = s"$AuxDir/stream141"
       val schema = s.read.parquet(path).schema
       val deduped = graft.streaming.Streaming.dedupStream(
         graft.streaming.Streaming.eventsStream(s, path, schema),

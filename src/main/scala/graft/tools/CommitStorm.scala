@@ -53,16 +53,27 @@ object CommitStorm {
         case "mixed" =>
           import org.apache.spark.sql.functions.col
           val landed = scala.collection.mutable.ListBuffer[String]()
+          val appendedIds = scala.collection.mutable.Set[Long]()
           (0 until count.toInt).foreach { i =>
             val id = s + i
-            tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
-            landed += s"A $id"
+            // even an append can abort: after MaxCommitRetries lost CAS
+            // windows it throws instead of wedging — a legal (if rare)
+            // outcome under adverse contention, so guard it like the
+            // rewrites and let the report show what actually landed
+            try {
+              tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
+              landed += s"A $id"
+              appendedIds += id
+            } catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
             if (i % 3 == 2) {
-              // delete one of our OWN earlier rows: under snapshot
-              // isolation it is always visible to us, so the only legal
-              // non-1 outcome is a conflicting-rewrite abort
+              // delete one of our OWN earlier rows (skipping any whose
+              // append aborted): under snapshot isolation a landed own
+              // row is always visible to us, so the only legal non-1
+              // outcome is a conflicting-rewrite abort
               val victim = s + i / 3
-              try {
+              if (appendedIds.contains(victim)) try {
                 val n = tbl.deleteWhereMor(col("id") === victim)
                 require(n == 1L, s"delete of own row $victim removed $n rows")
                 landed += s"D $victim"

@@ -111,7 +111,10 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     }
     val appended = ops.collect { case l if l.startsWith("A ") => l.drop(2).toLong }
     val deleted = ops.collect { case l if l.startsWith("D ") => l.drop(2).toLong }
-    assert(appended.size == 2 * perProc, "every append must land (appends never abort)")
+    // appends retry through the CAS and in practice all land, but the
+    // protocol's only guarantee is land-or-abort — the report, not an
+    // assumed count, says which did
+    assert(appended.nonEmpty, "no append landed — storm produced no signal")
     val expect = ((Seq(0L) ++ appended).toSet -- deleted.toSet).toSeq.sorted
     val live = tbl.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(live == expect,
@@ -124,7 +127,10 @@ class CrossProcessCommitSpec extends AnyFunSuite {
         s"chain fork: ${b.id} parent ${b.parentId} after ${a.id}")
       case _ =>
     }
-    assert(log.map(_.id) == log.map(_.id).sorted, "snapshot ids not monotone")
+    // rawLog sorts by id, so compare against the dense expected RANGE —
+    // catches duplicate or skipped ids, which sorted==sorted cannot
+    assert(log.map(_.id) == (1L to log.size).toList,
+      s"snapshot ids not dense from 1: ${log.map(_.id)}")
     // aborted rewrites may leave stranded stage dirs — GC must collect
     // them WITHOUT touching live data
     tbl.orphanFiles(delete = true)
