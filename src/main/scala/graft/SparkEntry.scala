@@ -2297,6 +2297,31 @@ object SparkEntry {
       try graft.streaming.Streaming.runToMemory(deduped, "q164_sink",
         org.apache.spark.sql.streaming.OutputMode.Append())
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // partition-spec EVOLUTION read gate: era 1 written under
+    // identity(l_returnflag), spec evolved (metadata-only, no rewrite),
+    // era 2 written under identity(l_linestatus); prunedRead judges each
+    // file by its own era's dirs. The oracle reads EVERY data file of
+    // both eras and applies the same predicate — hash equality proves the
+    // cross-era read and prune lose no rows
+    "q165_partition_evolution_scan" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh165") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"))
+        lh.catalog.createTable("default.li_evo", li.schema,
+          Seq("identity(l_returnflag)"), Map.empty)
+        val tb = lh.catalog.loadTable("default.li_evo")
+        tb.append(li.where(col("l_orderkey") % 2 === 0))
+        tb.updatePartitionSpec(Seq("identity(l_linestatus)"))
+        tb.append(li.where(col("l_orderkey") % 2 === 1))
+      }
+      lh.catalog.loadTable("default.li_evo")
+        .prunedRead(col("l_returnflag") === "R" && col("l_quantity") >= 25.0)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price"))
     })
   )
 
@@ -4526,6 +4551,14 @@ object SparkEntry {
 
     // batch twin of the streaming watermark dedup
     "q164_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // every data file of BOTH partition-spec eras, same predicate
+    "q165_partition_evolution_scan" ->
+      """SELECT l_linestatus, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM read_parquet('/tmp/graft_aux/wh165/default/li_evo/data/commit-*/**/*.parquet')
+        |WHERE l_returnflag = 'R' AND l_quantity >= 25.0
+        |GROUP BY l_linestatus""".stripMargin
   )
 }

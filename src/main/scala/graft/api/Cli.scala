@@ -309,6 +309,12 @@ object Cli {
       case List("alter-rename-column", ident, from, to) =>
         lh.catalog.loadTable(ident).renameColumn(from, to)
         println(s"renamed $from -> $to")
+      case List("alter-partition-spec", ident, spec) =>
+        // partition EVOLUTION: metadata-only, old files keep their layout
+        val parts = spec.split(';').map(_.trim).filter(_.nonEmpty).toSeq
+        val m = lh.catalog.loadTable(ident).updatePartitionSpec(parts)
+        println(s"partition spec -> ${m.partitionSpec.mkString(", ")} " +
+          s"(previous eras: ${m.previousPartitionSpecs.size})")
       case List("alter-get-property", ident, k) =>
         println(lh.catalog.loadTable(ident).meta.properties.getOrElse(k, ""))
       case List("alter-remove-property", ident, k) =>
@@ -1489,6 +1495,7 @@ object Cli {
       |catalog: init namespaces namespace-create namespace-drop tables
       |         create-table describe drop-table set-property properties create-samples
       |schema:  alter-add-column alter-drop-column alter-rename-column
+      |         alter-partition-spec
       |         alter-get-property alter-remove-property schema-history
       |         schema-diff schema-migration schema-compat
       |query:   query query-asof join suggest-joins query-save query-list

@@ -1581,6 +1581,19 @@ object McpTools {
           .map(r => s"q${r.getLong(0)}: ${r.getLong(2)}/${r.getLong(1)}")
           .mkString("; ")
       }),
+    ToolDef("graft_evolve_partition_spec",
+      "Partition-spec EVOLUTION (metadata-only): future writes use the new spec; existing files keep their old layout and are never rewritten — reads prune each file by the spec era it was written under. Use compact to migrate old files when desired.",
+      sch(List("table", "spec"),
+        "table" -> S("Table identifier (namespace.table)"),
+        "spec" -> S("New partition spec, ';'-separated transforms, e.g. 'day(ts);bucket(16,user_id)'; empty string un-partitions")),
+      (lh, a) => {
+        val parts = str(a, "spec").split(';').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val m = lh.catalog.loadTable(str(a, "table"))
+          .updatePartitionSpec(parts)
+        s"partition spec -> [${m.partitionSpec.mkString(", ")}], " +
+          s"${m.previousPartitionSpecs.size} previous era(s) retained for pruning"
+      }),
   )
 
   /** Reference-mirrored tools only (155, 1:1 with server.py). */

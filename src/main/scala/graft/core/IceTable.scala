@@ -634,7 +634,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   private def pruneFiles(s: Snapshot, filter: Column): List[FileEntry] = {
     val m = meta
     val conjs = FilePruning.conjunctsOf(filter, m.schema)
-    val tfs = m.transforms
+    // every spec era, not just the current one: post-evolution files lack
+    // the old eras' dirs (and vice versa) and missing dirs never prune,
+    // so each file is judged by exactly the layout it was written under
+    val tfs = m.allTransforms
     val fileSchemaOf: Int => Option[StructType] =
       sid => m.schemas.find(_.id == sid).map(_.struct)
     val bloomCols = BloomIndex.bloomColumns(m.properties)
@@ -1025,6 +1028,30 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         s"equality-delete entry (${e.dir}); compact the table first")
     }
     evolveSchema(s => StructType(s.fields.filterNot(_.name == name)))
+  }
+
+  /** Partition-spec EVOLUTION (Iceberg's metadata-only repartitioning):
+    * future writes lay out by the new spec; existing files keep their old
+    * directories and are NEVER rewritten — at 100 TB that is the entire
+    * point (day(ts) → hour(ts) on a petabyte table is one metadata CAS,
+    * not a petabyte shuffle). Reads stay correct because pruning judges
+    * each file by the spec era it was written under
+    * ([[TableMeta.allTransforms]]); `compact()` migrates old files to the
+    * current layout when the operator chooses to pay for it. Runs through
+    * the same metadata CAS as schema evolution, so concurrent evolutions
+    * from other processes are never overwritten. */
+  def updatePartitionSpec(spec: Seq[String]): TableMeta = updateMeta { m =>
+    val parsed = spec.map(PartitionTransform.parse)
+    parsed.foreach(t => require(m.schema.fieldNames.contains(t.source),
+      s"partition transform source '${t.source}' is not a column of ${m.ident}"))
+    require(parsed.map(_.name).distinct.size == parsed.size,
+      s"duplicate partition dir names in spec: ${spec.mkString(", ")}")
+    if (m.partitionSpec == spec.toList) m
+    else m.copy(partitionSpec = spec.toList,
+      // an empty old spec contributes no transforms — don't record it
+      previousPartitionSpecs =
+        (m.partitionSpec :: m.previousPartitionSpecs)
+          .filter(_.nonEmpty).distinct)
   }
 
   // ---- properties --------------------------------------------------------

@@ -105,10 +105,29 @@ case class TableMeta(
     schemas: List[SchemaVersion],
     currentSchemaId: Int,
     partitionSpec: List[String], // serialized transforms, see PartitionTransform
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    // specs this table was PREVIOUSLY partitioned by (partition evolution:
+    // IceTable.updatePartitionSpec) — old files keep their old directory
+    // layout forever, so pruning must remember how they were written.
+    // Default Nil keeps every pre-evolution meta JSON readable.
+    previousPartitionSpecs: List[List[String]] = Nil) {
   def ident: String = s"$namespace.$name"
   def schema: StructType = schemas.find(_.id == currentSchemaId).get.struct
   def transforms: List[PartitionTransform] = partitionSpec.map(PartitionTransform.parse)
+
+  /** Transforms from EVERY spec this table has ever had, for pruning: a
+    * file carries partition dirs only for the spec era it was written
+    * under, and [[FilePruning.keepFileByPartitions]] keeps a file
+    * whenever a transform's dir is absent — so evaluating all eras prunes
+    * each file by exactly the dirs it has. A dir NAME written by two
+    * different transforms across eras (truncate(2,c) → truncate(4,c):
+    * both are `_p_c_trunc`) is ambiguous on disk and excluded — pruning
+    * by the wrong width would drop live files. */
+  def allTransforms: List[PartitionTransform] = {
+    val all = (partitionSpec :: previousPartitionSpecs)
+      .flatten.distinct.map(PartitionTransform.parse)
+    all.groupBy(_.name).valuesIterator.filter(_.size == 1).map(_.head).toList
+  }
 }
 
 object TableMeta {
