@@ -2322,6 +2322,51 @@ object SparkEntry {
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n_lines"),
           dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // named snapshot TAG gate: era 1 appended and tagged, era 2 appended,
+    // old snapshots expired — the tag PINS era 1's snapshot through the
+    // expiry, and reading by tag name returns exactly era 1's rows. The
+    // oracle reads era 1's commit dir directly
+    "q166_tagged_time_travel" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh166") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        lh.catalog.createTable("default.ord_tag", ord.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.ord_tag")
+        tb.append(ord.where(col("o_orderkey") % 3 === 0)) // snap 1 (tagged)
+        tb.tagSnapshot("baseline")
+        tb.append(ord.where(col("o_orderkey") % 3 =!= 0)) // snap 2
+        tb.overwrite(ord.where(col("o_orderkey") % 7 === 0)) // snap 3
+        // retainLast=1 would drop snaps 1-2; the tag pins snap 1
+        tb.expireSnapshots(retainLast = Some(1))
+      }
+      lh.catalog.loadTable("default.ord_tag").readAsOf("baseline")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // merge-on-read UPDATE read path: ONE atomic snapshot position-deletes
+    // the matching rows and appends their updated copies — no data file
+    // rewritten. The oracle recomputes from the raw pre-update files with
+    // the same CASE — hash equality proves the delete+append pair applies
+    // exactly the SET to exactly the matching rows
+    "q167_mor_update_read" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh167") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_upd", li.schema, Nil, Map.empty)
+        val tbl = lh.catalog.loadTable("default.li_upd")
+        tbl.append(li)                              // snapshot 1
+        tbl.updateWhereMor(col("l_quantity") < 5.0, // snapshot 2 (atomic)
+          Map("l_extendedprice" -> lit(0.0), "l_partkey" -> lit(-1L)))
+      }
+      lh.catalog.loadTable("default.li_upd").read()
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("l_partkey") === -1L, 1)).as("n_updated"),
+          dsum(col("l_extendedprice")).as("total_price"))
     })
   )
 
@@ -4559,6 +4604,28 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM read_parquet('/tmp/graft_aux/wh165/default/li_evo/data/commit-*/**/*.parquet')
         |WHERE l_returnflag = 'R' AND l_quantity >= 25.0
-        |GROUP BY l_linestatus""".stripMargin
+        |GROUP BY l_linestatus""".stripMargin,
+
+    // era 1's commit dir IS the tagged snapshot's exact content
+    "q166_tagged_time_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM read_parquet('/tmp/graft_aux/wh166/default/ord_tag/data/commit-00001/**/*.parquet')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // pre-update raw files + the same CASE the MoR update applied
+    "q167_mor_update_read" ->
+      """WITH base AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh167/default/li_upd/data/commit-00001/*.parquet')),
+        |live AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_quantity < 5.0 THEN -1 ELSE l_partkey END AS l_partkey,
+        |    l_quantity,
+        |    CASE WHEN l_quantity < 5.0 THEN 0.0 ELSE l_extendedprice END AS l_extendedprice
+        |  FROM base)
+        |SELECT l_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |  COUNT(CASE WHEN l_partkey = -1 THEN 1 END) AS n_updated,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM live GROUP BY 1""".stripMargin
   )
 }

@@ -128,6 +128,15 @@ object Cli {
         val expired = lh.catalog.loadTable(table).expireSnapshots(
           flags.get("older-than"), flags.get("retain-last").map(_.toInt))
         println(s"expired ${expired.mkString(", ")}")
+      case List("tag-create", table, name) =>
+        val id = lh.catalog.loadTable(table).tagSnapshot(name, flags.get("ref"))
+        println(s"tagged snapshot $id as '$name'")
+      case List("tag-list", table) =>
+        lh.catalog.loadTable(table).tags.toSeq.sortBy(_._1)
+          .foreach { case (n, id) => println(s"$n\t$id") }
+      case List("tag-delete", table, name) =>
+        lh.catalog.loadTable(table).removeTag(name)
+        println(s"deleted tag '$name'")
 
       // ---- io -------------------------------------------------------------
       case List("import", file, table) =>
@@ -1503,7 +1512,7 @@ object Cli {
       |         cache-query cache-stats cache-clear cache-policy cache-entries
       |         stats-all query-vortex serve
       |dml:     insert update delete upsert batch (--keys a,b)
-      |history: snapshots rollback expire diff (--older-than 30d --retain-last N)
+      |history: snapshots rollback expire diff tag-create tag-list tag-delete (--older-than 30d --retain-last N)
       |io:      import export backup backup-ns restore verify-backup backups
       |         format-set format-set-table format-show convert-format
       |         convert convert-table benchmark

@@ -1581,6 +1581,28 @@ object McpTools {
           .map(r => s"q${r.getLong(0)}: ${r.getLong(2)}/${r.getLong(1)}")
           .mkString("; ")
       }),
+    ToolDef("graft_tag_snapshot",
+      "Create, list or delete named snapshot tags. A tagged snapshot is pinned: expire_snapshots never drops it, and the tag name works anywhere a time-travel ref does (query-asof, rollback). Tag the snapshot a model trained on to keep that exact table state reproducible.",
+      sch(List("table", "action"),
+        "table" -> S("Table identifier (namespace.table)"),
+        "action" -> S("'create' | 'list' | 'delete'"),
+        "name" -> S("Tag name (required for create/delete; must not look like a snapshot id or timestamp)"),
+        "ref" -> S("Snapshot ref to tag (create only; default: current snapshot)")),
+      (lh, a) => {
+        val t = lh.catalog.loadTable(str(a, "table"))
+        str(a, "action") match {
+          case "create" =>
+            val id = t.tagSnapshot(str(a, "name"), strOpt(a, "ref"))
+            s"tagged snapshot $id as '${str(a, "name")}'"
+          case "list" =>
+            if (t.tags.isEmpty) "no tags"
+            else t.tags.toSeq.sortBy(_._1)
+              .map { case (n, id) => s"$n -> $id" }.mkString("; ")
+          case "delete" =>
+            t.removeTag(str(a, "name")); s"deleted tag '${str(a, "name")}'"
+          case other => s"unknown action: $other"
+        }
+      }),
     ToolDef("graft_evolve_partition_spec",
       "Partition-spec EVOLUTION (metadata-only): future writes use the new spec; existing files keep their old layout and are never rewritten — reads prune each file by the spec era it was written under. Use compact to migrate old files when desired.",
       sch(List("table", "spec"),

@@ -320,19 +320,67 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def snapshotById(id: Long): Option[Snapshot] =
     snapshotRefs.find(_.id == id).map(resolve)
 
-  /** Resolve a time-travel ref: integer snapshot-id first, else ISO
-    * timestamp → latest snapshot at-or-before it (catalog.py:265-288). */
+  /** Resolve a time-travel ref: integer snapshot-id first, then a named
+    * TAG, else ISO timestamp → latest snapshot at-or-before it
+    * (catalog.py:265-288; tags are a graft extra). Tag names are barred
+    * from being purely numeric at creation, so the precedence order can
+    * never shadow an id. */
   def resolveRef(ref: String): Snapshot = {
     ref.toLongOption match {
       case Some(id) =>
         snapshotById(id).getOrElse(
           throw new IllegalArgumentException(s"no snapshot with id $id"))
       case None =>
-        val ts = parseInstantMs(ref)
-        snapshotRefs.filter(_.timestampMs <= ts).lastOption.map(resolve)
-          .getOrElse(
-            throw new IllegalArgumentException(s"no snapshot at or before $ref"))
+        tags.get(ref) match {
+          case Some(id) => snapshotById(id).getOrElse(
+            throw new IllegalStateException(
+              s"tag '$ref' points to missing snapshot $id"))
+          case None =>
+            val ts = parseInstantMs(ref)
+            snapshotRefs.filter(_.timestampMs <= ts).lastOption.map(resolve)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no snapshot at or before $ref"))
+        }
     }
+  }
+
+  // ---- named snapshot tags (Iceberg-style retained refs) -----------------
+
+  private val TagPrefix = "ref.tag."
+
+  /** Named tags: tag name → snapshot id. Stored as table properties, so
+    * creation/removal rides the metadata CAS (cross-process safe) and
+    * backup/clone carry tags along for free. */
+  def tags: Map[String, Long] =
+    meta.properties.collect {
+      case (k, v) if k.startsWith(TagPrefix) && v.toLongOption.isDefined =>
+        k.stripPrefix(TagPrefix) -> v.toLong
+    }
+
+  /** Tag a snapshot (default: the current one) with a stable name.
+    * [[expireSnapshots]] NEVER expires a tagged snapshot — a tag is the
+    * "keep this exact table state reproducible" pin (training-data
+    * lineage: tag the snapshot a model trained on). Re-tagging an
+    * existing name moves it. */
+  def tagSnapshot(name: String, ref: Option[String] = None): Long = {
+    require(name.nonEmpty && name.toLongOption.isEmpty,
+      s"tag name must be non-numeric (ids resolve first): '$name'")
+    // tags resolve BEFORE timestamps, so a date-shaped name would shadow
+    // time travel to that instant — refuse it
+    val parsesAsInstant =
+      try { parseInstantMs(name); true } catch { case _: Exception => false }
+    require(!parsesAsInstant,
+      s"tag name must not parse as a timestamp: '$name'")
+    val snap = ref.map(resolveRef).orElse(currentSnapshot).getOrElse(
+      throw new IllegalStateException("cannot tag an empty table"))
+    updateMeta(m => m.copy(properties =
+      m.properties + (TagPrefix + name -> snap.id.toString)))
+    snap.id
+  }
+
+  def removeTag(name: String): Unit = {
+    updateMeta(m => m.copy(properties = m.properties - (TagPrefix + name)))
+    ()
   }
 
   // ---- reads -------------------------------------------------------------
@@ -465,6 +513,54 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       Right((refs :+ snap, deleted))
     }
   }
+
+  /** Merge-on-read UPDATE: ONE atomic snapshot that position-deletes the
+    * matching rows and appends their updated copies — no existing data
+    * file is rewritten, so updating a thousand rows of a 100 TB table
+    * costs one small delete file plus one small data file (the
+    * copy-on-write path rewrites the entire table). The two halves can
+    * never be observed separately: readers see either the pre-update
+    * snapshot or the fully-updated one.
+    *
+    * Concurrency is snapshot-isolation like [[deleteWhereMor]]: a
+    * concurrent APPEND commutes (its rows were not read, its files are
+    * not referenced); a concurrent OVERWRITE or COMPACTION aborts this
+    * update with `ConcurrentModificationException` (the recorded
+    * positions reference replaced files). Returns the updated row
+    * count. */
+  def updateWhereMor(filter: Column, sets: Map[String, Column]): Long =
+    tableLock.synchronized {
+      require(sets.nonEmpty, "need at least one SET column")
+      val m = meta
+      sets.keys.foreach(k => require(m.schema.fieldNames.contains(k),
+        s"no such column: $k"))
+      val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
+        return 0L
+      }
+      // Both distributed passes run ONCE outside the CAS retry loop
+      // against the snapshot read above (immutable files ⇒ the position
+      // pass and the updated-rows pass see identical rows; recompute
+      // beats persist on this engine — SCALING.md ground rule)
+      val delDir = dataDir.resolve(
+        s"del-${java.util.UUID.randomUUID().toString.take(12)}")
+      val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
+      val hits = base.where(filter)
+      hits.select(col(LineageFileCol).as("file_path"),
+          col(LineagePosCol).as("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(delDir.toString)
+      val delFiles = listDeleteParquet(delDir)
+      val updated = delFiles.map(_.rows).sum
+      val newDel = delFiles.filter(_.rows > 0)
+      val upd = sets.foldLeft(hits) { case (d, (k, v)) =>
+        d.withColumn(k, v)
+      }.drop(LineageFileCol, LineagePosCol)
+      commit(upd, "update", keepParent = true,
+        extraSummary = Map("updated-rows" -> updated.toString,
+          "delete-files" -> newDel.size.toString),
+        newDeleteFiles = newDel, noRewriteSince = Some(cur.id))
+      updated
+    }
 
   /** Merge-on-read EQUALITY delete: drop every current row whose `keyCols`
     * values appear in `keysDf` — by writing only the (distinct, non-null)
@@ -688,8 +784,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * passes None — replacing a concurrent append IS its semantic). */
   private def commit(df: DataFrame, op: String, keepParent: Boolean,
       extraSummary: Map[String, String] = Map.empty,
-      requireParentId: Option[Long] = None): Snapshot =
+      requireParentId: Option[Long] = None,
+      newDeleteFiles: List[FileEntry] = Nil,
+      noRewriteSince: Option[Long] = None): Snapshot =
     tableLock.synchronized {
+      require(newDeleteFiles.isEmpty || keepParent,
+        "delete files only compose with parent-keeping commits")
       val m = meta
       // Stage the data under a writer-UNIQUE dot-name first: the expensive
       // part of a commit (the distributed parquet write) is conflict-free
@@ -743,6 +843,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
                 s"advanced to $cur — rewriting now would drop the " +
                 "concurrent commit's rows; re-run against the new state")
         }
+        // MoR update: its position deletes reference the files live at its
+        // read snapshot — a competing rewrite invalidates them (same rule
+        // as deleteWhereMor); appends and other MoR commits commute
+        noRewriteSince.foreach(asOf => failOnConflictingRewrite(refs, asOf, op))
         val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
         val commitDir = dataDir.resolve(f"commit-$id%05d")
         // Claim the id's data-dir name by atomic rename: the eq-delete
@@ -792,9 +896,13 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           if (newFiles.isEmpty) Nil
           else List(Manifests.writeManifest(
             manifestsDir.resolve(f"m-$id%05d-data-$uid.json"), newFiles))
+        val delManifests = parentMl.map(_.deleteManifests).getOrElse(Nil) ++
+          (if (newDeleteFiles.isEmpty) Nil
+           else List(Manifests.writeManifest(
+             manifestsDir.resolve(f"m-$id%05d-del-$uid.json"), newDeleteFiles)))
         val ml = ManifestList(
           mergedParentM ++ newDataM,
-          parentMl.map(_.deleteManifests).getOrElse(Nil),
+          delManifests,
           parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
         val listPath =
           Manifests.writeList(manifestsDir.resolve(f"list-$id%05d-$uid.json"), ml)
@@ -829,7 +937,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     // the freshest log — a competitor's commit between attempts changes
     // only which snapshot is the rollback's parent, never the target
     val snap = commitLog[Snapshot] { refs =>
-      val targetRef = ref.toLongOption match {
+      val targetRef = ref.toLongOption.orElse(tags.get(ref)) match {
         case Some(i) => refs.find(_.id == i).getOrElse(
           throw new IllegalArgumentException(s"no snapshot with id $i"))
         case None =>
@@ -869,6 +977,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       if (snaps.isEmpty) Left(Nil)
       else {
         val currentId = snaps.last.id
+        // tagged snapshots are PINNED (the whole point of a tag) —
+        // re-read per CAS attempt so a tag created while this expire
+        // retries is honored
+        val pinned = tags.values.toSet
         var keep = snaps.toSet
         cutoff.foreach { c =>
           keep = keep.filter(s => s.timestampMs >= c || s.id == currentId)
@@ -877,6 +989,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           val retained = snaps.sortBy(-_.id).take(math.max(n, 1)).toSet
           keep = keep.intersect(retained) + snaps.last
         }
+        keep = keep ++ snaps.filter(s => pinned(s.id))
         val expired = snaps.filterNot(keep).map(_.id)
         if (expired.isEmpty) Left(Nil)
         else Right((snaps.filter(keep).sortBy(_.id), expired))

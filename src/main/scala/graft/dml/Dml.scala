@@ -83,31 +83,48 @@ class Dml(lh: Lakehouse) {
   }
 
   /** Rewrite matching rows via when/otherwise per column, overwrite-snapshot
-    * (catalog.py:632-762). Returns matched-row count. */
+    * (catalog.py:632-762). Returns matched-row count.
+    *
+    * Table property `write.update.mode=merge-on-read` switches to ONE
+    * atomic position-delete + append snapshot
+    * ([[graft.core.IceTable.updateWhereMor]]): at 100 TB a small update
+    * costs KBs instead of rewriting every data file. Validation, audit
+    * and history semantics are identical either way. */
   def update(table: String, filter: String, set: Map[String, Any]): Long = {
     val tbl = catalog.loadTable(table)
     tbl.locked {
       val schema = tbl.schema
       val df = tbl.read()
       val cond = expr(filter)
+      val setCols = set.map { case (c, v) =>
+        val f = schema.fields.find(_.name == c)
+          .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+        c -> lit(coerce(v, f.dataType)).cast(f.dataType)
+      }
       // Evaluate the match BEFORE any column is rewritten: if the SET touches
       // a column the filter references, re-evaluating the filter afterwards
       // would select (and validate) the wrong rows.
       val marked = df.withColumn("__matched", coalesce(cond, lit(false)))
-      val matched = marked.where(col("__matched")).count()
-      val updated = set.foldLeft(marked) { case (d, (c, v)) =>
-        val f = schema.fields.find(_.name == c)
-          .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
-        d.withColumn(c, when(col("__matched"), lit(coerce(v, f.dataType)).cast(f.dataType))
-          .otherwise(col(c)))
+      val updated = setCols.foldLeft(marked) { case (d, (c, v)) =>
+        d.withColumn(c, when(col("__matched"), v).otherwise(col(c)))
       }
       // validate rewritten rows against the rows that were NOT touched, so
       // unique rules catch an update that duplicates an existing key
       lh.validation.enforce(table,
         updated.where(col("__matched")).drop("__matched"),
         Some(updated.where(!col("__matched")).drop("__matched")))
-      tbl.overwrite(updated.drop("__matched"))
-      lh.audit.log(table, "update", Map("matched" -> matched.toString, "filter" -> filter))
+      val mor = tbl.meta.properties.get("write.update.mode")
+        .contains("merge-on-read")
+      val matched =
+        if (mor) tbl.updateWhereMor(coalesce(cond, lit(false)), setCols)
+        else {
+          val n = marked.where(col("__matched")).count()
+          tbl.overwrite(updated.drop("__matched"))
+          n
+        }
+      lh.audit.log(table, "update",
+        Map("matched" -> matched.toString, "filter" -> filter,
+          "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
       matched
     }
   }
