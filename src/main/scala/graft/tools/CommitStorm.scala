@@ -81,6 +81,20 @@ object CommitStorm {
                 case _: java.util.ConcurrentModificationException => ()
               }
             }
+            if (i % 4 == 3) {
+              // atomic MoR update of our own SECOND row; it may also be a
+              // delete victim later (i=5), in which case later updates
+              // skip — the guard keeps update-after-own-delete impossible
+              val target = s + 1
+              if (appendedIds.contains(target) &&
+                  !landed.contains(s"D $target")) try {
+                val n = tbl.updateWhereMor(col("id") === target,
+                  Map("name" -> org.apache.spark.sql.functions.lit(s"u$s-$i")))
+                if (n == 1L) landed += s"U $target u$s-$i"
+              } catch {
+                case _: java.util.ConcurrentModificationException => ()
+              }
+            }
             if (i % 5 == 4)
               try tbl.compact(targetFiles = 2)
               catch { case _: java.util.ConcurrentModificationException => () }

@@ -87,14 +87,14 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(m.schemas.map(_.id) == (1 to (1 + 2 * perProc)).toList)
   }
 
-  test("two real JVMs mixing appends, MOR deletes and compactions: final " +
-      "state is exactly the landed operations, no row lost or resurrected") {
+  test("two real JVMs mixing appends, MOR deletes, MOR updates and compactions: " +
+      "final state is exactly the landed operations, no row lost or resurrected") {
     val wh = SparkFixture.tmpDir("graft-xmixed-").toString
     val cat = Catalog.open(spark, wh)
     val tbl = cat.createTable("t", Seq("id" -> "long", "name" -> "string"),
       Nil, Map.empty)
     tbl.append(Seq((0L, "seed")).toDF("id", "name"))
-    val perProc = 6
+    val perProc = 8
     val p1 = launch(Seq(wh, "t", "1000", perProc.toString, "mixed"))
     val p2 = launch(Seq(wh, "t", "2000", perProc.toString, "mixed"))
     assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
@@ -102,24 +102,35 @@ class CrossProcessCommitSpec extends AnyFunSuite {
       "storm processes did not finish in time")
     assert(p1.exitValue() == 0, "process 1 failed")
     assert(p2.exitValue() == 0, "process 2 failed")
-    // each process reported exactly which of its operations LANDED
-    // (conflicting-rewrite aborts are legal and excluded by the storm)
-    val ops = Seq("1000", "2000").flatMap { s =>
-      java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(wh, s"storm-report-$s.txt")).toArray
+    // each process reported exactly which of its operations LANDED, in
+    // order (conflicting-rewrite aborts are legal and excluded). Each id
+    // is touched by exactly one process, so replaying each report alone
+    // yields that id's expected final (id, name) state.
+    val expected = scala.collection.mutable.Map(0L -> "seed")
+    var sawAppend, sawUpdate = false
+    for (start <- Seq(1000L, 2000L)) {
+      val ops = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(wh, s"storm-report-$start.txt")).toArray
         .map(_.toString).filter(_.nonEmpty)
+      ops.foreach { line =>
+        val parts = line.split(' ')
+        (parts(0), parts(1).toLong) match {
+          case ("A", id) =>
+            expected(id) = s"p$start-${id - start}"; sawAppend = true
+          case ("U", id) => expected(id) = parts(2); sawUpdate = true
+          case ("D", id) => expected.remove(id); ()
+          case other => fail(s"unparseable report line: $line ($other)")
+        }
+      }
     }
-    val appended = ops.collect { case l if l.startsWith("A ") => l.drop(2).toLong }
-    val deleted = ops.collect { case l if l.startsWith("D ") => l.drop(2).toLong }
-    // appends retry through the CAS and in practice all land, but the
-    // protocol's only guarantee is land-or-abort — the report, not an
-    // assumed count, says which did
-    assert(appended.nonEmpty, "no append landed — storm produced no signal")
-    val expect = ((Seq(0L) ++ appended).toSet -- deleted.toSet).toSeq.sorted
-    val live = tbl.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(live == expect,
-      s"live rows diverge from landed ops: missing=${expect.diff(live)} " +
-        s"resurrected=${live.diff(expect)}")
+    assert(sawAppend, "no append landed — storm produced no signal")
+    assert(sawUpdate, "no MoR update landed — update leg never exercised")
+    val live = tbl.read().select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == expected.toMap,
+      s"live state diverges from landed ops: " +
+        s"missing=${expected.toMap.toSet -- live.toSet} " +
+        s"unexpected=${live.toSet -- expected.toMap.toSet}")
     // the snapshot chain stayed linear through the mixed racing
     val log = tbl.rawLog
     log.sliding(2).foreach {
@@ -134,8 +145,9 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     // aborted rewrites may leave stranded stage dirs — GC must collect
     // them WITHOUT touching live data
     tbl.orphanFiles(delete = true)
-    val liveAfterGc = tbl.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(liveAfterGc == expect, "orphan GC deleted live data")
+    val liveAfterGc = tbl.read().select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(liveAfterGc == expected.toMap, "orphan GC deleted live data")
     assert(tbl.orphanFiles().isEmpty, "orphans survived the GC sweep")
   }
 }
