@@ -66,6 +66,32 @@ class SnapshotTagSpec extends AnyFunSuite {
     }
   }
 
+  test("a tag created while expire retries is honored (pin set re-read per attempt)") {
+    val cat = Catalog.open(spark, SparkFixture.tmpDir("graft-tagrace-").toString)
+    cat.createTable("default.t", Seq("id" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.t")
+    val other = cat.loadTable("default.t")
+    t.append(Seq(1L).toDF("id")) // snap 1
+    t.append(Seq(2L).toDF("id")) // snap 2
+    t.append(Seq(3L).toDF("id")) // snap 3
+    var fired = false
+    // the simulated foreign process tags snap 1 AND commits an append,
+    // forcing expire's first CAS attempt to lose; the retry must re-read
+    // the pin set and keep snap 1
+    t.onCommitAttempt = _ => if (!fired) {
+      fired = true
+      other.tagSnapshot("late-pin", Some("1"))
+      other.append(Seq(4L).toDF("id")) // snap 4
+    }
+    val expired =
+      try t.expireSnapshots(retainLast = Some(1))
+      finally t.onCommitAttempt = _ => ()
+    assert(!expired.contains(1L),
+      s"snapshot tagged mid-expire was dropped: $expired")
+    assert(expired.toSet == Set(2L, 3L), expired.toString)
+    assert(t.readAsOf("late-pin").count() == 1)
+  }
+
   test("re-tagging moves the name; foreign ref.tag properties are ignored") {
     val t = newTable()
     t.append(Seq(1L).toDF("id"))
