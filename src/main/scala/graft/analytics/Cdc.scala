@@ -21,7 +21,7 @@ class Cdc(lh: Lakehouse) {
   def snapshotDiff(table: String, fromRef: Option[String], toRef: Option[String])
       : (DataFrame, DataFrame) = {
     val tbl = lh.catalog.loadTable(table)
-    val (fromSnap, toSnap) = defaultRefs(tbl.snapshots, fromRef, toRef)
+    val (fromSnap, toSnap) = defaultRefs(tbl.snapshots, fromRef, toRef, tbl.tags)
     val oldDf = tbl.readSnapshot(fromSnap)
     val newDf = tbl.readSnapshot(toSnap)
     (newDf.exceptAll(oldDf), oldDf.exceptAll(newDf))
@@ -36,7 +36,7 @@ class Cdc(lh: Lakehouse) {
     val tbl = lh.catalog.loadTable(table)
     val cols = tbl.schema.fieldNames.toSeq
     val keys = if (keyCols.nonEmpty) keyCols else cols.take(1)
-    val (fromSnap, toSnap) = defaultRefs(tbl.snapshots, fromRef, toRef)
+    val (fromSnap, toSnap) = defaultRefs(tbl.snapshots, fromRef, toRef, tbl.tags)
     Cdc.classifyChanges(tbl.readSnapshot(fromSnap), tbl.readSnapshot(toSnap),
       keys, cols)
   }
@@ -101,11 +101,13 @@ class Cdc(lh: Lakehouse) {
   }
 
   private def defaultRefs(snaps: List[Snapshot], fromRef: Option[String],
-      toRef: Option[String]): (Option[Snapshot], Option[Snapshot]) = {
+      toRef: Option[String], tags: Map[String, Long] = Map.empty)
+      : (Option[Snapshot], Option[Snapshot]) = {
     require(snaps.nonEmpty, "table has no snapshots")
     val tbl = snaps
     def resolve(r: String): Snapshot = {
-      r.toLongOption match {
+      // id -> named tag -> timestamp, the IceTable.resolveRef precedence
+      r.toLongOption.orElse(tags.get(r)) match {
         case Some(id) => tbl.find(_.id == id)
           .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
         case None =>

@@ -22,6 +22,15 @@ class CdcSpec extends AnyFunSuite {
     lh
   }
 
+  test("CDC refs accept named tags (id -> tag -> timestamp precedence)") {
+    val lh = seeded()
+    lh.catalog.loadTable("t").tagSnapshot("base", Some("1"))
+    val byTag = lh.cdc.changeSummary("t", fromRef = Some("base"), keys = Seq("id"))
+    val byId = lh.cdc.changeSummary("t", fromRef = Some("1"), keys = Seq("id"))
+    assert(byTag == byId, s"tag ref diverged: $byTag vs $byId")
+    assert(byTag("inserted") >= 1 && byTag("deleted") >= 1)
+  }
+
   test("getChanges classifies INSERT/UPDATE/DELETE with changed_columns") {
     val lh = seeded()
     // compare snapshot 1 (initial insert) to current
