@@ -537,29 +537,43 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
         return 0L
       }
-      // Both distributed passes run ONCE outside the CAS retry loop
-      // against the snapshot read above (immutable files ⇒ the position
-      // pass and the updated-rows pass see identical rows; recompute
-      // beats persist on this engine — SCALING.md ground rule)
-      val delDir = dataDir.resolve(
-        s"del-${java.util.UUID.randomUUID().toString.take(12)}")
-      val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
-      val hits = base.where(filter)
-      hits.select(col(LineageFileCol).as("file_path"),
-          col(LineagePosCol).as("pos"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(delDir.toString)
-      val delFiles = listDeleteParquet(delDir)
-      val updated = delFiles.map(_.rows).sum
-      val newDel = delFiles.filter(_.rows > 0)
-      val upd = sets.foldLeft(hits) { case (d, (k, v)) =>
-        d.withColumn(k, v)
-      }.drop(LineageFileCol, LineagePosCol)
-      commit(upd, "update", keepParent = true,
-        extraSummary = Map("updated-rows" -> updated.toString,
-          "delete-files" -> newDel.size.toString),
-        newDeleteFiles = newDel, noRewriteSince = Some(cur.id))
-      updated
+      // ONE distributed pass over the table: the matched rows (all
+      // columns + lineage) land in a tiny temp parquet, and both outputs
+      // — the position-delete file and the updated copies — derive from
+      // that materialized O(k) set. The table-sized scan is paid once;
+      // everything after is O(matched). All of it runs outside the CAS
+      // retry loop against the snapshot read above.
+      val uid = java.util.UUID.randomUUID().toString.take(12)
+      val delDir = dataDir.resolve(s"del-$uid")
+      val hitsTmp = dataDir.resolve(s".upd-hits-$uid")
+      try {
+        applyAllDeletes(assemble(cur, withLineage = true), cur)
+          .where(filter).write.parquet(hitsTmp.toString)
+        val hits = spark.read.parquet(hitsTmp.toString)
+        hits.select(col(LineageFileCol).as("file_path"),
+            col(LineagePosCol).as("pos"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(delDir.toString)
+        val delFiles = listDeleteParquet(delDir)
+        val updated = delFiles.map(_.rows).sum
+        val newDel = delFiles.filter(_.rows > 0)
+        val upd = sets.foldLeft(hits) { case (d, (k, v)) =>
+          d.withColumn(k, v)
+        }.drop(LineageFileCol, LineagePosCol)
+        commit(upd, "update", keepParent = true,
+          extraSummary = Map("updated-rows" -> updated.toString,
+            "delete-files" -> newDel.size.toString),
+          newDeleteFiles = newDel, noRewriteSince = Some(cur.id))
+        updated
+      } finally {
+        // the temp hit set is consumed within this call — remove it
+        // eagerly rather than leaving it to orphan GC
+        def del(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(del))
+          p.delete(); ()
+        }
+        del(hitsTmp.toFile)
+      }
     }
 
   /** Merge-on-read EQUALITY delete: drop every current row whose `keyCols`
