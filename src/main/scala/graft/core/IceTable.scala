@@ -1059,9 +1059,14 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       else {
         val s = Files.list(dataDir)
         try s.iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(".stage-") &&
-            !Files.walk(p).iterator().asScala.exists(f => live(f.toString)))
+          .filter { p =>
+            val n = p.getFileName.toString
+            // .stage- = un-claimed/crashed commit staging; .upd-hits- = a
+            // crashed MoR update's temp hit set (normally removed eagerly)
+            Files.isDirectory(p) &&
+              (n.startsWith(".stage-") || n.startsWith(".upd-hits-")) &&
+              !Files.walk(p).iterator().asScala.exists(f => live(f.toString))
+          }
           .map(_.toString).toList
         finally s.close()
       }

@@ -123,6 +123,21 @@ class MorUpdateSpec extends AnyFunSuite {
     assert(t.read().count() == 1001)
   }
 
+  test("orphan GC sweeps a crashed update's temp hit-set dir") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.crash")
+    // simulate a writer that died between materializing the hit set and
+    // committing: a .upd-hits-* dir with data + Spark side files
+    val dead = java.nio.file.Paths.get(t.dir.toString, "data", ".upd-hits-deadbeef")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.writeString(dead.resolve("part-0.parquet"), "x")
+    java.nio.file.Files.writeString(dead.resolve("_SUCCESS"), "")
+    t.orphanFiles(delete = true)
+    assert(!java.nio.file.Files.exists(dead),
+      "crashed update temp dir survived the GC sweep")
+    assert(t.read().count() == 1000, "GC touched live data")
+  }
+
   test("Dml honors write.update.mode=merge-on-read") {
     val wh = SparkFixture.tmpDir("graft-morudml-").toString
     val lh = graft.Lakehouse.open(spark, wh)
