@@ -1087,8 +1087,31 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           .filter(p => Files.isDirectory(p) && p != dataDir)
           .toList.sortBy(-_.getNameCount)
         dirs.foreach { d =>
-          try { if (isEmptyDir(d)) Files.delete(d) }
-          catch { case _: java.io.IOException => () }
+          // deepest-first: children are gone by the time d is visited, so
+          // judging d by its DIRECT entries is complete. A dir left with
+          // only Spark side files (_SUCCESS, .crc) is dead — every data
+          // file in it was collected above (live files always keep their
+          // dir out of this branch) — remove it wholesale; without this,
+          // expired commit dirs and aborted del-/eqdel- dirs linger
+          // forever behind their _SUCCESS markers.
+          try {
+            if (isEmptyDir(d)) Files.delete(d)
+            else {
+              val entries = {
+                val s = Files.list(d)
+                try s.iterator().asScala.toList finally s.close()
+              }
+              val allSide = entries.forall { p =>
+                val n = p.getFileName.toString
+                Files.isRegularFile(p) &&
+                  (n == "_SUCCESS" || n.endsWith(".crc"))
+              }
+              if (allSide) {
+                entries.foreach(Files.deleteIfExists)
+                Files.delete(d)
+              }
+            }
+          } catch { case _: java.io.IOException => () }
         }
       }
     }

@@ -158,6 +158,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(tbl.orphanFiles().isEmpty)
   }
 
+  test("expired commit dirs vanish entirely — _SUCCESS markers don't pin them") {
+    val cat = newCatalog()
+    val tbl = cat.createTable("t7", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(df(0 until 10)) // commit-00001
+    val firstDir = tbl.dataDir.resolve("commit-00001")
+    assert(Files.exists(firstDir.resolve("_SUCCESS")), "expected Spark side files")
+    tbl.overwrite(df(10 until 20)) // commit-00002
+    tbl.expireSnapshots(retainLast = Some(1))
+    tbl.orphanFiles(delete = true)
+    assert(!Files.exists(firstDir),
+      "expired commit dir must be removed wholesale, side files included")
+    assert(tbl.read().count() == 10)
+    assert(tbl.orphanFiles().isEmpty)
+  }
+
   test("expire + orphanFiles collect stranded manifest files") {
     val cat = newCatalog()
     val tbl = cat.createTable("t4", Seq("id" -> "long", "name" -> "string"),
