@@ -98,9 +98,13 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     nss.flatMap { n =>
       val d = warehouse.resolve(n)
       if (!Files.isDirectory(d)) Nil
-      else Files.list(d).iterator().asScala
-        .filter(p => Files.exists(p.resolve("meta.json")))
-        .map(p => s"$n.${p.getFileName}").toList.sorted
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .filter(p => Files.exists(p.resolve("meta.json")))
+          .map(p => s"$n.${p.getFileName}").toList.sorted
+        finally s.close()
+      }
     }
   }
 
@@ -108,8 +112,10 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     val (ns, t) = parseIdent(ident)
     val dir = tableDir(ns, t)
     require(Files.exists(dir.resolve("meta.json")), s"no such table: $ns.$t")
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+    val walk = Files.walk(dir)
+    try walk.sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
 
   /** Register every table as temp views under both its short name and the

@@ -686,12 +686,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     }
   }
 
+  /** `Files.walk` materialized AND closed — the lazy stream holds a
+    * directory fd until closed, and a long-lived server (MCP, streaming
+    * maintenance) leaking one per GC cycle eventually exhausts fds. */
+  private def walkList(p: Path): List[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def listDeleteParquet(dir: Path): List[FileEntry] = {
     val conf = new Configuration()
-    Files.walk(dir).iterator().asScala
+    walkList(dir)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(p => FileEntry(p.toString, parquetRowCount(p, conf), Files.size(p)))
-      .toList.sortBy(_.path)
+      .sortBy(_.path)
   }
 
   /** Read only the files whose partition-directory values satisfy `keep` —
@@ -1027,8 +1035,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val dataOrphans =
       if (!Files.exists(dataDir)) Nil
       else {
-        val all = Files.walk(dataDir).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toList
+        val all = walkList(dataDir)
+          .filter(p => p.toString.endsWith(".parquet")).map(_.toString)
         // separator-anchored prefix only: a sibling dir sharing a live
         // eq-delete dir's name as a plain prefix must still be collectible
         all.filterNot(p =>
@@ -1040,10 +1048,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     }).toSet
     val manifestOrphans =
       if (!Files.exists(manifestsDir)) Nil
-      else Files.walk(manifestsDir).iterator().asScala
+      else walkList(manifestsDir)
         // .json only — skips in-flight `.…tmp` files of a concurrent writer
         .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
-        .map(_.toString).filterNot(liveMeta).toList
+        .map(_.toString).filterNot(liveMeta)
     // a crashed writer's empty staging dir (died before writing any
     // parquet) has no file entry to flag — report the dir itself
     def isEmptyDir(p: Path): Boolean = {
@@ -1065,7 +1073,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
             // crashed MoR update's temp hit set (normally removed eagerly)
             Files.isDirectory(p) &&
               (n.startsWith(".stage-") || n.startsWith(".upd-hits-")) &&
-              !Files.walk(p).iterator().asScala.exists(f => live(f.toString))
+              !walkList(p).exists(f => live(f.toString))
           }
           .map(_.toString).toList
         finally s.close()
@@ -1075,17 +1083,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       orphans.foreach { p =>
         val path = java.nio.file.Paths.get(p)
         if (Files.isDirectory(path))
-          Files.walk(path).iterator().asScala.toList
-            .sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+          walkList(path).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
         else Files.deleteIfExists(path)
       }
       // sweep dirs the file deletion emptied (del-*/eqdel-* dirs,
       // fully-expired commit dirs) — deepest first so parents empty out;
       // the walk is bounded by live dir count, never by file count
       if (Files.exists(dataDir)) {
-        val dirs = Files.walk(dataDir).iterator().asScala
+        val dirs = walkList(dataDir)
           .filter(p => Files.isDirectory(p) && p != dataDir)
-          .toList.sortBy(-_.getNameCount)
+          .sortBy(-_.getNameCount)
         dirs.foreach { d =>
           // deepest-first: children are gone by the time d is visited, so
           // judging d by its DIRECT entries is complete. A dir left with
@@ -1251,7 +1258,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val conf = new Configuration()
     val schema = meta.schemas.find(_.id == schemaId).map(_.struct)
       .getOrElse(meta.schema)
-    Files.walk(commitDir).iterator().asScala
+    walkList(commitDir).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map { p =>
         val (rows, bounds) = parquetFileStats(p, conf, schema)

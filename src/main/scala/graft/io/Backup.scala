@@ -17,9 +17,13 @@ class Backup(lh: Lakehouse) {
 
   private def sha256Of(dir: Path): String = {
     val md = MessageDigest.getInstance("SHA-256")
-    val files = Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .toList.sortBy(_.toString)
+    val walk = Files.walk(dir)
+    val files = (
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .toList
+      finally walk.close()
+    ).sortBy(_.toString)
     files.foreach(f => md.update(Files.readAllBytes(f)))
     md.digest().map("%02x".format(_)).mkString
   }
