@@ -2367,6 +2367,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           count(when(col("l_partkey") === -1L, 1)).as("n_updated"),
           dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // PARTIAL compaction read path: three small appends + one large one,
+    // a MoR delete spanning both, then compactSmall rewrites ONLY the
+    // small files (position deletes pruned to the surviving file, the
+    // rewritten output absorbing the rest). The oracle reads every
+    // pre-compaction data file with the same delete predicate — hash
+    // equality proves the partial rewrite loses and resurrects nothing
+    "q168_partial_compaction_scan" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh168") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_csm", li.schema, Nil, Map.empty)
+        val tbl = lh.catalog.loadTable("default.li_csm")
+        tbl.append(li.where(col("l_orderkey") % 5 =!= 0).coalesce(2)) // commit 1
+        for (k <- 0 until 3)                                          // commits 2-4
+          tbl.append(li.where(col("l_orderkey") % 5 === 0
+            && col("l_orderkey") % 3 === k).coalesce(1))
+        tbl.deleteWhereMor(col("l_quantity") < 2.0)                   // commit 5
+        val sizes = tbl.currentSnapshot.get.files.map(_.bytes).sorted
+        tbl.compactSmall(maxBytes = sizes(2), targetFiles = 1)        // commit 6
+      }
+      lh.catalog.loadTable("default.li_csm").read()
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"))
     })
   )
 
@@ -4625,6 +4651,19 @@ object SparkEntry {
         |  FROM base)
         |SELECT l_orderkey % 10 AS bucket, count(*) AS n_rows,
         |  COUNT(CASE WHEN l_partkey = -1 THEN 1 END) AS n_updated,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // every pre-compaction data file + the same delete predicate
+    "q168_partial_compaction_scan" ->
+      """WITH base AS (
+        |  SELECT * FROM read_parquet([
+        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00001/*.parquet',
+        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00002/*.parquet',
+        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00003/*.parquet',
+        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00004/*.parquet'])),
+        |live AS (SELECT * FROM base WHERE NOT (l_quantity < 2.0))
+        |SELECT l_orderkey % 10 AS bucket, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM live GROUP BY 1""".stripMargin
   )

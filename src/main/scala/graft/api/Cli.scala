@@ -338,6 +338,13 @@ object Cli {
         println(s"compacted to ${s.files.size} files (snapshot ${s.id})" +
           (if (clusterBy.nonEmpty) s", clustered by ${clusterBy.mkString(",")}"
            else ""))
+      case List("compact-small", table, maxBytes) =>
+        // partial compaction: rewrite only files <= maxBytes
+        val s = lh.catalog.loadTable(table).compactSmall(maxBytes.toLong,
+          flags.getOrElse("target-files", "1").toInt)
+        println(s"snapshot ${s.id}: " +
+          s"${s.summary.getOrElse("compacted-files", "0")} small files " +
+          s"rewritten, ${s.summary.getOrElse("kept-files", "?")} kept")
       case List("cleanup", table) =>
         val orphans = lh.catalog.loadTable(table)
           .orphanFiles(delete = !flags.contains("dry-run"))
@@ -1576,7 +1583,7 @@ object Cli {
       |         pipeline-dry-run pipeline-drop pipeline-show pipelines
       |         lineage lineage-add lineage-remove lineage-impact lineage-graph
       |         maintain maintain-set maintain-show maintain-table maintain-remove
-      |         maintenance-status compact (--target-files 8 --cluster-by x,y)
+      |         maintenance-status compact (--target-files 8 --cluster-by x,y) compact-small
       |         cleanup partitions partition-stats
       |         retention-set retention-show retention-check retention-run
       |         retention-remove

@@ -1581,6 +1581,19 @@ object McpTools {
           .map(r => s"q${r.getLong(0)}: ${r.getLong(2)}/${r.getLong(1)}")
           .mkString("; ")
       }),
+    ToolDef("graft_compact_small",
+      "PARTIAL compaction: rewrite only the data files at or below max_bytes into target_files files; larger files are carried forward untouched — fixes the small-files problem at O(small files) cost instead of full compaction's O(table) rewrite. Position-delete bookkeeping stays exact; aborts if a concurrent commit overtakes the rewrite.",
+      sch(List("table", "max_bytes"),
+        "table" -> S("Table identifier (namespace.table)"),
+        "max_bytes" -> I("Rewrite files at or below this size in bytes"),
+        "target_files" -> I("Output file count for the rewritten set (default 1)")),
+      (lh, a) => {
+        val s = lh.catalog.loadTable(str(a, "table")).compactSmall(
+          str(a, "max_bytes").toLong,
+          strOpt(a, "target_files").map(_.toInt).getOrElse(1))
+        s"snapshot ${s.id}: ${s.summary.getOrElse("compacted-files", "0")} " +
+          s"small files rewritten, ${s.summary.getOrElse("kept-files", "?")} kept"
+      }),
     ToolDef("graft_tag_snapshot",
       "Create, list or delete named snapshot tags. A tagged snapshot is pinned: expire_snapshots never drops it, and the tag name works anywhere a time-travel ref does (query-asof, rollback). Tag the snapshot a model trained on to keep that exact table state reproducible.",
       sch(List("table", "action"),

@@ -808,7 +808,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       extraSummary: Map[String, String] = Map.empty,
       requireParentId: Option[Long] = None,
       newDeleteFiles: List[FileEntry] = Nil,
-      noRewriteSince: Option[Long] = None): Snapshot =
+      noRewriteSince: Option[Long] = None,
+      parentFileFilter: Option[FileEntry => Boolean] = None,
+      replaceParentDeletes: Boolean = false,
+      mapEqDeletes: (List[EqDeleteEntry], List[FileEntry]) => List[EqDeleteEntry]
+        = (e, _) => e): Snapshot =
     tableLock.synchronized {
       require(newDeleteFiles.isEmpty || keepParent,
         "delete files only compose with parent-keeping commits")
@@ -909,23 +913,35 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         // Old manifests stay on disk for older snapshots that reference
         // them (orphan GC collects them once those expire).
         val parentDataM = parentMl.map(_.dataManifests).getOrElse(Nil)
-        val mergedParentM =
-          if (parentDataM.size < IceTable.MergeManifestCount) parentDataM
-          else List(Manifests.writeManifest(
-            manifestsDir.resolve(f"m-$id%05d-merged-$uid.json"),
-            parentDataM.flatMap(Manifests.readManifest)))
+        val mergedParentM = parentFileFilter match {
+          // partial rewrite (compactSmall): the parent's SURVIVING files
+          // materialize into one fresh manifest — an O(live files)
+          // metadata write, same cost class as manifest merging
+          case Some(keep) =>
+            val kept = parentDataM.flatMap(Manifests.readManifest).filter(keep)
+            if (kept.isEmpty) Nil
+            else List(Manifests.writeManifest(
+              manifestsDir.resolve(f"m-$id%05d-kept-$uid.json"), kept))
+          case None =>
+            if (parentDataM.size < IceTable.MergeManifestCount) parentDataM
+            else List(Manifests.writeManifest(
+              manifestsDir.resolve(f"m-$id%05d-merged-$uid.json"),
+              parentDataM.flatMap(Manifests.readManifest)))
+        }
         val newDataM =
           if (newFiles.isEmpty) Nil
           else List(Manifests.writeManifest(
             manifestsDir.resolve(f"m-$id%05d-data-$uid.json"), newFiles))
-        val delManifests = parentMl.map(_.deleteManifests).getOrElse(Nil) ++
+        val delManifests =
+          (if (replaceParentDeletes) Nil
+           else parentMl.map(_.deleteManifests).getOrElse(Nil)) ++
           (if (newDeleteFiles.isEmpty) Nil
            else List(Manifests.writeManifest(
              manifestsDir.resolve(f"m-$id%05d-del-$uid.json"), newDeleteFiles)))
         val ml = ManifestList(
           mergedParentM ++ newDataM,
           delManifests,
-          parentMl.map(_.eqDeleteFiles).getOrElse(Nil))
+          mapEqDeletes(parentMl.map(_.eqDeleteFiles).getOrElse(Nil), newFiles))
         val listPath =
           Manifests.writeList(manifestsDir.resolve(f"list-$id%05d-$uid.json"), ml)
         val s = Snapshot(id, refs.lastOption.map(_.id), System.currentTimeMillis(),
@@ -1148,6 +1164,78 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         s"clusterBy supports 1 or 2 columns, got ${other.size}")
     }
     commit(df, "replace", keepParent = false, requireParentId = Some(asOf))
+  }
+
+  /** PARTIAL compaction — the small-files fix at scale: rewrite ONLY the
+    * data files at or below `maxBytes` into `targetFiles` files; larger
+    * files are carried forward untouched. On a 100 TB table the
+    * small-files problem is thousands of KB-sized streaming/CDC commits
+    * sitting next to GB-scale compacted files; full [[compact]] is an
+    * O(table) rewrite, this is O(small files).
+    *
+    * Delete bookkeeping stays EXACT without extra scans:
+    *  - position-delete files are pruned to rows referencing surviving
+    *    files (O(delete rows) — small by MoR design); rows referencing
+    *    rewritten files are absorbed by the rewrite.
+    *  - equality entries carry forward (they still cover the surviving
+    *    files), and their matched-row accounting is reduced by exactly
+    *    the eq matches that lived in the rewritten files — derivable as
+    *    smallRawRows − smallPosDeleteRows − rewrittenOutputRows, all
+    *    known from manifests. The per-entry split of that reduction is
+    *    greedy (only the SUM feeds [[Snapshot.liveRows]]).
+    *
+    * Aborts with `ConcurrentModificationException` if a foreign commit
+    * overtakes the rewrite, exactly like [[compact]]. */
+  def compactSmall(maxBytes: Long, targetFiles: Int = 1): Snapshot = locked {
+    val n = math.max(targetFiles, 1)
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot compact an empty table"))
+    val (small, kept) = cur.files.partition(_.bytes <= maxBytes)
+    if (small.size <= n) return cur // nothing to gain
+    val smallPaths = small.map(_.path).toSet
+    val asOf = cur.id
+    // read ONLY the small files, all deletes applied as-of this snapshot
+    val df = readSnapshot(Some(cur.copy(files = small))).repartition(n)
+    // prune position-delete files to rows referencing SURVIVING files
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    val (prunedDel, posDelInSmall) =
+      if (cur.deleteFiles.isEmpty) (Nil, 0L)
+      else {
+        val delDir = dataDir.resolve(s"del-$uid")
+        // delete rows store `_metadata.file_path` URIs (Spark renders
+        // local files as `file:/path`); manifest entries store plain
+        // paths — cover every rendering
+        val smallForms = smallPaths.toSeq.flatMap(p =>
+          Seq(p, s"file:$p", s"file://$p",
+            java.nio.file.Paths.get(p).toUri.toString))
+        val smallDf = spark.createDataset(smallForms)(
+          org.apache.spark.sql.Encoders.STRING).toDF("file_path")
+        spark.read.schema(IceTable.DeleteSchema)
+          .parquet(cur.deleteFiles.map(_.path): _*)
+          .join(broadcast(smallDf), Seq("file_path"), "left_anti")
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(delDir.toString)
+        val entries = listDeleteParquet(delDir).filter(_.rows > 0)
+        (entries, cur.deleteFiles.map(_.rows).sum - entries.map(_.rows).sum)
+      }
+    val smallRaw = small.map(_.rows).sum
+    val adjustEq: (List[EqDeleteEntry], List[FileEntry]) => List[EqDeleteEntry] =
+      (eqs, newFiles) => {
+        var toDeduct = smallRaw - posDelInSmall - newFiles.map(_.rows).sum
+        eqs.map { e =>
+          val d = math.min(e.rows, math.max(toDeduct, 0L))
+          toDeduct -= d
+          e.copy(rows = e.rows - d)
+        }
+      }
+    commit(df, "replace", keepParent = true,
+      extraSummary = Map("compacted-files" -> small.size.toString,
+        "kept-files" -> kept.size.toString),
+      requireParentId = Some(asOf),
+      newDeleteFiles = prunedDel,
+      parentFileFilter = Some(fe => !smallPaths(fe.path)),
+      replaceParentDeletes = true,
+      mapEqDeletes = adjustEq)
   }
 
   // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------
