@@ -95,6 +95,9 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         val (v, m) = metaHead
         onMetaAttempt(m)
         val next = f(m)
+        // `f` returning the input unchanged (no-op evolution, idempotent
+        // re-apply) must not burn a metadata version per call
+        if (next eq m) return m
         Files.createDirectories(metaVersionsDir)
         val tmp = metaVersionsDir.resolve(
           s".cas-${java.util.UUID.randomUUID()}.tmp")
@@ -252,22 +255,34 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       s"commit to $dir lost the log CAS ${IceTable.MaxCommitRetries} times")
   }
 
-  /** Abort a merge-on-read delete whose read snapshot (`asOfId`) was
-    * overtaken by a competing commit that REWROTE data files (overwrite or
-    * compaction): position deletes reference the replaced files and an
-    * equality entry's `coveredUpTo` watermark would exempt the rewritten
-    * copies — committing would silently drop the delete. Appends, other
-    * MoR deletes and zero-copy rollbacks (which re-reference existing
-    * files, keeping every targeted path valid) commute and are allowed —
-    * Iceberg's validateNoConflictingData idea. */
+  /** Abort a merge-on-read delete/update whose read snapshot (`asOfId`)
+    * was overtaken by a competing commit that REMOVED or RELOCATED rows:
+    *
+    *  - overwrite/compaction REWRITE data files — recorded positions
+    *    reference replaced files and an equality entry's `coveredUpTo`
+    *    watermark would exempt the rewritten copies; committing would
+    *    silently drop the delete.
+    *  - a concurrent MoR `update` or `delete` removes rows too:
+    *    committing over it could double-delete the same position
+    *    (corrupting liveRows accounting), miss rows the update relocated
+    *    into new files, or — for an update — RESURRECT a concurrently
+    *    deleted row as a fresh copy. Iceberg's serializable-level
+    *    validateNoConflictingData/validateNoConflictingDeletes rule.
+    *
+    * Appends and zero-copy rollbacks (which re-reference existing files,
+    * keeping every targeted path valid and every row in place) commute
+    * and are allowed. */
   private def failOnConflictingRewrite(refs: List[Snapshot], asOfId: Long,
       what: String): Unit =
     refs.dropWhile(_.id <= asOfId)
-      .find(r => (r.operation == "overwrite" || r.operation == "replace") &&
-        !r.summary.contains("rolled-back-to"))
+      .find { r =>
+        val rewrites = (r.operation == "overwrite" || r.operation == "replace") &&
+          !r.summary.contains("rolled-back-to")
+        rewrites || r.operation == "update" || r.operation == "delete"
+      }
       .foreach(r => throw new java.util.ConcurrentModificationException(
         s"$what computed against snapshot $asOfId conflicts with concurrent " +
-          s"${r.operation} snapshot ${r.id} which rewrote the data files"))
+          s"${r.operation} snapshot ${r.id} which removed or relocated rows"))
 
   /** Raw constant-size log entries as persisted (manifest pointers, no
     * inline file lists) — the compact view tests and tooling inspect. */
@@ -375,6 +390,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       throw new IllegalStateException("cannot tag an empty table"))
     updateMeta(m => m.copy(properties =
       m.properties + (TagPrefix + name -> snap.id.toString)))
+    // the tag (metadata CAS) and the snapshot log are separate atomic
+    // domains: an expire whose log CAS landed between our resolve above
+    // and the meta CAS would leave this tag dangling — re-validate after
+    // landing and fail LOUDLY instead. (The mirror-image interleaving —
+    // expire reads the pin set, we land AND validate, expire lands — is
+    // closed on expire's side, which removes tags pointing at ids it just
+    // expired; a caller racing maintenance should re-check `tags` after
+    // creating a pin.)
+    if (snapshotById(snap.id).isEmpty) {
+      removeTag(name)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot ${snap.id} was expired while tagging '$name'; " +
+          "re-resolve and retry")
+    }
     snap.id
   }
 
@@ -556,6 +585,13 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           .write.parquet(delDir.toString)
         val delFiles = listDeleteParquet(delDir)
         val updated = delFiles.map(_.rows).sum
+        if (updated == 0L) {
+          // zero matches: committing would permanently add an empty data
+          // file and a pointless snapshot per run of a scheduled update —
+          // short-circuit like deleteWhereMor's empty-table guard
+          walkList(delDir).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+          return 0L
+        }
         val newDel = delFiles.filter(_.rows > 0)
         val upd = sets.foldLeft(hits) { case (d, (k, v)) =>
           d.withColumn(k, v)
@@ -568,11 +604,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       } finally {
         // the temp hit set is consumed within this call — remove it
         // eagerly rather than leaving it to orphan GC
-        def del(p: java.io.File): Unit = {
-          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(del))
-          p.delete(); ()
-        }
-        del(hitsTmp.toFile)
+        if (Files.exists(hitsTmp))
+          walkList(hitsTmp).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
       }
     }
 
@@ -1032,6 +1065,17 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         if (expired.isEmpty) Left(Nil)
         else Right((snaps.filter(keep).sortBy(_.id), expired))
       }
+    } match {
+      case expired if expired.nonEmpty =>
+        // cross-domain race closure: a tag whose meta CAS landed AFTER the
+        // pin-set read above but whose snapshot we just dropped would
+        // dangle forever — remove it so `tags` never lies (the tagger's
+        // own post-validation throws in the symmetric interleaving; see
+        // tagSnapshot)
+        val gone = expired.toSet
+        tags.foreach { case (n, id) => if (gone(id)) removeTag(n) }
+        expired
+      case expired => expired
     }
   }
 
@@ -1351,7 +1395,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       .map { p =>
         val (rows, bounds) = parquetFileStats(p, conf, schema)
         FileEntry(p.toString, rows, Files.size(p), schemaId, bounds)
-      }.toList.sortBy(_.path)
+      }
+      // Spark writes at least one 0-row part file for an empty frame (and
+      // repartition(n) of k<n rows writes n-k of them): carrying them in
+      // the file list makes every future read open empty parquet forever
+      .filter(_.rows > 0L)
+      .toList.sortBy(_.path)
   }
 }
 

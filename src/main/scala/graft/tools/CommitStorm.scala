@@ -87,12 +87,24 @@ object CommitStorm {
               // skip — the guard keeps update-after-own-delete impossible
               val target = s + 1
               if (appendedIds.contains(target) &&
-                  !landed.contains(s"D $target")) try {
-                val n = tbl.updateWhereMor(col("id") === target,
-                  Map("name" -> org.apache.spark.sql.functions.lit(s"u$s-$i")))
-                if (n == 1L) landed += s"U $target u$s-$i"
-              } catch {
-                case _: java.util.ConcurrentModificationException => ()
+                  !landed.contains(s"D $target")) {
+                // serializable-level validation aborts an update whenever a
+                // FOREIGN update/delete landed since its read — under two
+                // racing processes that is common, so retry a few times
+                // (each attempt re-reads fresh state) before giving up
+                var attempts = 0
+                var done = false
+                while (!done && attempts < 3) {
+                  attempts += 1
+                  try {
+                    val n = tbl.updateWhereMor(col("id") === target,
+                      Map("name" -> org.apache.spark.sql.functions.lit(s"u$s-$i")))
+                    if (n == 1L) landed += s"U $target u$s-$i"
+                    done = true
+                  } catch {
+                    case _: java.util.ConcurrentModificationException => ()
+                  }
+                }
               }
             }
             if (i % 5 == 4)

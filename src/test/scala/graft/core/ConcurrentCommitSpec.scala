@@ -142,7 +142,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     val e = intercept[java.util.ConcurrentModificationException] {
       a.deleteWhereMor(col("id") < 10)
     }
-    assert(e.getMessage.contains("rewrote the data files"))
+    assert(e.getMessage.contains("removed or relocated rows"))
     // table unharmed: compaction's view intact, no delete applied
     assert(a.read().count() == 100)
     assertLinear(a)

@@ -74,11 +74,49 @@ class MorUpdateSpec extends AnyFunSuite {
     assert(t.read().count() == 1000)
   }
 
-  test("zero-match update commits cleanly and changes nothing") {
+  test("zero-match update commits NOTHING: no snapshot, no empty data file") {
     val cat = newCatalog()
     val t = seeded(cat, "default.zero")
+    val snapsBefore = t.rawLog.size
     assert(t.updateWhereMor(col("id") < 0, Map("v" -> lit(0.0))) == 0L)
     assert(t.read().count() == 1000)
+    assert(t.rawLog.size == snapsBefore,
+      "a no-match update must not burn a snapshot per scheduled run")
+    assert(t.orphanFiles().isEmpty, "no-match update left stranded files")
+  }
+
+  test("concurrent MoR updates of the SAME row: the loser aborts, no duplicate") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.upur")
+    val other = cat.loadTable("default.upur")
+    var fired = false
+    t.onCommitAttempt = _ => if (!fired) {
+      fired = true
+      assert(other.updateWhereMor(col("id") === 7L, Map("v" -> lit(-1.0))) == 1L)
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      t.updateWhereMor(col("id") === 7L, Map("v" -> lit(-2.0)))
+    } finally t.onCommitAttempt = _ => ()
+    // exactly ONE row id=7 with the winner's value — the loser committing
+    // would have appended a second copy
+    val rows = t.read().where(col("id") === 7L).collect()
+    assert(rows.length == 1 && rows(0).getDouble(2) == -1.0, rows.mkString)
+  }
+
+  test("update racing a concurrent MoR delete of its rows aborts (no resurrection)") {
+    val cat = newCatalog()
+    val t = seeded(cat, "default.updel")
+    val other = cat.loadTable("default.updel")
+    var fired = false
+    t.onCommitAttempt = _ => if (!fired) {
+      fired = true
+      assert(other.deleteWhereMor(col("id") === 7L) == 1L)
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      t.updateWhereMor(col("id") === 7L, Map("v" -> lit(-2.0)))
+    } finally t.onCommitAttempt = _ => ()
+    // the delete won; the aborted update must not re-append the row
+    assert(t.read().where(col("id") === 7L).count() == 0)
   }
 
   test("unknown SET column and empty SET are refused") {

@@ -125,10 +125,13 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       t.updatePartitionSpec(Seq("identity(x)", "identity(x)"))
     }
-    // no-op evolution records nothing
+    // no-op evolution records nothing AND burns no metadata version
     t.updatePartitionSpec(Seq("identity(x)"))
+    val vBefore = t.metaHead._1
     t.updatePartitionSpec(Seq("identity(x)"))
     assert(t.meta.previousPartitionSpecs == Nil)
+    assert(t.metaHead._1 == vBefore,
+      "idempotent re-apply must not write a new metadata version")
   }
 
   test("compact migrates old files to the current layout") {

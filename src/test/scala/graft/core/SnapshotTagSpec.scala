@@ -92,6 +92,27 @@ class SnapshotTagSpec extends AnyFunSuite {
     assert(t.readAsOf("late-pin").count() == 1)
   }
 
+  test("tagging a snapshot that an in-flight expire drops fails loudly, no dangling tag") {
+    val cat = Catalog.open(spark, SparkFixture.tmpDir("graft-tagdie-").toString)
+    cat.createTable("default.t", Seq("id" -> "long"), Nil, Map.empty)
+    val t = cat.loadTable("default.t")
+    val other = cat.loadTable("default.t")
+    t.append(Seq(1L).toDF("id")) // snap 1
+    t.append(Seq(2L).toDF("id")) // snap 2
+    var fired = false
+    // the simulated foreign expire lands between tagSnapshot's snapshot
+    // resolve and its metadata CAS: the pin is not yet visible, snap 1
+    // drops, and the post-validation must remove the tag and throw
+    t.onMetaAttempt = _ => if (!fired) {
+      fired = true
+      assert(other.expireSnapshots(retainLast = Some(1)) == List(1L))
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      t.tagSnapshot("doomed", Some("1"))
+    } finally t.onMetaAttempt = _ => ()
+    assert(t.tags.isEmpty, "dangling tag survived the post-validation")
+  }
+
   test("re-tagging moves the name; foreign ref.tag properties are ignored") {
     val t = newTable()
     t.append(Seq(1L).toDF("id"))
