@@ -220,6 +220,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * full competing commit on another IceTable instance). */
   private[core] var onCommitAttempt: List[Snapshot] => Unit = _ => ()
 
+  /** Test hook: fires inside an expire attempt immediately AFTER the tag
+    * pin-set read — the exact window where a foreign tagSnapshot's meta CAS
+    * can land unseen (see the reinstatement pass in [[expireSnapshots]]). */
+  private[core] var onExpirePinRead: () => Unit = () => ()
+
   /** Thrown by a commit body to signal "lost a filesystem race before the
     * CAS" (e.g. the `commit-<id>` data-dir name was claimed by a competing
     * writer); control flow only. */
@@ -269,15 +274,21 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     *    deleted row as a fresh copy. Iceberg's serializable-level
     *    validateNoConflictingData/validateNoConflictingDeletes rule.
     *
-    * Appends and zero-copy rollbacks (which re-reference existing files,
-    * keeping every targeted path valid and every row in place) commute
-    * and are allowed. */
+    * Appends always commute. Zero-copy rollbacks re-reference existing
+    * files, so every targeted path stays valid — they commute with DELETES
+    * (delete-then-rollback ≡ the serial order where the rollback discards
+    * the delete; rollback-then-eq-delete applies the keys to the restored
+    * state — both serializable) but NOT with UPDATES: an update that read
+    * pre-rollback state appends fresh copies of rows the rollback removed,
+    * RESURRECTING them (its position deletes against rolled-back-away
+    * files are inert), a state no serial order produces. Callers on the
+    * update path pass `rollbackConflicts = true`. */
   private def failOnConflictingRewrite(refs: List[Snapshot], asOfId: Long,
-      what: String): Unit =
+      what: String, rollbackConflicts: Boolean = false): Unit =
     refs.dropWhile(_.id <= asOfId)
       .find { r =>
         val rewrites = (r.operation == "overwrite" || r.operation == "replace") &&
-          !r.summary.contains("rolled-back-to")
+          (rollbackConflicts || !r.summary.contains("rolled-back-to"))
         rewrites || r.operation == "update" || r.operation == "delete"
       }
       .foreach(r => throw new java.util.ConcurrentModificationException(
@@ -395,9 +406,9 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     // and the meta CAS would leave this tag dangling — re-validate after
     // landing and fail LOUDLY instead. (The mirror-image interleaving —
     // expire reads the pin set, we land AND validate, expire lands — is
-    // closed on expire's side, which removes tags pointing at ids it just
-    // expired; a caller racing maintenance should re-check `tags` after
-    // creating a pin.)
+    // closed on expire's side, which REINSTATES pinned snapshots it finds
+    // it dropped, so a tagSnapshot that returned success keeps both its
+    // tag and its snapshot; see expireSnapshots.)
     if (snapshotById(snap.id).isEmpty) {
       removeTag(name)
       throw new java.util.ConcurrentModificationException(
@@ -517,6 +528,15 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     hits.write.parquet(delDir.toString)
     val delFiles = listDeleteParquet(delDir)
     val deleted = delFiles.map(_.rows).sum
+    if (deleted == 0L) {
+      // zero matches: a no-op 'delete' snapshot would not only pollute the
+      // log per scheduled run, it would spuriously ABORT concurrent MoR
+      // updates/deletes that actually commute (the conflict check keys on
+      // the operation, not the row count) — short-circuit like
+      // updateWhereMor does
+      walkList(delDir).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+      return 0L
+    }
     val newDel = delFiles.filter(_.rows > 0)
     val uid = java.util.UUID.randomUUID().toString.take(12)
     commitLog[Long] { refs =>
@@ -904,8 +924,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         }
         // MoR update: its position deletes reference the files live at its
         // read snapshot — a competing rewrite invalidates them (same rule
-        // as deleteWhereMor); appends and other MoR commits commute
-        noRewriteSince.foreach(asOf => failOnConflictingRewrite(refs, asOf, op))
+        // as deleteWhereMor), and a competing ROLLBACK conflicts too: the
+        // update's appended copies would resurrect rows the rollback
+        // removed. Only appends commute with an update.
+        noRewriteSince.foreach(asOf =>
+          failOnConflictingRewrite(refs, asOf, op, rollbackConflicts = true))
         val id = refs.lastOption.map(_.id + 1).getOrElse(1L)
         val commitDir = dataDir.resolve(f"commit-$id%05d")
         // Claim the id's data-dir name by atomic rename: the eq-delete
@@ -1043,8 +1066,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val cutoff = olderThan.map(parseCutoffMs)
     // refs only — expiry decisions need ids + timestamps, never file lists;
     // the whole decision re-runs per attempt off the freshest log, so a
-    // snapshot a competitor just committed is never expired by accident
-    commitLog[List[Long]] { snaps =>
+    // snapshot a competitor just committed is never expired by accident.
+    // The payload is the expired ENTRIES (not just ids): the tag/expire
+    // cross-domain race below may need to put one back.
+    val expiredEntries = commitLog[List[Snapshot]] { snaps =>
       if (snaps.isEmpty) Left(Nil)
       else {
         val currentId = snaps.last.id
@@ -1052,6 +1077,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         // re-read per CAS attempt so a tag created while this expire
         // retries is honored
         val pinned = tags.values.toSet
+        onExpirePinRead()
         var keep = snaps.toSet
         cutoff.foreach { c =>
           keep = keep.filter(s => s.timestampMs >= c || s.id == currentId)
@@ -1061,22 +1087,44 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           keep = keep.intersect(retained) + snaps.last
         }
         keep = keep ++ snaps.filter(s => pinned(s.id))
-        val expired = snaps.filterNot(keep).map(_.id)
+        val expired = snaps.filterNot(keep)
         if (expired.isEmpty) Left(Nil)
         else Right((snaps.filter(keep).sortBy(_.id), expired))
       }
-    } match {
-      case expired if expired.nonEmpty =>
-        // cross-domain race closure: a tag whose meta CAS landed AFTER the
-        // pin-set read above but whose snapshot we just dropped would
-        // dangle forever — remove it so `tags` never lies (the tagger's
-        // own post-validation throws in the symmetric interleaving; see
-        // tagSnapshot)
-        val gone = expired.toSet
-        tags.foreach { case (n, id) => if (gone(id)) removeTag(n) }
-        expired
-      case expired => expired
     }
+    if (expiredEntries.isEmpty) return Nil
+    // Tag/expire cross-domain race closure. The tag (metadata CAS) and the
+    // snapshot log are separate atomic domains, so a tagSnapshot whose meta
+    // CAS landed AFTER this expire's per-attempt pin read but BEFORE its log
+    // CAS has pinned a snapshot we just dropped — and if the tagger's own
+    // post-validation also ran before our CAS, the tagger already RETURNED
+    // SUCCESS. Removing the tag here would silently break that success, so
+    // instead REINSTATE the pinned snapshot: expiry only drops log entries
+    // (data/manifest deletion is orphan GC, gated on the log), so putting
+    // the entry back is a pure-metadata commit and the pin semantics win —
+    // exactly what "tags are never expired" promises. Tags pointing at ids
+    // that were ALREADY gone before this expire (stale from some older
+    // failure) have nothing to reinstate and are removed so `tags` never
+    // lies. The one remaining interleaving — tagger validates while our log
+    // CAS has landed but our reinstate has not — fails LOUDLY on the
+    // tagger's side (removeTag + throw), never silently.
+    val gone = expiredEntries.map(_.id).toSet
+    val pinnedNow = tags.values.filter(gone).toSet
+    val reinstated: Set[Long] =
+      if (pinnedNow.isEmpty) Set.empty
+      else {
+        val entries = expiredEntries.filter(e => pinnedNow(e.id))
+        commitLog[Unit] { refs =>
+          val missing = entries.filterNot(e => refs.exists(_.id == e.id))
+          if (missing.isEmpty) Left(())
+          else Right(((refs ++ missing).sortBy(_.id), ()))
+        }
+        pinnedNow
+      }
+    tags.foreach { case (n, id) =>
+      if (gone(id) && !reinstated(id) && snapshotById(id).isEmpty) removeTag(n)
+    }
+    expiredEntries.map(_.id).filterNot(reinstated)
   }
 
   /** Files under data/ referenced by no live snapshot (maintenance.py orphan
@@ -1246,17 +1294,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       if (cur.deleteFiles.isEmpty) (Nil, 0L)
       else {
         val delDir = dataDir.resolve(s"del-$uid")
-        // delete rows store `_metadata.file_path` URIs (Spark renders
-        // local files as `file:/path`); manifest entries store plain
-        // paths — cover every rendering
-        val smallForms = smallPaths.toSeq.flatMap(p =>
-          Seq(p, s"file:$p", s"file://$p",
-            java.nio.file.Paths.get(p).toUri.toString))
-        val smallDf = spark.createDataset(smallForms)(
-          org.apache.spark.sql.Encoders.STRING).toDF("file_path")
+        // delete rows store `_metadata.file_path` URIs (renderings vary by
+        // filesystem: `file:/p`, `file:///p`, `hdfs://nn/p`…); manifest
+        // entries store plain paths. Canonicalize BOTH sides to a bare
+        // absolute path — scheme and authority slashes collapsed — instead
+        // of enumerating renderings, so a rendering this code never saw
+        // cannot leave stale delete rows carried forward.
+        val smallDf = spark.createDataset(smallPaths.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("small_path")
+        def canon(c: Column): Column =
+          regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
         spark.read.schema(IceTable.DeleteSchema)
           .parquet(cur.deleteFiles.map(_.path): _*)
-          .join(broadcast(smallDf), Seq("file_path"), "left_anti")
+          .join(broadcast(smallDf),
+            canon(col("file_path")) === canon(col("small_path")), "left_anti")
           .sortWithinPartitions("file_path", "pos")
           .write.parquet(delDir.toString)
         val entries = listDeleteParquet(delDir).filter(_.rows > 0)

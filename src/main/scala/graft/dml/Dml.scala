@@ -101,23 +101,34 @@ class Dml(lh: Lakehouse) {
           .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
         c -> lit(coerce(v, f.dataType)).cast(f.dataType)
       }
-      // Evaluate the match BEFORE any column is rewritten: if the SET touches
-      // a column the filter references, re-evaluating the filter afterwards
-      // would select (and validate) the wrong rows.
-      val marked = df.withColumn("__matched", coalesce(cond, lit(false)))
-      val updated = setCols.foldLeft(marked) { case (d, (c, v)) =>
-        d.withColumn(c, when(col("__matched"), v).otherwise(col(c)))
-      }
-      // validate rewritten rows against the rows that were NOT touched, so
-      // unique rules catch an update that duplicates an existing key
-      lh.validation.enforce(table,
-        updated.where(col("__matched")).drop("__matched"),
-        Some(updated.where(!col("__matched")).drop("__matched")))
       val mor = tbl.meta.properties.get("write.update.mode")
         .contains("merge-on-read")
+      val matchCond = coalesce(cond, lit(false))
+      // Validate rewritten rows against the rows that were NOT touched, so
+      // unique rules catch an update that duplicates an existing key. In
+      // merge-on-read mode both frames come from plain filters (hit rows
+      // with the SETs applied vs the untouched remainder) — never from a
+      // whole-table when/otherwise rewrite, whose every-column rewrite
+      // would cost the full-table scans MoR exists to avoid.
+      if (mor) {
+        val hits = setCols.foldLeft(df.where(matchCond)) { case (d, (c, v)) =>
+          d.withColumn(c, v)
+        }
+        lh.validation.enforce(table, hits, Some(df.where(!matchCond)))
+      }
+      // Copy-on-write: evaluate the match BEFORE any column is rewritten —
+      // if the SET touches a column the filter references, re-evaluating
+      // the filter afterwards would select (and validate) the wrong rows.
       val matched =
-        if (mor) tbl.updateWhereMor(coalesce(cond, lit(false)), setCols)
+        if (mor) tbl.updateWhereMor(matchCond, setCols)
         else {
+          val marked = df.withColumn("__matched", matchCond)
+          val updated = setCols.foldLeft(marked) { case (d, (c, v)) =>
+            d.withColumn(c, when(col("__matched"), v).otherwise(col(c)))
+          }
+          lh.validation.enforce(table,
+            updated.where(col("__matched")).drop("__matched"),
+            Some(updated.where(!col("__matched")).drop("__matched")))
           val n = marked.where(col("__matched")).count()
           tbl.overwrite(updated.drop("__matched"))
           n

@@ -131,6 +131,75 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(a.read().where(col("id") < 10).count() == 0)
   }
 
+  test("MoR update vs rollback: the update ABORTS — committing would " +
+      "resurrect rows the rollback removed") {
+    val cat = newCatalog()
+    val a = cat.createTable("t4u", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 10)) // id 1
+    a.append(df(100 until 110)) // id 2
+    val b = cat.loadTable("t4u")
+    // the update reads id 2's state (rows 0..9 + 100..109) and computes
+    // updated copies of 100..109; the rollback to id 1 removes exactly
+    // those rows from the live view — letting the update land would
+    // append fresh copies of them (its position deletes against the
+    // rolled-back-away id-2 files are inert): resurrection, a state no
+    // serial order of {update, rollback} produces. Must abort.
+    injectOnce(a)(b.rollbackTo("1"))
+    intercept[java.util.ConcurrentModificationException] {
+      a.updateWhereMor(col("id") >= 100, Map("name" -> lit("upd")))
+    }
+    // live view is exactly the rollback target: nothing resurrected
+    assert(a.read().count() == 10)
+    assert(a.read().where(col("id") >= 100).count() == 0)
+    assert(a.read().where(col("name") === "upd").count() == 0)
+  }
+
+  test("MoR delete matching zero rows is a no-op: no snapshot committed, " +
+      "no spurious conflict for concurrent updates") {
+    val cat = newCatalog()
+    val a = cat.createTable("t4z", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 10))
+    val before = a.rawLog.map(_.id)
+    assert(a.deleteWhereMor(col("id") > 1000) == 0L)
+    assert(a.rawLog.map(_.id) == before,
+      "a zero-match MoR delete must not commit a snapshot")
+    // the would-be delete dir left no parquet behind
+    assert(a.orphanFiles().isEmpty)
+  }
+
+  test("tag lands inside expire's pin-read/CAS window: expire REINSTATES " +
+      "the pinned snapshot — a successful tag is never silently broken") {
+    val cat = newCatalog()
+    val a = cat.createTable("t4t", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 5)) // id 1
+    a.append(df(5 until 10)) // id 2
+    a.append(df(10 until 15)) // id 3
+    val b = cat.loadTable("t4t")
+    // b tags snapshot 1 AFTER a's expire attempt has read the (empty) pin
+    // set but BEFORE its log CAS lands — the cross-domain window where the
+    // old code removed the tag after the fact, silently breaking b's
+    // returned success
+    var taggedId = -1L
+    var fired = false
+    a.onExpirePinRead = () => if (!fired) { fired = true; taggedId = b.tagSnapshot("pin1", Some("1")) }
+    val expired = a.expireSnapshots(retainLast = Some(1))
+    a.onExpirePinRead = () => ()
+    assert(taggedId == 1L, "the tag call must have returned success")
+    // snapshot 1 was reinstated for its pin; snapshot 2 stayed expired
+    assert(expired == List(2L), s"got $expired")
+    assert(a.tags == Map("pin1" -> 1L))
+    assert(a.snapshotById(1L).isDefined, "pinned snapshot must survive")
+    assert(a.snapshotById(2L).isEmpty)
+    // the reinstated snapshot is fully readable (manifests intact)
+    assert(a.readAsOf("pin1").count() == 5)
+    // and a later expire with the tag visible up front keeps honoring it
+    assert(a.expireSnapshots(retainLast = Some(1)).isEmpty)
+    assert(a.snapshotById(1L).isDefined)
+  }
+
   test("MoR delete vs concurrent compaction: the delete ABORTS instead of " +
       "silently dropping (positions reference rewritten files)") {
     val cat = newCatalog()
