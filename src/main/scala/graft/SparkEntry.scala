@@ -2393,6 +2393,89 @@ object SparkEntry {
         .groupBy((col("l_orderkey") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // SQL-entry-path FILE SKIPPING gate: a plain `WHERE` range through
+    // QueryEngine.execute (the reference's primary query surface,
+    // query.py:52-75) must both hash-match the oracle AND open fewer files
+    // than the snapshot holds — the manifest-bounds prune is wired into the
+    // query/CLI/MCP path, not just the explicit prunedRead API (q94/q165).
+    // Four disjoint o_orderkey-range commits; the predicate covers two.
+    "q169_engine_pruned_query" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh169") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val maxKey = ord.agg(max("o_orderkey")).head.getLong(0)
+        lh.catalog.createTable("default.ord_rng", ord.schema, Nil,
+          Map("engine.q169.maxkey" -> maxKey.toString))
+        val tb = lh.catalog.loadTable("default.ord_rng")
+        val step = maxKey / 4 + 1
+        for (b <- 0 until 4)
+          tb.append(ord.where(col("o_orderkey") >= b * step &&
+            col("o_orderkey") < (b + 1) * step).coalesce(1))
+      }
+      val maxKey = lh.catalog.loadTable("default.ord_rng")
+        .meta.properties("engine.q169.maxkey").toLong
+      val cut = (maxKey / 4 + 1) * 2 // exactly the 3rd commit's lower bound
+      val res = lh.engine.execute(
+        s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM ord_rng WHERE o_orderkey >= $cut
+           |GROUP BY o_orderstatus""".stripMargin, maxRows = 0)
+      val stats = lh.engine.lastScanStats.get("default.ord_rng")
+      require(stats.exists { case (kept, total) => kept < total },
+        s"engine file skipping must drop files, got $stats")
+      res
+    }),
+
+    // NATIVE bloom-join fallback gate (q71's bit-equality guarantee above
+    // the literal-bitmap cap): a 1.8M-key dim auto-sizes past
+    // BloomPrune.MaxBits/10, so prunedJoin must switch to Spark's
+    // BloomFilterAggregate sketch — no 2 MB array literal in the plan, no
+    // FP-rate cliff, and the join result still exactly equals the plain
+    // join the oracle computes.
+    "q170_native_bloom_join" -> ((s, dir) => {
+      val dim = s.range(0, 3600000, 2, 8).toDF("k")
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      val joined = graft.operators.BloomPrune
+        .prunedJoin(fact, "l_orderkey", dim, "k")
+      val hasNative = joined.queryExecution.analyzed.exists(_.expressions
+        .exists(_.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])))
+      require(hasNative, "dim above the literal cap must use the native probe")
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total"))
+    }),
+
+    // DELETE-FILE COMPACTION gate: eq-delete (with a later append the
+    // watermark must protect) + position delete, then compactDeletes folds
+    // the whole delete state into ONE position-delete file — the read
+    // result must be byte-identical to the un-compacted semantics the
+    // oracle computes from the raw commits.
+    "q171_delete_compaction_read" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh171") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_cd", li.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.li_cd")
+        tb.append(li.where(col("l_orderkey") % 2 === 0)) // commit 1: even keys
+        // eq-delete all %25 keys: covers commit 1 only (watermark)
+        tb.deleteKeysMor(Seq("l_orderkey"),
+          li.where(col("l_orderkey") % 25 === 0)
+            .select("l_orderkey").distinct()) // commit 2
+        tb.append(li.where(col("l_orderkey") % 2 === 1)) // commit 3: odd keys
+        tb.deleteWhereMor(col("l_quantity") < 2.0) // commit 4
+        val snap = tb.compactDeletes().get // commit 5
+        require(snap.eqDeleteFiles.isEmpty && snap.deleteFiles.size == 1,
+          s"expected one folded delete file, got ${snap.deleteFiles.size} " +
+            s"pos + ${snap.eqDeleteFiles.size} eq")
+      }
+      lh.catalog.loadTable("default.li_cd").read()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price"))
     })
   )
 
@@ -4665,6 +4748,40 @@ object SparkEntry {
         |live AS (SELECT * FROM base WHERE NOT (l_quantity < 2.0))
         |SELECT l_orderkey % 10 AS bucket, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM live GROUP BY 1""".stripMargin
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // every commit's files with the same range predicate; the Spark side
+    // must additionally have OPENED fewer files (asserted in the query fn)
+    "q169_engine_pruned_query" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM read_parquet('/tmp/graft_aux/wh169/default/ord_rng/data/commit-*/**/*.parquet')
+        |WHERE o_orderkey >= ((SELECT MAX(o_orderkey) FROM orders) // 4 + 1) * 2
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // plain join over the same generated 1.8M-key dim — the bloom prune
+    // must be invisible in the result
+    "q170_native_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN (SELECT range AS k FROM range(0, 3600000, 2)) r
+        |  ON l_orderkey = r.k
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // raw commits + the same delete semantics: eq-delete covers commit 1
+    // only (later appends of matching keys survive), position delete
+    // covers everything live at its commit
+    "q171_delete_compaction_read" ->
+      """WITH a AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh171/default/li_cd/data/commit-00001/**/*.parquet')),
+        |b AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh171/default/li_cd/data/commit-00003/**/*.parquet')),
+        |live AS (
+        |  SELECT * FROM a WHERE l_orderkey % 25 <> 0 AND NOT (l_quantity < 2.0)
+        |  UNION ALL
+        |  SELECT * FROM b WHERE NOT (l_quantity < 2.0))
+        |SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM live GROUP BY l_returnflag""".stripMargin
   )
 }

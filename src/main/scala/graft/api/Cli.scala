@@ -345,6 +345,16 @@ object Cli {
         println(s"snapshot ${s.id}: " +
           s"${s.summary.getOrElse("compacted-files", "0")} small files " +
           s"rewritten, ${s.summary.getOrElse("kept-files", "?")} kept")
+      case List("compact-deletes", table) =>
+        // fold all eq-delete entries + position-delete files into ONE
+        // position-delete file; data files untouched
+        lh.catalog.loadTable(table).compactDeletes() match {
+          case Some(s) => println(s"snapshot ${s.id}: " +
+            s"${s.summary.getOrElse("compacted-delete-files", "?")} delete " +
+            s"files/entries folded into ${s.deleteFiles.size} " +
+            s"(${s.summary.getOrElse("folded-delete-rows", "?")} dead rows)")
+          case None => println("nothing to fold")
+        }
       case List("cleanup", table) =>
         val orphans = lh.catalog.loadTable(table)
           .orphanFiles(delete = !flags.contains("dry-run"))

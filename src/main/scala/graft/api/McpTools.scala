@@ -1594,6 +1594,17 @@ object McpTools {
         s"snapshot ${s.id}: ${s.summary.getOrElse("compacted-files", "0")} " +
           s"small files rewritten, ${s.summary.getOrElse("kept-files", "?")} kept"
       }),
+    ToolDef("graft_compact_deletes",
+      "DELETE-FILE compaction: fold all accumulated equality-delete entries and position-delete files into ONE freshly-written position-delete file, touching no data file — restores the merge-on-read plan to a single anti-join after many streaming delete commits. Aborts if a concurrent commit lands mid-fold.",
+      sch(List("table"),
+        "table" -> S("Table identifier (namespace.table)")),
+      (lh, a) => lh.catalog.loadTable(str(a, "table")).compactDeletes() match {
+        case Some(s) =>
+          s"snapshot ${s.id}: ${s.summary.getOrElse("compacted-delete-files", "?")} " +
+            s"delete files/entries folded into ${s.deleteFiles.size} " +
+            s"(${s.summary.getOrElse("folded-delete-rows", "?")} dead rows)"
+        case None => "nothing to fold"
+      }),
     ToolDef("graft_tag_snapshot",
       "Create, list or delete named snapshot tags. A tagged snapshot is pinned: expire_snapshots never drops it, and the tag name works anywhere a time-travel ref does (query-asof, rollback). Tag the snapshot a model trained on to keep that exact table state reproducible.",
       sch(List("table", "action"),

@@ -118,16 +118,28 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     finally walk.close()
   }
 
-  /** Register every table as temp views under both its short name and the
-    * `ns__table` federated alias (reference query.py:52-75, joins.py:13-41).
-    * Lazy views over the current snapshot — no materialization. */
-  def registerViews(): Unit =
-    listTables("*").foreach { ident =>
-      val (ns, t) = parseIdent(ident)
-      val df = loadTable(ident).read()
-      df.createOrReplaceTempView(t)
-      df.createOrReplaceTempView(s"${ns}__$t")
-    }
+  /** Diagnostic trace of [[registerView]] calls (table idents, in order).
+    * Tests assert the SQL entry path resolves ONLY the tables a query
+    * names — at catalog scale, registering every table per query is
+    * O(catalog) driver metadata I/O for nothing. */
+  private[graft] val registrationTrace =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Register ONE table as temp views under both its short name and the
+    * `ns__table` federated alias. Lazy view over the current snapshot —
+    * no materialization; the table's metadata head is resolved here. */
+  def registerView(ident: String): Unit = {
+    val (ns, t) = parseIdent(ident)
+    registrationTrace.add(s"$ns.$t")
+    val df = loadTable(ident).read()
+    df.createOrReplaceTempView(t)
+    df.createOrReplaceTempView(s"${ns}__$t")
+  }
+
+  /** Register every table (reference query.py:52-75, joins.py:13-41) — the
+    * explicit whole-catalog refresh; the per-query path registers only the
+    * referenced tables ([[graft.engine.QueryEngine.execute]]). */
+  def registerViews(): Unit = listTables("*").foreach(registerView)
 }
 
 object Catalog {

@@ -74,7 +74,14 @@ object FilePruning {
     * `attr op literal` under a top-level AND chain is dropped — never
     * pruned on, still enforced by the exact filter. */
   def conjunctsOf(filter: Column, schema: StructType): Seq[Conjunct] =
-    ColumnBridge.prunableConjuncts(filter).flatMap { leaf =>
+    conjunctsFromLeaves(ColumnBridge.prunableConjuncts(filter), schema)
+
+  /** Canonicalize extracted predicate leaves against `schema`. Shared by the
+    * Column path above and the SQL entry path (which extracts leaves from an
+    * optimized plan's Catalyst filter conditions). */
+  def conjunctsFromLeaves(leaves: Seq[ColumnBridge.PredLeaf],
+      schema: StructType): Seq[Conjunct] =
+    leaves.flatMap { leaf =>
       leaf.op match {
         case "isnull" | "isnotnull" => Some(Conjunct(leaf.field, leaf.op, None))
         case op =>

@@ -435,8 +435,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       case Some(s) if s.deleteFiles.isEmpty && s.eqDeleteFiles.isEmpty =>
         assemble(s, withLineage = false)
       case Some(s) =>
+        // re-select schema order: applyEqualityDeletes uses USING-joins,
+        // which move the key columns to the front of the frame
         applyAllDeletes(assemble(s, withLineage = true), s)
           .drop(LineageFileCol, LineagePosCol)
+          .select(meta.schema.fieldNames.map(col).toSeq: _*)
     }
 
   /** Assemble a snapshot's data files into one frame, resolving each
@@ -800,11 +803,34 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       case Some(s) => (pruneFiles(s, filter).size, s.files.size)
     }
 
+  /** Scan with the same manifest/partition/bloom file skipping as
+    * [[prunedRead]] but from PRE-EXTRACTED conjuncts and WITHOUT re-applying
+    * the predicate. Contract: the caller's own plan must still contain the
+    * exact filter the conjuncts came from — the SQL entry path satisfies it
+    * by swapping the pruned view in UNDER the untouched user query
+    * ([[graft.engine.QueryEngine.execute]]). Pruning is conservative (a
+    * kept file may match nothing), so with the caller's filter on top the
+    * result is always identical to an unpruned read. Returns
+    * (frame, keptFiles, totalFiles). */
+  def prunedScanStats(conjs: Seq[FilePruning.Conjunct]): (DataFrame, Int, Int) =
+    currentSnapshot.filter(_.files.nonEmpty) match {
+      case None => (emptyDf(schema), 0, 0)
+      case Some(s) =>
+        val files = pruneFiles(s, conjs)
+        val df =
+          if (files.isEmpty) emptyDf(schema)
+          else readSnapshot(Some(s.copy(files = files)))
+        (df, files.size, s.files.size)
+    }
+
   /** Both manifest pruning layers: partition-directory values (works even
     * on manifests with no collected bounds) AND per-file column bounds. */
-  private def pruneFiles(s: Snapshot, filter: Column): List[FileEntry] = {
+  private def pruneFiles(s: Snapshot, filter: Column): List[FileEntry] =
+    pruneFiles(s, FilePruning.conjunctsOf(filter, meta.schema))
+
+  private def pruneFiles(s: Snapshot,
+      conjs: Seq[FilePruning.Conjunct]): List[FileEntry] = {
     val m = meta
-    val conjs = FilePruning.conjunctsOf(filter, m.schema)
     // every spec era, not just the current one: post-evolution files lack
     // the old eras' dirs (and vice versa) and missing dirs never prune,
     // so each file is judged by exactly the layout it was written under
@@ -1331,6 +1357,73 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       parentFileFilter = Some(fe => !smallPaths(fe.path)),
       replaceParentDeletes = true,
       mapEqDeletes = adjustEq)
+  }
+
+  /** DELETE-FILE compaction — fold the table's entire accumulated delete
+    * state (every equality-delete entry and every position-delete file)
+    * into ONE freshly-written position-delete file set, touching NO data
+    * file. After thousands of streaming delete commits a MoR read pays one
+    * anti-join per equality entry plus a probe set scattered over many
+    * position files; this maintenance op restores the read plan to a
+    * single broadcast anti-join while the 100 TB of data files stay
+    * exactly where they are.
+    *
+    * The dead-position set is derived by REUSING the read path itself —
+    * all current positions minus [[applyAllDeletes]]-surviving positions —
+    * so watermark scoping (`coveredUpTo`), field-id key resolution and
+    * path-rendering quirks can never diverge from what a reader would
+    * compute. Inert position rows (referencing files a compaction already
+    * rewrote) vanish for free: the base scan only contains current files.
+    *
+    * Returns None when there is nothing to fold (≤1 position-delete file
+    * and no equality entries). Aborts with
+    * `ConcurrentModificationException` if ANY commit lands between the
+    * read and the CAS: a competitor's delete/update landed first would be
+    * silently erased by the replace (its delete files are not in the
+    * folded set), so the strict parent check is required, like
+    * [[compact]]. */
+  def compactDeletes(): Option[Snapshot] = locked {
+    val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse(return None)
+    if (cur.eqDeleteFiles.isEmpty && cur.deleteFiles.size <= 1) return None
+    val asOf = cur.id
+    val base = assemble(cur, withLineage = true)
+      .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
+    val live = applyAllDeletes(assemble(cur, withLineage = true), cur)
+      .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    val delDir = dataDir.resolve(s"del-$uid")
+    // one output file: the dead set is small by MoR contract (that is why
+    // merge-on-read was chosen), and ONE file is the whole point here
+    base.exceptAll(live)
+      .coalesce(1)
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDir.toString)
+    val delFiles = listDeleteParquet(delDir).filter(_.rows > 0)
+    val dead = delFiles.map(_.rows).sum
+    val snap = commitLog[Snapshot] { refs =>
+      if (refs.last.id != asOf)
+        throw new java.util.ConcurrentModificationException(
+          s"delete compaction computed against snapshot $asOf but the table " +
+            s"advanced to ${refs.last.id} — replacing the delete state now " +
+            "would erase the concurrent commit's deletes; re-run")
+      val id = asOf + 1
+      val parentMl = manifestListOf(cur, id)
+      val delManifests =
+        if (delFiles.isEmpty) Nil
+        else List(Manifests.writeManifest(
+          manifestsDir.resolve(f"m-$id%05d-del-$uid.json"), delFiles))
+      val listPath = Manifests.writeList(
+        manifestsDir.resolve(f"list-$id%05d-$uid.json"),
+        parentMl.copy(deleteManifests = delManifests, eqDeleteFiles = Nil))
+      val snap = Snapshot(id, Some(asOf), System.currentTimeMillis(),
+        "replace", Nil, cur.schemaId,
+        Map("compacted-delete-files" ->
+            (cur.deleteFiles.size + cur.eqDeleteFiles.size).toString,
+          "folded-delete-rows" -> dead.toString),
+        manifestList = Some(listPath))
+      Right((refs :+ snap, snap))
+    }
+    Some(resolve(snap))
   }
 
   // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------

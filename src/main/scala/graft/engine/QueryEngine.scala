@@ -2,22 +2,40 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.Lakehouse
+import graft.core.{Catalog, FilePruning}
 
 /** SQL entry point over catalog tables (reference query.py / joins.py).
   *
-  * Differences from the reference, by design: table registration is LAZY
-  * temp views over the current snapshot's files (the reference eagerly
-  * materializes every table to Arrow before each query, query.py:68 —
-  * defeating predicate pushdown); Catalyst then prunes/pushes down into the
-  * parquet scans.
+  * Differences from the reference, by design:
+  *  - table registration is LAZY temp views over the current snapshot's
+  *    files (the reference eagerly materializes every table to Arrow before
+  *    each query, query.py:68 — defeating predicate pushdown), and PER
+  *    QUERY: only the tables a statement references are resolved
+  *    (query.py:52-75 re-registers the whole catalog per query — O(catalog)
+  *    driver metadata I/O at scale);
+  *  - the engine's own manifest/partition/bloom FILE SKIPPING is wired into
+  *    this path ([[prunedViewsFor]]): a `WHERE ts > X` arriving through
+  *    query/CLI/MCP opens only the files whose stats can match, instead of
+  *    listing and tasking every file of a 100 TB table and recovering only
+  *    parquet row-group pushdown per file.
   */
 class QueryEngine(lh: Lakehouse) {
   import lh.spark
 
+  /** (keptFiles, totalFiles) per table ident for the last [[execute]] that
+    * attempted file skipping — scan-stats introspection for tests/tooling.
+    * Empty when the last query had no prunable single-table predicate. */
+  @volatile var lastScanStats: Map[String, (Int, Int)] = Map.empty
+
   /** Register all tables under short + `ns__table` names (query.py:52-75,
-    * joins.py:13-41). Cheap — no materialization. */
+    * joins.py:13-41). Cheap — no materialization. Kept as the explicit
+    * whole-catalog refresh; [[execute]] registers per query instead. */
   def refresh(): Unit = lh.catalog.registerViews()
 
   /** Rewrite `ns.table` → `ns__table` for known tables (joins.py:44-55 does
@@ -46,10 +64,133 @@ class QueryEngine(lh: Lakehouse) {
     * sentinel would NOT be free: GlobalLimit shuffles every row to a
     * single partition, so "unlimited" must mean no limit node at all. */
   def execute(sql: String, maxRows: Int = 1000): DataFrame = {
-    refresh()
-    val df = spark.sql(rewriteNamespaces(sql))
+    val rewritten = rewriteNamespaces(sql)
+    val referenced = registerReferenced(rewritten)
+    var df = spark.sql(rewritten)
+    lastScanStats = Map.empty
+    val pruned = prunedViewsFor(df.queryExecution.optimizedPlan, referenced)
+    if (pruned.nonEmpty) {
+      // re-analyze the SAME sql over the narrowed views (spark.sql analyzes
+      // eagerly, so the frame is bound now) …
+      df = spark.sql(rewritten)
+      // … and immediately restore the full views: a narrowed view must
+      // never leak into the next query or another API surface
+      pruned.foreach(lh.catalog.registerView)
+    }
     recordLineage(sql)
     if (maxRows > 0 && needsLimit(sql)) df.limit(maxRows) else df
+  }
+
+  /** Register temp views for ONLY the catalog tables `rewritten` references
+    * — names that are not catalog tables (CTE aliases, logical views, temp
+    * views registered elsewhere) are left to Spark's own resolution, as
+    * before. Returns the registered idents. */
+  private def registerReferenced(rewritten: String): Seq[String] = {
+    val idents = referencedTables(rewritten).map { n =>
+      val (ns, t) = Catalog.parseIdent(n)
+      s"$ns.$t"
+    }.distinct.filter(lh.catalog.tableExists)
+    idents.foreach(lh.catalog.registerView)
+    idents
+  }
+
+  /** Manifest/partition/bloom FILE SKIPPING for the SQL surface.
+    *
+    * Walks the optimized plan (where PushDownPredicates has already placed
+    * filters next to their scans) for Filter nodes whose entire subtree
+    * reads data files of exactly ONE referenced table, extracts the
+    * prunable `attr op literal` conjuncts of those conditions, and swaps
+    * that table's temp view for a file-pruned scan when the conjuncts
+    * actually drop files. Safety rules, each conservative:
+    *  - a table's data relations must ALL sit under such filters — a
+    *    self-join occurrence without its own filter disables pruning for
+    *    that table;
+    *  - multiple filters on one table contribute only the INTERSECTION of
+    *    their conjunct sets (a self-join with different predicates prunes
+    *    by what they share, possibly nothing);
+    *  - relation totals count SUBQUERY occurrences too, while coverage
+    *    counts only main-plan ones — a scalar subquery reading the same
+    *    table therefore BLOCKS pruning instead of silently aggregating
+    *    over a narrowed view;
+    *  - only `data/commit-*` scans are owned by a table: a MoR snapshot's
+    *    position/equality delete-file reads neither count nor disqualify,
+    *    and the pruned view re-applies all deletes itself;
+    *  - the prune never drops a file that could match (FilePruning's
+    *    three-valued design) and the user's own predicate stays in the
+    *    re-analyzed plan, so results are identical to the unpruned read.
+    * Returns the idents whose views were narrowed; the caller restores
+    * them immediately after re-analysis. */
+  private def prunedViewsFor(plan: LogicalPlan,
+      referenced: Seq[String]): Seq[String] = {
+    if (referenced.isEmpty) return Nil
+    val dirs: Map[String, String] = referenced.map { ident =>
+      val (ns, t) = Catalog.parseIdent(ident)
+      ident -> lh.catalog.tableDir(ns, t).toString
+    }.toMap
+
+    // The ident whose data files this leaf scans, or None for anything
+    // else (delete-file reads, local relations, foreign paths).
+    def ownerOf(p: LogicalPlan): Option[String] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(_.toUri.getPath)
+          val owners = paths.map(pp => dirs.collectFirst {
+            case (id, d) if pp.startsWith(d + "/data/commit-") => id
+          })
+          if (paths.nonEmpty && owners.forall(_.isDefined) &&
+              owners.flatten.distinct.size == 1) owners.head
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+
+    val totals = plan
+      .collectWithSubqueries { case lr: LogicalRelation => ownerOf(lr) }
+      .flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+
+    val covered = scala.collection.mutable.Map.empty[String, Int]
+    val conds = scala.collection.mutable.Map.empty[String, List[Expression]]
+    def walk(p: LogicalPlan): Unit = p match {
+      case f: LFilter =>
+        val leaves = f.child.collectLeaves()
+        val owners = leaves.map(ownerOf)
+        if (leaves.nonEmpty && owners.forall(_.isDefined) &&
+            owners.flatten.distinct.size == 1) {
+          val t = owners.head.get
+          covered(t) = covered.getOrElse(t, 0) + leaves.size
+          conds(t) = f.condition :: conds.getOrElse(t, Nil)
+          // no recursion: CombineFilters has already merged nested filters
+        } else f.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+
+    var stats = Map.empty[String, (Int, Int)]
+    val narrowed = conds.keys.toSeq.sorted.flatMap { ident =>
+      if (!totals.get(ident).contains(covered(ident))) None
+      else {
+        val tbl = lh.catalog.loadTable(ident)
+        val schema = tbl.schema
+        val sets = conds(ident).map(c => FilePruning
+          .conjunctsFromLeaves(ColumnBridge.catalystConjuncts(c), schema).toSet)
+        val conjs = sets.reduce(_ intersect _).toSeq
+        if (conjs.isEmpty) None
+        else {
+          val (df, kept, total) = tbl.prunedScanStats(conjs)
+          stats += ident -> ((kept, total))
+          if (kept >= total) None
+          else {
+            val (ns, t) = Catalog.parseIdent(ident)
+            df.createOrReplaceTempView(t)
+            df.createOrReplaceTempView(s"${ns}__$t")
+            Some(ident)
+          }
+        }
+      }
+    }
+    lastScanStats = stats
+    narrowed
   }
 
   /** Time-travel query: registers ONLY the named table, resolved at the
@@ -79,8 +220,9 @@ class QueryEngine(lh: Lakehouse) {
   /** Dry-run validation: parse, then analyze against registered views
     * (pipelines.py:159-167 uses EXPLAIN). Throws on invalid SQL. */
   def validateSql(sql: String): Unit = {
-    refresh()
-    spark.sql(rewriteNamespaces(sql)).queryExecution.analyzed
+    val rewritten = rewriteNamespaces(sql)
+    registerReferenced(rewritten)
+    spark.sql(rewritten).queryExecution.analyzed
   }
 
   private def recordLineage(sql: String): Unit = ()

@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** A built Bloom filter: bitmap words plus the hash count they were built
   * with. Carrying `numHashes` inside the value makes a build/probe
@@ -115,13 +119,52 @@ object BloomPrune {
     }.reduce(_ && _)
   }
 
+  /** True when a dim of `distinctKeys` keys would CLAMP the literal bitmap
+    * at `cap` bits (10 bits/key target) — the signal to switch to the
+    * native-sketch path instead of silently degrading the FP rate. */
+  def wouldClamp(distinctKeys: Long, cap: Int = MaxBits): Boolean =
+    distinctKeys * 10L > cap
+
+  /** Serialized native Bloom sketch (`org.apache.spark.util.sketch`) built
+    * DISTRIBUTED over `xxhash64(key)` via Spark's own `BloomFilterAggregate`
+    * — the no-cliff path for dims past [[MaxBits]]/10 ≈ 1.6M keys, where a
+    * foldable array-literal bitmap stops being the right tool (a 100M-key
+    * dim wants ~125 MB of bitmap; as codegen'd plan literal that breaks
+    * compilation, as a binary value it rides the once-per-stage broadcast
+    * task binary like any subquery result). `numBits` is additionally
+    * clamped by Spark's `runtime.bloomFilter.maxNumBits` conf — an
+    * over-budget request degrades the FP rate, never correctness (a Bloom
+    * filter has no false negatives at ANY size). */
+  def buildNative(dim: DataFrame, keyCol: String, expectedKeys: Long,
+      numBits: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(ColumnBridge.expression(col(keyCol))), 42L),
+      Literal(math.max(expectedKeys, 1L)),
+      Literal(math.max(numBits, 1L << 10)))
+    dim.where(col(keyCol).isNotNull)
+      .select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership test against a [[buildNative]] sketch: Spark's
+    * `BloomFilterMightContain` over `xxhash64(key)` — same hash family and
+    * seed as the build side by construction. */
+  def mightContainNative(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      XxHash64(Seq(ColumnBridge.expression(key)), 42L)))
+
   /** Fact⋈dim equi-join with the fact side Bloom-pruned on the join key
     * before the shuffle. Output is identical to the plain join; the Bloom
     * stage only removes rows the join would drop anyway. The bitmap is
-    * sized from the dim key cardinality unless `numBits` is given.
+    * sized from the dim key cardinality unless `numBits` is given; a dim
+    * whose auto-sizing [[wouldClamp]] the literal bitmap switches to the
+    * native-sketch probe ([[buildNative]]) instead of silently running at
+    * a saturated FP rate.
     */
   def prunedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, numBits: Int = AutoBits, numHashes: Int = 3): DataFrame = {
+      dimKey: String, numBits: Int = AutoBits, numHashes: Int = 3,
+      literalBitsCap: Int = MaxBits): DataFrame = {
     // xxhash64 is TYPE-sensitive (hash of int 5 != long 5 != "5"), while
     // the equi-join behind the filter would implicitly cast and match —
     // mismatched key types would silently drop every row whose hashes
@@ -132,8 +175,20 @@ object BloomPrune {
       s"bloom-pruned join requires identical key types (fact $factKey: $ft, " +
         s"dim $dimKey: $dt) — cast one side first; xxhash64 is type-sensitive " +
         "so a widening cast inside the join would not reach the bloom probes")
-    val bf = build(dim, dimKey, numBits, numHashes)
-    fact.where(mightContain(bf, col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    val pruned =
+      if (numBits != AutoBits) {
+        fact.where(mightContain(build(dim, dimKey, numBits, numHashes), col(factKey)))
+      } else {
+        val distinctKeys = dim.where(col(dimKey).isNotNull)
+          .agg(approx_count_distinct(col(dimKey))).head().getLong(0)
+        if (wouldClamp(distinctKeys, literalBitsCap))
+          fact.where(mightContainNative(
+            buildNative(dim, dimKey, distinctKeys, distinctKeys * 10L),
+            col(factKey)))
+        else
+          fact.where(mightContain(
+            build(dim, dimKey, sizedBits(distinctKeys), numHashes), col(factKey)))
+      }
+    pruned.join(dim, col(factKey) === col(dimKey))
   }
 }

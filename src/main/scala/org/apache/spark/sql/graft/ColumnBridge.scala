@@ -63,6 +63,12 @@ object ColumnBridge {
     }
   }
 
+  /** [[prunableConjuncts]] over a Catalyst expression tree — public for the
+    * SQL entry path, which extracts per-table filters from an OPTIMIZED
+    * logical plan (conditions there are Catalyst expressions over
+    * `AttributeReference`s, never Column nodes). */
+  def catalystConjuncts(e: Expression): Seq[PredLeaf] = catalystLeaves(e)
+
   /** [[prunableConjuncts]] over a Catalyst expression tree (the shape
     * `expr("…")` parses to). */
   private def catalystLeaves(e: Expression): Seq[PredLeaf] = {

@@ -109,4 +109,35 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Filter"), plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLFunction"), plan)
   }
+
+  test("native sketch: no false negatives, bounded false positives") {
+    val dim = spark.range(0, 100000, 2).toDF("k")
+    val bloom = BloomPrune.buildNative(dim, "k", 50000, 500000)
+    val probe = spark.range(0, 100000).toDF("k")
+      .withColumn("hit", BloomPrune.mightContainNative(bloom, col("k")))
+    val missedTrue = probe.where(col("k") % 2 === 0 && !col("hit")).count()
+    assert(missedTrue == 0, s"$missedTrue true keys rejected")
+    val fp = probe.where(col("k") % 2 === 1 && col("hit")).count()
+    assert(fp < 5000, s"false-positive rate too high: $fp of 50000")
+  }
+
+  test("auto-sizing above the literal cap switches to the native sketch: " +
+      "join stays bit-identical, plan carries no array-literal bitmap") {
+    val dim = Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val fact = Tables.load(spark, dir, "orders")
+    // cap forced tiny so this dim "exceeds" it — the decision logic is the
+    // same one a >1.6M-key dim hits at the real MaxBits
+    val pruned = BloomPrune.prunedJoin(fact, "o_custkey", dim, "c_custkey",
+      literalBitsCap = 64)
+    val plain = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val hasNative = pruned.queryExecution.analyzed.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
+    assert(hasNative, "expected the native BloomFilterMightContain probe")
+    // the literal path's signature operator is element_at over the bitmap
+    // array — absent on the native path
+    assert(!pruned.queryExecution.analyzed.toString.contains("element_at"))
+  }
 }
