@@ -2476,6 +2476,61 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_lines"),
           dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // COMMIT-REPLAY CHANGELOG gate: three commits (append, append, MoR
+    // position delete) replayed as per-commit insert/delete records — the
+    // streaming face of the snapshot-diff incremental read. Appends are
+    // read manifest-level (added files only, no diff); the delete commit
+    // diffs its parent. Oracle recomputes the same changelog from the raw
+    // commit dirs.
+    "q172_changelog_replay" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh172") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_cl", li.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.li_cl")
+        tb.append(li.where(col("l_orderkey") % 2 === 0)) // commit 1
+        tb.append(li.where(col("l_orderkey") % 2 === 1)) // commit 2
+        tb.deleteWhereMor(col("l_quantity") < 2.0) // commit 3
+      }
+      val tb = lh.catalog.loadTable("default.li_cl")
+      graft.streaming.Changelog.changesBetween(tb, None, 3L)
+        .groupBy(col(graft.streaming.Changelog.ChangeTypeCol).as("change_type"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // WRITE-AUDIT-PUBLISH gate: half the data lands as a normal append,
+    // the other half is STAGED (invisible — asserted), audited, published
+    // zero-copy; a bad batch is staged and discarded and must leave no
+    // trace. Final state = both halves exactly, which the oracle reads
+    // from the two commit dirs the protocol produced.
+    "q173_wap_publish" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh173") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        lh.catalog.createTable("default.ord_wap", ord.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.ord_wap")
+        tb.append(ord.where(col("o_orderkey") % 2 === 0)) // commit 1
+        val bad = ord.where(col("o_orderkey") % 2 =!= 0)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        tb.stageAppend(bad, "bad-batch")
+        // audit catches the corruption -> discard, nothing published
+        require(tb.readWap("bad-batch").where(col("o_totalprice") < 0)
+          .limit(1).count() > 0)
+        tb.discardWap("bad-batch")
+        tb.stageAppend(ord.where(col("o_orderkey") % 2 =!= 0), "good-batch")
+        require(tb.read().where(col("o_orderkey") % 2 =!= 0).limit(1).count()
+          == 0, "staged rows must be invisible to main before publish")
+        require(tb.readWap("good-batch")
+          .where(col("o_totalprice") < 0).limit(1).count() == 0)
+        tb.publishWap("good-batch") // commit 2, zero-copy
+      }
+      lh.catalog.loadTable("default.ord_wap").read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
     })
   )
 
@@ -4782,6 +4837,31 @@ object SparkEntry {
         |  SELECT * FROM b WHERE NOT (l_quantity < 2.0))
         |SELECT l_returnflag, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM live GROUP BY l_returnflag""".stripMargin
+        |FROM live GROUP BY l_returnflag""".stripMargin,
+
+    // changelog from the raw commits: every commit-1/2 row is an insert;
+    // the MoR delete commit emits a delete record per matching live row
+    "q172_changelog_replay" ->
+      """WITH a AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh172/default/li_cl/data/commit-00001/**/*.parquet')),
+        |b AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh172/default/li_cl/data/commit-00002/**/*.parquet')),
+        |allrows AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |ch AS (
+        |  SELECT 'insert' AS change_type, * FROM allrows
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, * FROM allrows WHERE l_quantity < 2.0)
+        |SELECT change_type, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM ch GROUP BY change_type, l_returnflag""".stripMargin,
+
+    // both commit dirs = append + published staged batch; the discarded
+    // bad batch (negated prices) must have left no files behind, which
+    // the commit-* glob would expose as a sum mismatch
+    "q173_wap_publish" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM read_parquet('/tmp/graft_aux/wh173/default/ord_wap/data/commit-*/**/*.parquet')
+        |GROUP BY o_orderstatus""".stripMargin
   )
 }

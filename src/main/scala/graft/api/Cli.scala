@@ -139,6 +139,27 @@ object Cli {
         println(s"deleted tag '$name'")
 
       // ---- io -------------------------------------------------------------
+      // ---- write-audit-publish (staged commits) --------------------------
+      case List("wap-stage", table, file) =>
+        val sc = lh.catalog.loadTable(table).stageAppend(
+          lh.importExport.readFile(file, flags.get("format")),
+          flags.getOrElse("wap-id",
+            s"wap-${System.currentTimeMillis()}"))
+        println(s"staged ${sc.rows} rows (${sc.files} files) as " +
+          s"wap id '${sc.wapId}' — invisible until wap-publish")
+      case List("wap-list", table) =>
+        val staged = lh.catalog.loadTable(table).stagedCommits
+        if (staged.isEmpty) println("no staged commits")
+        else staged.foreach(sc =>
+          println(s"${sc.wapId}: ${sc.rows} rows, ${sc.files} files, " +
+            s"staged ${java.time.Instant.ofEpochMilli(sc.createdMs)}"))
+      case List("wap-publish", table, wapId) =>
+        val s = lh.catalog.loadTable(table).publishWap(wapId)
+        println(s"published wap '$wapId' as snapshot ${s.id} " +
+          s"(${s.summary.getOrElse("added-rows", "?")} rows)")
+      case List("wap-discard", table, wapId) =>
+        lh.catalog.loadTable(table).discardWap(wapId)
+        println(s"discarded staged wap '$wapId'")
       case List("import", file, table) =>
         println(s"imported ${lh.importExport.importFile(file, table,
           flags.getOrElse("if-exists", "fail"))}")

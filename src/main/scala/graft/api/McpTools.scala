@@ -1594,6 +1594,27 @@ object McpTools {
         s"snapshot ${s.id}: ${s.summary.getOrElse("compacted-files", "0")} " +
           s"small files rewritten, ${s.summary.getOrElse("kept-files", "?")} kept"
       }),
+    ToolDef("graft_wap_publish",
+      "Write-audit-publish: atomically publish (or with action=discard, drop) a staged commit created by stage_append. Until publish the staged rows are invisible to every reader; publish is a zero-copy fast-forward append that commutes with concurrent appends. action=list shows staged commits.",
+      sch(List("table", "action"),
+        "table" -> S("Table identifier (namespace.table)"),
+        "action" -> S("publish | discard | list"),
+        "wap_id" -> S("Staged commit id (required for publish/discard)")),
+      (lh, a) => {
+        val tbl = lh.catalog.loadTable(str(a, "table"))
+        str(a, "action") match {
+          case "publish" =>
+            val s = tbl.publishWap(str(a, "wap_id"))
+            s"published wap '${str(a, "wap_id")}' as snapshot ${s.id}"
+          case "discard" =>
+            tbl.discardWap(str(a, "wap_id")); s"discarded '${str(a, "wap_id")}'"
+          case "list" =>
+            val staged = tbl.stagedCommits
+            if (staged.isEmpty) "no staged commits"
+            else staged.map(sc => s"${sc.wapId}: ${sc.rows} rows").mkString("\n")
+          case other => throw new IllegalArgumentException(s"bad action: $other")
+        }
+      }),
     ToolDef("graft_compact_deletes",
       "DELETE-FILE compaction: fold all accumulated equality-delete entries and position-delete files into ONE freshly-written position-delete file, touching no data file — restores the merge-on-read plan to a single anti-join after many streaming delete commits. Aborts if a concurrent commit lands mid-fold.",
       sch(List("table"),

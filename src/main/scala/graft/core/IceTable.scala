@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 import scala.jdk.CollectionConverters._
 
@@ -883,6 +883,45 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * than publish a file list that silently drops the competitor's rows
     * (plain `overwrite` intentionally replaces whatever is current, so it
     * passes None — replacing a concurrent append IS its semantic). */
+  /** The distributed parquet write of a commit, into a writer-unique
+    * dot-dir: current codec/partition-transform/timestamp conventions
+    * applied. Shared by [[commit]] and [[stageAppend]] (WAP). */
+  private def stageWrite(df: DataFrame, m: TableMeta, target: Path): Unit = {
+    val aligned = align(df, m.schema)
+    val tfs = m.transforms
+    // "vortex" format label → alternate parquet profile (zstd); see
+    // graft.io.FormatResolver for the resolution chain
+    val codec = (m.properties.get("write.format.default") match {
+      case Some("vortex") => Map("compression" -> "zstd")
+      case _ => Map.empty[String, String]
+    }) ++ BloomIndex.writeOptions(m.properties)
+    // TIMESTAMP_MICROS, not Spark's legacy INT96 default: INT96 footers
+    // carry no usable min/max statistics, which would leave timestamp
+    // columns invisible to manifest pruning (and INT96 is deprecated in
+    // the parquet spec). Session conf — no per-write option exists — so
+    // set/restore around the write.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      if (tfs.isEmpty) {
+        aligned.write.options(codec).parquet(target.toString)
+      } else {
+        tfs.foldLeft(aligned)((d, t) =>
+            d.withColumn(t.name, t.columnFor(m.schema(t.source).dataType)))
+          .write.options(codec).partitionBy(tfs.map(_.name): _*)
+          .parquet(target.toString)
+      }
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
+
+  /** `preStaged`: (dir, schemaId) of data ALREADY written by a staged WAP
+    * commit — the df write is skipped and the dir enters the same
+    * claim-by-rename protocol; schemaId records the schema the files were
+    * written under (the table may have evolved since staging). */
   private def commit(df: DataFrame, op: String, keepParent: Boolean,
       extraSummary: Map[String, String] = Map.empty,
       requireParentId: Option[Long] = None,
@@ -891,7 +930,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       parentFileFilter: Option[FileEntry => Boolean] = None,
       replaceParentDeletes: Boolean = false,
       mapEqDeletes: (List[EqDeleteEntry], List[FileEntry]) => List[EqDeleteEntry]
-        = (e, _) => e): Snapshot =
+        = (e, _) => e,
+      preStaged: Option[(Path, Int)] = None): Snapshot =
     tableLock.synchronized {
       require(newDeleteFiles.isEmpty || keepParent,
         "delete files only compose with parent-keeping commits")
@@ -903,41 +943,18 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       // the log happen in the cheap CAS retry loop below; a lost race
       // re-costs metadata only, never the data write. A crashed writer's
       // stage dir is referenced by no snapshot → orphan GC collects it.
-      val stage = dataDir.resolve(
-        s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
-      val aligned = align(df, m.schema)
-      val tfs = m.transforms
-      // "vortex" format label → alternate parquet profile (zstd); see
-      // graft.io.FormatResolver for the resolution chain
-      val codec = (m.properties.get("write.format.default") match {
-        case Some("vortex") => Map("compression" -> "zstd")
-        case _ => Map.empty[String, String]
-      }) ++ BloomIndex.writeOptions(m.properties)
-      // TIMESTAMP_MICROS, not Spark's legacy INT96 default: INT96 footers
-      // carry no usable min/max statistics, which would leave timestamp
-      // columns invisible to manifest pruning (and INT96 is deprecated in
-      // the parquet spec). Session conf — no per-write option exists — so
-      // set/restore around the write.
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.getOption(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try {
-        if (tfs.isEmpty) {
-          aligned.write.options(codec).parquet(stage.toString)
-        } else {
-          tfs.foldLeft(aligned)((d, t) =>
-              d.withColumn(t.name, t.columnFor(m.schema(t.source).dataType)))
-            .write.options(codec).partitionBy(tfs.map(_.name): _*)
-            .parquet(stage.toString)
-        }
-      } finally prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None => spark.conf.unset(tsKey)
+      val stage = preStaged.map(_._1).getOrElse {
+        val s = dataDir.resolve(
+          s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+        stageWrite(df, m, s)
+        s
       }
+      val fileSchemaId = preStaged.map(_._2).getOrElse(m.currentSchemaId)
       // manifest/list files carry the stage uid so two processes racing on
       // the same snapshot id can never overwrite each other's metadata —
       // the log entry references the full path, so names are free
-      val uid = stage.getFileName.toString.stripPrefix(".stage-")
+      val uid = stage.getFileName.toString
+        .stripPrefix(".stage-").stripPrefix(".wap-").replace('.', '_')
       var curDir = stage
       def commitBody(refs: List[Snapshot]): Either[Snapshot, (List[Snapshot], Snapshot)] = {
         requireParentId.foreach { expected =>
@@ -974,7 +991,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
             case _: java.nio.file.FileSystemException => throw CommitRace
           }
         }
-        val newFiles = listParquet(curDir, m.currentSchemaId)
+        val newFiles = listParquet(curDir, fileSchemaId)
         // manifest layer: write ONE new data manifest holding this commit's
         // files; an append REFERENCES the parent's manifests instead of
         // re-listing their contents, so commit write-cost is O(new files) +
@@ -1083,6 +1100,92 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     resolve(snap)
   }
 
+  // ---- write-audit-publish (Iceberg-style staged commits) ----------------
+
+  private def stagedMetaDir: Path = dir.resolve("staged")
+  private def stagedMetaPath(wapId: String): Path = {
+    require(wapId.nonEmpty && wapId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"wap id must be [A-Za-z0-9_-]+: '$wapId'")
+    stagedMetaDir.resolve(s"$wapId.json")
+  }
+
+  /** Staged-but-unpublished WAP commits, by id. */
+  def stagedCommits: List[StagedCommit] = {
+    if (!Files.exists(stagedMetaDir)) return Nil
+    val s = Files.list(stagedMetaDir)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
+      .map(p => Jsons.readFile[StagedCommit](p)).toList.sortBy(_.wapId)
+    finally s.close()
+  }
+
+  /** WRITE of write-audit-publish: run the expensive distributed append
+    * into a staged dir that NO snapshot references — main's readers cannot
+    * see one staged row. Audit the staged state with [[readWap]] (run
+    * validation rules, contracts, quality checks over it), then make it
+    * visible atomically with [[publishWap]] or drop it with
+    * [[discardWap]]. The staged data is invisible to time travel, the
+    * changelog, and orphan GC (the staged registry pins it). */
+  def stageAppend(df: DataFrame, wapId: String): StagedCommit =
+    tableLock.synchronized {
+      val p = stagedMetaPath(wapId)
+      require(!Files.exists(p), s"wap id already staged: '$wapId'")
+      val m = meta
+      val target = dataDir.resolve(
+        s".wap-$wapId-${java.util.UUID.randomUUID().toString.take(8)}")
+      stageWrite(df, m, target)
+      val files = listParquet(target, m.currentSchemaId)
+      val sc = StagedCommit(wapId, target.toString, m.currentSchemaId,
+        files.map(_.rows).sum, files.size, System.currentTimeMillis())
+      Jsons.writeFile(p, sc)
+      sc
+    }
+
+  /** AUDIT view: the current table state PLUS the staged rows — what main
+    * would look like after publish. Field-id-resolved like any read, so a
+    * schema evolution between stage and audit still lines up. */
+  def readWap(wapId: String): DataFrame = {
+    val sc = Jsons.readFile[StagedCommit](requireStaged(wapId))
+    val staged = listParquet(Paths.get(sc.dir), sc.schemaId)
+    if (staged.isEmpty) read()
+    else read().unionByName(readSnapshot(Some(Snapshot(0L, None, sc.createdMs,
+      "staged", staged, sc.schemaId))))
+  }
+
+  /** PUBLISH of write-audit-publish: fast-forward main to include the
+    * staged files — one append snapshot through the normal claim-by-rename
+    * + log-CAS protocol, so the publish is atomic under cross-process
+    * races and commutes with concurrent appends (the CAS retry re-parents
+    * onto the freshest head, exactly like a live append). The staged data
+    * is RENAMED into `commit-<id>/`, never copied. */
+  def publishWap(wapId: String): Snapshot = tableLock.synchronized {
+    val p = requireStaged(wapId)
+    val sc = Jsons.readFile[StagedCommit](p)
+    val snap = commit(emptyDf(meta.schema), "append", keepParent = true,
+      extraSummary = Map("published-wap" -> wapId),
+      preStaged = Some((Paths.get(sc.dir), sc.schemaId)))
+    Files.deleteIfExists(p)
+    snap
+  }
+
+  /** Drop a staged commit: registry entry first (the data dir instantly
+    * becomes orphan-collectible), then the data. */
+  def discardWap(wapId: String): Unit = tableLock.synchronized {
+    val p = requireStaged(wapId)
+    val sc = Jsons.readFile[StagedCommit](p)
+    Files.deleteIfExists(p)
+    val d = Paths.get(sc.dir)
+    if (Files.exists(d))
+      walkList(d).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+  }
+
+  private def requireStaged(wapId: String): Path = {
+    val p = stagedMetaPath(wapId)
+    require(Files.exists(p), s"no staged commit with wap id '$wapId'")
+    p
+  }
+
   /** Expire snapshots older than a cutoff (`ISO` or `30d/24h/5m` duration,
     * catalog.py:950-968) and/or beyond `retainLast`; the current snapshot is
     * never expired (catalog.py:977-979). Returns expired ids. */
@@ -1164,8 +1267,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val live = snaps
       .flatMap(s => (s.files ++ s.deleteFiles).map(_.path)).toSet
     // equality-delete entries reference a DIRECTORY: everything under a
-    // live eq-delete dir is live
+    // live eq-delete dir is live — and so is everything under a REGISTERED
+    // staged WAP dir (referenced by no snapshot yet, pinned by its
+    // registry entry until publish or discard)
     val eqDirs = snaps.flatMap(_.eqDeleteFiles.map(_.dir)).distinct
+    val pinnedDirs = eqDirs ++ stagedCommits.map(_.dir)
     val dataOrphans =
       if (!Files.exists(dataDir)) Nil
       else {
@@ -1174,7 +1280,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         // separator-anchored prefix only: a sibling dir sharing a live
         // eq-delete dir's name as a plain prefix must still be collectible
         all.filterNot(p =>
-          live(p) || eqDirs.exists(d => p.startsWith(d + "/")))
+          live(p) || pinnedDirs.exists(d => p.startsWith(d + "/")))
       }
     val liveMeta: Set[String] = refs.flatMap(_.manifestList.toList.flatMap { p =>
       val ml = Manifests.readList(p)
@@ -1204,9 +1310,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           .filter { p =>
             val n = p.getFileName.toString
             // .stage- = un-claimed/crashed commit staging; .upd-hits- = a
-            // crashed MoR update's temp hit set (normally removed eagerly)
+            // crashed MoR update's temp hit set (normally removed eagerly);
+            // .wap- = a staged WAP write whose registry entry was never
+            // written (crash) or was discarded — registered ones are pinned
             Files.isDirectory(p) &&
-              (n.startsWith(".stage-") || n.startsWith(".upd-hits-")) &&
+              (n.startsWith(".stage-") || n.startsWith(".upd-hits-") ||
+                (n.startsWith(".wap-") && !pinnedDirs.contains(p.toString))) &&
               !walkList(p).exists(f => live(f.toString))
           }
           .map(_.toString).toList

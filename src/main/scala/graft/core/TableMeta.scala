@@ -92,6 +92,14 @@ case class EqDeleteEntry(dir: String, rows: Long, keyRows: Long,
     bytes: Long, cols: List[String], coveredUpTo: Long,
     colIds: List[Long] = Nil)
 
+/** A staged WRITE-AUDIT-PUBLISH commit (registry entry under
+  * `table/staged/<wapId>.json`): data already written to `dir` under
+  * `schemaId`, referenced by NO snapshot until [[IceTable.publishWap]]
+  * renames it into a real commit. The registry pins the dir against
+  * orphan GC while staged. */
+case class StagedCommit(wapId: String, dir: String, schemaId: Int,
+    rows: Long, files: Int, createdMs: Long)
+
 /** A schema version: Spark StructType JSON + stable field-ids in field
   * metadata (key [[TableMeta.FieldIdKey]]) so rename/drop evolve by id,
   * not by name (reference schema_evolution.py:122-172). */

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lakehouse
+import graft.core.IceTable
+
+/** Commit-replay CHANGELOG over an IceLite table — the streaming face of
+  * the batch snapshot-diff API (reference incremental.py:142-239, mirrored
+  * at [[graft.analytics.Incremental]]): instead of one `exceptAll` between
+  * a watermark and HEAD, each commit in a range becomes its own batch of
+  * `(_change_type, _commit_id, row…)` records, so a consumer can maintain
+  * downstream state (rollups, mirrors, indexes) commit-by-commit with
+  * exactly-once replay by snapshot id.
+  *
+  * Per-commit cost is shaped to the COMMIT, not the table:
+  *  - `append` commits never diff anything — their inserted rows are read
+  *    straight from the files the commit ADDED (a manifest subtraction, no
+  *    shuffle, no scan of pre-existing data). On a 100 TB table with
+  *    KB-sized streaming appends each batch costs KBs.
+  *  - delete/update/overwrite/rollback commits fall back to snapshot
+  *    `exceptAll` diffs (both directions), exactly as the reference's
+  *    incremental read does — these are the rare maintenance commits, and
+  *    a diff is the only exact answer once files are rewritten.
+  *
+  * Three consumption shapes:
+  *  - [[Changelog.changesBetween]]: the batch changelog frame for a commit
+  *    range — lazy, distributed, no driver materialization.
+  *  - [[ChangelogStream]]: an incremental runner with a durable offset
+  *    (last processed snapshot id) — sink first, offset after, so a crash
+  *    between the two re-delivers the SAME batch with the same `toId` and
+  *    an idempotent sink (the [[Streaming.appendBatch]] pattern) gets
+  *    exactly-once end-to-end.
+  *  - [[Changelog.appendStream]]: a true Structured Streaming `readStream`
+  *    over the table's `commit-*` data directories for APPEND-ONLY tables —
+  *    Spark's file-stream checkpoint gives exactly-once file pickup, and
+  *    every downstream streaming operator (watermarks, windows, stateful
+  *    maps, sinks) composes normally.
+  */
+object Changelog {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitIdCol = "_commit_id"
+
+  /** Changelog rows for every commit in `(fromId, toId]` (fromId None =
+    * from the beginning, i.e. the oldest retained snapshot replays as its
+    * own diff against nothing). Unknown/expired `fromId` throws — replay
+    * would silently double-count otherwise. */
+  def changesBetween(tbl: IceTable, fromId: Option[Long],
+      toId: Long): DataFrame = {
+    val snaps = tbl.snapshots
+    fromId.foreach { f =>
+      require(snaps.exists(_.id == f),
+        s"from-snapshot $f is not in the retained log — it may have been " +
+          "expired; re-seed the consumer from a full read")
+    }
+    val range = snaps.filter(s => fromId.forall(s.id > _) && s.id <= toId)
+    val batches = range.map(s => commitChanges(tbl, s))
+    if (batches.isEmpty) emptyChangelog(tbl)
+    else batches.reduce(_.unionByName(_))
+  }
+
+  /** One commit's changelog. Appends read ONLY the added files; everything
+    * else diffs parent vs child snapshot in both directions. */
+  private def commitChanges(tbl: IceTable, s: graft.core.Snapshot): DataFrame = {
+    val parent = s.parentId.flatMap(tbl.snapshotById)
+    // an expired parent makes both the added-files subtraction and the
+    // diff silently treat carried-forward rows as fresh inserts — refuse
+    require(s.parentId.isEmpty || parent.isDefined,
+      s"snapshot ${s.id}'s parent ${s.parentId.get} has been expired — " +
+        "cannot replay this range; re-seed the consumer from a full read")
+    val stamp = (df: DataFrame, kind: String) =>
+      df.withColumn(ChangeTypeCol, lit(kind))
+        .withColumn(CommitIdCol, lit(s.id))
+    s.operation match {
+      case "append" =>
+        val parentPaths = parent.map(_.files.map(_.path).toSet)
+          .getOrElse(Set.empty)
+        val added = s.files.filterNot(f => parentPaths(f.path))
+        if (added.isEmpty) emptyChangelog(tbl)
+        // field-id-resolved read of just the added files (no deletes: an
+        // append never carries new delete state)
+        else stamp(tbl.readSnapshot(Some(s.copy(files = added,
+          deleteFiles = Nil, eqDeleteFiles = Nil))), "insert")
+      case _ =>
+        val before = parent.map(p => tbl.readSnapshot(Some(p)))
+          .getOrElse(tbl.emptyDf(tbl.schema))
+        val after = tbl.readSnapshot(Some(s))
+        stamp(after.exceptAll(before), "insert")
+          .unionByName(stamp(before.exceptAll(after), "delete"))
+    }
+  }
+
+  private def emptyChangelog(tbl: IceTable): DataFrame =
+    tbl.emptyDf(tbl.schema)
+      .withColumn(ChangeTypeCol, lit(""))
+      .withColumn(CommitIdCol, lit(0L))
+      .where(lit(false))
+
+  /** Structured Streaming source over an APPEND-ONLY table: Spark's file
+    * stream lists `data/commit-*` each trigger and its own checkpoint log
+    * guarantees each file is emitted exactly once. Staging dirs are
+    * dot-prefixed (hidden to Spark's listing) and delete dirs don't match
+    * the glob, so only committed data files ever surface.
+    *
+    * Append-only is a CONTRACT, not detected at runtime mid-stream: a
+    * later overwrite/compaction writes its rewritten rows into a fresh
+    * `commit-*` dir and this source would re-emit them (file streams
+    * cannot retract). The call refuses tables whose history already
+    * violates it; keep maintenance off changelog-sourced tables or use
+    * [[ChangelogStream]], which handles every commit kind. */
+  def appendStream(spark: SparkSession, tbl: IceTable): DataFrame = {
+    val bad = tbl.rawLog.find(s => s.operation != "append")
+    require(bad.isEmpty,
+      s"appendStream requires an append-only history; found " +
+        s"'${bad.get.operation}' snapshot ${bad.get.id} — use ChangelogStream")
+    spark.readStream
+      .schema(tbl.schema)
+      .parquet(tbl.dataDir.toString + "/commit-*")
+  }
+}
+
+/** Exactly-once incremental changelog consumer: tracks the last processed
+  * snapshot id in a single atomically-replaced offset file under
+  * `checkpointDir`. See [[Changelog]] for the delivery contract. */
+class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
+  Files.createDirectories(checkpointDir)
+  private def offsetPath = checkpointDir.resolve("offset")
+
+  /** Last snapshot id whose batch the sink has durably processed. */
+  def lastProcessed: Option[Long] =
+    if (Files.exists(offsetPath))
+      Some(new String(Files.readAllBytes(offsetPath), "UTF-8").trim.toLong)
+    else None
+
+  /** Run ONE micro-batch covering every commit since [[lastProcessed]] up
+    * to the current head. `sink` receives the changelog frame and the
+    * batch's `toId`; the offset advances only AFTER the sink returns, so a
+    * crash between the two re-delivers the same `(frame, toId)` — an
+    * idempotent sink keyed on `toId` is exactly-once. Returns the new
+    * offset, or None when there was nothing to process. */
+  def processAvailable(sink: (DataFrame, Long) => Unit): Option[Long] = {
+    val tbl = lh.catalog.loadTable(table)
+    val head = tbl.currentSnapshot.map(_.id).getOrElse(return None)
+    val from = lastProcessed
+    if (from.contains(head)) return None
+    sink(Changelog.changesBetween(tbl, from, head), head)
+    val tmp = checkpointDir.resolve(".offset.tmp")
+    Files.write(tmp, head.toString.getBytes("UTF-8"))
+    Files.move(tmp, offsetPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Some(head)
+  }
+}

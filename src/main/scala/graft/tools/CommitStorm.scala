@@ -110,6 +110,27 @@ object CommitStorm {
             if (i % 5 == 4)
               try tbl.compact(targetFiles = 2)
               catch { case _: java.util.ConcurrentModificationException => () }
+            if (i % 6 == 5) {
+              // write-audit-publish leg: stage a single-row batch (its own
+              // id space, offset +500), audit it, publish. Publish is an
+              // append — it must commute with everything the other process
+              // throws at the log; only retry exhaustion may abort it.
+              val wid = s + 500 + i
+              try {
+                tbl.stageAppend(Seq((wid, s"w$s-$i")).toDF("id", "name"),
+                  s"wap-$s-$i")
+                require(tbl.readWap(s"wap-$s-$i")
+                  .where(col("id") === wid).count() == 1L)
+                tbl.publishWap(s"wap-$s-$i")
+                landed += s"W $wid w$s-$i"
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  // publish lost every CAS retry: discard the stage so no
+                  // half-open WAP lingers (the report then omits it)
+                  try tbl.discardWap(s"wap-$s-$i")
+                  catch { case _: Exception => () }
+              }
+            }
           }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),

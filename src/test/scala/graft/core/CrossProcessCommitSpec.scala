@@ -107,7 +107,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     // is touched by exactly one process, so replaying each report alone
     // yields that id's expected final (id, name) state.
     val expected = scala.collection.mutable.Map(0L -> "seed")
-    var sawAppend, sawUpdate = false
+    var sawAppend, sawUpdate, sawWap = false
     for (start <- Seq(1000L, 2000L)) {
       val ops = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(wh, s"storm-report-$start.txt")).toArray
@@ -119,12 +119,17 @@ class CrossProcessCommitSpec extends AnyFunSuite {
             expected(id) = s"p$start-${id - start}"; sawAppend = true
           case ("U", id) => expected(id) = parts(2); sawUpdate = true
           case ("D", id) => expected.remove(id); ()
+          case ("W", id) => expected(id) = parts(2); sawWap = true
           case other => fail(s"unparseable report line: $line ($other)")
         }
       }
     }
     assert(sawAppend, "no append landed — storm produced no signal")
     assert(sawUpdate, "no MoR update landed — update leg never exercised")
+    assert(sawWap, "no WAP publish landed — stage/publish leg never exercised")
+    // no staged leftovers: every stage was published (or aborted cleanly)
+    assert(tbl.stagedCommits.isEmpty,
+      s"staged commits left behind: ${tbl.stagedCommits}")
     val live = tbl.read().select("id", "name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(live == expected.toMap,

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkFixture
+
+/** Commit-replay changelog (Changelog / ChangelogStream / appendStream):
+  * stream-of-commits must equal batch snapshot diffs over a multi-commit
+  * history including a MoR delete, with exactly-once offsets. */
+class ChangelogSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newLh() =
+    graft.Lakehouse.open(spark, SparkFixture.tmpDir("graft-cls-").toString)
+
+  private def df(ids: Range) =
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "name")
+
+  test("3-commit replay (append, append, MoR delete) equals the batch " +
+      "snapshot diffs; materialized state equals the final table") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl1",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 50)) // commit 1
+    t.append(df(50 until 80)) // commit 2
+    t.deleteWhereMor(col("id") % 10 === 0) // commit 3: MoR position delete
+    val ch = Changelog.changesBetween(t, None, 3L)
+    // per-commit equality with the batch diff:
+    //  c1: 50 inserts; c2: 30 inserts; c3: 8 deletes (0,10,...,70), 0 inserts
+    val byCommit = ch.groupBy(col(Changelog.CommitIdCol),
+        col(Changelog.ChangeTypeCol)).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byCommit == Map((1L, "insert") -> 50L, (2L, "insert") -> 30L,
+      (3L, "delete") -> 8L), s"got $byCommit")
+    // exact rows, not just counts: commit 3's deletes are the batch diff
+    val diff3 = t.readSnapshot(t.snapshotById(2L))
+      .exceptAll(t.readSnapshot(t.snapshotById(3L)))
+    val got3 = ch.where(col(Changelog.CommitIdCol) === 3L &&
+        col(Changelog.ChangeTypeCol) === "delete")
+      .select("id", "name")
+    assert(got3.exceptAll(diff3).isEmpty && diff3.exceptAll(got3).isEmpty)
+    // materialize: inserts minus deletes == final table state
+    val ins = ch.where(col(Changelog.ChangeTypeCol) === "insert")
+      .select("id", "name")
+    val del = ch.where(col(Changelog.ChangeTypeCol) === "delete")
+      .select("id", "name")
+    val material = ins.exceptAll(del)
+    val fin = t.read()
+    assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
+  }
+
+  test("MoR update commit emits delete(old) + insert(new)") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl2",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 20))
+    t.updateWhereMor(col("id") < 3, Map("name" -> lit("upd")))
+    val ch = Changelog.changesBetween(t, Some(1L), 2L)
+    val rows = ch.select(Changelog.ChangeTypeCol, "id", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("delete", 0L, "row0"), ("delete", 1L, "row1"), ("delete", 2L, "row2"),
+      ("insert", 0L, "upd"), ("insert", 1L, "upd"), ("insert", 2L, "upd")),
+      s"got $rows")
+  }
+
+  test("ChangelogStream: exactly-once offsets, idempotent redelivery " +
+      "contract, no-op when caught up") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl3",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    val ckpt = SparkFixture.tmpDir("graft-cls-ckpt-")
+    val cs = new ChangelogStream(lh, "default.cl3", ckpt)
+    assert(cs.processAvailable((_, _) => fail("no commits yet")) == None)
+    t.append(df(0 until 10))
+    t.append(df(10 until 15))
+    var batches = List.empty[(Long, Long, Long)] // (toId, inserts, deletes)
+    def sink(d: org.apache.spark.sql.DataFrame, toId: Long): Unit = {
+      val ins = d.where(col(Changelog.ChangeTypeCol) === "insert").count()
+      val del = d.where(col(Changelog.ChangeTypeCol) === "delete").count()
+      batches ::= ((toId, ins, del))
+    }
+    assert(cs.processAvailable(sink).contains(2L))
+    assert(cs.lastProcessed.contains(2L))
+    assert(batches == List((2L, 15L, 0L)))
+    // caught up: no redelivery
+    assert(cs.processAvailable(sink).isEmpty && batches.size == 1)
+    // a new MoR delete commit arrives: next batch covers ONLY it
+    t.deleteWhereMor(col("id") < 2)
+    assert(cs.processAvailable(sink).contains(3L))
+    assert(batches.head == ((3L, 0L, 2L)))
+    // a fresh consumer from the same checkpoint resumes, not restarts
+    val cs2 = new ChangelogStream(lh, "default.cl3", ckpt)
+    assert(cs2.lastProcessed.contains(3L))
+  }
+
+  test("expired mid-range history refuses replay instead of double-counting") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl4",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 5))
+    t.append(df(5 until 10))
+    t.append(df(10 until 15))
+    t.expireSnapshots(retainLast = Some(1))
+    intercept[IllegalArgumentException] {
+      Changelog.changesBetween(t, Some(1L), 3L).count()
+    }
+  }
+
+  test("appendStream: a real readStream over commit dirs emits each " +
+      "commit's rows exactly once; non-append history is refused") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl5",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 30))
+    t.append(df(30 until 40))
+    val q = Changelog.appendStream(spark, t)
+      .writeStream.format("memory").queryName("cl5_sink")
+      .option("checkpointLocation",
+        SparkFixture.tmpDir("graft-cls-fs-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("cl5_sink").orderBy("id").collect().toSeq
+    val want = t.read().orderBy("id").collect().toSeq
+    assert(got == want)
+    // a rewrite in the history breaks the append-only contract -> refused
+    t.compact(targetFiles = 1)
+    intercept[IllegalArgumentException] { Changelog.appendStream(spark, t) }
+  }
+}
