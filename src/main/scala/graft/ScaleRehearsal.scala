@@ -92,10 +92,46 @@ object ScaleRehearsal {
           .groupBy("bucket").agg(count(lit(1)).as("m"))
           .agg((sum(col("m") * (col("m") - 1)) / 2).cast("long")).head().getLong(0)
       }
+      // q147 family: batched RRF — Q queries, ONE corpus pass. The claim
+      // to verify by measurement: cost grows with the corpus (10× step),
+      // NOT with Q (4× more queries must cost far less than 4×).
+      val vocab = Seq("hash", "join", "spark", "scan", "filter", "merge",
+        "column", "vector", "data", "index", "sort", "cache")
+      def rrfQueries(q: Int) = (1 to q).map(i => (i.toLong,
+        Seq(vocab(i % 12), vocab((i + 3) % 12), vocab((i + 7) % 12)),
+        i.toLong))
+      val rrf4 = measured {
+        text.Search.hybridRrfBatch(docs, emb.toDF("vec_id", "embedding"),
+          "doc_id", "text", "vec_id", "embedding", rrfQueries(4)).count()
+      }
+      val rrf16 = measured {
+        text.Search.hybridRrfBatch(docs, emb.toDF("vec_id", "embedding"),
+          "doc_id", "text", "vec_id", "embedding", rrfQueries(16)).count()
+      }
+      // q150 family: streaming CMS heavy-hitter STATE — rows a naive
+      // exact per-(window, key) state would hold vs the CMS grid's
+      // occupied cells (bounded by windows × depth × width regardless of
+      // key cardinality). Measured on the same batch data the stream
+      // would see.
+      val ev = Tables.load(spark, dir, "events")
+      val naiveState = measured {
+        ev.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1))).count()
+      }
+      val cmsState = measured {
+        ev.where(col("user_id").isNotNull)
+          .select(col("ts"), posexplode(array((0 until 4).map(j =>
+            analytics.Cms.bucket(col("user_id"), j, 512)): _*))
+            .as(Seq("j", "bucket")))
+          .groupBy(window(col("ts"), "1 hour"), col("j"), col("bucket"))
+          .agg(count(lit(1))).count()
+      }
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
           "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,
           "containment_q124_true" -> contTrue, "kmeans_ivf_k8" -> ivf,
-          "kmeans_ivf_kscaled" -> ivfScaled, "hyperplane_q66" -> hyp)) {
+          "kmeans_ivf_kscaled" -> ivfScaled, "hyperplane_q66" -> hyp,
+          "rrf_batch_q4" -> rrf4, "rrf_batch_q16" -> rrf16,
+          "cms_state_naive" -> naiveState, "cms_state_grid" -> cmsState)) {
         if (!first) out.append(",")
         first = false
         out.append(s"""{"sf":"$sf","docs":$nDocs,"vecs":$nVecs,""" +

@@ -2531,6 +2531,33 @@ object SparkEntry {
       lh.catalog.loadTable("default.ord_wap").read()
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // NATIVE DSv2 CATALOG gate: a two-namespace join written as
+    // `catalog.ns.table` SQL — parsed and resolved by the registered
+    // GraftCatalog (no ns__table temp-view rewrite anywhere), read through
+    // the manifest-pruning DSv2 parquet scan.
+    "q174_native_catalog_join" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh174") { lh =>
+        lh.catalog.createNamespace("sales")
+        lh.catalog.createNamespace("ref")
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        lh.catalog.createTable("sales.ord_nc", ord.schema, Nil, Map.empty)
+        lh.catalog.loadTable("sales.ord_nc").append(ord)
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment"))
+        lh.catalog.createTable("ref.cust_nc", cust.schema, Nil, Map.empty)
+        lh.catalog.loadTable("ref.cust_nc").append(cust)
+      }
+      s.conf.set("spark.sql.catalog.g174",
+        classOf[graft.engine.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g174.warehouse", s"$AuxDir/wh174")
+      s.sql("""SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g174.sales.ord_nc o JOIN g174.ref.cust_nc c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)
     })
   )
 
@@ -4862,6 +4889,13 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM read_parquet('/tmp/graft_aux/wh173/default/ord_wap/data/commit-*/**/*.parquet')
-        |GROUP BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // same join straight over the source tables
+    "q174_native_catalog_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -823,6 +823,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         (df, files.size, s.files.size)
     }
 
+  /** Kept-file paths (canonical, scheme-stripped) for pre-extracted
+    * predicate leaves — the pruning callback of the DSv2 scan path
+    * ([[org.apache.spark.sql.graft.GraftFileIndex]]). Evaluated against
+    * the CURRENT snapshot per call, so a long-lived catalog table object
+    * stays fresh. */
+  def pruneFilePaths(
+      leaves: Seq[org.apache.spark.sql.graft.ColumnBridge.PredLeaf]): Set[String] =
+    currentSnapshot.filter(_.files.nonEmpty) match {
+      case None => Set.empty
+      case Some(s) =>
+        pruneFiles(s, FilePruning.conjunctsFromLeaves(leaves, meta.schema))
+          .map(_.path).toSet
+    }
+
   /** Both manifest pruning layers: partition-directory values (works even
     * on manifests with no collected bounds) AND per-file column bounds. */
   private def pruneFiles(s: Snapshot, filter: Column): List[FileEntry] =

@@ -1,0 +1,170 @@
+package graft.engine
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.graft.GraftFileIndex
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{Catalog, IceTable}
+
+/** Spark DSv2 `TableCatalog` over an IceLite warehouse — registers the
+  * engine as a NATIVE Spark catalog so `SELECT * FROM graft.ns.table`
+  * (and multi-namespace joins) parse and resolve without the `ns__table`
+  * temp-view rewrite:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+  * spark.sql("SELECT * FROM graft.sales.orders o JOIN graft.ref.nation n ON …")
+  * }}}
+  *
+  * Reads go through a [[GraftFileIndex]]-backed DSv2 parquet scan, so the
+  * engine's manifest/partition/bloom file skipping fires from the pushed
+  * data filters — the ScanBuilder path the `ns__table` rewrite cannot
+  * offer. The temp-view surface stays for reference parity
+  * (joins.py:44-55); this catalog is the idiomatic-Spark face.
+  *
+  * Deliberate scope (documented, checked, loud):
+  *  - READ path is native; writes/DDL go through the engine API (create
+  *    and drop ARE implemented for completeness; alter is not — schema
+  *    evolution has field-id semantics the DSv2 alter surface can't
+  *    carry).
+  *  - A snapshot carrying merge-on-read delete state reads through the
+  *    engine path only (`readSnapshot` applies the anti-joins); this
+  *    catalog refuses it with a pointer to `compact-deletes` rather than
+  *    silently returning undeleted rows.
+  *  - Same for multi-schema-version file sets (field-id realias lives in
+  *    the engine read): refuse, point to `compact`. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def cat: Catalog = Catalog.open(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must point at an IceLite warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def identOf(ident: Identifier): String = {
+    require(ident.namespace.length <= 1,
+      s"nested namespaces unsupported: ${ident.namespace.mkString(".")}")
+    val ns = ident.namespace.headOption.getOrElse(Catalog.DefaultNamespace)
+    s"$ns.${ident.name}"
+  }
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.length <= 1, "nested namespaces unsupported")
+    val ns = namespace.headOption.getOrElse(Catalog.DefaultNamespace)
+    cat.listTables(ns).map { full =>
+      val (n, t) = Catalog.parseIdent(full)
+      Identifier.of(Array(n), t)
+    }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val full = identOf(ident)
+    if (!cat.tableExists(full))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftSparkTable(cat.loadTable(full), full)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "create partitioned tables through the engine API (transform specs " +
+        "carry IceLite semantics the DSv2 Transform surface doesn't)")
+    cat.createTable(identOf(ident), schema, Nil, properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "alter through the engine API: schema evolution is field-id based " +
+        "(IceTable.addColumn/renameColumn/dropColumn)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val full = identOf(ident)
+    if (!cat.tableExists(full)) false
+    else { cat.dropTable(full); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    require(namespace.length == 1, "nested namespaces unsupported")
+    cat.namespaceProperties(namespace(0)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    require(namespace.length == 1, "nested namespaces unsupported")
+    cat.createNamespace(namespace(0), metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.length == 1, "nested namespaces unsupported")
+    require(!cascade, "cascade drop goes through the engine API")
+    cat.dropNamespace(namespace(0)); true
+  }
+}
+
+/** DSv2 read face of one IceLite table: current-snapshot parquet scan over
+  * a manifest-pruning [[GraftFileIndex]]. */
+class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
+    with SupportsRead {
+  override def name(): String = fullName
+  override def schema(): StructType = tbl.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val snap = tbl.currentSnapshot.filter(_.files.nonEmpty).getOrElse {
+      // empty table: an index over zero files yields an empty scan
+      return new ParquetScanBuilder(spark,
+        new GraftFileIndex(spark, Nil, tbl.schema, _ => Set.empty),
+        tbl.schema, tbl.schema, options)
+    }
+    require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
+      s"$fullName carries merge-on-read delete state, which the native " +
+        "catalog scan cannot apply — read through the engine " +
+        "(query/prunedRead) or run compact/compact-deletes first")
+    require(snap.files.forall(_.schemaId == tbl.meta.currentSchemaId),
+      s"$fullName has files from older schema versions (field-id realias " +
+        "lives in the engine read path) — read through the engine or " +
+        "compact to migrate")
+    val paths = snap.files.map(f => new HPath(f.path))
+    val index = new GraftFileIndex(spark, paths, tbl.schema,
+      leaves => tbl.pruneFilePaths(leaves))
+    new ParquetScanBuilder(spark, index, tbl.schema, tbl.schema, options)
+  }
+}
