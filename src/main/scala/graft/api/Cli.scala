@@ -139,6 +139,24 @@ object Cli {
         println(s"deleted tag '$name'")
 
       // ---- io -------------------------------------------------------------
+      case List("changelog", table) =>
+        // per-commit insert/delete record counts over a snapshot range
+        val tbl = lh.catalog.loadTable(table)
+        flags.get("to").map(_.toLong)
+          .orElse(tbl.currentSnapshot.map(_.id)) match {
+          case None => println("empty table")
+          case Some(to) =>
+            graft.streaming.Changelog
+              .changesBetween(tbl, flags.get("from").map(_.toLong), to)
+              .groupBy(graft.streaming.Changelog.CommitIdCol,
+                graft.streaming.Changelog.ChangeTypeCol)
+              .count()
+              .orderBy(graft.streaming.Changelog.CommitIdCol,
+                graft.streaming.Changelog.ChangeTypeCol)
+              .collect()
+              .foreach(r => println(s"commit ${r.getLong(0)}: " +
+                s"${r.getString(1)} ${r.getLong(2)} rows"))
+        }
       // ---- write-audit-publish (staged commits) --------------------------
       case List("wap-stage", table, file) =>
         val sc = lh.catalog.loadTable(table).stageAppend(

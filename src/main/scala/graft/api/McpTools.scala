@@ -1594,6 +1594,31 @@ object McpTools {
         s"snapshot ${s.id}: ${s.summary.getOrElse("compacted-files", "0")} " +
           s"small files rewritten, ${s.summary.getOrElse("kept-files", "?")} kept"
       }),
+    ToolDef("graft_changelog",
+      "Commit-replay changelog: per-commit insert/delete record counts over a snapshot-id range (appends replay manifest-level from added files; rewrites via snapshot diffs). Omit from_snapshot to replay from the beginning; omit to_snapshot for the current head.",
+      sch(List("table"),
+        "table" -> S("Table identifier (namespace.table)"),
+        "from_snapshot" -> I("Exclusive lower snapshot id (omit = beginning)"),
+        "to_snapshot" -> I("Inclusive upper snapshot id (omit = head)")),
+      (lh, a) => {
+        val tbl = lh.catalog.loadTable(str(a, "table"))
+        strOpt(a, "to_snapshot").map(_.toLong)
+          .orElse(tbl.currentSnapshot.map(_.id)) match {
+          case None => "empty table"
+          case Some(to) =>
+            val rows = graft.streaming.Changelog
+              .changesBetween(tbl, strOpt(a, "from_snapshot").map(_.toLong), to)
+              .groupBy(graft.streaming.Changelog.CommitIdCol,
+                graft.streaming.Changelog.ChangeTypeCol)
+              .count()
+              .orderBy(graft.streaming.Changelog.CommitIdCol,
+                graft.streaming.Changelog.ChangeTypeCol)
+              .collect()
+            if (rows.isEmpty) "no changes in range"
+            else rows.map(r => s"commit ${r.getLong(0)}: ${r.getString(1)} " +
+              s"${r.getLong(2)} rows").mkString("\n")
+        }
+      }),
     ToolDef("graft_wap_publish",
       "Write-audit-publish: atomically publish (or with action=discard, drop) a staged commit created by stage_append. Until publish the staged rows are invisible to every reader; publish is a zero-copy fast-forward append that commutes with concurrent appends. action=list shows staged commits.",
       sch(List("table", "action"),

@@ -121,16 +121,19 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
   /** Diagnostic trace of [[registerView]] calls (table idents, in order).
     * Tests assert the SQL entry path resolves ONLY the tables a query
     * names — at catalog scale, registering every table per query is
-    * O(catalog) driver metadata I/O for nothing. */
+    * O(catalog) driver metadata I/O for nothing. OFF by default: an
+    * always-on trace would grow unboundedly in a long-lived server
+    * process; tests flip [[traceRegistrations]] on. */
   private[graft] val registrationTrace =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile private[graft] var traceRegistrations = false
 
   /** Register ONE table as temp views under both its short name and the
     * `ns__table` federated alias. Lazy view over the current snapshot —
     * no materialization; the table's metadata head is resolved here. */
   def registerView(ident: String): Unit = {
     val (ns, t) = parseIdent(ident)
-    registrationTrace.add(s"$ns.$t")
+    if (traceRegistrations) registrationTrace.add(s"$ns.$t")
     val df = loadTable(ident).read()
     df.createOrReplaceTempView(t)
     df.createOrReplaceTempView(s"${ns}__$t")

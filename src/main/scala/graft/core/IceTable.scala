@@ -823,19 +823,17 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         (df, files.size, s.files.size)
     }
 
-  /** Kept-file paths (canonical, scheme-stripped) for pre-extracted
-    * predicate leaves — the pruning callback of the DSv2 scan path
-    * ([[org.apache.spark.sql.graft.GraftFileIndex]]). Evaluated against
-    * the CURRENT snapshot per call, so a long-lived catalog table object
-    * stays fresh. */
-  def pruneFilePaths(
+  /** Kept-file paths for pre-extracted predicate leaves, evaluated against
+    * the GIVEN snapshot — the pruning callback of the DSv2 scan path
+    * ([[org.apache.spark.sql.graft.GraftFileIndex]]). The snapshot MUST be
+    * the one the scan's base file list came from: pruning against the
+    * current head while the base list is older would intersect two
+    * different file sets, and a concurrent compaction between planning and
+    * execution would silently empty the scan. */
+  def pruneFilePaths(s: Snapshot,
       leaves: Seq[org.apache.spark.sql.graft.ColumnBridge.PredLeaf]): Set[String] =
-    currentSnapshot.filter(_.files.nonEmpty) match {
-      case None => Set.empty
-      case Some(s) =>
-        pruneFiles(s, FilePruning.conjunctsFromLeaves(leaves, meta.schema))
-          .map(_.path).toSet
-    }
+    pruneFiles(s, FilePruning.conjunctsFromLeaves(leaves, meta.schema))
+      .map(_.path).toSet
 
   /** Both manifest pruning layers: partition-directory values (works even
     * on manifests with no collected bounds) AND per-file column bounds. */
@@ -1176,6 +1174,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def publishWap(wapId: String): Snapshot = tableLock.synchronized {
     val p = requireStaged(wapId)
     val sc = Jsons.readFile[StagedCommit](p)
+    // Crash-window recovery: the commit CAS and the registry cleanup below
+    // are two steps. A crash between them leaves a registry entry whose
+    // dir was already renamed into `commit-<id>` — a retried publish must
+    // RECOGNIZE that (the published-wap summary marker) and finish the
+    // cleanup instead of spinning on a rename of a missing dir.
+    if (!Files.exists(Paths.get(sc.dir))) {
+      snapshotRefs.find(_.summary.get("published-wap").contains(wapId)) match {
+        case Some(s) => Files.deleteIfExists(p); return resolve(s)
+        case None => throw new IllegalStateException(
+          s"staged dir ${sc.dir} is missing and no published snapshot " +
+            s"carries wap id '$wapId' — discard and re-stage")
+      }
+    }
     val snap = commit(emptyDf(meta.schema), "append", keepParent = true,
       extraSummary = Map("published-wap" -> wapId),
       preStaged = Some((Paths.get(sc.dir), sc.schemaId)))
@@ -1277,6 +1288,22 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * removes them. */
   def orphanFiles(delete: Boolean = false): Seq[String] = {
     val refs = snapshotRefs
+    // A tag pointing at a snapshot ABSENT from the log means either a
+    // stale pin (expire crashed mid-cleanup) or — the dangerous case — an
+    // expire that is RIGHT NOW between its log CAS and its reinstatement
+    // pass (see expireSnapshots): the pinned snapshot's manifests are
+    // momentarily referenced by no log entry, and sweeping them here
+    // would leave the reinstated entry pointing at deleted metadata.
+    // Refuse the destructive sweep until the pin set is consistent;
+    // dry-run listing stays available.
+    if (delete) {
+      val liveIds = refs.map(_.id).toSet
+      val dangling = tags.filter { case (_, id) => !liveIds(id) }
+      require(dangling.isEmpty,
+        s"tags point at snapshots not in the log ($dangling) — an expire " +
+          "may be reinstating them; re-run after it completes (or remove " +
+          "the stale tags)")
+    }
     val snaps = refs.map(resolve)
     val live = snaps
       .flatMap(s => (s.files ++ s.deleteFiles).map(_.path)).toSet

@@ -163,8 +163,11 @@ class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
         "lives in the engine read path) — read through the engine or " +
         "compact to migrate")
     val paths = snap.files.map(f => new HPath(f.path))
+    // the prune callback is PINNED to this scan's snapshot: evaluating
+    // against the live head would intersect two different file sets when
+    // a commit lands between planning and execution (silent empty scan)
     val index = new GraftFileIndex(spark, paths, tbl.schema,
-      leaves => tbl.pruneFilePaths(leaves))
+      leaves => tbl.pruneFilePaths(snap, leaves))
     new ParquetScanBuilder(spark, index, tbl.schema, tbl.schema, options)
   }
 }

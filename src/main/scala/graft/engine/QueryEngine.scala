@@ -63,19 +63,41 @@ class QueryEngine(lh: Lakehouse) {
     * materializing a full result to a table. A `limit(Int.MaxValue)`
     * sentinel would NOT be free: GlobalLimit shuffles every row to a
     * single partition, so "unlimited" must mean no limit node at all. */
+  /** Serializes the narrow-view window below: temp views are
+    * SESSION-global, so without this a concurrent execute() analyzing
+    * inside another's narrowed-view window could silently bind to a
+    * pruned scan whose conjuncts its own query lacks. The lock covers
+    * ANALYSIS only (driver-side, milliseconds) — returned frames are
+    * lazy, so query EXECUTION still runs fully parallel. */
+  private val analysisLock = new Object
+
   def execute(sql: String, maxRows: Int = 1000): DataFrame = {
     val rewritten = rewriteNamespaces(sql)
-    val referenced = registerReferenced(rewritten)
-    var df = spark.sql(rewritten)
-    lastScanStats = Map.empty
-    val pruned = prunedViewsFor(df.queryExecution.optimizedPlan, referenced)
-    if (pruned.nonEmpty) {
-      // re-analyze the SAME sql over the narrowed views (spark.sql analyzes
-      // eagerly, so the frame is bound now) …
-      df = spark.sql(rewritten)
-      // … and immediately restore the full views: a narrowed view must
-      // never leak into the next query or another API surface
-      pruned.foreach(lh.catalog.registerView)
+    val df = analysisLock.synchronized {
+      val referenced = registerReferenced(rewritten)
+      var d = spark.sql(rewritten)
+      lastScanStats = Map.empty
+      val pruned = prunedViewsFor(d.queryExecution.optimizedPlan, referenced)
+      if (pruned.nonEmpty) {
+        // re-analyze the SAME sql over the narrowed views (spark.sql
+        // analyzes eagerly, so the frame is bound now), then restore the
+        // full views UNCONDITIONALLY — a narrowed view leaking past a
+        // failed re-analysis would silently drop rows from every later
+        // direct spark.sql over that table
+        try d = spark.sql(rewritten)
+        finally pruned.foreach { ident =>
+          try lh.catalog.registerView(ident)
+          catch { case _: Exception =>
+            // cannot restore (metadata read failed): DROP the narrowed
+            // view so later queries fail loudly instead of silently
+            // reading a pruned subset
+            val (ns, t) = Catalog.parseIdent(ident)
+            spark.catalog.dropTempView(t)
+            spark.catalog.dropTempView(s"${ns}__$t")
+          }
+        }
+      }
+      d
     }
     recordLineage(sql)
     if (maxRows > 0 && needsLimit(sql)) df.limit(maxRows) else df
@@ -151,6 +173,11 @@ class QueryEngine(lh: Lakehouse) {
 
     val covered = scala.collection.mutable.Map.empty[String, Int]
     val conds = scala.collection.mutable.Map.empty[String, List[Expression]]
+    def splitAnd(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitAnd(l) ++ splitAnd(r)
+      case o => Seq(o)
+    }
     def walk(p: LogicalPlan): Unit = p match {
       case f: LFilter =>
         val leaves = f.child.collectLeaves()
@@ -158,9 +185,25 @@ class QueryEngine(lh: Lakehouse) {
         if (leaves.nonEmpty && owners.forall(_.isDefined) &&
             owners.flatten.distinct.size == 1) {
           val t = owners.head.get
-          covered(t) = covered.getOrElse(t, 0) + leaves.size
-          conds(t) = f.condition :: conds.getOrElse(t, Nil)
-          // no recursion: CombineFilters has already merged nested filters
+          // PROVENANCE check, by exprId: a conjunct prunes only if every
+          // attribute it references IS an output of the scan itself. A
+          // HAVING filter above an Aggregate whose alias collides with a
+          // base column name ("… MAX(ts) AS ts … HAVING ts > X") sits in
+          // exactly this subtree shape, but its attributes carry the
+          // AGGREGATE's exprIds, not the scan's — matching by name alone
+          // would prune data files by a row-level column that was never
+          // filtered. Skipped conjuncts simply don't prune.
+          val scanIds = leaves.flatMap(_.output.map(_.exprId)).toSet
+          val rowLevel = splitAnd(f.condition).filter(_.references.toSeq
+            .forall(a => scanIds.contains(a.exprId)))
+          if (rowLevel.nonEmpty) {
+            covered(t) = covered.getOrElse(t, 0) + leaves.size
+            conds(t) = rowLevel.reduce(
+              org.apache.spark.sql.catalyst.expressions.And) ::
+              conds.getOrElse(t, Nil)
+          } else f.children.foreach(walk)
+          // no recursion under a recorded filter: CombineFilters has
+          // already merged nested filters
         } else f.children.foreach(walk)
       case other => other.children.foreach(walk)
     }
@@ -209,10 +252,14 @@ class QueryEngine(lh: Lakehouse) {
 
   /** Tables referenced by a SQL string, from the PARSED plan's unresolved
     * relations — not the reference's substring matching (matviews.py:35-51),
-    * which false-positives on column names. */
+    * which false-positives on column names. `collectWithSubqueries`, not
+    * `collect`: a table referenced ONLY inside a scalar/IN/EXISTS subquery
+    * expression must register too (plain collect does not descend into
+    * subquery expression plans — the per-query lazy registration would
+    * miss it, or worse, bind it to a STALE view from an earlier query). */
   def referencedTables(sql: String): Seq[String] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    plan.collect {
+    plan.collectWithSubqueries {
       case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
     }.distinct.map(n => n.replace("__", "."))
   }

@@ -103,6 +103,45 @@ class WapSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("row0", "row1", "row2", "row10", "row11", "row12"))
   }
 
+  test("publish crash window: a surviving registry entry whose dir was " +
+      "already renamed recovers to the published snapshot") {
+    val cat = newCatalog()
+    val t = cat.createTable("t6", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    t.append(df(0 until 5))
+    val sc = t.stageAppend(df(10 until 15), "crashy")
+    val snap = t.publishWap("crashy")
+    // simulate the crash between the commit CAS and the registry cleanup:
+    // the registry entry is back, the dir is long renamed away
+    Jsons.writeFile(t.dir.resolve("staged").resolve("crashy.json"), sc)
+    assert(t.stagedCommits.map(_.wapId) == List("crashy"))
+    val recovered = t.publishWap("crashy")
+    assert(recovered.id == snap.id,
+      "retried publish must recognize the published snapshot, not re-publish")
+    assert(t.stagedCommits.isEmpty, "recovery must finish the cleanup")
+    assert(t.read().count() == 10, "no rows may be double-published")
+    // a registry entry with a missing dir and NO published snapshot is a
+    // loud, actionable error
+    Jsons.writeFile(t.dir.resolve("staged").resolve("ghost.json"),
+      StagedCommit("ghost", t.dataDir.resolve(".wap-ghost-x").toString,
+        1, 0, 0, 0L))
+    intercept[IllegalStateException] { t.publishWap("ghost") }
+    t.discardWap("ghost")
+  }
+
+  test("orphan GC refuses a destructive sweep while a tag dangles " +
+      "(mid-reinstatement window)") {
+    val cat = newCatalog()
+    val t = cat.createTable("t7", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    t.append(df(0 until 5))
+    t.setProperty("ref.tag.dangling", "999")
+    intercept[IllegalArgumentException] { t.orphanFiles(delete = true) }
+    t.orphanFiles(delete = false) // dry-run stays available
+    t.removeTag("dangling")
+    t.orphanFiles(delete = true) // consistent pins sweep fine
+  }
+
   test("duplicate wap id refused; bad ids refused") {
     val cat = newCatalog()
     val t = cat.createTable("t5", Seq("id" -> "long", "name" -> "string"),

@@ -127,11 +127,84 @@ class EnginePruningSpec extends AnyFunSuite {
     buildRanged(lh, "default.only")
     buildRanged(lh, "default.othera")
     buildRanged(lh, "default.otherb")
+    lh.catalog.traceRegistrations = true
     lh.catalog.registrationTrace.clear()
     lh.engine.execute("SELECT COUNT(*) AS n FROM only WHERE id < 50", 0)
     val touched = lh.catalog.registrationTrace.asScala.toSet
+    lh.catalog.traceRegistrations = false
     assert(touched == Set("default.only"),
       s"expected only default.only registered, got $touched")
+  }
+
+  test("a table referenced ONLY inside a subquery expression registers " +
+      "per query and never binds stale") {
+    val lh = newLh()
+    buildRanged(lh, "default.sqa")
+    val b0 = (0 until 10).map(i => (i.toLong, s"x$i", 0L))
+      .toDF("id", "name", "grp")
+    lh.catalog.createTable("default.sqb", b0.schema, Nil, Map.empty)
+    lh.catalog.loadTable("default.sqb").append(b0)
+    val q = "SELECT COUNT(*) AS n FROM sqa " +
+      "WHERE id IN (SELECT id FROM sqb)"
+    assert(lh.engine.execute(q, 0).collect()(0).getLong(0) == 10)
+    // append to the subquery-only table: the next execute must see it —
+    // a collect() that skipped subquery relations would bind sqb to the
+    // stale 10-row view
+    lh.catalog.loadTable("default.sqb")
+      .append((10 until 25).map(i => (i.toLong, s"x$i", 0L))
+        .toDF("id", "name", "grp"))
+    assert(lh.engine.execute(q, 0).collect()(0).getLong(0) == 25)
+  }
+
+  test("HAVING alias colliding with a base column name never prunes by " +
+      "the base column (exprId provenance)") {
+    val lh = newLh()
+    buildRanged(lh, "default.hv") // id ranged 0..399 over 4 files; grp = id%7
+    // alias `id` shadows the base column: HAVING id > 390 filters on
+    // MAX(id) per grp — every grp group spans all 4 files, so pruning
+    // low-id files by a row-level id>390 would corrupt the counts
+    val sql = """SELECT grp, MAX(id) AS id, COUNT(*) AS c FROM hv
+      | GROUP BY grp HAVING id > 390 ORDER BY grp""".stripMargin
+    val got = lh.engine.execute(sql, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // grps with max id > 390: ids 391..399 cover grp = id%7 of those
+    val want = (0L until 400L).groupBy(_ % 7).toSeq
+      .map { case (g, ids) => (g, ids.max, ids.size.toLong) }
+      .filter(_._2 > 390).sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    // and no files were dropped for hv
+    assert(lh.engine.lastScanStats.get("default.hv")
+      .forall { case (k, t) => k == t },
+      s"HAVING alias must not prune: ${lh.engine.lastScanStats}")
+  }
+
+  test("concurrent executes never leak a narrowed view into each other: " +
+      "mixed prunable + full queries from many threads stay exact") {
+    val lh = newLh()
+    buildRanged(lh, "default.cc")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        try {
+          (0 until 10).foreach { _ =>
+            if (i % 2 == 0) {
+              // prunable range query — narrows the view mid-flight
+              val n = lh.engine
+                .execute("SELECT COUNT(*) AS n FROM cc WHERE id >= 300", 0)
+                .collect()(0).getLong(0)
+              if (n != 100) errors.add(s"range got $n")
+            } else {
+              // full-table query — must NEVER see a narrowed view
+              val n = lh.engine.execute("SELECT COUNT(*) AS n FROM cc", 0)
+                .collect()(0).getLong(0)
+              if (n != 400) errors.add(s"full got $n")
+            }
+          }
+        } catch { case e: Throwable => errors.add(e.toString) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent executes diverged: $errors")
   }
 
   test("a query with no prunable predicate records no stats and stays " +
