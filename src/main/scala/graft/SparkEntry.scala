@@ -2558,6 +2558,33 @@ object SparkEntry {
         |FROM g174.sales.ord_nc o JOIN g174.ref.cust_nc c
         |  ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment""".stripMargin)
+    }),
+
+    // CHANGELOG-DRIVEN ROLLUP gate (the close-the-loop composition:
+    // commit replay → incremental aggregate maintenance → stamped rollup
+    // commits): two appends + a MoR delete maintained into a per-key
+    // (n, sum_micro) rollup in two exactly-once batches — the oracle
+    // recomputes the rollup from the raw commits, so any drift in the
+    // insert/delete fold (double-count, missed delete) hash-mismatches.
+    "q175_changelog_rollup" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh175") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_mr", li.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.li_mr")
+        val ckpt = java.nio.file.Paths.get(s"$AuxDir/wh175/.mr-ckpt")
+        tb.append(li.where(col("l_orderkey") % 2 === 0)) // commit 1
+        // batch 1: inserts only
+        graft.streaming.Changelog.maintainRollup(lh, "default.li_mr",
+          "default.li_mr_rollup", Seq("l_returnflag"), "l_extendedprice", ckpt)
+        tb.append(li.where(col("l_orderkey") % 2 =!= 0)) // commit 2
+        tb.deleteWhereMor(col("l_quantity") < 2.0) // commit 3
+        // batch 2: inserts + the delete commit's retractions
+        graft.streaming.Changelog.maintainRollup(lh, "default.li_mr",
+          "default.li_mr_rollup", Seq("l_returnflag"), "l_extendedprice", ckpt)
+      }
+      lh.catalog.loadTable("default.li_mr_rollup").read()
+        .select(col("l_returnflag"), col("n"), col("sum_micro"))
     })
   )
 
@@ -4896,6 +4923,21 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the rollup recomputed from raw commits: every live row (both
+    // appends minus the delete predicate), micro-quantized exactly as
+    // IncrementalAgg does
+    "q175_changelog_rollup" ->
+      """WITH a AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh175/default/li_mr/data/commit-00001/**/*.parquet')),
+        |b AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh175/default/li_mr/data/commit-00002/**/*.parquet')),
+        |live AS (
+        |  SELECT * FROM a WHERE NOT (l_quantity < 2.0)
+        |  UNION ALL SELECT * FROM b WHERE NOT (l_quantity < 2.0))
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS sum_micro
+        |FROM live GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -100,6 +100,43 @@ object Changelog {
       .withColumn(CommitIdCol, lit(0L))
       .where(lit(false))
 
+  /** The close-the-loop composition over the changelog: maintain a
+    * per-key `(n, sum_micro)` rollup TABLE from a source table's commits —
+    * [[ChangelogStream]] (exactly-once replay by snapshot id) feeding
+    * [[graft.analytics.IncrementalAgg.maintain]] (insert adds, delete
+    * subtracts), landing as ONE rollup overwrite stamped with the batch's
+    * `toId` so a crash-redelivered batch is a detectable no-op (the same
+    * idempotence pattern as [[Streaming.maintainCountSumStream]]'s batch
+    * ids, with changelog offsets as the watermark). Cost per run: the NEW
+    * commits' changelog (appends read only their added files) + a
+    * key-join against the state-sized rollup — never a source recompute.
+    * Returns the new offset, or None when already caught up. */
+  def maintainRollup(lh: Lakehouse, source: String, rollup: String,
+      keyCols: Seq[String], valCol: String,
+      checkpointDir: Path): Option[Long] = {
+    val cs = new ChangelogStream(lh, source, checkpointDir)
+    cs.processAvailable { (changes, toId) =>
+      val alreadyApplied = lh.catalog.tableExists(rollup) &&
+        lh.catalog.loadTable(rollup).currentSnapshot
+          .exists(_.summary.get("changelog-to-id").exists(_.toLong >= toId))
+      if (!alreadyApplied) {
+        val delta = changes.withColumn("__op",
+          when(col(ChangeTypeCol) === "insert", "I").otherwise("D"))
+        val state =
+          if (lh.catalog.tableExists(rollup))
+            lh.catalog.loadTable(rollup).read()
+          else graft.analytics.IncrementalAgg
+            .countSumState(changes.where(lit(false)), keyCols, valCol)
+        val next = graft.analytics.IncrementalAgg
+          .maintain(state, delta, keyCols, valCol, "__op")
+        if (!lh.catalog.tableExists(rollup))
+          lh.catalog.createTable(rollup, next.schema, Nil, Map.empty)
+        lh.catalog.loadTable(rollup)
+          .overwrite(next, Map("changelog-to-id" -> toId.toString))
+      }
+    }
+  }
+
   /** Structured Streaming source over an APPEND-ONLY table: Spark's file
     * stream lists `data/commit-*` each trigger and its own checkpoint log
     * guarantees each file is emitted exactly once. Staging dirs are

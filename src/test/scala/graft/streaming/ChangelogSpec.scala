@@ -96,6 +96,51 @@ class ChangelogSpec extends AnyFunSuite {
     assert(cs2.lastProcessed.contains(3L))
   }
 
+  test("maintainRollup: changelog-driven rollup equals a full recompute " +
+      "across appends, MoR delete and MoR update; redelivery is a no-op") {
+    val lh = newLh()
+    val src = lh.catalog.createTable("default.mr_src",
+      Seq("id" -> "long", "grp" -> "long", "v" -> "double"), Nil, Map.empty)
+    def rows(r: Range) = r.map(i => (i.toLong, (i % 3).toLong, i * 1.5))
+      .toDF("id", "grp", "v")
+    val ckpt = SparkFixture.tmpDir("graft-mr-ckpt-")
+    def rollupNow(): Map[Long, (Long, Long)] =
+      lh.catalog.loadTable("default.mr_rollup").read().collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def recompute(): Map[Long, (Long, Long)] =
+      graft.analytics.IncrementalAgg
+        .countSumState(lh.catalog.loadTable("default.mr_src").read(),
+          Seq("grp"), "v")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    src.append(rows(0 until 30))
+    assert(Changelog.maintainRollup(lh, "default.mr_src",
+      "default.mr_rollup", Seq("grp"), "v", ckpt).contains(1L))
+    assert(rollupNow() == recompute())
+
+    src.append(rows(30 until 50))
+    src.deleteWhereMor(col("id") % 5 === 0)
+    src.updateWhereMor(col("id") === 7L, Map("v" -> lit(100.0)))
+    assert(Changelog.maintainRollup(lh, "default.mr_src",
+      "default.mr_rollup", Seq("grp"), "v", ckpt).contains(4L))
+    assert(rollupNow() == recompute(),
+      "rollup must equal a full recompute after delete+update commits")
+
+    // caught up: nothing to do
+    assert(Changelog.maintainRollup(lh, "default.mr_src",
+      "default.mr_rollup", Seq("grp"), "v", ckpt).isEmpty)
+    // crash-redelivery: offset lost but the rollup's stamped toId makes
+    // the replayed batch a no-op — counts cannot double-fold
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("offset"))
+    val before = rollupNow()
+    val rollupSnaps = lh.catalog.loadTable("default.mr_rollup").rawLog.size
+    assert(Changelog.maintainRollup(lh, "default.mr_src",
+      "default.mr_rollup", Seq("grp"), "v", ckpt).contains(4L))
+    assert(rollupNow() == before, "redelivered batch must not double-fold")
+    assert(lh.catalog.loadTable("default.mr_rollup").rawLog.size == rollupSnaps,
+      "a skipped redelivery must not commit a new rollup snapshot")
+  }
+
   test("expired mid-range history refuses replay instead of double-counting") {
     val lh = newLh()
     val t = lh.catalog.createTable("default.cl4",
