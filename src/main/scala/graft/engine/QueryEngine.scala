@@ -236,14 +236,30 @@ class QueryEngine(lh: Lakehouse) {
     narrowed
   }
 
-  /** Time-travel query: registers ONLY the named table, resolved at the
-    * given snapshot-id/timestamp (query.py:169-197). */
+  /** Time-travel query: the NAMED table resolves at the given
+    * snapshot-id/timestamp (query.py:169-197); any OTHER table the SQL
+    * references resolves fresh at its current snapshot — without that, a
+    * join against a second table would bind to whatever (possibly stale)
+    * view an earlier query happened to leave behind. The asof view is
+    * registered LAST so the per-query registration can never clobber it,
+    * and the current view is restored after analysis. */
   def executeAsOf(table: String, sql: String, asOf: String,
       maxRows: Int = 1000): DataFrame = {
     val (_, short) = graft.core.Catalog.parseIdent(table)
-    lh.catalog.loadTable(table).readAsOf(asOf).createOrReplaceTempView(short)
-    val df = spark.sql(sql)
-    if (needsLimit(sql)) df.limit(maxRows) else df
+    val df = analysisLock.synchronized {
+      registerReferenced(rewriteNamespaces(sql))
+      lh.catalog.loadTable(table).readAsOf(asOf).createOrReplaceTempView(short)
+      try spark.sql(sql)
+      finally {
+        // restore the CURRENT view: the asof binding must not leak into
+        // later queries (same rule as the narrowed pruning views)
+        try lh.catalog.registerView(table)
+        catch { case _: Exception => spark.catalog.dropTempView(short) }
+      }
+    }
+    // same `maxRows <= 0 disables` convention as execute() — limit(0)
+    // would silently return zero rows
+    if (maxRows > 0 && needsLimit(sql)) df.limit(maxRows) else df
   }
 
   /** Federated multi-table join query (joins.py:58-93). */

@@ -207,6 +207,32 @@ class EnginePruningSpec extends AnyFunSuite {
     assert(errors.isEmpty, s"concurrent executes diverged: $errors")
   }
 
+  test("executeAsOf: the named table time-travels, other referenced " +
+      "tables resolve FRESH, and the asof binding does not leak") {
+    val lh = newLh()
+    val a = lh.catalog.createTable("default.aoa",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    a.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "name")) // snap 1
+    a.append((10 until 20).map(i => (i.toLong, s"a$i")).toDF("id", "name")) // snap 2
+    val b = lh.catalog.createTable("default.aob",
+      Seq("id" -> "long", "tag" -> "string"), Nil, Map.empty)
+    b.append((0 until 20).map(i => (i.toLong, s"t$i")).toDF("id", "tag"))
+    // joins a@snap1 (10 rows) against CURRENT aob — aob was never
+    // registered before, so this fails unless executeAsOf registers it
+    val n1 = lh.engine.executeAsOf("default.aoa",
+      "SELECT COUNT(*) AS n FROM aoa JOIN aob ON aoa.id = aob.id", "1", 0)
+      .collect()(0).getLong(0)
+    assert(n1 == 10)
+    // aob grows; a second asof query must see the FRESH aob
+    b.append((20 until 30).map(i => (i.toLong, s"t$i")).toDF("id", "tag"))
+    val n2 = lh.engine.executeAsOf("default.aoa",
+      "SELECT COUNT(*) AS n FROM aob", "1", 0).collect()(0).getLong(0)
+    assert(n2 == 30, "other tables must resolve at their current snapshot")
+    // the asof binding must NOT leak: a plain engine query sees current aoa
+    assert(lh.engine.execute("SELECT COUNT(*) AS n FROM aoa", 0)
+      .collect()(0).getLong(0) == 20)
+  }
+
   test("a query with no prunable predicate records no stats and stays " +
       "correct") {
     val lh = newLh()
