@@ -4,12 +4,16 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.graft.GraftFileIndex
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -32,11 +36,13 @@ import graft.core.{Catalog, IceTable}
   * offer. The temp-view surface stays for reference parity
   * (joins.py:44-55); this catalog is the idiomatic-Spark face.
   *
+  * Writes are native too: `INSERT INTO`/`INSERT OVERWRITE`/`DELETE FROM`
+  * route through the engine's commit protocol (see [[GraftSparkTable]]).
+  *
   * Deliberate scope (documented, checked, loud):
-  *  - READ path is native; writes/DDL go through the engine API (create
-  *    and drop ARE implemented for completeness; alter is not — schema
-  *    evolution has field-id semantics the DSv2 alter surface can't
-  *    carry).
+  *  - CREATE/DROP TABLE work; alter does not — schema evolution has
+  *    field-id semantics the DSv2 alter surface can't carry (use
+  *    IceTable.addColumn/renameColumn/dropColumn).
   *  - A snapshot carrying merge-on-read delete state reads through the
   *    engine path only (`readSnapshot` applies the anti-joins); this
   *    catalog refuses it with a pointer to `compact-deletes` rather than
@@ -137,14 +143,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** DSv2 read face of one IceLite table: current-snapshot parquet scan over
-  * a manifest-pruning [[GraftFileIndex]]. */
+/** DSv2 face of one IceLite table. Reads: current-snapshot parquet scan
+  * over a manifest-pruning [[GraftFileIndex]]. Writes: `INSERT INTO` /
+  * `INSERT OVERWRITE` / `df.writeTo(...).append()` route through the
+  * engine's own commit protocol via Spark's V1Write fallback — the
+  * sanctioned DSv2 escape hatch that hands the driver a DataFrame, which
+  * is exactly the shape [[IceTable.append]]/[[IceTable.overwrite]] wants
+  * (stage-dir write, claim-by-rename, log CAS, schema alignment, bloom
+  * index collection — all identical to the engine API path). Deletes:
+  * `DELETE FROM … WHERE` translates the pushed source filters and routes
+  * copy-on-write or merge-on-read by the same `write.delete.mode` table
+  * property the engine API honors; untranslatable predicates are refused
+  * at `canDeleteWhere` so Spark reports a clean unsupported error instead
+  * of a wrong partial delete. */
 class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
-    with SupportsRead {
+    with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = fullName
   override def schema(): StructType = tbl.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data, overwrite) =>
+            if (replace || overwrite) { tbl.overwrite(data); () }
+            else { tbl.append(data); () }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftSparkTable.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.flatMap(GraftSparkTable.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val mor = tbl.meta.properties.get("write.delete.mode")
+      .contains("merge-on-read")
+    if (mor) { tbl.deleteWhereMor(cond); () }
+    else {
+      // keep the rows NOT matching; a NULL predicate row is unknown ->
+      // kept, matching deleteWhereMor's (and SQL DELETE's) semantics
+      val df = tbl.read()
+      tbl.overwrite(
+        df.where(not(org.apache.spark.sql.functions.coalesce(cond, lit(false)))))
+      ()
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
@@ -169,5 +219,35 @@ class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
     val index = new GraftFileIndex(spark, paths, tbl.schema,
       leaves => tbl.pruneFilePaths(snap, leaves))
     new ParquetScanBuilder(spark, index, tbl.schema, tbl.schema, options)
+  }
+}
+
+object GraftSparkTable {
+  /** Source-filter → Column translation for the DSv2 delete path. None =
+    * not translatable (the whole delete is then refused via
+    * `canDeleteWhere` — never partially applied). Value comparisons rely
+    * on Spark's own literal coercion, the same as the engine's
+    * `expr`-string predicates. */
+  private[engine] def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(not)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }

@@ -95,6 +95,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!lh.catalog.tableExists("ref.t2"))
   }
 
+  test("native INSERT INTO / INSERT OVERWRITE route through the engine's " +
+      "commit protocol (snapshots, schema alignment, history)") {
+    seed()
+    spark.sql(s"CREATE TABLE $catName.ref.wt (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $catName.ref.wt VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $catName.ref.wt VALUES (3, 'c')")
+    val t = lh.catalog.loadTable("ref.wt")
+    assert(t.rawLog.map(_.operation) == List("append", "append"),
+      "each INSERT must be one engine append snapshot")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $catName.ref.wt")
+      .head.getLong(0) == 3)
+    spark.sql(s"INSERT OVERWRITE $catName.ref.wt VALUES (9, 'z')")
+    assert(t.rawLog.map(_.operation) == List("append", "append", "overwrite"))
+    assert(spark.sql(s"SELECT id FROM $catName.ref.wt").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    // time travel still works over natively-written snapshots
+    assert(t.readAsOf("2").count() == 3)
+    // the df writeTo API lands on the same path
+    import spark.implicits._
+    Seq((10L, "w")).toDF("id", "v").writeTo(s"$catName.ref.wt").append()
+    assert(t.read().count() == 2)
+    spark.sql(s"DROP TABLE $catName.ref.wt")
+  }
+
+  test("native DELETE FROM: copy-on-write by default, merge-on-read by " +
+      "table property; untranslatable predicates refused whole") {
+    seed()
+    spark.sql(s"CREATE TABLE $catName.ref.dt (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $catName.ref.dt VALUES " +
+      (0 until 20).map(i => s"($i, 'v$i')").mkString(", "))
+    val t = lh.catalog.loadTable("ref.dt")
+    assert(t.read().count() == 20)
+    spark.sql(s"DELETE FROM $catName.ref.dt WHERE id < 5")
+    assert(t.read().count() == 15)
+    assert(t.currentSnapshot.get.operation == "overwrite",
+      "default delete mode is copy-on-write")
+    t.setProperty("write.delete.mode", "merge-on-read")
+    spark.sql(s"DELETE FROM $catName.ref.dt WHERE id >= 18 OR v = 'v10'")
+    assert(t.read().count() == 12)
+    assert(lh.catalog.loadTable("ref.dt").currentSnapshot.get
+      .deleteFiles.nonEmpty, "property must route to position deletes")
+    // an untranslatable predicate fails loudly, deleting NOTHING
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $catName.ref.dt WHERE id % 2 = 0")
+    }
+    assert(lh.catalog.loadTable("ref.dt").read().count() == 12)
+    spark.sql(s"DROP TABLE $catName.ref.dt")
+  }
+
   test("merge-on-read delete state is refused with a compact pointer, " +
       "never silently misread") {
     seed()
