@@ -185,14 +185,19 @@ class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
       .reduceOption(_ && _).getOrElse(lit(true))
     val mor = tbl.meta.properties.get("write.delete.mode")
       .contains("merge-on-read")
-    if (mor) { tbl.deleteWhereMor(cond); () }
-    else {
-      // keep the rows NOT matching; a NULL predicate row is unknown ->
-      // kept, matching deleteWhereMor's (and SQL DELETE's) semantics
-      val df = tbl.read()
-      tbl.overwrite(
-        df.where(not(org.apache.spark.sql.functions.coalesce(cond, lit(false)))))
-      ()
+    // under the table lock, like Dml.delete: the copy-on-write branch is
+    // a read-then-overwrite cycle that an in-JVM concurrent writer could
+    // otherwise interleave
+    tbl.locked {
+      if (mor) { tbl.deleteWhereMor(cond); () }
+      else {
+        // keep the rows NOT matching; a NULL predicate row is unknown ->
+        // kept, matching deleteWhereMor's (and SQL DELETE's) semantics
+        val df = tbl.read()
+        tbl.overwrite(df.where(
+          not(org.apache.spark.sql.functions.coalesce(cond, lit(false)))))
+        ()
+      }
     }
   }
 
