@@ -2,7 +2,7 @@ package graft.dml
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,24 +149,47 @@ class Dml(lh: Lakehouse) {
     * ([[graft.core.IceTable.deleteWhereMor]]): at 100 TB a small delete
     * costs KBs instead of re-copying every data file. Results, audit and
     * history semantics are identical either way. */
-  def delete(table: String, filter: String): Long = {
+  def delete(table: String, filter: String): Long =
+    deleteWhere(table, expr(filter), filter)
+
+  /** Column-predicate delete — the ONE implementation of the
+    * `write.delete.mode` routing and NULL-kept semantics, shared by the
+    * string-predicate API above and the DSv2 SQL surface
+    * ([[graft.engine.GraftSparkTable]]), so the two can never diverge. */
+  def deleteWhere(table: String, cond: Column,
+      filterDesc: String = "<column predicate>"): Long = {
     val tbl = catalog.loadTable(table)
     tbl.locked {
       val mor = tbl.meta.properties.get("write.delete.mode")
         .contains("merge-on-read")
       val deleted =
-        if (mor) tbl.deleteWhereMor(expr(filter))
+        if (mor) tbl.deleteWhereMor(cond)
         else {
           val df = tbl.read()
-          val cond = expr(filter)
           val n = df.where(cond).count()
           tbl.overwrite(df.where(!coalesce(cond, lit(false))))
           n
         }
       lh.audit.log(table, "delete",
-        Map("deleted" -> deleted.toString, "filter" -> filter,
+        Map("deleted" -> deleted.toString, "filter" -> filterDesc,
           "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
       deleted
+    }
+  }
+
+  /** Replace the table's contents, with the same validation + audit wrap
+    * as [[insertDf]] (the DSv2 `INSERT OVERWRITE` path; the engine API's
+    * own overwrites go through IceTable directly, reference parity). The
+    * candidate validates against NO existing remainder — it replaces
+    * everything. */
+  def overwriteDf(table: String, df: DataFrame): Long = {
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      lh.validation.enforce(table, df, None)
+      val snap = tbl.overwrite(df)
+      lh.audit.log(table, "overwrite",
+        Map("rows" -> snap.summary("added-rows")))
+      snap.summary("added-rows").toLong
     }
   }
 

@@ -55,6 +55,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
   private def cat: Catalog = Catalog.open(spark, warehouse)
+  private def lakehouse: graft.Lakehouse = graft.Lakehouse.open(spark, warehouse)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -87,7 +88,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val full = identOf(ident)
     if (!cat.tableExists(full))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftSparkTable(cat.loadTable(full), full)
+    new GraftSparkTable(lakehouse, full)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -156,24 +157,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * property the engine API honors; untranslatable predicates are refused
   * at `canDeleteWhere` so Spark reports a clean unsupported error instead
   * of a wrong partial delete. */
-class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
+class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
+  private def tbl: IceTable = lh.catalog.loadTable(fullName)
   override def name(): String = fullName
   override def schema(): StructType = tbl.schema
+  // no OVERWRITE_BY_FILTER: the write builder implements truncate only,
+  // so claiming it would accept filter-overwrites at analysis and fail
+  // them late at write planning; without the capability Spark rejects
+  // them cleanly up front (INSERT OVERWRITE needs only TRUNCATE)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
+        // through Dml, not IceTable: the SQL surface gets the SAME
+        // validation enforcement and audit logging as the engine API —
+        // a constraint-violating INSERT fails here exactly as
+        // Dml.insertDf would fail it
         override def toInsertableRelation: InsertableRelation =
           (data, overwrite) =>
-            if (replace || overwrite) { tbl.overwrite(data); () }
-            else { tbl.append(data); () }
+            if (replace || overwrite) { lh.dml.overwriteDf(fullName, data); () }
+            else { lh.dml.insertDf(fullName, data); () }
       }
     }
 
@@ -183,22 +192,12 @@ class GraftSparkTable(tbl: IceTable, fullName: String) extends Table
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val cond = filters.flatMap(GraftSparkTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val mor = tbl.meta.properties.get("write.delete.mode")
-      .contains("merge-on-read")
-    // under the table lock, like Dml.delete: the copy-on-write branch is
-    // a read-then-overwrite cycle that an in-JVM concurrent writer could
-    // otherwise interleave
-    tbl.locked {
-      if (mor) { tbl.deleteWhereMor(cond); () }
-      else {
-        // keep the rows NOT matching; a NULL predicate row is unknown ->
-        // kept, matching deleteWhereMor's (and SQL DELETE's) semantics
-        val df = tbl.read()
-        tbl.overwrite(df.where(
-          not(org.apache.spark.sql.functions.coalesce(cond, lit(false)))))
-        ()
-      }
-    }
+    // ONE delete implementation for both surfaces: Dml.deleteWhere owns
+    // the write.delete.mode routing, NULL-kept semantics, table lock and
+    // audit logging — the SQL path cannot drift from the API path
+    lh.dml.deleteWhere(fullName, cond,
+      filters.map(_.toString).mkString(" AND "))
+    ()
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

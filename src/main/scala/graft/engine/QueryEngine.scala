@@ -245,16 +245,28 @@ class QueryEngine(lh: Lakehouse) {
     * and the current view is restored after analysis. */
   def executeAsOf(table: String, sql: String, asOf: String,
       maxRows: Int = 1000): DataFrame = {
-    val (_, short) = graft.core.Catalog.parseIdent(table)
+    val (ns, short) = graft.core.Catalog.parseIdent(table)
+    val rewritten = rewriteNamespaces(sql)
     val df = analysisLock.synchronized {
-      registerReferenced(rewriteNamespaces(sql))
-      lh.catalog.loadTable(table).readAsOf(asOf).createOrReplaceTempView(short)
-      try spark.sql(sql)
+      registerReferenced(rewritten)
+      // the asof frame replaces BOTH of the table's view names — the
+      // per-query registration above just bound them to the CURRENT
+      // snapshot, and a query using the `ns__table` alias must not
+      // silently read current data instead of the requested snapshot
+      val asOfDf = lh.catalog.loadTable(table).readAsOf(asOf)
+      asOfDf.createOrReplaceTempView(short)
+      asOfDf.createOrReplaceTempView(s"${ns}__$short")
+      // analyze the REWRITTEN text, like execute(): `ns.table` references
+      // must resolve through the alias views here too
+      try spark.sql(rewritten)
       finally {
-        // restore the CURRENT view: the asof binding must not leak into
+        // restore the CURRENT views: the asof binding must not leak into
         // later queries (same rule as the narrowed pruning views)
         try lh.catalog.registerView(table)
-        catch { case _: Exception => spark.catalog.dropTempView(short) }
+        catch { case _: Exception =>
+          spark.catalog.dropTempView(short)
+          spark.catalog.dropTempView(s"${ns}__$short")
+        }
       }
     }
     // same `maxRows <= 0 disables` convention as execute() — limit(0)

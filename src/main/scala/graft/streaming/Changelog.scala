@@ -115,12 +115,26 @@ object Changelog {
       keyCols: Seq[String], valCol: String,
       checkpointDir: Path): Option[Long] = {
     val cs = new ChangelogStream(lh, source, checkpointDir)
+    val offsetBefore = cs.lastProcessed
     cs.processAvailable { (changes, toId) =>
-      val alreadyApplied = lh.catalog.tableExists(rollup) &&
-        lh.catalog.loadTable(rollup).currentSnapshot
-          .exists(_.summary.get("changelog-to-id").exists(_.toLong >= toId))
-      if (!alreadyApplied) {
-        val delta = changes.withColumn("__op",
+      val stamped: Option[Long] =
+        if (!lh.catalog.tableExists(rollup)) None
+        else lh.catalog.loadTable(rollup).currentSnapshot
+          .flatMap(_.summary.get("changelog-to-id")).map(_.toLong)
+      if (!stamped.exists(_ >= toId)) {
+        // The rollup's stamp, not the runner's offset, is the fold
+        // watermark: a crash AFTER the rollup commit but BEFORE the
+        // offset write leaves stamp > offset, and if NEW source commits
+        // arrived before the rerun, this batch's range is a strict
+        // SUPERSET of the stamped one — folding the delivered frame
+        // as-is would double-count the already-applied prefix. Re-derive
+        // the delta from max(offset, stamp) instead.
+        val effFrom = (offsetBefore.toList ++ stamped.toList)
+          .reduceOption(math.max(_, _))
+        val delta0 =
+          if (effFrom == offsetBefore) changes
+          else changesBetween(lh.catalog.loadTable(source), effFrom, toId)
+        val delta = delta0.withColumn("__op",
           when(col(ChangeTypeCol) === "insert", "I").otherwise("D"))
         val state =
           if (lh.catalog.tableExists(rollup))

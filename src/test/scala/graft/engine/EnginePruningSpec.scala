@@ -231,6 +231,17 @@ class EnginePruningSpec extends AnyFunSuite {
     // the asof binding must NOT leak: a plain engine query sees current aoa
     assert(lh.engine.execute("SELECT COUNT(*) AS n FROM aoa", 0)
       .collect()(0).getLong(0) == 20)
+    // BOTH view names time-travel: the ns__ alias and the `ns.table`
+    // spelling (rewritten like execute does) must read the asof snapshot,
+    // not the current one the per-query registration just bound
+    assert(lh.engine.executeAsOf("default.aoa",
+      "SELECT COUNT(*) AS n FROM default__aoa", "1", 0)
+      .collect()(0).getLong(0) == 10,
+      "the ns__ alias must bind to the asof snapshot")
+    assert(lh.engine.executeAsOf("default.aoa",
+      "SELECT COUNT(*) AS n FROM default.aoa", "1", 0)
+      .collect()(0).getLong(0) == 10,
+      "ns.table spelling must resolve and time-travel like execute()")
   }
 
   test("a query with no prunable predicate records no stats and stays " +

@@ -116,7 +116,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     import spark.implicits._
     Seq((10L, "w")).toDF("id", "v").writeTo(s"$catName.ref.wt").append()
     assert(t.read().count() == 2)
+    // a FILTER overwrite is rejected cleanly at analysis (the builder
+    // implements truncate only, and the capability honestly says so)
+    intercept[Exception] {
+      Seq((11L, "x")).toDF("id", "v").writeTo(s"$catName.ref.wt")
+        .overwrite(col("id") > 5)
+    }
     spark.sql(s"DROP TABLE $catName.ref.wt")
+  }
+
+  test("SQL INSERT/DELETE enforce validation rules and write audit " +
+      "entries exactly like the engine API") {
+    seed()
+    spark.sql(s"CREATE TABLE $catName.ref.vt (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $catName.ref.vt VALUES (1, 'a'), (2, 'b')")
+    lh.validation.addRule(graft.governance.ValidationRule(
+      "vt-unique-id", "ref.vt", "unique", List("id")))
+    // duplicate id through plain SQL must be REJECTED by the same rule
+    // Dml.insertDf enforces — the SQL surface is not a validation bypass
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $catName.ref.vt VALUES (1, 'dup')")
+    }
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $catName.ref.vt")
+      .head.getLong(0) == 2, "the rejected insert must commit nothing")
+    spark.sql(s"DELETE FROM $catName.ref.vt WHERE id = 2")
+    // both mutations audited under the same table ident
+    val ops = lh.audit.entries(table = Some("ref.vt")).map(_.operation)
+    assert(ops.contains("insert") && ops.contains("delete"),
+      s"SQL-surface mutations must audit like the API: $ops")
+    spark.sql(s"DROP TABLE $catName.ref.vt")
   }
 
   test("native DELETE FROM: copy-on-write by default, merge-on-read by " +

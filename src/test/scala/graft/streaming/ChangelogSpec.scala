@@ -139,6 +139,17 @@ class ChangelogSpec extends AnyFunSuite {
     assert(rollupNow() == before, "redelivered batch must not double-fold")
     assert(lh.catalog.loadTable("default.mr_rollup").rawLog.size == rollupSnaps,
       "a skipped redelivery must not commit a new rollup snapshot")
+
+    // SUPERSET redelivery: offset lost AND new commits arrived before the
+    // rerun — the batch range strictly contains the stamped range, so the
+    // fold must re-derive its delta from the stamp, not the offset, or
+    // the already-applied prefix double-counts
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("offset"))
+    src.append(rows(50 until 60)) // commit 5, unseen by the rollup
+    assert(Changelog.maintainRollup(lh, "default.mr_src",
+      "default.mr_rollup", Seq("grp"), "v", ckpt).contains(5L))
+    assert(rollupNow() == recompute(),
+      "superset redelivery must fold ONLY the unapplied suffix")
   }
 
   test("expired mid-range history refuses replay instead of double-counting") {
