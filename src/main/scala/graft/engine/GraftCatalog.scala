@@ -212,10 +212,25 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
       s"$fullName carries merge-on-read delete state, which the native " +
         "catalog scan cannot apply — read through the engine " +
         "(query/prunedRead) or run compact/compact-deletes first")
-    require(snap.files.forall(_.schemaId == tbl.meta.currentSchemaId),
-      s"$fullName has files from older schema versions (field-id realias " +
-        "lives in the engine read path) — read through the engine or " +
-        "compact to migrate")
+    // Older-schema files are fine when the evolution was ADDITIVE (added
+    // columns only, no renames/retypes): parquet's read-missing-as-null
+    // then equals the engine's field-id resolution exactly. A rename or
+    // retype between versions would make a by-name scan silently null or
+    // mistype the column — those still refuse toward the engine path.
+    val m = tbl.meta
+    val cur = m.schema
+    val incompatible = snap.files.map(_.schemaId).distinct
+      .filterNot(_ == m.currentSchemaId)
+      .filter { sid =>
+        m.schemas.find(_.id == sid).forall(!_.struct.fields.forall(f =>
+          cur.fields.find(_.name == f.name).exists(cf =>
+            graft.core.IceTable.sameTypeIgnoringNullability(
+              f.dataType, cf.dataType))))
+      }
+    require(incompatible.isEmpty,
+      s"$fullName has files under schema versions $incompatible with " +
+        "renamed or retyped columns (field-id realias lives in the engine " +
+        "read path) — read through the engine or compact to migrate")
     val paths = snap.files.map(f => new HPath(f.path))
     // the prune callback is PINNED to this scan's snapshot: evaluating
     // against the live head would intersect two different file sets when

@@ -172,6 +172,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $catName.ref.dt")
   }
 
+  test("additive schema evolution reads natively (missing columns null, " +
+      "matching the engine's field-id read); renames still refuse") {
+    seed()
+    if (!lh.catalog.tableExists("ref.ev")) {
+      val d = (0 until 5).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      lh.catalog.createTable("ref.ev", d.schema, Nil, Map.empty)
+      val t = lh.catalog.loadTable("ref.ev")
+      t.append(d) // schema v1 files
+      t.addColumn("extra", "long") // additive evolution
+      import org.apache.spark.sql.functions.lit
+      t.append((5 until 8).map(i => (i.toLong, s"v$i", i * 10L))
+        .toDF("id", "v", "extra")) // schema v2 files
+    }
+    val got = spark.sql(
+        s"SELECT id, extra FROM $catName.ref.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val want = lh.catalog.loadTable("ref.ev").read().orderBy("id")
+      .select("id", "extra").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == want.toSeq && got.length == 8,
+      "native scan must equal the engine's field-id read after an " +
+        "additive evolution")
+    // a RENAME makes by-name reads wrong -> still refused
+    lh.catalog.loadTable("ref.ev").renameColumn("v", "label")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $catName.ref.ev").collect()
+    }
+    assert(e.getMessage.contains("renamed or retyped") ||
+      Option(e.getCause).exists(_.getMessage.contains("renamed or retyped")),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("merge-on-read delete state is refused with a compact pointer, " +
       "never silently misread") {
     seed()
