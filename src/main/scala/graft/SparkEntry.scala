@@ -35,12 +35,23 @@ object SparkEntry {
     * so warmup-at-sf0.001 can never leak stale aux data into an
     * sf0.1-timed run. */
   private val auxWritten = scala.collection.mutable.Set.empty[(String, String)]
+
+  /** Scale-factor tag of a source dir ("sf0.01"). Aux fixture paths embed
+    * it so fixtures built from DIFFERENT source dirs never share a path:
+    * the driver's DuckDB oracle (always sf0.01 — its SQL hardcodes
+    * `_sf0.01` paths) can read a fixture while a concurrently- or
+    * later-running Bench process rebuilds the sf0.1 twin, with zero
+    * clobber window. (r14's one red gate, q175, was exactly this race:
+    * same path, different-sf rebuild between verify and oracle read.) */
+  private def sfTag(dir: String): String = new java.io.File(dir).getName
+  private def auxPath(name: String, dir: String): String =
+    s"$AuxDir/${name}_${sfTag(dir)}"
+
   private def aux(df: DataFrame, name: String, dir: String): DataFrame = {
-    val path = s"$AuxDir/$name"
+    val path = auxPath(name, dir)
     auxWritten.synchronized {
       if (!auxWritten.contains((name, dir))) {
         df.write.mode("overwrite").parquet(path)
-        auxWritten.filterInPlace(_._1 != name)
         auxWritten += ((name, dir))
       }
     }
@@ -60,7 +71,7 @@ object SparkEntry {
     * file set `prunedRead` prunes over. */
   private def auxTable(s: SparkSession, dir: String, name: String)
       (build: graft.Lakehouse => Unit): graft.Lakehouse = {
-    val whDir = s"$AuxDir/$name"
+    val whDir = auxPath(name, dir)
     auxWritten.synchronized {
       if (!auxWritten.contains((name, dir))) {
         def del(p: java.io.File): Unit = {
@@ -69,7 +80,6 @@ object SparkEntry {
         }
         del(new java.io.File(whDir))
         build(graft.Lakehouse.open(s, whDir))
-        auxWritten.filterInPlace(_._1 != name)
         auxWritten += ((name, dir))
       }
     }
@@ -647,9 +657,9 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"))
       graft.io.Bucketing.drop(s, "gq65_li", purge = true)
       graft.io.Bucketing.drop(s, "gq65_o", purge = true)
-      graft.io.Bucketing.writeBucketed(li, "gq65_li", s"$AuxDir/bk_li",
+      graft.io.Bucketing.writeBucketed(li, "gq65_li", auxPath("bk_li", dir),
         Seq("l_orderkey"), numBuckets = 8)
-      graft.io.Bucketing.writeBucketed(o, "gq65_o", s"$AuxDir/bk_o",
+      graft.io.Bucketing.writeBucketed(o, "gq65_o", auxPath("bk_o", dir),
         Seq("o_orderkey"), numBuckets = 8)
       graft.io.Bucketing.read(s, "gq65_li")
         .join(graft.io.Bucketing.read(s, "gq65_o"),
@@ -1788,7 +1798,7 @@ object SparkEntry {
       aux(t(s, dir, "events")
         .select(col("ts"), col("event_type"), col("value")),
         "stream140", dir)
-      val path = s"$AuxDir/stream140"
+      val path = auxPath("stream140", dir)
       val schema = s.read.parquet(path).schema
       val stats = graft.streaming.Streaming.windowedStats(
         graft.streaming.Streaming.eventsStream(s, path, schema),
@@ -1810,7 +1820,7 @@ object SparkEntry {
       aux(t(s, dir, "events")
         .select(col("ts"), col("user_id"), col("event_type")),
         "stream141", dir)
-      val path = s"$AuxDir/stream141"
+      val path = auxPath("stream141", dir)
       val schema = s.read.parquet(path).schema
       def src() = graft.streaming.Streaming.eventsStream(s, path, schema)
       val joined = graft.streaming.Streaming.correlateStreams(
@@ -1876,7 +1886,7 @@ object SparkEntry {
     // oracle's parquet-side aggregate proves the conversion is lossless
     // byte-for-byte, not just row-count-preserving
     "q146_orc_roundtrip" -> ((s, dir) => {
-      val outPath = s"$AuxDir/orc146_out"
+      val outPath = auxPath("orc146_out", dir)
       val lh = auxTable(s, dir, "wh146") { lh =>
         val docs = t(s, dir, "documents")
         lh.catalog.createTable("default.docs", docs.schema, Nil, Map.empty)
@@ -1961,7 +1971,7 @@ object SparkEntry {
     "q150_stream_cms_hh" -> ((s, dir) => {
       aux(t(s, dir, "events").select(col("ts"), col("user_id")),
         "stream150", dir)
-      val path = s"$AuxDir/stream150"
+      val path = auxPath("stream150", dir)
       val schema = s.read.parquet(path).schema
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2284,7 +2294,7 @@ object SparkEntry {
       aux(t(s, dir, "events")
         .select(col("ts"), col("user_id"), col("event_type")),
         "stream141", dir)
-      val path = s"$AuxDir/stream141"
+      val path = auxPath("stream141", dir)
       val schema = s.read.parquet(path).schema
       val deduped = graft.streaming.Streaming.dedupStream(
         graft.streaming.Streaming.eventsStream(s, path, schema),
@@ -2550,12 +2560,16 @@ object SparkEntry {
         lh.catalog.createTable("ref.cust_nc", cust.schema, Nil, Map.empty)
         lh.catalog.loadTable("ref.cust_nc").append(cust)
       }
-      s.conf.set("spark.sql.catalog.g174",
+      // catalog NAME is sf-qualified too: Spark caches catalog instances
+      // by name, so re-pointing a cached name's warehouse conf at a
+      // different sf's fixture would silently keep the old path
+      val cat = s"g174_${sfTag(dir).replace('.', '_')}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.engine.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.g174.warehouse", s"$AuxDir/wh174")
-      s.sql("""SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh174", dir))
+      s.sql(s"""SELECT c.c_mktsegment, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM g174.sales.ord_nc o JOIN g174.ref.cust_nc c
+        |FROM $cat.sales.ord_nc o JOIN $cat.ref.cust_nc c
         |  ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment""".stripMargin)
     }),
@@ -2572,7 +2586,7 @@ object SparkEntry {
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
         lh.catalog.createTable("default.li_mr", li.schema, Nil, Map.empty)
         val tb = lh.catalog.loadTable("default.li_mr")
-        val ckpt = java.nio.file.Paths.get(s"$AuxDir/wh175/.mr-ckpt")
+        val ckpt = java.nio.file.Paths.get(s"${auxPath("wh175", dir)}/.mr-ckpt")
         tb.append(li.where(col("l_orderkey") % 2 === 0)) // commit 1
         // batch 1: inserts only
         graft.streaming.Changelog.maintainRollup(lh, "default.li_mr",
@@ -2583,8 +2597,11 @@ object SparkEntry {
         graft.streaming.Changelog.maintainRollup(lh, "default.li_mr",
           "default.li_mr_rollup", Seq("l_returnflag"), "l_extendedprice", ckpt)
       }
+      // deterministic row order: the oracle compare is multiset-safe but
+      // a 3-row group-by output costs nothing to pin
       lh.catalog.loadTable("default.li_mr_rollup").read()
         .select(col("l_returnflag"), col("n"), col("sum_micro"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2760,21 +2777,21 @@ object SparkEntry {
     // the banded join found every pair at distance ≤ 3.
     "q23_simhash_pairs" ->
       """WITH fp AS (
-        |  SELECT doc_id, simhash FROM read_parquet('/tmp/graft_aux/simhash_fp/*.parquet'))
+        |  SELECT doc_id, simhash FROM read_parquet('/tmp/graft_aux/simhash_fp_sf0.01/*.parquet'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q33_winnow_pairs" ->
       """WITH fp AS (
-        |  SELECT doc_id, h FROM read_parquet('/tmp/graft_aux/winnow_fp/*.parquet'))
+        |  SELECT doc_id, h FROM read_parquet('/tmp/graft_aux/winnow_fp_sf0.01/*.parquet'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING COUNT(*) >= 10""".stripMargin,
     "q34_bucketed_nn_pairs" ->
       """WITH bk AS (
-        |  SELECT vec_id, bucket FROM read_parquet('/tmp/graft_aux/ann_buckets/*.parquet')),
+        |  SELECT vec_id, bucket FROM read_parquet('/tmp/graft_aux/ann_buckets_sf0.01/*.parquet')),
         |v AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN bk b USING (vec_id)),
         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
@@ -3236,12 +3253,12 @@ object SparkEntry {
     "q94_pruned_manifest_scan" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM read_parquet('/tmp/graft_aux/wh94/default/li_z/data/commit-00001/*.parquet')
+        |FROM read_parquet('/tmp/graft_aux/wh94_sf0.01/default/li_z/data/commit-00001/*.parquet')
         |WHERE l_orderkey < 600 AND l_quantity >= 25.0
         |GROUP BY l_orderkey""".stripMargin,
     "q93_quantized_ivf_pairs" ->
       """WITH ck AS (
-        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/qivf_clusters/*.parquet')),
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/qivf_clusters_sf0.01/*.parquet')),
         |am AS (
         |  SELECT vec_id, embedding,
         |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
@@ -3333,7 +3350,7 @@ object SparkEntry {
         |FROM sx GROUP BY user_id, session_no""".stripMargin,
     "q42_ivf_nn_pairs" ->
       """WITH ck AS (
-        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters/*.parquet')),
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters_sf0.01/*.parquet')),
         |v AS (SELECT e.vec_id, e.embedding, c.cluster FROM embeddings e JOIN ck c USING (vec_id)),
         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
@@ -3458,7 +3475,7 @@ object SparkEntry {
         |FROM reach GROUP BY id""".stripMargin,
     "q57_ivf_dup_components" ->
       """WITH RECURSIVE ck AS (
-        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters_cc/*.parquet')),
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters_cc_sf0.01/*.parquet')),
         |v AS (SELECT e.vec_id, e.embedding, c.cluster FROM embeddings e JOIN ck c USING (vec_id)),
         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_reduce(list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE)*CAST(b.embedding[i+1] AS DOUBLE)), (x,y) -> x+y)
@@ -4305,9 +4322,9 @@ object SparkEntry {
     // (commit-00004) are all live regardless of key
     "q136_mor_read" ->
       """WITH base AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh136/default/li_mor/data/commit-00001/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh136_sf0.01/default/li_mor/data/commit-00001/*.parquet')),
         |appended AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh136/default/li_mor/data/commit-00004/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh136_sf0.01/default/li_mor/data/commit-00004/*.parquet')),
         |live AS (
         |  SELECT * FROM base
         |  WHERE NOT (l_quantity < 5.0) AND l_orderkey % 50 <> 0
@@ -4682,9 +4699,9 @@ object SparkEntry {
     // brute-force exact top-10, integer ppm
     "q157_ann_recall" ->
       """WITH ck AS (
-        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters157/*.parquet')),
+        |  SELECT vec_id, cluster FROM read_parquet('/tmp/graft_aux/ivf_clusters157_sf0.01/*.parquet')),
         |cent AS (
-        |  SELECT cluster, cent FROM read_parquet('/tmp/graft_aux/ivf_centroids157/*.parquet')),
+        |  SELECT cluster, cent FROM read_parquet('/tmp/graft_aux/ivf_centroids157_sf0.01/*.parquet')),
         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 10),
         |qc AS (
         |  SELECT q.qid, q.qe, c.cluster,
@@ -4820,7 +4837,7 @@ object SparkEntry {
     "q165_partition_evolution_scan" ->
       """SELECT l_linestatus, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM read_parquet('/tmp/graft_aux/wh165/default/li_evo/data/commit-*/**/*.parquet')
+        |FROM read_parquet('/tmp/graft_aux/wh165_sf0.01/default/li_evo/data/commit-*/**/*.parquet')
         |WHERE l_returnflag = 'R' AND l_quantity >= 25.0
         |GROUP BY l_linestatus""".stripMargin,
 
@@ -4828,13 +4845,13 @@ object SparkEntry {
     "q166_tagged_time_travel" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM read_parquet('/tmp/graft_aux/wh166/default/ord_tag/data/commit-00001/**/*.parquet')
+        |FROM read_parquet('/tmp/graft_aux/wh166_sf0.01/default/ord_tag/data/commit-00001/**/*.parquet')
         |GROUP BY o_orderstatus""".stripMargin,
 
     // pre-update raw files + the same CASE the MoR update applied
     "q167_mor_update_read" ->
       """WITH base AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh167/default/li_upd/data/commit-00001/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh167_sf0.01/default/li_upd/data/commit-00001/*.parquet')),
         |live AS (
         |  SELECT l_orderkey,
         |    CASE WHEN l_quantity < 5.0 THEN -1 ELSE l_partkey END AS l_partkey,
@@ -4850,10 +4867,10 @@ object SparkEntry {
     "q168_partial_compaction_scan" ->
       """WITH base AS (
         |  SELECT * FROM read_parquet([
-        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00001/*.parquet',
-        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00002/*.parquet',
-        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00003/*.parquet',
-        |    '/tmp/graft_aux/wh168/default/li_csm/data/commit-00004/*.parquet'])),
+        |    '/tmp/graft_aux/wh168_sf0.01/default/li_csm/data/commit-00001/*.parquet',
+        |    '/tmp/graft_aux/wh168_sf0.01/default/li_csm/data/commit-00002/*.parquet',
+        |    '/tmp/graft_aux/wh168_sf0.01/default/li_csm/data/commit-00003/*.parquet',
+        |    '/tmp/graft_aux/wh168_sf0.01/default/li_csm/data/commit-00004/*.parquet'])),
         |live AS (SELECT * FROM base WHERE NOT (l_quantity < 2.0))
         |SELECT l_orderkey % 10 AS bucket, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -4864,7 +4881,7 @@ object SparkEntry {
     "q169_engine_pruned_query" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM read_parquet('/tmp/graft_aux/wh169/default/ord_rng/data/commit-*/**/*.parquet')
+        |FROM read_parquet('/tmp/graft_aux/wh169_sf0.01/default/ord_rng/data/commit-*/**/*.parquet')
         |WHERE o_orderkey >= ((SELECT MAX(o_orderkey) FROM orders) // 4 + 1) * 2
         |GROUP BY o_orderstatus""".stripMargin,
 
@@ -4882,9 +4899,9 @@ object SparkEntry {
     // covers everything live at its commit
     "q171_delete_compaction_read" ->
       """WITH a AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh171/default/li_cd/data/commit-00001/**/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh171_sf0.01/default/li_cd/data/commit-00001/**/*.parquet')),
         |b AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh171/default/li_cd/data/commit-00003/**/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh171_sf0.01/default/li_cd/data/commit-00003/**/*.parquet')),
         |live AS (
         |  SELECT * FROM a WHERE l_orderkey % 25 <> 0 AND NOT (l_quantity < 2.0)
         |  UNION ALL
@@ -4897,9 +4914,9 @@ object SparkEntry {
     // the MoR delete commit emits a delete record per matching live row
     "q172_changelog_replay" ->
       """WITH a AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh172/default/li_cl/data/commit-00001/**/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh172_sf0.01/default/li_cl/data/commit-00001/**/*.parquet')),
         |b AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh172/default/li_cl/data/commit-00002/**/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh172_sf0.01/default/li_cl/data/commit-00002/**/*.parquet')),
         |allrows AS (SELECT * FROM a UNION ALL SELECT * FROM b),
         |ch AS (
         |  SELECT 'insert' AS change_type, * FROM allrows
@@ -4915,7 +4932,7 @@ object SparkEntry {
     "q173_wap_publish" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM read_parquet('/tmp/graft_aux/wh173/default/ord_wap/data/commit-*/**/*.parquet')
+        |FROM read_parquet('/tmp/graft_aux/wh173_sf0.01/default/ord_wap/data/commit-*/**/*.parquet')
         |GROUP BY o_orderstatus""".stripMargin,
 
     // same join straight over the source tables
@@ -4930,9 +4947,9 @@ object SparkEntry {
     // IncrementalAgg does
     "q175_changelog_rollup" ->
       """WITH a AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh175/default/li_mr/data/commit-00001/**/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh175_sf0.01/default/li_mr/data/commit-00001/**/*.parquet')),
         |b AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh175/default/li_mr/data/commit-00002/**/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh175_sf0.01/default/li_mr/data/commit-00002/**/*.parquet')),
         |live AS (
         |  SELECT * FROM a WHERE NOT (l_quantity < 2.0)
         |  UNION ALL SELECT * FROM b WHERE NOT (l_quantity < 2.0))
