@@ -823,6 +823,24 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         (df, files.size, s.files.size)
     }
 
+  /** PINNED-snapshot read with the same manifest/partition/bloom file
+    * skipping as [[prunedRead]] but WITHOUT applying the filter — the
+    * caller's plan re-applies it, so pruning stays purely advisory.
+    * Delete state of the pinned snapshot (position + equality) is applied
+    * over the surviving files exactly; positions referencing pruned-out
+    * files are inert. The engine-read DSv2 fallback
+    * ([[graft.engine.GraftCatalog]]) uses this so `catalog.ns.table` SQL
+    * over MoR / schema-history snapshots still skips files from pushed
+    * filters. */
+  def readSnapshotPruned(s: Snapshot, filter: Option[Column]): DataFrame =
+    filter match {
+      case None => readSnapshot(Some(s))
+      case Some(f) =>
+        val files = pruneFiles(s, f)
+        if (files.isEmpty) emptyDf(meta.schema)
+        else readSnapshot(Some(s.copy(files = files)))
+    }
+
   /** Kept-file paths for pre-extracted predicate leaves, evaluated against
     * the GIVEN snapshot — the pruning callback of the DSv2 scan path
     * ([[org.apache.spark.sql.graft.GraftFileIndex]]). The snapshot MUST be

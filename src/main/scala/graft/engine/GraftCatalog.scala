@@ -43,12 +43,13 @@ import graft.core.{Catalog, IceTable}
   *  - CREATE/DROP TABLE work; alter does not — schema evolution has
   *    field-id semantics the DSv2 alter surface can't carry (use
   *    IceTable.addColumn/renameColumn/dropColumn).
-  *  - A snapshot carrying merge-on-read delete state reads through the
-  *    engine path only (`readSnapshot` applies the anti-joins); this
-  *    catalog refuses it with a pointer to `compact-deletes` rather than
-  *    silently returning undeleted rows.
-  *  - Same for multi-schema-version file sets (field-id realias lives in
-  *    the engine read): refuse, point to `compact`. */
+  *  - A snapshot carrying merge-on-read delete state, or files under
+  *    renamed/retyped/drop-re-added schema history, cannot be represented
+  *    as a plain parquet file scan — those route transparently to the
+  *    [[EngineReadScanBuilder]] fallback (the engine's exact read under a
+  *    `V1Scan` bridge), so EVERY table state reads correctly through
+  *    `catalog.ns.table`; only clean snapshots take the direct
+  *    ParquetScanBuilder fast path. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -208,15 +209,17 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
         new GraftFileIndex(spark, Nil, tbl.schema, _ => Set.empty),
         tbl.schema, tbl.schema, options)
     }
-    require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
-      s"$fullName carries merge-on-read delete state, which the native " +
-        "catalog scan cannot apply — read through the engine " +
-        "(query/prunedRead) or run compact/compact-deletes first")
-    // Older-schema files are fine when the evolution was ADDITIVE (added
-    // columns only, no renames/retypes): parquet's read-missing-as-null
-    // then equals the engine's field-id resolution exactly. A rename or
-    // retype between versions would make a by-name scan silently null or
-    // mistype the column — those still refuse toward the engine path.
+    // Older-schema files scan natively when the evolution was ADDITIVE
+    // (added columns only, no renames/retypes): parquet's
+    // read-missing-as-null then equals the engine's field-id resolution
+    // exactly. A rename or retype between versions would make a by-name
+    // scan silently null or mistype the column. Field-ids must match too:
+    // a drop + re-add of the same name/type is a DIFFERENT column (new
+    // field-id; the engine reads old files' value as NULL), but a by-name
+    // parquet scan would resurrect the dropped data into the re-added
+    // column. Any of those — or merge-on-read delete state, which a plain
+    // file scan cannot subtract — routes to the ENGINE-READ fallback scan
+    // instead: same SQL surface, exact semantics, still file-skipping.
     val m = tbl.meta
     val cur = m.schema
     val incompatible = snap.files.map(_.schemaId).distinct
@@ -225,12 +228,13 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
         m.schemas.find(_.id == sid).forall(!_.struct.fields.forall(f =>
           cur.fields.find(_.name == f.name).exists(cf =>
             graft.core.IceTable.sameTypeIgnoringNullability(
-              f.dataType, cf.dataType))))
+              f.dataType, cf.dataType) &&
+              graft.core.TableMeta.fieldId(f) ==
+                graft.core.TableMeta.fieldId(cf))))
       }
-    require(incompatible.isEmpty,
-      s"$fullName has files under schema versions $incompatible with " +
-        "renamed or retyped columns (field-id realias lives in the engine " +
-        "read path) — read through the engine or compact to migrate")
+    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty ||
+        incompatible.nonEmpty)
+      return new EngineReadScanBuilder(tbl, snap)
     val paths = snap.files.map(f => new HPath(f.path))
     // the prune callback is PINNED to this scan's snapshot: evaluating
     // against the live head would intersect two different file sets when
@@ -238,6 +242,62 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
     val index = new GraftFileIndex(spark, paths, tbl.schema,
       leaves => tbl.pruneFilePaths(snap, leaves))
     new ParquetScanBuilder(spark, index, tbl.schema, tbl.schema, options)
+  }
+}
+
+/** Engine-read fallback scan for snapshots a plain parquet file scan
+  * cannot represent: merge-on-read delete state (position/equality
+  * anti-joins) and rename/retype/drop-re-add schema history (field-id
+  * realias). Builds the engine's exact pinned-snapshot read — per-version
+  * field-id projection, delete subtraction, all distributed Catalyst
+  * plans — and hands it to Spark through the `V1Scan` bridge, the
+  * read-side twin of the `V1Write` path the write builder uses. Pushed
+  * filters still drive manifest/partition/bloom FILE SKIPPING (via
+  * [[IceTable.readSnapshotPruned]]) and parquet row-group pushdown inside
+  * the engine plan; every filter is ALSO returned as residual, so
+  * correctness never depends on the engine applying them. Required-column
+  * pruning narrows the final projection (the parquet reads inside the
+  * engine plan are then column-pruned by Catalyst as usual). */
+private class EngineReadScanBuilder(tbl: IceTable, snap: graft.core.Snapshot)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.read.{Scan, V1Scan}
+  import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+  import org.apache.spark.sql.SQLContext
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = tbl.schema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(f => GraftSparkTable.toColumn(f).isDefined)
+    filters // ALL residual: pruning is advisory, exactness stays Spark's
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val filterCol = pushed.flatMap(GraftSparkTable.toColumn)
+      .reduceOption(_ && _)
+    val req = required
+    new V1Scan {
+      override def readSchema(): StructType = req
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = req
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val base = tbl.readSnapshotPruned(snap, filterCol)
+            // applying the filter INSIDE the engine frame lets parquet
+            // row-group pushdown fire under the anti-joins; Spark's
+            // residual re-application on top is then a cheap no-op pass
+            val narrowed = filterCol.fold(base)(base.where)
+            narrowed.select(req.fieldNames.toSeq.map(col): _*).rdd
+          }
+        }.asInstanceOf[T]
+    }
   }
 }
 

@@ -44,13 +44,27 @@ object Changelog {
 
   val ChangeTypeCol = "_change_type"
   val CommitIdCol = "_commit_id"
+  val ChangedColumnsCol = "_changed_columns"
 
   /** Changelog rows for every commit in `(fromId, toId]` (fromId None =
     * from the beginning, i.e. the oldest retained snapshot replays as its
     * own diff against nothing). Unknown/expired `fromId` throws — replay
-    * would silently double-count otherwise. */
-  def changesBetween(tbl: IceTable, fromId: Option[Long],
-      toId: Long): DataFrame = {
+    * would silently double-count otherwise.
+    *
+    * `pairUpdateKeys` (optional): with a non-empty primary key, each
+    * `update` commit's insert/delete rows are PAIRED into
+    * `update_before`/`update_after` records with a `_changed_columns`
+    * array (the [[graft.analytics.Cdc.classifyChanges]] classification at
+    * changelog granularity — reference cdc.py:146-187), so downstream
+    * consumers see updates as updates instead of delete+insert. Every
+    * other commit kind keeps its insert/delete rows (with an empty
+    * `_changed_columns` for schema stability). Key contract as
+    * classifyChanges: the keys must uniquely identify rows within each
+    * commit's changed set. A multiset fold (e.g. the rollup maintenance)
+    * treats `update_before` as delete and `update_after` as insert —
+    * same rows, richer labels. */
+  def changesBetween(tbl: IceTable, fromId: Option[Long], toId: Long,
+      pairUpdateKeys: Seq[String] = Nil): DataFrame = {
     val snaps = tbl.snapshots
     fromId.foreach { f =>
       require(snaps.exists(_.id == f),
@@ -58,33 +72,51 @@ object Changelog {
           "expired; re-seed the consumer from a full read")
     }
     val range = snaps.filter(s => fromId.forall(s.id > _) && s.id <= toId)
-    val batches = range.map(s => commitChanges(tbl, s))
-    if (batches.isEmpty) emptyChangelog(tbl)
+    val batches = range.map(s => commitChanges(tbl, s, pairUpdateKeys))
+    if (batches.isEmpty) emptyChangelog(tbl, pairUpdateKeys)
     else batches.reduce(_.unionByName(_))
   }
 
   /** One commit's changelog. Appends read ONLY the added files; everything
     * else diffs parent vs child snapshot in both directions. */
-  private def commitChanges(tbl: IceTable, s: graft.core.Snapshot): DataFrame = {
+  private def commitChanges(tbl: IceTable, s: graft.core.Snapshot,
+      pairUpdateKeys: Seq[String] = Nil): DataFrame = {
     val parent = s.parentId.flatMap(tbl.snapshotById)
     // an expired parent makes both the added-files subtraction and the
     // diff silently treat carried-forward rows as fresh inserts — refuse
     require(s.parentId.isEmpty || parent.isDefined,
       s"snapshot ${s.id}'s parent ${s.parentId.get} has been expired — " +
         "cannot replay this range; re-seed the consumer from a full read")
+    val noChanged = (df: DataFrame) =>
+      if (pairUpdateKeys.isEmpty) df
+      else df.withColumn(ChangedColumnsCol, array().cast("array<string>"))
     val stamp = (df: DataFrame, kind: String) =>
-      df.withColumn(ChangeTypeCol, lit(kind))
+      noChanged(df).withColumn(ChangeTypeCol, lit(kind))
         .withColumn(CommitIdCol, lit(s.id))
     s.operation match {
       case "append" =>
         val parentPaths = parent.map(_.files.map(_.path).toSet)
           .getOrElse(Set.empty)
         val added = s.files.filterNot(f => parentPaths(f.path))
-        if (added.isEmpty) emptyChangelog(tbl)
+        if (added.isEmpty) emptyChangelog(tbl, pairUpdateKeys)
         // field-id-resolved read of just the added files (no deletes: an
         // append never carries new delete state)
         else stamp(tbl.readSnapshot(Some(s.copy(files = added,
           deleteFiles = Nil, eqDeleteFiles = Nil))), "insert")
+      case "update" if pairUpdateKeys.nonEmpty =>
+        val before = parent.map(p => tbl.readSnapshot(Some(p)))
+          .getOrElse(tbl.emptyDf(tbl.schema))
+        val after = tbl.readSnapshot(Some(s))
+        val cols = tbl.schema.fieldNames.toSeq
+        // classifyChanges already narrows to the changed rows (exceptAll
+        // both ways) before the key join, so the pairing costs the same
+        // two diffs as the unpaired path plus a changed-set-sized join
+        graft.analytics.Cdc
+          .classifyChanges(before, after, pairUpdateKeys, cols)
+          .withColumn(ChangeTypeCol, lower(col("change_type")))
+          .withColumn(ChangedColumnsCol, col("changed_columns"))
+          .drop("change_type", "changed_columns")
+          .withColumn(CommitIdCol, lit(s.id))
       case _ =>
         val before = parent.map(p => tbl.readSnapshot(Some(p)))
           .getOrElse(tbl.emptyDf(tbl.schema))
@@ -94,11 +126,15 @@ object Changelog {
     }
   }
 
-  private def emptyChangelog(tbl: IceTable): DataFrame =
-    tbl.emptyDf(tbl.schema)
+  private def emptyChangelog(tbl: IceTable,
+      pairUpdateKeys: Seq[String] = Nil): DataFrame = {
+    val base = tbl.emptyDf(tbl.schema)
       .withColumn(ChangeTypeCol, lit(""))
       .withColumn(CommitIdCol, lit(0L))
       .where(lit(false))
+    if (pairUpdateKeys.isEmpty) base
+    else base.withColumn(ChangedColumnsCol, array().cast("array<string>"))
+  }
 
   /** The close-the-loop composition over the changelog: maintain a
     * per-key `(n, sum_micro)` rollup TABLE from a source table's commits —
@@ -168,6 +204,16 @@ object Changelog {
     require(bad.isEmpty,
       s"appendStream requires an append-only history; found " +
         s"'${bad.get.operation}' snapshot ${bad.get.id} — use ChangelogStream")
+    // transform-partitioned tables lay data under `_p_k=v` subdirectories;
+    // the file stream's partition discovery would surface inferred `_p_*`
+    // columns that are not part of tbl.schema — refuse (same contract
+    // class as the append-only check) rather than emit a drifted schema
+    require(tbl.meta.partitionSpec.isEmpty &&
+        tbl.meta.previousPartitionSpecs.isEmpty,
+      s"appendStream requires an unpartitioned layout; " +
+        s"${tbl.meta.ident} has partition transforms " +
+        s"${(tbl.meta.partitionSpec ++ tbl.meta.previousPartitionSpecs.flatten).mkString(", ")} " +
+        "— use ChangelogStream")
     spark.readStream
       .schema(tbl.schema)
       .parquet(tbl.dataDir.toString + "/commit-*")

@@ -173,7 +173,8 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("additive schema evolution reads natively (missing columns null, " +
-      "matching the engine's field-id read); renames still refuse") {
+      "matching the engine's field-id read); renamed history reads " +
+      "through the engine fallback, still exact") {
     seed()
     if (!lh.catalog.tableExists("ref.ev")) {
       val d = (0 until 5).map(i => (i.toLong, s"v$i")).toDF("id", "v")
@@ -194,18 +195,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq && got.length == 8,
       "native scan must equal the engine's field-id read after an " +
         "additive evolution")
-    // a RENAME makes by-name reads wrong -> still refused
+    // a RENAME makes by-name file scans wrong -> the engine-read fallback
+    // takes over: the SQL surface keeps working and matches the engine's
+    // field-id read (old files' `v` values appear under the new name)
     lh.catalog.loadTable("ref.ev").renameColumn("v", "label")
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $catName.ref.ev").collect()
-    }
-    assert(e.getMessage.contains("renamed or retyped") ||
-      Option(e.getCause).exists(_.getMessage.contains("renamed or retyped")),
-      s"unexpected: ${e.getMessage}")
+    val gotR = spark.sql(
+      s"SELECT id, label FROM $catName.ref.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantR = lh.catalog.loadTable("ref.ev").read().orderBy("id")
+      .select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(gotR.toSeq == wantR.toSeq && gotR.length == 8 &&
+      gotR.head._2 == "v0",
+      "renamed-history scan must realias old files by field-id")
   }
 
-  test("merge-on-read delete state is refused with a compact pointer, " +
-      "never silently misread") {
+  test("drop + re-add of a same-named column must NOT resurrect dropped " +
+      "data through the native scan (field-ids differ -> engine fallback " +
+      "reads old files as NULL)") {
+    seed()
+    if (!lh.catalog.tableExists("ref.readd")) {
+      val d = (0 until 4).map(i => (i.toLong, i * 100L)).toDF("id", "score")
+      lh.catalog.createTable("ref.readd", d.schema, Nil, Map.empty)
+      val t = lh.catalog.loadTable("ref.readd")
+      t.append(d) // schema v1 files carry `score` under its ORIGINAL id
+      t.dropColumn("score")
+      t.addColumn("score", "long") // same name+type, NEW field-id
+      t.append(Seq((9L, 999L)).toDF("id", "score")) // schema v3 file
+    }
+    val got = spark.sql(
+      s"SELECT id, score FROM $catName.ref.readd ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val want = lh.catalog.loadTable("ref.readd").read().orderBy("id")
+      .select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == want.toSeq,
+      "native scan must equal the engine read after drop + re-add")
+    assert(got.count(_._2 == -1L) == 4 && got.exists(_._2 == 999L),
+      s"old files' dropped values must read as NULL, got ${got.toSeq}")
+  }
+
+  test("merge-on-read delete state reads through the engine fallback " +
+      "(deletes applied, pushed filters still skip), never misread") {
     seed()
     if (!lh.catalog.tableExists("sales.mor")) {
       val d = (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
@@ -213,15 +244,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       lh.catalog.loadTable("sales.mor").append(d)
       lh.catalog.loadTable("sales.mor").deleteWhereMor(col("id") < 5)
     }
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $catName.sales.mor").collect()
-    }
-    assert(e.getMessage.contains("merge-on-read") ||
-      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")),
-      s"unexpected error: ${e.getMessage}")
-    // after folding + full compaction the native path works and is exact
-    lh.catalog.loadTable("sales.mor").compact(targetFiles = 1)
+    // the native SQL surface applies the position deletes exactly
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $catName.sales.mor")
       .head.getLong(0) == 15)
+    val got = spark.sql(
+      s"SELECT id FROM $catName.sales.mor WHERE id < 7 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 6L),
+      s"deletes + residual filter must both apply, got $got")
+    // equality deletes and a later re-append (the covered-up-to rule)
+    // read exactly too
+    if (lh.catalog.loadTable("sales.mor").currentSnapshot.get
+        .eqDeleteFiles.isEmpty) {
+      val t = lh.catalog.loadTable("sales.mor")
+      t.deleteKeysMor(Seq("id"), Seq(6L, 7L).toDF("id"))
+      t.append(Seq((6L, "readd")).toDF("id", "v")) // after the eq-delete
+    }
+    val got2 = spark.sql(
+      s"SELECT id, v FROM $catName.sales.mor WHERE id < 9 ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want2 = lh.catalog.loadTable("sales.mor").read()
+      .where(col("id") < 9).orderBy("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == want2 && got2.contains((6L, "readd")) &&
+      !got2.contains((6L, "v6")) && !got2.exists(_._1 == 7L),
+      s"eq-delete coverage rule must hold on the SQL surface: $got2")
+    // after folding + full compaction the direct parquet path returns and
+    // is still exact
+    lh.catalog.loadTable("sales.mor").compact(targetFiles = 1)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $catName.sales.mor")
+      .head.getLong(0) ==
+      lh.catalog.loadTable("sales.mor").read().count())
   }
 }

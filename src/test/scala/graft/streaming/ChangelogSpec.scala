@@ -66,6 +66,60 @@ class ChangelogSpec extends AnyFunSuite {
       s"got $rows")
   }
 
+  test("pairUpdateKeys: an update commit's rows pair into update_before/" +
+      "update_after with changed_columns; other commits keep insert/" +
+      "delete; the multiset fold is unchanged") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl2p",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 20)) // commit 1
+    t.updateWhereMor(col("id") < 3, Map("name" -> lit("upd"))) // commit 2
+    t.deleteWhereMor(col("id") === 19L) // commit 3
+    val ch = Changelog.changesBetween(t, None, 3L, pairUpdateKeys = Seq("id"))
+    val byType = ch.groupBy(col(Changelog.CommitIdCol),
+        col(Changelog.ChangeTypeCol)).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byType == Map((1L, "insert") -> 20L,
+      (2L, "update_before") -> 3L, (2L, "update_after") -> 3L,
+      (3L, "delete") -> 1L), s"got $byType")
+    // changed_columns names exactly the updated column; before/after carry
+    // the old/new values
+    val upd = ch.where(col(Changelog.CommitIdCol) === 2L)
+      .select(col(Changelog.ChangeTypeCol), col("id"), col("name"),
+        col(Changelog.ChangedColumnsCol))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](3).toList)).toSet
+    assert(upd == (0 until 3).flatMap(i => Seq(
+      ("update_before", i.toLong, s"row$i", List("name")),
+      ("update_after", i.toLong, "upd", List("name")))).toSet, s"got $upd")
+    // non-update rows carry an EMPTY changed_columns (stable schema)
+    assert(ch.where(col(Changelog.CommitIdCol) =!= 2L &&
+      size(col(Changelog.ChangedColumnsCol)) =!= 0).isEmpty)
+    // fold equivalence: before/after as delete/insert == the unpaired fold
+    val paired = ch.withColumn("k",
+      when(col(Changelog.ChangeTypeCol).isin("insert", "update_after"),
+        "insert").otherwise("delete"))
+    val ins = paired.where(col("k") === "insert").select("id", "name")
+    val del = paired.where(col("k") === "delete").select("id", "name")
+    val material = ins.exceptAll(del)
+    val fin = t.read()
+    assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
+  }
+
+  test("appendStream refuses transform-partitioned tables (partition dirs " +
+      "would surface as inferred columns)") {
+    val lh = newLh()
+    lh.catalog.createTable("default.cl6",
+      Seq("id" -> "long", "name" -> "string"),
+      Seq("bucket(4, id)"), Map.empty)
+    lh.catalog.loadTable("default.cl6").append(df(0 until 10))
+    val e = intercept[IllegalArgumentException] {
+      Changelog.appendStream(spark, lh.catalog.loadTable("default.cl6"))
+    }
+    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+  }
+
   test("ChangelogStream: exactly-once offsets, idempotent redelivery " +
       "contract, no-op when caught up") {
     val lh = newLh()
