@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   def apply(e: SparkSessionExtensions): Unit = {
+    // SQL `MERGE INTO g.ns.t …` over GraftCatalog tables: planned by the
+    // strategy below (Spark consults injected strategies before its own,
+    // whose row-level-operation path requires a native BatchWrite)
+    e.injectPlannerStrategy(_ => new graft.engine.GraftMergeStrategy)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -85,8 +89,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Register the functions on an already-built session (e.g. tests). */
+  /** Register the functions + MERGE strategy on an already-built session
+    * (e.g. tests, or the driver's plain SparkSession). Idempotent. */
   def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[graft.engine.GraftMergeStrategy]))
+      spark.experimental.extraStrategies =
+        cur :+ new graft.engine.GraftMergeStrategy
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_shingles",
       args => Shingles(args.head,

@@ -632,6 +632,44 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       }
     }
 
+  /** Atomic merge-on-read FILTER OVERWRITE (the SQL
+    * `INSERT INTO … REPLACE WHERE` / DSv2 OVERWRITE_BY_FILTER shape):
+    * ONE snapshot position-deletes every current row matching `filter`
+    * AND appends `df` — no existing data file is rewritten, so replacing
+    * one day of a 100 TB table costs one small delete file plus the new
+    * partition's data. Readers see either the pre-replace snapshot or the
+    * fully-replaced one, never the deleted-but-not-yet-inserted middle.
+    * Concurrency is [[updateWhereMor]]'s: appends commute; a concurrent
+    * rewrite/update/delete/rollback aborts with
+    * `ConcurrentModificationException`. Returns (deletedRows, newSnapshot). */
+  def overwriteWhereMor(filter: Column, df: DataFrame): (Long, Snapshot) =
+    tableLock.synchronized {
+      val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
+        // nothing can match the filter: the replace degenerates to append
+        return (0L, append(df, Map("replace-where" -> "<empty table>")))
+      }
+      val uid = java.util.UUID.randomUUID().toString.take(12)
+      val delDir = dataDir.resolve(s"del-$uid")
+      applyAllDeletes(assemble(cur, withLineage = true), cur)
+        .where(filter)
+        .select(col(LineageFileCol).as("file_path"),
+          col(LineagePosCol).as("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(delDir.toString)
+      val delFiles = listDeleteParquet(delDir)
+      val deleted = delFiles.map(_.rows).sum
+      if (deleted == 0L)
+        // zero matches: drop the empty delete dir; the append alone IS
+        // the exact semantics and still lands as one snapshot
+        walkList(delDir).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+      val snap = commit(df, "update", keepParent = true,
+        extraSummary = Map("replaced-rows" -> deleted.toString,
+          "replace-where" -> "filter-overwrite"),
+        newDeleteFiles = delFiles.filter(_.rows > 0),
+        noRewriteSince = Some(cur.id))
+      (deleted, snap)
+    }
+
   /** Merge-on-read EQUALITY delete: drop every current row whose `keyCols`
     * values appear in `keysDf` — by writing only the (distinct, non-null)
     * KEY SET and committing a snapshot; no data file is touched and no

@@ -193,6 +193,65 @@ class Dml(lh: Lakehouse) {
     }
   }
 
+  /** FILTER overwrite (SQL `INSERT INTO … REPLACE WHERE` / DSv2
+    * OVERWRITE_BY_FILTER): atomically replace exactly the rows matching
+    * `cond` with `df` — ONE snapshot, so readers never observe the
+    * deleted-but-not-reinserted middle state. Default is copy-on-write
+    * (kept remainder ∪ incoming, same commit shape as [[overwriteDf]]);
+    * table property `write.overwrite.mode=merge-on-read` switches to an
+    * atomic position-delete + append ([[graft.core.IceTable
+    * .overwriteWhereMor]]) that rewrites no existing file — at 100 TB,
+    * replacing one partition costs the new data plus a KB-sized delete
+    * file. Validation runs the incoming batch against the kept remainder
+    * (a unique rule catches a replace that collides with surviving
+    * rows); the audit log records the filter and mode. Returns the
+    * replaced (deleted) row count. */
+  def overwriteWhereDf(table: String, cond: Column, df: DataFrame,
+      filterDesc: String = "<column predicate>"): Long = {
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      val matchCond = coalesce(cond, lit(false))
+      val kept = tbl.read().where(!matchCond)
+      lh.validation.enforce(table, df, Some(kept))
+      val mor = tbl.meta.properties.get("write.overwrite.mode")
+        .contains("merge-on-read")
+      val replaced =
+        if (mor) tbl.overwriteWhereMor(matchCond, df)._1
+        else {
+          val n = tbl.read().where(matchCond).count()
+          val aligned = df.select(tbl.schema.fieldNames.map(col).toSeq: _*)
+          tbl.overwrite(kept.unionByName(aligned),
+            Map("replace-where" -> filterDesc))
+          n
+        }
+      lh.audit.log(table, "overwrite",
+        Map("replaced" -> replaced.toString, "filter" -> filterDesc,
+          "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
+      replaced
+    }
+  }
+
+  /** Commit the result of a SQL `MERGE INTO`
+    * ([[graft.engine.GraftMergeStrategy]]): the merged frame replaces the
+    * table's contents in ONE copy-on-write snapshot, with the same
+    * validation enforcement and audit logging as every other write
+    * surface. `stats` (by-name) is evaluated INSIDE the table lock so the
+    * per-clause counts are computed against the same snapshot the commit
+    * replaces. */
+  def mergeDf(table: String, merged: DataFrame,
+      stats: => Map[String, Long]): Map[String, Long] = {
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      lh.validation.enforce(table, merged, None)
+      val counts = stats
+      tbl.overwrite(merged,
+        counts.map { case (k, v) => s"merge-$k" -> v.toString })
+      lh.audit.log(table, "merge",
+        counts.map { case (k, v) => k -> v.toString })
+      counts
+    }
+  }
+
   /** Key-match merge: unmatched-existing ∪ incoming — the idiomatic
     * left_anti + unionByName form of the reference's LEFT JOIN + IS NULL
     * (catalog.py:1289-1326). Duplicate keys WITHIN the incoming batch are

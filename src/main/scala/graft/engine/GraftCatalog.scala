@@ -161,29 +161,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   private def tbl: IceTable = lh.catalog.loadTable(fullName)
+  /** For the MERGE planner strategy ([[GraftMergeStrategy]]). */
+  private[engine] def lakehouse: graft.Lakehouse = lh
+  private[engine] def fullIdent: String = fullName
   override def name(): String = fullName
   override def schema(): StructType = tbl.schema
-  // no OVERWRITE_BY_FILTER: the write builder implements truncate only,
-  // so claiming it would accept filter-overwrites at analysis and fail
-  // them late at write planning; without the capability Spark rejects
-  // them cleanly up front (INSERT OVERWRITE needs only TRUNCATE)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var replace = false
-      override def truncate(): WriteBuilder = { replace = true; this }
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = plain append; Some(None) = truncate (full overwrite);
+      // Some(Some(cond)) = filter overwrite (`INSERT INTO … REPLACE
+      // WHERE` / writeTo(...).overwrite(cond))
+      private var replace: Option[Option[Column]] = None
+      override def truncate(): WriteBuilder = { replace = Some(None); this }
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        val cols = filters.map(GraftSparkTable.toColumn)
+        // refuse the WHOLE overwrite on any untranslatable predicate —
+        // errors here surface at write planning, before any data moves
+        require(cols.forall(_.isDefined),
+          s"unsupported overwrite condition: ${filters.mkString(" AND ")}")
+        val cond = cols.flatten.reduceOption(_ && _)
+        replace =
+          if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) Some(None)
+          else Some(Some(cond.getOrElse(lit(true))))
+        this
+      }
       override def build(): Write = new V1Write {
         // through Dml, not IceTable: the SQL surface gets the SAME
         // validation enforcement and audit logging as the engine API —
         // a constraint-violating INSERT fails here exactly as
         // Dml.insertDf would fail it
         override def toInsertableRelation: InsertableRelation =
-          (data, overwrite) =>
-            if (replace || overwrite) { lh.dml.overwriteDf(fullName, data); () }
-            else { lh.dml.insertDf(fullName, data); () }
+          (data, overwrite) => replace match {
+            case Some(Some(cond)) =>
+              lh.dml.overwriteWhereDf(fullName, cond, data); ()
+            case Some(None) => lh.dml.overwriteDf(fullName, data); ()
+            case None =>
+              if (overwrite) { lh.dml.overwriteDf(fullName, data); () }
+              else { lh.dml.insertDf(fullName, data); () }
+          }
       }
     }
 

@@ -116,13 +116,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     import spark.implicits._
     Seq((10L, "w")).toDF("id", "v").writeTo(s"$catName.ref.wt").append()
     assert(t.read().count() == 2)
-    // a FILTER overwrite is rejected cleanly at analysis (the builder
-    // implements truncate only, and the capability honestly says so)
-    intercept[Exception] {
-      Seq((11L, "x")).toDF("id", "v").writeTo(s"$catName.ref.wt")
-        .overwrite(col("id") > 5)
-    }
     spark.sql(s"DROP TABLE $catName.ref.wt")
+  }
+
+  test("filter overwrite (REPLACE WHERE / writeTo.overwrite): exactly the " +
+      "matching rows replaced, ONE snapshot, both CoW and MoR modes") {
+    seed()
+    spark.sql(s"CREATE TABLE $catName.ref.rw (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $catName.ref.rw VALUES " +
+      (0 until 10).map(i => s"($i, 'old$i')").mkString(", "))
+    val t = lh.catalog.loadTable("ref.rw")
+    // SQL REPLACE WHERE, copy-on-write default
+    spark.sql(s"INSERT INTO $catName.ref.rw REPLACE WHERE id >= 7 " +
+      "VALUES (7, 'new7'), (77, 'new77')")
+    assert(t.rawLog.size == 2, "the replace must land as ONE snapshot")
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == ((0 until 7).map(i => (i.toLong, s"old$i")) ++
+      Seq((7L, "new7"), (77L, "new77"))), s"got $got")
+    // writeTo(...).overwrite(cond) lands on the same path
+    import spark.implicits._
+    Seq((0L, "z0"), (100L, "z100")).toDF("id", "v")
+      .writeTo(s"$catName.ref.rw").overwrite(col("id") < 1)
+    assert(t.read().count() == 10 &&
+      t.read().where(col("v") === "z0").count() == 1)
+    // merge-on-read mode: same result, NO data file rewritten
+    t.setProperty("write.overwrite.mode", "merge-on-read")
+    val filesBefore = t.currentSnapshot.get.files.map(_.path).toSet
+    spark.sql(s"INSERT INTO $catName.ref.rw REPLACE WHERE id >= 100 " +
+      "VALUES (100, 'm100')")
+    val snap = lh.catalog.loadTable("ref.rw").currentSnapshot.get
+    assert(filesBefore.subsetOf(snap.files.map(_.path).toSet),
+      "MoR replace must keep every pre-existing data file")
+    assert(snap.deleteFiles.nonEmpty, "MoR replace uses position deletes")
+    assert(lh.catalog.loadTable("ref.rw").read()
+      .where(col("id") === 100L).collect().map(_.getString(1)).toSeq ==
+      Seq("m100"))
+    // both surfaces audited
+    val ops = lh.audit.entries(table = Some("ref.rw")).map(_.operation)
+    assert(ops.count(_ == "overwrite") >= 3)
+    spark.sql(s"DROP TABLE $catName.ref.rw")
   }
 
   test("SQL INSERT/DELETE enforce validation rules and write audit " +
