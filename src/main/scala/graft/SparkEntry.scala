@@ -2602,6 +2602,98 @@ object SparkEntry {
       lh.catalog.loadTable("default.li_mr_rollup").read()
         .select(col("l_returnflag"), col("n"), col("sum_micro"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // DSv2 MoR READ gate: q136's full merge-on-read state machine
+    // (position delete + watermarked equality delete + post-delete
+    // re-append) queried through the NATIVE `catalog.ns.table` SQL
+    // surface — the engine-read fallback scan must apply all delete
+    // state exactly; the oracle recomputes from the raw commit dirs.
+    "q176_dsv2_mor_read" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh176") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_nc", li.schema, Nil, Map.empty)
+        val tbl = lh.catalog.loadTable("default.li_nc")
+        tbl.append(li)                                   // commit 1
+        tbl.deleteWhereMor(col("l_quantity") < 5.0)      // commit 2
+        tbl.deleteKeysMor(Seq("l_orderkey"),             // commit 3
+          li.where(col("l_orderkey") % 50 === 0)
+            .select(col("l_orderkey")).distinct())
+        tbl.append(li.where(col("l_orderkey") % 50 === 0 // commit 4
+          && col("l_quantity") >= 45))
+      }
+      val cat = s"g176_${sfTag(dir).replace('.', '_')}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.engine.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh176", dir))
+      s.sql(s"""SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total_price
+        |FROM $cat.default.li_nc
+        |GROUP BY l_orderkey % 10""".stripMargin)
+    }),
+
+    // atomic REPLACE WHERE gate (merge-on-read): ONE snapshot
+    // position-deletes the key range and appends its replacement — the
+    // oracle recomputes the final state from the two commit dirs plus the
+    // replace predicate, so a non-atomic split (or a lost half) cannot
+    // hash-match.
+    "q177_replace_where" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh177") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val cut = ord.agg(max("o_orderkey")).head.getLong(0) / 2
+        lh.catalog.createTable("default.ord_rw", ord.schema, Nil,
+          Map("write.overwrite.mode" -> "merge-on-read"))
+        val tb = lh.catalog.loadTable("default.ord_rw")
+        tb.append(ord)                                       // commit 1
+        lh.dml.overwriteWhereDf("default.ord_rw",            // commit 2
+          col("o_orderkey") >= cut,
+          ord.where(col("o_orderkey") >= cut)
+            .withColumn("o_orderstatus", lit("XX")),
+          s"o_orderkey >= $cut")
+        val snap = lh.catalog.loadTable("default.ord_rw").currentSnapshot.get
+        require(lh.catalog.loadTable("default.ord_rw").rawLog.size == 2 &&
+          snap.deleteFiles.nonEmpty,
+          "replace-where must land as ONE MoR snapshot")
+        ()
+      }
+      lh.catalog.loadTable("default.ord_rw").read()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // SQL MERGE INTO gate: delete / update / insert clauses with
+    // first-match ordering through the native catalog surface
+    // (GraftMergeStrategy); the oracle recomputes the standard MERGE
+    // semantics in plain SQL from the same source rows.
+    "q178_sql_merge" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val lh = auxTable(s, dir, "wh178") { lh =>
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+        lh.catalog.createTable("default.cust_m", cust.schema, Nil, Map.empty)
+        lh.catalog.loadTable("default.cust_m")
+          .append(cust.where(col("c_custkey") % 3 =!= 0))
+        val cat = s"g178_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh178", dir))
+        cust.where(col("c_custkey") % 2 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .createOrReplaceTempView("m178_src")
+        s.sql(s"""MERGE INTO $cat.default.cust_m t USING m178_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.c_acctbal > 5000.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        ()
+      }
+      lh.catalog.loadTable("default.cust_m").read()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
     })
   )
 
@@ -4955,6 +5047,61 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM b WHERE NOT (l_quantity < 2.0))
         |SELECT l_returnflag, COUNT(*) AS n,
         |  SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS sum_micro
-        |FROM live GROUP BY l_returnflag""".stripMargin
+        |FROM live GROUP BY l_returnflag""".stripMargin,
+
+    // q136's delete semantics recomputed from the raw commit dirs — the
+    // native SQL surface must apply them identically
+    "q176_dsv2_mor_read" ->
+      """WITH base AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh176_sf0.01/default/li_nc/data/commit-00001/*.parquet')),
+        |appended AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh176_sf0.01/default/li_nc/data/commit-00004/*.parquet')),
+        |live AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (l_quantity < 5.0) AND l_orderkey % 50 <> 0
+        |  UNION ALL SELECT * FROM appended)
+        |SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // final state from the two commit dirs + the replace predicate: kept
+    // remainder of commit 1 plus everything in commit 2's replacement
+    "q177_replace_where" ->
+      """WITH a AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh177_sf0.01/default/ord_rw/data/commit-00001/*.parquet')),
+        |b AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh177_sf0.01/default/ord_rw/data/commit-00002/*.parquet')),
+        |live AS (
+        |  SELECT * FROM a
+        |  WHERE NOT (o_orderkey >= (SELECT MAX(o_orderkey) // 2 FROM orders))
+        |  UNION ALL SELECT * FROM b)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // standard MERGE semantics in plain SQL over the same source rows:
+    // matched & bal>5000 deleted, matched updated, source-only inserted,
+    // target-only carried
+    "q178_sql_merge" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 3 <> 0),
+        |src AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |tkept AS (
+        |  SELECT t.c_custkey, t.c_mktsegment,
+        |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+        |         ELSE t.c_acctbal END AS c_acctbal
+        |  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        |  WHERE NOT (s.c_custkey IS NOT NULL AND s.c_acctbal > 5000.0)),
+        |ins AS (
+        |  SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal
+        |  FROM src s LEFT JOIN tgt t ON t.c_custkey = s.c_custkey
+        |  WHERE t.c_custkey IS NULL),
+        |final AS (SELECT * FROM tkept UNION ALL SELECT * FROM ins)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM final GROUP BY c_mktsegment""".stripMargin
   )
 }
