@@ -861,6 +861,23 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         (df, files.size, s.files.size)
     }
 
+  /** Pruned-OUT file paths for pre-extracted conjuncts against the CURRENT
+    * snapshot: the paths the conjuncts PROVE cannot match, plus
+    * (kept, total) counts. The SQL entry path subtracts these from the
+    * already-analyzed plan's scan leaves ([[graft.engine.QueryEngine]]) —
+    * subtraction, not intersection, so a file the leaf references that
+    * this snapshot no longer tracks (concurrent compaction between
+    * analysis and pruning) is conservatively KEPT, never dropped. */
+  def prunedOutPaths(conjs: Seq[FilePruning.Conjunct]): (Set[String], Int, Int) =
+    currentSnapshot.filter(_.files.nonEmpty) match {
+      case None => (Set.empty, 0, 0)
+      case Some(s) =>
+        val keptFiles = pruneFiles(s, conjs)
+        val kept = keptFiles.map(_.path).toSet
+        (s.files.map(_.path).filterNot(kept).toSet,
+          keptFiles.size, s.files.size)
+    }
+
   /** PINNED-snapshot read with the same manifest/partition/bloom file
     * skipping as [[prunedRead]] but WITHOUT applying the filter — the
     * caller's plan re-applies it, so pruning stays purely advisory.

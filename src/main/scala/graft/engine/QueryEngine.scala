@@ -63,41 +63,24 @@ class QueryEngine(lh: Lakehouse) {
     * materializing a full result to a table. A `limit(Int.MaxValue)`
     * sentinel would NOT be free: GlobalLimit shuffles every row to a
     * single partition, so "unlimited" must mean no limit node at all. */
-  /** Serializes the narrow-view window below: temp views are
-    * SESSION-global, so without this a concurrent execute() analyzing
-    * inside another's narrowed-view window could silently bind to a
-    * pruned scan whose conjuncts its own query lacks. The lock covers
-    * ANALYSIS only (driver-side, milliseconds) — returned frames are
-    * lazy, so query EXECUTION still runs fully parallel. */
+  /** Serializes analysis: registerReferenced rebinds session-global temp
+    * views to the current snapshot, and executeAsOf temporarily binds a
+    * table's views to a PAST snapshot — without the lock a concurrent
+    * analysis could bind inside that asof window. File-skipping itself
+    * no longer touches any view (see [[prunedPlanFor]]), so a direct
+    * spark.sql issued outside the engine can never observe a narrowed
+    * scan. The lock covers ANALYSIS only (driver-side, milliseconds) —
+    * returned frames are lazy, so query EXECUTION still runs fully
+    * parallel. */
   private val analysisLock = new Object
 
   def execute(sql: String, maxRows: Int = 1000): DataFrame = {
     val rewritten = rewriteNamespaces(sql)
     val df = analysisLock.synchronized {
       val referenced = registerReferenced(rewritten)
-      var d = spark.sql(rewritten)
+      val d = spark.sql(rewritten)
       lastScanStats = Map.empty
-      val pruned = prunedViewsFor(d.queryExecution.optimizedPlan, referenced)
-      if (pruned.nonEmpty) {
-        // re-analyze the SAME sql over the narrowed views (spark.sql
-        // analyzes eagerly, so the frame is bound now), then restore the
-        // full views UNCONDITIONALLY — a narrowed view leaking past a
-        // failed re-analysis would silently drop rows from every later
-        // direct spark.sql over that table
-        try d = spark.sql(rewritten)
-        finally pruned.foreach { ident =>
-          try lh.catalog.registerView(ident)
-          catch { case _: Exception =>
-            // cannot restore (metadata read failed): DROP the narrowed
-            // view so later queries fail loudly instead of silently
-            // reading a pruned subset
-            val (ns, t) = Catalog.parseIdent(ident)
-            spark.catalog.dropTempView(t)
-            spark.catalog.dropTempView(s"${ns}__$t")
-          }
-        }
-      }
-      d
+      prunedPlanFor(d, referenced).getOrElse(d)
     }
     recordLineage(sql)
     if (maxRows > 0 && needsLimit(sql)) df.limit(maxRows) else df
@@ -121,9 +104,14 @@ class QueryEngine(lh: Lakehouse) {
     * Walks the optimized plan (where PushDownPredicates has already placed
     * filters next to their scans) for Filter nodes whose entire subtree
     * reads data files of exactly ONE referenced table, extracts the
-    * prunable `attr op literal` conjuncts of those conditions, and swaps
-    * that table's temp view for a file-pruned scan when the conjuncts
-    * actually drop files. Safety rules, each conservative:
+    * prunable `attr op literal` conjuncts of those conditions, and — when
+    * the conjuncts actually drop files — SUBTRACTS the pruned-out files
+    * from the already-analyzed plan's own scan leaves (same
+    * `LogicalRelation`, same output exprIds, fewer files; an
+    * all-files-pruned leaf becomes an empty `LocalRelation`). No temp
+    * view is ever rebound, so a concurrent `spark.sql` outside the
+    * engine can never observe a narrowed scan, and the query is analyzed
+    * exactly once. Safety rules, each conservative:
     *  - a table's data relations must ALL sit under such filters — a
     *    self-join occurrence without its own filter disables pruning for
     *    that table;
@@ -140,11 +128,11 @@ class QueryEngine(lh: Lakehouse) {
     *  - the prune never drops a file that could match (FilePruning's
     *    three-valued design) and the user's own predicate stays in the
     *    re-analyzed plan, so results are identical to the unpruned read.
-    * Returns the idents whose views were narrowed; the caller restores
-    * them immediately after re-analysis. */
-  private def prunedViewsFor(plan: LogicalPlan,
-      referenced: Seq[String]): Seq[String] = {
-    if (referenced.isEmpty) return Nil
+    * Returns the swapped frame, or None when nothing pruned. */
+  private def prunedPlanFor(d: DataFrame,
+      referenced: Seq[String]): Option[DataFrame] = {
+    if (referenced.isEmpty) return None
+    val plan = d.queryExecution.optimizedPlan
     val dirs: Map[String, String] = referenced.map { ident =>
       val (ns, t) = Catalog.parseIdent(ident)
       ident -> lh.catalog.tableDir(ns, t).toString
@@ -210,30 +198,63 @@ class QueryEngine(lh: Lakehouse) {
     walk(plan)
 
     var stats = Map.empty[String, (Int, Int)]
-    val narrowed = conds.keys.toSeq.sorted.flatMap { ident =>
-      if (!totals.get(ident).contains(covered(ident))) None
-      else {
-        val tbl = lh.catalog.loadTable(ident)
-        val schema = tbl.schema
-        val sets = conds(ident).map(c => FilePruning
-          .conjunctsFromLeaves(ColumnBridge.catalystConjuncts(c), schema).toSet)
-        val conjs = sets.reduce(_ intersect _).toSeq
-        if (conjs.isEmpty) None
+    // pruned-OUT path set per prunable ident (manifest renderings)
+    val prunedOut: Map[String, Set[String]] =
+      conds.keys.toSeq.sorted.flatMap { ident =>
+        if (!totals.get(ident).contains(covered(ident))) None
         else {
-          val (df, kept, total) = tbl.prunedScanStats(conjs)
-          stats += ident -> ((kept, total))
-          if (kept >= total) None
+          val tbl = lh.catalog.loadTable(ident)
+          val schema = tbl.schema
+          val sets = conds(ident).map(c => FilePruning
+            .conjunctsFromLeaves(ColumnBridge.catalystConjuncts(c), schema).toSet)
+          val conjs = sets.reduce(_ intersect _).toSeq
+          if (conjs.isEmpty) None
           else {
-            val (ns, t) = Catalog.parseIdent(ident)
-            df.createOrReplaceTempView(t)
-            df.createOrReplaceTempView(s"${ns}__$t")
-            Some(ident)
+            val (out, kept, total) = tbl.prunedOutPaths(conjs)
+            stats += ident -> ((kept, total))
+            if (out.isEmpty) None else Some(ident -> out)
           }
         }
-      }
-    }
+      }.toMap
     lastScanStats = stats
-    narrowed
+    if (prunedOut.isEmpty) return None
+
+    // Subtract the pruned-out files from the analyzed plan's own scan
+    // leaves: the relation keeps its output attributes (exprIds), so the
+    // rest of the plan — MoR anti-joins, field-id projections, the user's
+    // filters — stays bound exactly as analyzed. Strip scheme/authority
+    // like GraftFileIndex: leaves render `file:/p`, manifests plain `/p`.
+    def canon(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val analyzed = d.queryExecution.analyzed
+    var changed = false
+    val swapped = analyzed.transformUp {
+      case lr: LogicalRelation =>
+        ownerOf(lr).filter(prunedOut.contains) match {
+          case Some(ident) => lr.relation match {
+            case fs: HadoopFsRelation =>
+              val out = prunedOut(ident).map(canon)
+              val keptPaths = fs.location.rootPaths
+                .filterNot(p => out(canon(p.toString)))
+              if (keptPaths.size == fs.location.rootPaths.size) lr
+              else if (keptPaths.isEmpty) {
+                changed = true
+                org.apache.spark.sql.catalyst.plans.logical
+                  .LocalRelation(lr.output)
+              } else {
+                changed = true
+                val kset = keptPaths.map(p => canon(p.toString)).toSet
+                val idx = new org.apache.spark.sql.graft.GraftFileIndex(
+                  spark, keptPaths, fs.dataSchema, _ => kset)
+                lr.copy(relation = fs.copy(location = idx)(fs.sparkSession))
+              }
+            case _ => lr
+          }
+          case None => lr
+        }
+    }
+    if (!changed) None
+    else Some(org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, swapped))
   }
 
   /** Time-travel query: the NAMED table resolves at the given

@@ -244,6 +244,43 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       "rows appended concurrently with the delete must survive it")
   }
 
+  test("MoR filter-overwrite vs concurrent append: the append commutes " +
+      "(its rows were not read) and both commits survive") {
+    val cat = newCatalog()
+    val a = cat.createTable("t12", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 100))
+    val b = cat.loadTable("t12")
+    // b appends AFTER a's replace read its snapshot: the appended rows
+    // (including ids inside the replaced range!) must survive — they were
+    // not part of the state the replace read
+    injectOnce(a)(b.append(df(200 until 210)))
+    val (deleted, _) = a.overwriteWhereMor(col("id") >= 50,
+      df(50 until 60))
+    assert(deleted == 50)
+    assert(a.rawLog.map(_.operation) == List("append", "append", "update"))
+    // 0..49 kept + 50..59 replacement + 200..209 concurrent append
+    assert(a.read().count() == 70)
+    assert(a.read().where(col("id") >= 200).count() == 10)
+    assertLinear(a)
+  }
+
+  test("MoR filter-overwrite vs concurrent compaction: ABORTS instead of " +
+      "committing positions against rewritten files") {
+    val cat = newCatalog()
+    val a = cat.createTable("t13", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 100))
+    val b = cat.loadTable("t13")
+    injectOnce(a)(b.compact(targetFiles = 1))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.overwriteWhereMor(col("id") >= 50, df(50 until 60))
+    }
+    assert(e.getMessage.contains("removed or relocated rows"))
+    assert(a.read().count() == 100, "aborted replace must change nothing")
+    assertLinear(a)
+  }
+
   test("compaction vs concurrent append: the rewrite ABORTS instead of " +
       "silently dropping the appended rows") {
     val cat = newCatalog()

@@ -207,6 +207,40 @@ class EnginePruningSpec extends AnyFunSuite {
     assert(errors.isEmpty, s"concurrent executes diverged: $errors")
   }
 
+  test("file skipping never rebinds the public temp views: DIRECT " +
+      "spark.sql issued concurrently with pruning executes always sees " +
+      "the full table") {
+    val lh = newLh()
+    buildRanged(lh, "default.ext")
+    // bind the public view once, like any session user would have it
+    lh.engine.execute("SELECT COUNT(*) AS n FROM ext", 0).collect()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pruner = new Thread(() => {
+      try (0 until 30).foreach { _ =>
+        val n = lh.engine
+          .execute("SELECT COUNT(*) AS n FROM ext WHERE id >= 300", 0)
+          .collect()(0).getLong(0)
+        if (n != 100) errors.add(s"pruned got $n")
+      } catch { case e: Throwable => errors.add(e.toString) }
+    })
+    val outsider = new Thread(() => {
+      try (0 until 30).foreach { _ =>
+        // NOT through the engine: the hazard the old narrowed-view
+        // window exposed (a direct spark.sql analyzing against a
+        // temporarily-narrowed view silently returned a row subset)
+        val n = spark.sql("SELECT COUNT(*) AS n FROM ext")
+          .collect()(0).getLong(0)
+        if (n != 400) errors.add(s"external got $n")
+      } catch { case e: Throwable => errors.add(e.toString) }
+    })
+    pruner.start(); outsider.start()
+    pruner.join(120000); outsider.join(120000)
+    assert(errors.isEmpty, s"external spark.sql observed narrowing: $errors")
+    // and the returned pruned frame itself still skipped files
+    assert(lh.engine.lastScanStats.get("default.ext")
+      .exists { case (kept, total) => kept < total })
+  }
+
   test("executeAsOf: the named table time-travels, other referenced " +
       "tables resolve FRESH, and the asof binding does not leak") {
     val lh = newLh()
