@@ -48,7 +48,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-speed CALIBRATION: a fixed CPU-bound job (hash-sum over a
+    // generated range — no IO, no fixture state) timed at the start of
+    // every sampling pass. This box's single-thread speed drifts ±50%
+    // between runs (firecracker host); the calibration ratio turns each
+    // pass's raw timings into noise-NORMALIZED ones (raw × fastestCalib /
+    // thisPassCalib), so a cross-round total comparison measures plan
+    // cost, not which host phase the run landed on. Both totals are
+    // reported; raw stays the headline for continuity.
+    def calib(): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calib() // codegen warmup for the calibration job itself
     val ordered = selected.toSeq.sortBy(_._1)
+    val calib1 = calib()
     val pass1 = ordered.map { case (name, fn) => name -> timeOne(fn) }
     // Variance discipline: this host's single-thread speed drifts ±50%
     // (firecracker), so one sample per query cannot distinguish a plan
@@ -71,13 +90,26 @@ object Bench {
       "q45_incremental_admission")
     val subset = (pass1.sortBy(-_._2).take(math.max(topK, 0)).map(_._1) ++
       pass1.map(_._1).filter(watched)).distinct.toSet
+    val extraCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val extra: Seq[Seq[(String, Double)]] = (2 to math.max(repeats, 1)).map { _ =>
+      extraCalibs += calib()
       ordered.filter(p => subset(p._1)).map { case (name, fn) =>
         name -> timeOne(fn)
       }
     }
+    val passCalibs: Seq[Double] = calib1 +: extraCalibs.toSeq
+    val calibMin = passCalibs.min
+    // (name, raw, passIdx) so each sample normalizes by ITS pass's factor
+    val tagged: Seq[(String, Double, Int)] =
+      pass1.map { case (n, v) => (n, v, 0) } ++
+        extra.zipWithIndex.flatMap { case (p, i) =>
+          p.map { case (n, v) => (n, v, i + 1) } }
     val samples: Map[String, Seq[Double]] =
-      (pass1 ++ extra.flatten).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      tagged.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val normalized: Map[String, Double] = tagged.groupBy(_._1).map {
+      case (k, vs) => k -> vs.map { case (_, v, p) =>
+        v * calibMin / passCalibs(p) }.min
+    }
     val results = samples.map { case (k, vs) => k -> vs.min }
     val spreads = samples.filter(_._2.size > 1)
       .map { case (k, vs) => k -> (vs.max - vs.min) }
@@ -86,7 +118,9 @@ object Bench {
     val sp = spreads.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val detailed = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_${math.max(repeats, 1)}_top$topK","queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
+    val totalNorm = if (normalized.nonEmpty) normalized.values.sum else 0.0
+    val calibJson = passCalibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val detailed = s"""{"metric":"total","value":$total,"value_normalized":$totalNorm,"calib":$calibJson,"unit":"sec","agg":"min_of_${math.max(repeats, 1)}_top$topK","queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     // Per-query detail goes to a file; stdout gets ONE compact final line.
     // The driver keeps only the last 2,000 bytes of stdout, so the full
     // per-query map (~40 bytes/query) stops fitting past ~45 queries — the
@@ -107,7 +141,7 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LATEST.json"}"""
+      s"""{"metric":"total","value":$total,"value_normalized":$totalNorm,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LATEST.json"}"""
     println(compact)
     spark.stop()
   }

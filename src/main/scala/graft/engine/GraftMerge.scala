@@ -63,6 +63,12 @@ object GraftMerge {
     * frame has one string column `c` ∈ updated/deleted/carried/inserted/
     * ignored for the audit counts. */
   def plan(spark: SparkSession, m: MergeIntoTable): (DataFrame, DataFrame) = {
+    // WITH SCHEMA EVOLUTION needs the field-id alter path (IceTable
+    // addColumn), which DSv2 TableChanges cannot carry — refuse loudly
+    // rather than silently merging against the unevolved schema
+    require(!m.withSchemaEvolution,
+      "MERGE … WITH SCHEMA EVOLUTION is not supported: evolve the schema " +
+        "through the engine API (IceTable.addColumn) first")
     val targetAttrs: Seq[Attribute] = m.targetTable.output
     val reserved = Seq(TP, SP, TID, MC)
     val clash = (m.targetTable.output ++ m.sourceTable.output)

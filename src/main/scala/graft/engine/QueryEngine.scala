@@ -232,7 +232,12 @@ class QueryEngine(lh: Lakehouse) {
       case lr: LogicalRelation =>
         ownerOf(lr).filter(prunedOut.contains) match {
           case Some(ident) => lr.relation match {
-            case fs: HadoopFsRelation =>
+            // partitionSchema must be empty: the replacement index forces
+            // PartitionSpec.emptySpec, so a relation that surfaced
+            // partition columns would lose them (graft reads list leaf
+            // FILES with an explicit schema, so this is always empty in
+            // practice — the guard keeps it conservative, not load-bearing)
+            case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
               val out = prunedOut(ident).map(canon)
               val keptPaths = fs.location.rootPaths
                 .filterNot(p => out(canon(p.toString)))
