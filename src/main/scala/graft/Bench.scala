@@ -59,8 +59,12 @@ object Bench {
     def calib(): Double = {
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
+      // bit_xor instead of sum: summing 200M random 64-bit hashes
+      // overflows Long with probability ~1 and ANSI mode (Spark 4
+      // default) turns that into ARITHMETIC_OVERFLOW — xor is
+      // overflow-free and equally CPU-bound
       spark.range(0L, 200000000L, 1, cpus.toInt)
-        .select(org.apache.spark.sql.functions.sum(
+        .select(org.apache.spark.sql.functions.bit_xor(
           org.apache.spark.sql.functions.xxhash64(
             org.apache.spark.sql.functions.col("id")))).head()
       (System.nanoTime() - t0) / 1e9

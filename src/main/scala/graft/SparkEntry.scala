@@ -5046,7 +5046,7 @@ object SparkEntry {
         |  SELECT * FROM a WHERE NOT (l_quantity < 2.0)
         |  UNION ALL SELECT * FROM b WHERE NOT (l_quantity < 2.0))
         |SELECT l_returnflag, COUNT(*) AS n,
-        |  SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS sum_micro
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
         |FROM live GROUP BY l_returnflag""".stripMargin,
 
     // q136's delete semantics recomputed from the raw commit dirs — the
