@@ -148,8 +148,21 @@ object Cdc {
     // classify every row as changed
     val o = oldDf.select(cols.map(col): _*)
     val nw = newDf.select(cols.map(col): _*)
-    val added = nw.exceptAll(o)
-    val removed = o.exceptAll(nw)
+    classifyDelta(o.exceptAll(nw), nw.exceptAll(o), keys, cols)
+  }
+
+  /** [[classifyChanges]] from an ALREADY-COMPUTED (removed, added) delta —
+    * the changelog's O(touched) merge-on-read replay path, where the
+    * commit's own delete files and added files name the delta without any
+    * table-sized exceptAll. Contract: `removed`/`added` are the physical
+    * row sets the commit killed/created; a rewrite that re-creates an
+    * identical row therefore classifies as an UPDATE pair with an empty
+    * `changed_columns` (a no-op update IS a physical change — the
+    * exceptAll path cancels such pairs instead, the only divergence). */
+  def classifyDelta(removedDf: DataFrame, addedDf: DataFrame,
+      keys: Seq[String], cols: Seq[String]): DataFrame = {
+    val added = addedDf.select(cols.map(col): _*)
+    val removed = removedDf.select(cols.map(col): _*)
 
     // presence flags robust to genuinely-null keys: checking a data column
     // for null is not enough, so tag each side before joining

@@ -780,6 +780,105 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     }
   }
 
+  /** O(touched) delta of a merge-on-read commit: `Some((removed, added))`
+    * when commit `s` over its `parent` only ADDS data files and delete
+    * entries — the MoR delete / update / replace-where / merge shapes —
+    * derived from the commit's OWN delete files and added files instead
+    * of a table-sized snapshot diff:
+    *
+    *  - `removed`: a position-delete commit names its victims by
+    *    `(file_path, pos)`, so the replay scans ONLY the data files those
+    *    identities touch and identity-semi-joins the (broadcast-sized)
+    *    delete set. Position entries are written from the
+    *    all-deletes-applied read ([[deleteWhereMor]]/[[updateWhereMor]]/
+    *    [[mergeMor]]), so every identity was LIVE in the parent — no
+    *    re-application of the parent's delete state is needed. An
+    *    equality-delete commit's victims are the parent's LIVE rows
+    *    matching the entry's keys in files committed at or before its
+    *    `coveredUpTo` watermark: ONE parent pass with a broadcast key
+    *    semi-join. Either way: no exceptAll (which would shuffle the full
+    *    table four times).
+    *  - `added`: the commit's added data files, read directly (the same
+    *    manifest subtraction the changelog's append replay uses).
+    *
+    * Returns None when the commit is a true rewrite — a parent data file
+    * or delete entry dropped (overwrite/compaction/rollback), schema
+    * changed, deletes targeting the commit's own added files, or a mixed
+    * position+equality delete — and the caller must fall back to the
+    * exact snapshot diff. */
+  def morDelta(parent: Snapshot, s: Snapshot): Option[(DataFrame, DataFrame)] = {
+    if (s.schemaId != parent.schemaId) return None
+    val parentPaths = parent.files.map(_.path).toSet
+    if (!parent.files.forall(f => s.files.exists(_.path == f.path)))
+      return None
+    val parentPos = parent.deleteFiles.map(_.path).toSet
+    val parentEq = parent.eqDeleteFiles.map(_.dir).toSet
+    if (!parent.deleteFiles.forall(f => s.deleteFiles.exists(_.path == f.path)))
+      return None
+    if (!parent.eqDeleteFiles.forall(e => s.eqDeleteFiles.exists(_.dir == e.dir)))
+      return None
+    val addedFiles = s.files.filterNot(f => parentPaths(f.path))
+    val newPos = s.deleteFiles.filterNot(f => parentPos(f.path))
+    val newEq = s.eqDeleteFiles.filterNot(e => parentEq(e.dir))
+    val added =
+      if (addedFiles.isEmpty) emptyDf(meta.schema)
+      // no delete state applies to files born in this commit: position
+      // deletes target parent-era rows (guarded below) and equality
+      // watermarks exempt files newer than coveredUpTo
+      else readSnapshot(Some(s.copy(files = addedFiles,
+        deleteFiles = Nil, eqDeleteFiles = Nil)))
+    val ordered = (df: DataFrame) =>
+      df.drop(LineageFileCol, LineagePosCol)
+        .select(meta.schema.fieldNames.map(col).toSeq: _*)
+    val removed: Option[DataFrame] = (newPos, newEq) match {
+      case (Nil, Nil) => Some(emptyDf(meta.schema))
+      case (pos, Nil) =>
+        val dels = spark.read.schema(DeleteSchema)
+          .parquet(pos.map(_.path): _*)
+        // the delete file itself names the touched data files; the
+        // distinct-path collect is bounded by files-touched — the same
+        // cardinality every manifest operation already handles. Delete
+        // identities carry `_metadata.file_path` URIs (file:///…) while
+        // manifests store plain paths — normalize both before matching.
+        val norm = (p: String) => p.replaceFirst("^file:/+", "/")
+        val touched = dels.select("file_path").distinct()
+          .collect().map(r => norm(r.getString(0))).toSet
+        val parentSub = parent.files.filter(f => touched(norm(f.path)))
+        if (touched.size != parentSub.size)
+          None // deletes target non-parent (same-commit) files: fall back
+        else if (parentSub.isEmpty) Some(emptyDf(meta.schema))
+        else {
+          val base = assemble(s.copy(files = parentSub), withLineage = true)
+          val delRows = pos.map(_.rows).sum
+          val side =
+            if (delRows <= BroadcastDeleteRows) broadcast(dels) else dels
+          Some(ordered(base.join(side,
+            base(LineageFileCol) === side("file_path") &&
+              base(LineagePosCol) === side("pos"), "left_semi")))
+        }
+      case (Nil, eqs) if eqs.size == 1 && addedFiles.isEmpty =>
+        val e = eqs.head
+        val curById = meta.schema.fields.flatMap(f =>
+          TableMeta.fieldId(f).map(_ -> f.name)).toMap
+        val names =
+          if (e.colIds.isEmpty) e.cols
+          else e.colIds.zip(e.cols).map { case (id, was) =>
+            curById.getOrElse(id, return None)
+          }
+        val live = applyAllDeletes(assemble(parent, withLineage = true), parent)
+        val fileCommit = regexp_extract(col(LineageFileCol),
+          "/commit-(\\d+)", 1).cast("long")
+        val keys = spark.read.parquet(e.dir)
+          .select(e.cols.zip(names).map { case (o, n) => col(o).as(n) }: _*)
+        val side =
+          if (e.keyRows <= BroadcastDeleteRows) broadcast(keys) else keys
+        Some(ordered(live.where(fileCommit <= lit(e.coveredUpTo))
+          .join(side, names, "left_semi")))
+      case _ => None // mixed/multi-entry commit: exact diff decides
+    }
+    removed.map(r => (r, added))
+  }
+
   /** `Files.walk` materialized AND closed — the lazy stream holds a
     * directory fd until closed, and a long-lived server (MCP, streaming
     * maintenance) leaking one per GC cycle eventually exhausts fds. */

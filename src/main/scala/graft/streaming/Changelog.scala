@@ -21,10 +21,18 @@ import graft.core.IceTable
   *    straight from the files the commit ADDED (a manifest subtraction, no
   *    shuffle, no scan of pre-existing data). On a 100 TB table with
   *    KB-sized streaming appends each batch costs KBs.
-  *  - delete/update/overwrite/rollback commits fall back to snapshot
-  *    `exceptAll` diffs (both directions), exactly as the reference's
-  *    incremental read does — these are the rare maintenance commits, and
-  *    a diff is the only exact answer once files are rewritten.
+  *  - merge-on-read delete/update/replace-where/merge commits replay from
+  *    the commit's OWN delete files and added files
+  *    ([[graft.core.IceTable.morDelta]]) — O(touched): the position
+  *    deletes name the dead rows (touched-files scan + broadcast identity
+  *    semi-join), the added files name the new ones. A single streamed
+  *    MoR delete on a 100 TB table costs the touched files, never a
+  *    table-sized diff.
+  *  - only TRUE rewrites (overwrite/compaction/rollback/copy-on-write
+  *    mutations) fall back to snapshot `exceptAll` diffs (both
+  *    directions), exactly as the reference's incremental read does —
+  *    these are the rare maintenance commits, and a diff is the only
+  *    exact answer once files are rewritten.
   *
   * Three consumption shapes:
   *  - [[Changelog.changesBetween]]: the batch changelog frame for a commit
@@ -104,25 +112,51 @@ object Changelog {
         else stamp(tbl.readSnapshot(Some(s.copy(files = added,
           deleteFiles = Nil, eqDeleteFiles = Nil))), "insert")
       case "update" if pairUpdateKeys.nonEmpty =>
-        val before = parent.map(p => tbl.readSnapshot(Some(p)))
-          .getOrElse(tbl.emptyDf(tbl.schema))
-        val after = tbl.readSnapshot(Some(s))
         val cols = tbl.schema.fieldNames.toSeq
-        // classifyChanges already narrows to the changed rows (exceptAll
-        // both ways) before the key join, so the pairing costs the same
-        // two diffs as the unpaired path plus a changed-set-sized join
-        graft.analytics.Cdc
-          .classifyChanges(before, after, pairUpdateKeys, cols)
+        // MoR update-shaped commits (update/replace-where/merge: position
+        // deletes + appended files) pair from the commit's OWN delta —
+        // O(touched), see morDelta — with the key join over two
+        // touched-sized frames. True rewrites keep the exceptAll
+        // classification (classifyChanges), the only exact answer once
+        // files are rewritten; either way the pairing join costs the same
+        // as the unpaired path plus a changed-set-sized join.
+        val classified = parent.flatMap(p => tbl.morDelta(p, s)) match {
+          case Some((removed, added)) =>
+            graft.analytics.Cdc
+              .classifyDelta(removed, added, pairUpdateKeys, cols)
+          case None =>
+            val before = parent.map(p => tbl.readSnapshot(Some(p)))
+              .getOrElse(tbl.emptyDf(tbl.schema))
+            val after = tbl.readSnapshot(Some(s))
+            graft.analytics.Cdc
+              .classifyChanges(before, after, pairUpdateKeys, cols)
+        }
+        classified
           .withColumn(ChangeTypeCol, lower(col("change_type")))
           .withColumn(ChangedColumnsCol, col("changed_columns"))
           .drop("change_type", "changed_columns")
           .withColumn(CommitIdCol, lit(s.id))
-      case _ =>
-        val before = parent.map(p => tbl.readSnapshot(Some(p)))
-          .getOrElse(tbl.emptyDf(tbl.schema))
-        val after = tbl.readSnapshot(Some(s))
-        stamp(after.exceptAll(before), "insert")
-          .unionByName(stamp(before.exceptAll(after), "delete"))
+      case other =>
+        def fullDiff: DataFrame = {
+          val before = parent.map(p => tbl.readSnapshot(Some(p)))
+            .getOrElse(tbl.emptyDf(tbl.schema))
+          val after = tbl.readSnapshot(Some(s))
+          stamp(after.exceptAll(before), "insert")
+            .unionByName(stamp(before.exceptAll(after), "delete"))
+        }
+        // merge-on-read delete/update/replace/merge commits: the commit's
+        // own delete files and added files name the delta, so the replay
+        // is O(touched) — scans only the touched data files (position
+        // deletes) or one live pass with a broadcast key semi-join
+        // (equality deletes) plus the added files, never the
+        // both-directions table-sized exceptAll. True rewrites
+        // (overwrite/compaction/rollback/CoW) keep the exact diff.
+        if (other == "delete" || other == "update")
+          parent.flatMap(p => tbl.morDelta(p, s))
+            .map { case (removed, added) =>
+              stamp(added, "insert").unionByName(stamp(removed, "delete"))
+            }.getOrElse(fullDiff)
+        else fullDiff
     }
   }
 

@@ -239,4 +239,116 @@ class ChangelogSpec extends AnyFunSuite {
     t.compact(targetFiles = 1)
     intercept[IllegalArgumentException] { Changelog.appendStream(spark, t) }
   }
+
+  private def logicalScanFiles(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+    plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  test("MoR position-delete replay derives from the commit's delete file: " +
+      "no exceptAll in the plan, and only the touched commit's data files " +
+      "are scanned") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_mdf",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 50)) // commit 1 — the delete's victims live here
+    t.append(df(1000 until 1050)) // commit 2 — untouched by the delete
+    t.deleteWhereMor(col("id") < 5) // commit 3: MoR position delete
+    val ch = Changelog.changesBetween(t, Some(2L), 3L)
+    // exact rows still equal the snapshot diff
+    val diff = t.readSnapshot(t.snapshotById(2L))
+      .exceptAll(t.readSnapshot(t.snapshotById(3L)))
+    val got = ch.where(col(Changelog.ChangeTypeCol) === "delete")
+      .select("id", "name")
+    assert(got.exceptAll(diff).isEmpty && diff.exceptAll(got).isEmpty)
+    assert(ch.where(col(Changelog.ChangeTypeCol) === "insert").isEmpty)
+    // plan shape: delete-file-driven, not a table-sized diff
+    val plan = ch.queryExecution.analyzed
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.isEmpty, "replay of a pure MoR delete must not diff snapshots")
+    // scan set: every data file read belongs to the commit the delete
+    // touched — commit 2's files are never opened
+    val dataScans = logicalScanFiles(plan).filter(_.contains("/data/commit-"))
+    assert(dataScans.nonEmpty)
+    assert(dataScans.forall(_.contains("commit-00001")),
+      s"replay scanned beyond the touched commit: $dataScans")
+  }
+
+  test("MoR update replay derives from the commit's delete + added " +
+      "files: no exceptAll, untouched commits never scanned, pairing " +
+      "intact") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_mur",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 40)) // commit 1 — the update's victims live here
+    t.append(df(1000 until 1040)) // commit 2 — untouched
+    t.updateWhereMor(col("id") < 3, Map("name" -> lit("upd"))) // commit 3
+    val ch = Changelog.changesBetween(t, Some(2L), 3L)
+    val rows = ch.select(Changelog.ChangeTypeCol, "id", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("delete", 0L, "row0"), ("delete", 1L, "row1"), ("delete", 2L, "row2"),
+      ("insert", 0L, "upd"), ("insert", 1L, "upd"), ("insert", 2L, "upd")),
+      s"got $rows")
+    val plan = ch.queryExecution.analyzed
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.isEmpty, "MoR update replay must not diff snapshots")
+    val dataScans = logicalScanFiles(plan).filter(_.contains("/data/commit-"))
+    assert(dataScans.nonEmpty &&
+      dataScans.forall(p => p.contains("commit-00001") ||
+        p.contains("commit-00003")),
+      s"update replay scanned an untouched commit: $dataScans")
+    // pairUpdateKeys goes through classifyDelta on the same O(touched)
+    // frames: same pairs, no exceptAll
+    val paired = Changelog.changesBetween(t, Some(2L), 3L,
+      pairUpdateKeys = Seq("id"))
+    val prows = paired.select(Changelog.ChangeTypeCol, "id", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(prows == Set(
+      ("update_before", 0L, "row0"), ("update_before", 1L, "row1"),
+      ("update_before", 2L, "row2"),
+      ("update_after", 0L, "upd"), ("update_after", 1L, "upd"),
+      ("update_after", 2L, "upd")), s"got $prows")
+    assert(paired.where(col(Changelog.ChangedColumnsCol) =!=
+      array(lit("name"))).isEmpty)
+    assert(paired.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.isEmpty, "paired MoR update replay must not diff snapshots")
+  }
+
+  test("equality-delete replay derives from the key set: no exceptAll, " +
+      "one live-parent pass with a key semi-join") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_eqr",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 50)) // commit 1
+    t.append(df(50 until 80)) // commit 2
+    t.deleteKeysMor(Seq("id"),
+      Seq(3L, 60L, 999L).toDF("id")) // commit 3: keys 3 and 60 match
+    val ch = Changelog.changesBetween(t, Some(2L), 3L)
+    val rows = ch.select(Changelog.ChangeTypeCol, "id", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(("delete", 3L, "row3"), ("delete", 60L, "row60")),
+      s"got $rows")
+    assert(ch.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.isEmpty, "equality-delete replay must not diff snapshots")
+    // and the full-range fold through the mixed history still materializes
+    // to the final table
+    val all = Changelog.changesBetween(t, None, 3L)
+    val material = all.where(col(Changelog.ChangeTypeCol) === "insert")
+      .select("id", "name")
+      .exceptAll(all.where(col(Changelog.ChangeTypeCol) === "delete")
+        .select("id", "name"))
+    val fin = t.read()
+    assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
+  }
 }
