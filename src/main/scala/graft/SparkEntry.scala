@@ -2694,6 +2694,52 @@ object SparkEntry {
       lh.catalog.loadTable("default.cust_m").read()
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // Merge-on-read MERGE gate: same clause semantics as q178 but with
+    // `write.merge.mode=merge-on-read` — the command must land as ONE
+    // position-delete + append snapshot with every parent data file
+    // retained (O(touched), never a table rewrite), and the delete-applied
+    // read must still produce the standard MERGE result. The target is
+    // seeded across TWO appends so the position deletes span files from
+    // different commits.
+    "q179_sql_merge_mor" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val lh = auxTable(s, dir, "wh179") { lh =>
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+        lh.catalog.createTable("default.cust_mm", cust.schema, Nil,
+          Map("write.merge.mode" -> "merge-on-read"))
+        val tb = lh.catalog.loadTable("default.cust_mm")
+        val tgt = cust.where(col("c_custkey") % 3 =!= 0)
+        tb.append(tgt.where(col("c_custkey") % 2 === 0)) // commit 1
+        tb.append(tgt.where(col("c_custkey") % 2 =!= 0)) // commit 2
+        val cat = s"g179_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh179", dir))
+        cust.where(col("c_custkey") % 2 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .createOrReplaceTempView("m179_src")
+        s.sql(s"""MERGE INTO $cat.default.cust_mm t USING m179_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.c_acctbal > 5000.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val tb2 = lh.catalog.loadTable("default.cust_mm")
+        val snaps = tb2.snapshots
+        require(snaps.size == 3, s"MoR merge must be ONE snapshot, " +
+          s"history has ${snaps.size}")
+        val (p, c) = (snaps(1), snaps(2))
+        require(c.operation == "update" && c.deleteFiles.nonEmpty &&
+          p.files.map(_.path).toSet.subsetOf(c.files.map(_.path).toSet),
+          "MoR merge must position-delete + append with parent files " +
+            "retained, never rewrite")
+        ()
+      }
+      lh.catalog.loadTable("default.cust_mm").read()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
     })
   )
 
@@ -5083,6 +5129,31 @@ object SparkEntry {
     // matched & bal>5000 deleted, matched updated, source-only inserted,
     // target-only carried
     "q178_sql_merge" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 3 <> 0),
+        |src AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |tkept AS (
+        |  SELECT t.c_custkey, t.c_mktsegment,
+        |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+        |         ELSE t.c_acctbal END AS c_acctbal
+        |  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        |  WHERE NOT (s.c_custkey IS NOT NULL AND s.c_acctbal > 5000.0)),
+        |ins AS (
+        |  SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal
+        |  FROM src s LEFT JOIN tgt t ON t.c_custkey = s.c_custkey
+        |  WHERE t.c_custkey IS NULL),
+        |final AS (SELECT * FROM tkept UNION ALL SELECT * FROM ins)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM final GROUP BY c_mktsegment""".stripMargin,
+
+    // q179: identical MERGE semantics to q178 (the final logical state
+    // does not depend on the physical merge-on-read layout — that is the
+    // point of the gate)
+    "q179_sql_merge_mor" ->
       """WITH tgt AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |  WHERE c_custkey % 3 <> 0),

@@ -442,6 +442,23 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           .select(meta.schema.fieldNames.map(col).toSeq: _*)
     }
 
+  /** Current live rows WITH their physical row identity
+    * ([[IceTable.LineageFileCol]], [[IceTable.LineagePosCol]]) — the read
+    * merge-on-read writers build position-delete files from. Schema
+    * columns first (current order), lineage columns last. Empty table →
+    * empty frame with the same layout. */
+  def readWithLineage(): DataFrame =
+    currentSnapshot.filter(_.files.nonEmpty) match {
+      case None =>
+        emptyDf(meta.schema)
+          .withColumn(LineageFileCol, lit(null).cast("string"))
+          .withColumn(LineagePosCol, lit(null).cast("long"))
+      case Some(s) =>
+        applyAllDeletes(assemble(s, withLineage = true), s)
+          .select((meta.schema.fieldNames.toSeq ++
+            Seq(LineageFileCol, LineagePosCol)).map(col): _*)
+    }
+
   /** Assemble a snapshot's data files into one frame, resolving each
     * schema-version group by field-id. `withLineage` additionally exposes
     * parquet row lineage (`_metadata.file_path`, `_metadata.row_index`) as
@@ -1060,6 +1077,47 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   def overwrite(df: DataFrame, extraSummary: Map[String, String] = Map.empty): Snapshot =
     commit(df, "overwrite", keepParent = false, extraSummary)
+
+  /** Overwrite whose snapshot summary depends on metrics of the data
+    * write itself (e.g. an `Observation` riding `df`'s plan, the
+    * single-pass MERGE audit): stages the distributed write FIRST —
+    * completing any observation — then evaluates `summaryAfterWrite` and
+    * commits the staged files. The stage dir is writer-unique, so like
+    * every commit the expensive distributed work happens once, outside
+    * the CAS retry loop; a crashed run's stage dir is unreferenced →
+    * orphan GC. */
+  def overwriteObserved(df: DataFrame,
+      summaryAfterWrite: () => Map[String, String]): Snapshot = {
+    val m = meta
+    val stage = dataDir.resolve(
+      s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+    stageWrite(df, m, stage)
+    commit(df, "overwrite", keepParent = false, summaryAfterWrite(),
+      preStaged = Some((stage, m.currentSchemaId)))
+  }
+
+  /** Merge-on-read MERGE commit: ONE atomic snapshot that position-deletes
+    * `deadIdents` (`file_path`, `pos` — row identities from
+    * [[readWithLineage]]) AND appends `newRows` — the [[updateWhereMor]]
+    * machinery generalized to per-row matched sets, so a small MERGE on a
+    * 100 TB table costs O(touched), never a table rewrite. Concurrency is
+    * [[updateWhereMor]]'s: appends commute; concurrent rewrites/updates/
+    * deletes/rollbacks since `asOfId` abort with
+    * `ConcurrentModificationException`. */
+  def mergeMor(deadIdents: DataFrame, newRows: DataFrame, asOfId: Long,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    tableLock.synchronized {
+      val uid = java.util.UUID.randomUUID().toString.take(12)
+      val delDir = dataDir.resolve(s"del-$uid")
+      deadIdents.select(col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(delDir.toString)
+      val delFiles = listDeleteParquet(delDir).filter(_.rows > 0)
+      if (delFiles.isEmpty)
+        walkList(delDir).sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+      commit(newRows, "update", keepParent = true, extraSummary,
+        newDeleteFiles = delFiles, noRewriteSince = Some(asOfId))
+    }
 
   /** `requireParentId`: data-preserving rewrites (compaction) pass the
     * snapshot id their input was read from — if a FOREIGN-process commit

@@ -235,20 +235,67 @@ class Dml(lh: Lakehouse) {
     * ([[graft.engine.GraftMergeStrategy]]): the merged frame replaces the
     * table's contents in ONE copy-on-write snapshot, with the same
     * validation enforcement and audit logging as every other write
-    * surface. `stats` (by-name) is evaluated INSIDE the table lock so the
-    * per-clause counts are computed against the same snapshot the commit
-    * replaces. */
+    * surface. `statsAfterWrite` is evaluated AFTER the staged data write
+    * (inside the table lock, before the metadata commit): the per-clause
+    * counts ride the SAME job as the content — an `Observation` on the
+    * merged plan — so the merge join is never evaluated a second time
+    * just for the audit. (When validation rules exist for the table,
+    * `enforce` runs its own counting actions first and completes the
+    * observation early — same values, one extra pass only on
+    * rule-guarded tables.) */
   def mergeDf(table: String, merged: DataFrame,
-      stats: => Map[String, Long]): Map[String, Long] = {
+      statsAfterWrite: () => Map[String, Long]): Map[String, Long] = {
     val tbl = catalog.loadTable(table)
     tbl.locked {
       lh.validation.enforce(table, merged, None)
-      val counts = stats
-      tbl.overwrite(merged,
-        counts.map { case (k, v) => s"merge-$k" -> v.toString })
+      var counts: Map[String, Long] = Map.empty
+      tbl.overwriteObserved(merged, () => {
+        counts = statsAfterWrite()
+        counts.map { case (k, v) => s"merge-$k" -> v.toString }
+      })
       lh.audit.log(table, "merge",
         counts.map { case (k, v) => k -> v.toString })
       counts
+    }
+  }
+
+  /** Merge-on-read twin of [[mergeDf]]: `delta` is the classified
+    * O(touched) subset of the merge join (rows with
+    * [[graft.engine.GraftMerge.CatCol]] ∈ updated/deleted/inserted,
+    * carrying the target-schema values plus the matched rows' lineage
+    * identities). It is STAGED to a temp parquet in ONE distributed pass
+    * — completing the counts observation — and both commit halves (the
+    * position-delete file and the appended content) derive from that
+    * materialized set, exactly the [[graft.core.IceTable.updateWhereMor]]
+    * shape. Carried rows are never read back or rewritten. */
+  def mergeMorDf(table: String, delta: DataFrame, asOfId: Long,
+      statsAfterWrite: () => Map[String, Long]): Map[String, Long] = {
+    import graft.core.IceTable
+    import graft.engine.GraftMerge
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merge-delta-")
+      try {
+        delta.write.mode("overwrite").parquet(tmp.toString)
+        val counts = statsAfterWrite()
+        val staged = spark.read.parquet(tmp.toString)
+        val dead = staged.where(col(GraftMerge.CatCol)
+            .isin("updated", "deleted"))
+          .select(col(IceTable.LineageFileCol).as("file_path"),
+            col(IceTable.LineagePosCol).as("pos"))
+        val newRows = staged.where(col(GraftMerge.CatCol)
+            .isin("updated", "inserted"))
+          .select(tbl.schema.fieldNames.map(col).toSeq: _*)
+        lh.validation.enforce(table, newRows, None)
+        tbl.mergeMor(dead, newRows, asOfId,
+          counts.map { case (k, v) => s"merge-$k" -> v.toString })
+        lh.audit.log(table, "merge",
+          counts.map { case (k, v) => k -> v.toString } +
+            ("mode" -> "merge-on-read"))
+        counts
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
     }
   }
 

@@ -1,15 +1,17 @@
 package graft.engine
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+
+import graft.core.IceTable
 
 /** SQL `MERGE INTO` for graft tables — the natural completion of the
   * native-SQL-writes story (INSERT/DELETE/REPLACE WHERE already route
@@ -30,39 +32,96 @@ import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
   * its own strategies) matches the fully-ANALYZED `MergeIntoTable` command
   * — star-expansion and assignment alignment already done by the analyzer
   * — over a [[GraftSparkTable]] relation and executes it as one
-  * distributed DataFrame plan + one atomic overwrite commit through
-  * [[graft.dml.Dml.mergeDf]] (validation + audit, like every other write
-  * surface).
+  * distributed DataFrame plan + one atomic commit through
+  * [[graft.dml.Dml]] (validation + audit, like every other write surface).
   *
   * Semantics (SQL standard / Spark MERGE):
   *  - clauses are evaluated FIRST-MATCH per row, in declaration order —
   *    a `when` chain, which short-circuits exactly that way;
   *  - a target row matched by MORE THAN ONE source row raises an error
-  *    (nondeterministic update) — enforced by a window count over a
-  *    per-target-row id, evaluated inside the same plan via
-  *    `raise_error`, so the check costs no extra pass and no commit can
-  *    land on ambiguous input;
+  *    ONLY when a matched UPDATE/DELETE clause applies to one of the
+  *    duplicated pairs (the nondeterministic-modification case —
+  *    Spark/Delta/Iceberg's rule); a many-to-one match where no matched
+  *    clause applies (e.g. an insert-only dedup-ingest MERGE) is valid
+  *    and carries ONE copy of the target row. Enforced by window
+  *    aggregates over a per-target-row id inside the same plan via
+  *    `raise_error` — no extra pass, and no commit can land on ambiguous
+  *    input;
+  *  - assignment keys must resolve to top-level target columns; nested
+  *    field assignments (`SET addr.city = …`) are refused loudly rather
+  *    than silently keeping the old value;
   *  - unmatched target rows with no `NOT MATCHED BY SOURCE` clause (and
   *    matched rows with no applying clause) carry over unchanged;
   *    unmatched source rows with no applying INSERT clause are ignored.
   *
   * Scale shape: ONE full-outer join on the merge condition (shuffle or
-  * broadcast by Catalyst's choice), a window partitioned by the unique
-  * per-target-row id (near-uniform, never single-partition), then the
-  * copy-on-write overwrite — the same commit shape as
-  * [[graft.dml.Dml.upsert]], which is this operator's key-equality
-  * special case. */
+  * broadcast by Catalyst's choice), window aggregates partitioned by the
+  * unique per-target-row id (near-uniform, never single-partition), then
+  * ONE commit pass:
+  *  - copy-on-write (default): the merged content overwrites the table;
+  *    the per-clause audit counts ride the SAME write job as an
+  *    [[org.apache.spark.sql.Observation]] — the join is evaluated once,
+  *    not once for counts and once for content;
+  *  - `write.merge.mode=merge-on-read`: ONE pass over the join stages the
+  *    O(touched) delta (updated/deleted row identities + new row
+  *    content), from which a position-delete file and an append land as
+  *    ONE atomic snapshot ([[IceTable.mergeMor]]) — carried rows are
+  *    never rewritten, so a small MERGE on a 100 TB table costs
+  *    O(touched) like a MoR update. */
 object GraftMerge {
 
   private val TP = "__graft_merge_t_present"
   private val SP = "__graft_merge_s_present"
   private val TID = "__graft_merge_tid"
-  private val MC = "__graft_merge_match_count"
 
-  /** Build (mergedRows, perRowCategory) frames for the command. Category
-    * frame has one string column `c` ∈ updated/deleted/carried/inserted/
-    * ignored for the audit counts. */
-  def plan(spark: SparkSession, m: MergeIntoTable): (DataFrame, DataFrame) = {
+  /** Classification column: updated/deleted/carried/inserted/ignored, or
+    * null for the collapsed duplicates of a many-to-one carried row. */
+  val CatCol = "__graft_merge_cat"
+  /** Row-survives-the-merge column (false = deleted/ignored/collapsed). */
+  val KeepCol = "__graft_merge_keep"
+
+  val Categories = Seq("updated", "deleted", "carried", "inserted", "ignored")
+
+  /** Refuse assignment keys that are not top-level target columns —
+    * a nested-field or computed key would otherwise silently fall back
+    * to the old value while the merge reports success. */
+  private def validateAssignments(m: MergeIntoTable,
+      targetAttrs: Seq[Attribute]): Unit = {
+    val tgtIds = targetAttrs.map(_.exprId).toSet
+    def check(actions: Seq[MergeAction], where: String): Unit =
+      actions.foreach {
+        case u: UpdateAction => u.assignments.foreach(_.key match {
+          case ar: AttributeReference if tgtIds(ar.exprId) => ()
+          case k => throw new UnsupportedOperationException(
+            s"MERGE $where assignment key '${k.sql}' does not resolve to " +
+              "a top-level target column (nested-field assignments are " +
+              "not supported — update the whole struct column instead)")
+        })
+        case i: InsertAction => i.assignments.foreach(_.key match {
+          case ar: AttributeReference if tgtIds(ar.exprId) => ()
+          case k => throw new UnsupportedOperationException(
+            s"MERGE $where assignment key '${k.sql}' does not resolve to " +
+              "a top-level target column")
+        })
+        case _ => ()
+      }
+    check(m.matchedActions, "WHEN MATCHED")
+    check(m.notMatchedActions, "WHEN NOT MATCHED")
+    check(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
+  }
+
+  /** The classified merge frame: the full-outer join of `tgt0` (the
+    * target content — the command's own relation for copy-on-write, the
+    * engine's lineage-bearing read for merge-on-read) against the
+    * command's source, one row per surviving pair, columns = target
+    * schema values + `passthrough` (carried verbatim from `tgt0`,
+    * null on source-only rows) + [[CatCol]] + [[KeepCol]].
+    *
+    * `rebind` substitutes the command's target AttributeReferences with
+    * `tgt0`'s when the two differ (the MoR path); identity for CoW. */
+  def classify(spark: SparkSession, m: MergeIntoTable, tgt0: DataFrame,
+      passthrough: Seq[String],
+      rebind: Expression => Expression): DataFrame = {
     // WITH SCHEMA EVOLUTION needs the field-id alter path (IceTable
     // addColumn), which DSv2 TableChanges cannot carry — refuse loudly
     // rather than silently merging against the unevolved schema
@@ -70,34 +129,34 @@ object GraftMerge {
       "MERGE … WITH SCHEMA EVOLUTION is not supported: evolve the schema " +
         "through the engine API (IceTable.addColumn) first")
     val targetAttrs: Seq[Attribute] = m.targetTable.output
-    val reserved = Seq(TP, SP, TID, MC)
+    validateAssignments(m, targetAttrs)
+    val reserved = Seq(TP, SP, TID, CatCol, KeepCol)
     val clash = (m.targetTable.output ++ m.sourceTable.output)
       .map(_.name).toSet.intersect(reserved.toSet)
     require(clash.isEmpty, s"reserved merge column name in use: $clash")
 
-    val tgt = DatasetBridge.ofRows(spark, m.targetTable)
+    val tgt = tgt0
       .withColumn(TP, lit(true))
       .withColumn(TID, monotonically_increasing_id())
     val src = DatasetBridge.ofRows(spark, m.sourceTable)
       .withColumn(SP, lit(true))
-    val joined = tgt.join(src, ColumnBridge.column(m.mergeCondition),
-      "full_outer")
+    def cc(e: Expression): Column = ColumnBridge.column(rebind(e))
+    val joined = tgt.join(src, cc(m.mergeCondition), "full_outer")
 
     def condCol(a: MergeAction): Column =
-      a.condition.map(ColumnBridge.column).getOrElse(lit(true))
-    def attrCol(a: Attribute): Column = ColumnBridge.column(a)
+      a.condition.map(cc).getOrElse(lit(true))
     def assignedValue(a: MergeAction, attr: Attribute,
         default: Column): Column = a match {
       case u: UpdateAction =>
         u.assignments.find(_.key match {
           case ar: AttributeReference => ar.exprId == attr.exprId
           case _ => false
-        }).map(asg => ColumnBridge.column(asg.value)).getOrElse(default)
+        }).map(asg => cc(asg.value)).getOrElse(default)
       case i: InsertAction =>
         i.assignments.find(_.key match {
           case ar: AttributeReference => ar.exprId == attr.exprId
           case _ => false
-        }).map(asg => ColumnBridge.column(asg.value)).getOrElse(default)
+        }).map(asg => cc(asg.value)).getOrElse(default)
       case _: DeleteAction => default
       case other => throw new UnsupportedOperationException(
         s"unsupported MERGE action: $other")
@@ -121,38 +180,70 @@ object GraftMerge {
 
     // ---- target-side rows (matched or not-matched-by-source) ----------
     val matched = col(SP).isNotNull
-    val tSide = joined.where(col(TP).isNotNull)
-      .withColumn(MC, count(col(SP)).over(Window.partitionBy(col(TID))))
-    val keepT = when(col(MC) > 1,
-      raise_error(lit("MERGE cardinality violation: a target row matched " +
-        "more than one source row")).cast("boolean"))
+    val wTid = Window.partitionBy(col(TID))
+    val mc = count(col(SP)).over(wTid)
+    // does the FIRST-matching clause of any duplicated pair modify the
+    // row? Only then is a many-to-one match ambiguous (Spark/Delta rule);
+    // a carried many-to-one row instead collapses to one output copy
+    val appliesM = m.matchedActions.foldRight(lit(false))((a, els) =>
+      when(condCol(a), lit(true)).otherwise(els))
+    val anyApplies =
+      max(when(matched && appliesM, lit(1)).otherwise(lit(0))).over(wTid)
+    val rn = row_number().over(Window.partitionBy(col(TID)).orderBy(col(TID)))
+    val keepT =
+      when(mc > 1 && anyApplies === 1,
+        raise_error(lit("MERGE cardinality violation: a target row " +
+          "matched more than one source row with an applying matched " +
+          "clause")).cast("boolean"))
+      .when(mc > 1, rn === 1) // valid many-to-one carry: one copy survives
       .otherwise(when(matched, chainKeep(m.matchedActions, lit(true)))
         .otherwise(chainKeep(m.notMatchedBySourceActions, lit(true))))
-    def valT(attr: Attribute): Column =
-      when(matched, chainValue(m.matchedActions, attr, attrCol(attr)))
-        .otherwise(chainValue(m.notMatchedBySourceActions, attr,
-          attrCol(attr)))
-    val resT = tSide.where(keepT)
-      .select(targetAttrs.map(a =>
-        valT(a).cast(a.dataType).as(a.name)): _*)
-    val catT = tSide.select(
-      (when(matched, chainCat(m.matchedActions, lit("carried")))
+    val catT =
+      when(mc > 1, when(rn === 1, lit("carried")).otherwise(lit(null)))
+      .otherwise(when(matched, chainCat(m.matchedActions, lit("carried")))
         .otherwise(chainCat(m.notMatchedBySourceActions, lit("carried"))))
-        .as("c"))
+    def valT(attr: Attribute): Column =
+      when(mc > 1, cc(attr)) // carried copy: values unchanged
+        .otherwise(when(matched, chainValue(m.matchedActions, attr, cc(attr)))
+          .otherwise(chainValue(m.notMatchedBySourceActions, attr,
+            cc(attr))))
+    val tAll = joined.where(col(TP).isNotNull).select(
+      targetAttrs.map(a => valT(a).cast(a.dataType).as(a.name)) ++
+        passthrough.map(col) ++
+        Seq(catT.as(CatCol), keepT.as(KeepCol)): _*)
 
     // ---- source-only rows (NOT MATCHED) --------------------------------
     val sSide = joined.where(col(TP).isNull)
     val keepS = chainKeep(m.notMatchedActions, lit(false))
-    def valS(attr: Attribute): Column =
-      chainValue(m.notMatchedActions, attr, lit(null))
-    val resS = sSide.where(keepS)
-      .select(targetAttrs.map(a =>
-        valS(a).cast(a.dataType).as(a.name)): _*)
-    val catS = sSide.select(
-      when(keepS, lit("inserted")).otherwise(lit("ignored")).as("c"))
+    val sAll = sSide.select(
+      targetAttrs.map(a =>
+        chainValue(m.notMatchedActions, a, lit(null))
+          .cast(a.dataType).as(a.name)) ++
+        passthrough.map(c => lit(null).cast(tgt0.schema(c).dataType).as(c)) ++
+        Seq(when(keepS, lit("inserted")).otherwise(lit("ignored")).as(CatCol),
+          keepS.as(KeepCol)): _*)
 
-    (resT.unionByName(resS), catT.unionByName(catS))
+    tAll.unionByName(sAll)
   }
+
+  /** Attach the per-clause audit counts to `classified` as an
+    * [[Observation]] — they materialize from whatever single action later
+    * consumes the frame (the overwrite's stage write, the MoR delta
+    * write), never from a second evaluation of the merge join. */
+  def observed(classified: DataFrame): (DataFrame, Observation) = {
+    val obs = Observation()
+    val aggs = Categories.map(c =>
+      count(when(col(CatCol) === c, lit(1))).as(c))
+    (classified.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Observation metrics → the per-category count map. */
+  def counts(obs: Observation): Map[String, Long] =
+    Categories.map(c => c -> (obs.get.getOrElse(c, 0L) match {
+      case l: java.lang.Long => l.longValue
+      case l: Long => l
+      case other => other.toString.toLong
+    })).toMap
 }
 
 /** Planner strategy claiming analyzed MERGE commands over graft tables.
@@ -170,27 +261,60 @@ class GraftMergeStrategy extends SparkStrategy {
   }
 }
 
-/** Physical MERGE command: builds the merged-content plan and commits it
-  * through Dml (validation + audit + one overwrite snapshot), all under
-  * the table lock so the read-compute-overwrite cycle is atomic against
+/** Physical MERGE command: builds the classified merge plan and commits
+  * it through Dml (validation + audit + ONE atomic snapshot), all under
+  * the table lock so the read-compute-commit cycle is atomic against
   * in-JVM writers. Runs nested Spark jobs from the driver — the
-  * RunnableCommand pattern. */
+  * RunnableCommand pattern. Copy-on-write by default;
+  * `write.merge.mode=merge-on-read` lands a position-delete + append
+  * snapshot instead (O(touched)). The side effect is memoized — a
+  * re-executed plan (or both executeCollect and doExecute firing) can
+  * never merge twice (the V2CommandExec rule). */
 case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
     m: MergeIntoTable) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
 
-  override def executeCollect(): Array[InternalRow] = {
+  private lazy val result: Array[InternalRow] = {
     val spark = session.asInstanceOf[SparkSession]
-    val (merged, cats) = GraftMerge.plan(spark, m)
-    lh.dml.mergeDf(fullName, merged, {
-      cats.groupBy("c").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    })
+    val tbl = lh.catalog.loadTable(fullName)
+    val mor = tbl.meta.properties.get("write.merge.mode")
+      .contains("merge-on-read") &&
+      tbl.currentSnapshot.exists(_.files.nonEmpty)
+    if (!mor) {
+      val classified = GraftMerge.classify(spark, m,
+        DatasetBridge.ofRows(spark, m.targetTable), Nil, identity)
+      val (obsFrame, obs) = GraftMerge.observed(classified)
+      val merged = obsFrame.where(col(GraftMerge.KeepCol))
+        .drop(GraftMerge.CatCol, GraftMerge.KeepCol)
+      lh.dml.mergeDf(fullName, merged, () => GraftMerge.counts(obs))
+    } else {
+      // merge-on-read: rebind the command's target attributes onto the
+      // engine's lineage-bearing read, stage the O(touched) delta in ONE
+      // pass over the join, and land delete-file + append as one snapshot
+      val asOf = tbl.currentSnapshot.get.id
+      val tgt0 = tbl.readWithLineage()
+      val newAttrs = DatasetBridge.output(tgt0)
+      val byName = newAttrs.map(a => a.name -> a).toMap
+      val mapping: Map[ExprId, Attribute] = m.targetTable.output
+        .flatMap(o => byName.get(o.name).map(o.exprId -> _)).toMap
+      val rebind: Expression => Expression = _.transform {
+        case ar: AttributeReference if mapping.contains(ar.exprId) =>
+          mapping(ar.exprId)
+      }
+      val lineage = Seq(IceTable.LineageFileCol, IceTable.LineagePosCol)
+      val classified = GraftMerge.classify(spark, m, tgt0, lineage, rebind)
+      val (obsFrame, obs) = GraftMerge.observed(classified)
+      val delta = obsFrame.where(col(GraftMerge.CatCol)
+        .isin("updated", "deleted", "inserted"))
+      lh.dml.mergeMorDf(fullName, delta, asOf, () => GraftMerge.counts(obs))
+    }
     Array.empty
   }
 
+  override def executeCollect(): Array[InternalRow] = result
+
   override protected def doExecute(): RDD[InternalRow] = {
-    executeCollect()
+    result
     sparkContext.emptyRDD
   }
 }

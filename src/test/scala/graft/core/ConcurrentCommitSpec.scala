@@ -265,6 +265,54 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assertLinear(a)
   }
 
+  test("MoR MERGE vs concurrent append: the append commutes (its rows " +
+      "were not read) and both commits survive") {
+    val cat = newCatalog()
+    val a = cat.createTable("t12m", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 100))
+    val asOf = a.currentSnapshot.get.id
+    // the merge's touched set: update ids >= 90 (dead identities + copies)
+    val hits = a.readWithLineage().where(col("id") >= 90)
+    val dead = hits.select(col(IceTable.LineageFileCol).as("file_path"),
+      col(IceTable.LineagePosCol).as("pos"))
+    val fresh = hits.withColumn("name", lit("merged"))
+      .select(col("id"), col("name"))
+    val b = cat.loadTable("t12m")
+    injectOnce(a)(b.append(df(200 until 210)))
+    a.mergeMor(dead, fresh, asOf, Map("merge-updated" -> "10"))
+    assert(a.rawLog.map(_.operation) == List("append", "append", "update"))
+    // 0..89 kept + 90..99 merged copies + 200..209 concurrent append
+    assert(a.read().count() == 110)
+    assert(a.read().where(col("name") === "merged").count() == 10)
+    assert(a.read().where(col("id") >= 200).count() == 10,
+      "rows appended concurrently with the merge must survive it")
+    assertLinear(a)
+  }
+
+  test("MoR MERGE vs concurrent compaction: ABORTS instead of committing " +
+      "positions against rewritten files") {
+    val cat = newCatalog()
+    val a = cat.createTable("t13m", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 100))
+    val asOf = a.currentSnapshot.get.id
+    val hits = a.readWithLineage().where(col("id") >= 90)
+    val dead = hits.select(col(IceTable.LineageFileCol).as("file_path"),
+      col(IceTable.LineagePosCol).as("pos"))
+    val fresh = hits.withColumn("name", lit("merged"))
+      .select(col("id"), col("name"))
+    val b = cat.loadTable("t13m")
+    injectOnce(a)(b.compact(targetFiles = 1))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      a.mergeMor(dead, fresh, asOf)
+    }
+    assert(e.getMessage.contains("removed or relocated rows"))
+    assert(a.read().count() == 100, "aborted merge must change nothing")
+    assert(a.read().where(col("name") === "merged").count() == 0)
+    assertLinear(a)
+  }
+
   test("MoR filter-overwrite vs concurrent compaction: ABORTS instead of " +
       "committing positions against rewritten files") {
     val cat = newCatalog()

@@ -116,4 +116,150 @@ class GraftMergeSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b && a.size == 4, s"merge=$a upsert=$b")
   }
+
+  test("insert-only MERGE with a many-to-one source is VALID (dedup " +
+      "ingest): no cardinality error, target row carried once") {
+    lh.catalog.createTable("default.m5",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m5")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // id=1 matches TWICE; id=7 is new (also duplicated in the source —
+    // both unmatched copies insert, standard MERGE semantics)
+    Seq((1L, "x"), (1L, "y"), (7L, "n1")).toDF("id", "v")
+      .createOrReplaceTempView("m5_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m5 t USING m5_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (7L, "n1")), s"got $got")
+    val snap = t.currentSnapshot.get
+    assert(snap.summary.get("merge-carried").contains("2") && // 1 once, 2
+      snap.summary.get("merge-inserted").contains("1"),
+      s"summary: ${snap.summary}")
+  }
+
+  test("many-to-one match where no matched clause CONDITION applies " +
+      "carries one copy; it errors only when a modifying clause applies") {
+    lh.catalog.createTable("default.m6",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m6")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("m6_src")
+    // conditions false for every duplicated pair -> valid, carried once
+    spark.sql(
+      s"""MERGE INTO $catName.default.m6 t USING m6_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'zzz' THEN UPDATE SET *""".stripMargin)
+    assert(t.read().count() == 1)
+    // a pair DOES satisfy the update condition -> ambiguous -> error
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catName.default.m6 t USING m6_src s ON t.id = s.id
+           |WHEN MATCHED AND s.v = 'x' THEN UPDATE SET *""".stripMargin)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(c => String.valueOf(c.getMessage) +: msgs(c.getCause))
+    assert(msgs(e).exists(_.contains("cardinality")), msgs(e).mkString("|"))
+  }
+
+  test("single-pass MERGE: the source is evaluated ONCE — audit counts " +
+      "ride the write job as an Observation, not a second join pass") {
+    lh.catalog.createTable("default.m7",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m7")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val acc = spark.sparkContext.longAccumulator("m7_src_evals")
+    val bump = udf((x: Long) => { acc.add(1L); x }).asNondeterministic()
+    Seq((2L, "B"), (4L, "D")).toDF("id", "v")
+      .withColumn("id", bump(col("id")))
+      .createOrReplaceTempView("m7_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m7 t USING m7_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().count() == 4)
+    assert(acc.value == 2L,
+      s"source rows evaluated ${acc.value} times for 2 rows — the merge " +
+        "join must run exactly once")
+  }
+
+  test("assignment to a non-top-level key is refused loudly, not " +
+      "silently dropped") {
+    val seed = spark.sql(
+      "SELECT 1L AS id, named_struct('city','x','zip','1') AS addr")
+    lh.catalog.createTable("default.m8", seed.schema, Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m8")
+    t.append(seed)
+    spark.sql("SELECT 1L AS id, 'y' AS city").createOrReplaceTempView("m8_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catName.default.m8 t USING m8_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET addr.city = s.city""".stripMargin)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(c => String.valueOf(c.getMessage) +: msgs(c.getCause))
+    assert(msgs(e).exists(m => m.contains("top-level") ||
+      m.contains("nested") || m.contains("INVALID") || m.contains("cannot")),
+      msgs(e).mkString("|"))
+    // the old value must survive — nothing committed
+    val city = t.read().select("addr.city").head().getString(0)
+    assert(city == "x" && t.rawLog.size == 1)
+  }
+
+  test("merge-on-read MERGE: one position-delete + append snapshot, " +
+      "parent data files retained, counts stamped, result identical to " +
+      "the CoW semantics") {
+    lh.catalog.createTable("default.m9",
+      Seq("id" -> "long", "v" -> "string", "amt" -> "long"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m9")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "amt"))
+    t.append(Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "amt"))
+    Seq((2L, "B", 200L), (3L, "DEL", 0L), (9L, "NEW", 900L))
+      .toDF("id", "v", "amt").createOrReplaceTempView("m9_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m9 t USING m9_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt + t.amt
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "B", 220L), (4L, "d", 40L),
+      (9L, "NEW", 900L)), s"got $got")
+    // ONE new snapshot, update-shaped: parent files all retained,
+    // position deletes present, appended file(s) added
+    val snaps = t.snapshots
+    assert(snaps.size == 3, s"history: ${t.rawLog.map(_.operation)}")
+    val (p, c) = (snaps(1), snaps(2))
+    assert(c.operation == "update" && c.deleteFiles.nonEmpty &&
+      p.files.map(_.path).toSet.subsetOf(c.files.map(_.path).toSet) &&
+      c.files.size > p.files.size,
+      s"op=${c.operation} del=${c.deleteFiles.size} " +
+        s"files ${p.files.size}->${c.files.size}")
+    assert(c.summary.get("merge-updated").contains("1") &&
+      c.summary.get("merge-deleted").contains("1") &&
+      c.summary.get("merge-inserted").contains("1") &&
+      c.summary.get("merge-carried").contains("2"),
+      s"summary: ${c.summary}")
+    // time travel still sees the pre-merge state
+    assert(t.readSnapshot(t.snapshotById(2L)).count() == 4)
+  }
+
+  test("merge-on-read MERGE with a delete-only clause set works (no " +
+      "appended content)") {
+    lh.catalog.createTable("default.m10",
+      Seq("id" -> "long", "v" -> "string"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m10")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("m10_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m10 t USING m10_src s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val got = t.read().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L), s"got $got")
+    val c = t.currentSnapshot.get
+    assert(c.operation == "update" && c.deleteFiles.nonEmpty)
+  }
 }
