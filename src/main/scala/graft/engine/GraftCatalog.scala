@@ -308,13 +308,28 @@ private class EngineReadScanBuilder(tbl: IceTable, snap: graft.core.Snapshot)
         new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context
           override def schema: StructType = req
+          // the engine frame's rows are handed over as INTERNAL rows
+          // (queryExecution.toRdd below): Spark's V1-bridge scan exec then
+          // skips both halves of the InternalRow→Row→InternalRow round
+          // trip the plain `.rdd` bridge pays — measured 10-19% of the
+          // whole MoR read at sf0.1 (tools/MorReadProf), all of it
+          // per-row conversion
+          override val needConversion: Boolean = false
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val base = tbl.readSnapshotPruned(snap, filterCol)
             // applying the filter INSIDE the engine frame lets parquet
             // row-group pushdown fire under the anti-joins; Spark's
-            // residual re-application on top is then a cheap no-op pass
+            // residual re-application on top is then a cheap no-op pass.
+            // Safe because toColumn's translation parity with Catalyst
+            // semantics is asserted per Filter shape (nulls, coercion,
+            // Not/Or composition) by GraftFilterParitySpec — an
+            // over-restrictive translation here would drop rows residual
+            // re-application cannot restore
             val narrowed = filterCol.fold(base)(base.where)
-            narrowed.select(req.fieldNames.toSeq.map(col): _*).rdd
+            narrowed.select(req.fieldNames.toSeq.map(col): _*)
+              .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+              .queryExecution.toRdd
+              .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
           }
         }.asInstanceOf[T]
     }
