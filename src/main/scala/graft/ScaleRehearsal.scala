@@ -126,12 +126,14 @@ object ScaleRehearsal {
           .groupBy(window(col("ts"), "1 hour"), col("j"), col("bucket"))
           .agg(count(lit(1))).count()
       }
-      // ---- changelog + WAP write-path families (round-15) --------------
+      // ---- changelog + WAP write-path families (round-15/16) -----------
       // Claims to MEASURE, not argue:
       //  (a) append-commit replay reads only the ADDED files — near-zero
-      //      shuffle at any table size — while a rewrite-class commit pays
-      //      a table-sized exceptAll diff (the changelog's documented cost
-      //      split, streaming/Changelog.scala:19-27);
+      //      shuffle at any table size;
+      //  (a') a pure MoR delete commit replays from its OWN delete files
+      //      (O(deleted): touched-files scan + broadcast identity
+      //      semi-join, core/IceTable.morDelta) — only a TRUE
+      //      rewrite (compaction) pays the table-sized exceptAll diff;
       //  (b) incremental rollup maintenance folds the DELTA against
       //      state, vs a full recompute scanning the table;
       //  (c) WAP publish is O(metadata) — flat time / zero shuffle while
@@ -148,11 +150,11 @@ object ScaleRehearsal {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-rehearsal-ck-")
       streaming.Changelog.maintainRollup(lhR, "default.cl", "default.cl_ru",
         Seq("l_returnflag"), "l_extendedprice", ckpt) // state through c3
-      tb.deleteWhereMor(col("l_quantity") < 2.0) // commit 4 (rewrite-class)
+      tb.deleteWhereMor(col("l_quantity") < 2.0) // commit 4 (MoR delete)
       val clAppend = measured {
         streaming.Changelog.changesBetween(tb, None, 3L).count()
       }
-      val clDiff = measured {
+      val clDelete = measured {
         streaming.Changelog.changesBetween(tb, Some(3L), 4L).count()
       }
       val ruInc = measured {
@@ -164,6 +166,10 @@ object ScaleRehearsal {
         tb.read().groupBy(col("l_returnflag"))
           .agg(count(lit(1)), sum((col("l_extendedprice") * 1e6)
             .cast("long"))).count()
+      }
+      tb.compact(targetFiles = cpus.toInt) // commit 5 (true rewrite)
+      val clDiff = measured {
+        streaming.Changelog.changesBetween(tb, Some(4L), 5L).count()
       }
       lhR.catalog.createTable("default.wap", li.schema, Nil, Map.empty)
       val tw = lhR.catalog.loadTable("default.wap")
@@ -177,6 +183,7 @@ object ScaleRehearsal {
           "rrf_batch_q4" -> rrf4, "rrf_batch_q16" -> rrf16,
           "cms_state_naive" -> naiveState, "cms_state_grid" -> cmsState,
           "changelog_append_replay" -> clAppend,
+          "changelog_mor_delete_replay" -> clDelete,
           "changelog_rewrite_diff" -> clDiff,
           "rollup_incremental" -> ruInc, "rollup_full_recompute" -> ruFull,
           "wap_stage" -> wapStage, "wap_publish" -> wapPublish)) {
