@@ -267,14 +267,18 @@ class Dml(lh: Lakehouse) {
     * — completing the counts observation — and both commit halves (the
     * position-delete file and the appended content) derive from that
     * materialized set, exactly the [[graft.core.IceTable.updateWhereMor]]
-    * shape. Carried rows are never read back or rewritten. */
+    * shape (including its staging location: a dotted dir INSIDE the
+    * table's data dir, i.e. the shared warehouse filesystem — a
+    * driver-local temp path would not be visible to executors on a real
+    * cluster). Carried rows are never read back or rewritten. */
   def mergeMorDf(table: String, delta: DataFrame, asOfId: Long,
       statsAfterWrite: () => Map[String, Long]): Map[String, Long] = {
     import graft.core.IceTable
     import graft.engine.GraftMerge
     val tbl = catalog.loadTable(table)
     tbl.locked {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-merge-delta-")
+      val tmp = tbl.dataDir.resolve(
+        s".merge-delta-${java.util.UUID.randomUUID().toString.take(12)}")
       try {
         delta.write.mode("overwrite").parquet(tmp.toString)
         val counts = statsAfterWrite()
