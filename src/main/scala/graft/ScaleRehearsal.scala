@@ -175,6 +175,41 @@ object ScaleRehearsal {
       val tw = lhR.catalog.loadTable("default.wap")
       val wapStage = measured { tw.stageAppend(li, "batch").rows }
       val wapPublish = measured { tw.publishWap("batch"); 1L }
+      // ---- MERGE families (round-16): MoR O(touched) vs CoW rewrite ----
+      // Claim to MEASURE: the same small SQL MERGE (1% of keys updated)
+      // against a merge-on-read table costs O(touched) — one
+      // position-delete file + a 1%-sized append, cost dominated by the
+      // join probe — while the copy-on-write form rewrites the whole
+      // table, so its write volume grows ~10× with the table.
+      val ord = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val nOrd = ord.count()
+      GraftExtensions.register(spark)
+      val cat = s"gsr_${sf.replace(".", "_")}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[engine.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      ord.where(col("o_orderkey") % 100 === 7)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .createOrReplaceTempView("sr_merge_src")
+      def mergeSql(table: String) =
+        s"""MERGE INTO $cat.default.$table t USING sr_merge_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      lhR.catalog.createTable("default.mg_mor", ord.schema, Nil,
+        Map("write.merge.mode" -> "merge-on-read"))
+      val tmMor = lhR.catalog.loadTable("default.mg_mor")
+      tmMor.append(ord)
+      lhR.catalog.createTable("default.mg_cow", ord.schema, Nil, Map.empty)
+      val tmCow = lhR.catalog.loadTable("default.mg_cow")
+      tmCow.append(ord)
+      val mergeMor = measured {
+        spark.sql(mergeSql("mg_mor"))
+        // touched = the position-delete rows this ONE commit wrote
+        tmMor.currentSnapshot.map(_.deleteFiles.map(_.rows).sum).getOrElse(0L)
+      }
+      val mergeCow = measured { spark.sql(mergeSql("mg_cow")); nOrd }
 
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
           "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,
@@ -186,7 +221,9 @@ object ScaleRehearsal {
           "changelog_mor_delete_replay" -> clDelete,
           "changelog_rewrite_diff" -> clDiff,
           "rollup_incremental" -> ruInc, "rollup_full_recompute" -> ruFull,
-          "wap_stage" -> wapStage, "wap_publish" -> wapPublish)) {
+          "wap_stage" -> wapStage, "wap_publish" -> wapPublish,
+          "merge_mor_touched" -> mergeMor,
+          "merge_cow_rewrite" -> mergeCow)) {
         if (!first) out.append(",")
         first = false
         out.append(s"""{"sf":"$sf","docs":$nDocs,"vecs":$nVecs,""" +

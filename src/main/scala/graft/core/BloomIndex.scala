@@ -58,7 +58,12 @@ object BloomIndex {
       schema: StructType, fileSchemaOf: Int => Option[StructType],
       bloomCols: Set[String], conf: Configuration): Boolean =
     conjs.forall { c =>
-      if (c.op != "=" || c.value.isEmpty || !bloomCols.contains(c.field)) true
+      val vals = c.op match {
+        case "=" if c.value.nonEmpty => c.value.toSeq
+        case "in" if c.values.nonEmpty => c.values
+        case _ => Nil
+      }
+      if (vals.isEmpty || !bloomCols.contains(c.field)) true
       else {
         val probed = for {
           cur <- schema.fields.find(_.name == c.field)
@@ -66,7 +71,7 @@ object BloomIndex {
           ff <- fileSchemaOf(f.schemaId).getOrElse(schema).fields
             .find(x => TableMeta.fieldId(x).contains(id))
           if ff.dataType == cur.dataType
-        } yield mightContain(f.path, ff.name, ff.dataType, c.value.get, conf)
+        } yield mightContainAny(f.path, ff.name, ff.dataType, vals, conf)
         probed.getOrElse(true)
       }
     }
@@ -76,6 +81,13 @@ object BloomIndex {
     * keeps the file. */
   def mightContain(path: String, colName: String, dt: DataType,
       canonical: String, conf: Configuration): Boolean =
+    mightContainAny(path, colName, dt, Seq(canonical), conf)
+
+  /** [[mightContain]] for a value LIST in one footer read: true when any
+    * row group might hold any of the values (an IN-list probe is one
+    * file open, not one per element). */
+  def mightContainAny(path: String, colName: String, dt: DataType,
+      canonicals: Seq[String], conf: Configuration): Boolean =
     try {
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), conf)
@@ -88,10 +100,11 @@ object BloomIndex {
             case Some(cmd) =>
               val bf = r.getBloomFilterDataReader(blk).readBloomFilter(cmd)
               if (bf == null) true // no bloom page written for this group
-              else hashOf(bf, dt, canonical) match {
-                case Some(h) => bf.findHash(h)
-                case None => true
-              }
+              else canonicals.exists(canonical =>
+                hashOf(bf, dt, canonical) match {
+                  case Some(h) => bf.findHash(h)
+                  case None => true
+                })
           }
         }
       } finally r.close()

@@ -25,9 +25,13 @@ import org.apache.spark.sql.types._
   */
 object FilePruning {
 
-  /** One prunable conjunct: `op` ∈ =, <, <=, >, >=, isnull, isnotnull,
-    * with `value` already canonicalized to the column's domain. */
-  case class Conjunct(field: String, op: String, value: Option[String])
+  /** One prunable conjunct: `op` ∈ =, <, <=, >, >=, isnull, isnotnull
+    * (with `value` already canonicalized to the column's domain), or a
+    * literal IN-list (`op` = in, every element canonicalized into
+    * `values` — the conjunct is kept ONLY when every element
+    * canonicalizes, since an opaque element could match anything). */
+  case class Conjunct(field: String, op: String, value: Option[String],
+      values: Seq[String] = Nil)
 
   // ---- canonical-domain comparison ----------------------------------------
 
@@ -84,6 +88,25 @@ object FilePruning {
     leaves.flatMap { leaf =>
       leaf.op match {
         case "isnull" | "isnotnull" => Some(Conjunct(leaf.field, leaf.op, None))
+        case "in" =>
+          schema.fields.find(_.name == leaf.field).flatMap { f =>
+            val pairs = leaf.value match {
+              case s: Seq[_] => s.collect {
+                case (v, t: Option[_]) =>
+                  (v, t.asInstanceOf[Option[DataType]])
+              }
+              case _ => Nil
+            }
+            val canon = pairs.map { case (v, t) =>
+              canonicalLiteral(f.dataType, v, t)
+            }
+            // ONE uncanonicalizable element makes the whole list opaque:
+            // pruning on the canonical subset could drop a file whose only
+            // match is the opaque element
+            if (pairs.nonEmpty && canon.forall(_.isDefined))
+              Some(Conjunct(leaf.field, "in", None, canon.flatten.distinct))
+            else None
+          }
         case op =>
           schema.fields.find(_.name == leaf.field).flatMap(f =>
             canonicalLiteral(f.dataType, leaf.value, leaf.litType).map(cv =>
@@ -207,6 +230,16 @@ object FilePruning {
     c.op match {
       case "isnull" => isNullDir
       case "isnotnull" => !isNullDir
+      case "in" =>
+        if (isNullDir) false
+        else srcType match {
+          case None => true
+          case Some(dt) =>
+            // keep the file if ANY element lands in this dir — an
+            // un-prunable (transform, type) pair keeps it too
+            c.values.exists(v =>
+              transformedCompare(t, dt, raw, v).forall(_ == 0))
+        }
       case op =>
         if (isNullDir) false
         else srcType match {
@@ -307,6 +340,16 @@ object FilePruning {
             c.op match {
               case "isnull" => b.nulls.forall(_ > 0)
               case "isnotnull" => !b.nulls.contains(f.rows) || f.rows == 0
+              case "in" =>
+                // a file of only nulls can't match; otherwise keep when
+                // ANY element falls inside the bounds
+                if (b.nulls.contains(f.rows) && f.rows > 0) false
+                else (b.min, b.max) match {
+                  case (Some(mn), Some(mx)) => c.values.exists(v =>
+                    compare(fld.dataType, mn, v) <= 0 &&
+                      compare(fld.dataType, mx, v) >= 0)
+                  case _ => true
+                }
               case cmpOp =>
                 val v = c.value.get
                 // a file of only nulls can't match any comparison

@@ -447,16 +447,42 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * merge-on-read writers build position-delete files from. Schema
     * columns first (current order), lineage columns last. Empty table →
     * empty frame with the same layout. */
-  def readWithLineage(): DataFrame =
+  def readWithLineage(): DataFrame = readWithLineagePruned(None)
+
+  /** [[readWithLineage]] restricted by a SUPERSET filter over schema
+    * columns: data files whose manifest bounds rule the filter out are
+    * skipped entirely, and the filter is applied in-plan UNDER the
+    * delete anti-joins (Catalyst pushes it through to the parquet scan,
+    * so row-group pushdown fires too). The caller owns the superset
+    * reasoning — rows the filter drops are simply absent from the
+    * result (the MoR MERGE uses this with a source-key IN-list: a
+    * non-matching target row can never be touched, so a small merge
+    * against a huge table scans only files that can hold matching
+    * keys). Position/equality delete application is unaffected — both
+    * match by row identity/keys, and extra delete entries targeting
+    * pruned files simply find nothing. */
+  def readWithLineagePruned(filter: Option[Column]): DataFrame =
     currentSnapshot.filter(_.files.nonEmpty) match {
       case None =>
         emptyDf(meta.schema)
           .withColumn(LineageFileCol, lit(null).cast("string"))
           .withColumn(LineagePosCol, lit(null).cast("long"))
       case Some(s) =>
-        applyAllDeletes(assemble(s, withLineage = true), s)
-          .select((meta.schema.fieldNames.toSeq ++
-            Seq(LineageFileCol, LineagePosCol)).map(col): _*)
+        val files = filter match {
+          case None => s.files
+          case Some(f) => pruneFiles(s, f)
+        }
+        val base =
+          if (files.isEmpty)
+            emptyDf(meta.schema)
+              .withColumn(LineageFileCol, lit(null).cast("string"))
+              .withColumn(LineagePosCol, lit(null).cast("long"))
+          else {
+            val asm = assemble(s.copy(files = files), withLineage = true)
+            applyAllDeletes(filter.fold(asm)(asm.where), s)
+          }
+        base.select((meta.schema.fieldNames.toSeq ++
+          Seq(LineageFileCol, LineagePosCol)).map(col): _*)
     }
 
   /** Assemble a snapshot's data files into one frame, resolving each

@@ -110,6 +110,73 @@ object GraftMerge {
     check(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
   }
 
+  /** Source keys with at most this many distinct tuples restrict the
+    * target read as a literal IN-list (pushed into the parquet scan →
+    * manifest file skipping + row-group pushdown); above it, a semi-join
+    * restriction (broadcast when Catalyst sizes it so). */
+  val InListKeyCap = 10000
+
+  /** The merge condition's equi-key conjuncts: top-level
+    * `t.col = <expr over source>` equalities (either side order), with
+    * deterministic source expressions only — the restriction below
+    * re-evaluates them, which must be repeatable. Non-equality conjuncts
+    * are ignored (they stay in the join condition; a key-based
+    * restriction is a SUPERSET of the true match set either way). */
+  def keyEqualities(m: MergeIntoTable): Seq[(AttributeReference, Expression)] = {
+    val tgtIds = m.targetTable.output.map(_.exprId).toSet
+    val srcIds = m.sourceTable.output.map(_.exprId).toSet
+    def srcOnly(e: Expression): Boolean =
+      e.deterministic && e.references.nonEmpty &&
+        e.references.forall(a => srcIds(a.exprId))
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(m.mergeCondition).collect {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l: AttributeReference, r) if tgtIds(l.exprId) && srcOnly(r) =>
+        (l, r)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l, r: AttributeReference) if tgtIds(r.exprId) && srcOnly(l) =>
+        (r, l)
+    }
+  }
+
+  /** Restrict the merge-on-read target read to rows that CAN be touched:
+    * when no `NOT MATCHED BY SOURCE` clause exists, the merge delta only
+    * needs target rows whose key columns match some source row (plus the
+    * source-only inserts), so the full-outer join never has to see — or
+    * SHUFFLE — the carried 99% of a large table. Distinct source key
+    * tuples ≤ [[InListKeyCap]] become a per-column IN-list pushed into
+    * the pruned lineage read (file skipping + row-group pushdown; the
+    * per-column cross-product is a superset of the tuple set, which is
+    * safe — non-matching rows classify as `carried` and are dropped from
+    * the delta); larger key sets fall back to a left-semi join. Returns
+    * None when restriction is unsound (NOT MATCHED BY SOURCE present, no
+    * deterministic equi-keys, or a null-safe condition shape we don't
+    * extract). The caller must then correct the `carried` audit count to
+    * `liveRows − updated − deleted`, since carried rows never enter the
+    * frame. */
+  def restrictedTarget(spark: SparkSession, m: MergeIntoTable,
+      tbl: IceTable): Option[DataFrame] = {
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    val keys = keyEqualities(m)
+    if (keys.isEmpty) return None
+    val srcDf = DatasetBridge.ofRows(spark, m.sourceTable)
+    val keyDf = srcDf.select(keys.map { case (a, e) =>
+      ColumnBridge.column(e).cast(a.dataType).as(a.name) }: _*).distinct()
+    val probe = keyDf.limit(InListKeyCap + 1).collect()
+    if (probe.length <= InListKeyCap) {
+      val conds = keys.zipWithIndex.map { case ((a, _), i) =>
+        val vals = probe.map(_.get(i)).filter(_ != null).distinct
+        if (vals.isEmpty) lit(false) else col(a.name).isin(vals: _*)
+      }
+      Some(tbl.readWithLineagePruned(Some(conds.reduce(_ && _))))
+    } else
+      Some(tbl.readWithLineage().join(keyDf, keys.map(_._1.name), "left_semi"))
+  }
+
   /** The classified merge frame: the full-outer join of `tgt0` (the
     * target content — the command's own relation for copy-on-write, the
     * engine's lineage-bearing read for merge-on-read) against the
@@ -290,9 +357,15 @@ case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
     } else {
       // merge-on-read: rebind the command's target attributes onto the
       // engine's lineage-bearing read, stage the O(touched) delta in ONE
-      // pass over the join, and land delete-file + append as one snapshot
-      val asOf = tbl.currentSnapshot.get.id
-      val tgt0 = tbl.readWithLineage()
+      // pass over the join, and land delete-file + append as one snapshot.
+      // When no NOT-MATCHED-BY-SOURCE clause exists, the read is
+      // restricted to source-key-matching rows FIRST (IN-list pushdown /
+      // semi-join), so the full-outer join — which Spark can never
+      // broadcast — shuffles O(touched) rows, not the whole table.
+      val snap = tbl.currentSnapshot.get
+      val asOf = snap.id
+      val restricted = GraftMerge.restrictedTarget(spark, m, tbl)
+      val tgt0 = restricted.getOrElse(tbl.readWithLineage())
       val newAttrs = DatasetBridge.output(tgt0)
       val byName = newAttrs.map(a => a.name -> a).toMap
       val mapping: Map[ExprId, Attribute] = m.targetTable.output
@@ -306,7 +379,14 @@ case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
       val (obsFrame, obs) = GraftMerge.observed(classified)
       val delta = obsFrame.where(col(GraftMerge.CatCol)
         .isin("updated", "deleted", "inserted"))
-      lh.dml.mergeMorDf(fullName, delta, asOf, () => GraftMerge.counts(obs))
+      lh.dml.mergeMorDf(fullName, delta, asOf, () => {
+        val c = GraftMerge.counts(obs)
+        // restricted frame never saw the carried rows — derive their
+        // count from the snapshot's exact live-row accounting instead
+        if (restricted.isDefined)
+          c + ("carried" -> (snap.liveRows - c("updated") - c("deleted")))
+        else c
+      })
     }
     Array.empty
   }

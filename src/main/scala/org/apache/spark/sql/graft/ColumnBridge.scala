@@ -12,12 +12,14 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** One leaf of a filter Column usable for manifest pruning: a comparison
-    * (`op` ∈ =, <, <=, >, >=, normalized to attr-on-the-left) or a null
-    * check (`op` ∈ isnull, isnotnull, value = null). `litType` is the
-    * literal's Catalyst type when one is declared (e.g. a `timestamp'…'`
-    * SQL literal) — a Long is micros only when litType says so. Extracted
-    * from the Spark 4 ColumnNode AST, which is `private[sql]` — hence
-    * here. */
+    * (`op` ∈ =, <, <=, >, >=, normalized to attr-on-the-left), a null
+    * check (`op` ∈ isnull, isnotnull, value = null), or a literal IN-list
+    * (`op` = in, value = Seq of (rawValue, litType) pairs — one declared
+    * type per element, since a parsed list may mix representations).
+    * `litType` is the literal's Catalyst type when one is declared (e.g.
+    * a `timestamp'…'` SQL literal) — a Long is micros only when litType
+    * says so. Extracted from the Spark 4 ColumnNode AST, which is
+    * `private[sql]` — hence here. */
   case class PredLeaf(field: String, op: String, value: Any,
       litType: Option[org.apache.spark.sql.types.DataType] = None)
 
@@ -50,6 +52,13 @@ object ColumnBridge {
         }
         case ("isNull", List(a: NodeAttr)) => Seq(PredLeaf(name(a), "isnull", null))
         case ("isNotNull", List(a: NodeAttr)) => Seq(PredLeaf(name(a), "isnotnull", null))
+        case ("in", (a: NodeAttr) :: rest)
+            if rest.nonEmpty && rest.forall {
+              case v: NodeLit => v.value != null
+              case _ => false
+            } =>
+          Seq(PredLeaf(name(a), "in",
+            rest.collect { case v: NodeLit => (v.value, v.dataType) }))
         case _ => Nil
       }
       case s: SqlExpression =>
@@ -97,6 +106,18 @@ object ColumnBridge {
       case ce.GreaterThanOrEqual(l, r) => mk(l, r, ">=")
       case ce.IsNull(a) => nameOf(a).map(PredLeaf(_, "isnull", null)).toSeq
       case ce.IsNotNull(a) => nameOf(a).map(PredLeaf(_, "isnotnull", null)).toSeq
+      case ce.In(a, list)
+          if nameOf(a).isDefined && list.nonEmpty && list.forall {
+            case ce.Literal(v, _) => v != null
+            case _ => false
+          } =>
+        Seq(PredLeaf(nameOf(a).get, "in",
+          list.collect { case ce.Literal(v, t) => (v, Some(t): Option[org.apache.spark.sql.types.DataType]) }))
+      case ce.InSet(a, hset) if nameOf(a).isDefined && !hset.contains(null) =>
+        // the optimizer's large-list form: element values are internal
+        // representations in the CHILD's type
+        Seq(PredLeaf(nameOf(a).get, "in",
+          hset.toSeq.map(v => (v, Some(a.dataType): Option[org.apache.spark.sql.types.DataType]))))
       case _ => Nil
     }
   }

@@ -43,6 +43,24 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("IN-list probes the bloom once per file (one footer read), " +
+      "keeping only files that might hold SOME element") {
+    val cat = newCatalog()
+    val t = scatteredTable(cat, "default.bi",
+      Map(BloomIndex.PropKey -> "id"))
+    // every file spans ~[0, 8000): bounds keep all 8, blooms must drop
+    // the files holding neither element (round-robin: each id lives in
+    // exactly one file)
+    val probe = col("id").isin(4242L, 17L)
+    val (kept, all) = t.pruneStats(probe)
+    assert(all == 8 && kept < 8 && kept >= 1,
+      s"bloom IN probe must prune: kept $kept of $all")
+    val got = t.prunedRead(probe).collect().map(_.getLong(0)).toSet
+    assert(got == Set(4242L, 17L))
+    // all-absent list: typically nothing opens; stays empty + exact
+    assert(t.prunedRead(col("id").isin(900001L, 900002L)).count() == 0)
+  }
+
   test("without the table property, no bloom is written and no file prunes") {
     val cat = newCatalog()
     val t = scatteredTable(cat, "default.nb", Map.empty)

@@ -45,6 +45,33 @@ class FilePruningSpec extends AnyFunSuite {
     assert(got == expected && got.size == 64)
   }
 
+  test("IN-list predicates prune by bounds: a file is kept only when " +
+      "some element falls inside [min, max]") {
+    val cat = newCatalog()
+    cat.createTable("default.in1",
+      Seq("v" -> "long", "s" -> "string"), Nil, Map.empty)
+    val t = cat.loadTable("default.in1")
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("v", "s").coalesce(1))
+    t.append((100L until 110L).map(i => (i, s"b$i")).toDF("v", "s").coalesce(1))
+    t.append((1000L until 1010L).map(i => (i, s"c$i")).toDF("v", "s").coalesce(1))
+    // elements hit file 1 and file 3; 500 hits nothing
+    val filter = col("v").isin(3L, 1005L, 500L)
+    val (kept, all) = t.pruneStats(filter)
+    assert((kept, all) == ((2, 3)), s"IN bounds prune: kept $kept of $all")
+    val got = t.prunedRead(filter).collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 1005L))
+    // string IN-lists prune too
+    val (ks, as_) = t.pruneStats(col("s").isin("b101", "zzz"))
+    assert((ks, as_) == ((1, 3)), s"string IN prune: kept $ks of $as_")
+    // an expr()-spelled SQL IN reaches the same conjunct path
+    val (ke, _) = t.pruneStats(expr("v IN (3, 1005, 500)"))
+    assert(ke == 2, s"SQL IN prune: kept $ke")
+    // a null element makes IN three-valued (never TRUE for non-matches,
+    // NULL otherwise) — it must not extract, and must not prune
+    val (kn, an) = t.pruneStats(expr("v IN (3, NULL)"))
+    assert(kn == an, "a NULL-bearing IN-list must never prune")
+  }
+
   test("bounds survive column rename (field-id keyed, not name keyed)") {
     val cat = newCatalog()
     cat.createTable("default.r", Seq("v" -> "long"), Nil, Map.empty)

@@ -246,6 +246,153 @@ class GraftMergeSpec extends AnyFunSuite {
     assert(t.readSnapshot(t.snapshotById(2L)).count() == 4)
   }
 
+  private def analyzedScanFiles(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[String] =
+    qe.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  test("restricted MoR MERGE: the target read is source-key-pruned — " +
+      "files that cannot hold a matching key are never scanned by any " +
+      "job of the merge") {
+    lh.catalog.createTable("default.m11",
+      Seq("id" -> "long", "v" -> "string"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m11")
+    t.append((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.append((1000L until 1010L).map(i => (i, s"r$i")).toDF("id", "v"))
+    Seq((1L, "U1"), (3L, "U3")).toDF("id", "v")
+      .createOrReplaceTempView("m11_src")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        analyzedScanFiles(qe).foreach(seen.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(
+        s"""MERGE INTO $catName.default.m11 t USING m11_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      // listener delivery is async — wait for the merge table's scans
+      val deadline = System.nanoTime() + 10e9.toLong
+      def tableScans() = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.filter(_.contains("/m11/data/commit-"))
+      }
+      while (tableScans().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val scans = tableScans()
+      assert(scans.nonEmpty, "expected the merge to scan the target table")
+      assert(scans.forall(_.contains("commit-00001")),
+        s"merge scanned files the source keys cannot touch: $scans")
+    } finally spark.listenerManager.unregister(listener)
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.take(4) == Seq((0L, "r0"), (1L, "U1"), (2L, "r2"), (3L, "U3"))
+      && got.size == 20, s"got $got")
+    assert(t.currentSnapshot.get.summary.get("merge-carried").contains("18"),
+      s"summary: ${t.currentSnapshot.get.summary}")
+  }
+
+  test("restriction is a SUPERSET: extra non-equality conjuncts in the " +
+      "merge condition still evaluate exactly") {
+    lh.catalog.createTable("default.m12",
+      Seq("id" -> "long", "amt" -> "long"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m12")
+    t.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "amt"))
+    // id=1 matches key AND amt guard; id=2 matches key but NOT the
+    // guard (20 >= 15 fails) -> must be carried, not updated
+    Seq((1L, 100L), (2L, 15L), (9L, 900L)).toDF("id", "amt")
+      .createOrReplaceTempView("m12_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m12 t USING m12_src s
+         |ON t.id = s.id AND t.amt < s.amt
+         |WHEN MATCHED THEN UPDATE SET amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().orderBy("id", "amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // id=2: the pair fails t.amt < s.amt, so the SOURCE row is unmatched
+    // -> inserts (standard MERGE: the condition is part of the JOIN)
+    assert(got == Seq((1L, 100L), (2L, 15L), (2L, 20L), (3L, 30L),
+      (9L, 900L)), s"got $got")
+  }
+
+  test("cardinality violation still raises through the restricted path " +
+      "and commits nothing") {
+    lh.catalog.createTable("default.m13",
+      Seq("id" -> "long", "v" -> "string"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m13")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("m13_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catName.default.m13 t USING m13_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(c => String.valueOf(c.getMessage) +: msgs(c.getCause))
+    assert(msgs(e).exists(_.contains("cardinality")), msgs(e).mkString("|"))
+    assert(t.rawLog.size == 1 && t.read().count() == 2,
+      "a failed restricted merge must leave the table untouched")
+  }
+
+  test("NOT MATCHED BY SOURCE disables the restriction: every target " +
+      "row is visible to the clause chain on a MoR table") {
+    lh.catalog.createTable("default.m14",
+      Seq("id" -> "long", "v" -> "string"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m14")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Seq((2L, "B")).toDF("id", "v").createOrReplaceTempView("m14_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m14 t USING m14_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""".stripMargin)
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "stale"), (2L, "B"), (3L, "stale")), s"got $got")
+    val c = t.currentSnapshot.get
+    assert(c.operation == "update" && c.deleteFiles.nonEmpty,
+      "NMBS merge on a MoR table must still land as position-delete+append")
+  }
+
+  test("readWithLineagePruned skips files whose bounds exclude the " +
+      "filter and keeps exact rows + lineage") {
+    lh.catalog.createTable("default.m15",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m15")
+    t.append((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.append((1000L until 1010L).map(i => (i, s"r$i")).toDF("id", "v"))
+    val pruned = t.readWithLineagePruned(Some(col("id") < 5))
+    val files = pruned.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten.filter(_.contains("/data/commit-"))
+    assert(files.nonEmpty && files.forall(_.contains("commit-00001")),
+      s"pruned read scanned: $files")
+    val rows = pruned.collect()
+    assert(rows.length == 5 &&
+      rows.forall(r => !r.isNullAt(r.fieldIndex(
+        graft.core.IceTable.LineageFileCol))))
+  }
+
   test("merge-on-read MERGE with a delete-only clause set works (no " +
       "appended content)") {
     lh.catalog.createTable("default.m10",
