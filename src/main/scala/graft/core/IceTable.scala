@@ -544,6 +544,25 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       "left_anti")
   }
 
+  /** The live lineage-bearing rows that can possibly satisfy `filter` —
+    * the victim-finding scan of the MoR writers, with manifest-level file
+    * skipping: data files whose bounds/partition dirs/blooms rule the
+    * filter out are never opened, so `UPDATE/DELETE/REPLACE WHERE
+    * key = x` on a huge table scans only candidate files (the caller
+    * still applies the exact `filter` on top — pruning is three-valued
+    * safe for arbitrary predicates). Delete state is applied from the
+    * FULL snapshot; extra entries targeting pruned files match nothing. */
+  private def liveLineagePruned(cur: Snapshot, filter: Column): DataFrame = {
+    val candidates = pruneFiles(cur, filter)
+    if (candidates.isEmpty)
+      emptyDf(meta.schema)
+        .withColumn(LineageFileCol, lit(null).cast("string"))
+        .withColumn(LineagePosCol, lit(null).cast("long"))
+    else
+      applyAllDeletes(
+        assemble(cur.copy(files = candidates), withLineage = true), cur)
+  }
+
   /** Merge-on-read delete: write the matching rows' `(file_path, pos)`
     * identities as a position-delete file and commit a snapshot that keeps
     * every data file untouched. Returns the deleted row count (from the
@@ -565,7 +584,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     // competitor's appended rows are untouched (they were not read).
     val delDir = dataDir.resolve(
       s"del-${java.util.UUID.randomUUID().toString.take(12)}")
-    val base = applyAllDeletes(assemble(cur, withLineage = true), cur)
+    val base = liveLineagePruned(cur, filter)
     val hits = base.where(filter)
       .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
       // cluster by file so a reader's broadcast probe set stays compact
@@ -642,7 +661,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val delDir = dataDir.resolve(s"del-$uid")
       val hitsTmp = dataDir.resolve(s".upd-hits-$uid")
       try {
-        applyAllDeletes(assemble(cur, withLineage = true), cur)
+        liveLineagePruned(cur, filter)
           .where(filter).write.parquet(hitsTmp.toString)
         val hits = spark.read.parquet(hitsTmp.toString)
         hits.select(col(LineageFileCol).as("file_path"),
@@ -693,7 +712,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       }
       val uid = java.util.UUID.randomUUID().toString.take(12)
       val delDir = dataDir.resolve(s"del-$uid")
-      applyAllDeletes(assemble(cur, withLineage = true), cur)
+      liveLineagePruned(cur, filter)
         .where(filter)
         .select(col(LineageFileCol).as("file_path"),
           col(LineagePosCol).as("pos"))

@@ -301,4 +301,51 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(t2.currentSnapshot.get.files.map(_.path).toSet == filesBefore,
       "property must route the CLI/API delete through the MoR path")
   }
+
+  test("MoR writers skip files the filter cannot touch: the victim scan " +
+      "opens only candidate files (manifest bounds)") {
+    val cat = newCatalog()
+    cat.createTable("default.morskip",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = cat.loadTable("default.morskip")
+    t.append((0L until 100L).map(i => (i, s"a$i")).toDF("id", "v"))
+    t.append((10000L until 10100L).map(i => (i, s"b$i")).toDF("id", "v"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.foreach(seen.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // both a range and an IN-list shape restrict the scan
+      assert(t.deleteWhereMor(col("id") < 3) == 3L)
+      assert(t.updateWhereMor(col("id").isin(5L, 7L),
+        Map("v" -> lit("upd"))) == 2L)
+      val deadline = System.nanoTime() + 10e9.toLong
+      def scans() = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.filter(_.contains("/morskip/data/commit-"))
+      }
+      while (scans().size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val got = scans()
+      assert(got.nonEmpty, "expected the victim scans to be observed")
+      assert(got.forall(_.contains("commit-00001")),
+        s"MoR victim scan opened files the filter cannot touch: $got")
+    } finally spark.listenerManager.unregister(listener)
+    assert(t.read().count() == 197)
+    assert(t.read().where(col("v") === "upd").count() == 2)
+  }
 }

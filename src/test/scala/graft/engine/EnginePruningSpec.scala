@@ -65,6 +65,33 @@ class EnginePruningSpec extends AnyFunSuite {
     assert(lh.engine.lastScanStats.get("default.evt2").contains((1, 4)))
   }
 
+  test("SQL IN-lists prune: small lists stay In, big lists become the " +
+      "optimizer's InSet — both reach the conjuncts") {
+    val lh = newLh()
+    buildRanged(lh, "default.evtin")
+    // 3 elements: survives optimization as In
+    val n1 = lh.engine.execute(
+      "SELECT COUNT(*) AS n FROM evtin WHERE id IN (5, 7, 350)", 0)
+      .collect()(0).getLong(0)
+    assert(n1 == 3)
+    assert(lh.engine.lastScanStats.get("default.evtin").contains((2, 4)),
+      s"In prune: ${lh.engine.lastScanStats}")
+    // 12 elements, all in one file's range: the optimizer converts to
+    // InSet above spark.sql.optimizer.inSetConversionThreshold (10)
+    val big = (210 to 221).mkString(", ")
+    val n2 = lh.engine.execute(
+      s"SELECT COUNT(*) AS n FROM evtin WHERE id IN ($big)", 0)
+      .collect()(0).getLong(0)
+    assert(n2 == 12)
+    assert(lh.engine.lastScanStats.get("default.evtin").contains((1, 4)),
+      s"InSet prune: ${lh.engine.lastScanStats}")
+    // a NULL element disables extraction (three-valued IN), never prunes
+    lh.engine.execute(
+      "SELECT COUNT(*) AS n FROM evtin WHERE id IN (5, NULL)", 0).collect()
+    assert(!lh.engine.lastScanStats.get("default.evtin").exists(
+      s => s._1 < s._2), s"NULL IN must not prune: ${lh.engine.lastScanStats}")
+  }
+
   test("self-join with DIVERGENT predicates never over-prunes: only the " +
       "shared conjuncts prune, results exact") {
     val lh = newLh()
