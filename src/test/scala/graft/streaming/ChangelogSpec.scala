@@ -351,4 +351,60 @@ class ChangelogSpec extends AnyFunSuite {
     val fin = t.read()
     assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
   }
+
+  test("mixed 10-commit history: EVERY commit's replay equals the exact " +
+      "snapshot diff (whichever path computed it), and the full fold " +
+      "materializes to the final table") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_mix",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 100)) // c1
+    t.append(df(100 until 200)) // c2
+    t.deleteWhereMor(col("id") % 17 === 0) // c3: MoR position delete
+    t.updateWhereMor(col("id") >= 50 && col("id") < 61,
+      Map("name" -> upper(col("name")))) // c4: MoR update (some victims gone)
+    t.deleteKeysMor(Seq("id"),
+      Seq(3L, 107L, 55L, 9999L).toDF("id")) // c5: equality delete
+    t.append(df(200 until 260)) // c6
+    t.overwriteWhereMor(col("id") >= 180 && col("id") < 220,
+      (180L until 220L).map(i => (i, "repl")).toDF("id", "name")) // c7
+    t.compact(targetFiles = 2) // c8: true rewrite, content unchanged
+    t.deleteWhereMor(col("id") < 10) // c9: MoR delete over compacted files
+    t.updateWhereMor(col("id") % 31 === 5,
+      Map("name" -> concat(col("name"), lit("!")))) // c10
+    for (i <- 1L to 10L) {
+      val before = if (i == 1) t.emptyDf(t.schema)
+        else t.readSnapshot(t.snapshotById(i - 1))
+      val after = t.readSnapshot(t.snapshotById(i))
+      val ch = Changelog.changesBetween(t, if (i == 1) None else Some(i - 1), i)
+      val ins = ch.where(col(Changelog.ChangeTypeCol) === "insert")
+        .select("id", "name")
+      val del = ch.where(col(Changelog.ChangeTypeCol) === "delete")
+        .select("id", "name")
+      val wantIns = after.exceptAll(before)
+      val wantDel = before.exceptAll(after)
+      assert(ins.exceptAll(wantIns).isEmpty && wantIns.exceptAll(ins).isEmpty,
+        s"commit $i inserts diverge from the exact diff")
+      assert(del.exceptAll(wantDel).isEmpty && wantDel.exceptAll(del).isEmpty,
+        s"commit $i deletes diverge from the exact diff")
+    }
+    val all = Changelog.changesBetween(t, None, 10L)
+    val material = all.where(col(Changelog.ChangeTypeCol) === "insert")
+      .select("id", "name")
+      .exceptAll(all.where(col(Changelog.ChangeTypeCol) === "delete")
+        .select("id", "name"))
+    val fin = t.read()
+    assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty,
+      "folding the whole changelog must materialize the final table")
+    // and the update-shaped commits paired by key classify consistently:
+    // c4 updated 10 live rows (51 and 68? no - 51 and 85 were deleted by
+    // c3's %17; count derived from the diff instead of hardcoding)
+    val paired = Changelog.changesBetween(t, Some(3L), 4L,
+      pairUpdateKeys = Seq("id"))
+    val nb = paired.where(col(Changelog.ChangeTypeCol) === "update_before").count()
+    val na = paired.where(col(Changelog.ChangeTypeCol) === "update_after").count()
+    val want4 = t.readSnapshot(t.snapshotById(3L))
+      .exceptAll(t.readSnapshot(t.snapshotById(4L))).count()
+    assert(nb == want4 && na == want4, s"pairing: $nb/$na vs $want4")
+  }
 }
