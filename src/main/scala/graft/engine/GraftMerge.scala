@@ -143,39 +143,84 @@ object GraftMerge {
     }
   }
 
-  /** Restrict the merge-on-read target read to rows that CAN be touched:
-    * when no `NOT MATCHED BY SOURCE` clause exists, the merge delta only
-    * needs target rows whose key columns match some source row (plus the
-    * source-only inserts), so the full-outer join never has to see — or
-    * SHUFFLE — the carried 99% of a large table. Distinct source key
-    * tuples ≤ [[InListKeyCap]] become a per-column IN-list pushed into
-    * the pruned lineage read (file skipping + row-group pushdown; the
-    * per-column cross-product is a superset of the tuple set, which is
-    * safe — non-matching rows classify as `carried` and are dropped from
-    * the delta); larger key sets fall back to a left-semi join. Returns
-    * None when restriction is unsound (NOT MATCHED BY SOURCE present, no
-    * deterministic equi-keys, or a null-safe condition shape we don't
-    * extract). The caller must then correct the `carried` audit count to
-    * `liveRows − updated − deleted`, since carried rows never enter the
-    * frame. */
-  def restrictedTarget(spark: SparkSession, m: MergeIntoTable,
-      tbl: IceTable): Option[DataFrame] = {
+  /** The source-key restriction plan, when sound: `(inFilter, keyDf,
+    * keyNames)` where `inFilter` is a literal IN-list Column over the
+    * TARGET key column names (present when the source has ≤
+    * [[InListKeyCap]] distinct key tuples — pushable into a scan for
+    * manifest file skipping + row-group pushdown; the per-column
+    * cross-product is a superset of the tuple set, which is safe), and
+    * `keyDf` the distinct source-key frame for semi/anti-join
+    * restriction above the cap.
+    *
+    * None — restriction unsound — when: a `NOT MATCHED BY SOURCE` clause
+    * exists (it must see every target row); no deterministic equi-key
+    * conjunct extracts; or the SOURCE PLAN contains any nondeterministic
+    * expression (the key probe re-evaluates the source, and a
+    * nondeterministic source could yield probe keys that disagree with
+    * the join's keys — silently dropping matches; Delta materializes the
+    * source for exactly this reason, we fall back to the unrestricted
+    * join instead). */
+  def sourceKeyPlan(spark: SparkSession, m: MergeIntoTable)
+      : Option[(Option[Column], DataFrame, Seq[String])] = {
     if (m.notMatchedBySourceActions.nonEmpty) return None
     val keys = keyEqualities(m)
     if (keys.isEmpty) return None
+    val srcDeterministic = !m.sourceTable.exists(
+      _.expressions.exists(e => !e.deterministic))
+    if (!srcDeterministic) return None
     val srcDf = DatasetBridge.ofRows(spark, m.sourceTable)
     val keyDf = srcDf.select(keys.map { case (a, e) =>
       ColumnBridge.column(e).cast(a.dataType).as(a.name) }: _*).distinct()
     val probe = keyDf.limit(InListKeyCap + 1).collect()
-    if (probe.length <= InListKeyCap) {
-      val conds = keys.zipWithIndex.map { case ((a, _), i) =>
+    val inFilter =
+      if (probe.length > InListKeyCap) None
+      else Some(keys.zipWithIndex.map { case ((a, _), i) =>
         val vals = probe.map(_.get(i)).filter(_ != null).distinct
         if (vals.isEmpty) lit(false) else col(a.name).isin(vals: _*)
-      }
-      Some(tbl.readWithLineagePruned(Some(conds.reduce(_ && _))))
-    } else
-      Some(tbl.readWithLineage().join(keyDf, keys.map(_._1.name), "left_semi"))
+      }.reduce(_ && _))
+    Some((inFilter, keyDf, keys.map(_._1.name)))
   }
+
+  /** Restrict the merge-on-read target read to rows that CAN be touched:
+    * when restriction is sound ([[sourceKeyPlan]]), the merge delta only
+    * needs target rows whose key columns match some source row (plus the
+    * source-only inserts), so the full-outer join never has to see — or
+    * SHUFFLE — the carried 99% of a large table. Small key sets push an
+    * IN-list into the pruned lineage read (file skipping + row-group
+    * pushdown — non-matching rows that survive the superset filter
+    * classify as `carried` and are dropped from the delta); larger key
+    * sets fall back to a left-semi join. When None is returned the
+    * caller reads the full table; otherwise it must correct the
+    * `carried` audit count to `liveRows − updated − deleted`, since
+    * carried rows never enter the frame. */
+  def restrictedTarget(spark: SparkSession, m: MergeIntoTable,
+      tbl: IceTable): Option[DataFrame] =
+    sourceKeyPlan(spark, m).map {
+      case (Some(f), _, _) => tbl.readWithLineagePruned(Some(f))
+      case (None, keyDf, names) =>
+        tbl.readWithLineage().join(keyDf, names, "left_semi")
+    }
+
+  /** Copy-on-write twin of [[restrictedTarget]]: split the command's
+    * target frame into `(touched, untouched)` by the source keys. Only
+    * `touched` enters the full-outer merge join (O(touched) through the
+    * exchange — Spark can never broadcast a full-outer join, so the
+    * unrestricted form shuffles the ENTIRE table); `untouched` rows are
+    * carried verbatim into the rewrite via union, a map-only scan with
+    * no shuffle at all. The split is EXACT, not superset: IN-list rows
+    * with `cond` null (null keys) can never equal-match and go to
+    * `untouched` (`coalesce(!cond, true)`); the semi/anti pair
+    * partitions by the same null-rejecting equality. */
+  def splitTarget(spark: SparkSession, m: MergeIntoTable)
+      : Option[(DataFrame, DataFrame)] =
+    sourceKeyPlan(spark, m).map { case (inFilter, keyDf, names) =>
+      val tgt = DatasetBridge.ofRows(spark, m.targetTable)
+      inFilter match {
+        case Some(c) => (tgt.where(c), tgt.where(coalesce(!c, lit(true))))
+        case None => (tgt.join(keyDf, names, "left_semi"),
+          tgt.join(keyDf, names, "left_anti"))
+      }
+    }
 
   /** The classified merge frame: the full-outer join of `tgt0` (the
     * target content — the command's own relation for copy-on-write, the
@@ -348,8 +393,23 @@ case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
       .contains("merge-on-read") &&
       tbl.currentSnapshot.exists(_.files.nonEmpty)
     if (!mor) {
-      val classified = GraftMerge.classify(spark, m,
-        DatasetBridge.ofRows(spark, m.targetTable), Nil, identity)
+      // copy-on-write: when restriction is sound, only the source-key-
+      // matching target rows enter the full-outer join; the untouched
+      // rows union in as carried — a map-only scan, so the rewrite's
+      // shuffle is O(touched), never the whole table
+      val targetAttrs = m.targetTable.output
+      val classified = GraftMerge.splitTarget(spark, m) match {
+        case Some((touched, untouched)) =>
+          val part = GraftMerge.classify(spark, m, touched, Nil, identity)
+          val carried = untouched.select(
+            targetAttrs.map(a => col(a.name)) ++
+              Seq(lit("carried").as(GraftMerge.CatCol),
+                lit(true).as(GraftMerge.KeepCol)): _*)
+          part.unionByName(carried)
+        case None =>
+          GraftMerge.classify(spark, m,
+            DatasetBridge.ofRows(spark, m.targetTable), Nil, identity)
+      }
       val (obsFrame, obs) = GraftMerge.observed(classified)
       val merged = obsFrame.where(col(GraftMerge.KeepCol))
         .drop(GraftMerge.CatCol, GraftMerge.KeepCol)

@@ -393,6 +393,32 @@ class GraftMergeSpec extends AnyFunSuite {
         graft.core.IceTable.LineageFileCol))))
   }
 
+  test("CoW restriction split is exact: null-keyed target rows are " +
+      "carried (never matched, never dropped), and the result equals " +
+      "standard MERGE semantics") {
+    lh.catalog.createTable("default.m16",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m16")
+    t.append(Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "nullkey"),
+      (java.lang.Long.valueOf(3L), "c")).toDF("id", "v"))
+    Seq((1L, "A"), (9L, "N")).toDF("id", "v")
+      .createOrReplaceTempView("m16_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m16 t USING m16_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got == Set((1L, "A"), (-1L, "nullkey"), (3L, "c"), (9L, "N")),
+      s"got $got")
+    val sm = t.currentSnapshot.get.summary
+    assert(sm.get("merge-updated").contains("1") &&
+      sm.get("merge-carried").contains("2") &&
+      sm.get("merge-inserted").contains("1"), s"summary: $sm")
+  }
+
   test("merge-on-read MERGE with a delete-only clause set works (no " +
       "appended content)") {
     lh.catalog.createTable("default.m10",
