@@ -321,8 +321,15 @@ class Dml(lh: Lakehouse) {
       val inc = incoming.select(schema.fieldNames.map(col).toSeq: _*)
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
-      val updated = inc.join(existing.select(keys.map(col): _*).distinct(),
-        keys, "left_semi").count()
+      // matched-count with the SMALL side as the build side: the
+      // existing→inc semi broadcasts (Catalyst/AQE) so the table is a
+      // map-only scan, and the distinct shuffles only the MATCHED keys —
+      // the flipped form (inc semi existing.distinct) would shuffle the
+      // whole table's keys twice. inc's keys are unique after the dedup
+      // window, so distinct matched existing keys == matched inc rows.
+      val updated = existing.join(inc.select(keys.map(col): _*),
+          keys, "left_semi")
+        .select(keys.map(col): _*).distinct().count()
       val inserted = inc.count() - updated
       lh.validation.enforce(table, inc, None)
       val merged = existing.join(inc, keys, "left_anti").unionByName(inc)
