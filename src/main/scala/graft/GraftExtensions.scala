@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy below (Spark consults injected strategies before its own,
     // whose row-level-operation path requires a native BatchWrite)
     e.injectPlannerStrategy(_ => new graft.engine.GraftMergeStrategy)
+    // fallback-state (MoR / schema-history) catalog reads become the
+    // engine's own COLUMNAR plan instead of the row-based V1 bridge —
+    // builder-installed extensions only (the analyzer is immutable after
+    // session build, so `register` below cannot add this; such sessions
+    // keep the exact V1 fallback)
+    e.injectResolutionRule(sp => new graft.engine.GraftEngineReadRule(sp))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

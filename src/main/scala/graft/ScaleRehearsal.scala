@@ -132,8 +132,11 @@ object ScaleRehearsal {
       //      shuffle at any table size;
       //  (a') a pure MoR delete commit replays from its OWN delete files
       //      (O(deleted): touched-files scan + broadcast identity
-      //      semi-join, core/IceTable.morDelta) — only a TRUE
-      //      rewrite (compaction) pays the table-sized exceptAll diff;
+      //      semi-join, core/IceTable.morDelta); a COMPACTION replays
+      //      empty and scan-free (live-rows-preserved contract); a
+      //      ROLLBACK replays at O(rolled-back) — shared files cancel
+      //      out of the diff (core/IceTable.rewriteDelta); only a FULL
+      //      overwrite still pays the table-sized exceptAll diff;
       //  (b) incremental rollup maintenance folds the DELTA against
       //      state, vs a full recompute scanning the table;
       //  (c) WAP publish is O(metadata) — flat time / zero shuffle while
@@ -167,9 +170,20 @@ object ScaleRehearsal {
           .agg(count(lit(1)), sum((col("l_extendedprice") * 1e6)
             .cast("long"))).count()
       }
-      tb.compact(targetFiles = cpus.toInt) // commit 5 (true rewrite)
+      tb.append(li.where(col("l_orderkey") % 4 === 3)) // commit 5
+      tb.rollbackTo("4") // commit 6: rewrite sharing commits 1-4's files
+      val clRollback = measured {
+        streaming.Changelog.changesBetween(tb, Some(5L), 6L).count()
+      }
+      tb.compact(targetFiles = cpus.toInt) // commit 7 (compaction rewrite)
+      val clCompact = measured {
+        streaming.Changelog.changesBetween(tb, Some(6L), 7L).count()
+      }
+      // commit 8: a FULL overwrite shares nothing — the honest remaining
+      // worst case, a both-directions table-sized diff
+      tb.overwrite(li.withColumn("l_quantity", col("l_quantity") + 1.0))
       val clDiff = measured {
-        streaming.Changelog.changesBetween(tb, Some(4L), 5L).count()
+        streaming.Changelog.changesBetween(tb, Some(7L), 8L).count()
       }
       lhR.catalog.createTable("default.wap", li.schema, Nil, Map.empty)
       val tw = lhR.catalog.loadTable("default.wap")
@@ -219,7 +233,9 @@ object ScaleRehearsal {
           "cms_state_naive" -> naiveState, "cms_state_grid" -> cmsState,
           "changelog_append_replay" -> clAppend,
           "changelog_mor_delete_replay" -> clDelete,
-          "changelog_rewrite_diff" -> clDiff,
+          "changelog_rollback_replay" -> clRollback,
+          "changelog_compact_replay" -> clCompact,
+          "changelog_full_overwrite_diff" -> clDiff,
           "rollup_incremental" -> ruInc, "rollup_full_recompute" -> ruFull,
           "wap_stage" -> wapStage, "wap_publish" -> wapPublish,
           "merge_mor_touched" -> mergeMor,

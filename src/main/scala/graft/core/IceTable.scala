@@ -502,7 +502,35 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
       val idToName = fileSchema.fields.flatMap(f =>
         TableMeta.fieldId(f).map(_ -> f.name)).toMap
-      val raw = spark.read.schema(fileSchema).parquet(files.map(_.path): _*)
+      // The scan rides a GraftFileIndex so MANIFEST-LEVEL FILE SKIPPING
+      // fires from whatever data filters Catalyst pushes down to
+      // `listFiles` at planning — every engine read (API, SQL view path,
+      // DSv2 substitution) gets partition-dir/bounds/bloom pruning for
+      // free, not just the explicit prunedRead surfaces. Pushed leaves
+      // arrive in THIS version group's column names (Catalyst rewrites
+      // them through the realias projection below), so translate each
+      // leaf to the current-schema name by field-id; an untranslatable
+      // leaf is dropped — fewer conjuncts can only KEEP more files, and
+      // exactness always stays with the plan's own filters.
+      val groupPaths = files.map(_.path)
+      val prune: Seq[org.apache.spark.sql.graft.ColumnBridge.PredLeaf] => Set[String] =
+        leaves => {
+          val toCurrent: Map[String, String] = fileSchema.fields.flatMap { f =>
+            TableMeta.fieldId(f).flatMap(id => cur.fields.find(cf =>
+              TableMeta.fieldId(cf).contains(id)).map(cf => f.name -> cf.name))
+          }.toMap
+          val translated = leaves.flatMap(l =>
+            toCurrent.get(l.field).map(n => l.copy(field = n)))
+          if (translated.isEmpty) groupPaths.toSet
+          else pruneFiles(s.copy(files = files),
+            FilePruning.conjunctsFromLeaves(translated, m.schema))
+            .map(_.path).toSet
+        }
+      val index = new org.apache.spark.sql.graft.GraftFileIndex(spark,
+        groupPaths.map(p => new org.apache.hadoop.fs.Path(p)), fileSchema,
+        prune)
+      val raw = org.apache.spark.sql.graft.DatasetBridge
+        .parquetFrame(spark, index, fileSchema)
       val cols: Array[Column] = cur.fields.map { cf =>
         TableMeta.fieldId(cf).flatMap(idToName.get) match {
           // .as(name, metadata) keeps the field-id on the read schema.
@@ -939,6 +967,57 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       case _ => None // mixed/multi-entry commit: exact diff decides
     }
     removed.map(r => (r, added))
+  }
+
+  /** Restricted before/after live-row frames for a TRUE REWRITE commit
+    * (overwrite / rollback / partial copy-on-write): a data file present
+    * in BOTH snapshots with IDENTICAL delete coverage contributes the
+    * same live-row multiset to both sides of the changelog's `exceptAll`
+    * diff and cancels EXACTLY — `exceptAll(X ⊎ S, Y ⊎ S) =
+    * exceptAll(X, Y)` — so the replay reads only files the rewrite
+    * actually touched (plus files whose position-delete coverage
+    * changed), never the whole table twice. A partial rewrite of a
+    * 100 TB table replays at O(rewritten), like the MoR commits.
+    *
+    * Coverage equality per shared file:
+    *  - equality deletes are KEYED, not file-named — any difference in
+    *    the eq-delete state falls back (None) to the full diff;
+    *    identical state means identical per-file coverage (the
+    *    `coveredUpTo` rule depends only on the file's own commit era).
+    *  - position-delete files present on one side only NAME the data
+    *    files whose live rows may differ (O(delete rows) to read) —
+    *    those files join the diff instead of cancelling.
+    *
+    * Exactness never rests on this: the caller diffs whatever frames
+    * come back, and None (nothing cancels / eq-state changed) means the
+    * caller's own full diff. NOT for the keyed update-PAIRING path:
+    * cancelling an unchanged row can flip a would-be update pair into a
+    * bare insert there — only the pure insert/delete multiset diff is
+    * cancellation-safe. */
+  def rewriteDelta(parent: Snapshot, s: Snapshot): Option[(DataFrame, DataFrame)] = {
+    if (parent.eqDeleteFiles.map(_.dir).toSet !=
+        s.eqDeleteFiles.map(_.dir).toSet) return None
+    val parentPaths = parent.files.map(_.path).toSet
+    val childPaths = s.files.map(_.path).toSet
+    val shared = parentPaths intersect childPaths
+    if (shared.isEmpty) return None
+    val parentPos = parent.deleteFiles.map(_.path).toSet
+    val childPos = s.deleteFiles.map(_.path).toSet
+    val changedPos = (parent.deleteFiles.filterNot(f => childPos(f.path)) ++
+      s.deleteFiles.filterNot(f => parentPos(f.path))).map(_.path).distinct
+    val norm = (p: String) =>
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val posAffected: Set[String] =
+      if (changedPos.isEmpty) Set.empty
+      else spark.read.schema(DeleteSchema).parquet(changedPos: _*)
+        .select("file_path").distinct().collect()
+        .map(r => norm(r.getString(0))).toSet
+    val cancelled = shared.filterNot(p => posAffected(norm(p)))
+    if (cancelled.isEmpty) return None
+    def restricted(of: Snapshot): DataFrame =
+      readSnapshot(Some(of.copy(files =
+        of.files.filterNot(f => cancelled(f.path)))))
+    Some((restricted(parent), restricted(s)))
   }
 
   /** `Files.walk` materialized AND closed — the lazy stream holds a
@@ -1706,7 +1785,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       case other => throw new IllegalArgumentException(
         s"clusterBy supports 1 or 2 columns, got ${other.size}")
     }
-    commit(df, "replace", keepParent = false, requireParentId = Some(asOf))
+    // the compacted-files marker states the commit's contract: LIVE ROWS
+    // PRESERVED — changelog replay recognizes it and emits nothing
+    commit(df, "replace", keepParent = false, requireParentId = Some(asOf),
+      extraSummary = Map(
+        "compacted-files" -> currentSnapshot.map(_.files.size).getOrElse(0).toString,
+        "kept-files" -> "0"))
   }
 
   /** PARTIAL compaction — the small-files fix at scale: rewrite ONLY the

@@ -221,26 +221,23 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
     ()
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val spark = SparkSession.active
-    val snap = tbl.currentSnapshot.filter(_.files.nonEmpty).getOrElse {
-      // empty table: an index over zero files yields an empty scan
-      return new ParquetScanBuilder(spark,
-        new GraftFileIndex(spark, Nil, tbl.schema, _ => Set.empty),
-        tbl.schema, tbl.schema, options)
-    }
-    // Older-schema files scan natively when the evolution was ADDITIVE
-    // (added columns only, no renames/retypes): parquet's
-    // read-missing-as-null then equals the engine's field-id resolution
-    // exactly. A rename or retype between versions would make a by-name
-    // scan silently null or mistype the column. Field-ids must match too:
-    // a drop + re-add of the same name/type is a DIFFERENT column (new
-    // field-id; the engine reads old files' value as NULL), but a by-name
-    // parquet scan would resurrect the dropped data into the re-added
-    // column. Any of those — or merge-on-read delete state, which a plain
-    // file scan cannot subtract — routes to the ENGINE-READ fallback scan
-    // instead: same SQL surface, exact semantics, still file-skipping.
-    val m = tbl.meta
+  /** The pinned (table, snapshot) pair when the CURRENT snapshot cannot be
+    * represented as a plain parquet file scan — merge-on-read delete state,
+    * or rename/retype/drop-re-add schema history — and must go through the
+    * engine's exact read. None = clean snapshot (or empty table): the
+    * direct ParquetScanBuilder fast path applies.
+    *
+    * Older-schema files scan natively when the evolution was ADDITIVE
+    * (added columns only, no renames/retypes): parquet's
+    * read-missing-as-null then equals the engine's field-id resolution
+    * exactly. A rename or retype between versions would make a by-name
+    * scan silently null or mistype the column. Field-ids must match too:
+    * a drop + re-add of the same name/type is a DIFFERENT column (new
+    * field-id; the engine reads old files' value as NULL), but a by-name
+    * parquet scan would resurrect the dropped data into the re-added
+    * column. */
+  private def needsEngineRead(t: IceTable, snap: graft.core.Snapshot): Boolean = {
+    val m = t.meta
     val cur = m.schema
     val incompatible = snap.files.map(_.schemaId).distinct
       .filterNot(_ == m.currentSchemaId)
@@ -252,16 +249,40 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
               graft.core.TableMeta.fieldId(f) ==
                 graft.core.TableMeta.fieldId(cf))))
       }
-    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty ||
-        incompatible.nonEmpty)
-      return new EngineReadScanBuilder(tbl, snap)
+    snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty ||
+      incompatible.nonEmpty
+  }
+
+  private[engine] def engineReadState: Option[(IceTable, graft.core.Snapshot)] = {
+    val t = tbl
+    t.currentSnapshot.filter(_.files.nonEmpty)
+      .filter(needsEngineRead(t, _)).map((t, _))
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val t = tbl // ONE load: decision and scan must see the same snapshot
+    val snap = t.currentSnapshot.filter(_.files.nonEmpty).getOrElse {
+      // empty table: an index over zero files yields an empty scan
+      return new ParquetScanBuilder(spark,
+        new GraftFileIndex(spark, Nil, t.schema, _ => Set.empty),
+        t.schema, t.schema, options)
+    }
+    // A fallback-state snapshot routes to the ENGINE-READ scan: same SQL
+    // surface, exact semantics, still file-skipping. (When
+    // [[GraftEngineReadRule]] is installed the relation is substituted
+    // with the engine's plan BEFORE pushdown and this builder is never
+    // consulted for such snapshots — this V1 bridge remains the exact
+    // fallback for sessions without the graft extensions.)
+    if (needsEngineRead(t, snap))
+      return new EngineReadScanBuilder(t, snap)
     val paths = snap.files.map(f => new HPath(f.path))
     // the prune callback is PINNED to this scan's snapshot: evaluating
     // against the live head would intersect two different file sets when
     // a commit lands between planning and execution (silent empty scan)
-    val index = new GraftFileIndex(spark, paths, tbl.schema,
-      leaves => tbl.pruneFilePaths(snap, leaves))
-    new ParquetScanBuilder(spark, index, tbl.schema, tbl.schema, options)
+    val index = new GraftFileIndex(spark, paths, t.schema,
+      leaves => t.pruneFilePaths(snap, leaves))
+    new ParquetScanBuilder(spark, index, t.schema, t.schema, options)
   }
 }
 

@@ -144,19 +144,38 @@ object Changelog {
           stamp(after.exceptAll(before), "insert")
             .unionByName(stamp(before.exceptAll(after), "delete"))
         }
+        // True rewrites restrict the diff to CHANGED LINEAGE first: data
+        // files shared by both snapshots with identical delete coverage
+        // cancel out of the multiset diff exactly (IceTable.rewriteDelta),
+        // so a partial rewrite replays at O(rewritten) — the whole-table
+        // both-directions exceptAll only remains for full rewrites.
+        def rewriteDiff: DataFrame =
+          parent.flatMap(p => tbl.rewriteDelta(p, s)) match {
+            case Some((before, after)) =>
+              stamp(after.exceptAll(before), "insert")
+                .unionByName(stamp(before.exceptAll(after), "delete"))
+            case None => fullDiff
+          }
         // merge-on-read delete/update/replace/merge commits: the commit's
         // own delete files and added files name the delta, so the replay
         // is O(touched) — scans only the touched data files (position
         // deletes) or one live pass with a broadcast key semi-join
         // (equality deletes) plus the added files, never the
-        // both-directions table-sized exceptAll. True rewrites
-        // (overwrite/compaction/rollback/CoW) keep the exact diff.
+        // both-directions table-sized exceptAll.
         if (other == "delete" || other == "update")
           parent.flatMap(p => tbl.morDelta(p, s))
             .map { case (removed, added) =>
               stamp(added, "insert").unionByName(stamp(removed, "delete"))
-            }.getOrElse(fullDiff)
-        else fullDiff
+            }.getOrElse(rewriteDiff)
+        // compaction commits carry the live-rows-preserved contract in
+        // their summary (compacted-files / compacted-delete-files, written
+        // only by the engine's own data-preserving maintenance ops): the
+        // changelog is empty BY CONSTRUCTION — replaying a routine
+        // compaction of a 100 TB table must not read a byte of it
+        else if (s.summary.contains("compacted-files") ||
+            s.summary.contains("compacted-delete-files"))
+          emptyChangelog(tbl, pairUpdateKeys)
+        else rewriteDiff
     }
   }
 

@@ -20,6 +20,7 @@ object MorReadProf {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wh = java.nio.file.Files.createTempDirectory("graft-morread-").toString
@@ -36,36 +37,50 @@ object MorReadProf {
       classOf[graft.engine.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
 
+    val SubstConf = "spark.graft.engineReadSubstitution"
+    def subst[T](on: Boolean)(f: => T): T = {
+      spark.conf.set(SubstConf, on.toString)
+      try f finally spark.conf.set(SubstConf, "true")
+    }
     def engineWide() = t.read()
       .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
         count(lit(1))).head()
-    def dsv2Wide() = spark.table(s"$cat.default.li_mor")
+    // substituted: GraftEngineReadRule inlines the engine's columnar plan
+    def dsv2Wide() = subst(on = true)(spark.table(s"$cat.default.li_mor")
       .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
-        count(lit(1))).head()
+        count(lit(1))).head())
+    // bridge: the rule disabled -> EngineReadScanBuilder's V1Scan path
+    def v1Wide() = subst(on = false)(spark.table(s"$cat.default.li_mor")
+      .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+        count(lit(1))).head())
     def engineNarrow() = t.read()
       .groupBy(col("l_returnflag")).agg(count(lit(1))).collect()
-    def dsv2Narrow() = spark.table(s"$cat.default.li_mor")
-      .groupBy(col("l_returnflag")).agg(count(lit(1))).collect()
+    def dsv2Narrow() = subst(on = true)(spark.table(s"$cat.default.li_mor")
+      .groupBy(col("l_returnflag")).agg(count(lit(1))).collect())
+    def v1Narrow() = subst(on = false)(spark.table(s"$cat.default.li_mor")
+      .groupBy(col("l_returnflag")).agg(count(lit(1))).collect())
 
     def time(f: => Unit): Double = {
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // warmup both paths (codegen)
-    engineWide(); dsv2Wide(); engineNarrow(); dsv2Narrow()
+    // warmup all paths (codegen)
+    engineWide(); dsv2Wide(); v1Wide(); engineNarrow(); dsv2Narrow(); v1Narrow()
     val n = 5
-    var eW, dW, eN, dN = List.empty[Double]
+    var eW, dW, vW, eN, dN, vN = List.empty[Double]
     for (_ <- 1 to n) { // interleaved: host phase hits all variants equally
-      eW ::= time(engineWide()); dW ::= time(dsv2Wide())
-      eN ::= time(engineNarrow()); dN ::= time(dsv2Narrow())
+      eW ::= time(engineWide()); dW ::= time(dsv2Wide()); vW ::= time(v1Wide())
+      eN ::= time(engineNarrow()); dN ::= time(dsv2Narrow()); vN ::= time(v1Narrow())
     }
     def mn(xs: List[Double]) = xs.min
-    println(f"PROF engine_wide  min=${mn(eW)}%.3f s samples=${eW.map(x => f"$x%.3f").mkString(",")}")
-    println(f"PROF dsv2_wide    min=${mn(dW)}%.3f s samples=${dW.map(x => f"$x%.3f").mkString(",")}")
-    println(f"PROF engine_narrow min=${mn(eN)}%.3f s samples=${eN.map(x => f"$x%.3f").mkString(",")}")
-    println(f"PROF dsv2_narrow  min=${mn(dN)}%.3f s samples=${dN.map(x => f"$x%.3f").mkString(",")}")
-    println(f"PROF penalty_wide=${(mn(dW) / mn(eW) - 1) * 100}%.1f%% " +
-      f"penalty_narrow=${(mn(dN) / mn(eN) - 1) * 100}%.1f%%")
+    def line(k: String, xs: List[Double]): Unit =
+      println(f"PROF $k%-14s min=${mn(xs)}%.3f s samples=${xs.map(x => f"$x%.3f").mkString(",")}")
+    line("engine_wide", eW); line("subst_wide", dW); line("v1_wide", vW)
+    line("engine_narrow", eN); line("subst_narrow", dN); line("v1_narrow", vN)
+    println(f"PROF subst_penalty_wide=${(mn(dW) / mn(eW) - 1) * 100}%.1f%% " +
+      f"v1_penalty_wide=${(mn(vW) / mn(eW) - 1) * 100}%.1f%% " +
+      f"subst_penalty_narrow=${(mn(dN) / mn(eN) - 1) * 100}%.1f%% " +
+      f"v1_penalty_narrow=${(mn(vN) / mn(eN) - 1) * 100}%.1f%%")
     spark.stop()
   }
 }

@@ -407,4 +407,64 @@ class ChangelogSpec extends AnyFunSuite {
       .exceptAll(t.readSnapshot(t.snapshotById(4L))).count()
     assert(nb == want4 && na == want4, s"pairing: $nb/$na vs $want4")
   }
+
+  test("compaction replay is empty BY CONTRACT (live rows preserved): " +
+      "full, partial, and delete compaction read zero data files") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_cmp",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 50)) // c1
+    t.append(df(50 until 90)) // c2
+    t.compact(targetFiles = 1) // c3: full compact
+    val ch3 = Changelog.changesBetween(t, Some(2L), 3L)
+    assert(ch3.isEmpty, "full-compaction changelog must be empty")
+    assert(logicalScanFiles(ch3.queryExecution.analyzed).isEmpty,
+      "replaying a compaction must not plan a single file read")
+    t.append(df(90 until 95)) // c4: small file
+    t.append(df(95 until 99)) // c5: small file
+    val sizes = t.currentSnapshot.get.files.map(_.bytes).sorted
+    t.compactSmall(maxBytes = sizes(1), targetFiles = 1) // c6: partial
+    val ch6 = Changelog.changesBetween(t, Some(5L), 6L)
+    assert(ch6.isEmpty && logicalScanFiles(ch6.queryExecution.analyzed).isEmpty,
+      "partial compaction must replay as a scan-free empty changelog")
+    t.deleteWhereMor(col("id") < 3) // c7: MoR delete state to fold
+    t.compactDeletes().foreach { _ => // c8: delete-file compaction
+      val ch8 = Changelog.changesBetween(t, Some(7L), 8L)
+      assert(ch8.isEmpty &&
+        logicalScanFiles(ch8.queryExecution.analyzed).isEmpty,
+        "delete compaction must replay as a scan-free empty changelog")
+    }
+    // and the whole-history fold still materializes the final table
+    val toId = t.currentSnapshot.get.id
+    val all = Changelog.changesBetween(t, None, toId)
+    val material = all.where(col(Changelog.ChangeTypeCol) === "insert")
+      .select("id", "name")
+      .exceptAll(all.where(col(Changelog.ChangeTypeCol) === "delete")
+        .select("id", "name"))
+    val fin = t.read()
+    assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
+  }
+
+  test("rewrite replay cancels shared files (rewriteDelta): a rollback " +
+      "past one commit reads ONLY that commit's files, never the " +
+      "carried-forward table") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_rb",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 50)) // c1: file(s) shared by both snapshots
+    t.append(df(1000 until 1050)) // c2: the rolled-back commit
+    t.rollbackTo("1") // c3: replace re-referencing c1's manifests
+    val ch = Changelog.changesBetween(t, Some(2L), 3L)
+    val rows = ch.select(Changelog.ChangeTypeCol, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == (1000L until 1050L).map(("delete", _)).toSet,
+      s"rollback must emit exactly the undone inserts, got ${rows.size}")
+    // the diff is restricted to changed lineage: c1's file cancels out,
+    // so only commit-2 data files appear in the plan
+    val dataScans = logicalScanFiles(ch.queryExecution.analyzed)
+      .filter(_.contains("/data/commit-"))
+    assert(dataScans.nonEmpty)
+    assert(dataScans.forall(_.contains("commit-00002")),
+      s"shared files must cancel out of the rewrite replay: $dataScans")
+  }
 }
