@@ -189,12 +189,15 @@ object ScaleRehearsal {
       val tw = lhR.catalog.loadTable("default.wap")
       val wapStage = measured { tw.stageAppend(li, "batch").rows }
       val wapPublish = measured { tw.publishWap("batch"); 1L }
-      // ---- MERGE families (round-16): MoR O(touched) vs CoW rewrite ----
-      // Claim to MEASURE: the same small SQL MERGE (1% of keys updated)
-      // against a merge-on-read table costs O(touched) — one
-      // position-delete file + a 1%-sized append, cost dominated by the
-      // join probe — while the copy-on-write form rewrites the whole
-      // table, so its write volume grows ~10× with the table.
+      // ---- MERGE families: MoR O(touched) vs CoW partial rewrite ----
+      // Claims to MEASURE: (a) the same small SQL MERGE (1% of keys
+      // updated) against a merge-on-read table costs O(touched) — one
+      // position-delete file + a 1%-sized append; (b) a SCATTERED-key
+      // CoW merge still writes the whole table (the touched rows live in
+      // every file — inherent, the reason MoR mode exists); (c) a
+      // KEY-CLUSTERED CoW merge writes only the files holding the keys
+      // (file-level partial CoW: carried files move by reference), so
+      // its write volume grows with the SOURCE, not the table.
       val ord = Tables.load(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val nOrd = ord.count()
@@ -206,11 +209,19 @@ object ScaleRehearsal {
       ord.where(col("o_orderkey") % 100 === 7)
         .withColumn("o_totalprice", col("o_totalprice") + 1.0)
         .createOrReplaceTempView("sr_merge_src")
-      def mergeSql(table: String) =
-        s"""MERGE INTO $cat.default.$table t USING sr_merge_src s
+      // contiguous ~1% key range: what a time/key-partitioned upsert
+      // looks like — the shape file-level partial CoW is built for
+      ord.orderBy("o_orderkey").limit((nOrd / 100).toInt)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .createOrReplaceTempView("sr_merge_src_range")
+      def mergeSql(table: String, src: String = "sr_merge_src") =
+        s"""MERGE INTO $cat.default.$table t USING $src s
            |ON t.o_orderkey = s.o_orderkey
            |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      def addedRows(t: graft.core.IceTable): Long =
+        t.currentSnapshot.flatMap(_.summary.get("added-rows"))
+          .map(_.toLong).getOrElse(0L)
       lhR.catalog.createTable("default.mg_mor", ord.schema, Nil,
         Map("write.merge.mode" -> "merge-on-read"))
       val tmMor = lhR.catalog.loadTable("default.mg_mor")
@@ -218,12 +229,22 @@ object ScaleRehearsal {
       lhR.catalog.createTable("default.mg_cow", ord.schema, Nil, Map.empty)
       val tmCow = lhR.catalog.loadTable("default.mg_cow")
       tmCow.append(ord)
+      // key-clustered table: range-partitioned files, bounds disjoint
+      lhR.catalog.createTable("default.mg_cowc", ord.schema, Nil, Map.empty)
+      val tmCowC = lhR.catalog.loadTable("default.mg_cowc")
+      tmCowC.append(ord.repartitionByRange(cpus.toInt, col("o_orderkey")))
       val mergeMor = measured {
         spark.sql(mergeSql("mg_mor"))
         // touched = the position-delete rows this ONE commit wrote
         tmMor.currentSnapshot.map(_.deleteFiles.map(_.rows).sum).getOrElse(0L)
       }
-      val mergeCow = measured { spark.sql(mergeSql("mg_cow")); nOrd }
+      // rows actually WRITTEN by the commit (new files only — carried
+      // files move by reference and cost nothing)
+      val mergeCow = measured { spark.sql(mergeSql("mg_cow")); addedRows(tmCow) }
+      val mergeCowClustered = measured {
+        spark.sql(mergeSql("mg_cowc", "sr_merge_src_range"))
+        addedRows(tmCowC)
+      }
 
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
           "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,
@@ -239,7 +260,8 @@ object ScaleRehearsal {
           "rollup_incremental" -> ruInc, "rollup_full_recompute" -> ruFull,
           "wap_stage" -> wapStage, "wap_publish" -> wapPublish,
           "merge_mor_touched" -> mergeMor,
-          "merge_cow_rewrite" -> mergeCow)) {
+          "merge_cow_rewrite" -> mergeCow,
+          "merge_cow_clustered" -> mergeCowClustered)) {
         if (!first) out.append(",")
         first = false
         out.append(s"""{"sf":"$sf","docs":$nDocs,"vecs":$nVecs,""" +

@@ -821,6 +821,174 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       }
     }
 
+  /** PARTIAL copy-on-write rewrite — the CoW twin of [[compactSmall]]'s
+    * commit shape, driving `DELETE` / `UPDATE` / `REPLACE WHERE` in
+    * copy-on-write mode at O(touched files) instead of O(table): only the
+    * VICTIM files — data files whose manifest bounds / partition dirs /
+    * blooms admit rows matching `filter`; pruning is three-valued-safe,
+    * so a non-victim file provably holds NO matching row — are read
+    * (live, current schema) and rewritten through `transform`; every
+    * other data file is CARRIED FORWARD BY REFERENCE, a metadata-only
+    * move. A one-file delete on a 100 TB table rewrites one file.
+    *
+    * `alsoAppend` rows (REPLACE WHERE's incoming batch) land in the same
+    * atomic snapshot whether or not anything matched.
+    *
+    * Delete bookkeeping stays exact, the [[compactSmall]] way: parent
+    * position-delete files are pruned to rows referencing CARRIED files
+    * (the rewrite read victims' LIVE rows, absorbing their deletes;
+    * O(delete rows)); equality entries carry forward for the carried
+    * files, reduced by exactly the matches that lived in the victims —
+    * victimRaw − victimPosDeletes − victimLive, all from manifests plus
+    * one candidate-sized count — so [[Snapshot.liveRows]] stays exact.
+    * Victim rows rewritten into new files exit eq coverage correctly:
+    * the deletes were already APPLIED to them at read time, and the new
+    * files' commit id is above every entry's `coveredUpTo` watermark.
+    *
+    * Returns (matchedRows, committed snapshot). When no live row matches
+    * (victims empty, or the exact candidate count is 0) and there is
+    * nothing to append, the table is untouched and NO snapshot commits —
+    * like the MoR writers' short-circuit, a scheduled no-op must not
+    * pollute the log or spuriously abort commuting concurrent commits.
+    *
+    * Concurrency: the carried-file list and delete accounting are
+    * computed against the read snapshot, so ANY commit that lands in
+    * between aborts with `ConcurrentModificationException`
+    * (`requireParentId`) — strictly safer than the whole-table
+    * `overwrite` this replaces, which would silently swallow a
+    * concurrent append's rows into its own read-then-rewrite. */
+  def rewriteWhereCow(filter: Column, transform: DataFrame => DataFrame,
+      alsoAppend: Option[DataFrame] = None,
+      extraSummary: Map[String, String] = Map.empty): (Long, Option[Snapshot]) =
+    tableLock.synchronized {
+      val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
+        // empty table: nothing can match; REPLACE WHERE degenerates to
+        // appending the incoming batch as its single atomic snapshot
+        return (0L, alsoAppend.map(df =>
+          commit(df, "overwrite", keepParent = true, extraSummary)))
+      }
+      val matchCond = coalesce(filter, lit(false))
+      val victims = pruneFiles(cur, filter)
+      val victimPaths = victims.map(_.path).toSet
+      val live = readSnapshot(Some(cur.copy(files = victims)))
+      // one candidate-sized pass decides both counts: total live rows in
+      // the victims (feeds the eq-delete accounting) and exact matches
+      val (victimLive, matched) =
+        if (victims.isEmpty) (0L, 0L)
+        else {
+          val r = live.agg(count(lit(1)), count(when(matchCond, lit(1)))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      if (matched == 0L) {
+        return (0L, alsoAppend.map(df =>
+          commit(df, "overwrite", keepParent = true, extraSummary,
+            requireParentId = Some(cur.id))))
+      }
+      val replacement = alsoAppend match {
+        case Some(extra) => transform(live).unionByName(extra)
+        case None => transform(live)
+      }
+      val snap = partialCowCommit(cur, victims, victimLive, replacement,
+        Map("matched-rows" -> matched.toString) ++ extraSummary)
+      (matched, Some(snap))
+    }
+
+  /** File-level partial copy-on-write MERGE: like [[rewriteWhereCow]],
+    * the candidate files for `filter` (the merge's source-key IN-list
+    * superset) are read live and handed to `transformAll` — which builds
+    * the WHOLE replacement content: the merge-classified victims' rows
+    * (touched through the join, in-file untouched carried verbatim) PLUS
+    * the source-only inserted rows — while every non-candidate file
+    * carries forward by reference. Unlike `rewriteWhereCow` this ALWAYS
+    * commits (a MERGE's inserts exist regardless of matches: zero
+    * victims still lands the not-matched inserts), and the snapshot
+    * summary is completed by `summaryAfterWrite` AFTER the staged data
+    * write, so an `Observation` riding the replacement plan (the
+    * per-clause audit counts) materializes from the write itself —
+    * the merge join runs exactly once. */
+  def mergeFilesCow(filter: Column, transformAll: DataFrame => DataFrame,
+      summaryAfterWrite: () => Map[String, String]): Snapshot =
+    tableLock.synchronized {
+      val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse(
+        throw new IllegalStateException(
+          "mergeFilesCow requires a non-empty table (empty tables take " +
+            "the unrestricted merge path)"))
+      val victims = pruneFiles(cur, filter)
+      val live = readSnapshot(Some(cur.copy(files = victims)))
+      val victimLive = if (victims.isEmpty) 0L else live.count()
+      partialCowCommit(cur, victims, victimLive, transformAll(live),
+        Map.empty, Some(summaryAfterWrite))
+    }
+
+  /** Shared partial-CoW commit core ([[rewriteWhereCow]] /
+    * [[mergeFilesCow]]): carried = parent files minus victims (by
+    * reference); parent position-delete files pruned to rows referencing
+    * carried files; equality accounting reduced by the matches that
+    * lived in the victims (victimRaw − victimPosDeletes − victimLive);
+    * `requireParentId` pins the whole computation to `cur`. With
+    * `summaryAfterWrite`, the replacement is staged FIRST (completing
+    * any Observation on its plan) and the summary closure is evaluated
+    * before the metadata commit — the [[overwriteObserved]] shape. */
+  private def partialCowCommit(cur: Snapshot, victims: List[FileEntry],
+      victimLive: Long, replacement: DataFrame,
+      extraSummary: Map[String, String],
+      summaryAfterWrite: Option[() => Map[String, String]] = None): Snapshot = {
+    val victimPaths = victims.map(_.path).toSet
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    // prune parent position-delete files to rows referencing carried
+    // files; canonicalize both path renderings like compactSmall
+    val (prunedDel, posDelInVictims) =
+      if (cur.deleteFiles.isEmpty) (Nil, 0L)
+      else {
+        val delDir = dataDir.resolve(s"del-$uid")
+        val vDf = spark.createDataset(victimPaths.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("victim_path")
+        def canon(c: Column): Column =
+          regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+        spark.read.schema(IceTable.DeleteSchema)
+          .parquet(cur.deleteFiles.map(_.path): _*)
+          .join(broadcast(vDf),
+            canon(col("file_path")) === canon(col("victim_path")), "left_anti")
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(delDir.toString)
+        val entries = listDeleteParquet(delDir).filter(_.rows > 0)
+        (entries, cur.deleteFiles.map(_.rows).sum - entries.map(_.rows).sum)
+      }
+    val eqInVictims =
+      math.max(victims.map(_.rows).sum - posDelInVictims - victimLive, 0L)
+    val adjustEq: (List[EqDeleteEntry], List[FileEntry]) => List[EqDeleteEntry] =
+      (eqs, _) => {
+        var toDeduct = eqInVictims
+        eqs.map { e =>
+          val d = math.min(e.rows, toDeduct)
+          toDeduct -= d
+          e.copy(rows = e.rows - d)
+        }
+      }
+    val baseSummary = Map(
+      "rewritten-files" -> victims.size.toString,
+      "carried-files" -> (cur.files.size - victims.size).toString) ++
+      extraSummary
+    // stage-first when the summary depends on the write (Observation)
+    val (preStaged, summary) = summaryAfterWrite match {
+      case Some(f) =>
+        val m = meta
+        val stage = dataDir.resolve(
+          s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+        stageWrite(replacement, m, stage)
+        (Some((stage, m.currentSchemaId)), baseSummary ++ f())
+      case None => (None, baseSummary)
+    }
+    commit(replacement, "overwrite", keepParent = true,
+      extraSummary = summary,
+      requireParentId = Some(cur.id),
+      newDeleteFiles = prunedDel,
+      parentFileFilter = Some(fe => !victimPaths(fe.path)),
+      replaceParentDeletes = true,
+      mapEqDeletes = adjustEq,
+      preStaged = preStaged)
+  }
+
   private def applyAllDeletes(data: DataFrame, s: Snapshot): DataFrame = {
     val pos = if (s.deleteFiles.isEmpty) data
       else applyPositionDeletes(data, s)

@@ -105,34 +105,30 @@ class Dml(lh: Lakehouse) {
         .contains("merge-on-read")
       val matchCond = coalesce(cond, lit(false))
       // Validate rewritten rows against the rows that were NOT touched, so
-      // unique rules catch an update that duplicates an existing key. In
-      // merge-on-read mode both frames come from plain filters (hit rows
-      // with the SETs applied vs the untouched remainder) — never from a
-      // whole-table when/otherwise rewrite, whose every-column rewrite
-      // would cost the full-table scans MoR exists to avoid.
-      if (mor) {
-        val hits = setCols.foldLeft(df.where(matchCond)) { case (d, (c, v)) =>
-          d.withColumn(c, v)
-        }
-        lh.validation.enforce(table, hits, Some(df.where(!matchCond)))
+      // unique rules catch an update that duplicates an existing key. Both
+      // frames come from plain filters (hit rows with the SETs applied vs
+      // the untouched remainder) — never from a whole-table when/otherwise
+      // rewrite, whose every-column rewrite would cost the full-table
+      // scans the O(touched) write paths exist to avoid. (Lazy frames:
+      // `enforce` only evaluates them when rules exist for the table.)
+      val hits = setCols.foldLeft(df.where(matchCond)) { case (d, (c, v)) =>
+        d.withColumn(c, v)
       }
-      // Copy-on-write: evaluate the match BEFORE any column is rewritten —
-      // if the SET touches a column the filter references, re-evaluating
-      // the filter afterwards would select (and validate) the wrong rows.
+      lh.validation.enforce(table, hits, Some(df.where(!matchCond)))
       val matched =
         if (mor) tbl.updateWhereMor(matchCond, setCols)
-        else {
-          val marked = df.withColumn("__matched", matchCond)
-          val updated = setCols.foldLeft(marked) { case (d, (c, v)) =>
+        // the RAW condition feeds victim pruning (a coalesce() wrapper
+        // would defeat conjunct extraction); NULL-semantics stay exact —
+        // the marker below re-wraps with coalesce
+        else tbl.rewriteWhereCow(cond, { live =>
+          // evaluate the match BEFORE any column is rewritten — if a SET
+          // touches a column the filter references, re-evaluating the
+          // filter afterwards would select the wrong rows
+          val marked = live.withColumn("__matched", matchCond)
+          setCols.foldLeft(marked) { case (d, (c, v)) =>
             d.withColumn(c, when(col("__matched"), v).otherwise(col(c)))
-          }
-          lh.validation.enforce(table,
-            updated.where(col("__matched")).drop("__matched"),
-            Some(updated.where(!col("__matched")).drop("__matched")))
-          val n = marked.where(col("__matched")).count()
-          tbl.overwrite(updated.drop("__matched"))
-          n
-        }
+          }.drop("__matched")
+        })._1
       lh.audit.log(table, "update",
         Map("matched" -> matched.toString, "filter" -> filter,
           "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
@@ -164,12 +160,10 @@ class Dml(lh: Lakehouse) {
         .contains("merge-on-read")
       val deleted =
         if (mor) tbl.deleteWhereMor(cond)
-        else {
-          val df = tbl.read()
-          val n = df.where(cond).count()
-          tbl.overwrite(df.where(!coalesce(cond, lit(false))))
-          n
-        }
+        // partial copy-on-write: rewrite only the candidate files, carry
+        // the rest by reference — NULL-cond rows are kept (three-valued)
+        else tbl.rewriteWhereCow(cond,
+          live => live.where(!coalesce(cond, lit(false))))._1
       lh.audit.log(table, "delete",
         Map("deleted" -> deleted.toString, "filter" -> filterDesc,
           "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
@@ -218,11 +212,18 @@ class Dml(lh: Lakehouse) {
       val replaced =
         if (mor) tbl.overwriteWhereMor(matchCond, df)._1
         else {
-          val n = tbl.read().where(matchCond).count()
+          // partial copy-on-write: only candidate files are read and
+          // rewritten (their non-matching rows kept); untouched files
+          // carry by reference and the incoming batch lands in the SAME
+          // atomic snapshot — replacing one partition of a 100 TB table
+          // rewrites that partition, not the table
           val aligned = df.select(tbl.schema.fieldNames.map(col).toSeq: _*)
-          tbl.overwrite(kept.unionByName(aligned),
-            Map("replace-where" -> filterDesc))
-          n
+          // raw `cond` for victim pruning (coalesce defeats extraction);
+          // the kept-rows filter below keeps the exact NULL semantics
+          tbl.rewriteWhereCow(cond,
+            live => live.where(!matchCond),
+            alsoAppend = Some(aligned),
+            extraSummary = Map("replace-where" -> filterDesc))._1
         }
       lh.audit.log(table, "overwrite",
         Map("replaced" -> replaced.toString, "filter" -> filterDesc,
@@ -253,6 +254,39 @@ class Dml(lh: Lakehouse) {
         counts = statsAfterWrite()
         counts.map { case (k, v) => s"merge-$k" -> v.toString }
       })
+      lh.audit.log(table, "merge",
+        counts.map { case (k, v) => k -> v.toString })
+      counts
+    }
+  }
+
+  /** FILE-LEVEL partial-CoW twin of [[mergeDf]]
+    * ([[graft.core.IceTable.mergeFilesCow]]): `filter` is the merge's
+    * source-key IN-list superset — only candidate files are read and
+    * rewritten through `replacementOf` (victims' live rows → the full
+    * replacement content: merge-classified touched rows, in-file
+    * untouched rows carried verbatim, source-only inserts); every other
+    * data file carries by REFERENCE, so a small MERGE on a 100 TB
+    * copy-on-write table rewrites only the files it touches. Validation
+    * enforces on the replacement content (the rewritten + inserted rows
+    * — the same candidate-only visibility as the merge-on-read path);
+    * per-clause counts ride the staged write's own Observation. */
+  def mergePartialCowDf(table: String, filter: Column,
+      replacementOf: DataFrame => DataFrame,
+      statsAfterWrite: () => Map[String, Long]): Map[String, Long] = {
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      var counts: Map[String, Long] = Map.empty
+      tbl.mergeFilesCow(filter,
+        live => {
+          val replacement = replacementOf(live)
+          lh.validation.enforce(table, replacement, None)
+          replacement
+        },
+        () => {
+          counts = statsAfterWrite()
+          counts.map { case (k, v) => s"merge-$k" -> v.toString }
+        })
       lh.audit.log(table, "merge",
         counts.map { case (k, v) => k -> v.toString })
       counts
@@ -321,19 +355,57 @@ class Dml(lh: Lakehouse) {
       val inc = incoming.select(schema.fieldNames.map(col).toSeq: _*)
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
+      // FILE-LEVEL partial copy-on-write when the incoming key set is
+      // small and the incoming plan is deterministic: only files that can
+      // hold an incoming key are rewritten (their non-matching rows kept
+      // via the same anti-join); every other file carries by REFERENCE
+      // and the incoming batch appends in the SAME atomic snapshot — a
+      // small upsert against a 100 TB table rewrites only the files it
+      // touches. A nondeterministic incoming plan could yield a probe key
+      // set that disagrees with the join's (silently duplicating keys in
+      // a carried file), so it falls back to the whole-table form — the
+      // same soundness rule as the MERGE restriction.
+      val incDeterministic = !org.apache.spark.sql.graft.DatasetBridge
+        .analyzed(incoming).exists(_.expressions.exists(e => !e.deterministic))
+      val cap = graft.engine.GraftMerge.InListKeyCap
+      val probe =
+        if (incDeterministic)
+          inc.select(keys.map(col): _*).limit(cap + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val inFilter =
+        if (incDeterministic && probe.length <= cap)
+          Some(keys.zipWithIndex.map { case (k, i) =>
+            val vals = probe.map(_.get(i)).filter(_ != null).distinct
+            if (vals.isEmpty) lit(false) else col(k).isin(vals.toSeq: _*)
+          }.reduce(_ && _))
+        else None
       // matched-count with the SMALL side as the build side: the
       // existing→inc semi broadcasts (Catalyst/AQE) so the table is a
       // map-only scan, and the distinct shuffles only the MATCHED keys —
       // the flipped form (inc semi existing.distinct) would shuffle the
       // whole table's keys twice. inc's keys are unique after the dedup
       // window, so distinct matched existing keys == matched inc rows.
-      val updated = existing.join(inc.select(keys.map(col): _*),
+      // With a sound IN-list the count scans only candidate FILES
+      // (matches can live nowhere else — manifest pruning at the scan).
+      val countBase = inFilter match {
+        case Some(f) => tbl.currentSnapshot.filter(_.files.nonEmpty)
+          .map(s => tbl.readSnapshotPruned(s, Some(f))).getOrElse(existing)
+        case None => existing
+      }
+      val updated = countBase.join(inc.select(keys.map(col): _*),
           keys, "left_semi")
         .select(keys.map(col): _*).distinct().count()
       val inserted = inc.count() - updated
       lh.validation.enforce(table, inc, None)
-      val merged = existing.join(inc, keys, "left_anti").unionByName(inc)
-      tbl.overwrite(merged)
+      inFilter match {
+        case Some(inF) =>
+          tbl.rewriteWhereCow(inF,
+            live => live.join(inc, keys, "left_anti"),
+            alsoAppend = Some(inc))
+        case None =>
+          val merged = existing.join(inc, keys, "left_anti").unionByName(inc)
+          tbl.overwrite(merged)
+      }
       lh.audit.log(table, "upsert",
         Map("inserted" -> inserted.toString, "updated" -> updated.toString))
       UpsertResult(inserted, updated)

@@ -201,27 +201,6 @@ object GraftMerge {
         tbl.readWithLineage().join(keyDf, names, "left_semi")
     }
 
-  /** Copy-on-write twin of [[restrictedTarget]]: split the command's
-    * target frame into `(touched, untouched)` by the source keys. Only
-    * `touched` enters the full-outer merge join (O(touched) through the
-    * exchange — Spark can never broadcast a full-outer join, so the
-    * unrestricted form shuffles the ENTIRE table); `untouched` rows are
-    * carried verbatim into the rewrite via union, a map-only scan with
-    * no shuffle at all. The split is EXACT, not superset: IN-list rows
-    * with `cond` null (null keys) can never equal-match and go to
-    * `untouched` (`coalesce(!cond, true)`); the semi/anti pair
-    * partitions by the same null-rejecting equality. */
-  def splitTarget(spark: SparkSession, m: MergeIntoTable)
-      : Option[(DataFrame, DataFrame)] =
-    sourceKeyPlan(spark, m).map { case (inFilter, keyDf, names) =>
-      val tgt = DatasetBridge.ofRows(spark, m.targetTable)
-      inFilter match {
-        case Some(c) => (tgt.where(c), tgt.where(coalesce(!c, lit(true))))
-        case None => (tgt.join(keyDf, names, "left_semi"),
-          tgt.join(keyDf, names, "left_anti"))
-      }
-    }
-
   /** The classified merge frame: the full-outer join of `tgt0` (the
     * target content — the command's own relation for copy-on-write, the
     * engine's lineage-bearing read for merge-on-read) against the
@@ -393,27 +372,81 @@ case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
       .contains("merge-on-read") &&
       tbl.currentSnapshot.exists(_.files.nonEmpty)
     if (!mor) {
-      // copy-on-write: when restriction is sound, only the source-key-
-      // matching target rows enter the full-outer join; the untouched
-      // rows union in as carried — a map-only scan, so the rewrite's
-      // shuffle is O(touched), never the whole table
       val targetAttrs = m.targetTable.output
-      val classified = GraftMerge.splitTarget(spark, m) match {
-        case Some((touched, untouched)) =>
-          val part = GraftMerge.classify(spark, m, touched, Nil, identity)
-          val carried = untouched.select(
-            targetAttrs.map(a => col(a.name)) ++
-              Seq(lit("carried").as(GraftMerge.CatCol),
-                lit(true).as(GraftMerge.KeepCol)): _*)
-          part.unionByName(carried)
-        case None =>
-          GraftMerge.classify(spark, m,
-            DatasetBridge.ofRows(spark, m.targetTable), Nil, identity)
+      GraftMerge.sourceKeyPlan(spark, m) match {
+        // FILE-LEVEL partial copy-on-write: with a sound IN-list key
+        // restriction, only the candidate files (manifest bounds /
+        // partition dirs / blooms admit a source key) are read and
+        // rewritten; every other data file carries by REFERENCE — both
+        // the join's SHUFFLE and the rewrite's WRITE are O(touched), so
+        // a small MERGE on a 100 TB CoW table rewrites only the files
+        // it touches, like Iceberg's copy-on-write row-level ops
+        case Some((Some(inF), _, _))
+            if tbl.currentSnapshot.exists(_.files.nonEmpty) =>
+          var obs: Observation = null
+          val parentLive = tbl.currentSnapshot.get.liveRows
+          lh.dml.mergePartialCowDf(fullName, inF, { live =>
+            // rebind the command's target attrs onto the engine read of
+            // the candidate files (same shape as the MoR branch)
+            val byName = DatasetBridge.output(live)
+              .map(a => a.name -> a).toMap
+            val mapping: Map[ExprId, Attribute] = targetAttrs
+              .flatMap(o => byName.get(o.name).map(o.exprId -> _)).toMap
+            val rebind: Expression => Expression = _.transform {
+              case ar: AttributeReference if mapping.contains(ar.exprId) =>
+                mapping(ar.exprId)
+            }
+            // exact split within the candidate files: null-keyed rows
+            // can never equal-match and carry verbatim
+            val touched = live.where(inF)
+            val untouched = live.where(coalesce(!inF, lit(true)))
+            val part = GraftMerge.classify(spark, m, touched, Nil, rebind)
+            val carried = untouched.select(
+              targetAttrs.map(a => col(a.name)) ++
+                Seq(lit("carried").as(GraftMerge.CatCol),
+                  lit(true).as(GraftMerge.KeepCol)): _*)
+            val (obsFrame, o) = GraftMerge.observed(part.unionByName(carried))
+            obs = o
+            obsFrame.where(col(GraftMerge.KeepCol))
+              .drop(GraftMerge.CatCol, GraftMerge.KeepCol)
+          }, () => {
+            val c = GraftMerge.counts(obs)
+            // rows in files carried by reference never enter the frame —
+            // derive their count from the exact live-row accounting
+            c + ("carried" -> (parentLive - c("updated") - c("deleted")))
+          })
+        case skp =>
+          // row-level restriction (semi/anti pair above the IN-list cap)
+          // or no sound restriction: only the source-key-matching target
+          // rows enter the full-outer join; untouched rows union in as
+          // carried — a map-only scan, so the join's shuffle is
+          // O(touched), though the CoW WRITE still rewrites the table
+          val classified = skp match {
+            case Some((inFilterOpt, keyDf, names)) =>
+              // the splitTarget shape, from the ALREADY-collected key
+              // plan (no second probe): exact partition, null keys carry
+              val tgt = DatasetBridge.ofRows(spark, m.targetTable)
+              val (touched, untouched) = inFilterOpt match {
+                case Some(c) => (tgt.where(c),
+                  tgt.where(coalesce(!c, lit(true))))
+                case None => (tgt.join(keyDf, names, "left_semi"),
+                  tgt.join(keyDf, names, "left_anti"))
+              }
+              val part = GraftMerge.classify(spark, m, touched, Nil, identity)
+              val carried = untouched.select(
+                targetAttrs.map(a => col(a.name)) ++
+                  Seq(lit("carried").as(GraftMerge.CatCol),
+                    lit(true).as(GraftMerge.KeepCol)): _*)
+              part.unionByName(carried)
+            case None =>
+              GraftMerge.classify(spark, m,
+                DatasetBridge.ofRows(spark, m.targetTable), Nil, identity)
+          }
+          val (obsFrame, obs) = GraftMerge.observed(classified)
+          val merged = obsFrame.where(col(GraftMerge.KeepCol))
+            .drop(GraftMerge.CatCol, GraftMerge.KeepCol)
+          lh.dml.mergeDf(fullName, merged, () => GraftMerge.counts(obs))
       }
-      val (obsFrame, obs) = GraftMerge.observed(classified)
-      val merged = obsFrame.where(col(GraftMerge.KeepCol))
-        .drop(GraftMerge.CatCol, GraftMerge.KeepCol)
-      lh.dml.mergeDf(fullName, merged, () => GraftMerge.counts(obs))
     } else {
       // merge-on-read: rebind the command's target attributes onto the
       // engine's lineage-bearing read, stage the O(touched) delta in ONE

@@ -435,4 +435,86 @@ class GraftMergeSpec extends AnyFunSuite {
     val c = t.currentSnapshot.get
     assert(c.operation == "update" && c.deleteFiles.nonEmpty)
   }
+
+  test("FILE-LEVEL partial CoW MERGE: the untouched file is carried by " +
+      "REFERENCE (never read, never rewritten); counts and rows exact") {
+    lh.catalog.createTable("default.m17",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m17")
+    t.append((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((1000L until 1100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))
+    val loPath = t.currentSnapshot.get.files.minBy(_.path).path
+    val parentPaths = t.currentSnapshot.get.files.map(_.path).toSet
+    Seq((1005L, "UPD"), (1006L, "DEL"), (5000L, "NEW")).toDF("id", "v")
+      .createOrReplaceTempView("m17_src")
+    // track every table file any job under the merge plans to read
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        analyzedScanFiles(qe).foreach(seen.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(
+        s"""MERGE INTO $catName.default.m17 t USING m17_src s ON t.id = s.id
+           |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // listener delivery is async — wait for the merge table's scans
+      val deadline = System.nanoTime() + 10e9.toLong
+      def tableScans() = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.filter(_.contains("/m17/data/commit-"))
+      }
+      while (tableScans().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val scans = tableScans()
+      assert(scans.nonEmpty, "expected the merge to scan the target table")
+      assert(scans.forall(_.contains("commit-00002")),
+        s"the 0-99 file must never be read by a partial CoW merge: $scans")
+    } finally spark.listenerManager.unregister(listener)
+    val after = t.currentSnapshot.get
+    assert(after.files.map(_.path).toSet.intersect(parentPaths) == Set(loPath),
+      "the untouched file must carry by REFERENCE")
+    assert(after.summary.get("rewritten-files").contains("1") &&
+      after.summary.get("carried-files").contains("1") &&
+      after.summary.get("merge-updated").contains("1") &&
+      after.summary.get("merge-deleted").contains("1") &&
+      after.summary.get("merge-inserted").contains("1") &&
+      after.summary.get("merge-carried").contains("198"),
+      s"summary: ${after.summary}")
+    val rows = t.read().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 200 && rows(1005L) == "UPD" &&
+      !rows.contains(1006L) && rows(5000L) == "NEW" && rows(7L) == "v7")
+  }
+
+  test("partial CoW MERGE with NO matching file (insert-only against " +
+      "disjoint keys): every file carries by reference, inserts land") {
+    lh.catalog.createTable("default.m18",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m18")
+    t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val parentPaths = t.currentSnapshot.get.files.map(_.path).toSet
+    Seq((9000L, "NEW1"), (9001L, "NEW2")).toDF("id", "v")
+      .createOrReplaceTempView("m18_src")
+    spark.sql(
+      s"""MERGE INTO $catName.default.m18 t USING m18_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = t.currentSnapshot.get
+    assert(parentPaths.subsetOf(after.files.map(_.path).toSet),
+      "all parent files must carry by reference")
+    assert(after.summary.get("rewritten-files").contains("0") &&
+      after.summary.get("merge-inserted").contains("2") &&
+      after.summary.get("merge-carried").contains("50"),
+      s"summary: ${after.summary}")
+    assert(t.read().count() == 52)
+  }
 }
