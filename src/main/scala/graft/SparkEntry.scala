@@ -2740,6 +2740,37 @@ object SparkEntry {
       lh.catalog.loadTable("default.cust_mm").read()
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // SQL TIME TRAVEL gate: `VERSION AS OF '<tag>'` through the DSv2
+    // catalog resolves id → tag → ISO exactly like the engine's readAsOf
+    // (q166's surface twin) — and the PINNED snapshot carries
+    // merge-on-read delete state, so the pinned read must apply exactly
+    // the deletes live at the tag while ignoring the later append and
+    // the later (head-only) delete. The oracle recomputes the pinned
+    // state from commit 1's raw files plus the first delete's predicate.
+    "q180_sql_time_travel" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val lh = auxTable(s, dir, "wh180") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        lh.catalog.createTable("default.ord_tt", ord.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.ord_tt")
+        tb.append(ord.where(col("o_orderkey") % 2 === 0))  // commit 1
+        tb.deleteWhereMor(col("o_orderkey") % 10 === 0)    // commit 2
+        tb.tagSnapshot("pin")                              // tag -> snap 2
+        tb.append(ord.where(col("o_orderkey") % 2 =!= 0))  // commit 3
+        tb.deleteWhereMor(col("o_orderkey") % 3 === 0)     // commit 4
+        ()
+      }
+      val cat = s"g180_${sfTag(dir).replace('.', '_')}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.engine.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh180", dir))
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM $cat.default.ord_tt VERSION AS OF 'pin'
+        |GROUP BY o_orderstatus""".stripMargin)
     })
   )
 
@@ -5173,6 +5204,16 @@ object SparkEntry {
         |final AS (SELECT * FROM tkept UNION ALL SELECT * FROM ins)
         |SELECT c_mktsegment, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM final GROUP BY c_mktsegment""".stripMargin
+        |FROM final GROUP BY c_mktsegment""".stripMargin,
+
+    // the PINNED snapshot's state: commit 1's raw files minus the first
+    // delete's predicate — the later append (commit 3) and the head-only
+    // delete (commit 4) must be invisible at the tag
+    "q180_sql_time_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM read_parquet('/tmp/graft_aux/wh180_sf0.01/default/ord_tt/data/commit-00001/**/*.parquet')
+        |WHERE NOT (o_orderkey % 10 = 0)
+        |GROUP BY o_orderstatus""".stripMargin
   )
 }

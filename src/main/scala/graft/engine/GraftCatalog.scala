@@ -50,7 +50,8 @@ import graft.core.{Catalog, IceTable}
   *    `V1Scan` bridge), so EVERY table state reads correctly through
   *    `catalog.ns.table`; only clean snapshots take the direct
   *    ParquetScanBuilder fast path. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -92,6 +93,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(lakehouse, full)
   }
 
+  /** SQL time travel — `SELECT … FROM cat.ns.t VERSION AS OF <ref>`:
+    * `ref` resolves exactly like the engine API's `readAsOf` (snapshot
+    * id → tag → ISO timestamp precedence, [[graft.core.IceTable
+    * .resolveRef]]), so the two surfaces can never disagree. The
+    * returned table is READ-ONLY (writes against a pinned snapshot are
+    * refused at plan time). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val full = identOf(ident)
+    if (!cat.tableExists(full))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftSparkTable(lakehouse, full, Some(version))
+  }
+
+  /** SQL `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch;
+    * resolves to the last snapshot at or before that instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val iso = java.time.Instant.ofEpochMilli(timestamp / 1000L).toString
+    loadTable(ident, iso)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,
@@ -114,6 +135,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- stored procedures (`CALL cat.system.<proc>(…)`) -------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(lakehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names
+        .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
 
   // ---- namespaces --------------------------------------------------------
 
@@ -158,9 +191,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * property the engine API honors; untranslatable predicates are refused
   * at `canDeleteWhere` so Spark reports a clean unsupported error instead
   * of a wrong partial delete. */
-class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
+class GraftSparkTable(lh: graft.Lakehouse, fullName: String,
+    asOf: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   private def tbl: IceTable = lh.catalog.loadTable(fullName)
+  /** The snapshot this table face reads: the pinned time-travel ref
+    * (id → tag → ISO precedence, engine-API parity) or the live head. */
+  private def snapshotAt(t: IceTable): Option[graft.core.Snapshot] =
+    asOf match {
+      case Some(ref) => Some(t.resolveRef(ref))
+      case None => t.currentSnapshot
+    }
+  private def refuseWriteIfPinned(): Unit =
+    require(asOf.isEmpty,
+      s"table $fullName is pinned to snapshot ref '${asOf.get}' " +
+        "(VERSION/TIMESTAMP AS OF) — time-travel reads are immutable")
   /** For the MERGE planner strategy ([[GraftMergeStrategy]]). */
   private[engine] def lakehouse: graft.Lakehouse = lh
   private[engine] def fullIdent: String = fullName
@@ -171,7 +216,8 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseWriteIfPinned()
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // None = plain append; Some(None) = truncate (full overwrite);
       // Some(Some(cond)) = filter overwrite (`INSERT INTO … REPLACE
@@ -206,11 +252,13 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
           }
       }
     }
+  }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(f => GraftSparkTable.toColumn(f).isDefined)
+    asOf.isEmpty && filters.forall(f => GraftSparkTable.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    refuseWriteIfPinned()
     val cond = filters.flatMap(GraftSparkTable.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     // ONE delete implementation for both surfaces: Dml.deleteWhere owns
@@ -255,14 +303,14 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String) extends Table
 
   private[engine] def engineReadState: Option[(IceTable, graft.core.Snapshot)] = {
     val t = tbl
-    t.currentSnapshot.filter(_.files.nonEmpty)
+    snapshotAt(t).filter(_.files.nonEmpty)
       .filter(needsEngineRead(t, _)).map((t, _))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val t = tbl // ONE load: decision and scan must see the same snapshot
-    val snap = t.currentSnapshot.filter(_.files.nonEmpty).getOrElse {
+    val snap = snapshotAt(t).filter(_.files.nonEmpty).getOrElse {
       // empty table: an index over zero files yields an empty scan
       return new ParquetScanBuilder(spark,
         new GraftFileIndex(spark, Nil, t.schema, _ => Set.empty),

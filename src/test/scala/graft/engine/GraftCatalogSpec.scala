@@ -309,4 +309,105 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) ==
       lh.catalog.loadTable("sales.mor").read().count())
   }
+
+  test("SQL time travel: VERSION AS OF (id and tag) and TIMESTAMP AS OF " +
+      "resolve exactly like the engine's readAsOf; pinned tables refuse " +
+      "writes") {
+    lh.catalog.createTable("sales.tt",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("sales.tt")
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")) // snap 1
+    t.tagSnapshot("v1", Some("1"))
+    t.append((10L until 20L).map(i => (i, s"b$i")).toDF("id", "v")) // snap 2
+    t.deleteWhereMor(col("id") === 3L) // snap 3: MoR state
+    // by snapshot id
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $catName.sales.tt VERSION AS OF '1'")
+      .head.getLong(0) == 10L)
+    // by tag
+    val tagRows = spark.sql(
+      s"SELECT id FROM $catName.sales.tt VERSION AS OF 'v1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tagRows == (0L until 10L))
+    // head (with MoR delete state) still exact through the pinned path
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $catName.sales.tt VERSION AS OF '3'")
+      .head.getLong(0) == 19L)
+    // TIMESTAMP AS OF: an instant after snap 2 but before snap 3 —
+    // engine semantics: last snapshot at or before the instant
+    val s2ms = t.snapshotById(2L).get.timestampMs
+    val s3ms = t.snapshotById(3L).get.timestampMs
+    assume(s3ms > s2ms, "timestamps must be distinct for the AS OF probe")
+    val iso = java.time.Instant.ofEpochMilli(s3ms - 1).toString
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $catName.sales.tt TIMESTAMP AS OF '$iso'")
+      .head.getLong(0) == 20L)
+    // parity with the engine API on every ref
+    for (ref <- Seq("1", "2", "3", "v1")) {
+      val sqlRows = spark.sql(
+        s"SELECT id, v FROM $catName.sales.tt VERSION AS OF '$ref'")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val apiRows = t.readAsOf(ref)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(sqlRows == apiRows, s"ref '$ref' must match readAsOf")
+    }
+    // a pinned table face refuses writes at plan time
+    val pinned = new GraftSparkTable(lh, "sales.tt", Some("1"))
+    intercept[IllegalArgumentException] {
+      pinned.newWriteBuilder(null)
+    }
+    assert(!pinned.canDeleteWhere(
+      Array.empty[org.apache.spark.sql.sources.Filter]))
+  }
+
+  test("CALL cat.system.<proc>: tag / rollback / compact / compact_deletes " +
+      "/ expire ride the engine's own maintenance ops and return result " +
+      "rows") {
+    lh.catalog.createTable("sales.proc",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("sales.proc")
+    t.append((0L until 40L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(2)) // snap 1
+    t.append((40L until 80L).map(i => (i, s"b$i")).toDF("id", "v")
+      .coalesce(2)) // snap 2
+    // tag the head, then roll back to snap 1 and verify the read
+    val tagged = spark.sql(
+      s"CALL $catName.system.tag_snapshot('sales.proc', 'keep')")
+      .head.getLong(0)
+    assert(tagged == 2L)
+    val rolled = spark.sql(
+      s"CALL $catName.system.rollback_to_snapshot('sales.proc', '1')")
+      .head.getLong(0)
+    assert(rolled == 3L) // rollback commits a NEW snapshot
+    assert(lh.catalog.loadTable("sales.proc").read().count() == 40L)
+    // compact to one file (positional default target_files = 1)
+    val comp = spark.sql(s"CALL $catName.system.compact('sales.proc')").head
+    assert(comp.getInt(1) == 1, s"compact must land 1 file, got $comp")
+    assert(lh.catalog.loadTable("sales.proc").read().count() == 40L)
+    // nothing to fold -> folded=false
+    assert(!spark.sql(
+      s"CALL $catName.system.compact_deletes('sales.proc')").head.getBoolean(0))
+    // MoR delete, then fold + verify
+    lh.catalog.loadTable("sales.proc").deleteWhereMor(col("id") < 2L)
+    lh.catalog.loadTable("sales.proc").deleteWhereMor(col("id") === 5L)
+    assert(spark.sql(
+      s"CALL $catName.system.compact_deletes('sales.proc')").head.getBoolean(0))
+    assert(lh.catalog.loadTable("sales.proc").read().count() == 37L)
+    // expire with retain_last: the tagged snapshot stays pinned
+    val exp = spark.sql(s"CALL $catName.system.expire_snapshots(" +
+      s"'sales.proc', retain_last => 1)").head
+    assert(exp.getLong(0) >= 1L, s"expected expirations, got $exp")
+    val t2 = lh.catalog.loadTable("sales.proc")
+    assert(t2.snapshotById(2L).isDefined, "tagged snapshot must survive")
+    assert(t2.readAsOf("keep").count() == 80L)
+    assert(t2.read().count() == 37L)
+    // remove_tag, listProcedures surface
+    assert(spark.sql(
+      s"CALL $catName.system.remove_tag('sales.proc', 'keep')")
+      .head.getBoolean(0))
+    val cat = spark.sessionState.catalogManager.catalog(catName)
+      .asInstanceOf[GraftCatalog]
+    assert(cat.listProcedures(Array("system")).map(_.name).toSet ==
+      GraftProcedures.names.toSet)
+  }
 }
