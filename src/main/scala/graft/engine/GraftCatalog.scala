@@ -87,6 +87,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables — `cat.ns.t.snapshots` parses as namespace [ns, t]
+    // with the metadata name as the table: route to the read-only
+    // inspection face when the BASE table exists
+    if (ident.namespace.length == 2 &&
+        GraftMetaTables.Names.contains(ident.name)) {
+      val Array(ns0, ns1) = ident.namespace()
+      val base = s"$ns0.$ns1"
+      if (cat.tableExists(base)) {
+        val lh = lakehouse
+        return GraftMetaTables(spark, () => lh.catalog.loadTable(base),
+          base, ident.name)
+      }
+    }
     val full = identOf(ident)
     if (!cat.tableExists(full))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -115,17 +128,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "create partitioned tables through the engine API (transform specs " +
-        "carry IceLite semantics the DSv2 Transform surface doesn't)")
-    cat.createTable(identOf(ident), schema, Nil, properties.asScala.toMap)
+    // `PARTITIONED BY (bucket(16, id), days(ts), …)` → the engine's
+    // transform spec strings (identity/year/month/day/hour/bucket/
+    // truncate — the same grammar the API surface takes)
+    val spec = partitions.map(GraftCatalog.transformSpec).toSeq
+    cat.createTable(identOf(ident), schema, spec, properties.asScala.toMap)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter through the engine API: schema evolution is field-id based " +
-        "(IceTable.addColumn/renameColumn/dropColumn)")
+  /** SQL `ALTER TABLE`: add / rename / drop column ride the engine's
+    * field-id schema evolution (new schema VERSION, old files resolve by
+    * field-id — never a data rewrite); SET/UNSET TBLPROPERTIES ride the
+    * metadata CAS. Column type changes, nested fields, positions and
+    * defaults are refused loudly — those shapes have no exact field-id
+    * story on this surface. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val full = identOf(ident)
+    if (!cat.tableExists(full))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val t = lakehouse.catalog.loadTable(full)
+    def topLevel(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"$what of a NESTED field is unsupported: ${names.mkString(".")}")
+      names(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val name = topLevel(a.fieldNames(), "ADD COLUMN")
+        require(a.position() == null,
+          "ADD COLUMN … FIRST/AFTER is unsupported (columns append)")
+        require(a.defaultValue() == null,
+          "ADD COLUMN with DEFAULT is unsupported")
+        val f0 = org.apache.spark.sql.types.StructField(
+          name, a.dataType(), a.isNullable)
+        val f = Option(a.comment()).fold(f0)(f0.withComment)
+        t.evolveSchema(s => StructType(s.fields :+ f))
+        ()
+      case r: TableChange.RenameColumn =>
+        t.renameColumn(topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        ()
+      case d: TableChange.DeleteColumn =>
+        val name = topLevel(d.fieldNames(), "DROP COLUMN")
+        if (!d.ifExists() || t.schema.fieldNames.contains(name)) {
+          t.dropColumn(name); ()
+        }
+      case p: TableChange.SetProperty =>
+        t.setProperty(p.property(), p.value())
+      case p: TableChange.RemoveProperty =>
+        t.removeProperty(p.property())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other — evolve through the " +
+          "engine API (IceTable.evolveSchema)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val full = identOf(ident)
@@ -176,6 +232,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!cascade, "cascade drop goes through the engine API")
     cat.dropNamespace(namespace(0)); true
   }
+}
+
+object GraftCatalog {
+  /** DSv2 partition Transform → the engine's spec grammar, so
+    * `CREATE TABLE … PARTITIONED BY (days(ts), bucket(16, id))` lands
+    * with the SAME per-era pruning semantics as the engine API's specs
+    * (the concrete Transform classes are `private[sql]` — bridged via
+    * [[org.apache.spark.sql.graft.TransformBridge]]). */
+  private[engine] def transformSpec(t: Transform): String =
+    org.apache.spark.sql.graft.TransformBridge.spec(t)
 }
 
 /** DSv2 face of one IceLite table. Reads: current-snapshot parquet scan

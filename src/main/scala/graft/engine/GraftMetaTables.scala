@@ -1,0 +1,108 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.SQLContext
+
+import graft.core.IceTable
+
+/** SQL metadata tables — `SELECT * FROM cat.ns.t.snapshots` (Iceberg's
+  * metadata-table UX): inspection of a table's commit history, current
+  * files, delete state, tags and properties from plain SQL. Each is a
+  * driver-built, metadata-sized frame (snapshot log entries are manifest
+  * POINTERS — building these never touches a data file), refreshed per
+  * query planning. Read-only by construction (no SupportsWrite face). */
+object GraftMetaTables {
+
+  val Names: Set[String] =
+    Set("snapshots", "history", "files", "delete_files", "tags", "properties")
+
+  def apply(spark: SparkSession, tbl: () => IceTable, fullName: String,
+      meta: String): Table = new GraftMetaTable(spark, tbl,
+    s"$fullName.$meta", meta)
+
+  private[engine] def frame(spark: SparkSession, t: IceTable,
+      meta: String): DataFrame = {
+    val impl = spark.implicits
+    import impl._
+    meta match {
+      case "snapshots" =>
+        t.snapshots.map { s =>
+          (s.id, s.parentId, new java.sql.Timestamp(s.timestampMs),
+            s.operation, s.files.size.toLong, s.deleteFiles.size.toLong,
+            s.eqDeleteFiles.size.toLong, s.totalRows, s.liveRows,
+            s.totalBytes, s.summary)
+        }.toDF("snapshot_id", "parent_id", "committed_at", "operation",
+          "data_files", "position_delete_files", "equality_delete_entries",
+          "total_rows", "live_rows", "total_bytes", "summary")
+      case "history" =>
+        // Iceberg's history shape: every commit is a current ancestor in
+        // a linear log (rollbacks commit NEW snapshots, never rewrite)
+        val headId = t.currentSnapshot.map(_.id).getOrElse(0L)
+        t.snapshots.map { s =>
+          (new java.sql.Timestamp(s.timestampMs), s.id, s.parentId,
+            s.id <= headId)
+        }.toDF("made_current_at", "snapshot_id", "parent_id",
+          "is_current_ancestor")
+      case "files" =>
+        t.currentSnapshot.map(_.files).getOrElse(Nil).map { f =>
+          (f.path, f.schemaId, f.rows, f.bytes)
+        }.toDF("file_path", "schema_id", "record_count", "file_size_in_bytes")
+      case "delete_files" =>
+        val pos = t.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+          .map(f => ("position", f.path, f.rows, f.bytes, ""))
+        val eq = t.currentSnapshot.map(_.eqDeleteFiles).getOrElse(Nil)
+          .map(e => ("equality", e.dir, e.rows, e.bytes,
+            e.cols.mkString(",")))
+        (pos ++ eq).toDF("delete_type", "path", "matched_rows", "bytes",
+          "equality_columns")
+      case "tags" =>
+        t.tags.toSeq.sortBy(_._1).map { case (n, id) => (n, id) }
+          .toDF("tag", "snapshot_id")
+      case "properties" =>
+        t.meta.properties.toSeq.sortBy(_._1)
+          .toDF("key", "value")
+      case other =>
+        throw new IllegalArgumentException(s"unknown metadata table: $other")
+    }
+  }
+}
+
+/** One metadata table face: schema from a probe build, rows re-derived
+  * from the live table state at scan time through the internal-row
+  * `V1Scan` bridge (driver-local, metadata-sized). */
+private class GraftMetaTable(spark: SparkSession, tblOf: () => IceTable,
+    tableName: String, meta: String) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType =
+    GraftMetaTables.frame(spark, tblOf(), meta).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        // pin the frame at scan build: schema and rows must agree within
+        // one query even if a commit lands mid-planning
+        val df = GraftMetaTables.frame(spark, tblOf(), meta)
+        new V1Scan {
+          override def readSchema(): StructType = df.schema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = df.schema
+              override val needConversion: Boolean = false
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+                  .queryExecution.toRdd
+                  .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+            }.asInstanceOf[T]
+        }
+      }
+    }
+}

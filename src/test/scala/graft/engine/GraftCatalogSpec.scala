@@ -410,4 +410,115 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(cat.listProcedures(Array("system")).map(_.name).toSet ==
       GraftProcedures.names.toSet)
   }
+
+  test("metadata tables: cat.ns.t.snapshots / files / delete_files / " +
+      "tags / history / properties inspect live state from SQL") {
+    lh.catalog.createTable("sales.mt",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map("owner" -> "graft"))
+    val t = lh.catalog.loadTable("sales.mt")
+    t.append((0L until 30L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(2)) // snap 1: 2 files
+    t.deleteWhereMor(col("id") < 3L) // snap 2: MoR position deletes
+    t.tagSnapshot("m1")
+    val snaps = spark.sql(s"SELECT snapshot_id, operation, data_files, " +
+      s"live_rows FROM $catName.sales.mt.snapshots ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(snaps == Seq((1L, "append", 2L, 30L), (2L, "delete", 2L, 27L)),
+      s"snapshots: $snaps")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $catName.sales.mt.files")
+      .head.getLong(0) == 2L)
+    val dels = spark.sql(s"SELECT delete_type, matched_rows FROM " +
+      s"$catName.sales.mt.delete_files").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dels == Seq(("position", 3L)), s"delete_files: $dels")
+    assert(spark.sql(s"SELECT tag, snapshot_id FROM $catName.sales.mt.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("m1", 2L)))
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM " +
+      s"$catName.sales.mt.history WHERE is_current_ancestor")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(s"SELECT value FROM $catName.sales.mt.properties " +
+      s"WHERE key = 'owner'").head.getString(0) == "graft")
+    // metadata joins with the data surface in one query
+    val joined = spark.sql(
+      s"""SELECT s.snapshot_id, COUNT(d.id) AS n
+         |FROM $catName.sales.mt.snapshots s CROSS JOIN $catName.sales.mt d
+         |WHERE s.snapshot_id = 2 GROUP BY s.snapshot_id""".stripMargin)
+      .head
+    assert(joined.getLong(0) == 2L && joined.getLong(1) == 27L)
+  }
+
+  test("ALTER TABLE: add/rename/drop column ride field-id evolution " +
+      "(old files resolve, never rewritten); SET/UNSET TBLPROPERTIES " +
+      "ride the metadata CAS; unsupported shapes refuse loudly") {
+    lh.catalog.createTable("sales.alt",
+      Seq("id" -> "long", "a" -> "string"), Nil, Map.empty)
+    lh.catalog.loadTable("sales.alt")
+      .append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "a"))
+    val fileCountBefore =
+      lh.catalog.loadTable("sales.alt").currentSnapshot.get.files.size
+    spark.sql(s"ALTER TABLE $catName.sales.alt ADD COLUMN score DOUBLE")
+    spark.sql(s"ALTER TABLE $catName.sales.alt RENAME COLUMN a TO label")
+    // evolution is METADATA-ONLY: same data files, old files resolve
+    val t = lh.catalog.loadTable("sales.alt")
+    assert(t.currentSnapshot.get.files.size == fileCountBefore)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "label", "score"))
+    val rows = spark.sql(s"SELECT id, label, score FROM $catName.sales.alt " +
+      s"WHERE id = 3").head
+    assert(rows.getString(1) == "a3" && rows.isNullAt(2),
+      "old files must resolve renamed/added columns by field-id")
+    spark.sql(s"ALTER TABLE $catName.sales.alt DROP COLUMN score")
+    assert(lh.catalog.loadTable("sales.alt").schema.fieldNames.toSeq ==
+      Seq("id", "label"))
+    spark.sql(s"ALTER TABLE $catName.sales.alt " +
+      s"SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    assert(lh.catalog.loadTable("sales.alt").meta
+      .properties("write.delete.mode") == "merge-on-read")
+    spark.sql(s"ALTER TABLE $catName.sales.alt " +
+      s"UNSET TBLPROPERTIES ('write.delete.mode')")
+    assert(!lh.catalog.loadTable("sales.alt").meta
+      .properties.contains("write.delete.mode"))
+    // type changes have no exact field-id story on this surface
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catName.sales.alt ALTER COLUMN id TYPE INT")
+    }
+  }
+
+  test("CREATE TABLE … PARTITIONED BY maps DSv2 transforms onto the " +
+      "engine's spec grammar; writes lay out by the spec and scans prune") {
+    spark.sql(s"""CREATE TABLE $catName.sales.pt
+      | (id BIGINT, ts TIMESTAMP, v STRING)
+      | USING graft PARTITIONED BY (bucket(4, id), days(ts))""".stripMargin)
+    val t = lh.catalog.loadTable("sales.pt")
+    assert(t.meta.partitionSpec == List("bucket(4,id)", "day(ts)"),
+      s"spec: ${t.meta.partitionSpec}")
+    (0L until 40L).map(i => (i,
+      java.sql.Timestamp.valueOf(s"2024-01-0${1 + (i % 3)} 10:00:00"),
+      s"v$i")).toDF("id", "ts", "v").createOrReplaceTempView("pt_src")
+    spark.sql(s"INSERT INTO $catName.sales.pt SELECT * FROM pt_src")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $catName.sales.pt")
+      .head.getLong(0) == 40L)
+    // partition-dir pruning: a one-day filter reads a subset of files
+    val all = lh.catalog.loadTable("sales.pt").currentSnapshot.get.files.size
+    assert(all > 1, s"expected multiple partition files, got $all")
+    val pruned = spark.sql(s"SELECT id FROM $catName.sales.pt " +
+      s"WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'")
+    pruned.collect()
+    val read = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.planInputPartitions().map {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.length
+              case _ => 1
+            }.sum
+          case _ => -1
+        }
+    }.sum
+    assert(pruned.count() == 13L)
+    assert(read > 0 && read < all,
+      s"day(ts) partition dirs must prune the scan: read $read of $all")
+  }
 }
