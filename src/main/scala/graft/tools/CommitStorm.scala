@@ -110,6 +110,33 @@ object CommitStorm {
             if (i % 5 == 4)
               try tbl.compact(targetFiles = 2)
               catch { case _: java.util.ConcurrentModificationException => () }
+            if (i % 7 == 6) {
+              // PARTIAL copy-on-write delete of our own row s+3: carried
+              // files move by reference while both processes race. The
+              // carried-file list is pinned to the read snapshot
+              // (requireParentId), so any interleaved commit aborts it —
+              // legal and common under racing; retry with fresh state
+              val victim = s + 3
+              if (appendedIds.contains(victim) &&
+                  !landed.exists(_.startsWith(s"D $victim")) &&
+                  !landed.exists(_.startsWith(s"P $victim"))) {
+                var attempts = 0
+                var done = false
+                while (!done && attempts < 4) {
+                  attempts += 1
+                  try {
+                    val (n, snap) = tbl.rewriteWhereCow(col("id") === victim,
+                      live => live.where(!(col("id") === victim)))
+                    require(n == 1L && snap.isDefined,
+                      s"partial CoW delete of own row $victim matched $n")
+                    landed += s"P $victim"
+                    done = true
+                  } catch {
+                    case _: java.util.ConcurrentModificationException => ()
+                  }
+                }
+              }
+            }
             if (i % 6 == 5) {
               // write-audit-publish leg: stage a single-row batch (its own
               // id space, offset +500), audit it, publish. Publish is an

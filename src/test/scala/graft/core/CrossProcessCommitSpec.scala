@@ -107,7 +107,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     // is touched by exactly one process, so replaying each report alone
     // yields that id's expected final (id, name) state.
     val expected = scala.collection.mutable.Map(0L -> "seed")
-    var sawAppend, sawUpdate, sawWap = false
+    var sawAppend, sawUpdate, sawWap, sawPartialCow = false
     for (start <- Seq(1000L, 2000L)) {
       val ops = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(wh, s"storm-report-$start.txt")).toArray
@@ -119,6 +119,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
             expected(id) = s"p$start-${id - start}"; sawAppend = true
           case ("U", id) => expected(id) = parts(2); sawUpdate = true
           case ("D", id) => expected.remove(id); ()
+          case ("P", id) => expected.remove(id); sawPartialCow = true
           case ("W", id) => expected(id) = parts(2); sawWap = true
           case other => fail(s"unparseable report line: $line ($other)")
         }
@@ -127,6 +128,10 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(sawAppend, "no append landed — storm produced no signal")
     assert(sawUpdate, "no MoR update landed — update leg never exercised")
     assert(sawWap, "no WAP publish landed — stage/publish leg never exercised")
+    // the partial-CoW leg aborts legally under racing (requireParentId);
+    // it retries 4× with fresh state, so at least one process normally
+    // lands it — but do not REQUIRE it (no flaky assert on a race)
+    info(s"partial-CoW delete landed in at least one process: $sawPartialCow")
     // no staged leftovers: every stage was published (or aborted cleanly)
     assert(tbl.stagedCommits.isEmpty,
       s"staged commits left behind: ${tbl.stagedCommits}")

@@ -352,7 +352,7 @@ class ChangelogSpec extends AnyFunSuite {
     assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
   }
 
-  test("mixed 10-commit history: EVERY commit's replay equals the exact " +
+  test("mixed 14-commit history: EVERY commit's replay equals the exact " +
       "snapshot diff (whichever path computed it), and the full fold " +
       "materializes to the final table") {
     val lh = newLh()
@@ -372,7 +372,20 @@ class ChangelogSpec extends AnyFunSuite {
     t.deleteWhereMor(col("id") < 10) // c9: MoR delete over compacted files
     t.updateWhereMor(col("id") % 31 === 5,
       Map("name" -> concat(col("name"), lit("!")))) // c10
-    for (i <- 1L to 10L) {
+    // c11-c14: the PARTIAL copy-on-write family — carried files must
+    // cancel out of the replay, and the diff must stay exact
+    lh.dml.delete("default.cl_mix", "id >= 240") // c11
+    lh.dml.update("default.cl_mix", "id >= 230 AND id < 240",
+      Map("name" -> "upd")) // c12
+    lh.dml.overwriteWhereDf("default.cl_mix",
+      col("id") >= 160 && col("id") < 170,
+      (160L until 165L).map(i => (i, "rw")).toDF("id", "name")) // c13
+    // zero-match upsert: everything inserts via alsoAppend, one snapshot
+    lh.dml.upsert("default.cl_mix",
+      Seq((165L, "up"), (9000L, "new")).toDF("id", "name"), Seq("id")) // c14
+    assert(t.currentSnapshot.get.id == 14L,
+      s"expected 14 commits, got ${t.currentSnapshot.get.id}")
+    for (i <- 1L to 14L) {
       val before = if (i == 1) t.emptyDf(t.schema)
         else t.readSnapshot(t.snapshotById(i - 1))
       val after = t.readSnapshot(t.snapshotById(i))
@@ -388,7 +401,7 @@ class ChangelogSpec extends AnyFunSuite {
       assert(del.exceptAll(wantDel).isEmpty && wantDel.exceptAll(del).isEmpty,
         s"commit $i deletes diverge from the exact diff")
     }
-    val all = Changelog.changesBetween(t, None, 10L)
+    val all = Changelog.changesBetween(t, None, 14L)
     val material = all.where(col(Changelog.ChangeTypeCol) === "insert")
       .select("id", "name")
       .exceptAll(all.where(col(Changelog.ChangeTypeCol) === "delete")
