@@ -863,13 +863,15 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     tableLock.synchronized {
       val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
         // empty table: nothing can match; REPLACE WHERE degenerates to
-        // appending the incoming batch as its single atomic snapshot
+        // appending the incoming batch as its single atomic snapshot —
+        // still PINNED to the read state: a concurrent append of matching
+        // rows landing in between must abort this commit, not survive it
         return (0L, alsoAppend.map(df =>
-          commit(df, "overwrite", keepParent = true, extraSummary)))
+          commit(df, "overwrite", keepParent = true, extraSummary,
+            requireParentId = Some(currentSnapshot.map(_.id).getOrElse(0L)))))
       }
       val matchCond = coalesce(filter, lit(false))
       val victims = pruneFiles(cur, filter)
-      val victimPaths = victims.map(_.path).toSet
       val live = readSnapshot(Some(cur.copy(files = victims)))
       // one candidate-sized pass decides both counts: total live rows in
       // the victims (feeds the eq-delete accounting) and exact matches
@@ -915,9 +917,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
             "the unrestricted merge path)"))
       val victims = pruneFiles(cur, filter)
       val live = readSnapshot(Some(cur.copy(files = victims)))
-      val victimLive = if (victims.isEmpty) 0L else live.count()
-      partialCowCommit(cur, victims, victimLive, transformAll(live),
-        Map.empty, Some(summaryAfterWrite))
+      // by-name: the candidate-sized count pass only runs when equality
+      // accounting actually needs it (parent eq entries exist)
+      partialCowCommit(cur, victims,
+        if (victims.isEmpty) 0L else live.count(),
+        transformAll(live), Map.empty, Some(summaryAfterWrite))
     }
 
   /** Shared partial-CoW commit core ([[rewriteWhereCow]] /
@@ -930,7 +934,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * any Observation on its plan) and the summary closure is evaluated
     * before the metadata commit — the [[overwriteObserved]] shape. */
   private def partialCowCommit(cur: Snapshot, victims: List[FileEntry],
-      victimLive: Long, replacement: DataFrame,
+      victimLive: => Long, replacement: DataFrame,
       extraSummary: Map[String, String],
       summaryAfterWrite: Option[() => Map[String, String]] = None): Snapshot = {
     val victimPaths = victims.map(_.path).toSet
@@ -954,8 +958,11 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         val entries = listDeleteParquet(delDir).filter(_.rows > 0)
         (entries, cur.deleteFiles.map(_.rows).sum - entries.map(_.rows).sum)
       }
+    // victimLive is by-name: when no equality entries exist the deduction
+    // is moot and the candidate-sized count pass never runs
     val eqInVictims =
-      math.max(victims.map(_.rows).sum - posDelInVictims - victimLive, 0L)
+      if (cur.eqDeleteFiles.isEmpty) 0L
+      else math.max(victims.map(_.rows).sum - posDelInVictims - victimLive, 0L)
     val adjustEq: (List[EqDeleteEntry], List[FileEntry]) => List[EqDeleteEntry] =
       (eqs, _) => {
         var toDeduct = eqInVictims

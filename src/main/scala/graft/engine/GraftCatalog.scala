@@ -89,16 +89,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     // metadata tables — `cat.ns.t.snapshots` parses as namespace [ns, t]
     // with the metadata name as the table: route to the read-only
-    // inspection face when the BASE table exists
+    // inspection face. A missing BASE table surfaces as the standard
+    // NoSuchTableException (not identOf's nested-namespace error), so
+    // Spark reports TABLE_OR_VIEW_NOT_FOUND like any other typo.
     if (ident.namespace.length == 2 &&
-        GraftMetaTables.Names.contains(ident.name)) {
+        GraftMetaTables.Names.contains(ident.name.toLowerCase)) {
       val Array(ns0, ns1) = ident.namespace()
       val base = s"$ns0.$ns1"
-      if (cat.tableExists(base)) {
-        val lh = lakehouse
-        return GraftMetaTables(spark, () => lh.catalog.loadTable(base),
-          base, ident.name)
-      }
+      if (!cat.tableExists(base))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      val lh = lakehouse
+      return GraftMetaTables(spark, () => lh.catalog.loadTable(base),
+        base, ident.name.toLowerCase)
     }
     val full = identOf(ident)
     if (!cat.tableExists(full))
@@ -151,6 +153,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(names.length == 1,
         s"$what of a NESTED field is unsupported: ${names.mkString(".")}")
       names(0)
+    }
+    // validate EVERY change before applying ANY: each change commits its
+    // own metadata CAS, so a failing later change must not leave the
+    // statement half-applied
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        topLevel(a.fieldNames(), "ADD COLUMN")
+        require(a.position() == null,
+          "ADD COLUMN … FIRST/AFTER is unsupported (columns append)")
+        require(a.defaultValue() == null,
+          "ADD COLUMN with DEFAULT is unsupported")
+      case r: TableChange.RenameColumn =>
+        topLevel(r.fieldNames(), "RENAME COLUMN"); ()
+      case d: TableChange.DeleteColumn =>
+        topLevel(d.fieldNames(), "DROP COLUMN"); ()
+      case _: TableChange.SetProperty => ()
+      case _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other — evolve through the " +
+          "engine API (IceTable.evolveSchema)")
     }
     changes.foreach {
       case a: TableChange.AddColumn =>

@@ -59,20 +59,36 @@ class GraftEngineReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => protect(d.table)
       case u: UpdateTable => protect(u.table)
       case w: V2WriteCommand => protect(w.table)
+      // the PRE-conversion INSERT shape: until ResolveInsertInto rewrites
+      // it to a V2WriteCommand (which requires the query side resolved),
+      // the write target sits under InsertIntoStatement — substituting it
+      // in an earlier iteration would break the INSERT's own pattern match
+      case i: InsertIntoStatement => protect(i.table)
       case _ => ()
     }
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if !protectedRels.contains(r) =>
         r.table match {
-          case t: GraftSparkTable => substituted(t, r.output).getOrElse(r)
+          case t: GraftSparkTable => substituted(t, r).getOrElse(r)
           case _ => r
         }
     }
   }
 
-  private def substituted(t: GraftSparkTable,
-      out: Seq[Attribute]): Option[LogicalPlan] =
-    t.engineReadState.map { case (tbl, snap) =>
+  // clean tables never substitute but the analyzer re-runs this rule to
+  // fixpoint — cache the per-relation decision by object identity so the
+  // table-log probe (engineReadState → snapshot read) happens once per
+  // relation per analysis, not once per iteration. Weak keys: entries die
+  // with the plan. None-valued entries are the point (the "clean" answer).
+  private val decided = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataSourceV2Relation, Option[LogicalPlan]]())
+
+  private def substituted(t: GraftSparkTable, r: DataSourceV2Relation)
+      : Option[LogicalPlan] = {
+    val cached = decided.get(r)
+    if (cached != null) return cached
+    val out = r.output
+    val result = t.engineReadState.map { case (tbl, snap) =>
       val child = org.apache.spark.sql.graft.DatasetBridge
         .analyzed(tbl.readSnapshot(Some(snap)))
       val byName = child.output.map(a => a.name -> a).toMap
@@ -80,6 +96,9 @@ class GraftEngineReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       // (already-resolved references, later-resolved ones) keeps binding
       val aliases: Seq[NamedExpression] = out.map(o =>
         Alias(byName(o.name), o.name)(exprId = o.exprId))
-      Project(aliases, child)
+      Project(aliases, child): LogicalPlan
     }
+    decided.put(r, result)
+    result
+  }
 }

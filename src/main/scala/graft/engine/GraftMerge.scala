@@ -384,7 +384,6 @@ case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
         case Some((Some(inF), _, _))
             if tbl.currentSnapshot.exists(_.files.nonEmpty) =>
           var obs: Observation = null
-          val parentLive = tbl.currentSnapshot.get.liveRows
           lh.dml.mergePartialCowDf(fullName, inF, { live =>
             // rebind the command's target attrs onto the engine read of
             // the candidate files (same shape as the MoR branch)
@@ -412,7 +411,12 @@ case class GraftMergeExec(lh: graft.Lakehouse, fullName: String,
           }, () => {
             val c = GraftMerge.counts(obs)
             // rows in files carried by reference never enter the frame —
-            // derive their count from the exact live-row accounting
+            // derive their count from the exact live-row accounting. Read
+            // the head HERE (inside the commit lock, after the pinned
+            // snapshot read): a commit interleaving after the pin aborts
+            // the merge CAS, so this head always equals the pinned parent
+            // in any summary that actually publishes
+            val parentLive = tbl.currentSnapshot.get.liveRows
             c + ("carried" -> (parentLive - c("updated") - c("deleted")))
           })
         case skp =>

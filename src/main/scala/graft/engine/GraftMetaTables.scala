@@ -21,6 +21,34 @@ object GraftMetaTables {
   val Names: Set[String] =
     Set("snapshots", "history", "files", "delete_files", "tags", "properties")
 
+  /** Static per-face schemas: `Table.schema()` is called repeatedly during
+    * analysis and must not rebuild the frame (and re-read the snapshot
+    * log) each time. Drift against [[frame]]'s actual output is refused by
+    * a GraftCatalogSpec assert over every face. */
+  val Schemas: Map[String, StructType] = {
+    import org.apache.spark.sql.types._
+    def st(fs: (String, DataType)*) =
+      StructType(fs.map { case (n, t) => StructField(n, t) })
+    Map(
+      "snapshots" -> st("snapshot_id" -> LongType,
+        "parent_id" -> LongType, "committed_at" -> TimestampType,
+        "operation" -> StringType, "data_files" -> LongType,
+        "position_delete_files" -> LongType,
+        "equality_delete_entries" -> LongType, "total_rows" -> LongType,
+        "live_rows" -> LongType, "total_bytes" -> LongType,
+        "summary" -> MapType(StringType, StringType)),
+      "history" -> st("made_current_at" -> TimestampType,
+        "snapshot_id" -> LongType, "parent_id" -> LongType,
+        "is_current_ancestor" -> BooleanType),
+      "files" -> st("file_path" -> StringType, "schema_id" -> IntegerType,
+        "record_count" -> LongType, "file_size_in_bytes" -> LongType),
+      "delete_files" -> st("delete_type" -> StringType, "path" -> StringType,
+        "matched_rows" -> LongType, "bytes" -> LongType,
+        "equality_columns" -> StringType),
+      "tags" -> st("tag" -> StringType, "snapshot_id" -> LongType),
+      "properties" -> st("key" -> StringType, "value" -> StringType))
+  }
+
   def apply(spark: SparkSession, tbl: () => IceTable, fullName: String,
       meta: String): Table = new GraftMetaTable(spark, tbl,
     s"$fullName.$meta", meta)
@@ -78,8 +106,7 @@ object GraftMetaTables {
 private class GraftMetaTable(spark: SparkSession, tblOf: () => IceTable,
     tableName: String, meta: String) extends Table with SupportsRead {
   override def name(): String = tableName
-  override def schema(): StructType =
-    GraftMetaTables.frame(spark, tblOf(), meta).schema
+  override def schema(): StructType = GraftMetaTables.Schemas(meta)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 

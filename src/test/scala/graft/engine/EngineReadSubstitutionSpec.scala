@@ -168,6 +168,19 @@ class EngineReadSubstitutionSpec extends AnyFunSuite {
       "delete mode property must still route to position deletes")
   }
 
+  test("INSERT INTO a fallback-state table through a VIEW source: the " +
+      "pre-conversion InsertIntoStatement target stays protected across " +
+      "analyzer iterations") {
+    seedMor()
+    val before = lh.catalog.loadTable("default.sm").read().count()
+    spark.sql(s"SELECT id + 2000 AS id, v FROM $catName.default.sm " +
+      "WHERE id = 5").createOrReplaceTempView("ins_src_view")
+    spark.sql(s"INSERT INTO $catName.default.sm SELECT * FROM ins_src_view")
+    val t = lh.catalog.loadTable("default.sm")
+    assert(t.read().count() == before + 1)
+    assert(t.read().where(col("id") === 2005L).count() == 1L)
+  }
+
   test("renamed schema history: the old-version group's scan translates " +
       "pushed leaves by field-id before pruning — file skipped, rows " +
       "exact") {

@@ -447,6 +447,23 @@ class GraftCatalogSpec extends AnyFunSuite {
          |WHERE s.snapshot_id = 2 GROUP BY s.snapshot_id""".stripMargin)
       .head
     assert(joined.getLong(0) == 2L && joined.getLong(1) == 27L)
+    // the STATIC per-face schemas (what Table.schema() serves during
+    // analysis, no frame rebuild) must never drift from frame()'s output
+    val tMeta = lh.catalog.loadTable("sales.mt")
+    for (face <- GraftMetaTables.Names) {
+      val built = GraftMetaTables.frame(spark, tMeta, face).schema
+        .fields.map(f => (f.name, f.dataType)).toSeq
+      val static = GraftMetaTables.Schemas(face)
+        .fields.map(f => (f.name, f.dataType)).toSeq
+      assert(built == static, s"schema drift on metadata face '$face'")
+    }
+    // a typo'd base table reports the standard not-found error
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      spark.sessionState.catalogManager.catalog(catName)
+        .asInstanceOf[GraftCatalog].loadTable(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("sales", "nope"), "snapshots"))
+    }
   }
 
   test("ALTER TABLE: add/rename/drop column ride field-id evolution " +
