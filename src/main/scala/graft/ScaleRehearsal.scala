@@ -245,6 +245,15 @@ object ScaleRehearsal {
         spark.sql(mergeSql("mg_cowc", "sr_merge_src_range"))
         addedRows(tmCowC)
       }
+      // partial CoW DELETE of the top ~1% key range on the clustered
+      // table: manifest bounds admit one victim file; the rest carry by
+      // reference — written rows ≈ one file's kept remainder, not the table
+      val hiCut = ord.orderBy(col("o_orderkey").desc)
+        .limit((nOrd / 100).toInt).agg(min("o_orderkey")).head.getLong(0)
+      val cowDeleteClustered = measured {
+        lhR.dml.delete("default.mg_cowc", s"o_orderkey >= $hiCut")
+        addedRows(tmCowC)
+      }
 
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
           "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,
@@ -261,7 +270,8 @@ object ScaleRehearsal {
           "wap_stage" -> wapStage, "wap_publish" -> wapPublish,
           "merge_mor_touched" -> mergeMor,
           "merge_cow_rewrite" -> mergeCow,
-          "merge_cow_clustered" -> mergeCowClustered)) {
+          "merge_cow_clustered" -> mergeCowClustered,
+          "cow_delete_clustered" -> cowDeleteClustered)) {
         if (!first) out.append(",")
         first = false
         out.append(s"""{"sf":"$sf","docs":$nDocs,"vecs":$nVecs,""" +

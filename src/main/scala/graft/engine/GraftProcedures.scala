@@ -29,7 +29,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rollback_to_snapshot", "expire_snapshots",
     "compact", "compact_small", "compact_deletes", "tag_snapshot",
-    "remove_tag", "publish_wap")
+    "remove_tag", "publish_wap", "remove_orphans")
 
   def load(lh: => graft.Lakehouse, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace),
@@ -119,6 +119,16 @@ object GraftProcedures {
         Array(p("table", StringType), p("wap_id", StringType)),
         StructType(Seq(StructField("snapshot_id", LongType))),
         r => row(tbl(r).publishWap(str(r, 1)).id))
+      case "remove_orphans" => proc(name,
+        "delete files referenced by no retained snapshot (dry_run lists)",
+        Array(p("table", StringType), pd("dry_run", BooleanType, "false")),
+        StructType(Seq(StructField("orphan_count", LongType),
+          StructField("deleted", BooleanType))),
+        { r =>
+          val dry = !r.isNullAt(1) && r.getBoolean(1)
+          val orphans = tbl(r).orphanFiles(delete = !dry)
+          row(orphans.size.toLong, !dry)
+        })
     }
   }
 

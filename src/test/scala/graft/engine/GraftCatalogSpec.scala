@@ -405,6 +405,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"CALL $catName.system.remove_tag('sales.proc', 'keep')")
       .head.getBoolean(0))
+    // orphan GC through SQL: dry run counts, real run sweeps, data intact
+    val dryN = spark.sql(s"CALL $catName.system.remove_orphans(" +
+      s"'sales.proc', dry_run => true)").head.getLong(0)
+    val swept = spark.sql(
+      s"CALL $catName.system.remove_orphans('sales.proc')").head
+    assert(swept.getLong(0) == dryN && swept.getBoolean(1))
+    assert(lh.catalog.loadTable("sales.proc").read().count() == 37L,
+      "orphan sweep must not touch live data")
+    assert(spark.sql(s"CALL $catName.system.remove_orphans(" +
+      s"'sales.proc', dry_run => true)").head.getLong(0) == 0L)
     val cat = spark.sessionState.catalogManager.catalog(catName)
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name).toSet ==
