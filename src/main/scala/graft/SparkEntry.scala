@@ -2771,6 +2771,35 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM $cat.default.ord_tt VERSION AS OF 'pin'
         |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // PARTIAL copy-on-write DELETE gate: against key-clustered files the
+    // delete rewrites ONLY the candidate files and carries the rest BY
+    // REFERENCE (the builder requires carried-files > 0 in the commit
+    // summary) — the oracle recomputes the survivor set from the raw
+    // table with the same predicate, so a wrong victim set, a lost
+    // carried file, or broken delete bookkeeping all hash-mismatch.
+    "q181_partial_cow_delete" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh181") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_pcd", li.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.li_pcd")
+        // range-clustered files: manifest bounds make the upper half
+        // prunable, the shape partial CoW is built for
+        tb.append(li.repartitionByRange(8, col("l_orderkey"))) // commit 1
+        val cut = li.agg(max("l_orderkey")).head.getLong(0) / 2
+        lh.dml.delete("default.li_pcd",                        // commit 2
+          s"l_orderkey >= $cut AND l_quantity < 10")
+        val snap = lh.catalog.loadTable("default.li_pcd").currentSnapshot.get
+        require(snap.summary.get("carried-files").exists(_.toInt > 0),
+          s"partial CoW delete must carry untouched files: ${snap.summary}")
+        ()
+      }
+      lh.catalog.loadTable("default.li_pcd").read()
+        .groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"))
     })
   )
 
@@ -5214,6 +5243,17 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM read_parquet('/tmp/graft_aux/wh180_sf0.01/default/ord_tt/data/commit-00001/**/*.parquet')
         |WHERE NOT (o_orderkey % 10 = 0)
-        |GROUP BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // survivor set recomputed from the RAW table with the same predicate
+    // (same integer cut: max/2 floors identically in both engines)
+    "q181_partial_cow_delete" ->
+      """WITH cut AS (SELECT MAX(l_orderkey) // 2 AS c FROM lineitem),
+        |live AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem, cut
+        |  WHERE NOT (l_orderkey >= c AND l_quantity < 10))
+        |SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM live GROUP BY 1""".stripMargin
   )
 }
