@@ -214,12 +214,20 @@ object FilePruning {
 
   private def partitionCompatible(t: PartitionTransform, raw: String,
       c: Conjunct, schema: StructType): Boolean = {
-    // Bucket never prunes AT ALL, including null checks: pmod(hash(col), n)
-    // is NON-null for a null source (Murmur3 hash(null) = the seed), so
-    // null-keyed rows land in a regular numeric bucket dir, never the
-    // default dir — an isnull conjunct judged by dir name would silently
-    // drop every file holding them.
-    if (t.isInstanceOf[PartitionTransform.Bucket]) return true
+    // Bucket prunes ONLY on equality ("=" / "in" — the delete-one-key /
+    // point-lookup shape): the bucket of the literal is computed with
+    // SPARK'S OWN Murmur3Hash expression evaluated driver-side (never a
+    // reimplementation), and a row matching the equality must sit in that
+    // bucket's dir. Rows with a NULL key cannot match an equality, so a
+    // pruned file's null-keyed rows are irrelevant. Everything else —
+    // range ops (hash is not monotone) and null checks (hash(null) is
+    // NON-null: null-keyed rows land in a regular numeric bucket dir,
+    // never the default dir) — keeps the file.
+    t match {
+      case b: PartitionTransform.Bucket =>
+        return bucketCompatible(b, raw, c, schema)
+      case _ => ()
+    }
     val srcType = schema.fields.find(_.name == c.field).map(_.dataType)
     // Spark writes BOTH null and "" partition values as the default dir
     // (ExternalCatalogUtils escapes empty to __HIVE_DEFAULT_PARTITION__),
@@ -259,6 +267,46 @@ object FilePruning {
             }
         }
     }
+  }
+
+  /** Bucket-dir equality pruning: keep `raw` iff SOME equality literal's
+    * bucket — `pmod(Murmur3Hash(literal, seed 42), n)`, the exact write
+    * expression — equals the dir value. Any untyped/unsupported literal,
+    * unparseable dir, or non-equality op keeps the file. */
+  private def bucketCompatible(b: PartitionTransform.Bucket, raw: String,
+      c: Conjunct, schema: StructType): Boolean = {
+    if (c.op != "=" && c.op != "in") return true
+    val dt = schema.fields.find(_.name == c.field).map(_.dataType)
+      .getOrElse(return true)
+    val dir = raw.toIntOption.getOrElse(return true)
+    // typed catalyst literal in the SOURCE column's type — the hash is
+    // type-sensitive (hash(1: int) != hash(1L)), so the type must match
+    // what the write's hash(col) saw
+    def typed(canonical: String): Option[org.apache.spark.sql.catalyst.expressions.Literal] =
+      try {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        dt match {
+          case ByteType => Some(Literal(canonical.toLong.toByte, ByteType))
+          case ShortType => Some(Literal(canonical.toLong.toShort, ShortType))
+          case IntegerType => Some(Literal(canonical.toLong.toInt, IntegerType))
+          case LongType => Some(Literal(canonical.toLong, LongType))
+          case StringType => Some(Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(canonical),
+            StringType))
+          case DateType => Some(Literal(canonical.toLong.toInt, DateType))
+          case _ => None // float/double/decimal/timestamp: never prune
+        }
+      } catch { case _: Exception => None }
+    def bucketOf(canonical: String): Option[Int] = typed(canonical).map { l =>
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3Hash(Seq(l), 42).eval(null).asInstanceOf[Int]
+      ((h % b.n) + b.n) % b.n
+    }
+    val vals = if (c.op == "in") c.values else c.value.toSeq
+    if (vals.isEmpty) return true
+    // keep if ANY literal's bucket matches — or if any literal is
+    // un-bucketable (None ⇒ unknown ⇒ keep)
+    vals.exists(v => bucketOf(v).forall(_ == dir))
   }
 
   /** compare(dirValue, T(literal)) in the transform's output domain, or

@@ -197,7 +197,7 @@ class FilePruningSpec extends AnyFunSuite {
     assert(t.prunedRead(col("ts") >= "2025-03-01").count() == 1)
   }
 
-  test("partition-dir pruning: month transform on a date column, null dirs, bucket never prunes") {
+  test("partition-dir pruning: month transform on a date column, null dirs, bucket prunes ONLY on equality") {
     val cat = newCatalog()
     cat.createTable("default.pm",
       Seq("day" -> "date", "v" -> "long", "k" -> "string"),
@@ -220,13 +220,33 @@ class FilePruningSpec extends AnyFunSuite {
     assert(t.prunedRead(col("day").isNull).collect().map(_.getLong(1)).toSeq == Seq(4L))
     val (kNotNull, _) = t.pruneStats(col("day").isNotNull)
     assert(kNotNull == total - 1)
-    // the bucket DIR layer must never prune (no safe literal inverse) —
-    // checked in isolation because the column-bounds layer legitimately
-    // prunes k === 'a' down to its single file here
+    // the bucket DIR layer prunes on EQUALITY (the literal's bucket is
+    // computed with Spark's own Murmur3Hash expression): the file holding
+    // k='a' is always kept, and some other-bucket file drops unless all
+    // four keys collide into one bucket — checked in isolation because
+    // the column-bounds layer also prunes k === 'a' here
     val conjs = FilePruning.conjunctsOf(col("k") === "a", t.schema)
-    assert(t.currentSnapshot.get.files.forall(f =>
-      FilePruning.keepFileByPartitions(f, conjs, t.meta.transforms, t.schema)))
+    val files = t.currentSnapshot.get.files
+    val kept = files.filter(f =>
+      FilePruning.keepFileByPartitions(f, conjs, t.meta.transforms, t.schema))
+    val aBucket = spark.range(1)
+      .select(pmod(hash(lit("a")), lit(4))).head.getInt(0)
+    assert(kept.exists(_.path.contains(s"_p_k_bucket=$aBucket")),
+      s"the k='a' bucket must survive equality pruning: ${kept.map(_.path)}")
+    assert(kept.forall(_.path.contains(s"_p_k_bucket=$aBucket")),
+      s"only k='a'-bucket files may survive: ${kept.map(_.path)}")
+    // range and null-check ops on the bucketed column never dir-prune
+    // (hash is not monotone; hash(null) lands in a numeric dir)
+    for (c <- Seq(col("k") >= "a", col("k").isNull, col("k").isNotNull)) {
+      val cs = FilePruning.conjunctsOf(c, t.schema)
+      assert(files.forall(f =>
+        FilePruning.keepFileByPartitions(f, cs, t.meta.transforms, t.schema)),
+        s"non-equality op must keep every file: $c")
+    }
     assert(t.prunedRead(col("k") === "a").count() == 1)
+    // exactness through the read: every key still returns exactly its row
+    for (k <- Seq("a", "b", "c", "d"))
+      assert(t.prunedRead(col("k") === k).count() == 1, s"key $k")
   }
 
   test("partition-dir pruning: identity and integral truncate transforms") {

@@ -216,6 +216,41 @@ class PartialCowSpec extends AnyFunSuite {
       .where(col("id") === 0L).head.getString(1) == "zero")
   }
 
+  test("partition-transformed table: victims selected by PARTITION DIRS " +
+      "(bucket transform), non-matching partitions carried by reference, " +
+      "replacement written under the current spec") {
+    val lh = newLh()
+    lh.catalog.createTable("default.pt1",
+      Seq("id" -> "long", "name" -> "string"),
+      Seq("bucket(4,id)"), Map.empty)
+    val t = lh.catalog.loadTable("default.pt1")
+    t.append(df(0 until 400))
+    val before = t.currentSnapshot.get
+    assert(before.files.size >= 4, s"expected ≥4 bucket files")
+    // one specific id: only its bucket's partition dir can match
+    val n = lh.dml.delete("default.pt1", "id = 123")
+    assert(n == 1L)
+    val after = lh.catalog.loadTable("default.pt1").currentSnapshot.get
+    val carried = after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet)
+    assert(carried.nonEmpty && after.summary("carried-files").toInt > 0,
+      s"other buckets must carry by reference: ${after.summary}")
+    // every REWRITTEN file sits in id=123's bucket dir — pruning is even
+    // finer (id bounds drop non-matching files within the bucket too),
+    // so carried files may include same-bucket files, but a rewrite
+    // outside the victim bucket would mean partition pruning failed
+    // (compute the bucket with the same expression the transform uses)
+    val victimBucket = spark.range(1)
+      .select(pmod(hash(lit(123L)), lit(4))).head.getInt(0)
+    val rewrittenOld = before.files.map(_.path).toSet -- carried
+    assert(rewrittenOld.nonEmpty &&
+      rewrittenOld.forall(_.contains(s"_p_id_bucket=$victimBucket")),
+      s"only bucket-$victimBucket files may rewrite: $rewrittenOld")
+    val rows = lh.catalog.loadTable("default.pt1").read()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows == (0L until 400L).filterNot(_ == 123L))
+  }
+
   test("update validation still enforces against the remainder " +
       "(unique rule catches a duplicating update)") {
     val lh = newLh()
