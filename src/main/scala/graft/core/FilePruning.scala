@@ -200,12 +200,33 @@ object FilePruning {
     * session timezone at write time, so a read-time recomputation can
     * disagree); DATE sources are timezone-free and do prune. */
   def keepFileByPartitions(f: FileEntry, conjs: Seq[Conjunct],
-      transforms: Seq[PartitionTransform], schema: StructType): Boolean = {
+      transforms: Seq[PartitionTransform], schema: StructType,
+      fileSchemaOf: Int => Option[StructType] = _ => None): Boolean = {
     if (transforms.isEmpty || conjs.isEmpty) return true
     val dirs = IceTable.partitionValuesOf(f.path)
+    // the WRITE-era type of a conjunct's source column: the file's dir
+    // values were computed by transforming/hashing under THAT type. A
+    // type-changing evolution (e.g. int → long on a bucket source) makes
+    // the read-time recomputation disagree — Murmur3 is type-sensitive
+    // (hash(1: int) != hash(1L)) — so such files are never dir-pruned,
+    // same era rule as [[keepFile]]'s bounds.
+    def writeTypeOf(field: String): Option[DataType] = for {
+      fld <- schema.fields.find(_.name == field)
+      fid <- TableMeta.fieldId(fld)
+      fs <- fileSchemaOf(f.schemaId)
+      wf <- fs.fields.find(x => TableMeta.fieldId(x).contains(fid))
+    } yield wf.dataType
     conjs.forall { c =>
       transforms.filter(_.source == c.field).forall { t =>
-        dirs.get(t.name).forall(raw => partitionCompatible(t, raw, c, schema))
+        dirs.get(t.name).forall { raw =>
+          val curType = schema.fields.find(_.name == c.field).map(_.dataType)
+          val eraDiffers = (writeTypeOf(c.field), curType) match {
+            case (Some(wt), Some(ct)) =>
+              !IceTable.sameTypeIgnoringNullability(wt, ct)
+            case _ => false
+          }
+          eraDiffers || partitionCompatible(t, raw, c, schema)
+        }
       }
     }
   }

@@ -1340,7 +1340,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val bloomCols = BloomIndex.bloomColumns(m.properties)
     val hconf = new Configuration()
     s.files.filter(f =>
-      FilePruning.keepFileByPartitions(f, conjs, tfs, m.schema) &&
+      FilePruning.keepFileByPartitions(f, conjs, tfs, m.schema, fileSchemaOf) &&
         FilePruning.keepFile(f, conjs, m.schema, fileSchemaOf) &&
         // bloom probe LAST: it is the only layer that costs I/O (one
         // footer + bloom page per still-candidate file)

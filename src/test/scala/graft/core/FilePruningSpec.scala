@@ -334,6 +334,44 @@ class FilePruningSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-dir equality pruning never drops files written under a different source-type era") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val fid = 7L
+    def f(dt: DataType) = TableMeta.withFieldId(StructField("k", dt), fid)
+    val curSchema = StructType(Seq(f(LongType)))
+    val oldSchema = StructType(Seq(f(IntegerType)))
+    val tfs = Seq(PartitionTransform.Bucket(4, "k"))
+    def bucketOf(l: Literal): Int = {
+      val h = Murmur3Hash(Seq(l), 42).eval(null).asInstanceOf[Int]
+      ((h % 4) + 4) % 4
+    }
+    // Murmur3 is type-sensitive: find a value whose int-era bucket differs
+    // from its long-era bucket
+    val v = (0 to 1000).find(i =>
+      bucketOf(Literal(i, IntegerType)) != bucketOf(Literal(i.toLong, LongType))).get
+    val intBucket = bucketOf(Literal(v, IntegerType))
+    val conjs = FilePruning.conjunctsOf(col("k") === v.toLong, curSchema)
+    assert(conjs.nonEmpty)
+    val fileSchemaOf: Int => Option[StructType] = {
+      case 1 => Some(oldSchema); case 2 => Some(curSchema); case _ => None
+    }
+    // current-era file sitting in the WRONG bucket dir: provably no match
+    val fNew = FileEntry(s"/wh/t/data/_p_k_bucket=$intBucket/f1.parquet",
+      10, 100, schemaId = 2)
+    assert(!FilePruning.keepFileByPartitions(fNew, conjs, tfs, curSchema,
+      fileSchemaOf))
+    // int-era file in the int-hash bucket dir: the matching row LIVES here
+    // (the write hashed k as int) — era guard must keep it
+    val fOld = FileEntry(s"/wh/t/data/_p_k_bucket=$intBucket/f0.parquet",
+      10, 100, schemaId = 1)
+    assert(FilePruning.keepFileByPartitions(fOld, conjs, tfs, curSchema,
+      fileSchemaOf))
+    // without a schema resolver (unknown era) behavior is unchanged:
+    // current-type pruning applies
+    assert(!FilePruning.keepFileByPartitions(fNew, conjs, tfs, curSchema))
+  }
+
   test("manifests without bounds (older snapshots) read fine and never prune") {
     val f = FileEntry("/nope.parquet", 10, 100, 1)
     val schema = TableMeta.schemaOf(Seq("v" -> "long"))
