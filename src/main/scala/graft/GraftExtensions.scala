@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy below (Spark consults injected strategies before its own,
     // whose row-level-operation path requires a native BatchWrite)
     e.injectPlannerStrategy(_ => new graft.engine.GraftMergeStrategy)
+    // SQL UPDATE (always) and subquery-conditioned DELETE (the shapes the
+    // SupportsDelete push-down face refuses) over GraftCatalog tables
+    e.injectPlannerStrategy(_ => new graft.engine.GraftRowLevelStrategy)
     // fallback-state (MoR / schema-history) catalog reads become the
     // engine's own COLUMNAR plan instead of the row-based V1 bridge —
     // builder-installed extensions only (the analyzer is immutable after
@@ -102,6 +105,10 @@ object GraftExtensions {
     if (!cur.exists(_.isInstanceOf[graft.engine.GraftMergeStrategy]))
       spark.experimental.extraStrategies =
         cur :+ new graft.engine.GraftMergeStrategy
+    val cur2 = spark.experimental.extraStrategies
+    if (!cur2.exists(_.isInstanceOf[graft.engine.GraftRowLevelStrategy]))
+      spark.experimental.extraStrategies =
+        cur2 :+ new graft.engine.GraftRowLevelStrategy
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_shingles",
       args => Shingles(args.head,

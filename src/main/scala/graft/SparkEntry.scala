@@ -2800,6 +2800,149 @@ object SparkEntry {
         .groupBy((col("l_orderkey") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // NATIVE SQL UPDATE gate ([[graft.engine.GraftRowLevelStrategy]]):
+    // the bare `UPDATE cat.ns.t SET … WHERE …` statement — previously the
+    // one obvious lakehouse write with no executor — runs against TWO
+    // tables with identical content: copy-on-write (must rewrite ONLY the
+    // files holding matches — runtime victim discovery — and carry the
+    // rest by reference) and merge-on-read (must land ONE position-delete
+    // + append snapshot with every parent data file retained). Identical
+    // logical state either way; the oracle recomputes it from the raw
+    // table and cross-joins the two mode labels.
+    "q182_sql_update" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val lh = auxTable(s, dir, "wh182") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val cut = ord.agg(max("o_orderkey")).head.getLong(0) / 2
+        val cat = s"g182_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh182", dir))
+        for ((name, props) <- Seq(
+            "ord_ucow" -> Map.empty[String, String],
+            "ord_umor" -> Map("write.update.mode" -> "merge-on-read"))) {
+          lh.catalog.createTable(s"default.$name", ord.schema, Nil, props)
+          val tb = lh.catalog.loadTable(s"default.$name")
+          // range-clustered files: matches confine to the upper half
+          tb.append(ord.repartitionByRange(8, col("o_orderkey")))
+          s.sql(s"""UPDATE $cat.default.$name
+            |SET o_totalprice = o_totalprice + 100.0, o_orderstatus = 'U'
+            |WHERE o_orderkey >= $cut AND o_orderstatus = 'O'""".stripMargin)
+        }
+        val cow = lh.catalog.loadTable("default.ord_ucow").snapshots.last
+        require(cow.summary.get("carried-files").exists(_.toInt > 0) &&
+          cow.summary.get("rewritten-files").exists(_.toInt > 0),
+          s"CoW UPDATE must rewrite only victim files: ${cow.summary}")
+        val morT = lh.catalog.loadTable("default.ord_umor")
+        val Seq(p, c) = morT.snapshots.takeRight(2)
+        require(c.deleteFiles.nonEmpty &&
+          p.files.map(_.path).toSet.subsetOf(c.files.map(_.path).toSet),
+          "MoR UPDATE must position-delete + append, never rewrite")
+        ()
+      }
+      lh.catalog.loadTable("default.ord_ucow").read()
+        .withColumn("mode", lit("cow"))
+        .unionByName(lh.catalog.loadTable("default.ord_umor").read()
+          .withColumn("mode", lit("mor")))
+        .groupBy(col("mode"), (col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"),
+          count(when(col("o_orderstatus") === "U", lit(1))).as("n_updated"))
+    }),
+
+    // SUBQUERY DELETE gate: `WHERE k IN (SELECT …)` (CoW — runtime victim
+    // discovery must still carry non-matching files by reference, since
+    // static manifest pruning cannot see through a subquery) and the
+    // equivalent correlated `WHERE EXISTS (…)` (MoR — parent data files
+    // retained, O(touched) position delete). Both shapes were refused at
+    // the SupportsDelete face before the row-level strategy.
+    "q183_sql_subquery_delete" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val lh = auxTable(s, dir, "wh183") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        val cut = li.agg(max("l_orderkey")).head.getLong(0) / 2
+        t(s, dir, "orders").where(col("o_orderstatus") === "F" &&
+            col("o_orderkey") >= cut)
+          .select(col("o_orderkey")).createOrReplaceTempView("q183_keys")
+        val cat = s"g183_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh183", dir))
+        for ((name, props) <- Seq(
+            "li_dcow" -> Map.empty[String, String],
+            "li_dmor" -> Map("write.delete.mode" -> "merge-on-read"))) {
+          lh.catalog.createTable(s"default.$name", li.schema, Nil, props)
+          lh.catalog.loadTable(s"default.$name")
+            .append(li.repartitionByRange(8, col("l_orderkey")))
+        }
+        s.sql(s"DELETE FROM $cat.default.li_dcow " +
+          "WHERE l_orderkey IN (SELECT o_orderkey FROM q183_keys)")
+        s.sql(s"DELETE FROM $cat.default.li_dmor t WHERE EXISTS " +
+          "(SELECT 1 FROM q183_keys k WHERE k.o_orderkey = t.l_orderkey)")
+        val cow = lh.catalog.loadTable("default.li_dcow").snapshots.last
+        require(cow.summary.get("carried-files").exists(_.toInt > 0) &&
+          cow.summary.get("matched-rows").exists(_.toLong > 0),
+          s"subquery CoW DELETE must discover victims at runtime: " +
+            s"${cow.summary}")
+        val morT = lh.catalog.loadTable("default.li_dmor")
+        val Seq(p, c) = morT.snapshots.takeRight(2)
+        require(c.deleteFiles.nonEmpty &&
+          c.files.map(_.path).toSet == p.files.map(_.path).toSet,
+          "MoR EXISTS DELETE must keep every data file untouched")
+        ()
+      }
+      lh.catalog.loadTable("default.li_dcow").read()
+        .withColumn("mode", lit("cow"))
+        .unionByName(lh.catalog.loadTable("default.li_dmor").read()
+          .withColumn("mode", lit("mor")))
+        .groupBy(col("mode"), (col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // CTAS / RTAS gate: `CREATE TABLE … AS SELECT` through the DSv2
+    // catalog lands an engine table (field-id schema stamped from the
+    // query), a PARTITIONED CTAS lays files out by the transform spec,
+    // and `REPLACE TABLE … AS SELECT` swaps schema + content atomically
+    // from the reader's view. The oracle recomputes the final state from
+    // the raw tables.
+    "q184_sql_ctas" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val lh = auxTable(s, dir, "wh184") { lh =>
+        val cat = s"g184_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh184", dir))
+        t(s, dir, "customer").createOrReplaceTempView("q184_cust")
+        t(s, dir, "nation").createOrReplaceTempView("q184_nat")
+        s.sql(s"""CREATE TABLE $cat.default.cust_ct AS
+          | SELECT c.c_custkey, n.n_name, c.c_acctbal
+          | FROM q184_cust c JOIN q184_nat n ON c.c_nationkey = n.n_nationkey
+          | WHERE c.c_acctbal > 0""".stripMargin)
+        val ct = lh.catalog.loadTable("default.cust_ct")
+        require(ct.schema.fields.forall(f =>
+          graft.core.TableMeta.fieldId(f).isDefined),
+          "CTAS must stamp engine field-ids")
+        s.sql(s"""CREATE TABLE $cat.default.cust_ctp
+          | PARTITIONED BY (n_name)
+          | AS SELECT * FROM $cat.default.cust_ct""".stripMargin)
+        val ctp = lh.catalog.loadTable("default.cust_ctp")
+        require(ctp.currentSnapshot.get.files.forall(
+          _.path.contains("_p_n_name=")),
+          "partitioned CTAS must lay out by the transform spec")
+        // RTAS narrows the first table to the partitioned copy's big
+        // accounts — the reader sees old state or new, never a drop gap
+        s.sql(s"""REPLACE TABLE $cat.default.cust_ct AS
+          | SELECT n_name, c_acctbal FROM $cat.default.cust_ctp
+          | WHERE c_acctbal >= 5000.0""".stripMargin)
+        ()
+      }
+      lh.catalog.loadTable("default.cust_ct").read()
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
     })
   )
 
@@ -5254,6 +5397,52 @@ object SparkEntry {
         |  WHERE NOT (l_orderkey >= c AND l_quantity < 10))
         |SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM live GROUP BY 1""".stripMargin
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // q182: the updated state recomputed from the raw table; both write
+    // modes must land the identical logical result (the mode label is a
+    // cross join, not a second computation)
+    "q182_sql_update" ->
+      """WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= c AND o_orderstatus = 'O'
+        |         THEN o_totalprice + 100.0 ELSE o_totalprice END AS p,
+        |    CASE WHEN o_orderkey >= c AND o_orderstatus = 'O'
+        |         THEN 'U' ELSE o_orderstatus END AS st
+        |  FROM orders, cut),
+        |agg AS (
+        |  SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    COUNT(CASE WHEN st = 'U' THEN 1 END) AS n_updated
+        |  FROM upd GROUP BY 1)
+        |SELECT m.mode, a.bucket, a.n_rows, a.total, a.n_updated
+        |FROM agg a CROSS JOIN (VALUES ('cow'), ('mor')) m(mode)""".stripMargin,
+
+    // q183: survivors = lineitem minus the subquery key set; the IN and
+    // correlated-EXISTS forms are equivalent (keys non-null), so one
+    // recomputation serves both mode labels
+    "q183_sql_subquery_delete" ->
+      """WITH cut AS (SELECT MAX(l_orderkey) // 2 AS c FROM lineitem),
+        |keys AS (
+        |  SELECT o_orderkey FROM orders, cut
+        |  WHERE o_orderstatus = 'F' AND o_orderkey >= c),
+        |live AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM keys)),
+        |agg AS (
+        |  SELECT l_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM live GROUP BY 1)
+        |SELECT m.mode, a.bucket, a.n_rows, a.total_price
+        |FROM agg a CROSS JOIN (VALUES ('cow'), ('mor')) m(mode)""".stripMargin,
+
+    // q184: the RTAS-final state — the CTAS join filtered to big accounts
+    "q184_sql_ctas" ->
+      """SELECT n.n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 0 AND c.c_acctbal >= 5000.0
+        |GROUP BY n.n_name""".stripMargin
   )
 }

@@ -580,16 +580,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * still applies the exact `filter` on top — pruning is three-valued
     * safe for arbitrary predicates). Delete state is applied from the
     * FULL snapshot; extra entries targeting pruned files match nothing. */
-  private def liveLineagePruned(cur: Snapshot, filter: Column): DataFrame = {
-    val candidates = pruneFiles(cur, filter)
-    if (candidates.isEmpty)
+  private def liveLineagePruned(cur: Snapshot, filter: Column): DataFrame =
+    liveLineageOf(cur, pruneFiles(cur, filter))
+
+  /** Live rows (+ lineage identity) of an EXPLICIT file subset of `cur` —
+    * delete state applied from the full snapshot, exactly like
+    * [[liveLineagePruned]] after its pruning step. */
+  private def liveLineageOf(cur: Snapshot, files: List[FileEntry]): DataFrame =
+    if (files.isEmpty)
       emptyDf(meta.schema)
         .withColumn(LineageFileCol, lit(null).cast("string"))
         .withColumn(LineagePosCol, lit(null).cast("long"))
     else
       applyAllDeletes(
-        assemble(cur.copy(files = candidates), withLineage = true), cur)
-  }
+        assemble(cur.copy(files = files), withLineage = true), cur)
 
   /** Merge-on-read delete: write the matching rows' `(file_path, pos)`
     * identities as a position-delete file and commit a snapshot that keeps
@@ -597,7 +601,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * delete file's own footer — no extra counting pass). History is
     * preserved exactly as with copy-on-write: older snapshots carry their
     * own (shorter) delete-file lists. */
-  def deleteWhereMor(filter: Column): Long = tableLock.synchronized {
+  def deleteWhereMor(filter: Column): Long = deleteWhereMorBy(filter, _ => filter)
+
+  /** [[deleteWhereMor]] with the match condition REBOUND per read frame:
+    * `pruneHint` drives file skipping (names + literals only — resolved or
+    * unresolved, subquery conjuncts are simply opaque), while `condOf`
+    * receives the actual lineage read and returns the exact condition
+    * bound to it. This is how the SQL surface routes conditions carrying
+    * resolved attributes and subqueries (`DELETE FROM t WHERE k IN
+    * (SELECT …)`, correlated EXISTS) through the same O(touched)
+    * position-delete commit — the subquery plans ride inside the ONE
+    * distributed pass that stages the delete identities. */
+  def deleteWhereMorBy(pruneHint: Column,
+      condOf: DataFrame => Column): Long = tableLock.synchronized {
     val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
       // empty table: nothing can match, but keep the snapshot-per-write
       // invariant only when there is a snapshot log at all
@@ -612,8 +628,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     // competitor's appended rows are untouched (they were not read).
     val delDir = dataDir.resolve(
       s"del-${java.util.UUID.randomUUID().toString.take(12)}")
-    val base = liveLineagePruned(cur, filter)
-    val hits = base.where(filter)
+    val base = liveLineagePruned(cur, pruneHint)
+    val hits = base.where(condOf(base))
       .select(col(LineageFileCol).as("file_path"), col(LineagePosCol).as("pos"))
       // cluster by file so a reader's broadcast probe set stays compact
       // and each delete file covers a contiguous file range
@@ -670,12 +686,23 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * update with `ConcurrentModificationException` (the recorded
     * positions reference replaced files). Returns the updated row
     * count. */
-  def updateWhereMor(filter: Column, sets: Map[String, Column]): Long =
+  def updateWhereMor(filter: Column, sets: Map[String, Column]): Long = {
+    require(sets.nonEmpty, "need at least one SET column")
+    sets.keys.foreach(k => require(meta.schema.fieldNames.contains(k),
+      s"no such column: $k"))
+    updateWhereMorBy(filter, _ => filter, _ => sets)
+  }
+
+  /** [[updateWhereMor]] with condition AND set values rebound per read
+    * frame (the SQL `UPDATE` surface, see [[deleteWhereMorBy]]): `condOf`
+    * binds to the lineage read that stages the matched rows; `setsOf`
+    * binds to the STAGED hit set, so assignment expressions referencing
+    * the old row (including subqueries) evaluate there — every SET value
+    * sees the PRE-update row via one simultaneous projection. */
+  def updateWhereMorBy(pruneHint: Column, condOf: DataFrame => Column,
+      setsOf: DataFrame => Map[String, Column]): Long =
     tableLock.synchronized {
-      require(sets.nonEmpty, "need at least one SET column")
       val m = meta
-      sets.keys.foreach(k => require(m.schema.fieldNames.contains(k),
-        s"no such column: $k"))
       val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
         return 0L
       }
@@ -689,8 +716,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val delDir = dataDir.resolve(s"del-$uid")
       val hitsTmp = dataDir.resolve(s".upd-hits-$uid")
       try {
-        liveLineagePruned(cur, filter)
-          .where(filter).write.parquet(hitsTmp.toString)
+        val base = liveLineagePruned(cur, pruneHint)
+        base.where(condOf(base)).write.parquet(hitsTmp.toString)
         val hits = spark.read.parquet(hitsTmp.toString)
         hits.select(col(LineageFileCol).as("file_path"),
             col(LineagePosCol).as("pos"))
@@ -706,9 +733,17 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           return 0L
         }
         val newDel = delFiles.filter(_.rows > 0)
-        val upd = sets.foldLeft(hits) { case (d, (k, v)) =>
-          d.withColumn(k, v)
-        }.drop(LineageFileCol, LineagePosCol)
+        val sets = setsOf(hits)
+        require(sets.nonEmpty, "need at least one SET column")
+        sets.keys.foreach(k => require(m.schema.fieldNames.contains(k),
+          s"no such column: $k"))
+        // ONE simultaneous projection (also drops the lineage columns):
+        // every SET value references the staged PRE-update row, so
+        // cross-referencing assignments (SET a = b, b = a) behave like
+        // standard SQL, never like sequential withColumn rewrites
+        val upd = hits.select(m.schema.fieldNames.toSeq.map { n =>
+          sets.get(n).map(_.as(n)).getOrElse(col(n))
+        }: _*)
         commit(upd, "update", keepParent = true,
           extraSummary = Map("updated-rows" -> updated.toString,
             "delete-files" -> newDel.size.toString),
@@ -860,6 +895,25 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def rewriteWhereCow(filter: Column, transform: DataFrame => DataFrame,
       alsoAppend: Option[DataFrame] = None,
       extraSummary: Map[String, String] = Map.empty): (Long, Option[Snapshot]) =
+    rewriteWhereCowBy(filter, _ => filter, transform, alsoAppend, extraSummary,
+      discoverVictims = false)
+
+  /** [[rewriteWhereCow]] with the condition REBOUND per read frame (the
+    * SQL surface, see [[deleteWhereMorBy]]) and optional RUNTIME victim
+    * discovery: with `discoverVictims` on, one lineage-bearing pass over
+    * the candidate files finds the files that ACTUALLY hold matching rows
+    * — Iceberg's group-based row-level-operation shape — so a
+    * subquery-conditioned `DELETE`/`UPDATE` whose literal conjuncts prune
+    * nothing still rewrites only the files it touches, at the cost of one
+    * candidate-sized discovery scan (the condition is therefore evaluated
+    * twice; callers must refuse nondeterministic conditions). With it off,
+    * victims = the statically-pruned candidates — the exact legacy
+    * behavior, one counting pass, no extra scan. */
+  def rewriteWhereCowBy(pruneHint: Column, condOf: DataFrame => Column,
+      transform: DataFrame => DataFrame,
+      alsoAppend: Option[DataFrame] = None,
+      extraSummary: Map[String, String] = Map.empty,
+      discoverVictims: Boolean = false): (Long, Option[Snapshot]) =
     tableLock.synchronized {
       val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
         // empty table: nothing can match; REPLACE WHERE degenerates to
@@ -870,27 +924,44 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           commit(df, "overwrite", keepParent = true, extraSummary,
             requireParentId = Some(currentSnapshot.map(_.id).getOrElse(0L)))))
       }
-      val matchCond = coalesce(filter, lit(false))
-      val victims = pruneFiles(cur, filter)
-      val live = readSnapshot(Some(cur.copy(files = victims)))
-      // one candidate-sized pass decides both counts: total live rows in
-      // the victims (feeds the eq-delete accounting) and exact matches
-      val (victimLive, matched) =
-        if (victims.isEmpty) (0L, 0L)
-        else {
-          val r = live.agg(count(lit(1)), count(when(matchCond, lit(1)))).head()
-          (r.getLong(0), r.getLong(1))
+      val candidates = pruneFiles(cur, pruneHint)
+      // (victims, victimLive when already known, exact match count)
+      val (victims, victimLiveOpt, matched) =
+        if (candidates.isEmpty) (candidates, Some(0L), 0L)
+        else if (discoverVictims) {
+          // per-file match counts over ONE lineage read of the candidates:
+          // both the victim file set and the exact match count fall out
+          val base = liveLineageOf(cur, candidates)
+          val perFile = base.where(coalesce(condOf(base), lit(false)))
+            .groupBy(col(LineageFileCol)).count().collect()
+          val matchedPaths =
+            perFile.map(r => IceTable.canonPath(r.getString(0))).toSet
+          (candidates.filter(f => matchedPaths(IceTable.canonPath(f.path))),
+            None, perFile.map(_.getLong(1)).sum)
+        } else {
+          val live0 = readSnapshot(Some(cur.copy(files = candidates)))
+          val matchCond = coalesce(condOf(live0), lit(false))
+          // one candidate-sized pass decides both counts: total live rows
+          // in the victims (feeds eq-delete accounting) and exact matches
+          val r = live0.agg(count(lit(1)), count(when(matchCond, lit(1)))).head()
+          (candidates, Some(r.getLong(0)), r.getLong(1))
         }
       if (matched == 0L) {
         return (0L, alsoAppend.map(df =>
           commit(df, "overwrite", keepParent = true, extraSummary,
             requireParentId = Some(cur.id))))
       }
+      val live = readSnapshot(Some(cur.copy(files = victims)))
       val replacement = alsoAppend match {
         case Some(extra) => transform(live).unionByName(extra)
         case None => transform(live)
       }
-      val snap = partialCowCommit(cur, victims, victimLive, replacement,
+      // by-name: the discovery branch's victim-live count only runs when
+      // equality accounting needs it (parent eq entries exist)
+      val snap = partialCowCommit(cur, victims,
+        victimLiveOpt.getOrElse(
+          readSnapshot(Some(cur.copy(files = victims))).count()),
+        replacement,
         Map("matched-rows" -> matched.toString) ++ extraSummary)
       (matched, Some(snap))
     }
@@ -2237,6 +2308,13 @@ object IceTable {
     * Prefixed to stay clear of any user column. */
   val LineageFileCol = "_gf_lineage_file"
   val LineagePosCol = "_gf_lineage_pos"
+
+  /** Scala-side twin of the commit paths' in-plan path canonicalization
+    * (the regexp_replace stripping a URI scheme prefix down to "/"):
+    * lineage paths may carry a `file:` scheme while manifest entries are
+    * plain — strip the scheme so the two renderings compare equal. */
+  def canonPath(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
   /** Position-delete file schema (Iceberg v2's `file_path, pos` shape). */
   val DeleteSchema: StructType = StructType(Seq(

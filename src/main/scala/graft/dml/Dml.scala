@@ -136,6 +136,56 @@ class Dml(lh: Lakehouse) {
     }
   }
 
+  /** SQL `UPDATE` executor face ([[graft.engine.GraftRowLevelStrategy]]):
+    * like [[update]] but with the condition and SET values REBOUND onto
+    * each internal read frame by `condOf`/`setsOf` — how the analyzed
+    * command's resolved expressions (including IN/EXISTS subqueries in the
+    * WHERE, scalar subqueries in SET) ride the engine's own machinery.
+    * Same validation (hits vs untouched remainder), audit and
+    * `write.update.mode` routing as [[update]]; copy-on-write goes through
+    * RUNTIME victim discovery ([[graft.core.IceTable.rewriteWhereCowBy]]),
+    * so a subquery-conditioned update on a 100 TB table still rewrites
+    * only the files that hold matches. Every SET value sees the PRE-update
+    * row (one simultaneous projection — standard SQL semantics). */
+  def updateBy(table: String, pruneHint: Column,
+      condOf: DataFrame => Column,
+      setsOf: DataFrame => Map[String, Column], filterDesc: String): Long = {
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      val schema = tbl.schema
+      def applySets(d: DataFrame): DataFrame = {
+        val sets = setsOf(d)
+        sets.keys.foreach(k => require(schema.fieldNames.contains(k),
+          s"no such column: $k"))
+        d.select(schema.fieldNames.toSeq.map { n =>
+          sets.get(n).map(_.as(n)).getOrElse(col(n))
+        }: _*)
+      }
+      val df = tbl.read()
+      val matchCond = coalesce(condOf(df), lit(false))
+      val mor = tbl.meta.properties.get("write.update.mode")
+        .contains("merge-on-read")
+      // unique rules see the rewritten rows against the untouched remainder
+      // — lazy frames, only evaluated when rules exist for the table
+      lh.validation.enforce(table, applySets(df.where(matchCond)),
+        Some(df.where(!matchCond)))
+      val matched =
+        if (mor) tbl.updateWhereMorBy(pruneHint, condOf, setsOf)
+        else tbl.rewriteWhereCowBy(pruneHint, condOf, { live =>
+          val c = coalesce(condOf(live), lit(false))
+          val sets = setsOf(live)
+          live.select(schema.fieldNames.toSeq.map { n =>
+            sets.get(n).map(v => when(c, v).otherwise(col(n)).as(n))
+              .getOrElse(col(n))
+          }: _*)
+        }, discoverVictims = true)._1
+      lh.audit.log(table, "update",
+        Map("matched" -> matched.toString, "filter" -> filterDesc,
+          "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
+      matched
+    }
+  }
+
   /** Keep only rows NOT matching the filter (catalog.py:765-831). Returns
     * deleted count.
     *
@@ -164,6 +214,29 @@ class Dml(lh: Lakehouse) {
         // the rest by reference — NULL-cond rows are kept (three-valued)
         else tbl.rewriteWhereCow(cond,
           live => live.where(!coalesce(cond, lit(false))))._1
+      lh.audit.log(table, "delete",
+        Map("deleted" -> deleted.toString, "filter" -> filterDesc,
+          "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))
+      deleted
+    }
+  }
+
+  /** SQL subquery-`DELETE` executor face (see [[updateBy]]): the rebound
+    * condition rides either the MoR position-delete commit or runtime-
+    * victim-discovery partial CoW — both O(touched) even when the literal
+    * conjuncts prune nothing. NULL-condition rows are kept (three-valued),
+    * exactly like [[deleteWhere]]. */
+  def deleteBy(table: String, pruneHint: Column,
+      condOf: DataFrame => Column, filterDesc: String): Long = {
+    val tbl = catalog.loadTable(table)
+    tbl.locked {
+      val mor = tbl.meta.properties.get("write.delete.mode")
+        .contains("merge-on-read")
+      val deleted =
+        if (mor) tbl.deleteWhereMorBy(pruneHint, condOf)
+        else tbl.rewriteWhereCowBy(pruneHint, condOf,
+          live => live.where(!coalesce(condOf(live), lit(false))),
+          discoverVictims = true)._1
       lh.audit.log(table, "delete",
         Map("deleted" -> deleted.toString, "filter" -> filterDesc,
           "mode" -> (if (mor) "merge-on-read" else "copy-on-write")))

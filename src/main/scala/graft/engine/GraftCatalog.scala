@@ -294,9 +294,11 @@ class GraftSparkTable(lh: graft.Lakehouse, fullName: String,
     require(asOf.isEmpty,
       s"table $fullName is pinned to snapshot ref '${asOf.get}' " +
         "(VERSION/TIMESTAMP AS OF) — time-travel reads are immutable")
-  /** For the MERGE planner strategy ([[GraftMergeStrategy]]). */
+  /** For the MERGE/row-level planner strategies ([[GraftMergeStrategy]],
+    * [[GraftRowLevelStrategy]]). */
   private[engine] def lakehouse: graft.Lakehouse = lh
   private[engine] def fullIdent: String = fullName
+  private[engine] def isPinned: Boolean = asOf.isDefined
   override def name(): String = fullName
   override def schema(): StructType = tbl.schema
   override def capabilities(): java.util.Set[TableCapability] =

@@ -181,7 +181,8 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("native DELETE FROM: copy-on-write by default, merge-on-read by " +
-      "table property; untranslatable predicates refused whole") {
+      "table property; untranslatable predicates route to the row-level " +
+      "strategy") {
     seed()
     spark.sql(s"CREATE TABLE $catName.ref.dt (id BIGINT, v STRING)")
     spark.sql(s"INSERT INTO $catName.ref.dt VALUES " +
@@ -197,11 +198,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(t.read().count() == 12)
     assert(lh.catalog.loadTable("ref.dt").currentSnapshot.get
       .deleteFiles.nonEmpty, "property must route to position deletes")
-    // an untranslatable predicate fails loudly, deleting NOTHING
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $catName.ref.dt WHERE id % 2 = 0")
-    }
-    assert(lh.catalog.loadTable("ref.dt").read().count() == 12)
+    // an untranslatable predicate (refused by canDeleteWhere in rounds
+    // past) now routes through GraftRowLevelStrategy — exact, MoR here
+    spark.sql(s"DELETE FROM $catName.ref.dt WHERE id % 2 = 0")
+    val left = lh.catalog.loadTable("ref.dt").read()
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(left.forall(_ % 2 == 1) && left.size == 7, s"got $left")
     spark.sql(s"DROP TABLE $catName.ref.dt")
   }
 
@@ -547,5 +549,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(pruned.count() == 13L)
     assert(read > 0 && read < all,
       s"day(ts) partition dirs must prune the scan: read $read of $all")
+  }
+
+  test("CTAS / partitioned CTAS / RTAS: tables land with field-id " +
+      "schemas, the query's rows, and live partition layouts") {
+    seed()
+    // plain CTAS of a filtered join
+    spark.sql(s"""CREATE TABLE $catName.sales.ct AS
+      | SELECT o.o_id, n.n_name, o.amount
+      | FROM $catName.sales.orders o
+      | JOIN $catName.ref.nation n ON o.nat_id = n.nat_id
+      | WHERE o.amount >= 1900""".stripMargin)
+    val ct = lh.catalog.loadTable("sales.ct")
+    assert(ct.read().count() == 10)
+    // engine-assigned field-ids on every column (the CTAS schema came
+    // from the query, not a DDL — createTable must still stamp ids)
+    assert(ct.schema.fields.forall(f =>
+      graft.core.TableMeta.fieldId(f).isDefined),
+      s"missing field-ids: ${ct.schema.treeString}")
+    assert(spark.sql(s"SELECT MIN(o_id) AS m FROM $catName.sales.ct")
+      .head.getLong(0) == 190L)
+    // CTAS into an existing name refuses (no silent replace)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $catName.sales.ct AS SELECT 1 AS x")
+    }
+    // partitioned CTAS: transforms flow through TransformBridge like DDL
+    spark.sql(s"""CREATE TABLE $catName.sales.ctp
+      | PARTITIONED BY (n_name)
+      | AS SELECT * FROM $catName.sales.ct""".stripMargin)
+    val ctp = lh.catalog.loadTable("sales.ctp")
+    assert(ctp.meta.allTransforms.exists(t =>
+      t.isInstanceOf[graft.core.PartitionTransform.Identity] &&
+        t.source == "n_name"),
+      s"spec: ${ctp.meta.partitionSpec}")
+    assert(ctp.read().count() == 10)
+    assert(ctp.currentSnapshot.get.files.forall(_.path.contains("_p_n_name=")),
+      "partitioned CTAS must lay files out by the spec")
+    // RTAS: drops + recreates with the new query's schema and rows
+    spark.sql(s"REPLACE TABLE $catName.sales.ct AS " +
+      s"SELECT o_id FROM $catName.sales.ctp WHERE o_id >= 195")
+    val ct2 = lh.catalog.loadTable("sales.ct")
+    assert(ct2.schema.fieldNames.toSeq == Seq("o_id"))
+    assert(ct2.read().as[Long].collect().sorted.toSeq ==
+      (195L to 199L))
+    spark.sql(s"DROP TABLE $catName.sales.ct")
+    spark.sql(s"DROP TABLE $catName.sales.ctp")
   }
 }
