@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session build, so `register` below cannot add this; such sessions
     // keep the exact V1 fallback)
     e.injectResolutionRule(sp => new graft.engine.GraftEngineReadRule(sp))
+    // per-QUERY-EXECUTION re-pin of engine-read substitutions: temp views
+    // and frames composed over already-analyzed plans observe new commits
+    // instead of serving the analysis-time snapshot forever
+    e.injectPlanNormalizationRule(sp =>
+      new graft.engine.GraftRefreshStaleReadRule(sp))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

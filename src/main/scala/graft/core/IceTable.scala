@@ -979,7 +979,8 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * write, so an `Observation` riding the replacement plan (the
     * per-clause audit counts) materializes from the write itself —
     * the merge join runs exactly once. */
-  def mergeFilesCow(filter: Column, transformAll: DataFrame => DataFrame,
+  def mergeFilesCow(filter: Column,
+      transformAll: (DataFrame, () => DataFrame) => DataFrame,
       summaryAfterWrite: () => Map[String, String]): Snapshot =
     tableLock.synchronized {
       val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse(
@@ -988,11 +989,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
             "the unrestricted merge path)"))
       val victims = pruneFiles(cur, filter)
       val live = readSnapshot(Some(cur.copy(files = victims)))
+      // the CARRIED remainder (rows living in by-reference files), lazily:
+      // validation rules that compare the replacement against the rest of
+      // the table (uniqueness) need exactly this frame — rows NOT matching
+      // the filter would be wrong, since untouched in-victim rows are part
+      // of the REPLACEMENT, not the remainder
+      val victimPaths = victims.map(_.path).toSet
+      val carried = () => readSnapshot(Some(cur.copy(
+        files = cur.files.filterNot(f => victimPaths(f.path)))))
       // by-name: the candidate-sized count pass only runs when equality
       // accounting actually needs it (parent eq entries exist)
       partialCowCommit(cur, victims,
         if (victims.isEmpty) 0L else live.count(),
-        transformAll(live), Map.empty, Some(summaryAfterWrite))
+        transformAll(live, carried), Map.empty, Some(summaryAfterWrite))
     }
 
   /** Shared partial-CoW commit core ([[rewriteWhereCow]] /

@@ -341,9 +341,10 @@ class Dml(lh: Lakehouse) {
     * untouched rows carried verbatim, source-only inserts); every other
     * data file carries by REFERENCE, so a small MERGE on a 100 TB
     * copy-on-write table rewrites only the files it touches. Validation
-    * enforces on the replacement content (the rewritten + inserted rows
-    * — the same candidate-only visibility as the merge-on-read path);
-    * per-clause counts ride the staged write's own Observation. */
+    * enforces the replacement content AGAINST the carried remainder
+    * (lazy — only read when rules exist), so unique rules still catch an
+    * update that duplicates a key living in a carried file; per-clause
+    * counts ride the staged write's own Observation. */
   def mergePartialCowDf(table: String, filter: Column,
       replacementOf: DataFrame => DataFrame,
       statsAfterWrite: () => Map[String, Long]): Map[String, Long] = {
@@ -351,9 +352,12 @@ class Dml(lh: Lakehouse) {
     tbl.locked {
       var counts: Map[String, Long] = Map.empty
       tbl.mergeFilesCow(filter,
-        live => {
+        (live, carried) => {
           val replacement = replacementOf(live)
-          lh.validation.enforce(table, replacement, None)
+          // unique rules see the replacement against the CARRIED-file rows
+          // — a MERGE update duplicating a key that lives in a carried
+          // file must fail here, exactly like updateBy's hits-vs-remainder
+          lh.validation.enforce(table, replacement, Some(carried()))
           replacement
         },
         () => {

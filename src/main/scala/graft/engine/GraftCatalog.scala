@@ -156,18 +156,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // validate EVERY change before applying ANY: each change commits its
     // own metadata CAS, so a failing later change must not leave the
-    // statement half-applied
+    // statement half-applied. Name-level semantics (duplicates, missing
+    // columns, rename collisions) are simulated against the EVOLVING
+    // schema here — shape checks alone would still let the second change
+    // of `ADD COLUMNS (x int, x int)` throw mid-apply.
+    var sim = t.schema.fieldNames.toVector
     changes.foreach {
       case a: TableChange.AddColumn =>
-        topLevel(a.fieldNames(), "ADD COLUMN")
+        val name = topLevel(a.fieldNames(), "ADD COLUMN")
         require(a.position() == null,
           "ADD COLUMN … FIRST/AFTER is unsupported (columns append)")
         require(a.defaultValue() == null,
           "ADD COLUMN with DEFAULT is unsupported")
+        require(!sim.contains(name), s"column already exists: $name")
+        sim = sim :+ name
       case r: TableChange.RenameColumn =>
-        topLevel(r.fieldNames(), "RENAME COLUMN"); ()
+        val from = topLevel(r.fieldNames(), "RENAME COLUMN")
+        require(sim.contains(from), s"no such column: $from")
+        require(!sim.contains(r.newName()),
+          s"rename target already exists: ${r.newName()}")
+        sim = sim.map(n => if (n == from) r.newName() else n)
       case d: TableChange.DeleteColumn =>
-        topLevel(d.fieldNames(), "DROP COLUMN"); ()
+        val name = topLevel(d.fieldNames(), "DROP COLUMN")
+        require(d.ifExists() || sim.contains(name), s"no such column: $name")
+        require(sim.size > 1 || !sim.contains(name),
+          "cannot drop the last column")
+        sim = sim.filterNot(_ == name)
       case _: TableChange.SetProperty => ()
       case _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(

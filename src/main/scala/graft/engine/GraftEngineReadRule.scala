@@ -30,10 +30,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * that node — only READ-side occurrences (including the SOURCE side of a
   * MERGE) are substituted.
   *
-  * Substitution runs once per relation (the DSv2 node disappears), pins
-  * the snapshot at analysis time (same contract as the scan builders),
-  * and mints fresh exprIds per occurrence, so self-joins of the same
-  * table stay unambiguous. Disable with
+  * Substitution runs once per relation (the DSv2 node disappears) and
+  * mints fresh exprIds per occurrence, so self-joins of the same table
+  * stay unambiguous. The snapshot is pinned at analysis time but RE-PINNED
+  * per query execution by [[GraftRefreshStaleReadRule]] (a plan-
+  * normalization rule), so temp views and frames composed over an
+  * already-analyzed plan observe later commits — matching the V1
+  * scan-builder path's resolve-at-planning behavior. Disable with
   * `spark.graft.engineReadSubstitution=false`.
   */
 class GraftEngineReadRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -89,16 +92,81 @@ class GraftEngineReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (cached != null) return cached
     val out = r.output
     val result = t.engineReadState.map { case (tbl, snap) =>
-      val child = org.apache.spark.sql.graft.DatasetBridge
-        .analyzed(tbl.readSnapshot(Some(snap)))
-      val byName = child.output.map(a => a.name -> a).toMap
-      // alias onto the relation's exprIds: everything above the relation
-      // (already-resolved references, later-resolved ones) keeps binding
-      val aliases: Seq[NamedExpression] = out.map(o =>
-        Alias(byName(o.name), o.name)(exprId = o.exprId))
-      Project(aliases, child): LogicalPlan
+      GraftEngineReadRule.substitution(t, tbl, snap, out): LogicalPlan
     }
     decided.put(r, result)
     result
+  }
+}
+
+object GraftEngineReadRule {
+  /** Marks an engine-read substitution Project with the table face and
+    * the snapshot id it was pinned to at analysis time — the handle
+    * [[GraftRefreshStaleReadRule]] uses to re-pin per query execution. */
+  val SubstTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[
+      (GraftSparkTable, Long)] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag("graftEngineReadSubst")
+
+  /** The engine's analyzed read of `snap`, re-aliased onto `out`'s
+    * exprIds (everything above the substituted relation keeps binding),
+    * tagged with the pin for per-execution refresh. */
+  private[engine] def substitution(t: GraftSparkTable,
+      tbl: graft.core.IceTable, snap: graft.core.Snapshot,
+      out: Seq[Attribute]): Project = {
+    val child = org.apache.spark.sql.graft.DatasetBridge
+      .analyzed(tbl.readSnapshot(Some(snap)))
+    aliased(t, child, out, snap.id)
+  }
+
+  private[engine] def aliased(t: GraftSparkTable, child: LogicalPlan,
+      out: Seq[Attribute], snapId: Long): Project = {
+    val byName = child.output.map(a => a.name -> a).toMap
+    val aliases: Seq[NamedExpression] = out.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId))
+    val p = Project(aliases, child)
+    p.setTagValue(SubstTag, (t, snapId))
+    p
+  }
+}
+
+/** Plan-normalization rule (runs per QUERY EXECUTION, between analysis
+  * and optimization): re-pins stale engine-read substitutions. The
+  * analyzer rule above substitutes once and the resulting subtree is
+  * marked analyzed, so a TEMP VIEW created from a DataFrame — or a query
+  * composed over an already-analyzed frame — would keep serving the
+  * snapshot pinned when it was first analyzed, never observing new
+  * commits (the V1 scan-builder path re-resolved per physical planning).
+  * This rule finds the tagged substitution Projects, compares their
+  * pinned snapshot id against the table's CURRENT state, and rebuilds
+  * the subtree on drift — same output exprIds, so everything above keeps
+  * binding. A table whose new head no longer needs the engine read
+  * (e.g. compaction absorbed the delete state) rebuilds as the plain
+  * head read. A Dataset re-collected directly still serves its original
+  * QueryExecution (Spark caches it per Dataset — inherent, and true of
+  * every Spark source). */
+class GraftRefreshStaleReadRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import GraftEngineReadRule.SubstTag
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!plan.exists(_.getTagValue(SubstTag).isDefined)) return plan
+    plan.transformDown {
+      case p: Project if p.getTagValue(SubstTag).isDefined =>
+        val (t, pinnedId) = p.getTagValue(SubstTag).get
+        t.engineReadState match {
+          case Some((_, snap)) if snap.id == pinnedId => p
+          case Some((tbl, snap)) =>
+            GraftEngineReadRule.substitution(t, tbl, snap, p.output)
+          case None =>
+            // head is now clean (or empty): the plain engine read of the
+            // current state replaces the stale fallback subtree
+            val tbl = t.lakehouse.catalog.loadTable(t.fullIdent)
+            val head = tbl.currentSnapshot.filter(_.files.nonEmpty)
+            GraftEngineReadRule.aliased(t,
+              org.apache.spark.sql.graft.DatasetBridge.analyzed(
+                tbl.readSnapshot(head)),
+              p.output, head.map(_.id).getOrElse(-1L))
+        }
+    }
   }
 }

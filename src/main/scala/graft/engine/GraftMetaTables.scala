@@ -68,12 +68,25 @@ object GraftMetaTables {
           "data_files", "position_delete_files", "equality_delete_entries",
           "total_rows", "live_rows", "total_bytes", "summary")
       case "history" =>
-        // Iceberg's history shape: every commit is a current ancestor in
-        // a linear log (rollbacks commit NEW snapshots, never rewrite)
-        val headId = t.currentSnapshot.map(_.id).getOrElse(0L)
-        t.snapshots.map { s =>
+        // is_current_ancestor follows the STATE lineage, like Iceberg's
+        // history table: the log itself is linear (a rollback commits a
+        // NEW snapshot, parent = previous head), but the rollback's
+        // CONTENT re-references its target — so ancestry walks from the
+        // head jumping through `rolled-back-to`, and the commits a
+        // rollback discarded report false
+        val all = t.snapshots
+        val byId = all.map(s => s.id -> s).toMap
+        def stateParent(s: graft.core.Snapshot): Option[Long] =
+          s.summary.get("rolled-back-to").map(_.toLong).orElse(s.parentId)
+        val ancestors = scala.collection.mutable.Set[Long]()
+        var cur = t.currentSnapshot
+        while (cur.isDefined && !ancestors.contains(cur.get.id)) {
+          ancestors += cur.get.id
+          cur = stateParent(cur.get).flatMap(byId.get)
+        }
+        all.map { s =>
           (new java.sql.Timestamp(s.timestampMs), s.id, s.parentId,
-            s.id <= headId)
+            ancestors.contains(s.id))
         }.toDF("made_current_at", "snapshot_id", "parent_id",
           "is_current_ancestor")
       case "files" =>

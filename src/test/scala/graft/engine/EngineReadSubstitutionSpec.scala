@@ -211,4 +211,41 @@ class EngineReadSubstitutionSpec extends AnyFunSuite {
       marker = "id") == 1,
       "v1 file's `a` bounds (all < 'b') must prune it for b >= 'b1'")
   }
+
+  test("stale substitution re-pins per query execution: temp views and " +
+      "derived frames over a fallback-state table observe new commits; " +
+      "a clean-again head drops back to the plain read") {
+    val d = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    lh.catalog.createTable("default.st", d.schema, Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.st")
+    t.append(d.coalesce(1))
+    t.deleteWhereMor(col("id") < 10L) // fallback state (90 live)
+    val df = spark.table(s"$catName.default.st")
+    df.createOrReplaceTempView("st_view")
+    assert(spark.table("st_view").count() == 90)
+    assert(df.count() == 90)
+    // new commit AFTER the view's plan was analyzed (and pinned)
+    lh.catalog.loadTable("default.st").deleteWhereMor(col("id") < 20L)
+    assert(spark.table("st_view").count() == 80,
+      "a temp view must observe commits made after its creation")
+    // a frame COMPOSED over the already-analyzed df gets a fresh
+    // QueryExecution -> re-pinned
+    assert(df.where(lit(true)).count() == 80,
+      "a derived frame must observe the new head")
+    // append through the engine (commutes with MoR state)
+    lh.catalog.loadTable("default.st")
+      .append((500L until 510L).map(i => (i, s"n$i")).toDF("id", "v"))
+    assert(spark.table("st_view").count() == 90)
+    // compaction absorbs the delete state -> head is CLEAN again; the
+    // tagged subtree must rebuild as the plain head read, not error
+    lh.catalog.loadTable("default.st").compactSmall(Long.MaxValue)
+    assert(lh.catalog.loadTable("default.st")
+      .currentSnapshot.get.deleteFiles.isEmpty,
+      "fixture: compaction must clear delete state")
+    assert(spark.table("st_view").count() == 90,
+      "a clean-again head must read exactly, through the refreshed plan")
+    // and further commits on the clean head stay visible
+    lh.catalog.loadTable("default.st").deleteWhereMor(col("id") >= 500L)
+    assert(spark.table("st_view").count() == 80)
+  }
 }

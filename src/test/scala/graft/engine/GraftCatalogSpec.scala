@@ -512,6 +512,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $catName.sales.alt ALTER COLUMN id TYPE INT")
     }
+    // multi-change statements validate against the EVOLVING schema before
+    // applying ANY change: a semantically-failing second change (dup add,
+    // rename collision) must leave the statement fully unapplied
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catName.sales.alt ADD COLUMNS (x INT, x INT)")
+    }
+    assert(!lh.catalog.loadTable("sales.alt").schema.fieldNames.contains("x"),
+      "a failing multi-add must apply NOTHING")
+    intercept[Exception] {
+      // second rename collides with the first's target
+      spark.sql(s"ALTER TABLE $catName.sales.alt RENAME COLUMN label TO id")
+    }
+    assert(lh.catalog.loadTable("sales.alt").schema.fieldNames.toSeq ==
+      Seq("id", "label"), "a colliding rename must apply nothing")
   }
 
   test("CREATE TABLE … PARTITIONED BY maps DSv2 transforms onto the " +
@@ -549,6 +563,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(pruned.count() == 13L)
     assert(read > 0 && read < all,
       s"day(ts) partition dirs must prune the scan: read $read of $all")
+  }
+
+  test("history.is_current_ancestor follows the state lineage: commits " +
+      "discarded by a rollback report false") {
+    seed()
+    val d = (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    lh.catalog.createTable("ref.hist", d.schema, Nil, Map.empty)
+    val t = lh.catalog.loadTable("ref.hist")
+    t.append(d.where(col("id") < 5))   // snap 1
+    t.append(d.where(col("id") >= 5))  // snap 2 (to be discarded)
+    t.deleteWhereMor(col("id") === 1L) // snap 3 (to be discarded)
+    t.rollbackTo("1")                  // snap 4: state = snap 1
+    t.append(d.where(col("id") === 9L)) // snap 5 on the restored state
+    val hist = spark.sql(
+      s"SELECT snapshot_id, is_current_ancestor FROM $catName.ref.hist.history")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hist == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true), s"got $hist")
+    spark.sql(s"DROP TABLE $catName.ref.hist")
   }
 
   test("CTAS / partitioned CTAS / RTAS: tables land with field-id " +

@@ -77,6 +77,37 @@ class GraftMergeSpec extends AnyFunSuite {
       "a failed merge must leave the table untouched")
   }
 
+  test("partial-CoW MERGE unique validation sees CARRIED-file rows: an " +
+      "update duplicating a key that lives in a carried file must fail, " +
+      "and a fresh-key update against the same layout must pass") {
+    lh.catalog.createTable("default.m19",
+      Seq("id" -> "long", "k" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("default.m19")
+    def rows(r: Range) = r.map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    t.append(rows(0 until 100).coalesce(1))      // carried file
+    t.append(rows(1000 until 1100).coalesce(1))  // victim file
+    lh.validation.addRule(graft.governance.ValidationRule(
+      "m19-unique-k", "default.m19", "unique", List("k")))
+    // dup: k5 lives in the carried file — the IN-list restriction makes
+    // this a mergeFilesCow commit whose replacement never contains the
+    // carried rows, so only a remainder-aware enforce can catch it
+    Seq((1001L, "k5")).toDF("id", "k").createOrReplaceTempView("m19_dup")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $catName.default.m19 t USING m19_dup s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET k = s.k""".stripMargin)
+    }
+    assert(t.read().where(col("k") === "k5").count() == 1,
+      "the rejected merge must commit nothing")
+    // control: a fresh key through the same partial-CoW path commits
+    Seq((1001L, "fresh")).toDF("id", "k").createOrReplaceTempView("m19_ok")
+    spark.sql(s"""MERGE INTO $catName.default.m19 t USING m19_ok s
+      |ON t.id = s.id WHEN MATCHED THEN UPDATE SET k = s.k""".stripMargin)
+    val t2 = lh.catalog.loadTable("default.m19")
+    assert(t2.read().where(col("k") === "fresh").count() == 1)
+    assert(t2.currentSnapshot.get.summary.get("carried-files")
+      .exists(_.toInt > 0), "control merge must ride the partial-CoW path")
+  }
+
   test("MERGE enforces validation rules like every other write surface") {
     lh.catalog.createTable("default.m3",
       Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
