@@ -2943,6 +2943,33 @@ object SparkEntry {
       lh.catalog.loadTable("default.cust_ct").read()
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // LSH BUCKET-CAP gate: the 100 TB degenerate-bucket guard
+    // (maxBucketSize — one boilerplate mega-bucket must cost O(B) chained
+    // candidates, never O(B²) self-join rows) with the cap ON against a
+    // PLANTED 60-replica cluster. Cluster-level results are what the
+    // guard preserves (a homogeneous oversized bucket chains, every link
+    // verifies, components recover the full cluster), so the gate
+    // compares CONNECTED COMPONENTS against the exact-Jaccard oracle —
+    // and proves the blowup is gone with an in-gate candidate-count
+    // bound (chain ≈ K pairs vs K²/2 ≈ 1.8k for the self-join).
+    "q185_lsh_bucket_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val seedText = docs.orderBy("doc_id").select("text").head.getString(0)
+      val planted = s.range(60).select((col("id") + 900000L).as("doc_id"),
+        lit(seedText).as("text"))
+      val corpus = docs.unionByName(planted)
+      val pairs = graft.text.MinHashLSH.nearDuplicates(corpus, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8,
+        maxBucketSize = 30)
+      val plantedPairs = pairs
+        .where(col("id_a") >= 900000L || col("id_b") >= 900000L).count()
+      require(plantedPairs > 0 && plantedPairs < 500,
+        s"capped mega-bucket must yield O(B) chained pairs, " +
+          s"got $plantedPairs (self-join would be ~1800)")
+      graft.text.NearDup.duplicateComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -5443,6 +5470,46 @@ object SparkEntry {
         |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE c.c_acctbal > 0 AND c.c_acctbal >= 5000.0
-        |GROUP BY n.n_name""".stripMargin
+        |GROUP BY n.n_name""".stripMargin,
+
+    // q185: exact-Jaccard connected components over documents + the
+    // planted 60-replica cluster — NO shingle frequency cap (the Spark
+    // side runs uncapped LSH with only the bucket-size guard, which must
+    // preserve cluster-level results exactly)
+    "q185_lsh_bucket_cap" ->
+      """WITH RECURSIVE seed AS (
+        |  SELECT text FROM documents ORDER BY doc_id LIMIT 1),
+        |docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 900000 + i AS doc_id, s.text FROM range(60) t(i), seed s),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM tok,
+        |    UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |      ELSE [] END) AS t(s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b FROM prs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+        |SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS n_docs
+        |FROM comp GROUP BY 1""".stripMargin
   )
 }

@@ -410,12 +410,17 @@ object MinHashLSH {
     * anything. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
     // lazy checkpoint: materializes on FIRST consumption (keeping the
     // operator a lazy transformation), after which all three consumers
-    // (candIds + both verification joins) share one LSH evaluation
+    // (candIds + both verification joins) share one LSH evaluation.
+    // maxBucketSize threads to [[candidatePairs]]'s degenerate-bucket
+    // guard (oversized buckets chain instead of self-joining — O(B) not
+    // O(B²); recall within an oversized bucket is chain connectivity, so
+    // CLUSTER-level results survive homogeneous mega-buckets while exact
+    // pair recall does not — see candidatePairs).
     val cands = candidatePairs(signatures(df, idCol, textCol, n, numHashes),
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
       .localCheckpoint(eager = false)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
