@@ -257,18 +257,16 @@ object Changelog {
     require(bad.isEmpty,
       s"appendStream requires an append-only history; found " +
         s"'${bad.get.operation}' snapshot ${bad.get.id} — use ChangelogStream")
-    // transform-partitioned tables lay data under `_p_k=v` subdirectories;
-    // the file stream's partition discovery would surface inferred `_p_*`
-    // columns that are not part of tbl.schema — refuse (same contract
-    // class as the append-only check) rather than emit a drifted schema
-    require(tbl.meta.partitionSpec.isEmpty &&
-        tbl.meta.previousPartitionSpecs.isEmpty,
-      s"appendStream requires an unpartitioned layout; " +
-        s"${tbl.meta.ident} has partition transforms " +
-        s"${(tbl.meta.partitionSpec ++ tbl.meta.previousPartitionSpecs.flatten).mkString(", ")} " +
-        "— use ChangelogStream")
+    // recursiveFileLookup: transform-partitioned tables lay data under
+    // `_p_k=v` subdirectories of each commit dir — recursive listing
+    // reads those files WITHOUT partition discovery, so no inferred
+    // `_p_*` columns drift the schema (the partition dirs carry DERIVED
+    // transform values; the source columns stay inside the parquet, so
+    // tbl.schema reads exactly). A 100 TB streaming table is almost
+    // always partitioned — this must not be the surface that refuses it.
     spark.readStream
       .schema(tbl.schema)
+      .option("recursiveFileLookup", "true")
       .parquet(tbl.dataDir.toString + "/commit-*")
   }
 }

@@ -107,17 +107,30 @@ class ChangelogSpec extends AnyFunSuite {
     assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
   }
 
-  test("appendStream refuses transform-partitioned tables (partition dirs " +
-      "would surface as inferred columns)") {
+  test("appendStream over a transform-partitioned layout: recursive " +
+      "listing reads the exact table schema (no inferred _p_* columns), " +
+      "stream == batch across multi-commit partitioned dirs") {
     val lh = newLh()
     lh.catalog.createTable("default.cl6",
-      Seq("id" -> "long", "name" -> "string"),
-      Seq("bucket(4, id)"), Map.empty)
-    lh.catalog.loadTable("default.cl6").append(df(0 until 10))
-    val e = intercept[IllegalArgumentException] {
-      Changelog.appendStream(spark, lh.catalog.loadTable("default.cl6"))
-    }
-    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+      Seq("id" -> "long", "ts" -> "timestamp", "name" -> "string"),
+      Seq("day(ts)", "bucket(4, id)"), Map.empty)
+    val t = lh.catalog.loadTable("default.cl6")
+    def rows(r: Range) = r.map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(s"2024-03-0${1 + i % 3} 12:00:00"),
+      s"n$i")).toDF("id", "ts", "name")
+    t.append(rows(0 until 30))
+    t.append(rows(30 until 40))
+    val src = Changelog.appendStream(spark, t)
+    assert(src.schema.fieldNames.toSeq == Seq("id", "ts", "name"),
+      s"partition dirs must not surface: ${src.schema.fieldNames.toSeq}")
+    val q = src.writeStream.format("memory").queryName("cl6_sink")
+      .option("checkpointLocation",
+        SparkFixture.tmpDir("graft-cls-part-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("cl6_sink").orderBy("id").collect().toSeq
+    val want = t.read().orderBy("id").collect().toSeq
+    assert(got == want, s"stream rows must equal the batch read")
   }
 
   test("ChangelogStream: exactly-once offsets, idempotent redelivery " +
