@@ -104,25 +104,31 @@ object Cms {
         .groupBy("window").agg(sum("cnt").as("n"))
       n0.sparkSession.createDataFrame(n0.toJavaRDD, n0.schema)
     }
-    // Inner-join the candidates' cells against the sketch instead of
-    // cross-joining candidates × windows: a key can only pass the screen
-    // with est >= 1 (the ceil threshold is >= 1 whenever the window
-    // exists), and est >= 1 requires ALL `depth` of its cells occupied in
-    // that window — so (window, key) groups with fewer than `depth`
-    // joined cells are exactly the est = 0 pairs and can be dropped
-    // unmaterialized. Work scales with OCCUPIED cells the candidates
-    // hash into, not with candidates × windows.
+    // Join the candidates' cells against the HOT sketch cells only: a key
+    // passes the screen iff est = min over its `depth` cells >= the
+    // per-window ceil threshold, which requires EVERY cell to be at or
+    // above it — so cells below threshold can be dropped from the join's
+    // build side entirely (a key hashing into one is dead either way, and
+    // it then surfaces as a (window, key) group with fewer than `depth`
+    // joined cells). The joined row count scales with candidates ×
+    // HEAVY cells — not candidates × windows, and not even candidates ×
+    // occupied cells: for a skewed stream almost every cell is below
+    // threshold, so the group-by input collapses to the few true-heavy
+    // cells. `div` is integer division on longs — the ceil threshold
+    // never routes through a double.
+    val hot = sketchDf.join(broadcast(n), "window")
+      .where(col("cnt") >= expr(s"(n + ${denom - 1}) div $denom"))
     val pe = probes.select(col(keyCol).as("key")).where(col("key").isNotNull)
       .distinct()
       .select(col("key"), posexplode(array((0 until depth).map(j =>
         bucket(col("key"), j, width)): _*)).as(Seq("j", "bucket")))
-      .join(broadcast(sketchDf), Seq("j", "bucket"))
+      .join(broadcast(hot), Seq("j", "bucket"))
       .groupBy("window", "key")
-      .agg(count(lit(1)).as("__cells"), min(col("cnt")).as("est"))
+      .agg(count(lit(1)).as("__cells"), min(col("cnt")).as("est"),
+        max(col("n")).as("n"))
       .where(col("__cells") === depth)
-      .join(broadcast(n), "window")
-    // `div` is integer division on longs — the ceil threshold never
-    // routes through a double
+    // est = min over cells all >= threshold, so the screen is implied —
+    // kept explicit so the contract never silently relaxes
     pe.where(expr(s"est >= (n + ${denom - 1}) div $denom"))
       .select(col("window"), col("key"), col("n"), col("est"))
   }
