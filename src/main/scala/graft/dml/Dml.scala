@@ -401,7 +401,18 @@ class Dml(lh: Lakehouse) {
         val newRows = staged.where(col(GraftMerge.CatCol)
             .isin("updated", "inserted"))
           .select(tbl.schema.fieldNames.map(col).toSeq: _*)
-        lh.validation.enforce(table, newRows, None)
+        // unique rules see the new content against the SURVIVING rows
+        // (everything except the rows this merge deletes/rewrites): a
+        // MoR update that duplicates a key in an untouched row must fail
+        // here, like the partial-CoW path's carried remainder. Lazy — the
+        // anti-join only runs when rules exist for the table.
+        val remainder = tbl.readWithLineage()
+          .join(staged.where(col(GraftMerge.CatCol)
+              .isin("updated", "deleted"))
+            .select(col(IceTable.LineageFileCol), col(IceTable.LineagePosCol)),
+            Seq(IceTable.LineageFileCol, IceTable.LineagePosCol), "left_anti")
+          .drop(IceTable.LineageFileCol, IceTable.LineagePosCol)
+        lh.validation.enforce(table, newRows, Some(remainder))
         tbl.mergeMor(dead, newRows, asOfId,
           counts.map { case (k, v) => s"merge-$k" -> v.toString })
         lh.audit.log(table, "merge",

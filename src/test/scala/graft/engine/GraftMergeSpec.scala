@@ -108,6 +108,31 @@ class GraftMergeSpec extends AnyFunSuite {
       .exists(_.toInt > 0), "control merge must ride the partial-CoW path")
   }
 
+  test("MoR MERGE unique validation sees the SURVIVING rows: an update " +
+      "duplicating a key in an untouched row must fail; fresh key passes") {
+    lh.catalog.createTable("default.m20",
+      Seq("id" -> "long", "k" -> "string"), Nil,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.m20")
+    t.append((0 until 50).map(i => (i.toLong, s"k$i")).toDF("id", "k"))
+    lh.validation.addRule(graft.governance.ValidationRule(
+      "m20-unique-k", "default.m20", "unique", List("k")))
+    Seq((40L, "k5")).toDF("id", "k").createOrReplaceTempView("m20_dup")
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $catName.default.m20 t USING m20_dup s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET k = s.k""".stripMargin)
+    }
+    assert(t.read().where(col("k") === "k5").count() == 1,
+      "the rejected MoR merge must commit nothing")
+    Seq((40L, "fresh")).toDF("id", "k").createOrReplaceTempView("m20_ok")
+    spark.sql(s"""MERGE INTO $catName.default.m20 t USING m20_ok s
+      |ON t.id = s.id WHEN MATCHED THEN UPDATE SET k = s.k""".stripMargin)
+    val t2 = lh.catalog.loadTable("default.m20")
+    assert(t2.read().where(col("k") === "fresh").count() == 1)
+    assert(t2.currentSnapshot.get.deleteFiles.nonEmpty,
+      "control merge must ride the MoR path")
+  }
+
   test("MERGE enforces validation rules like every other write surface") {
     lh.catalog.createTable("default.m3",
       Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)

@@ -212,6 +212,35 @@ class GraftRowLevelSpec extends AnyFunSuite {
     ()
   }
 
+  test("SQL UPDATE over a transform-partitioned table: partition-dir " +
+      "pruning feeds victim discovery, only matching-partition files " +
+      "rewrite") {
+    lh.catalog.createTable("default.u8",
+      Seq("id" -> "long", "day" -> "date", "v" -> "string"),
+      Seq("day(day)"), Map.empty)
+    val t = lh.catalog.loadTable("default.u8")
+    val rows = (0 until 90).map(i => (i.toLong,
+      java.sql.Date.valueOf(s"2024-02-0${1 + i % 3}"), s"v$i"))
+      .toDF("id", "day", "v")
+    t.append(rows)
+    val before = t.currentSnapshot.get.files.map(_.path).toSet
+    assert(before.size >= 3, s"expected one file per day dir, got $before")
+    spark.sql(s"UPDATE $catName.default.u8 SET v = 'D1' " +
+      "WHERE day = DATE '2024-02-01'")
+    val t2 = lh.catalog.loadTable("default.u8")
+    val after = t2.currentSnapshot.get
+    assert(after.summary("carried-files").toInt > 0 &&
+      after.summary("rewritten-files").toInt >= 1,
+      s"only the matching day partition may rewrite: ${after.summary}")
+    // every non-matching day file carries BY REFERENCE (same path)
+    val otherDays = before.filterNot(_.contains("_p_day_day=2024-02-01"))
+    assert(otherDays.nonEmpty &&
+      otherDays.subsetOf(after.files.map(_.path).toSet),
+      "non-matching day partitions must carry by reference")
+    assert(t2.read().where(col("v") === "D1").count() == 30)
+    assert(t2.read().count() == 90)
+  }
+
   test("plain pushable SQL DELETE still routes through SupportsDelete " +
       "(strategy claims only the refused shapes) and stays correct") {
     val t = seeded("default.d4")
