@@ -2960,9 +2960,12 @@ object SparkEntry {
       val planted = s.range(60).select((col("id") + 900000L).as("doc_id"),
         lit(seedText).as("text"))
       val corpus = docs.unionByName(planted)
+      // localCheckpoint: the verified pair set is consumed twice (the
+      // blowup-bound count and the components closure) — checkpoint the
+      // SMALL pair frame so the LSH+verify pipeline runs once
       val pairs = graft.text.MinHashLSH.nearDuplicates(corpus, "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.8,
-        maxBucketSize = 30)
+        maxBucketSize = 30).localCheckpoint(eager = false)
       val plantedPairs = pairs
         .where(col("id_a") >= 900000L || col("id_b") >= 900000L).count()
       require(plantedPairs > 0 && plantedPairs < 500,
