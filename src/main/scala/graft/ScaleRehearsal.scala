@@ -254,6 +254,33 @@ object ScaleRehearsal {
         lhR.dml.delete("default.mg_cowc", s"o_orderkey >= $hiCut")
         addedRows(tmCowC)
       }
+      // ---- round-17 SQL row-level families (GraftRowLevelStrategy) ----
+      // Claims to MEASURE: (a) a subquery DELETE (non-pushable IN
+      // condition — the shape `SupportsDelete` refused before round 17)
+      // against a MoR table stages position deletes that grow with the
+      // MATCHED KEYS, not the table; (b) the bare SQL UPDATE statement on
+      // a key-clustered CoW table rides runtime victim discovery and
+      // writes only the files that hold matches — both statements cost
+      // O(touched) at any table size.
+      ord.orderBy(col("o_orderkey")).limit((nOrd / 100).toInt)
+        .select(col("o_orderkey")).createOrReplaceTempView("sr_del_keys")
+      lhR.catalog.createTable("default.mg_mord", ord.schema, Nil,
+        Map("write.delete.mode" -> "merge-on-read"))
+      val tmMorD = lhR.catalog.loadTable("default.mg_mord")
+      tmMorD.append(ord)
+      val sqlSubqDeleteMor = measured {
+        spark.sql(s"DELETE FROM $cat.default.mg_mord WHERE o_orderkey IN " +
+          "(SELECT o_orderkey FROM sr_del_keys)")
+        // fresh table: the commit's position-delete rows ARE the state
+        tmMorD.currentSnapshot.map(_.deleteFiles.map(_.rows).sum).getOrElse(0L)
+      }
+      val loCut = ord.orderBy(col("o_orderkey")).limit((nOrd / 100).toInt)
+        .agg(max("o_orderkey")).head.getLong(0)
+      val sqlUpdateClustered = measured {
+        spark.sql(s"UPDATE $cat.default.mg_cowc SET " +
+          s"o_totalprice = o_totalprice + 1.0 WHERE o_orderkey <= $loCut")
+        addedRows(tmCowC)
+      }
 
       for (((name, m)) <- Seq("lsh_q22" -> lsh, "ppjoin_q102" -> ppj,
           "ppjoin_q102_true" -> ppjTrue, "containment_q124" -> cont,
@@ -271,7 +298,9 @@ object ScaleRehearsal {
           "merge_mor_touched" -> mergeMor,
           "merge_cow_rewrite" -> mergeCow,
           "merge_cow_clustered" -> mergeCowClustered,
-          "cow_delete_clustered" -> cowDeleteClustered)) {
+          "cow_delete_clustered" -> cowDeleteClustered,
+          "sql_subquery_delete_mor" -> sqlSubqDeleteMor,
+          "sql_update_cow_clustered" -> sqlUpdateClustered)) {
         if (!first) out.append(",")
         first = false
         out.append(s"""{"sf":"$sf","docs":$nDocs,"vecs":$nVecs,""" +

@@ -50,16 +50,19 @@ object GraftRowLevel {
     e.exists(_.isInstanceOf[SubqueryExpression])
 
   /** Deterministic through subquery plans too — `Expression.deterministic`
-    * does not inspect a subquery's inner plan. */
+    * does not inspect a subquery's inner plan. Mutually recursive with the
+    * plan check so a subquery nested inside ANOTHER subquery's plan (e.g.
+    * `WHERE k IN (SELECT k FROM s WHERE v < (SELECT rand()))`) is caught
+    * at any depth, not just the first level. */
   def fullyDeterministic(e: Expression): Boolean = {
-    var ok = e.deterministic
-    e.foreach {
-      case s: SubqueryExpression =>
-        if (s.plan.exists(_.expressions.exists(x => !x.deterministic)))
-          ok = false
-      case _ => ()
-    }
-    ok
+    def exprOk(x: Expression): Boolean =
+      x.deterministic && !x.exists {
+        case s: SubqueryExpression => !planOk(s.plan)
+        case _ => false
+      }
+    def planOk(p: LogicalPlan): Boolean =
+      !p.exists(_.expressions.exists(x => !exprOk(x)))
+    exprOk(e)
   }
 
   /** Expression rebinder `cmd attrs → df attrs` by NAME: swaps the

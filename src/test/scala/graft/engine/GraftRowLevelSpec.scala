@@ -212,6 +212,27 @@ class GraftRowLevelSpec extends AnyFunSuite {
     ()
   }
 
+  test("nondeterministic subquery NESTED inside another subquery's plan " +
+      "is refused at any depth") {
+    // rand() in a Filter is legal to Spark's analyzer (Filter admits
+    // nondeterminism), and Expression.deterministic never inspects a
+    // subquery's inner plan — so only the strategy's recursive check
+    // stands between this statement and a nondeterministic victim scan
+    lh.catalog.createTable("default.u9",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    lh.catalog.loadTable("default.u9")
+      .append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $catName.default.u9 WHERE id IN (" +
+        s"SELECT id FROM $catName.default.u9 WHERE id IN (" +
+        s"SELECT id FROM $catName.default.u9 WHERE rand() < 2))")
+    }
+    assert(e.getMessage.contains("nondeterministic") ||
+      e.getMessage.contains("NON_DETERMINISTIC"), s"got: ${e.getMessage}")
+    assert(lh.catalog.loadTable("default.u9").read().count() == 2,
+      "refused statement must not have deleted anything")
+  }
+
   test("SQL UPDATE over a transform-partitioned table: partition-dir " +
       "pruning feeds victim discovery, only matching-partition files " +
       "rewrite") {
