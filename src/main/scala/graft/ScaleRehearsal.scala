@@ -201,6 +201,9 @@ object ScaleRehearsal {
       val ord = Tables.load(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val nOrd = ord.count()
+      // "~1% of keys", floored at 1 so tiny scale factors (nOrd < 100)
+      // never produce limit(0) frames whose max()/min() aggregates NPE
+      val onePct = math.max(1, (nOrd / 100).toInt)
       GraftExtensions.register(spark)
       val cat = s"gsr_${sf.replace(".", "_")}"
       spark.conf.set(s"spark.sql.catalog.$cat",
@@ -211,7 +214,7 @@ object ScaleRehearsal {
         .createOrReplaceTempView("sr_merge_src")
       // contiguous ~1% key range: what a time/key-partitioned upsert
       // looks like — the shape file-level partial CoW is built for
-      ord.orderBy("o_orderkey").limit((nOrd / 100).toInt)
+      ord.orderBy("o_orderkey").limit(onePct)
         .withColumn("o_totalprice", col("o_totalprice") + 1.0)
         .createOrReplaceTempView("sr_merge_src_range")
       def mergeSql(table: String, src: String = "sr_merge_src") =
@@ -249,7 +252,7 @@ object ScaleRehearsal {
       // table: manifest bounds admit one victim file; the rest carry by
       // reference — written rows ≈ one file's kept remainder, not the table
       val hiCut = ord.orderBy(col("o_orderkey").desc)
-        .limit((nOrd / 100).toInt).agg(min("o_orderkey")).head.getLong(0)
+        .limit(onePct).agg(min("o_orderkey")).head.getLong(0)
       val cowDeleteClustered = measured {
         lhR.dml.delete("default.mg_cowc", s"o_orderkey >= $hiCut")
         addedRows(tmCowC)
@@ -262,8 +265,12 @@ object ScaleRehearsal {
       // a key-clustered CoW table rides runtime victim discovery and
       // writes only the files that hold matches — both statements cost
       // O(touched) at any table size.
-      ord.orderBy(col("o_orderkey")).limit((nOrd / 100).toInt)
-        .select(col("o_orderkey")).createOrReplaceTempView("sr_del_keys")
+      // bottom ~1% keys, materialized ONCE (the view and the loCut both
+      // consume it)
+      val delKeys = ord.orderBy(col("o_orderkey")).limit(onePct)
+        .select(col("o_orderkey")).cache()
+      delKeys.createOrReplaceTempView("sr_del_keys")
+      val loCut = delKeys.agg(max("o_orderkey")).head.getLong(0)
       lhR.catalog.createTable("default.mg_mord", ord.schema, Nil,
         Map("write.delete.mode" -> "merge-on-read"))
       val tmMorD = lhR.catalog.loadTable("default.mg_mord")
@@ -274,8 +281,6 @@ object ScaleRehearsal {
         // fresh table: the commit's position-delete rows ARE the state
         tmMorD.currentSnapshot.map(_.deleteFiles.map(_.rows).sum).getOrElse(0L)
       }
-      val loCut = ord.orderBy(col("o_orderkey")).limit((nOrd / 100).toInt)
-        .agg(max("o_orderkey")).head.getLong(0)
       val sqlUpdateClustered = measured {
         spark.sql(s"UPDATE $cat.default.mg_cowc SET " +
           s"o_totalprice = o_totalprice + 1.0 WHERE o_orderkey <= $loCut")

@@ -2973,6 +2973,49 @@ object SparkEntry {
           s"got $plantedPairs (self-join would be ~1800)")
       graft.text.NearDup.duplicateComponents(pairs)
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // CHANGES SQL METADATA FACE gate (the seventh metadata table): the
+    // commit-replay changelog exposed as `SELECT … FROM cat.ns.t.changes`
+    // (Iceberg's table_changes UX) — three commits (append, append, MoR
+    // position delete) replayed per commit as (row…, _change_type,
+    // _commit_id) records. from_id/to_id bounds ride read options and are
+    // asserted in-gate to prune the replay to ONE commit; the unbounded
+    // SQL face must hash-match the oracle's recomputation from the raw
+    // commit dirs (same recomputation as q172 — face == API == oracle).
+    "q186_changes_metadata_sql" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh186") { lh =>
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        lh.catalog.createTable("default.li_ch", li.schema, Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.li_ch")
+        tb.append(li.where(col("l_orderkey") % 2 === 0)) // commit 1
+        tb.append(li.where(col("l_orderkey") % 2 === 1)) // commit 2
+        tb.deleteWhereMor(col("l_quantity") < 2.0) // commit 3 (MoR delete)
+      }
+      val cat = s"g186_${sfTag(dir).replace('.', '_')}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.engine.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh186", dir))
+      // bounds prune the replay to (from_id, to_id]: only commit 3's
+      // delete records may surface, and only as deletes
+      val bounded = s.read.option("from_id", "2").option("to_id", "3")
+        .table(s"$cat.default.li_ch.changes")
+        .select(col(graft.streaming.Changelog.CommitIdCol).as("cid"),
+          col(graft.streaming.Changelog.ChangeTypeCol).as("ct"))
+        .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      require(bounded == Set((3L, "delete")),
+        s"bounded changes face must replay exactly commit 3: $bounded")
+      s.sql(
+        s"""SELECT _change_type AS change_type, l_returnflag,
+           |  COUNT(*) AS n_rows
+           |FROM $cat.default.li_ch.changes
+           |GROUP BY _change_type, l_returnflag""".stripMargin)
+        .join(s.read.option("to_id", "3").table(s"$cat.default.li_ch.changes")
+          .groupBy(col(graft.streaming.Changelog.ChangeTypeCol)
+            .as("change_type"), col("l_returnflag"))
+          .agg(dsum(col("l_extendedprice")).as("total_price")),
+          Seq("change_type", "l_returnflag"))
     })
   )
 
@@ -5513,6 +5556,23 @@ object SparkEntry {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
         |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
         |SELECT CAST(component AS BIGINT) AS component, COUNT(*) AS n_docs
-        |FROM comp GROUP BY 1""".stripMargin
+        |FROM comp GROUP BY 1""".stripMargin,
+
+    // q186: the changes SQL face recomputed from the raw commit dirs —
+    // every commit-1/2 row is an insert; the MoR delete commit emits a
+    // delete record per matching live row (same recomputation as q172)
+    "q186_changes_metadata_sql" ->
+      """WITH a AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh186_sf0.01/default/li_ch/data/commit-00001/**/*.parquet')),
+        |b AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_aux/wh186_sf0.01/default/li_ch/data/commit-00002/**/*.parquet')),
+        |allrows AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |ch AS (
+        |  SELECT 'insert' AS change_type, * FROM allrows
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, * FROM allrows WHERE l_quantity < 2.0)
+        |SELECT change_type, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM ch GROUP BY change_type, l_returnflag""".stripMargin
   )
 }

@@ -108,10 +108,77 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** ZERO-COPY CLONE: create `destIdent` whose first snapshot REFERENCES
+    * the source snapshot's data files by path — O(metadata), no data copy
+    * (what the reference's cloning.py:89-100 docstring promises but its
+    * body does not deliver). GC-safety contract, in three parts:
+    *
+    *  1. The source snapshot is PINNED with tag `clone-<ns>.<t>` before
+    *     the clone is created. Tags are never expired
+    *     ([[IceTable.expireSnapshots]], including its tag/expire race
+    *     closure), so the snapshot's entry stays in the source log and
+    *     [[IceTable.orphanFiles]] keeps every file it references live —
+    *     the source can expire/compact/GC freely and the clone still
+    *     reads. Release the pin via [[graft.governance.Cloning.discard]]
+    *     (or `removeTag` once the clone is dropped).
+    *  2. [[dropTable]] refuses to drop a table with live outgoing clone
+    *     pins (a `clone-*` tag whose clone table still exists).
+    *  3. The clone's manifests are FRESH files in its own dir (only data
+    *     files are shared), and the clone's own orphan GC only ever
+    *     sweeps its own dataDir — foreign files are untouchable from the
+    *     clone side.
+    *
+    * The clone carries the source's FULL schema history and partition-spec
+    * eras, so foreign files resolve by field-id and prune by their
+    * write-era partition dirs exactly as they did in the source.
+    * Equality-delete state is refused (commit-id watermarks do not
+    * transfer across tables — see [[IceTable.initCloneSnapshot]]). */
+  def cloneTableZeroCopy(srcIdent: String, destIdent: String,
+      asOf: Option[String] = None): IceTable = synchronized {
+    val src = loadTable(srcIdent)
+    val (ns, t) = parseIdent(destIdent)
+    require(state.namespaces.contains(ns), s"no such namespace: $ns")
+    require(!tableExists(destIdent), s"table exists: $ns.$t")
+    val snap = asOf.map(src.resolveRef).getOrElse(src.currentSnapshot
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot zero-copy clone empty table $srcIdent")))
+    require(snap.eqDeleteFiles.isEmpty,
+      "zero-copy clone of equality-delete state is unsupported — " +
+        "compact deletes on the source first, or use a copy clone")
+    // pin FIRST: from this point the snapshot can never be expired, so
+    // the clone can never be created against about-to-vanish files (a
+    // racing expire either ran before the pin — then resolveRef/tag
+    // already threw — or honors it, reinstating if needed)
+    src.tagSnapshot(s"clone-$ns.$t", Some(snap.id.toString))
+    val srcMeta = src.meta
+    val schemaId =
+      if (asOf.isEmpty) srcMeta.currentSchemaId else snap.schemaId
+    val meta = TableMeta(ns, t, srcMeta.schemas, schemaId,
+      srcMeta.partitionSpec, srcMeta.properties
+        .filterNot(_._1.startsWith("ref.tag.")),
+      srcMeta.previousPartitionSpecs)
+    val dir = tableDir(ns, t)
+    Files.createDirectories(dir)
+    Jsons.writeFile(dir.resolve("meta.json"), meta)
+    val dest = new IceTable(spark, dir)
+    dest.initCloneSnapshot(snap, s"${srcMeta.ident}@${snap.id}")
+    dest
+  }
+
   def dropTable(ident: String): Unit = synchronized {
     val (ns, t) = parseIdent(ident)
     val dir = tableDir(ns, t)
     require(Files.exists(dir.resolve("meta.json")), s"no such table: $ns.$t")
+    // refuse dropping a table that zero-copy clones still reference: the
+    // clones' data files live under THIS directory (pins whose clone
+    // table is already gone don't block — drop the clone first, then the
+    // source; see cloneTableZeroCopy's GC contract)
+    val livePins = new IceTable(spark, dir).tags.keys
+      .filter(_.startsWith("clone-")).map(_.stripPrefix("clone-"))
+      .filter(c => c != s"$ns.$t" && tableExists(c))
+    require(livePins.isEmpty,
+      s"table $ns.$t is referenced by zero-copy clones: " +
+        s"${livePins.mkString(", ")} — drop or discard them first")
     val walk = Files.walk(dir)
     try walk.sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))

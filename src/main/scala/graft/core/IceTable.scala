@@ -810,6 +810,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       val cur = currentSnapshot.filter(_.files.nonEmpty).getOrElse {
         return 0L
       }
+      // the coveredUpTo watermark scopes by commit ids parsed from
+      // `data/commit-NNNNN/` paths — FOREIGN files (a zero-copy clone's
+      // shared data) carry the SOURCE table's commit ids, so the scoping
+      // comparison would be meaningless for them; refuse rather than
+      // silently mis-cover (position deletes and CoW work fine on clones)
+      val ownData = dataDir.toString + "/"
+      require(!cur.files.exists(f => !f.path.startsWith(ownData)),
+        "equality deletes are unsupported on tables holding zero-copy " +
+          "cloned (foreign) files — their commit-id watermarks live in " +
+          "the source's id space; use deleteWhereMor or copy-on-write")
       // Key-set write + matched-count scan run ONCE outside the CAS retry
       // loop, against the snapshot read above. `coveredUpTo` stays pinned
       // to that read snapshot even if the commit lands later: a competing
@@ -1720,6 +1730,52 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     }
     resolve(snap)
   }
+
+  /** ZERO-COPY CLONE INIT — the clone side of
+    * [[graft.core.Catalog.cloneTableZeroCopy]]: commit this (freshly
+    * created, empty) table's FIRST snapshot referencing `source`'s data
+    * and position-delete files BY PATH — not a byte of data is copied.
+    * Fresh manifest files are written under THIS table's own manifests
+    * dir, so the only cross-table dependency is the shared data files
+    * themselves (pinned against the source's expire/orphan-GC by the
+    * `clone-<ns>.<t>` tag the catalog places — see cloneTableZeroCopy for
+    * the full GC-safety contract). Equality-delete state is refused: its
+    * `coveredUpTo` watermarks live in the SOURCE's commit-id space and
+    * would mis-scope against this table's ids (see [[deleteKeysMor]]'s
+    * foreign-file guard for the same rule on the other side). */
+  def initCloneSnapshot(source: Snapshot, fromLabel: String): Snapshot =
+    tableLock.synchronized {
+      require(source.eqDeleteFiles.isEmpty,
+        "zero-copy clone of equality-delete state is unsupported — " +
+          "compact deletes on the source first, or use a copy clone")
+      val snap = commitLog[Snapshot] { refs =>
+        require(refs.isEmpty,
+          s"clone target $dir already has snapshots: ${refs.map(_.id)}")
+        val id = 1L
+        val uid = java.util.UUID.randomUUID().toString.take(12)
+        Files.createDirectories(manifestsDir)
+        val dm =
+          if (source.files.isEmpty) Nil
+          else List(Manifests.writeManifest(
+            manifestsDir.resolve(f"m-$id%05d-clone-$uid.json"), source.files))
+        val del =
+          if (source.deleteFiles.isEmpty) Nil
+          else List(Manifests.writeManifest(
+            manifestsDir.resolve(f"m-$id%05d-clone-del-$uid.json"),
+            source.deleteFiles))
+        val listPath = Manifests.writeList(
+          manifestsDir.resolve(f"list-$id%05d-$uid.json"),
+          ManifestList(dm, del))
+        val s = Snapshot(id, None, System.currentTimeMillis(), "clone",
+          Nil, source.schemaId,
+          Map("cloned-from" -> fromLabel,
+            "cloned-snapshot" -> source.id.toString,
+            "zero-copy" -> "true"),
+          manifestList = Some(listPath))
+        Right((List(s), s))
+      }
+      resolve(snap)
+    }
 
   // ---- write-audit-publish (Iceberg-style staged commits) ----------------
 

@@ -172,10 +172,20 @@ class Dml(lh: Lakehouse) {
       val matched =
         if (mor) tbl.updateWhereMorBy(pruneHint, condOf, setsOf)
         else tbl.rewriteWhereCowBy(pruneHint, condOf, { live =>
-          val c = coalesce(condOf(live), lit(false))
-          val sets = setsOf(live)
-          live.select(schema.fieldNames.toSeq.map { n =>
-            sets.get(n).map(v => when(c, v).otherwise(col(n)).as(n))
+          // evaluate the condition ONCE into a marker column instead of
+          // inlining it per SET column: a condition carrying a subquery
+          // (EXISTS/IN) duplicated inside one projection plants the SAME
+          // analyzed subquery plan — identical exprIds — several times in
+          // one tree, and the resulting self-conflicting existence joins
+          // bind against deduplicated children and fail at execution
+          // (fuzz-found). One instance per query sidesteps the collision
+          // and evaluates the (possibly joined) match decision once.
+          val marker = "__graft_upd_match"
+          val marked = live.withColumn(marker,
+            coalesce(condOf(live), lit(false)))
+          val sets = setsOf(marked)
+          marked.select(schema.fieldNames.toSeq.map { n =>
+            sets.get(n).map(v => when(col(marker), v).otherwise(col(n)).as(n))
               .getOrElse(col(n))
           }: _*)
         }, discoverVictims = true)._1

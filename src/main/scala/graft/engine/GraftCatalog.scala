@@ -93,7 +93,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // NoSuchTableException (not identOf's nested-namespace error), so
     // Spark reports TABLE_OR_VIEW_NOT_FOUND like any other typo.
     if (ident.namespace.length == 2 &&
-        GraftMetaTables.Names.contains(ident.name.toLowerCase)) {
+        GraftMetaTables.AllNames.contains(ident.name.toLowerCase)) {
       val Array(ns0, ns1) = ident.namespace()
       val base = s"$ns0.$ns1"
       if (!cat.tableExists(base))

@@ -21,6 +21,23 @@ object GraftMetaTables {
   val Names: Set[String] =
     Set("snapshots", "history", "files", "delete_files", "tags", "properties")
 
+  /** Faces whose schema depends on the base table (the changelog carries
+    * the table's own columns), so they can't live in the static [[Schemas]]
+    * map. `changes` mirrors Iceberg's `table_changes` UX: every commit in a
+    * range replayed as `(row…, _change_type, _commit_id)` records via
+    * [[graft.streaming.Changelog.changesBetween]] — appends read only their
+    * added files, MoR deletes replay O(touched), compactions replay empty.
+    * Bounds ride read options (`spark.read.option("from_id", …)
+    * .option("to_id", …).table("cat.ns.t.changes")`): `from_id` exclusive,
+    * `to_id` inclusive, defaults = the full retained log. Plain SQL without
+    * options gets the full log and can filter on `_commit_id` (the
+    * changelog is built per commit, so a residual filter is correct, just
+    * not commit-pruned — pass the option to prune). */
+  val DynamicNames: Set[String] = Set("changes")
+
+  /** Every routable metadata face. */
+  val AllNames: Set[String] = Names ++ DynamicNames
+
   /** Static per-face schemas: `Table.schema()` is called repeatedly during
     * analysis and must not rebuild the frame (and re-read the snapshot
     * log) each time. Drift against [[frame]]'s actual output is refused by
@@ -53,11 +70,34 @@ object GraftMetaTables {
       meta: String): Table = new GraftMetaTable(spark, tbl,
     s"$fullName.$meta", meta)
 
+  /** The per-table schema of a dynamic face. Metadata-sized: reads the
+    * table's schema, never builds the changelog. */
+  private[engine] def dynamicSchema(t: IceTable, meta: String): StructType =
+    meta match {
+      case "changes" =>
+        import org.apache.spark.sql.types._
+        StructType(t.schema.fields ++ Seq(
+          StructField(graft.streaming.Changelog.ChangeTypeCol, StringType),
+          StructField(graft.streaming.Changelog.CommitIdCol, LongType)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown dynamic face: $other")
+    }
+
   private[engine] def frame(spark: SparkSession, t: IceTable,
-      meta: String): DataFrame = {
+      meta: String, options: Map[String, String] = Map.empty): DataFrame = {
     val impl = spark.implicits
     import impl._
     meta match {
+      case "changes" =>
+        val head = t.currentSnapshot.map(_.id)
+        val fromId = options.get("from_id").map(_.toLong)
+        val toId = options.get("to_id").map(_.toLong).orElse(head)
+        toId match {
+          case Some(to) =>
+            graft.streaming.Changelog.changesBetween(t, fromId, to)
+          case None => // empty table: zero commits, changelog-shaped frame
+            t.emptyDf(dynamicSchema(t, "changes"))
+        }
       case "snapshots" =>
         t.snapshots.map { s =>
           (s.id, s.parentId, new java.sql.Timestamp(s.timestampMs),
@@ -119,7 +159,10 @@ object GraftMetaTables {
 private class GraftMetaTable(spark: SparkSession, tblOf: () => IceTable,
     tableName: String, meta: String) extends Table with SupportsRead {
   override def name(): String = tableName
-  override def schema(): StructType = GraftMetaTables.Schemas(meta)
+  override def schema(): StructType =
+    if (GraftMetaTables.DynamicNames.contains(meta))
+      GraftMetaTables.dynamicSchema(tblOf(), meta)
+    else GraftMetaTables.Schemas(meta)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -128,7 +171,9 @@ private class GraftMetaTable(spark: SparkSession, tblOf: () => IceTable,
       override def build(): Scan = {
         // pin the frame at scan build: schema and rows must agree within
         // one query even if a commit lands mid-planning
-        val df = GraftMetaTables.frame(spark, tblOf(), meta)
+        import scala.jdk.CollectionConverters._
+        val df = GraftMetaTables.frame(spark, tblOf(), meta,
+          options.asScala.toMap)
         new V1Scan {
           override def readSchema(): StructType = df.schema
           override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -218,27 +218,37 @@ class Notifications(lh: Lakehouse) {
 }
 
 case class CloneRecord(original: String, cloneName: String, asOf: Option[String],
-    createdMs: Long)
+    createdMs: Long, zeroCopy: Boolean = false)
 
 /** Table cloning (reference cloning.py:35-218). The reference copies data
-  * despite its zero-copy docstring (cloning.py:89-100); our snapshot format
-  * makes true zero-copy trivial, but we keep copy semantics for parity and
-  * isolation (a clone survives the original's orphan cleanup). */
+  * despite its zero-copy docstring (cloning.py:89-100); the DEFAULT here
+  * keeps copy semantics for reference parity and hard isolation, while
+  * `zeroCopy = true` delivers what that docstring promises: an O(metadata)
+  * clone whose first snapshot references the source's files by path,
+  * GC-safe via a pin tag on the source (the full contract is documented
+  * on [[graft.core.Catalog.cloneTableZeroCopy]]); [[discard]] releases
+  * the pin. */
 class Cloning(lh: Lakehouse) {
   private def path = lh.metaDir.resolve("clones.json")
 
   private def load(): List[CloneRecord] =
     if (Files.exists(path)) Jsons.readFile[List[CloneRecord]](path) else Nil
 
-  def clone(original: String, cloneName: String, asOf: Option[String] = None): CloneRecord = {
-    val src = lh.catalog.loadTable(original)
-    val df = asOf.map(src.readAsOf).getOrElse(src.read())
-    val tbl = lh.catalog.createTable(cloneName, src.schema,
-      src.meta.partitionSpec, src.meta.properties)
-    tbl.append(df)
-    val rec = CloneRecord(original, cloneName, asOf, System.currentTimeMillis())
+  def clone(original: String, cloneName: String, asOf: Option[String] = None,
+      zeroCopy: Boolean = false): CloneRecord = {
+    if (zeroCopy) lh.catalog.cloneTableZeroCopy(original, cloneName, asOf)
+    else {
+      val src = lh.catalog.loadTable(original)
+      val df = asOf.map(src.readAsOf).getOrElse(src.read())
+      val tbl = lh.catalog.createTable(cloneName, src.schema,
+        src.meta.partitionSpec, src.meta.properties)
+      tbl.append(df)
+    }
+    val rec = CloneRecord(original, cloneName, asOf,
+      System.currentTimeMillis(), zeroCopy)
     synchronized { Jsons.writeFile(path, load() :+ rec) }
-    lh.audit.log(cloneName, "clone", Map("from" -> original))
+    lh.audit.log(cloneName, "clone", Map("from" -> original,
+      "zero_copy" -> zeroCopy.toString))
     rec
   }
 
@@ -252,8 +262,15 @@ class Cloning(lh: Lakehouse) {
   }
 
   def discard(cloneName: String): Unit = synchronized {
-    require(load().exists(_.cloneName == cloneName), s"not a clone: $cloneName")
+    val rec = load().find(_.cloneName == cloneName)
+      .getOrElse(throw new IllegalArgumentException(s"not a clone: $cloneName"))
     lh.catalog.dropTable(cloneName)
+    // release the zero-copy pin: the source snapshot (and its files)
+    // become expirable/collectible again once no clone references them
+    if (rec.zeroCopy && lh.catalog.tableExists(rec.original)) {
+      val (ns, t) = graft.core.Catalog.parseIdent(cloneName)
+      lh.catalog.loadTable(rec.original).removeTag(s"clone-$ns.$t")
+    }
     Jsons.writeFile(path, load().filterNot(_.cloneName == cloneName))
   }
 

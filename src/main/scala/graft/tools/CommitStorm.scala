@@ -21,7 +21,14 @@ import org.apache.spark.sql.SparkSession
   * legally take under cross-process racing are caught and recorded, and
   * the process writes `storm-report-<startId>.txt` (lines `A <id>` /
   * `D <id>`) into the warehouse dir so the asserting spec knows exactly
-  * which operations LANDED.
+  * which operations LANDED;
+  * mode `sqlverbs`: like `mixed` but the mutations are the round-17 SQL
+  * STATEMENTS — a subquery `DELETE … WHERE id IN (SELECT …)` (the
+  * non-pushable shape that routes through GraftRowLevelStrategy's runtime
+  * victim discovery) and a bare `UPDATE` — executed through a registered
+  * GraftCatalog, so the strategy layer (plan rebinding, memoized command
+  * execution, O(touched) commits) is raced across REAL process
+  * boundaries, not just API calls.
   */
 object CommitStorm {
   def main(args: Array[String]): Unit = {
@@ -157,6 +164,68 @@ object CommitStorm {
                   try tbl.discardWap(s"wap-$s-$i")
                   catch { case _: Exception => () }
               }
+            }
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),
+            landed.mkString("", "\n", "\n"))
+        case "sqlverbs" =>
+          graft.GraftExtensions.register(spark)
+          val catName = s"storm$s"
+          spark.conf.set(s"spark.sql.catalog.$catName",
+            classOf[graft.engine.GraftCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$catName.warehouse", whDir)
+          val landed = scala.collection.mutable.ListBuffer[String]()
+          val appendedIds = scala.collection.mutable.Set[Long]()
+          // the SQL path surfaces commit conflicts wrapped by Spark's
+          // command execution — walk the cause chain for the engine's
+          // ConcurrentModificationException and retry with fresh state
+          def isConflict(e: Throwable): Boolean =
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+              .exists(_.isInstanceOf[java.util.ConcurrentModificationException])
+          def retrying(attempts: Int)(f: => Unit): Boolean = {
+            var a = 0
+            while (a < attempts) {
+              a += 1
+              try { f; return true }
+              catch { case e: Throwable if isConflict(e) => () }
+            }
+            false
+          }
+          (0 until count.toInt).foreach { i =>
+            val id = s + i
+            try {
+              tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
+              landed += s"A $id"
+              appendedIds += id
+            } catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
+            if (i % 3 == 2) {
+              // subquery DELETE of our OWN earlier row: the IN-subquery is
+              // exactly the non-pushable shape that needs runtime victim
+              // discovery (static pruning sees nothing through the plan)
+              val victim = s + i / 3
+              if (appendedIds.contains(victim) &&
+                  !landed.contains(s"D $victim")) {
+                Seq(victim).toDF("vid")
+                  .createOrReplaceTempView("storm_victims")
+                if (retrying(4)(spark.sql(
+                    s"DELETE FROM $catName.default.$table WHERE id IN " +
+                      "(SELECT vid FROM storm_victims)")))
+                  landed += s"D $victim"
+              }
+            }
+            if (i % 4 == 3) {
+              // bare SQL UPDATE of our own second row (skip if deleted) —
+              // under racing a foreign commit aborts it, retry fresh
+              val target = s + 1
+              if (appendedIds.contains(target) &&
+                  !landed.contains(s"D $target"))
+                if (retrying(4)(spark.sql(
+                    s"UPDATE $catName.default.$table SET name = 'u$s-$i' " +
+                      s"WHERE id = $target")))
+                  landed += s"U $target u$s-$i"
             }
           }
           java.nio.file.Files.writeString(

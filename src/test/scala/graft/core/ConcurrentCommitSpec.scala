@@ -200,6 +200,37 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(a.snapshotById(1L).isDefined)
   }
 
+  test("zero-copy clone lands inside expire's pin-read/CAS window: the " +
+      "clone's pin is reinstated, the clone reads intact, and the " +
+      "source's destructive orphan GC keeps its files") {
+    val cat = newCatalog()
+    val a = cat.createTable("t4c", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    a.append(df(0 until 5)) // id 1 — the clone target
+    a.append(df(5 until 10)) // id 2
+    a.append(df(10 until 15)) // id 3 — head, always retained
+    // the clone (whose pin tag rides the metadata CAS) lands AFTER the
+    // expire attempt read the pin set but BEFORE its log CAS — the
+    // cross-domain window where an unprotected clone would end up
+    // referencing files of an expired snapshot
+    var fired = false
+    a.onExpirePinRead = () => if (!fired) {
+      fired = true
+      cat.cloneTableZeroCopy("t4c", "t4c_clone", asOf = Some("1"))
+    }
+    val expired = a.expireSnapshots(retainLast = Some(1))
+    a.onExpirePinRead = () => ()
+    // the pinned snapshot was reinstated; only snapshot 2 stayed expired
+    assert(expired == List(2L), s"got $expired")
+    assert(a.snapshotById(1L).isDefined, "pinned snapshot must survive")
+    assert(a.tags.get("clone-default.t4c_clone").contains(1L))
+    // destructive orphan GC on the source keeps every clone-shared file
+    a.orphanFiles(delete = true)
+    val clone = cat.loadTable("t4c_clone")
+    assert(clone.read().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 5L), "clone must read intact through the race")
+  }
+
   test("MoR delete vs concurrent compaction: the delete ABORTS instead of " +
       "silently dropping (positions reference rewritten files)") {
     val cat = newCatalog()

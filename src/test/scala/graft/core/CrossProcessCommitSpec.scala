@@ -160,4 +160,63 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(liveAfterGc == expected.toMap, "orphan GC deleted live data")
     assert(tbl.orphanFiles().isEmpty, "orphans survived the GC sweep")
   }
+
+  test("two real JVMs racing the SQL row-level verbs (UPDATE + subquery " +
+      "DELETE through GraftRowLevelStrategy): final state is exactly the " +
+      "landed statements, chain linear") {
+    val wh = SparkFixture.tmpDir("graft-xsql-").toString
+    val cat = Catalog.open(spark, wh)
+    // MoR update + CoW delete: one storm covers both commit machineries
+    // under racing (position-delete appends AND carried-file pinning)
+    val tbl = cat.createTable("t", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map("write.update.mode" -> "merge-on-read"))
+    tbl.append(Seq((0L, "seed")).toDF("id", "name"))
+    val perProc = 8
+    val p1 = launch(Seq(wh, "t", "1000", perProc.toString, "sqlverbs"))
+    val p2 = launch(Seq(wh, "t", "2000", perProc.toString, "sqlverbs"))
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "storm processes did not finish in time")
+    assert(p1.exitValue() == 0, "process 1 failed")
+    assert(p2.exitValue() == 0, "process 2 failed")
+    val expected = scala.collection.mutable.Map(0L -> "seed")
+    var sawUpdate, sawDelete = false
+    for (start <- Seq(1000L, 2000L)) {
+      val ops = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(wh, s"storm-report-$start.txt")).toArray
+        .map(_.toString).filter(_.nonEmpty)
+      ops.foreach { line =>
+        val parts = line.split(' ')
+        (parts(0), parts(1).toLong) match {
+          case ("A", id) => expected(id) = s"p$start-${id - start}"
+          case ("U", id) => expected(id) = parts(2); sawUpdate = true
+          case ("D", id) => expected.remove(id); sawDelete = true
+          case other => fail(s"unparseable report line: $line ($other)")
+        }
+      }
+    }
+    // both SQL verbs must land somewhere or the leg proved nothing;
+    // the 4× fresh-state retries make exhaustion effectively impossible
+    // for statements touching only the process's OWN rows
+    assert(sawUpdate, "no SQL UPDATE landed — verb never exercised")
+    assert(sawDelete, "no subquery DELETE landed — verb never exercised")
+    val live = tbl.read().select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live == expected.toMap,
+      s"live state diverges from landed SQL statements: " +
+        s"missing=${expected.toMap.toSet -- live.toSet} " +
+        s"unexpected=${live.toSet -- expected.toMap.toSet}")
+    val log = tbl.rawLog
+    log.sliding(2).foreach {
+      case List(a, b) => assert(b.parentId.contains(a.id),
+        s"chain fork: ${b.id} parent ${b.parentId} after ${a.id}")
+      case _ =>
+    }
+    assert(log.map(_.id) == (1L to log.size).toList,
+      s"snapshot ids not dense from 1: ${log.map(_.id)}")
+    // aborted CoW rewrites may strand stage dirs — GC collects them
+    // without touching live data
+    tbl.orphanFiles(delete = true)
+    assert(tbl.read().count() == expected.size, "orphan GC deleted live data")
+  }
 }

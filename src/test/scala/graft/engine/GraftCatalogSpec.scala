@@ -478,6 +478,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("changes metadata face: cat.ns.t.changes replays the commit log " +
+      "from SQL; from_id/to_id options prune to a commit range; empty " +
+      "table and compaction commits replay empty") {
+    lh.catalog.createTable("sales.chf",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    // empty table: the face is queryable, zero rows, data cols + stamps
+    val empty = spark.sql(s"SELECT * FROM $catName.sales.chf.changes")
+    assert(empty.columns.toSeq == Seq("id", "v", "_change_type", "_commit_id"))
+    assert(empty.count() == 0)
+    val t = lh.catalog.loadTable("sales.chf")
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")) // c1
+    t.append((10L until 14L).map(i => (i, s"b$i")).toDF("id", "v")) // c2
+    t.deleteWhereMor(col("id") < 2L) // c3: MoR position delete
+    val all = spark.sql(s"SELECT _change_type, COUNT(*) AS n FROM " +
+      s"$catName.sales.chf.changes GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("insert" -> 14L, "delete" -> 2L), s"changes: $all")
+    // bounds (from_id exclusive, to_id inclusive): (1, 2] = c2's inserts
+    val c2 = spark.read.option("from_id", "1").option("to_id", "2")
+      .table(s"$catName.sales.chf.changes")
+    assert(c2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L until 14L))
+    assert(c2.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    // a routine compaction replays empty through the face (live-rows-
+    // preserved contract) — maintenance must never look like churn
+    t.compact(targetFiles = 1)
+    assert(spark.read.option("from_id", "3")
+      .table(s"$catName.sales.chf.changes").count() == 0)
+  }
+
   test("ALTER TABLE: add/rename/drop column ride field-id evolution " +
       "(old files resolve, never rewritten); SET/UNSET TBLPROPERTIES " +
       "ride the metadata CAS; unsupported shapes refuse loudly") {
