@@ -372,11 +372,18 @@ object MinHashLSH {
       else {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("band", "bh")
+        // ONE materialization of the sized bucket table: it feeds three
+        // consumers (both sides of the small-bucket self-join + the chain
+        // branch), whose differing filters/sorts defeat exchange reuse —
+        // without the checkpoint each consumer re-runs the whole
+        // signature pipeline, and the GUARD cost 24.7× for 10× docs at
+        // 500k docs (5.7× the uncapped self-join it exists to bound;
+        // measured, SCALING.md round-18 table). With it: one signature
+        // pass + one window sort, the shape the guard promises.
         val sized = buckets0.withColumn("bsz", count(lit(1)).over(w))
+          .localCheckpoint(eager = false)
         val small = selfJoinPairs(
           sized.where(col("bsz") <= maxBucketSize).select("doc_id", "band", "bh"))
-        // one extra window over the same (band, bh) partitioning — the
-        // count and lead share a single Exchange
         val chained = sized.where(col("bsz") > maxBucketSize)
           .withColumn("nxt", lead("doc_id", 1).over(w.orderBy("doc_id")))
           .where(col("nxt").isNotNull)
@@ -471,10 +478,15 @@ object SimHash {
       if (maxBucketSize <= 0) buckets0
       else {
         import org.apache.spark.sql.expressions.Window
+        // checkpoint like candidatePairs' guard: the filtered bucket
+        // table feeds both sides of the self-join, and re-running the
+        // fingerprint pipeline + window per side costs more than the
+        // blowup the cap guards against
         buckets0.withColumn("bsz",
           count(lit(1)).over(Window.partitionBy("band", "chunk")))
           .where(col("bsz") <= maxBucketSize)
           .select("doc_id", "simhash", "band", "chunk")
+          .localCheckpoint(eager = false)
       }
     buckets.alias("x")
       .join(buckets.alias("y"),

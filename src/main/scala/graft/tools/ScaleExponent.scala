@@ -34,6 +34,14 @@ import graft.Tables
 object ScaleExponent {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // measured scales (replica counts). The x1→x10 step at sf0.1 turned
+    // out fixed-overhead-dominated on every family (ratios 0.8–3.1 for
+    // 10× data — job setup dwarfs per-row cost at 5k docs), so the
+    // default includes an x100 leg (500k docs / 60M lineitem rows / 10M
+    // events): the x10→x100 ratio is the one taken in the data-bound
+    // regime, i.e. the actual scaling exponent.
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,9 +83,8 @@ object ScaleExponent {
         (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"),
         col("l_extendedprice"))
     }
-    for ((name, df) <- Seq("docs_x1" -> docsRep(1), "docs_x10" -> docsRep(10),
-        "ev_x1" -> evRep(1), "ev_x10" -> evRep(10),
-        "li_x1" -> liRep(1), "li_x10" -> liRep(10)))
+    for (s <- scales; (name, df) <- Seq(s"docs_x$s" -> docsRep(s),
+        s"ev_x$s" -> evRep(s), s"li_x$s" -> liRep(s)))
       df.repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$work/$name")
 
@@ -140,21 +147,14 @@ object ScaleExponent {
       out.append(s"""{"family":"$family","scale":"$scale",""" +
         s""""result":${m._1},"sec":${f"${m._2}%.2f"}}""")
     }
-    // interleave x1/x10 per family so host drift hits both legs alike
-    emit("lsh_uncapped", "x1", timed(lsh(rd("docs_x1"), 0)))
-    emit("lsh_uncapped", "x10", timed(lsh(rd("docs_x10"), 0)))
-    emit("lsh_capped30", "x1", timed(lsh(rd("docs_x1"), 30)))
-    emit("lsh_capped30", "x10", timed(lsh(rd("docs_x10"), 30)))
-    emit("ppjoin", "x1", timed(ppjoin(rd("docs_x1"))))
-    emit("ppjoin", "x10", timed(ppjoin(rd("docs_x10"))))
-    emit("triangles", "x1", timed(triangles(rd("li_x1"))))
-    emit("triangles", "x10", timed(triangles(rd("li_x10"))))
-    emit("pagerank", "x1", timed(pagerank(rd("ev_x1"))))
-    emit("pagerank", "x10", timed(pagerank(rd("ev_x10"))))
-    emit("global_order", "x1", timed(globalOrder(rd("li_x1"))))
-    emit("global_order", "x10", timed(globalOrder(rd("li_x10"))))
-    emit("cms_stream", "x1", timed(cmsStream("ev_x1")))
-    emit("cms_stream", "x10", timed(cmsStream("ev_x10")))
+    // interleave the scales per family so host drift hits all legs alike
+    for (s <- scales) emit("lsh_uncapped", s"x$s", timed(lsh(rd(s"docs_x$s"), 0)))
+    for (s <- scales) emit("lsh_capped30", s"x$s", timed(lsh(rd(s"docs_x$s"), 30)))
+    for (s <- scales) emit("ppjoin", s"x$s", timed(ppjoin(rd(s"docs_x$s"))))
+    for (s <- scales) emit("triangles", s"x$s", timed(triangles(rd(s"li_x$s"))))
+    for (s <- scales) emit("pagerank", s"x$s", timed(pagerank(rd(s"ev_x$s"))))
+    for (s <- scales) emit("global_order", s"x$s", timed(globalOrder(rd(s"li_x$s"))))
+    for (s <- scales) emit("cms_stream", s"x$s", timed(cmsStream(s"ev_x$s")))
     out.append("]")
     println(out.toString)
     spark.stop()
