@@ -337,8 +337,10 @@ object Cli {
         println(s"${java.time.Instant.ofEpochMilli(e.timestampMs)}\t${e.table}\t" +
           s"${e.operation}\t${e.details}"))
       case List("clone", original, target) =>
-        lh.cloning.clone(original, target, flags.get("as-of"))
-        println(s"cloned $original -> $target")
+        lh.cloning.clone(original, target, flags.get("as-of"),
+          zeroCopy = flags.contains("zero-copy"))
+        println(s"cloned $original -> $target" +
+          (if (flags.contains("zero-copy")) " (zero-copy)" else ""))
       case List("clone-promote", name) => lh.cloning.promote(name)
       case List("advisor-partitions", table) =>
         lh.advisor.suggestPartitions(table).foreach(s =>

@@ -969,9 +969,12 @@ object McpTools {
         .map(r => s"${r.table} ${r.event}: ${r.message}").mkString("\n")),
     ToolDef("clone_table", "Zero-copy clone of a table (optionally as-of).",
       sch(List("table_name", "clone_name"), "table_name" -> S("Original"),
-        "clone_name" -> S("Clone name"), "as_of" -> S("Snapshot id/timestamp")),
+        "clone_name" -> S("Clone name"), "as_of" -> S("Snapshot id/timestamp"),
+        "zero_copy" -> B("True zero-copy (reference files by path, " +
+          "GC-safe pin on the source); default copies like the reference")),
       (lh, a) => { lh.cloning.clone(str(a, "table_name"), str(a, "clone_name"),
-        strOpt(a, "as_of")); s"cloned ${str(a, "table_name")} -> ${str(a, "clone_name")}" }),
+        strOpt(a, "as_of"), boolOpt(a, "zero_copy").getOrElse(false))
+        s"cloned ${str(a, "table_name")} -> ${str(a, "clone_name")}" }),
     ToolDef("list_clones", "List clones.", sch(Nil),
       (lh, _) => lh.cloning.list().map(c => s"${c.cloneName} <- ${c.original}")
         .mkString("\n")),

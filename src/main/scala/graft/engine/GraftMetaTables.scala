@@ -71,14 +71,19 @@ object GraftMetaTables {
     s"$fullName.$meta", meta)
 
   /** The per-table schema of a dynamic face. Metadata-sized: reads the
-    * table's schema, never builds the changelog. */
+    * table's schema, never builds the changelog. `_changed_columns` is
+    * ALWAYS declared (empty arrays when no `pair_keys` option is given):
+    * read options are not available when analysis asks for the schema,
+    * so the face's shape cannot depend on them. */
   private[engine] def dynamicSchema(t: IceTable, meta: String): StructType =
     meta match {
       case "changes" =>
         import org.apache.spark.sql.types._
         StructType(t.schema.fields ++ Seq(
           StructField(graft.streaming.Changelog.ChangeTypeCol, StringType),
-          StructField(graft.streaming.Changelog.CommitIdCol, LongType)))
+          StructField(graft.streaming.Changelog.CommitIdCol, LongType),
+          StructField(graft.streaming.Changelog.ChangedColumnsCol,
+            ArrayType(StringType))))
       case other =>
         throw new IllegalArgumentException(s"unknown dynamic face: $other")
     }
@@ -89,15 +94,34 @@ object GraftMetaTables {
     import impl._
     meta match {
       case "changes" =>
+        import org.apache.spark.sql.functions.{array, col}
         val head = t.currentSnapshot.map(_.id)
         val fromId = options.get("from_id").map(_.toLong)
         val toId = options.get("to_id").map(_.toLong).orElse(head)
-        toId match {
+        // `pair_keys` (comma-separated primary key) pairs each update
+        // commit's delete+insert rows into update_before/update_after
+        // records with the real changed-column set — Iceberg's
+        // create_changelog_view(identifier_columns) UX; without it the
+        // declared `_changed_columns` column holds empty arrays
+        val pairKeys = options.get("pair_keys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val raw = toId match {
           case Some(to) =>
-            graft.streaming.Changelog.changesBetween(t, fromId, to)
+            graft.streaming.Changelog.changesBetween(t, fromId, to, pairKeys)
           case None => // empty table: zero commits, changelog-shaped frame
             t.emptyDf(dynamicSchema(t, "changes"))
         }
+        val withChanged =
+          if (raw.columns.contains(graft.streaming.Changelog.ChangedColumnsCol))
+            raw
+          else raw.withColumn(graft.streaming.Changelog.ChangedColumnsCol,
+            array().cast("array<string>"))
+        // force the DECLARED column order: analysis resolves against
+        // dynamicSchema while the V1 bridge emits rows positionally from
+        // this frame — an order mismatch would silently swap columns
+        withChanged.select(dynamicSchema(t, "changes").fieldNames
+          .map(col).toSeq: _*)
       case "snapshots" =>
         t.snapshots.map { s =>
           (s.id, s.parentId, new java.sql.Timestamp(s.timestampMs),

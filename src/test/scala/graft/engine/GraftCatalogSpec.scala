@@ -485,7 +485,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
     // empty table: the face is queryable, zero rows, data cols + stamps
     val empty = spark.sql(s"SELECT * FROM $catName.sales.chf.changes")
-    assert(empty.columns.toSeq == Seq("id", "v", "_change_type", "_commit_id"))
+    assert(empty.columns.toSeq ==
+      Seq("id", "v", "_change_type", "_commit_id", "_changed_columns"))
     assert(empty.count() == 0)
     val t = lh.catalog.loadTable("sales.chf")
     t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")) // c1
@@ -502,10 +503,22 @@ class GraftCatalogSpec extends AnyFunSuite {
       (10L until 14L))
     assert(c2.select("_change_type").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("insert"))
+    // pair_keys (Iceberg's identifier_columns): an update commit's
+    // delete+insert pair reads back as update_before/update_after with
+    // the REAL changed-column set
+    t.updateWhereMor(col("id") === 5L,
+      Map("v" -> org.apache.spark.sql.functions.lit("upd5"))) // c4
+    val paired = spark.read.option("from_id", "3").option("to_id", "4")
+      .option("pair_keys", "id").table(s"$catName.sales.chf.changes")
+      .collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[String]("v"), r.getAs[Seq[String]]("_changed_columns")))
+      .sortBy(_._1).toSeq
+    assert(paired == Seq(("update_after", "upd5", Seq("v")),
+      ("update_before", "a5", Seq("v"))), s"paired: $paired")
     // a routine compaction replays empty through the face (live-rows-
     // preserved contract) — maintenance must never look like churn
     t.compact(targetFiles = 1)
-    assert(spark.read.option("from_id", "3")
+    assert(spark.read.option("from_id", "4")
       .table(s"$catName.sales.chf.changes").count() == 0)
   }
 
