@@ -96,8 +96,19 @@ object GraftMetaTables {
       case "changes" =>
         import org.apache.spark.sql.functions.{array, col}
         val head = t.currentSnapshot.map(_.id)
-        val fromId = options.get("from_id").map(_.toLong)
-        val toId = options.get("to_id").map(_.toLong).orElse(head)
+        // `__pushed_lo`/`__pushed_hi` carry `_commit_id` FILTER bounds the
+        // scan builder extracted (see GraftMetaTable): filter semantics,
+        // not consumer-offset semantics — an expired lower bound replays
+        // the retained commits in range instead of refusing
+        val pushedLo = options.get("__pushed_lo").map(_.toLong)
+        val pushedHi = options.get("__pushed_hi").map(_.toLong)
+        val strictFrom = options.get("from_id").map(_.toLong)
+        val fromId = (strictFrom.toList ++ pushedLo.toList)
+          .reduceOption(math.max(_, _))
+        val toId = (options.get("to_id").map(_.toLong).toList ++
+          pushedHi.toList).reduceOption(math.min(_, _)).orElse(head)
+        val fromIsStrict = strictFrom.isDefined &&
+          fromId == strictFrom // the offset contract only for from_id
         // `pair_keys` (comma-separated primary key) pairs each update
         // commit's delete+insert rows into update_before/update_after
         // records with the real changed-column set — Iceberg's
@@ -108,7 +119,8 @@ object GraftMetaTables {
           .getOrElse(Nil)
         val raw = toId match {
           case Some(to) =>
-            graft.streaming.Changelog.changesBetween(t, fromId, to, pairKeys)
+            graft.streaming.Changelog.changesBetween(t, fromId, to, pairKeys,
+              requireFromRetained = fromIsStrict)
           case None => // empty table: zero commits, changelog-shaped frame
             t.emptyDf(dynamicSchema(t, "changes"))
         }
@@ -191,13 +203,72 @@ private class GraftMetaTable(spark: SparkSession, tblOf: () => IceTable,
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      // `_commit_id` bounds from plain-SQL WHERE clauses, pruning the
+      // changes face's replay to the requested commit range — without
+      // this, `WHERE _commit_id > N` would replay the ENTIRE retained
+      // log and filter residually (at large-table scale: every commit's
+      // touched files for a query asking about the last few commits),
+      // and would refuse outright once older commits' parents expire.
+      // Conservative fold; every filter stays residual (Spark re-applies
+      // them), so pruning can only skip whole out-of-range commits.
+      private var lo: Option[Long] = None // exclusive
+      private var hi: Option[Long] = None // inclusive
+      private var accepted: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources._
+        if (meta == "changes") {
+          val cid = graft.streaming.Changelog.CommitIdCol
+          def num(v: Any): Option[Long] = v match {
+            case l: Long => Some(l)
+            case i: Int => Some(i.toLong)
+            case _ => None
+          }
+          filters.foreach {
+            case GreaterThan(c, v) if c == cid =>
+              num(v).foreach(n => lo = Some(math.max(lo.getOrElse(n), n)))
+            case GreaterThanOrEqual(c, v) if c == cid =>
+              num(v).foreach(n =>
+                lo = Some(math.max(lo.getOrElse(n - 1), n - 1)))
+            case LessThan(c, v) if c == cid =>
+              num(v).foreach(n =>
+                hi = Some(math.min(hi.getOrElse(n - 1), n - 1)))
+            case LessThanOrEqual(c, v) if c == cid =>
+              num(v).foreach(n => hi = Some(math.min(hi.getOrElse(n), n)))
+            case EqualTo(c, v) if c == cid =>
+              num(v).foreach { n =>
+                lo = Some(math.max(lo.getOrElse(n - 1), n - 1))
+                hi = Some(math.min(hi.getOrElse(n), n))
+              }
+            case _ => ()
+          }
+          accepted = filters.filter {
+            case GreaterThan(c, _) => c == cid
+            case GreaterThanOrEqual(c, _) => c == cid
+            case LessThan(c, _) => c == cid
+            case LessThanOrEqual(c, _) => c == cid
+            case EqualTo(c, _) => c == cid
+            case _ => false
+          }
+        }
+        filters // ALL residual — pruning is an optimization, never exact
+      }
+
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        accepted
+
       override def build(): Scan = {
         // pin the frame at scan build: schema and rows must agree within
         // one query even if a commit lands mid-planning
         import scala.jdk.CollectionConverters._
         val df = GraftMetaTables.frame(spark, tblOf(), meta,
-          options.asScala.toMap)
+          options.asScala.toMap ++
+            lo.map(n => "__pushed_lo" -> n.toString) ++
+            hi.map(n => "__pushed_hi" -> n.toString))
         new V1Scan {
           override def readSchema(): StructType = df.schema
           override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -71,10 +71,17 @@ object Changelog {
     * commit's changed set. A multiset fold (e.g. the rollup maintenance)
     * treats `update_before` as delete and `update_after` as insert —
     * same rows, richer labels. */
+  /** `requireFromRetained` (default true) is the OFFSET-consumer
+    * contract: an expired `fromId` refuses instead of silently skipping
+    * the gap. The SQL face's commit-id FILTER pushdown passes false —
+    * `WHERE _commit_id > 5` is an explicit range request, not a resume
+    * point, so it replays whatever retained commits fall in the range
+    * (each commit still needs its own parent entry to replay — inherent). */
   def changesBetween(tbl: IceTable, fromId: Option[Long], toId: Long,
-      pairUpdateKeys: Seq[String] = Nil): DataFrame = {
+      pairUpdateKeys: Seq[String] = Nil,
+      requireFromRetained: Boolean = true): DataFrame = {
     val snaps = tbl.snapshots
-    fromId.foreach { f =>
+    if (requireFromRetained) fromId.foreach { f =>
       require(snaps.exists(_.id == f),
         s"from-snapshot $f is not in the retained log — it may have been " +
           "expired; re-seed the consumer from a full read")

@@ -522,6 +522,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       .table(s"$catName.sales.chf.changes").count() == 0)
   }
 
+  test("changes face pushes _commit_id bounds into the replay: a SQL " +
+      "WHERE prunes to the requested commits — and keeps working after " +
+      "older commits expire, where the unbounded face must refuse") {
+    lh.catalog.createTable("sales.chp",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val t = lh.catalog.loadTable("sales.chp")
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")) // c1
+    t.append((10L until 14L).map(i => (i, s"b$i")).toDF("id", "v")) // c2
+    t.deleteWhereMor(col("id") === 3L) // c3
+    t.append((20L until 23L).map(i => (i, s"c$i")).toDF("id", "v")) // c4
+    // plain-SQL bound replays exactly (2, head]: c3's delete + c4's inserts
+    val recent = spark.sql(s"SELECT _change_type, id FROM " +
+      s"$catName.sales.chp.changes WHERE _commit_id > 2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(recent == Set(("delete", 3L), ("insert", 20L), ("insert", 21L),
+      ("insert", 22L)), s"recent: $recent")
+    // equality bound → exactly one commit's records
+    assert(spark.sql(s"SELECT COUNT(*) FROM $catName.sales.chp.changes " +
+      "WHERE _commit_id = 4").head.getLong(0) == 3L)
+    // expire c1: commit 2's parent entry is gone, so the UNBOUNDED face
+    // (which must replay c2) refuses loudly …
+    val expired = t.expireSnapshots(retainLast = Some(3))
+    assert(expired == List(1L))
+    val e = intercept[Exception](
+      spark.sql(s"SELECT COUNT(*) FROM $catName.sales.chp.changes").collect())
+    assert(e.getMessage.contains("expired"), s"got: ${e.getMessage}")
+    // … while the SAME bound keeps working: filter semantics replay only
+    // the retained in-range commits — the 100 TB case where the log tail
+    // is long gone and SQL asks about the last few commits
+    assert(spark.sql(s"SELECT COUNT(*) FROM $catName.sales.chp.changes " +
+      "WHERE _commit_id > 2").head.getLong(0) == 4L)
+  }
+
   test("ALTER TABLE: add/rename/drop column ride field-id evolution " +
       "(old files resolve, never rewritten); SET/UNSET TBLPROPERTIES " +
       "ride the metadata CAS; unsupported shapes refuse loudly") {
