@@ -28,7 +28,14 @@ import org.apache.spark.sql.SparkSession
   * victim discovery) and a bare `UPDATE` — executed through a registered
   * GraftCatalog, so the strategy layer (plan rebinding, memoized command
   * execution, O(touched) commits) is raced across REAL process
-  * boundaries, not just API calls.
+  * boundaries, not just API calls;
+  * modes `cloner` / `expirer`: the zero-copy-clone GC contract raced
+  * across real processes — the cloner loops create-zero-copy-clone →
+  * VALIDATE (clone row count == the pinned source snapshot's liveRows)
+  * → discard, while the expirer loops append → expire(retainLast) →
+  * destructive orphan GC. A pin that expire or GC failed to honor shows
+  * up as a validation mismatch (nonzero exit) — the report records every
+  * validated clone (`C <snapId> <rows>`).
   */
 object CommitStorm {
   def main(args: Array[String]): Unit = {
@@ -165,6 +172,77 @@ object CommitStorm {
                   catch { case _: Exception => () }
               }
             }
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),
+            landed.mkString("", "\n", "\n"))
+        case "cloner" =>
+          val landed = scala.collection.mutable.ListBuffer[String]()
+          (0 until count.toInt).foreach { i =>
+            val cloneName = s"cl_${s}_$i"
+            try {
+              val dest = cat.cloneTableZeroCopy(table, cloneName)
+              val snapId = dest.currentSnapshot.get
+                .summary("cloned-snapshot").toLong
+              val got = dest.read().count()
+              // the pinned snapshot MUST still resolve (tags never
+              // expire) and the clone MUST read its exact live rows —
+              // any GC/expire that broke the pin surfaces here. A
+              // concurrent expire may be BETWEEN its log CAS and its
+              // pin-reinstatement pass (the entry is momentarily absent,
+              // by design) — retry the lookup briefly before judging.
+              var want = tbl.snapshotById(snapId).map(_.liveRows)
+              var tries = 0
+              while (want.isEmpty && tries < 20) {
+                tries += 1; Thread.sleep(100)
+                want = tbl.snapshotById(snapId).map(_.liveRows)
+              }
+              require(want.contains(got),
+                s"clone $cloneName diverged: read $got rows, pinned " +
+                  s"snapshot $snapId has $want")
+              landed += s"C $snapId $got"
+              cat.dropTable(cloneName)
+              tbl.removeTag(s"clone-default.$cloneName")
+            } catch {
+              // a clone attempt may lose the tag race to a concurrent
+              // expire BEFORE its pin lands (resolve→tag window): that
+              // throws cleanly and is legal — only a SILENT divergence
+              // (the require above) may fail the process
+              case _: java.util.ConcurrentModificationException => ()
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    (e.getMessage.contains("no snapshot") ||
+                      e.getMessage.contains("not in the log")) => ()
+            }
+            Thread.sleep(30)
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),
+            landed.mkString("", "\n", "\n"))
+        case "expirer" =>
+          import org.apache.spark.sql.functions.col
+          val landed = scala.collection.mutable.ListBuffer[String]()
+          (0 until count.toInt).foreach { i =>
+            val id = s + i
+            try {
+              tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
+              landed += s"A $id"
+            } catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
+            try { tbl.expireSnapshots(retainLast = Some(2)); () }
+            catch { case _: java.util.ConcurrentModificationException => () }
+            try { tbl.orphanFiles(delete = true); () }
+            catch {
+              // GC refuses while a foreign tag pin is mid-reinstatement
+              // (dangling-tag guard) — legal under racing, retry next loop
+              case _: IllegalArgumentException => ()
+              case _: IllegalStateException => ()
+            }
+            if (i % 3 == 2)
+              try { tbl.compact(targetFiles = 2); () }
+              catch { case _: java.util.ConcurrentModificationException => () }
+            Thread.sleep(10)
           }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),

@@ -161,6 +161,41 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     assert(tbl.orphanFiles().isEmpty, "orphans survived the GC sweep")
   }
 
+  test("two real JVMs racing zero-copy clones against expire + " +
+      "destructive orphan GC + compaction: every validated clone read " +
+      "its exact pinned snapshot, the source survives intact") {
+    val wh = SparkFixture.tmpDir("graft-xclone-").toString
+    val cat = Catalog.open(spark, wh)
+    val tbl = cat.createTable("t", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append((0L until 20L).map(i => (i, s"seed$i")).toDF("id", "name"))
+    val p1 = launch(Seq(wh, "t", "1000", "8", "cloner"))
+    val p2 = launch(Seq(wh, "t", "2000", "10", "expirer"))
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "storm processes did not finish in time")
+    // the cloner exits nonzero on ANY pin divergence (a clone reading
+    // rows that disagree with its pinned snapshot's liveRows)
+    assert(p1.exitValue() == 0, "cloner observed a broken pin")
+    assert(p2.exitValue() == 0, "expirer failed")
+    val validated = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(wh, "storm-report-1000.txt")).toArray
+      .map(_.toString).filter(_.startsWith("C "))
+    assert(validated.nonEmpty,
+      "no clone was ever validated — the race leg proved nothing")
+    val appended = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(wh, "storm-report-2000.txt")).toArray
+      .map(_.toString).filter(_.startsWith("A ")).map(_.drop(2).toLong)
+    // source state: the seed rows plus every append that landed
+    val ids = tbl.read().select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((0L until 20L) ++ appended).sorted,
+      "source rows lost or duplicated under clone/expire racing")
+    // no clone tables or stale pins left behind
+    assert(cat.listTables("default").forall(!_.contains("cl_")),
+      s"clone tables leaked: ${cat.listTables("default")}")
+    info(s"validated clones: ${validated.length}")
+  }
+
   test("two real JVMs racing the SQL row-level verbs (UPDATE + subquery " +
       "DELETE through GraftRowLevelStrategy): final state is exactly the " +
       "landed statements, chain linear") {
