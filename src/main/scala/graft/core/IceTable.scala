@@ -2248,29 +2248,60 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   // ---- schema evolution (by field-id, schema_evolution.py:122-172) -------
 
-  def evolveSchema(f: StructType => StructType): TableMeta = updateMeta { m =>
-    // Field-id floor spans ALL schema versions, not just the current one:
-    // a dropped column's id lives on in old versions, and reusing it for a
-    // new column would resurrect the dropped data through the field-id
-    // read resolution (the Iceberg last-column-id invariant). Re-derived
-    // per CAS attempt, so a concurrent process's new columns raise the
-    // floor before ours are assigned.
-    val maxEver = m.schemas
-      .flatMap(_.struct.fields.flatMap(TableMeta.fieldId))
-      .foldLeft(0L)(math.max)
-    val evolved = TableMeta.assignFieldIds(f(m.schema), floor = maxEver)
-    val newId = m.schemas.map(_.id).max + 1
-    m.copy(schemas = m.schemas :+ SchemaVersion(newId, evolved.json),
-      currentSchemaId = newId)
-  }
+  def evolveSchema(f: StructType => StructType,
+      postEvolve: TableMeta => TableMeta = identity): TableMeta =
+    updateMeta { m =>
+      // Field-id floor spans ALL schema versions, not just the current one:
+      // a dropped column's id lives on in old versions, and reusing it for a
+      // new column would resurrect the dropped data through the field-id
+      // read resolution (the Iceberg last-column-id invariant). Re-derived
+      // per CAS attempt, so a concurrent process's new columns raise the
+      // floor before ours are assigned.
+      val maxEver = m.schemas
+        .flatMap(_.struct.fields.flatMap(TableMeta.fieldId))
+        .foldLeft(0L)(math.max)
+      val evolved = TableMeta.assignFieldIds(f(m.schema), floor = maxEver)
+      val newId = m.schemas.map(_.id).max + 1
+      postEvolve(m.copy(schemas = m.schemas :+ SchemaVersion(newId, evolved.json),
+        currentSchemaId = newId))
+    }
 
   def addColumn(name: String, typeName: String): TableMeta =
     evolveSchema(s => StructType(s.fields :+
       org.apache.spark.sql.types.StructField(name, TableMeta.parseTypeName(typeName))))
 
+  /** Rename a column. If the CURRENT partition spec sources it, the spec
+    * FOLLOWS the rename in the same metadata CAS (Iceberg tracks spec
+    * sources by field-id and gets this for free; specs here are name
+    * strings, so the rename rewrites them) — without this, every write
+    * after the rename would fail FIELD_NOT_FOUND evaluating the stale
+    * transform (fuzz-found). The old-named spec is pushed into the
+    * previous-spec eras: files already written keep their old `_p_<from>_…`
+    * dirs, which prune conservatively (current-name conjuncts don't match
+    * the old transform — kept, never wrongly dropped), while new files lay
+    * out and prune under the new name. */
   def renameColumn(from: String, to: String): TableMeta =
-    evolveSchema(s => StructType(s.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f)))
+    evolveSchema(
+      s => StructType(s.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      postEvolve = { m =>
+        val affected = m.partitionSpec
+          .exists(s => PartitionTransform.parse(s).source == from)
+        if (!affected) m
+        else {
+          val renamed = m.partitionSpec.map { s =>
+            if (PartitionTransform.parse(s).source != from) s
+            else { // the source is the last paren argument: `…(from)`
+              val i = s.lastIndexOf(from + ")")
+              s.substring(0, i) + to + ")"
+            }
+          }
+          m.copy(partitionSpec = renamed,
+            previousPartitionSpecs =
+              (m.partitionSpec :: m.previousPartitionSpecs)
+                .filter(_.nonEmpty).distinct)
+        }
+      })
 
   def dropColumn(name: String): TableMeta = {
     val m = meta
@@ -2285,7 +2316,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       require(!hit, s"cannot drop '$name': it is a key column of a live " +
         s"equality-delete entry (${e.dir}); compact the table first")
     }
-    evolveSchema(s => StructType(s.fields.filterNot(_.name == name)))
+    evolveSchema(
+      s => StructType(s.fields.filterNot(_.name == name)),
+      postEvolve = { m2 =>
+        // dropping a partition-source column would break every later
+        // write (the transform can't evaluate) — refuse per CAS attempt,
+        // like Iceberg; evolve the partition spec first
+        require(!m2.partitionSpec
+            .exists(s => PartitionTransform.parse(s).source == name),
+          s"cannot drop '$name': it is a source of the current partition " +
+            s"spec (${m2.partitionSpec.mkString(", ")}); run " +
+            "updatePartitionSpec first")
+        m2
+      })
   }
 
   /** Partition-spec EVOLUTION (Iceberg's metadata-only repartitioning):

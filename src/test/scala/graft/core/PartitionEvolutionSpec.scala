@@ -134,6 +134,35 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       "idempotent re-apply must not write a new metadata version")
   }
 
+  test("renaming a partition-source column carries the spec (writes keep " +
+      "working, new files lay out under the new name, old files keep " +
+      "reading); dropping one refuses") {
+    val cat = newCatalog()
+    cat.createTable("default.rn", Seq("g" -> "long", "v" -> "string"),
+      Seq("bucket(4,g)"), Map.empty)
+    val t = cat.loadTable("default.rn")
+    t.append((0L until 20L).map(i => (i, s"a$i")).toDF("g", "v"))
+    t.renameColumn("g", "g2")
+    // the current spec followed the rename; the old-named spec became a
+    // previous era (old files keep their _p_g_bucket dirs)
+    assert(t.meta.partitionSpec == List("bucket(4,g2)"))
+    assert(t.meta.previousPartitionSpecs.contains(List("bucket(4,g)")))
+    // writes under the renamed spec work and lay out under the new name
+    t.append((20L until 30L).map(i => (i, s"b$i")).toDF("g2", "v"))
+    val newFiles = t.currentSnapshot.get.files.map(_.path)
+      .filter(_.contains("commit-00002"))
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("_p_g2_bucket=")),
+      s"new files must use the renamed layout: $newFiles")
+    assert(t.read().count() == 30)
+    // dropping the current partition source refuses loudly
+    val e = intercept[IllegalArgumentException](t.dropColumn("g2"))
+    assert(e.getMessage.contains("partition"))
+    // after evolving the spec away, the drop is legal
+    t.updatePartitionSpec(Nil)
+    t.dropColumn("g2")
+    assert(t.read().columns.toSeq == Seq("v"))
+  }
+
   test("compact migrates old files to the current layout") {
     val cat = newCatalog()
     cat.createTable("default.mig", Seq("cat" -> "string", "v" -> "long"),
