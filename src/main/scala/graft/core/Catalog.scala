@@ -183,6 +183,20 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     try walk.sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))
     finally walk.close()
+    // If the dropped table was itself a zero-copy clone, its source still
+    // carries the `clone-$ns.$t` pin tag. Cloning.discard releases it, but
+    // a direct dropTable would otherwise strand the tag forever — and a
+    // stranded pin permanently blocks expireSnapshots/GC of the pinned
+    // snapshot's files. Sweep it here: a drop is rare and metadata-only,
+    // so an O(tables) meta read is fine. Tolerate races (a concurrently
+    // dropped source just means there is nothing left to unpin).
+    val pin = s"clone-$ns.$t"
+    listTables().foreach { other =>
+      try {
+        val ot = loadTable(other)
+        if (ot.tags.contains(pin)) ot.removeTag(pin)
+      } catch { case _: IllegalArgumentException => /* dropped meanwhile */ }
+    }
   }
 
   /** Diagnostic trace of [[registerView]] calls (table idents, in order).

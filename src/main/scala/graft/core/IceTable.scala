@@ -2290,11 +2290,13 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         if (!affected) m
         else {
           val renamed = m.partitionSpec.map { s =>
-            if (PartitionTransform.parse(s).source != from) s
-            else { // the source is the last paren argument: `…(from)`
-              val i = s.lastIndexOf(from + ")")
-              s.substring(0, i) + to + ")"
-            }
+            val tf = PartitionTransform.parse(s)
+            // rebuild the parsed transform over the new name and emit its
+            // normalized spec — string splicing would crash on bare
+            // identity specs (`g`), which have no parens (the SQL bridge
+            // stores PARTITIONED BY (col) exactly so)
+            if (tf.source != from) s
+            else PartitionTransform.withSource(tf, to).spec
           }
           m.copy(partitionSpec = renamed,
             previousPartitionSpecs =

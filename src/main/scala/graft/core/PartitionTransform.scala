@@ -93,4 +93,20 @@ object PartitionTransform {
     case other =>
       throw new IllegalArgumentException(s"cannot parse partition spec: $other")
   }
+
+  /** The same transform over a renamed source column (schema evolution:
+    * column renames carry the partition spec — see IceTable.renameColumn).
+    * Structural, not string surgery: bare identity specs (`g`, as stored
+    * verbatim by createTable and emitted by the SQL bridge for
+    * `PARTITIONED BY (col)`) have no parens to splice. */
+  def withSource(t: PartitionTransform, to: String): PartitionTransform =
+    t match {
+      case Identity(_)    => Identity(to)
+      case Year(_)        => Year(to)
+      case Month(_)       => Month(to)
+      case Day(_)         => Day(to)
+      case Hour(_)        => Hour(to)
+      case Bucket(n, _)   => Bucket(n, to)
+      case Truncate(n, _) => Truncate(n, to)
+    }
 }

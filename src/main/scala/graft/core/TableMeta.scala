@@ -132,8 +132,13 @@ case class TableMeta(
     * both are `_p_c_trunc`) is ambiguous on disk and excluded — pruning
     * by the wrong width would drop live files. */
   def allTransforms: List[PartitionTransform] = {
+    // distinct on the PARSED transform, not the spec string: a bare `g`
+    // era and a normalized `identity(g)` era (renameColumn emits the
+    // normalized form) are the same transform, and letting both survive
+    // would trip the name-collision exclusion below and silently disable
+    // pruning on that dir for no reason
     val all = (partitionSpec :: previousPartitionSpecs)
-      .flatten.distinct.map(PartitionTransform.parse)
+      .flatten.map(PartitionTransform.parse).distinct
     all.groupBy(_.name).valuesIterator.filter(_.size == 1).map(_.head).toList
   }
 }

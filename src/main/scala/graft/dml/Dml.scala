@@ -180,7 +180,12 @@ class Dml(lh: Lakehouse) {
           // bind against deduplicated children and fail at execution
           // (fuzz-found). One instance per query sidesteps the collision
           // and evaluates the (possibly joined) match decision once.
-          val marker = "__graft_upd_match"
+          // uniquify against the table schema: withColumn REPLACES an
+          // existing column of the same name, which would silently
+          // overwrite user data if a table column were named like the
+          // marker
+          val marker = Iterator.iterate("__graft_upd_match")(_ + "_")
+            .dropWhile(live.columns.contains).next()
           val marked = live.withColumn(marker,
             coalesce(condOf(live), lit(false)))
           val sets = setsOf(marked)

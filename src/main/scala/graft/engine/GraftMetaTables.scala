@@ -107,8 +107,18 @@ object GraftMetaTables {
           .reduceOption(math.max(_, _))
         val toId = (options.get("to_id").map(_.toLong).toList ++
           pushedHi.toList).reduceOption(math.min(_, _)).orElse(head)
-        val fromIsStrict = strictFrom.isDefined &&
-          fromId == strictFrom // the offset contract only for from_id
+        // The offset-consumer contract (refuse on an expired resume point)
+        // holds for an EXPLICIT from_id even when a higher pushed
+        // `_commit_id` bound supersedes it as the effective replay start —
+        // validate strictFrom's retention here, independently of the
+        // effective bound, so an extra WHERE clause can never silently
+        // waive the user's resume-point guarantee. Pushed-only bounds are
+        // filter semantics and replay whatever retained commits remain.
+        strictFrom.foreach { f =>
+          require(t.snapshots.exists(_.id == f),
+            s"from-snapshot $f is not in the retained log — it may have " +
+              "been expired; re-seed the consumer from a full read")
+        }
         // `pair_keys` (comma-separated primary key) pairs each update
         // commit's delete+insert rows into update_before/update_after
         // records with the real changed-column set — Iceberg's
@@ -120,7 +130,7 @@ object GraftMetaTables {
         val raw = toId match {
           case Some(to) =>
             graft.streaming.Changelog.changesBetween(t, fromId, to, pairKeys,
-              requireFromRetained = fromIsStrict)
+              requireFromRetained = false) // strictFrom validated above
           case None => // empty table: zero commits, changelog-shaped frame
             t.emptyDf(dynamicSchema(t, "changes"))
         }

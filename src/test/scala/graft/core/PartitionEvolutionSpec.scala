@@ -163,6 +163,41 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(t.read().columns.toSeq == Seq("v"))
   }
 
+  test("renaming a BARE-identity partition source carries the spec " +
+      "(no parens to splice — the SQL bridge stores PARTITIONED BY (col) " +
+      "verbatim); round-trip renames keep pruning teeth") {
+    val cat = newCatalog()
+    // bare spec string, exactly as TransformBridge emits for identity
+    cat.createTable("default.bare", Seq("g" -> "long", "v" -> "string"),
+      Seq("g"), Map.empty)
+    val t = cat.loadTable("default.bare")
+    t.append((0L until 8L).map(i => (i % 2, s"a$i")).toDF("g", "v"))
+    t.renameColumn("g", "g2") // crashed with substring(0,-1) before the fix
+    assert(t.meta.partitionSpec == List("identity(g2)"))
+    assert(t.meta.previousPartitionSpecs.contains(List("g")))
+    t.append((8L until 12L).map(i => (i % 2, s"b$i")).toDF("g2", "v"))
+    val newFiles = t.currentSnapshot.get.files.map(_.path)
+      .filter(_.contains("commit-00002"))
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("_p_g2=")),
+      s"new files must use the renamed layout: $newFiles")
+    assert(t.read().count() == 12)
+    // rename BACK: the previous eras now hold both `g` (bare) and
+    // `identity(g2)`; the current spec is `identity(g)`. The bare and
+    // normalized forms of the same transform must collapse in
+    // allTransforms (parsed-value distinct) instead of tripping the
+    // dir-name-collision exclusion and disabling pruning on _p_g
+    t.renameColumn("g2", "g")
+    val tfs = t.meta.allTransforms
+    assert(tfs.toSet ==
+      Set(PartitionTransform.Identity("g"), PartitionTransform.Identity("g2")),
+      tfs.toString)
+    t.append(Seq((0L, "c0")).toDF("g", "v"))
+    assert(t.read().count() == 13)
+    // pruning across all three eras stays exact vs a full-scan filter
+    assert(t.prunedRead(col("g") === 0L).count() ==
+      t.read().where(col("g") === 0L).count())
+  }
+
   test("compact migrates old files to the current layout") {
     val cat = newCatalog()
     cat.createTable("default.mig", Seq("cat" -> "string", "v" -> "long"),

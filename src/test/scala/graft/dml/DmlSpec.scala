@@ -138,4 +138,20 @@ class DmlSpec extends AnyFunSuite {
     assert(lh.dml.insertRows("emp", Seq(
       Map("id" -> 8, "name" -> "Ok", "salary" -> 50))) == 1)
   }
+
+  test("update on a table whose column is literally named like the " +
+      "internal match marker never clobbers that column") {
+    val lh = newLh()
+    // the CoW rewrite evaluates the condition once into a marker column;
+    // withColumn REPLACES same-named columns, so the marker must uniquify
+    lh.catalog.createTable("mk",
+      Seq("id" -> "long", "__graft_upd_match" -> "string"), Nil, Map.empty)
+    lh.dml.insertRows("mk", Seq(
+      Map("id" -> 1, "__graft_upd_match" -> "keep1"),
+      Map("id" -> 2, "__graft_upd_match" -> "keep2")))
+    assert(lh.dml.update("mk", "id = 1", Map("id" -> 10)) == 1)
+    val out = lh.catalog.loadTable("mk").read()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "keep2"), (10L, "keep1")), out.mkString(","))
+  }
 }

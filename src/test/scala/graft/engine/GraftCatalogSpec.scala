@@ -553,6 +553,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     // is long gone and SQL asks about the last few commits
     assert(spark.sql(s"SELECT COUNT(*) FROM $catName.sales.chp.changes " +
       "WHERE _commit_id > 2").head.getLong(0) == 4L)
+    // an EXPLICIT from_id is a resume point: even when a higher pushed
+    // bound supersedes it as the effective replay start, an expired
+    // from_id must still refuse — an extra WHERE clause can never
+    // silently waive the offset-consumer contract
+    val e2 = intercept[Exception](
+      spark.read.option("from_id", "1")
+        .table(s"$catName.sales.chp.changes")
+        .where("_commit_id > 2").count())
+    assert(e2.getMessage.contains("expired"), s"got: ${e2.getMessage}")
+    // a RETAINED explicit from_id composes with a pushed bound: the
+    // replay starts at the tighter of the two
+    assert(spark.read.option("from_id", "2")
+      .table(s"$catName.sales.chp.changes")
+      .where("_commit_id > 3").count() == 3L)
   }
 
   test("ALTER TABLE: add/rename/drop column ride field-id evolution " +

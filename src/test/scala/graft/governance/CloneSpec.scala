@@ -108,6 +108,30 @@ class CloneSpec extends AnyFunSuite {
     assert(!lh.catalog.tableExists("default.src2"))
   }
 
+  test("dropping a zero-copy clone DIRECTLY via catalog.dropTable (not " +
+      "Cloning.discard) releases the source pin — no stranded tag " +
+      "blocking GC forever") {
+    val lh = lake()
+    lh.catalog.createTable("default.src6",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val src = lh.catalog.loadTable("default.src6")
+    src.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")) // c1
+    lh.cloning.clone("default.src6", "default.c6", zeroCopy = true)
+    assert(src.tags.contains("clone-default.c6"))
+    src.overwrite(Seq((99L, "z")).toDF("id", "v")) // c2: strands c1's files
+    // bypass Cloning.discard — the raw catalog drop must still sweep the
+    // pin, or the pinned snapshot could never be expired/collected
+    lh.catalog.dropTable("default.c6")
+    val srcAfter = lh.catalog.loadTable("default.src6")
+    assert(!srcAfter.tags.contains("clone-default.c6"),
+      s"stale pin survived the drop: ${srcAfter.tags}")
+    val expired = srcAfter.expireSnapshots(retainLast = Some(1))
+    assert(expired.contains(1L),
+      "snapshot must be expirable once its clone is gone")
+    srcAfter.orphanFiles(delete = true)
+    assert(srcAfter.read().count() == 1L)
+  }
+
   test("guards: eq-delete state refuses zero-copy cloning in both " +
       "directions; empty source refuses; copy clone stays the default") {
     val lh = lake()
