@@ -102,4 +102,13 @@ class PruningFuzzSpec extends AnyFunSuite {
       "bounds pruning alone stays exact") {
     fuzz(18403L, Nil, Nil)
   }
+
+  test("random predicates over a BARE-identity-spec table (the SQL " +
+      "bridge's PARTITIONED BY (col) form) evolved to truncate-" +
+      "partitioning: the rename carries the normalized spec, pruning " +
+      "stays exact") {
+    // `grp` stored as a bare spec string — exercises parse's bare branch
+    // through write layout, per-era pruning, and the rename carry
+    fuzz(19401L, Seq("grp"), Seq("truncate(1,s)"))
+  }
 }
