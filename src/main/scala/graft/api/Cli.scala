@@ -341,7 +341,8 @@ object Cli {
           zeroCopy = flags.contains("zero-copy"))
         println(s"cloned $original -> $target" +
           (if (flags.contains("zero-copy")) " (zero-copy)" else ""))
-      case List("clone-promote", name) => lh.cloning.promote(name)
+      case List("clone-promote", name) => lh.cloning.promote(name,
+        requireSourceUnchanged = flags.contains("require-unchanged"))
       case List("advisor-partitions", table) =>
         lh.advisor.suggestPartitions(table).foreach(s =>
           println(f"${s.column}: distinct=${s.distinct} benefit=${s.benefit}%.3f"))

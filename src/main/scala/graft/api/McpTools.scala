@@ -979,8 +979,12 @@ object McpTools {
       (lh, _) => lh.cloning.list().map(c => s"${c.cloneName} <- ${c.original}")
         .mkString("\n")),
     ToolDef("promote_clone", "Promote a clone to an independent table.",
-      sch(List("clone_name"), "clone_name" -> S("Clone name")),
-      (lh, a) => { lh.cloning.promote(str(a, "clone_name")); "promoted" }),
+      sch(List("clone_name"), "clone_name" -> S("Clone name"),
+        "require_source_unchanged" -> B("Fast-forward publish: refuse if " +
+          "the source advanced past the clone's fork snapshot (race-free); " +
+          "default overwrites like the reference")),
+      (lh, a) => { lh.cloning.promote(str(a, "clone_name"),
+        boolOpt(a, "require_source_unchanged").getOrElse(false)); "promoted" }),
     ToolDef("discard_clone", "Discard a clone.",
       sch(List("clone_name"), "clone_name" -> S("Clone name")),
       (lh, a) => { lh.cloning.discard(str(a, "clone_name")); "discarded" }),

@@ -155,7 +155,10 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       if (asOf.isEmpty) srcMeta.currentSchemaId else snap.schemaId
     val meta = TableMeta(ns, t, srcMeta.schemas, schemaId,
       srcMeta.partitionSpec, srcMeta.properties
-        .filterNot(_._1.startsWith("ref.tag.")),
+        .filterNot(_._1.startsWith("ref.tag."))
+        // reverse pointer for O(1) pin release on dropTable — the drop
+        // must not scan the whole catalog to find which source it pinned
+        + (Catalog.ClonedFromKey -> srcMeta.ident),
       srcMeta.previousPartitionSpecs)
     val dir = tableDir(ns, t)
     Files.createDirectories(dir)
@@ -169,33 +172,33 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     val (ns, t) = parseIdent(ident)
     val dir = tableDir(ns, t)
     require(Files.exists(dir.resolve("meta.json")), s"no such table: $ns.$t")
+    val dropped = new IceTable(spark, dir)
     // refuse dropping a table that zero-copy clones still reference: the
     // clones' data files live under THIS directory (pins whose clone
     // table is already gone don't block — drop the clone first, then the
     // source; see cloneTableZeroCopy's GC contract)
-    val livePins = new IceTable(spark, dir).tags.keys
+    val livePins = dropped.tags.keys
       .filter(_.startsWith("clone-")).map(_.stripPrefix("clone-"))
       .filter(c => c != s"$ns.$t" && tableExists(c))
     require(livePins.isEmpty,
       s"table $ns.$t is referenced by zero-copy clones: " +
         s"${livePins.mkString(", ")} — drop or discard them first")
+    // If the dropped table is itself a zero-copy clone, release the
+    // `clone-$ns.$t` pin it holds on its source — Cloning.discard does
+    // this too, but a direct dropTable would otherwise strand the tag
+    // forever, permanently blocking expireSnapshots/GC of the pinned
+    // snapshot's files. The clone's own metadata names its source
+    // ([[Catalog.ClonedFromKey]]), so the release is O(1) — no catalog
+    // scan at a 10k-table warehouse. Resolved BEFORE deletion, released
+    // AFTER (a failed delete must not unpin); a concurrently-dropped
+    // source just means there is nothing left to unpin.
+    val pinnedSource = dropped.meta.properties.get(Catalog.ClonedFromKey)
     val walk = Files.walk(dir)
     try walk.sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))
     finally walk.close()
-    // If the dropped table was itself a zero-copy clone, its source still
-    // carries the `clone-$ns.$t` pin tag. Cloning.discard releases it, but
-    // a direct dropTable would otherwise strand the tag forever — and a
-    // stranded pin permanently blocks expireSnapshots/GC of the pinned
-    // snapshot's files. Sweep it here: a drop is rare and metadata-only,
-    // so an O(tables) meta read is fine. Tolerate races (a concurrently
-    // dropped source just means there is nothing left to unpin).
-    val pin = s"clone-$ns.$t"
-    listTables().foreach { other =>
-      try {
-        val ot = loadTable(other)
-        if (ot.tags.contains(pin)) ot.removeTag(pin)
-      } catch { case _: IllegalArgumentException => /* dropped meanwhile */ }
+    pinnedSource.filter(tableExists).foreach { srcIdent =>
+      loadTable(srcIdent).removeTag(s"clone-$ns.$t")
     }
   }
 
@@ -228,6 +231,11 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
 
 object Catalog {
   val DefaultNamespace = "default"
+
+  /** Table property a zero-copy clone carries naming its source table —
+    * the reverse pointer that lets [[Catalog.dropTable]] release the
+    * clone's pin tag on the source in O(1). */
+  val ClonedFromKey = "graft.cloned-from"
 
   case class CatalogState(namespaces: Map[String, Map[String, String]])
 

@@ -1467,6 +1467,18 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def overwrite(df: DataFrame, extraSummary: Map[String, String] = Map.empty): Snapshot =
     commit(df, "overwrite", keepParent = false, extraSummary)
 
+  /** Conditional overwrite: lands ONLY if the table head is still
+    * `expectedHeadId` at commit time — validated inside the CAS retry
+    * loop, so it is race-free against concurrent writers (not a
+    * check-then-act). The fast-forward primitive a branch-style publish
+    * needs: [[graft.governance.Cloning.promote]] uses it to refuse
+    * clobbering source commits that landed after the clone forked.
+    * Throws ConcurrentModificationException if the head moved. */
+  def overwriteIfHead(expectedHeadId: Long, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot =
+    commit(df, "overwrite", keepParent = false, extraSummary,
+      requireParentId = Some(expectedHeadId))
+
   /** Overwrite whose snapshot summary depends on metrics of the data
     * write itself (e.g. an `Observation` riding `df`'s plan, the
     * single-pass MERGE audit): stages the distributed write FIRST —

@@ -218,7 +218,11 @@ class Notifications(lh: Lakehouse) {
 }
 
 case class CloneRecord(original: String, cloneName: String, asOf: Option[String],
-    createdMs: Long, zeroCopy: Boolean = false)
+    createdMs: Long, zeroCopy: Boolean = false,
+    // the source snapshot the clone FORKED from — lets promote detect
+    // source commits that landed after the fork (None on records written
+    // before fork tracking, or when cloning an empty source)
+    forkSnapshotId: Option[Long] = None)
 
 /** Table cloning (reference cloning.py:35-218). The reference copies data
   * despite its zero-copy docstring (cloning.py:89-100); the DEFAULT here
@@ -236,29 +240,61 @@ class Cloning(lh: Lakehouse) {
 
   def clone(original: String, cloneName: String, asOf: Option[String] = None,
       zeroCopy: Boolean = false): CloneRecord = {
-    if (zeroCopy) lh.catalog.cloneTableZeroCopy(original, cloneName, asOf)
-    else {
-      val src = lh.catalog.loadTable(original)
-      val df = asOf.map(src.readAsOf).getOrElse(src.read())
-      val tbl = lh.catalog.createTable(cloneName, src.schema,
-        src.meta.partitionSpec, src.meta.properties)
-      tbl.append(df)
-    }
+    // fork point = the exact snapshot the clone's CONTENT came from —
+    // promote's conflict detection compares the source head against it.
+    // Derived race-free: from the pin tag for zero-copy (the pinned
+    // snapshot IS the cloned one), from a pre-resolved snapshot for copy
+    // (read that snapshot, not whatever head the read lands on).
+    val fork: Option[Long] =
+      if (zeroCopy) {
+        lh.catalog.cloneTableZeroCopy(original, cloneName, asOf)
+        val (ns, t) = graft.core.Catalog.parseIdent(cloneName)
+        lh.catalog.loadTable(original).tags.get(s"clone-$ns.$t")
+      } else {
+        val src = lh.catalog.loadTable(original)
+        val snap = asOf.map(src.resolveRef).orElse(src.currentSnapshot)
+        val df = snap.map(s => src.readAsOf(s.id.toString)).getOrElse(src.read())
+        // a COPY clone owns its data outright — it must not inherit a
+        // zero-copy source's reverse pointer (it pins nothing)
+        val tbl = lh.catalog.createTable(cloneName, src.schema,
+          src.meta.partitionSpec,
+          src.meta.properties - graft.core.Catalog.ClonedFromKey)
+        tbl.append(df)
+        snap.map(_.id)
+      }
     val rec = CloneRecord(original, cloneName, asOf,
-      System.currentTimeMillis(), zeroCopy)
+      System.currentTimeMillis(), zeroCopy, fork)
     synchronized { Jsons.writeFile(path, load() :+ rec) }
     lh.audit.log(cloneName, "clone", Map("from" -> original,
       "zero_copy" -> zeroCopy.toString))
     rec
   }
 
-  /** Promote: overwrite the original with the clone's current data. */
-  def promote(cloneName: String): Unit = {
+  /** Promote: overwrite the original with the clone's current data.
+    *
+    * `requireSourceUnchanged = true` turns this into a FAST-FORWARD
+    * publish: it lands only if the source head is still the clone's fork
+    * snapshot — i.e. no source commit would be silently discarded by the
+    * overwrite. The check rides [[graft.core.IceTable.overwriteIfHead]]'s
+    * per-CAS-attempt validation, so it is race-free against concurrent
+    * source writers (a plain head comparison here would be
+    * check-then-act). On conflict it throws; re-clone from the new head
+    * or promote without the flag to overwrite deliberately (the
+    * reference's semantics, and still the default). */
+  def promote(cloneName: String, requireSourceUnchanged: Boolean = false): Unit = {
     val rec = load().find(_.cloneName == cloneName)
       .getOrElse(throw new IllegalArgumentException(s"not a clone: $cloneName"))
     val data = lh.catalog.loadTable(cloneName).read()
-    lh.catalog.loadTable(rec.original).overwrite(data)
-    lh.audit.log(rec.original, "clone_promote", Map("clone" -> cloneName))
+    val src = lh.catalog.loadTable(rec.original)
+    if (requireSourceUnchanged) {
+      val fork = rec.forkSnapshotId.getOrElse(
+        throw new IllegalArgumentException(
+          s"clone $cloneName predates fork tracking — promote without " +
+            "requireSourceUnchanged, or re-clone"))
+      src.overwriteIfHead(fork, data)
+    } else src.overwrite(data)
+    lh.audit.log(rec.original, "clone_promote", Map("clone" -> cloneName,
+      "fast_forward" -> requireSourceUnchanged.toString))
   }
 
   def discard(cloneName: String): Unit = synchronized {

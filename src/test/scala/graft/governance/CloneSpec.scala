@@ -132,6 +132,45 @@ class CloneSpec extends AnyFunSuite {
     assert(srcAfter.read().count() == 1L)
   }
 
+  test("fast-forward promote: lands while the source is unchanged since " +
+      "the fork; refuses race-free once a source commit lands after it; " +
+      "plain promote keeps reference overwrite semantics") {
+    val lh = lake()
+    lh.catalog.createTable("default.src7",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val src = lh.catalog.loadTable("default.src7")
+    src.append((0L until 5L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val fork1 = src.currentSnapshot.get.id
+    val rec = lh.cloning.clone("default.src7", "default.c7", zeroCopy = true)
+    assert(rec.forkSnapshotId.contains(fork1))
+    // edit the clone, source untouched → fast-forward publishes
+    lh.catalog.loadTable("default.c7")
+      .append(Seq((100L, "new")).toDF("id", "v"))
+    lh.cloning.promote("default.c7", requireSourceUnchanged = true)
+    assert(src.read().count() == 6)
+    // a copy clone records its fork too; a post-fork source commit makes
+    // the guarded promote refuse — and leaves the source bit-identical
+    val rec2 = lh.cloning.clone("default.src7", "default.c8")
+    assert(rec2.forkSnapshotId.contains(src.currentSnapshot.get.id))
+    src.append(Seq((200L, "landed-after-fork")).toDF("id", "v"))
+    val before = src.read().collect().map(_.toString).sorted.toSeq
+    intercept[java.util.ConcurrentModificationException](
+      lh.cloning.promote("default.c8", requireSourceUnchanged = true))
+    assert(src.read().collect().map(_.toString).sorted.toSeq == before,
+      "a refused fast-forward must leave the source untouched")
+    // the unguarded promote still deliberately overwrites (parity)
+    lh.cloning.promote("default.c8")
+    assert(src.read().count() == 6,
+      "plain promote replaces the source with the clone's content")
+    // an as-of clone of an OLD snapshot can never fast-forward a head
+    // that already moved past it
+    val rec3 = lh.cloning.clone("default.src7", "default.c9",
+      asOf = Some(fork1.toString))
+    assert(rec3.forkSnapshotId.contains(fork1))
+    intercept[java.util.ConcurrentModificationException](
+      lh.cloning.promote("default.c9", requireSourceUnchanged = true))
+  }
+
   test("guards: eq-delete state refuses zero-copy cloning in both " +
       "directions; empty source refuses; copy clone stays the default") {
     val lh = lake()
