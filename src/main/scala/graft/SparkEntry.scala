@@ -1069,6 +1069,18 @@ object SparkEntry {
         col("score") * col("score"), seed = 7L)
     }),
 
+    // PPS systematic sampling: ~50 docs selected proportional to token
+    // count over a deterministic md5 permutation; threshold test in
+    // integer arithmetic so the selected set is engine-exact (no pow/ln)
+    "q187_pps_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.text.Selection.ppsSystematicSample(docs, "doc_id", "n_tokens",
+        k = 50, seed = 7L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_size"))
+    }),
+
     // event-time gap sessionization (batch counterpart of the streaming
     // sessionizer): 30-minute gap, deterministic (ts, event_id) ordering
     "q43_event_sessions" -> ((s, dir) => {
@@ -3664,6 +3676,23 @@ object SparkEntry {
          |  FROM sc)
          |SELECT doc_id, n_tokens, score, sel_rank, cum_tokens
          |FROM r WHERE cum_tokens <= 50000""".stripMargin,
+    // `//` is DuckDB's integer floor division — the same floor(k·cum/T)
+    // increment test ppsSystematicSample runs via Spark's `div`
+    "q187_pps_sample" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    CAST(${graft.text.TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+         |    md5('7:' || CAST(doc_id AS VARCHAR)) AS pps_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY pps_key, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_size,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, cum_size
+         |FROM r
+         |WHERE (cum_size * 50) // total > ((cum_size - n_tokens) * 50) // total""".stripMargin,
     "q94_pruned_manifest_scan" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -51,6 +51,41 @@ object Selection {
       prob: org.apache.spark.sql.Column, seed: Long): DataFrame =
     df.where(uniform01(col(idCol), seed) < prob)
 
+  /** PPS (probability-proportional-to-size) SYSTEMATIC sampling: select
+    * ~`k` rows with inclusion probability proportional to an integral
+    * `sizeCol` (token counts, bytes) — the survey-sampling standard for
+    * "pick k docs so token mass is represented proportionally", the
+    * size-aware complement of [[importanceSample]]'s independent coin
+    * flips (systematic selection has zero variance in the selected
+    * total). Deterministic and engine-portable by construction: rows are
+    * ordered by `(md5(seed:id), id)` — a deterministic permutation, so
+    * the systematic stride has no periodicity bias and no engine-specific
+    * RNG — then a row is kept iff one of the k equally-spaced thresholds
+    * `m·T/k` lands in its cumulative-size interval, tested in INTEGER
+    * arithmetic (`floor(k·cum/T)` increments across the row), so every
+    * engine agrees bit-for-bit — no pow/ln whose libm rounding could
+    * flip a boundary. Selects exactly k rows when every size < T/k; a
+    * row spanning several thresholds is selected once, so the count can
+    * drop below k only under extreme size skew. Requires positive sizes
+    * and `k·T < 2^63` (at 2e13 corpus tokens that allows k up to ~4·10⁵;
+    * beyond that, widen to DECIMAL). Result keeps the input columns +
+    * inclusive `cum_size`; empty/zero-size input yields no rows. */
+  def ppsSystematicSample(df: DataFrame, idCol: String, sizeCol: String,
+      k: Int, seed: Long, numPartitions: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    GlobalOrder.rankWithPrefixSum(
+      df.withColumn("__pps_key", key),
+      sortCols = Seq(col("__pps_key"), col(idCol)),
+      rankCol = "__pps_rank",
+      sumOf = Some((col(sizeCol), "cum_size")),
+      numPartitions = numPartitions,
+      totalCol = "__pps_total")
+      .where(expr(s"(cum_size * $k) div __pps_total") >
+        expr(s"((cum_size - CAST($sizeCol AS BIGINT)) * $k) div __pps_total"))
+      .drop("__pps_key", "__pps_rank", "__pps_total")
+  }
+
   /** Quality-first token-budget selection: keep the best-scoring docs whose
     * INCLUSIVE cumulative token count still fits `budgetTokens` — the
     * "fill a 10B-token budget with the best documents" step of corpus
