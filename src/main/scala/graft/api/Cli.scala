@@ -1524,7 +1524,8 @@ object Cli {
     * when a boolean flag precedes a positional argument. */
   private val BoolFlags = Set("compact", "disable", "dry-run", "incremental",
     "no-caches", "no-matviews", "no-orphan-cleanup", "no-pipelines",
-    "overwrite", "remove", "strict", "tfidf")
+    "overwrite", "remove", "require-unchanged", "strict", "tfidf",
+    "zero-copy")
 
   private[api] def parseFlags(args: List[String]): (Map[String, String], List[String]) = {
     var flags = Map.empty[String, String]

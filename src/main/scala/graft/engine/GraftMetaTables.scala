@@ -114,8 +114,12 @@ object GraftMetaTables {
         // effective bound, so an extra WHERE clause can never silently
         // waive the user's resume-point guarantee. Pushed-only bounds are
         // filter semantics and replay whatever retained commits remain.
-        strictFrom.foreach { f =>
-          require(t.snapshots.exists(_.id == f),
+        // Membership tests against rawLog (constant-size entries): a
+        // 500k-commit table must not resolve every manifest list just to
+        // check one id. A zero-commit table skips the check — nothing was
+        // ever expired there; it replays empty below like always.
+        if (head.isDefined) strictFrom.foreach { f =>
+          require(t.rawLog.exists(_.id == f),
             s"from-snapshot $f is not in the retained log — it may have " +
               "been expired; re-seed the consumer from a full read")
         }

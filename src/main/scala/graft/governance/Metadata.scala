@@ -255,10 +255,16 @@ class Cloning(lh: Lakehouse) {
         val snap = asOf.map(src.resolveRef).orElse(src.currentSnapshot)
         val df = snap.map(s => src.readAsOf(s.id.toString)).getOrElse(src.read())
         // a COPY clone owns its data outright — it must not inherit a
-        // zero-copy source's reverse pointer (it pins nothing)
+        // zero-copy source's reverse pointer (it pins nothing) NOR the
+        // source's ref.tag.* properties: tag ids resolve against the
+        // SOURCE's snapshot log (wrong or nonexistent here), and an
+        // inherited clone-* pin tag would falsely block dropTable and
+        // pin this clone's own same-id snapshot forever (the zero-copy
+        // path filters identically — Catalog.cloneTableZeroCopy)
         val tbl = lh.catalog.createTable(cloneName, src.schema,
           src.meta.partitionSpec,
-          src.meta.properties - graft.core.Catalog.ClonedFromKey)
+          (src.meta.properties - graft.core.Catalog.ClonedFromKey)
+            .filterNot(_._1.startsWith("ref.tag.")))
         tbl.append(df)
         snap.map(_.id)
       }

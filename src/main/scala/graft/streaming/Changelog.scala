@@ -80,13 +80,20 @@ object Changelog {
   def changesBetween(tbl: IceTable, fromId: Option[Long], toId: Long,
       pairUpdateKeys: Seq[String] = Nil,
       requireFromRetained: Boolean = true): DataFrame = {
-    val snaps = tbl.snapshots
+    // filter RAW log entries (constant-size) first and resolve manifest
+    // lists only for the commits actually replayed: a bounded tail query
+    // on a 500k-commit table must cost O(range) metadata reads, not
+    // O(history) — the same contract the `_commit_id` pushdown exists for
+    val refs = tbl.rawLog
     if (requireFromRetained) fromId.foreach { f =>
-      require(snaps.exists(_.id == f),
+      require(refs.exists(_.id == f),
         s"from-snapshot $f is not in the retained log — it may have been " +
           "expired; re-seed the consumer from a full read")
     }
-    val range = snaps.filter(s => fromId.forall(s.id > _) && s.id <= toId)
+    val range = refs.filter(s => fromId.forall(s.id > _) && s.id <= toId)
+      .map(s => tbl.snapshotById(s.id).getOrElse(throw
+        new java.util.ConcurrentModificationException(
+          s"snapshot ${s.id} expired while replaying the changelog")))
     val batches = range.map(s => commitChanges(tbl, s, pairUpdateKeys))
     if (batches.isEmpty) emptyChangelog(tbl, pairUpdateKeys)
     else batches.reduce(_.unionByName(_))

@@ -66,19 +66,33 @@ object Selection {
     * engine agrees bit-for-bit — no pow/ln whose libm rounding could
     * flip a boundary. Selects exactly k rows when every size < T/k; a
     * row spanning several thresholds is selected once, so the count can
-    * drop below k only under extreme size skew. Requires positive sizes
-    * and `k·T < 2^63` (at 2e13 corpus tokens that allows k up to ~4·10⁵;
-    * beyond that, widen to DECIMAL). Result keeps the input columns +
-    * inclusive `cum_size`; empty/zero-size input yields no rows. */
+    * drop below k only under extreme size skew. Zero sizes are valid
+    * (zero mass ⇒ never selected); NEGATIVE sizes fail loudly in-pass.
+    * Requires `k·T < 2^63` (at 2e13 corpus tokens that allows k up to
+    * ~4·10⁵; beyond that, widen to DECIMAL). Result keeps the input
+    * columns + inclusive `cum_size`; empty input yields no rows. */
   def ppsSystematicSample(df: DataFrame, idCol: String, sizeCol: String,
       k: Int, seed: Long, numPartitions: Int = 0): DataFrame = {
     require(k > 0, "k must be positive")
+    // withColumn REPLACES same-named columns — refuse inputs that would
+    // collide with the helper names or the output column instead of
+    // silently clobbering user data
+    Seq("__pps_key", "__pps_rank", "__pps_total", "cum_size").foreach { r =>
+      require(!df.columns.contains(r), s"input already has a '$r' column")
+    }
+    // a NEGATIVE size makes the cumulative sum non-monotonic and the
+    // threshold test meaningless — fail loudly inside the same pass
+    // (zero sizes are fine: zero mass ⇒ zero inclusion probability)
+    val checkedSize = when(col(sizeCol) < 0, raise_error(concat(
+        lit(s"ppsSystematicSample: negative $sizeCol: "),
+        col(sizeCol).cast("string"))))
+      .otherwise(col(sizeCol))
     val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
     GlobalOrder.rankWithPrefixSum(
       df.withColumn("__pps_key", key),
       sortCols = Seq(col("__pps_key"), col(idCol)),
       rankCol = "__pps_rank",
-      sumOf = Some((col(sizeCol), "cum_size")),
+      sumOf = Some((checkedSize, "cum_size")),
       numPartitions = numPartitions,
       totalCol = "__pps_total")
       .where(expr(s"(cum_size * $k) div __pps_total") >

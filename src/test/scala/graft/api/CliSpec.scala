@@ -699,6 +699,13 @@ class CliSpec extends AnyFunSuite {
     // valued flags still take their value
     val (f3, p3) = Cli.parseFlags(List("export", "t", "p", "--format", "json"))
     assert(f3 == Map("format" -> "json") && p3 == List("export", "t", "p"))
+    // the clone-workflow booleans are registered too (a missing BoolFlags
+    // entry makes a preceding flag swallow the table name)
+    val (f4, p4) = Cli.parseFlags(List("clone-promote", "--require-unchanged", "c"))
+    assert(f4 == Map("require-unchanged" -> "true") &&
+      p4 == List("clone-promote", "c"))
+    val (f5, p5) = Cli.parseFlags(List("clone", "--zero-copy", "a", "b"))
+    assert(f5 == Map("zero-copy" -> "true") && p5 == List("clone", "a", "b"))
   }
 
   test("unknown command raises with usage help") {

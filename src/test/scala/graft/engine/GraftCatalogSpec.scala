@@ -488,6 +488,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(empty.columns.toSeq ==
       Seq("id", "v", "_change_type", "_commit_id", "_changed_columns"))
     assert(empty.count() == 0)
+    // an explicit from_id on a ZERO-commit table replays empty too —
+    // nothing was ever expired there, so the offset contract has nothing
+    // to refuse (regression: the strict-from validation must not run
+    // before the empty-table branch)
+    assert(spark.read.option("from_id", "1")
+      .table(s"$catName.sales.chf.changes").count() == 0)
     val t = lh.catalog.loadTable("sales.chf")
     t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")) // c1
     t.append((10L until 14L).map(i => (i, s"b$i")).toDF("id", "v")) // c2

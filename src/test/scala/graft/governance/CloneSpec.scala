@@ -132,6 +132,29 @@ class CloneSpec extends AnyFunSuite {
     assert(srcAfter.read().count() == 1L)
   }
 
+  test("copy clone inherits NO ref.tag.* properties: tag ids resolve " +
+      "against the SOURCE's log, and an inherited clone pin would " +
+      "falsely block dropping the copy") {
+    val lh = lake()
+    lh.catalog.createTable("default.src8",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val src = lh.catalog.loadTable("default.src8")
+    src.append((0L until 6L).map(i => (i, s"a$i")).toDF("id", "v"))
+    src.tagSnapshot("user-tag")
+    lh.cloning.clone("default.src8", "default.z8", zeroCopy = true)
+    assert(src.tags.keySet == Set("user-tag", "clone-default.z8"))
+    // the copy clone starts with a clean tag namespace...
+    lh.cloning.clone("default.src8", "default.c10")
+    val copy = lh.catalog.loadTable("default.c10")
+    assert(copy.tags.isEmpty, s"inherited tags: ${copy.tags}")
+    assert(!copy.meta.properties.contains(graft.core.Catalog.ClonedFromKey))
+    // ...so dropping it is not blocked by the source's pin on z8
+    lh.catalog.dropTable("default.c10")
+    assert(!lh.catalog.tableExists("default.c10"))
+    // and the source's own tags are untouched
+    assert(src.tags.keySet == Set("user-tag", "clone-default.z8"))
+  }
+
   test("fast-forward promote: lands while the source is unchanged since " +
       "the fork; refuses race-free once a source commit lands after it; " +
       "plain promote keeps reference overwrite semantics") {

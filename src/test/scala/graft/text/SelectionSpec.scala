@@ -57,4 +57,45 @@ class SelectionSpec extends AnyFunSuite {
     assert(Selection.tokenBudgetSelect(docs, "doc_id", "n_tokens", "score", 9L).count() == 0)
     assert(Selection.tokenBudgetSelect(docs, "doc_id", "n_tokens", "score", 1L << 40).count() == 5)
   }
+
+  test("ppsSystematicSample: local reference equality, exact-k, " +
+      "partitioning invariance, size-weighting, input guards") {
+    val docs = (1L to 200L).map(i => (i, 1L + (i % 13))).toDF("doc_id", "sz")
+    val k = 20
+    val got = Selection.ppsSystematicSample(docs, "doc_id", "sz", k, seed = 5L)
+      .select("doc_id", "cum_size").as[(Long, Long)].collect().sorted.toSeq
+    // local reference: same permutation, same integer threshold test
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"5:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val perm = (1L to 200L).map(i => (key(i), i)).sorted.map(_._2)
+    val sizes = (1L to 200L).map(i => i -> (1L + (i % 13))).toMap
+    val total = sizes.values.sum
+    var cum = 0L
+    val want = perm.flatMap { id =>
+      val prev = cum; cum += sizes(id)
+      if (cum * k / total > prev * k / total) Some((id, cum)) else None
+    }.sorted
+    assert(got == want.map { case (id, c) => (id, c) })
+    assert(got.size == k, s"all sizes < T/k here, so exactly k: ${got.size}")
+    // partitioning invariance (the determinism claim)
+    val got12 = Selection.ppsSystematicSample(docs.repartition(12), "doc_id",
+      "sz", k, seed = 5L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got12 == got.map(_._1))
+    // heavier rows are selected more often (probability ∝ size): compare
+    // selection rates of the biggest vs smallest size class over seeds
+    val many = (1 to 30).flatMap(s =>
+      Selection.ppsSystematicSample(docs, "doc_id", "sz", k, seed = s.toLong)
+        .select("doc_id").as[Long].collect())
+    val bigRate = many.count(id => sizes(id) == 13L).toDouble
+    val smallRate = many.count(id => sizes(id) == 1L).toDouble
+    assert(bigRate > 3 * smallRate,
+      s"size-13 rows must be picked far more often: $bigRate vs $smallRate")
+    // guards: reserved output name collision refuses; negative size fails
+    intercept[IllegalArgumentException](Selection.ppsSystematicSample(
+      docs.withColumnRenamed("sz", "cum_size"), "doc_id", "cum_size", k, 5L))
+    val bad = Seq((1L, 5L), (2L, -3L)).toDF("doc_id", "sz")
+    intercept[Exception](
+      Selection.ppsSystematicSample(bad, "doc_id", "sz", 1, 5L).collect())
+  }
 }
