@@ -39,6 +39,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "token stats must not join")
   }
 
+  test("q187: PPS sampling never sorts globally — range partition + " +
+      "partition-local windows only") {
+    val p = planOf("q187_pps_sample")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic strategy:\n$p")
+    // every Sort must be partition-local (prints "…], false, 0"); a
+    // global sort ("…], true, 0") would mean the prefix sum degenerated
+    // into one ordered pass
+    assert(!"Sort \\[[^\\]]*\\], true".r.unanchored.matches(p),
+      s"global sort in the sampler plan:\n$p")
+    // the running sum must be a __pid-partitioned window (no single-task
+    // window over the whole corpus), fed by the broadcast offsets join
+    assert(p.contains("], [__pid"), s"window not partition-local:\n$p")
+    assert(p.contains("BroadcastHashJoin [__pid"),
+      s"offsets must broadcast, not shuffle:\n$p")
+  }
+
   test("q52: packing is ONE shuffle — the groupBy reuses the window's partitioning") {
     val p = planOf("q52_sequence_packing")
     // count SHUFFLE exchanges only ("Exchange hashpartitioning/range...");
