@@ -346,6 +346,25 @@ class IceTable(val spark: SparkSession, val dir: Path) {
   def snapshotById(id: Long): Option[Snapshot] =
     snapshotRefs.find(_.id == id).map(resolve)
 
+  /** Resolve the log entries in `(fromExclusive, toInclusive]` plus each
+    * entry's PARENT, reading + parsing the log file ONCE — the changelog
+    * replay's accessor. Per-commit [[snapshotById]] calls would re-read
+    * the full O(history) head file per replayed commit (the log has no
+    * in-memory cache by design — every read must see competitors'
+    * commits), turning a bounded replay quadratic in history. Returned
+    * in log order; a parent of `None` with `parentId` set means the
+    * parent was expired — callers refuse. Consecutive commits share
+    * resolutions (the parent of entry i+1 is usually entry i). */
+  def snapshotRangeWithParents(fromExclusive: Option[Long],
+      toInclusive: Long): List[(Snapshot, Option[Snapshot])] = {
+    val refs = snapshotRefs
+    val byId = refs.iterator.map(r => r.id -> r).toMap
+    val cache = scala.collection.mutable.Map.empty[Long, Snapshot]
+    def res(r: Snapshot): Snapshot = cache.getOrElseUpdate(r.id, resolve(r))
+    refs.filter(s => fromExclusive.forall(s.id > _) && s.id <= toInclusive)
+      .map(s => (res(s), s.parentId.flatMap(byId.get).map(res)))
+  }
+
   /** Resolve a time-travel ref: integer snapshot-id first, then a named
     * TAG, else ISO timestamp → latest snapshot at-or-before it
     * (catalog.py:265-288; tags are a graft extra). Tag names are barred

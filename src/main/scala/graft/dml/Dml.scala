@@ -183,9 +183,12 @@ class Dml(lh: Lakehouse) {
           // uniquify against the table schema: withColumn REPLACES an
           // existing column of the same name, which would silently
           // overwrite user data if a table column were named like the
-          // marker
+          // marker — compared case-INSENSITIVELY, because that is how
+          // withColumn/analysis resolve under the default
+          // spark.sql.caseSensitive=false
+          val lower = live.columns.map(_.toLowerCase).toSet
           val marker = Iterator.iterate("__graft_upd_match")(_ + "_")
-            .dropWhile(live.columns.contains).next()
+            .dropWhile(m => lower.contains(m.toLowerCase)).next()
           val marked = live.withColumn(marker,
             coalesce(condOf(live), lit(false)))
           val sets = setsOf(marked)

@@ -95,7 +95,12 @@ object GraftMetaTables {
     meta match {
       case "changes" =>
         import org.apache.spark.sql.functions.{array, col}
-        val head = t.currentSnapshot.map(_.id)
+        // one raw-log read serves the head id AND the strict-from check —
+        // currentSnapshot would resolve the head's manifest list just to
+        // take its id, and a second rawLog read would re-parse the
+        // O(history) log file
+        val logRefs = t.rawLog
+        val head = logRefs.lastOption.map(_.id)
         // `__pushed_lo`/`__pushed_hi` carry `_commit_id` FILTER bounds the
         // scan builder extracted (see GraftMetaTable): filter semantics,
         // not consumer-offset semantics — an expired lower bound replays
@@ -119,7 +124,7 @@ object GraftMetaTables {
         // check one id. A zero-commit table skips the check — nothing was
         // ever expired there; it replays empty below like always.
         if (head.isDefined) strictFrom.foreach { f =>
-          require(t.rawLog.exists(_.id == f),
+          require(logRefs.exists(_.id == f),
             s"from-snapshot $f is not in the retained log — it may have " +
               "been expired; re-seed the consumer from a full read")
         }

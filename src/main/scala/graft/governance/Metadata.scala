@@ -266,7 +266,10 @@ class Cloning(lh: Lakehouse) {
           (src.meta.properties - graft.core.Catalog.ClonedFromKey)
             .filterNot(_._1.startsWith("ref.tag.")))
         tbl.append(df)
-        snap.map(_.id)
+        // an EMPTY source forks at head id 0 (the commit CAS treats an
+        // empty log as head 0), so a guarded promote is still expressible
+        // — None would make requireSourceUnchanged permanently refuse
+        snap.map(_.id).orElse(Some(0L))
       }
     val rec = CloneRecord(original, cloneName, asOf,
       System.currentTimeMillis(), zeroCopy, fork)

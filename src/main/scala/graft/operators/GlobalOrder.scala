@@ -42,6 +42,13 @@ object GlobalOrder {
       rankCol: String = "rank", sumOf: Option[(Column, String)] = None,
       numPartitions: Int = 0, totalCol: String = null): DataFrame = {
     require(sortCols.nonEmpty, "need at least one sort column")
+    // the helper columns below are added with withColumn, which REPLACES
+    // same-named input columns and would silently destroy user data —
+    // refuse the collision loudly (case-insensitive, matching analysis)
+    Seq("__val", "__pid", "__coff", "__soff").foreach { r =>
+      require(!df.columns.exists(_.equalsIgnoreCase(r)),
+        s"input already has a '$r' column (reserved by rankWithPrefixSum)")
+    }
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val valued = sumOf match {

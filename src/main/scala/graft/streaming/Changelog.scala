@@ -81,20 +81,17 @@ object Changelog {
       pairUpdateKeys: Seq[String] = Nil,
       requireFromRetained: Boolean = true): DataFrame = {
     // filter RAW log entries (constant-size) first and resolve manifest
-    // lists only for the commits actually replayed: a bounded tail query
-    // on a 500k-commit table must cost O(range) metadata reads, not
+    // lists only for the commits actually replayed — with their parents,
+    // in ONE log read (snapshotRangeWithParents): a bounded tail query on
+    // a 500k-commit table must cost O(range) metadata reads, not
     // O(history) — the same contract the `_commit_id` pushdown exists for
-    val refs = tbl.rawLog
     if (requireFromRetained) fromId.foreach { f =>
-      require(refs.exists(_.id == f),
+      require(tbl.rawLog.exists(_.id == f),
         s"from-snapshot $f is not in the retained log — it may have been " +
           "expired; re-seed the consumer from a full read")
     }
-    val range = refs.filter(s => fromId.forall(s.id > _) && s.id <= toId)
-      .map(s => tbl.snapshotById(s.id).getOrElse(throw
-        new java.util.ConcurrentModificationException(
-          s"snapshot ${s.id} expired while replaying the changelog")))
-    val batches = range.map(s => commitChanges(tbl, s, pairUpdateKeys))
+    val batches = tbl.snapshotRangeWithParents(fromId, toId)
+      .map { case (s, parent) => commitChanges(tbl, s, parent, pairUpdateKeys) }
     if (batches.isEmpty) emptyChangelog(tbl, pairUpdateKeys)
     else batches.reduce(_.unionByName(_))
   }
@@ -102,8 +99,8 @@ object Changelog {
   /** One commit's changelog. Appends read ONLY the added files; everything
     * else diffs parent vs child snapshot in both directions. */
   private def commitChanges(tbl: IceTable, s: graft.core.Snapshot,
+      parent: Option[graft.core.Snapshot],
       pairUpdateKeys: Seq[String] = Nil): DataFrame = {
-    val parent = s.parentId.flatMap(tbl.snapshotById)
     // an expired parent makes both the added-files subtraction and the
     // diff silently treat carried-forward rows as fresh inserts — refuse
     require(s.parentId.isEmpty || parent.isDefined,

@@ -192,6 +192,16 @@ class CloneSpec extends AnyFunSuite {
     assert(rec3.forkSnapshotId.contains(fork1))
     intercept[java.util.ConcurrentModificationException](
       lh.cloning.promote("default.c9", requireSourceUnchanged = true))
+    // an EMPTY source forks at head 0: the guarded promote is still
+    // expressible (and still refuses once the source takes a commit)
+    lh.catalog.createTable("default.emp7",
+      Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    val rec4 = lh.cloning.clone("default.emp7", "default.c11")
+    assert(rec4.forkSnapshotId.contains(0L))
+    lh.catalog.loadTable("default.c11")
+      .append(Seq((1L, "x")).toDF("id", "v"))
+    lh.cloning.promote("default.c11", requireSourceUnchanged = true)
+    assert(lh.catalog.loadTable("default.emp7").read().count() == 1)
   }
 
   test("guards: eq-delete state refuses zero-copy cloning in both " +

@@ -43,4 +43,11 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"global-order primitive must not plan a single-partition exchange:\n$plan")
   }
+
+  test("reserved helper names refuse instead of silently clobbering input " +
+      "columns (case-insensitive, like analysis)") {
+    val e = intercept[IllegalArgumentException](GlobalOrder.rankWithPrefixSum(
+      sample.withColumnRenamed("v", "__PID"), Seq(col("k")), "r"))
+    assert(e.getMessage.contains("__pid"), e.getMessage)
+  }
 }
