@@ -19,7 +19,8 @@ import graft.core.IceTable
 object GraftMetaTables {
 
   val Names: Set[String] =
-    Set("snapshots", "history", "files", "delete_files", "tags", "properties")
+    Set("snapshots", "history", "files", "delete_files", "tags", "properties",
+      "partitions")
 
   /** Faces whose schema depends on the base table (the changelog carries
     * the table's own columns), so they can't live in the static [[Schemas]]
@@ -63,7 +64,10 @@ object GraftMetaTables {
         "matched_rows" -> LongType, "bytes" -> LongType,
         "equality_columns" -> StringType),
       "tags" -> st("tag" -> StringType, "snapshot_id" -> LongType),
-      "properties" -> st("key" -> StringType, "value" -> StringType))
+      "properties" -> st("key" -> StringType, "value" -> StringType),
+      "partitions" -> st("partition" -> StringType,
+        "data_files" -> LongType, "row_count" -> LongType,
+        "total_bytes" -> LongType))
   }
 
   def apply(spark: SparkSession, tbl: () => IceTable, fullName: String,
@@ -202,6 +206,12 @@ object GraftMetaTables {
       case "properties" =>
         t.meta.properties.toSeq.sortBy(_._1)
           .toDF("key", "value")
+      case "partitions" =>
+        // Iceberg's `partitions` metadata table: per-partition file/row/
+        // byte stats from manifests + dir names — never opens a data file
+        t.partitionStats.toSeq.sortBy(_._1)
+          .map { case (p, (files, rows, bytes)) => (p, files, rows, bytes) }
+          .toDF("partition", "data_files", "row_count", "total_bytes")
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table: $other")
     }

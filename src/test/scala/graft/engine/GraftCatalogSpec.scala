@@ -424,7 +424,8 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("metadata tables: cat.ns.t.snapshots / files / delete_files / " +
-      "tags / history / properties inspect live state from SQL") {
+      "tags / history / properties / partitions inspect live state " +
+      "from SQL") {
     lh.catalog.createTable("sales.mt",
       Seq("id" -> "long", "v" -> "string"), Nil, Map("owner" -> "graft"))
     val t = lh.catalog.loadTable("sales.mt")
@@ -452,6 +453,22 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 2L)
     assert(spark.sql(s"SELECT value FROM $catName.sales.mt.properties " +
       s"WHERE key = 'owner'").head.getString(0) == "graft")
+    // partitions face: per-partition file/row/byte stats from manifests —
+    // an unpartitioned table reports one <unpartitioned> row...
+    val up = spark.sql(s"SELECT partition, data_files, row_count FROM " +
+      s"$catName.sales.mt.partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(up == Seq(("<unpartitioned>", 2L, 30L)), s"partitions: $up")
+    // ...a partitioned one reports its live dirs with exact counts
+    lh.catalog.createTable("sales.mtp",
+      Seq("id" -> "long", "cat" -> "string"), Seq("identity(cat)"), Map.empty)
+    lh.catalog.loadTable("sales.mtp").append(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cat")
+        .repartition(2, col("cat")))
+    val parts = spark.sql(s"SELECT partition, row_count FROM " +
+      s"$catName.sales.mtp.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq(("_p_cat=a", 2L), ("_p_cat=b", 1L)), s"parts: $parts")
     // metadata joins with the data surface in one query
     val joined = spark.sql(
       s"""SELECT s.snapshot_id, COUNT(d.id) AS n
