@@ -309,6 +309,97 @@ object CommitStorm {
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),
             landed.mkString("", "\n", "\n"))
+        case "producer" =>
+          // the writer side of the exactly-once-consumer leg: appends,
+          // MoR-deletes its own rows, and expires AGGRESSIVELY
+          // (retainLast=8) so a polling consumer sometimes finds its
+          // offset expired and must take the documented re-seed path
+          import org.apache.spark.sql.functions.col
+          val live = scala.collection.mutable.Set[Long]()
+          (0 until count.toInt).foreach { i =>
+            val id = s + i
+            try {
+              tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
+              live += id
+            } catch { case _: java.util.ConcurrentModificationException => () }
+            if (i % 4 == 3 && live.nonEmpty) {
+              val victim = live.min
+              try {
+                tbl.deleteWhereMor(col("id") === victim)
+                live -= victim
+              } catch { case _: java.util.ConcurrentModificationException => () }
+            }
+            if (i % 6 == 5)
+              try { tbl.expireSnapshots(retainLast = Some(8)); () }
+              catch { case _: java.util.ConcurrentModificationException => () }
+            Thread.sleep(5)
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(whDir, "producer-done.txt"), "done\n")
+        case "consumer" =>
+          // exactly-once changelog consumer raced against the producer
+          // JVM: fold changesBetween(lastProcessed, head] into a local
+          // state; when the offset expired under it (the producer's
+          // aggressive retainLast), re-seed from a full read exactly as
+          // the refusal message instructs. Terminates when the producer
+          // is done AND the fold has caught up to the final head; the
+          // spec compares the folded state against the table.
+          import org.apache.spark.sql.functions.col
+          val deadline = System.currentTimeMillis() + 180000
+          var state = Map.empty[Long, String]
+          var last: Option[Long] = None
+          var reseeds = 0
+          var batches = 0
+          def producerDone = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(whDir, "producer-done.txt"))
+          var finished = false
+          while (!finished && System.currentTimeMillis() < deadline) {
+            val head = tbl.rawLog.lastOption.map(_.id)
+            if (head.isDefined && last.forall(h => h < head.get)) {
+              try {
+                val rows = graft.streaming.Changelog
+                  .changesBetween(tbl, last, head.get)
+                  .select(col("id"), col("name"),
+                    col(graft.streaming.Changelog.ChangeTypeCol))
+                  .collect()
+                rows.foreach { r =>
+                  r.getString(2) match {
+                    case "insert" | "update_after" =>
+                      state += r.getLong(0) -> r.getString(1)
+                    case _ => state -= r.getLong(0) // delete/update_before
+                  }
+                }
+                last = head; batches += 1
+              } catch {
+                case _: Exception => // offset/range expired mid-replay
+                  var ok = false
+                  var tries = 0
+                  while (!ok && tries < 50) {
+                    tries += 1
+                    try {
+                      val cur = tbl.currentSnapshot
+                      state = cur.map(c => tbl.readAsOf(c.id.toString)
+                        .select("id", "name").collect()
+                        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+                        .getOrElse(Map.empty)
+                      last = cur.map(_.id)
+                      ok = true
+                    } catch { case _: Exception => Thread.sleep(20) }
+                  }
+                  require(ok, "re-seed never succeeded")
+                  reseeds += 1
+              }
+            } else if (producerDone &&
+                tbl.rawLog.lastOption.map(_.id) == last) {
+              finished = true
+            } else Thread.sleep(20)
+          }
+          require(finished, "consumer timed out before converging")
+          val lines = (s"meta reseeds=$reseeds batches=$batches" +:
+            state.toSeq.sorted.map { case (k, v) => s"$k\t$v" })
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(whDir, "consumer-state.txt"),
+            lines.mkString("", "\n", "\n"))
         case other => sys.error(s"unknown mode: $other")
       }
     } finally spark.stop()

@@ -254,4 +254,39 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     tbl.orphanFiles(delete = true)
     assert(tbl.read().count() == expected.size, "orphan GC deleted live data")
   }
+
+  test("two real JVMs: an exactly-once changelog consumer (offset replay " +
+      "+ documented re-seed on expiry) converges to the writer's state " +
+      "under aggressive history pruning") {
+    val wh = SparkFixture.tmpDir("graft-xproc-cons-").toString
+    val cat = Catalog.open(spark, wh)
+    val tbl = cat.createTable("cp", Seq("id" -> "long", "name" -> "string"),
+      Nil, Map.empty)
+    tbl.append(Seq((0L, "seed")).toDF("id", "name"))
+    val producer = launch(Seq(wh, "cp", "100", "40", "producer"))
+    val consumer = launch(Seq(wh, "cp", "0", "1", "consumer"))
+    assert(producer.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      consumer.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "producer/consumer did not finish in time")
+    assert(producer.exitValue() == 0, "producer failed")
+    assert(consumer.exitValue() == 0, "consumer failed")
+    val lines = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(wh, "consumer-state.txt"))
+      .split("\n").filter(_.nonEmpty).toSeq
+    val meta = lines.head
+    assert(meta.startsWith("meta "), meta)
+    val folded = lines.tail.map { l =>
+      val Array(k, v) = l.split("\t"); (k.toLong, v)
+    }.sorted
+    val table = tbl.read().select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(folded == table,
+      s"consumer state diverged from the table ($meta): " +
+        s"missing=${(table.toSet -- folded).take(5)} " +
+        s"extra=${(folded.toSet -- table).take(5)}")
+    // the consumer must have actually consumed incrementally, not just
+    // re-seeded once at the end
+    val batches = "batches=(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+    assert(batches >= 2, s"expected incremental consumption, got $meta")
+  }
 }
