@@ -1035,6 +1035,29 @@ object SparkEntry {
           dsum(col("l_extendedprice")).as("total_price"))
     }),
 
+    // partitions SQL metadata face gate: an identity-partitioned table's
+    // per-partition file/row stats served from MANIFESTS (never opening a
+    // data file), while the oracle re-derives the same stats the hard way
+    // — globbing every data file with filename=true and parsing the
+    // partition dir out of each path. Equality proves the manifest-side
+    // accounting matches the physical layout exactly.
+    "q188_partitions_face" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh188") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        lh.catalog.createTable("default.ord_p", ord.schema,
+          Seq("identity(o_orderstatus)"), Map.empty)
+        lh.catalog.loadTable("default.ord_p")
+          .append(ord.repartition(4, col("o_orderstatus")))
+      }
+      s.conf.set("spark.sql.catalog.g188",
+        classOf[graft.engine.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g188.warehouse",
+        lh.catalog.warehouse.toString)
+      s.sql("SELECT `partition` AS part_key, data_files, row_count " +
+        "FROM g188.default.ord_p.partitions")
+    }),
+
     // deterministic epoch shuffle: md5(seed:id) global order WITHOUT a
     // single-task window (GlobalOrder range-partitions + assembles ranks
     // zipWithIndex-style) — reproducible training example order on any
@@ -3693,6 +3716,13 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, cum_size
          |FROM r
          |WHERE (cum_size * 50) // total > ((cum_size - n_tokens) * 50) // total""".stripMargin,
+    "q188_partitions_face" ->
+      """SELECT regexp_extract(filename, '(_p_o_orderstatus=[^/]+)', 1) AS part_key,
+        |  CAST(COUNT(DISTINCT filename) AS BIGINT) AS data_files,
+        |  CAST(COUNT(*) AS BIGINT) AS row_count
+        |FROM read_parquet('/tmp/graft_aux/wh188_sf0.01/default/ord_p/data/commit-00001/*/*.parquet',
+        |  filename=true)
+        |GROUP BY 1""".stripMargin,
     "q94_pruned_manifest_scan" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
