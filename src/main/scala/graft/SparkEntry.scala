@@ -1050,12 +1050,16 @@ object SparkEntry {
         lh.catalog.loadTable("default.ord_p")
           .append(ord.repartition(4, col("o_orderstatus")))
       }
-      s.conf.set("spark.sql.catalog.g188",
+      // catalog NAME is sf-qualified: Spark caches catalog instances by
+      // name, so re-pointing a cached name's warehouse conf at a
+      // different sf's fixture would silently keep the old path
+      val cat = s"g188_${sfTag(dir).replace('.', '_')}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.engine.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.g188.warehouse",
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
         lh.catalog.warehouse.toString)
       s.sql("SELECT `partition` AS part_key, data_files, row_count " +
-        "FROM g188.default.ord_p.partitions")
+        s"FROM $cat.default.ord_p.partitions")
     }),
 
     // deterministic epoch shuffle: md5(seed:id) global order WITHOUT a

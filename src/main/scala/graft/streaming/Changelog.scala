@@ -307,10 +307,32 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     val from = lastProcessed
     if (from.contains(head)) return None
     sink(Changelog.changesBetween(tbl, from, head), head)
+    writeOffset(head)
+    Some(head)
+  }
+
+  /** The DOCUMENTED recovery for an expired offset, made executable:
+    * when [[processAvailable]] refuses because the offset (or a commit's
+    * parent) fell out of the retained log, re-seed — `sink` receives the
+    * FULL table state pinned at one snapshot and that snapshot's id; the
+    * caller REPLACES (not folds) its downstream state with it. The
+    * offset advances to that snapshot only after the sink returns, same
+    * crash contract as processAvailable, so the next call resumes
+    * incrementally from the re-seed point. Returns the new offset, or
+    * None on an empty table. */
+  def reseed(sink: (DataFrame, Long) => Unit): Option[Long] = {
+    val tbl = lh.catalog.loadTable(table)
+    val cur = tbl.currentSnapshot.getOrElse(return None)
+    sink(tbl.readAsOf(cur.id.toString), cur.id)
+    writeOffset(cur.id)
+    Some(cur.id)
+  }
+
+  private def writeOffset(id: Long): Unit = {
     val tmp = checkpointDir.resolve(".offset.tmp")
-    Files.write(tmp, head.toString.getBytes("UTF-8"))
+    Files.write(tmp, id.toString.getBytes("UTF-8"))
     Files.move(tmp, offsetPath, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    Some(head)
+    ()
   }
 }

@@ -310,18 +310,25 @@ object CommitStorm {
             java.nio.file.Paths.get(whDir, s"storm-report-$s.txt"),
             landed.mkString("", "\n", "\n"))
         case "producer" =>
-          // the writer side of the exactly-once-consumer leg: appends,
-          // MoR-deletes its own rows, and expires AGGRESSIVELY
-          // (retainLast=8) so a polling consumer sometimes finds its
-          // offset expired and must take the documented re-seed path
+          // the writer side of the exactly-once-consumer leg. Phase A:
+          // appends + MoR deletes with AGGRESSIVE expiry (retainLast=4),
+          // so by the time the consumer takes its first step the history
+          // tail is gone and its from-zero replay MUST take the
+          // documented re-seed path (deterministic, not timing luck).
+          // Phase B: wait for the consumer's first fold (handshake file),
+          // then a tail of expiry-free commits the consumer must consume
+          // INCREMENTALLY.
           import org.apache.spark.sql.functions.col
           val live = scala.collection.mutable.Set[Long]()
-          (0 until count.toInt).foreach { i =>
+          def appendOne(i: Int): Unit = {
             val id = s + i
             try {
               tbl.append(Seq((id, s"p$s-$i")).toDF("id", "name"))
               live += id
             } catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          (0 until count.toInt).foreach { i =>
+            appendOne(i)
             if (i % 4 == 3 && live.nonEmpty) {
               val victim = live.min
               try {
@@ -329,73 +336,89 @@ object CommitStorm {
                 live -= victim
               } catch { case _: java.util.ConcurrentModificationException => () }
             }
-            if (i % 6 == 5)
-              try { tbl.expireSnapshots(retainLast = Some(8)); () }
+            if (i % 3 == 2)
+              try { tbl.expireSnapshots(retainLast = Some(4)); () }
               catch { case _: java.util.ConcurrentModificationException => () }
             Thread.sleep(5)
+          }
+          val alive = java.nio.file.Paths.get(whDir, "consumer-alive.txt")
+          val waitUntil = System.currentTimeMillis() + 150000
+          while (!java.nio.file.Files.exists(alive) &&
+            System.currentTimeMillis() < waitUntil) Thread.sleep(50)
+          require(java.nio.file.Files.exists(alive),
+            "consumer never reported its first fold")
+          (count.toInt until count.toInt + 10).foreach { i =>
+            appendOne(i); Thread.sleep(30)
           }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(whDir, "producer-done.txt"), "done\n")
         case "consumer" =>
-          // exactly-once changelog consumer raced against the producer
-          // JVM: fold changesBetween(lastProcessed, head] into a local
-          // state; when the offset expired under it (the producer's
-          // aggressive retainLast), re-seed from a full read exactly as
-          // the refusal message instructs. Terminates when the producer
-          // is done AND the fold has caught up to the final head; the
-          // spec compares the folded state against the table.
+          // exactly-once consumer raced against the producer JVM — runs
+          // the PRODUCT runner (ChangelogStream: durable offset file,
+          // sink-before-offset ordering), not a test replica. Waits until
+          // expiry has bitten (minimum retained id > 1) so the first
+          // from-zero replay deterministically refuses; only the
+          // documented expiry refusal triggers reseed() — any other
+          // exception propagates and fails the process, so a broken
+          // replay path can never hide behind self-healing re-seeds.
           import org.apache.spark.sql.functions.col
-          val deadline = System.currentTimeMillis() + 180000
+          val lh = graft.Lakehouse.open(spark, whDir)
+          val cs = new graft.streaming.ChangelogStream(lh, table,
+            java.nio.file.Paths.get(whDir, "consumer-ck"))
           var state = Map.empty[Long, String]
-          var last: Option[Long] = None
+          val fold: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (df, _) => df.select(col("id"), col("name"),
+                col(graft.streaming.Changelog.ChangeTypeCol))
+              .collect().foreach { r =>
+                r.getString(2) match {
+                  case "insert" | "update_after" =>
+                    state += r.getLong(0) -> r.getString(1)
+                  case _ => state -= r.getLong(0) // delete/update_before
+                }
+              }
+          val replaceAll: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            (df, _) => state = df.select(col("id"), col("name")).collect()
+              .map(r => r.getLong(0) -> r.getString(1)).toMap
+          def expiredRefusal(e: Throwable): Boolean =
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+              .exists(c => (c.isInstanceOf[IllegalArgumentException] ||
+                  c.isInstanceOf[java.util.ConcurrentModificationException]) &&
+                c.getMessage != null && c.getMessage.contains("expired"))
+          // deterministic re-seed: start only once the history tail is gone
+          var lastProgress = System.currentTimeMillis()
+          def progressDeadlineHit = System.currentTimeMillis() - lastProgress > 150000
+          while (tbl.rawLog.headOption.forall(_.id <= 1) && !progressDeadlineHit)
+            Thread.sleep(50)
+          require(!progressDeadlineHit, "expiry never bit — no tail pruning seen")
           var reseeds = 0
           var batches = 0
+          val alive = java.nio.file.Paths.get(whDir, "consumer-alive.txt")
           def producerDone = java.nio.file.Files.exists(
             java.nio.file.Paths.get(whDir, "producer-done.txt"))
           var finished = false
-          while (!finished && System.currentTimeMillis() < deadline) {
-            val head = tbl.rawLog.lastOption.map(_.id)
-            if (head.isDefined && last.forall(h => h < head.get)) {
-              try {
-                val rows = graft.streaming.Changelog
-                  .changesBetween(tbl, last, head.get)
-                  .select(col("id"), col("name"),
-                    col(graft.streaming.Changelog.ChangeTypeCol))
-                  .collect()
-                rows.foreach { r =>
-                  r.getString(2) match {
-                    case "insert" | "update_after" =>
-                      state += r.getLong(0) -> r.getString(1)
-                    case _ => state -= r.getLong(0) // delete/update_before
-                  }
-                }
-                last = head; batches += 1
-              } catch {
-                case _: Exception => // offset/range expired mid-replay
-                  var ok = false
-                  var tries = 0
-                  while (!ok && tries < 50) {
-                    tries += 1
-                    try {
-                      val cur = tbl.currentSnapshot
-                      state = cur.map(c => tbl.readAsOf(c.id.toString)
-                        .select("id", "name").collect()
-                        .map(r => r.getLong(0) -> r.getString(1)).toMap)
-                        .getOrElse(Map.empty)
-                      last = cur.map(_.id)
-                      ok = true
-                    } catch { case _: Exception => Thread.sleep(20) }
-                  }
-                  require(ok, "re-seed never succeeded")
+          while (!finished) {
+            require(!progressDeadlineHit,
+              s"consumer stalled (reseeds=$reseeds batches=$batches)")
+            val advanced =
+              try cs.processAvailable(fold).isDefined
+              catch {
+                case e: Exception if expiredRefusal(e) =>
+                  cs.reseed(replaceAll)
                   reseeds += 1
+                  true
               }
+            if (advanced) {
+              if (!java.nio.file.Files.exists(alive))
+                java.nio.file.Files.writeString(alive, "alive\n")
+              batches += 1
+              lastProgress = System.currentTimeMillis()
             } else if (producerDone &&
-                tbl.rawLog.lastOption.map(_.id) == last) {
+                tbl.rawLog.lastOption.map(_.id) == cs.lastProcessed) {
               finished = true
-            } else Thread.sleep(20)
+            } else Thread.sleep(40)
           }
-          require(finished, "consumer timed out before converging")
-          val lines = (s"meta reseeds=$reseeds batches=$batches" +:
+          // batches counted ANY advance; report incremental ones separately
+          val lines = (s"meta reseeds=$reseeds batches=${batches - reseeds}" +:
             state.toSeq.sorted.map { case (k, v) => s"$k\t$v" })
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(whDir, "consumer-state.txt"),

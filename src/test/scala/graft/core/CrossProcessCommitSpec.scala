@@ -284,9 +284,13 @@ class CrossProcessCommitSpec extends AnyFunSuite {
       s"consumer state diverged from the table ($meta): " +
         s"missing=${(table.toSet -- folded).take(5)} " +
         s"extra=${(folded.toSet -- table).take(5)}")
-    // the consumer must have actually consumed incrementally, not just
-    // re-seeded once at the end
+    // the re-seed path MUST have been taken (the consumer starts only
+    // after expiry pruned the tail, so its from-zero replay refuses), AND
+    // incremental batches must have followed it — neither self-healing
+    // alone nor a single final catch-up can pass
+    val reseeds = "reseeds=(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
     val batches = "batches=(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
-    assert(batches >= 2, s"expected incremental consumption, got $meta")
+    assert(reseeds >= 1, s"re-seed path never exercised: $meta")
+    assert(batches >= 1, s"expected incremental consumption, got $meta")
   }
 }

@@ -219,6 +219,40 @@ class ChangelogSpec extends AnyFunSuite {
       "superset redelivery must fold ONLY the unapplied suffix")
   }
 
+  test("ChangelogStream.reseed: the documented expired-offset recovery — " +
+      "full-state replacement, offset advanced, incremental resume after") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl5",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    val cs = new ChangelogStream(lh, "default.cl5",
+      SparkFixture.tmpDir("graft-cls5-ckpt-"))
+    t.append(df(0 until 5)) // c1
+    assert(cs.processAvailable((_, _) => ()).contains(1L))
+    t.append(df(5 until 10)) // c2
+    t.deleteWhereMor(col("id") < 2) // c3
+    t.append(df(10 until 12)) // c4
+    t.expireSnapshots(retainLast = Some(1))
+    // the offset (1) expired: the incremental path refuses loudly…
+    val e = intercept[IllegalArgumentException](
+      cs.processAvailable((_, _) => fail("must refuse")))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // …and reseed delivers the FULL pinned state + advances the offset
+    var seeded = Seq.empty[Long]
+    assert(cs.reseed((d, toId) => {
+      seeded = d.select("id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(toId == 4L)
+    }).contains(4L))
+    assert(seeded == (2L until 12L), s"seeded: $seeded")
+    assert(cs.lastProcessed.contains(4L))
+    // incremental consumption resumes from the re-seed point
+    t.append(df(12 until 14)) // c5
+    var got = Seq.empty[Long]
+    assert(cs.processAvailable((d, _) =>
+      got = d.select("id").collect().map(_.getLong(0)).toSeq.sorted)
+      .contains(5L))
+    assert(got == Seq(12L, 13L))
+  }
+
   test("expired mid-range history refuses replay instead of double-counting") {
     val lh = newLh()
     val t = lh.catalog.createTable("default.cl4",
