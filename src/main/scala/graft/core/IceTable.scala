@@ -354,15 +354,24 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * commits), turning a bounded replay quadratic in history. Returned
     * in log order; a parent of `None` with `parentId` set means the
     * parent was expired — callers refuse. Consecutive commits share
-    * resolutions (the parent of entry i+1 is usually entry i). */
+    * resolutions (the parent of entry i+1 is usually entry i).
+    *
+    * The result ALSO carries the raw refs the range was computed from
+    * ([[IceTable.LogRange.refs]]): an offset consumer must judge "is my
+    * resume point retained" and "what is the range above it" against the
+    * SAME log snapshot — with separate reads, an expiry landing between
+    * them makes the retention check pass while the range silently loses
+    * the pruned commits (a permanent skip, exactly what the check
+    * refuses). */
   def snapshotRangeWithParents(fromExclusive: Option[Long],
-      toInclusive: Long): List[(Snapshot, Option[Snapshot])] = {
+      toInclusive: Long): IceTable.LogRange = {
     val refs = snapshotRefs
     val byId = refs.iterator.map(r => r.id -> r).toMap
     val cache = scala.collection.mutable.Map.empty[Long, Snapshot]
     def res(r: Snapshot): Snapshot = cache.getOrElseUpdate(r.id, resolve(r))
-    refs.filter(s => fromExclusive.forall(s.id > _) && s.id <= toInclusive)
-      .map(s => (res(s), s.parentId.flatMap(byId.get).map(res)))
+    IceTable.LogRange(refs,
+      refs.filter(s => fromExclusive.forall(s.id > _) && s.id <= toInclusive)
+        .map(s => (res(s), s.parentId.flatMap(byId.get).map(res))))
   }
 
   /** Resolve a time-travel ref: integer snapshot-id first, then a named
@@ -2445,6 +2454,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 }
 
 object IceTable {
+  /** One consistent view of the snapshot log for changelog replay: the
+    * raw entries it was read from plus the resolved `(snapshot, parent)`
+    * range — see [[IceTable.snapshotRangeWithParents]]. */
+  case class LogRange(refs: List[Snapshot],
+      range: List[(Snapshot, Option[Snapshot])])
+
   /** Row-lineage column names used internally by merge-on-read deletes.
     * Prefixed to stay clear of any user column. */
   val LineageFileCol = "_gf_lineage_file"

@@ -80,17 +80,30 @@ object Changelog {
   def changesBetween(tbl: IceTable, fromId: Option[Long], toId: Long,
       pairUpdateKeys: Seq[String] = Nil,
       requireFromRetained: Boolean = true): DataFrame = {
-    // filter RAW log entries (constant-size) first and resolve manifest
-    // lists only for the commits actually replayed — with their parents,
-    // in ONE log read (snapshotRangeWithParents): a bounded tail query on
-    // a 500k-commit table must cost O(range) metadata reads, not
-    // O(history) — the same contract the `_commit_id` pushdown exists for
+    // ONE log read serves the retention check AND the range: with
+    // separate reads an expiry landing between them would pass the check
+    // yet silently drop the pruned commits from the range — a permanent
+    // skip. Raw entries are constant-size; manifest lists resolve only
+    // for the commits actually replayed, so a bounded tail query on a
+    // 500k-commit table costs O(range) metadata reads, not O(history) —
+    // the same contract the `_commit_id` pushdown exists for.
+    val lr = tbl.snapshotRangeWithParents(fromId, toId)
     if (requireFromRetained) fromId.foreach { f =>
-      require(tbl.rawLog.exists(_.id == f),
+      require(lr.refs.exists(_.id == f),
         s"from-snapshot $f is not in the retained log — it may have been " +
           "expired; re-seed the consumer from a full read")
     }
-    val batches = tbl.snapshotRangeWithParents(fromId, toId)
+    framesFor(tbl, lr.range, pairUpdateKeys)
+  }
+
+  /** Union one replay frame per `(snapshot, parent)` pair — the shared
+    * tail of [[changesBetween]] and [[ChangelogStream.processAvailable]]
+    * (which must derive range and head from ONE log read, so it cannot
+    * delegate to changesBetween's own read). */
+  private[streaming] def framesFor(tbl: IceTable,
+      range: List[(graft.core.Snapshot, Option[graft.core.Snapshot])],
+      pairUpdateKeys: Seq[String]): DataFrame = {
+    val batches = range
       .map { case (s, parent) => commitChanges(tbl, s, parent, pairUpdateKeys) }
     if (batches.isEmpty) emptyChangelog(tbl, pairUpdateKeys)
     else batches.reduce(_.unionByName(_))
@@ -303,10 +316,22 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     * offset, or None when there was nothing to process. */
   def processAvailable(sink: (DataFrame, Long) => Unit): Option[Long] = {
     val tbl = lh.catalog.loadTable(table)
-    val head = tbl.currentSnapshot.map(_.id).getOrElse(return None)
     val from = lastProcessed
-    if (from.contains(head)) return None
-    sink(Changelog.changesBetween(tbl, from, head), head)
+    // head, the offset-retention check, and the replay range all derive
+    // from ONE log read: composing separate reads (a head read, then
+    // changesBetween's own) would let an expiry land between them — the
+    // retention check passes against the first read while the range
+    // computed from the second silently loses the pruned commits, and
+    // writeOffset(head) then advances past never-delivered rows forever.
+    val lr = tbl.snapshotRangeWithParents(from, Long.MaxValue)
+    from.foreach { f =>
+      require(lr.refs.exists(_.id == f),
+        s"from-snapshot $f is not in the retained log — it may have been " +
+          "expired; re-seed the consumer from a full read")
+    }
+    if (lr.range.isEmpty) return None // caught up (or empty table)
+    val head = lr.range.last._1.id
+    sink(Changelog.framesFor(tbl, lr.range, Nil), head)
     writeOffset(head)
     Some(head)
   }
@@ -323,7 +348,11 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
   def reseed(sink: (DataFrame, Long) => Unit): Option[Long] = {
     val tbl = lh.catalog.loadTable(table)
     val cur = tbl.currentSnapshot.getOrElse(return None)
-    sink(tbl.readAsOf(cur.id.toString), cur.id)
+    // read the ALREADY-RESOLVED snapshot directly: a readAsOf(cur.id)
+    // would re-read the log, and under the aggressive expiry this API
+    // exists for the snapshot can vanish between the two reads — the
+    // recovery path itself would then throw an unclassifiable error
+    sink(tbl.readSnapshot(Some(cur)), cur.id)
     writeOffset(cur.id)
     Some(cur.id)
   }

@@ -38,6 +38,11 @@ import org.apache.spark.sql.SparkSession
   * validated clone (`C <snapId> <rows>`).
   */
 object CommitStorm {
+  /** Walk an exception's cause chain (self first, bounded) — shared by
+    * the per-mode conflict/refusal classifiers. */
+  private def causeChain(e: Throwable): Iterator[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+
   def main(args: Array[String]): Unit = {
     val (whDir, table, start, count, mode) = args match {
       case Array(w, t, s, c) => (w, t, s, c, "append")
@@ -258,9 +263,8 @@ object CommitStorm {
           // the SQL path surfaces commit conflicts wrapped by Spark's
           // command execution — walk the cause chain for the engine's
           // ConcurrentModificationException and retry with fresh state
-          def isConflict(e: Throwable): Boolean =
-            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
-              .exists(_.isInstanceOf[java.util.ConcurrentModificationException])
+          def isConflict(e: Throwable): Boolean = causeChain(e)
+            .exists(_.isInstanceOf[java.util.ConcurrentModificationException])
           def retrying(attempts: Int)(f: => Unit): Boolean = {
             var a = 0
             while (a < attempts) {
@@ -380,16 +384,22 @@ object CommitStorm {
             (df, _) => state = df.select(col("id"), col("name")).collect()
               .map(r => r.getLong(0) -> r.getString(1)).toMap
           def expiredRefusal(e: Throwable): Boolean =
-            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
-              .exists(c => (c.isInstanceOf[IllegalArgumentException] ||
-                  c.isInstanceOf[java.util.ConcurrentModificationException]) &&
-                c.getMessage != null && c.getMessage.contains("expired"))
+            causeChain(e).exists(c =>
+              (c.isInstanceOf[IllegalArgumentException] ||
+                c.isInstanceOf[java.util.ConcurrentModificationException]) &&
+              c.getMessage != null && c.getMessage.contains("expired"))
           // deterministic re-seed: start only once the history tail is gone
           var lastProgress = System.currentTimeMillis()
           def progressDeadlineHit = System.currentTimeMillis() - lastProgress > 150000
-          while (tbl.rawLog.headOption.forall(_.id <= 1) && !progressDeadlineHit)
+          var expiryBit = tbl.rawLog.headOption.exists(_.id > 1)
+          while (!expiryBit && !progressDeadlineHit) {
             Thread.sleep(50)
-          require(!progressDeadlineHit, "expiry never bit — no tail pruning seen")
+            expiryBit = tbl.rawLog.headOption.exists(_.id > 1)
+          }
+          require(expiryBit, "expiry never bit — no tail pruning seen")
+          // the wait consumed budget the first cold Spark batch needs —
+          // a slow producer startup must not starve the consume loop
+          lastProgress = System.currentTimeMillis()
           var reseeds = 0
           var batches = 0
           val alive = java.nio.file.Paths.get(whDir, "consumer-alive.txt")
@@ -403,7 +413,18 @@ object CommitStorm {
               try cs.processAvailable(fold).isDefined
               catch {
                 case e: Exception if expiredRefusal(e) =>
-                  cs.reseed(replaceAll)
+                  // the re-seed itself can race the producer's expiry
+                  // (its snapshot pinned, but transient read/plan
+                  // failures are possible under churn) — bounded retry,
+                  // each attempt against fresh state
+                  var ok = false
+                  var tries = 0
+                  while (!ok && tries < 50) {
+                    tries += 1
+                    try { cs.reseed(replaceAll); ok = true }
+                    catch { case _: Exception => Thread.sleep(50) }
+                  }
+                  require(ok, "re-seed never succeeded")
                   reseeds += 1
                   true
               }
