@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE (always) and subquery-conditioned DELETE (the shapes the
     // SupportsDelete push-down face refuses) over GraftCatalog tables
     e.injectPlannerStrategy(_ => new graft.engine.GraftRowLevelStrategy)
+    // UPDATEs whose SET values carry CORRELATED subqueries are captured in
+    // their analysis-time shape, before the optimizer pulls the
+    // correlation up into a form only the DSv2 row-level rewrite could
+    // reconstruct — the strategy above then re-optimizes the subquery
+    // inside the engine's own read frames (the supported SELECT-list path)
+    e.injectPostHocResolutionRule(sp =>
+      new graft.engine.GraftCaptureUpdateRule(sp))
     // fallback-state (MoR / schema-history) catalog reads become the
     // engine's own COLUMNAR plan instead of the row-based V1 bridge —
     // builder-installed extensions only (the analyzer is immutable after

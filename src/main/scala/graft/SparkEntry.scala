@@ -1062,6 +1062,62 @@ object SparkEntry {
         s"FROM $cat.default.ord_p.partitions")
     }),
 
+    // CORRELATED scalar subquery in UPDATE SET — the last previously
+    // refused SQL shape: `SET x = (SELECT agg … WHERE corr)` captured at
+    // analysis time ([[graft.engine.GraftCaptureUpdateRule]]) before the
+    // optimizer pulls the correlation up, then decorrelated by Spark's
+    // own rewrite inside the engine's read frames (an aggregate + left
+    // outer join — no per-row subquery at any scale). Both write modes;
+    // the lineitem view drops l_orderkey % 7 == 0 so some matched rows
+    // provably take the zero-tuple NULL. A second plain SET cross-reads
+    // the pre-update row (simultaneous-SET contract).
+    "q189_sql_correlated_update" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh189") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        t(s, dir, "lineitem").where(col("l_orderkey") % 7 =!= 0)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .createOrReplaceTempView("q189_li")
+        val cat = s"g189_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh189", dir))
+        for ((name, props) <- Seq(
+            "ord_qcow" -> Map.empty[String, String],
+            "ord_qmor" -> Map("write.update.mode" -> "merge-on-read"))) {
+          lh.catalog.createTable(s"default.$name", ord.schema, Nil, props)
+          val tb = lh.catalog.loadTable(s"default.$name")
+          tb.append(ord.repartitionByRange(8, col("o_orderkey")))
+          // decimal-exact inner sum so the engine and the DuckDB oracle
+          // agree bit-for-bit on the double they store
+          s.sql(s"""UPDATE $cat.default.$name u SET
+            |  o_totalprice = (SELECT CAST(SUM(CAST(l.l_extendedprice
+            |      AS DECIMAL(18,2))) AS DOUBLE)
+            |    FROM q189_li l WHERE l.l_orderkey = u.o_orderkey),
+            |  o_orderstatus = concat(o_orderstatus, '+')
+            |WHERE o_orderstatus <> 'F'""".stripMargin)
+        }
+        val cow = lh.catalog.loadTable("default.ord_qcow").snapshots.last
+        require(cow.summary.get("rewritten-files").exists(_.toInt > 0),
+          s"CoW correlated UPDATE must land a CoW rewrite: ${cow.summary}")
+        val morT = lh.catalog.loadTable("default.ord_qmor")
+        val Seq(p, c) = morT.snapshots.takeRight(2)
+        require(c.deleteFiles.nonEmpty &&
+          p.files.map(_.path).toSet.subsetOf(c.files.map(_.path).toSet),
+          "MoR correlated UPDATE must position-delete + append")
+        ()
+      }
+      lh.catalog.loadTable("default.ord_qcow").read()
+        .withColumn("mode", lit("cow"))
+        .unionByName(lh.catalog.loadTable("default.ord_qmor").read()
+          .withColumn("mode", lit("mor")))
+        .groupBy(col("mode"), (col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"),
+          count(when(col("o_totalprice").isNull, lit(1))).as("n_null"),
+          count(when(col("o_orderstatus").endsWith("+"), lit(1)))
+            .as("n_updated"))
+    }),
+
     // deterministic epoch shuffle: md5(seed:id) global order WITHOUT a
     // single-task window (GlobalOrder range-partitions + assembles ranks
     // zipWithIndex-style) — reproducible training example order on any
@@ -3727,6 +3783,32 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_aux/wh188_sf0.01/default/ord_p/data/commit-00001/*/*.parquet',
         |  filename=true)
         |GROUP BY 1""".stripMargin,
+    // q189: the correlated-UPDATE final state recomputed from the raw
+    // tables with DuckDB's own correlated scalar subquery; matched rows
+    // with no lineitem under the %7 view take NULL, unmatched keep their
+    // price. Same decimal-exact inner sum as the engine statement.
+    "q189_sql_correlated_update" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey % 7 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus <> 'F'
+        |      THEN (SELECT CAST(SUM(CAST(l.l_extendedprice
+        |             AS DECIMAL(18,2))) AS DOUBLE)
+        |            FROM li l WHERE l.l_orderkey = o.o_orderkey)
+        |      ELSE o_totalprice END AS p,
+        |    CASE WHEN o_orderstatus <> 'F' THEN o_orderstatus || '+'
+        |      ELSE o_orderstatus END AS st
+        |  FROM orders o),
+        |agg AS (
+        |  SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    COUNT(CASE WHEN p IS NULL THEN 1 END) AS n_null,
+        |    COUNT(CASE WHEN st LIKE '%+' THEN 1 END) AS n_updated
+        |  FROM upd GROUP BY 1)
+        |SELECT m.mode, a.bucket, a.n_rows, a.total, a.n_null, a.n_updated
+        |FROM agg a CROSS JOIN (VALUES ('cow'), ('mor')) m(mode)""".stripMargin,
     "q94_pruned_manifest_scan" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, Literal, OuterReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -75,13 +75,23 @@ object GraftRowLevel {
     val byName = DatasetBridge.output(df).map(a => a.name -> a).toMap
     val mapping: Map[ExprId, Attribute] =
       cmdOutput.flatMap(o => byName.get(o.name).map(o.exprId -> _)).toMap
+    // OuterReference is a LEAF expression (its wrapped attribute is a
+    // plain field, not a TreeNode child) — transforms never descend into
+    // it, so the analysis-time correlation shape `outer(attr)` needs its
+    // own case or the inner attribute silently keeps the command's exprId
     def rebindExpr(e: Expression): Expression = e.transformDown {
+      case OuterReference(ar: AttributeReference)
+          if mapping.contains(ar.exprId) =>
+        OuterReference(mapping(ar.exprId))
       case ar: AttributeReference if mapping.contains(ar.exprId) =>
         mapping(ar.exprId)
       case s: SubqueryExpression => s.withNewPlan(rebindPlan(s.plan))
     }
     def rebindPlan(p: LogicalPlan): LogicalPlan = p.transformDown {
       case node => node.transformExpressions {
+        case OuterReference(ar: AttributeReference)
+            if mapping.contains(ar.exprId) =>
+          OuterReference(mapping(ar.exprId))
         case ar: AttributeReference if mapping.contains(ar.exprId) =>
           mapping(ar.exprId)
         case s: SubqueryExpression => s.withNewPlan(rebindPlan(s.plan))
@@ -93,14 +103,9 @@ object GraftRowLevel {
   /** Human-readable condition for the audit log. */
   def describe(e: Expression): String =
     (try e.sql catch { case _: Throwable => e.toString }).take(500)
-}
 
-/** Planner strategy claiming analyzed UPDATE (always) and DELETE (only
-  * when the `SupportsDelete` push-down path cannot serve it) over graft
-  * tables. Anything else returns Nil so Spark's own planning proceeds. */
-class GraftRowLevelStrategy extends SparkStrategy {
-
-  private def graftTable(p: LogicalPlan): Option[GraftSparkTable] = p match {
+  /** The graft DSv2 table under a command's target relation, if any. */
+  def graftTable(p: LogicalPlan): Option[GraftSparkTable] = p match {
     case SubqueryAlias(_, child) => graftTable(child)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
       Some(r.table.asInstanceOf[GraftSparkTable])
@@ -109,8 +114,25 @@ class GraftRowLevelStrategy extends SparkStrategy {
       Some(r.relation.table.asInstanceOf[GraftSparkTable])
     case _ => None
   }
+}
+
+/** Planner strategy claiming analyzed UPDATE (always) and DELETE (only
+  * when the `SupportsDelete` push-down path cannot serve it) over graft
+  * tables. Anything else returns Nil so Spark's own planning proceeds. */
+class GraftRowLevelStrategy extends SparkStrategy {
+
+  private def graftTable(p: LogicalPlan): Option[GraftSparkTable] =
+    GraftRowLevel.graftTable(p)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // analysis-time capture ([[GraftCaptureUpdateRule]]): the stored
+    // command's subqueries are still in their analyzed correlated form,
+    // which rebinds + re-optimizes cleanly inside the engine's frames
+    case c: GraftCapturedUpdate => graftTable(c.captured.u.table) match {
+      case Some(t) => Seq(GraftUpdateExec(t.lakehouse, t.fullIdent,
+        t.isPinned, c.captured.u, preOptimized = true))
+      case None => Nil
+    }
     case u: UpdateTable => graftTable(u.table) match {
       case Some(t) => Seq(GraftUpdateExec(t.lakehouse, t.fullIdent,
         t.isPinned, u))
@@ -133,7 +155,8 @@ class GraftRowLevelStrategy extends SparkStrategy {
   * MoR position-delete+append or partial copy-on-write). Memoized like
   * [[GraftMergeExec]] — a re-executed plan can never update twice. */
 case class GraftUpdateExec(lh: graft.Lakehouse, fullName: String,
-    pinned: Boolean, u: UpdateTable) extends LeafExecNode {
+    pinned: Boolean, u: UpdateTable, preOptimized: Boolean = false)
+    extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
 
   private lazy val result: Array[InternalRow] = {
@@ -145,17 +168,23 @@ case class GraftUpdateExec(lh: graft.Lakehouse, fullName: String,
       u.assignments.forall(a => GraftRowLevel.fullyDeterministic(a.value)),
       "UPDATE with a nondeterministic condition or assignment is not " +
         "supported")
-    // a CORRELATED subquery in a SET value cannot survive the round trip:
-    // the optimizer's PullupCorrelatedPredicates has already rewritten the
+    // a CORRELATED subquery in a SET value cannot survive the optimizer
+    // round trip: PullupCorrelatedPredicates has already rewritten the
     // command's subquery into its pulled-up (join-condition) form, which
-    // only the row-level-operation rewrite knows how to reconstruct —
-    // refuse loudly rather than re-injecting an invalid plan. Uncorrelated
-    // scalar subqueries re-plan cleanly and are supported.
-    u.assignments.foreach(a => a.value.foreach {
+    // only the row-level-operation rewrite knows how to reconstruct.
+    // With builder extensions, [[GraftCaptureUpdateRule]] intercepts such
+    // commands BEFORE the optimizer (`preOptimized = true` here) — their
+    // analysis-time subquery shape rebinds and re-optimizes cleanly, so
+    // they execute. Only a `register`-wired session (immutable analyzer,
+    // no capture rule) still sees the pulled-up shape — refuse loudly
+    // rather than re-inject an invalid plan.
+    if (!preOptimized) u.assignments.foreach(a => a.value.foreach {
       case s: SubqueryExpression if s.getOuterAttrs.nonEmpty =>
         throw new UnsupportedOperationException(
-          "correlated subquery in an UPDATE SET value is not supported — " +
-            "express the update as MERGE INTO instead")
+          "correlated subquery in an UPDATE SET value needs the " +
+            "builder-installed extensions " +
+            "(spark.sql.extensions=graft.GraftExtensions) — or express " +
+            "the update as MERGE INTO instead")
       case _ => ()
     })
     val schema = lh.catalog.loadTable(fullName).schema

@@ -86,17 +86,30 @@ class GraftRowLevelFuzzSpec extends AnyFunSuite {
     else simple
   }
 
-  /** Random SET expressions (old-row semantics) for 1–2 non-id columns. */
-  private def randomSet(cols: Seq[Col], rng: scala.util.Random)
-      : Seq[(String, String)] = {
+  /** Random SET expressions (old-row semantics) for 1–2 non-id columns.
+    * Includes CORRELATED scalar subqueries over the key view (executed
+    * via the analysis-time capture, [[GraftCaptureUpdateRule]]) — among
+    * them `count(*)`, whose zero-tuple value is 0 rather than NULL (the
+    * decorrelation count-bug shape). */
+  private def randomSet(cols: Seq[Col], keysView: String,
+      rng: scala.util.Random): Seq[(String, String)] = {
     val targets = rng.shuffle(cols.filter(_.name != "id").toList)
       .take(1 + rng.nextInt(2))
     targets.map { c =>
-      val e = (c.typ, rng.nextInt(4)) match {
+      val e = (c.typ, rng.nextInt(6)) match {
         case (_, 0) => lit(c, rng)
         case (_, 1) => s"CAST(NULL AS ${c.typ})"
+        case ("long", 2) =>
+          s"(SELECT max(k.w) FROM $keysView k WHERE k.vid = id)"
+        case ("long", 3) =>
+          s"(SELECT count(*) FROM $keysView k WHERE k.vid = id)"
+        case ("double", 2 | 3) =>
+          s"(SELECT sum(k.w) * 0.5 FROM $keysView k WHERE k.vid = id)"
+        case ("string", 2 | 3) =>
+          s"CAST((SELECT min(k.w) FROM $keysView k WHERE k.vid = id) " +
+            "AS string)"
         case ("string", _) => s"concat(coalesce(${c.name}, '_'), 'u')"
-        case (t, _) => s"coalesce(${c.name}, ${lit(c, rng)}) + 1"
+        case (_, _) => s"coalesce(${c.name}, ${lit(c, rng)}) + 1"
       }
       c.name -> e
     }
@@ -135,13 +148,16 @@ class GraftRowLevelFuzzSpec extends AnyFunSuite {
     var applied = 0
     while (applied < nStmts) {
       toDf(model).createOrReplaceTempView(modelView)
-      // a fresh random key set per statement (may be empty)
+      // a fresh random key set per statement (may be empty); `w` feeds
+      // the correlated scalar SET shapes (duplicate vids are deliberate —
+      // aggregated subqueries stay single-valued per key)
       val keys = (0 until rng.nextInt(8)).map(_ =>
-        (rng.nextLong(nextId + 5) + 1): java.lang.Long)
+        (rng.nextLong(nextId + 5) + 1, rng.nextInt(100).toLong))
       spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-          .SeqHasAsJava(keys.map(k => Row(k: Any))).asJava),
-        StructType(Seq(StructField("vid", LongType))))
+          .SeqHasAsJava(keys.map(k => Row(k._1: Any, k._2: Any))).asJava),
+        StructType(Seq(StructField("vid", LongType),
+          StructField("w", LongType))))
         .createOrReplaceTempView(keysView)
       val cond = randomCond(cols, keysView, rng)
       rng.nextInt(5) match {
@@ -154,7 +170,7 @@ class GraftRowLevelFuzzSpec extends AnyFunSuite {
           model = spark.sql(s"SELECT * FROM $modelView " +
             s"WHERE NOT coalesce(($cond), false)").collect().toSeq
         case _ =>
-          val sets = randomSet(cols, rng)
+          val sets = randomSet(cols, keysView, rng)
           spark.sql(s"UPDATE $catName.default.$tbl SET " +
             sets.map { case (c, e) => s"$c = $e" }.mkString(", ") +
             s" WHERE $cond")

@@ -154,8 +154,8 @@ class GraftRowLevelSpec extends AnyFunSuite {
     assert(got == Seq(Some("X"), None, Some("c")), s"got $got")
   }
 
-  test("uncorrelated scalar subquery in SET works; correlated is refused " +
-      "loudly (pulled-up shape cannot be re-injected)") {
+  test("uncorrelated scalar subquery in SET works; correlated scalar " +
+      "subquery in SET executes via analysis-time capture (CoW)") {
     lh.catalog.createTable("default.u5",
       Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
     val t = lh.catalog.loadTable("default.u5")
@@ -167,12 +167,40 @@ class GraftRowLevelSpec extends AnyFunSuite {
     val got = lh.catalog.loadTable("default.u5").read().orderBy("id")
       .collect().map(_.getString(1)).toSeq
     assert(got == Seq("TWO", "b", "c"), s"got $got")
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $catName.default.u5 t SET v = " +
-        "(SELECT label FROM u5_lab s WHERE s.k = t.id) WHERE id <= 2")
-    }
-    assert(e.getMessage.contains("correlated subquery"),
-      s"got: ${e.getMessage}")
+    // correlated: matched rows take the per-key aggregate; a matched row
+    // with NO subquery hit takes NULL (standard scalar-subquery
+    // semantics); unmatched rows keep their value
+    spark.sql(s"UPDATE $catName.default.u5 t SET v = " +
+      "(SELECT max(label) FROM u5_lab s WHERE s.k = t.id) WHERE id >= 2")
+    val got2 = lh.catalog.loadTable("default.u5").read().orderBy("id")
+      .collect().map(r => Option(r.getString(1))).toSeq
+    assert(got2 == Seq(Some("TWO"), Some("TWO"), None), s"got $got2")
+  }
+
+  test("correlated scalar subquery in SET (MoR): position-delete + " +
+      "append, simultaneous with a cross-referencing plain SET") {
+    lh.catalog.createTable("default.u10",
+      Seq("id" -> "long", "v" -> "string", "amt" -> "long"), Nil,
+      Map("write.update.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.u10")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "amt"))
+    val paths = t.currentSnapshot.get.files.map(_.path).toSet
+    Seq((1L, 100L), (1L, 7L), (3L, 5L)).toDF("k", "x")
+      .createOrReplaceTempView("u10_src")
+    // v reads the PRE-update amt (simultaneous-SET contract) while amt
+    // takes the correlated aggregate
+    spark.sql(s"UPDATE $catName.default.u10 t SET " +
+      "amt = (SELECT sum(x) FROM u10_src s WHERE s.k = t.id), " +
+      "v = concat(v, '-', cast(amt AS string)) WHERE id <> 2")
+    val t2 = lh.catalog.loadTable("default.u10")
+    assert(paths.subsetOf(t2.currentSnapshot.get.files.map(_.path).toSet),
+      "MoR correlated UPDATE must keep every parent data file")
+    assert(t2.currentSnapshot.get.deleteFiles.nonEmpty)
+    val got = t2.read().orderBy("id").collect()
+      .map(r => (r.getString(1), Option(r.get(2)).map(_.toString))).toSeq
+    assert(got == Seq(("a-10", Some("107")), ("b", Some("20")),
+      ("c-30", Some("5"))), s"got $got")
   }
 
   test("validation rules fire on SQL UPDATE exactly like the API path") {
