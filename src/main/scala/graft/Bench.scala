@@ -85,8 +85,15 @@ object Bench {
     // estimate of plan cost on a noisy-but-never-faster host); spread =
     // max-min, the per-query noise band a regression must exceed before
     // it means anything.
+    // Default min-of-5 (was 3): three same-tree r18 samples spanned ±20%
+    // normalized, which buries a real 1.5× single-query regression in
+    // host noise. Two more interleaved passes over the top-10 cost <1 min
+    // and cut the per-query min's sampling error roughly in half — the
+    // protocol note: compare ROUNDS on value_normalized, per-QUERY on the
+    // min with its spread; a delta smaller than the query's spread is
+    // host phase, not a plan change.
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
-      .flatMap(_.toIntOption).getOrElse(3)
+      .flatMap(_.toIntOption).getOrElse(5)
     val topK = sys.env.get("SPARK_GRAFT_BENCH_TOPK")
       .flatMap(_.toIntOption).getOrElse(10)
     // watched set: historically drift-flagged queries ride along so their

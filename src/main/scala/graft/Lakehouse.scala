@@ -49,6 +49,31 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
   lazy val importExport = new graft.io.ImportExport(this)
   lazy val backup = new graft.io.Backup(this)
   lazy val formats = new graft.io.FormatResolver(this)
+
+  /** `ALTER TABLE … RENAME TO` across the whole lakehouse: the catalog's
+    * metadata move ([[graft.core.Catalog.renameTable]] — pins first, dir
+    * move as the commit point) plus every ident-keyed governance and
+    * orchestration store. Forward-looking state follows (contracts + their
+    * registry/compliance, SLA policies, retention, validation rules,
+    * lineage edges, clone records, tags/descriptions/bookmarks, column
+    * metadata, notification handlers); HISTORICAL records (the audit log,
+    * notification history) keep the names that were true when written. */
+  def renameTable(oldIdent: String, newIdent: String): Unit = {
+    catalog.renameTable(oldIdent, newIdent)
+    // post-commit followers, each idempotent — a crash between them
+    // leaves that store re-keyable by re-running the same rename
+    contracts.renameTable(oldIdent, newIdent)
+    sla.renameTable(oldIdent, newIdent)
+    retention.renameTable(oldIdent, newIdent)
+    validation.renameTable(oldIdent, newIdent)
+    lineage.renameTable(oldIdent, newIdent)
+    cloning.renameTable(oldIdent, newIdent)
+    tagging.renameTable(oldIdent, newIdent)
+    catalogMetadata.renameTable(oldIdent, newIdent)
+    notifications.renameTable(oldIdent, newIdent)
+    audit.log(graft.core.Catalog.canonicalIdent(newIdent), "rename_table",
+      Map("from" -> graft.core.Catalog.canonicalIdent(oldIdent)))
+  }
 }
 
 object Lakehouse {

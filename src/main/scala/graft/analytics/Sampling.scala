@@ -134,23 +134,47 @@ class Dedup(lh: Lakehouse) {
       "duplicate_rows" -> (total - unique))
   }
 
+  /** One surviving row per key group, picked by min/max of a monotonic
+    * scan-order id via `min_by`/`max_by` STRUCT aggregation. Deliberately
+    * NOT `row_number().over(Window.partitionBy(keys))`: a window funnels
+    * each key's entire group through one task, so one hot key (90% of a
+    * 100 TB table) serializes into a single executor — the canonical
+    * skew killer. min_by/max_by is a partial-aggregable hash aggregate:
+    * hot keys reduce map-side to one candidate row per input partition
+    * before the shuffle, so the hot key's reduce side sees O(partitions)
+    * rows, not O(group). Identical keep-first/last semantics (the
+    * scan-order id is unique, so the pick is total). */
+  private[graft] def keepOneFrame(df: DataFrame, keys: Seq[String],
+      keep: String): DataFrame = {
+    require(keep == "first" || keep == "last",
+      s"keep must be first|last: $keep")
+    require(keys.nonEmpty, "dedup keys must be non-empty")
+    val lower = df.columns.map(_.toLowerCase).toSet
+    def fresh(base: String) = Iterator.iterate(base)(_ + "_")
+      .dropWhile(c => lower.contains(c.toLowerCase)).next()
+    val ordCol = fresh("__graft_ord")
+    val rowCol = fresh("__graft_row")
+    val cols = df.columns.toSeq
+    val packed = struct(cols.map(col): _*)
+    val picked =
+      if (keep == "first") min_by(packed, col(ordCol))
+      else max_by(packed, col(ordCol))
+    df.withColumn(ordCol, monotonically_increasing_id())
+      .groupBy(keys.map(col): _*)
+      .agg(picked.as(rowCol))
+      .select(cols.map(c => col(rowCol).getField(c).as(c)): _*)
+  }
+
   /** Remove duplicate-keyed rows keeping first/last; "first"/"last" are
     * positionally arbitrary in the reference (no ORDER BY, dedup.py:147-160)
     * — here they are deterministic over the scan order. Overwrites the
-    * table; returns removed count. */
+    * table; returns removed count. Skew-safe: see [[keepOneFrame]]. */
   def removeDuplicates(table: String, keys: Seq[String],
       keep: String = "first"): Long = {
     val tbl = lh.catalog.loadTable(table)
     val df = tbl.read()
     val before = df.count()
-    val ord = keep match {
-      case "first" => monotonically_increasing_id().asc
-      case "last" => monotonically_increasing_id().desc
-      case other => throw new IllegalArgumentException(s"keep must be first|last: $other")
-    }
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
-    val deduped = df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val deduped = keepOneFrame(df, keys, keep)
     tbl.overwrite(deduped)
     val removed = before - tbl.currentSnapshot.map(_.totalRows).getOrElse(0L)
     lh.audit.log(table, "remove_duplicates",

@@ -343,6 +343,9 @@ object Cli {
           (if (flags.contains("zero-copy")) " (zero-copy)" else ""))
       case List("clone-promote", name) => lh.cloning.promote(name,
         requireSourceUnchanged = flags.contains("require-unchanged"))
+      case List("rename-table", from, to) =>
+        lh.renameTable(from, to)
+        println(s"renamed $from -> $to")
       case List("advisor-partitions", table) =>
         lh.advisor.suggestPartitions(table).foreach(s =>
           println(f"${s.column}: distinct=${s.distinct} benefit=${s.benefit}%.3f"))
@@ -1660,6 +1663,7 @@ object Cli {
       |         glossary-search glossary-remove notify-add notify-list
       |         notify-history notify-test
       |         audit audit-clear clone clone-promote clone-discard clone-list
+      |         rename-table
       |         advisor-partitions advisor-cost advisor-materializations
       |         advisor-patterns advisor-report
       |

@@ -1365,6 +1365,15 @@ object McpTools {
         s"equality-deleted $matched rows from ${str(a, "table_name")} " +
           "(no data files rewritten)"
       }),
+    ToolDef("graft_rename_table",
+      "Rename a table (metadata move — no data files copied): reads, time travel, tags, MoR delete state, clone pins and every ident-keyed governance store follow the new name.",
+      sch(List("table_name", "new_name"),
+        "table_name" -> S("Current table identifier (ns.table)"),
+        "new_name" -> S("New identifier (ns.table)")),
+      (lh, a) => {
+        lh.renameTable(str(a, "table_name"), str(a, "new_name"))
+        s"renamed ${str(a, "table_name")} -> ${str(a, "new_name")}"
+      }),
     ToolDef("graft_last_touch",
       "Last-touch attribution: credit each conversion to the most recent touch of the same key within the lookback; writes the attribution table.",
       sch(List("table_name", "target_table", "key_col", "ts_col", "tie_col",

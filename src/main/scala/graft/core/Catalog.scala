@@ -168,6 +168,150 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     dest
   }
 
+  /** `ALTER TABLE … RENAME TO` — a METADATA move in the dir-per-table
+    * layout (beyond-parity: the reference's alter_table is column-only,
+    * catalog.py:1103-1180). NO data file is moved or rewritten at any
+    * size; the table's own metadata (log heads, manifest lists,
+    * manifests) stores absolute paths and is textually re-pointed after
+    * the move — O(metadata bytes), the same order as reading the
+    * snapshot log once. Ordering contract, pin-first like
+    * [[cloneTableZeroCopy]]:
+    *
+    *  1. A table with LIVE outgoing zero-copy clone pins refuses to
+    *     rename (exactly like [[dropTable]]): the clones' manifests
+    *     reference data files under THIS directory by absolute path, and
+    *     a move would strand them. Discard/drop the clones first.
+    *  2. If this table is itself a zero-copy clone, a pin tag under the
+    *     NEW clone name lands on its source BEFORE anything moves — at
+    *     every instant at least one live pin names an existing table, so
+    *     a racing `dropTable(source)` is always refused. The OLD pin is
+    *     released only after the move commits. (The clone's manifests
+    *     point into the SOURCE's dir, which does not move — its reads
+    *     are unaffected throughout.)
+    *  3. The directory move is the commit point — one atomic rename(2)
+    *     on a same-filesystem warehouse. A concurrent writer's commit
+    *     CAS either landed before the move (the moved dir carries it) or
+    *     fails loudly on the vanished path — the abort contract racing
+    *     writers already live by ([[IceTable]] commit protocol).
+    *  4. Post-move fixups: re-point the moved metadata's absolute paths
+    *     (each file an atomic replace; any file is wholly old or wholly
+    *     new text, and un-rewritten paths fail LOUDLY on read, never
+    *     resolve to wrong data), drop stale manifest-cache entries under
+    *     the old prefix, and CAS the table's own ident.
+    *
+    * Governance/orchestration stores keyed by ident follow in
+    * [[graft.Lakehouse.renameTable]]. */
+  def renameTable(oldIdent: String, newIdent: String): IceTable =
+    synchronized {
+      val (ons, ot) = parseIdent(oldIdent)
+      val (nns, nt) = parseIdent(newIdent)
+      require(tableExists(oldIdent), s"no such table: $ons.$ot")
+      require(state.namespaces.contains(nns), s"no such namespace: $nns")
+      require(!(ons == nns && ot == nt),
+        s"rename target equals the source: $ons.$ot")
+      require(!tableExists(newIdent), s"table exists: $nns.$nt")
+      val oldDir = tableDir(ons, ot)
+      val old = new IceTable(spark, oldDir)
+      // step 1: live outgoing pins refuse, mirroring dropTable
+      val livePins = old.tags.keys
+        .filter(_.startsWith("clone-")).map(_.stripPrefix("clone-"))
+        .filter(c => c != s"$ons.$ot" && tableExists(c))
+      require(livePins.isEmpty,
+        s"table $ons.$ot is referenced by zero-copy clones: " +
+          s"${livePins.mkString(", ")} — drop or discard them first")
+      // step 2: pin-first re-pin of our own source under the NEW name
+      val clonedFrom =
+        old.meta.properties.get(ClonedFromKey).filter(tableExists)
+      clonedFrom.foreach { srcIdent =>
+        val src = loadTable(srcIdent)
+        src.tags.get(s"clone-$ons.$ot").foreach { pinned =>
+          src.tagSnapshot(s"clone-$nns.$nt", Some(pinned.toString))
+        }
+      }
+      val newDir = tableDir(nns, nt)
+      Files.createDirectories(newDir.getParent)
+      val oldPrefix = oldDir.toAbsolutePath.toString + "/"
+      val newPrefix = newDir.toAbsolutePath.toString + "/"
+      // the commit point (step 3): ATOMIC_MOVE = rename(2) or fail — a
+      // copy+delete fallback would race concurrent writers non-atomically
+      Files.move(oldDir, newDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // step 4: re-point every absolute path in the moved metadata
+      // (meta.json + meta-v + log heads + legacy snapshots.json +
+      // manifests — never the data files themselves)
+      val metaFiles =
+        List(newDir.resolve("meta.json"), newDir.resolve("snapshots.json"))
+          .filter(Files.exists(_)) ++
+        List("meta-v", "heads", "manifests").map(newDir.resolve)
+          .filter(Files.isDirectory(_)).flatMap { d =>
+            val s = Files.list(d)
+            try s.iterator().asScala.toList finally s.close()
+          }.filter(_.getFileName.toString.endsWith(".json"))
+      metaFiles.foreach { p =>
+        val txt = Jsons.readString(p)
+        if (txt.contains(oldPrefix))
+          Jsons.writeString(p, txt.replace(oldPrefix, newPrefix))
+      }
+      Manifests.invalidatePrefix(oldPrefix)
+      val moved = new IceTable(spark, newDir)
+      // position-delete parquet stores row identities as (file_path, pos)
+      // whose file_path strings are ABSOLUTE (in _metadata URI form) —
+      // re-point those too or every read/replay/compaction comparing them
+      // against live lineage silently stops matching. Each file rewrites
+      // IN PLACE (same path and name — the re-pointed manifests reference
+      // it); O(deleted rows) total, tiny by merge-on-read design, and no
+      // DATA file is ever touched. Foreign delete files (a zero-copy
+      // clone referencing its source's) live outside the moved dir and
+      // are skipped — their targets did not move.
+      val delPaths = moved.snapshots.flatMap(_.deleteFiles.map(_.path))
+        .distinct.filter(_.startsWith(newPrefix))
+      if (delPaths.nonEmpty) {
+        val rewriteDir = Files.createTempDirectory("graft-rename-del-")
+        val esc = (s: String) => s.replace("'", "''")
+        delPaths.foreach { p =>
+          val out = rewriteDir.resolve(java.util.UUID.randomUUID().toString)
+          spark.read.schema(IceTable.DeleteSchema).parquet(p)
+            .selectExpr(
+              s"replace(file_path, '${esc(oldPrefix)}', " +
+                s"'${esc(newPrefix)}') AS file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .coalesce(1)
+            .write.parquet(out.toString)
+          val part = {
+            val s = Files.list(out)
+            try s.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(throw new IllegalStateException(
+                s"delete-file rewrite of $p produced no parquet"))
+            finally s.close()
+          }
+          val target = Paths.get(p)
+          Files.move(part, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // Hadoop's ChecksumFileSystem keeps a `.<name>.crc` sidecar per
+          // local file — the replaced parquet must carry the NEW content's
+          // checksum or every later read fails verification
+          def crcOf(d: Path, name: String) = d.resolve(s".$name.crc")
+          val newCrc = crcOf(out, part.getFileName.toString)
+          val targetCrc = crcOf(target.getParent,
+            target.getFileName.toString)
+          if (Files.exists(newCrc))
+            Files.move(newCrc, targetCrc,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else Files.deleteIfExists(targetCrc)
+        }
+        val walk = Files.walk(rewriteDir)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      moved.renameIdent(nns, nt)
+      clonedFrom.foreach { srcIdent =>
+        loadTable(srcIdent).removeTag(s"clone-$ons.$ot")
+      }
+      moved
+    }
+
   def dropTable(ident: String): Unit = synchronized {
     val (ns, t) = parseIdent(ident)
     val dir = tableDir(ns, t)
@@ -238,6 +382,17 @@ object Catalog {
   val ClonedFromKey = "graft.cloned-from"
 
   case class CatalogState(namespaces: Map[String, Map[String, String]])
+
+  /** Canonical `"ns.t"` form — the shape governance stores re-key on
+    * during [[Catalog.renameTable]] (users may have keyed a store with
+    * the short `"t"` form; both must follow the rename). TOTAL: an
+    * unparseable key comes back unchanged rather than failing the whole
+    * rename over one stray store entry. */
+  def canonicalIdent(ident: String): String = ident.split('.') match {
+    case Array(t) => s"$DefaultNamespace.$t"
+    case Array(ns, t) => s"$ns.$t"
+    case _ => ident
+  }
 
   /** `"t"` → `("default","t")`; `"ns.t"` → `("ns","t")` (dedup.py:6-9). */
   def parseIdent(ident: String): (String, String) = ident.split('.') match {

@@ -98,7 +98,15 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         // `f` returning the input unchanged (no-op evolution, idempotent
         // re-apply) must not burn a metadata version per call
         if (next eq m) return m
-        Files.createDirectories(metaVersionsDir)
+        if (!Files.isDirectory(metaVersionsDir)) {
+          // same zombie-resurrection guard as casLog: never recreate the
+          // CAS dir of a table whose directory was dropped/renamed under
+          // this writer — fail loudly instead of committing into a dir
+          // no catalog entry points at anymore
+          require(Files.exists(metaPath),
+            s"table directory vanished mid-update (dropped or renamed): $dir")
+          Files.createDirectories(metaVersionsDir)
+        }
         val tmp = metaVersionsDir.resolve(
           s".cas-${java.util.UUID.randomUUID()}.tmp")
         try {
@@ -179,7 +187,20 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     * Returns false when another writer — thread or PROCESS — claimed the
     * version first; the caller re-reads and retries. */
   private def casLog(expected: Long, entries: List[Snapshot]): Boolean = {
-    Files.createDirectories(headsDir)
+    if (!Files.isDirectory(headsDir)) {
+      // a missing heads dir is either a pre-first-commit table (meta.json
+      // present — create it) or a table dir dropped/renamed under this
+      // writer's feet (meta.json gone too). A blind createDirectories in
+      // the second case would RESURRECT a zombie directory and let the
+      // CAS "succeed" into a table that no longer exists — a silently
+      // lost commit that violates the abort contract (returned ⇒ in the
+      // final state). Fail loudly instead; a racing drop/rename then
+      // surfaces exactly like any other lost CAS: the statement throws
+      // and leaves no trace.
+      require(Files.exists(metaPath),
+        s"table directory vanished mid-commit (dropped or renamed): $dir")
+      Files.createDirectories(headsDir)
+    }
     val tmp = headsDir.resolve(s".cas-${java.util.UUID.randomUUID()}.tmp")
     try {
       Files.write(tmp, Jsons.write(compactLog(entries))
@@ -2401,6 +2422,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
 
   def setProperty(k: String, v: String): Unit = {
     updateMeta(m => m.copy(properties = m.properties + (k -> v))); ()
+  }
+
+  /** Rewrite this table's own identity after a [[Catalog.renameTable]]
+    * directory move — same metadata CAS as every other meta change. */
+  private[graft] def renameIdent(ns: String, t: String): Unit = {
+    updateMeta(m => m.copy(namespace = ns, name = t)); ()
   }
   def removeProperty(k: String): Unit = {
     updateMeta(m => m.copy(properties = m.properties - k)); ()

@@ -50,6 +50,20 @@ object Manifests {
     }
   }
 
+  /** Drop every cached manifest under `prefix`. Used by
+    * [[Catalog.renameTable]], which moves a table dir: the cache's
+    * immutability premise ("a path's content never changes") holds for
+    * the moved paths only until a table created LATER at the old path
+    * writes a same-named manifest there — evicting the stale keys at
+    * move time closes that aliasing window. */
+  private[core] def invalidatePrefix(prefix: String): Unit = {
+    val it = cache.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k.startsWith(prefix)) cache.remove(k)
+    }
+  }
+
   def writeList(path: Path, list: ManifestList): String = {
     Jsons.writeFile(path, list)
     path.toString

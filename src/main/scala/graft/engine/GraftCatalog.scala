@@ -225,8 +225,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else { cat.dropTable(full); true }
   }
 
+  /** `ALTER TABLE cat.ns.t RENAME TO ns2.t2` — the lakehouse-wide rename
+    * (dir move + clone pins + every ident-keyed governance store; see
+    * [[graft.Lakehouse.renameTable]]). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+    lakehouse.renameTable(identOf(oldIdent), identOf(newIdent))
 
   // ---- stored procedures (`CALL cat.system.<proc>(…)`) -------------------
 

@@ -84,6 +84,27 @@ class Contracts(lh: Lakehouse) {
     Jsons.writeFile(path, load() - table)
   }
 
+  /** Follow a [[graft.core.Catalog.renameTable]]: re-key the live
+    * contract, its version history, the consumer/producer registry and
+    * the compliance history (keys may be short or ns-qualified — both
+    * forms follow). */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      def rekey[V](m: Map[String, V])(fix: V => V): Map[String, V] =
+        m.map { case (k, v) =>
+          if (canonicalIdent(k) == f) t -> fix(v) else k -> v
+        }
+      Jsons.writeFile(path, rekey(load())(_.copy(table = t)))
+      Jsons.writeFile(histPath,
+        rekey(loadHist())(_.map(_.copy(table = t))))
+      Jsons.writeFile(regPath, rekey(registry())(identity))
+      Jsons.writeFile(compPath,
+        rekey(complianceHistoryAll())(_.map(_.copy(table = t))))
+    }
+
   /** Create-or-update from a full contract document (reference cli.py
     * contract apply): new tables get v1, existing ones a version bump with
     * the old contract snapshotted into history. */

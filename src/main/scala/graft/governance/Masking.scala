@@ -95,6 +95,21 @@ class Sla(lh: Lakehouse) {
     Jsons.writeFile(path, load() - table)
   }
 
+  /** Follow a [[graft.core.Catalog.renameTable]]: re-key the policy and
+    * the check history under the new ident. */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      Jsons.writeFile(path, load().map { case (k, v) =>
+        if (canonicalIdent(k) == f) t -> v.copy(table = t) else k -> v
+      })
+      Jsons.writeFile(histPath, loadHist().map { case (k, v) =>
+        if (canonicalIdent(k) == f) t -> v else k -> v
+      })
+    }
+
   def check(table: String): List[SlaViolation] = {
     val p = load().getOrElse(table, return Nil)
     val tbl = lh.catalog.loadTable(table)

@@ -46,6 +46,25 @@ class Tagging(lh: Lakehouse) {
 
   def bookmarks(): List[String] = load().bookmarks
 
+  /** Follow a [[graft.core.Catalog.renameTable]]: tags, description and
+    * bookmark entries re-key under the new ident. */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      def rekey[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) =>
+          if (canonicalIdent(k) == f) t -> v else k -> v
+        }
+      val s = load()
+      Jsons.writeFile(path, s.copy(
+        tags = rekey(s.tags),
+        descriptions = rekey(s.descriptions),
+        bookmarks = s.bookmarks
+          .map(b => if (canonicalIdent(b) == f) t else b).distinct))
+    }
+
   /** Search across table names, tags, descriptions + catalog names. */
   def search(q: String): List[String] = {
     val s = load()
@@ -115,6 +134,23 @@ class CatalogMetadata(lh: Lakehouse) {
         t.definition.toLowerCase.contains(needle) ||
         t.aliases.exists(_.toLowerCase.contains(needle))).toList.sortBy(_.term)
   }
+
+  /** Follow a [[graft.core.Catalog.renameTable]]: column descriptions and
+    * classifications re-key (the glossary is table-independent). */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      def rekey[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) =>
+          if (canonicalIdent(k) == f) t -> v else k -> v
+        }
+      val s = load()
+      Jsons.writeFile(path, s.copy(
+        columnDescriptions = rekey(s.columnDescriptions),
+        classifications = rekey(s.classifications)))
+    }
 
   /** Enriched schema: column → (type, description, classification, glossary
     * terms substring-matched on the column name, catalog_metadata.py:243-250). */
@@ -188,6 +224,18 @@ class Notifications(lh: Lakehouse) {
     if (matched.nonEmpty) Jsons.writeFile(path, kept)
     matched.nonEmpty
   }
+
+  /** Follow a [[graft.core.Catalog.renameTable]] (handlers only — the
+    * notification HISTORY is a historical record and keeps old names). */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      Jsons.writeFile(path, load().map(h =>
+        if (h.table != "*" && canonicalIdent(h.table) == f)
+          h.copy(table = t) else h))
+    }
 
   /** Fire an event; called from e.g. the contract monitor
     * (contracts.py:726-734). Best-effort per handler. */
@@ -320,4 +368,19 @@ class Cloning(lh: Lakehouse) {
   }
 
   def list(): List[CloneRecord] = load()
+
+  /** Follow a [[graft.core.Catalog.renameTable]]: a renamed CLONE keeps
+    * its promotable fork record; a renamed SOURCE keeps its clones
+    * promotable back into it under the new name. */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      Jsons.writeFile(path, load().map { r =>
+        val r1 = if (canonicalIdent(r.original) == f) r.copy(original = t)
+                 else r
+        if (canonicalIdent(r1.cloneName) == f) r1.copy(cloneName = t) else r1
+      })
+    }
 }

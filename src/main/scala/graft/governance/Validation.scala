@@ -55,6 +55,17 @@ class ValidationStore(path: Path) {
     save(rs.filterNot(_.id == id))
   }
 
+  /** Follow a [[graft.core.Catalog.renameTable]]: rules gate writes, so
+    * a stale table key would silently stop enforcing after a rename. */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      save(load().map(r =>
+        if (canonicalIdent(r.table) == f) r.copy(table = t) else r))
+    }
+
   /** Validate candidate rows (plus uniqueness vs existing). Returns failures;
     * empty = valid. */
   def validate(table: String, candidate: DataFrame,

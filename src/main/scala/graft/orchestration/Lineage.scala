@@ -33,6 +33,20 @@ class Lineage(lh: Lakehouse) {
 
   def edges(): List[LineageEdge] = load()
 
+  /** Follow a [[graft.core.Catalog.renameTable]]: the renamed table keeps
+    * its position in the DAG under its new name (edges store normalized
+    * `ns.t` strings on both sides). */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      val f = normalize(from)
+      val t = normalize(to)
+      Jsons.writeFile(path, load().map { e =>
+        e.copy(
+          sources = e.sources.map(s => if (s == f) t else s).distinct.sorted,
+          target = if (e.target == f) t else e.target)
+      })
+    }
+
   /** Remove every edge targeting `table` (reference lineage remove);
     * returns how many were dropped. */
   def removeEdges(target: String): Int = synchronized {

@@ -105,6 +105,17 @@ class Retention(lh: Lakehouse) {
     else { Jsons.writeFile(path, m - table); true }
   }
 
+  /** Follow a [[graft.core.Catalog.renameTable]]. */
+  private[graft] def renameTable(from: String, to: String): Unit =
+    synchronized {
+      import graft.core.Catalog.canonicalIdent
+      val f = canonicalIdent(from)
+      val t = canonicalIdent(to)
+      Jsons.writeFile(path, load().map { case (k, v) =>
+        if (canonicalIdent(k) == f) t -> v.copy(table = t) else k -> v
+      })
+    }
+
   /** Dry-run returns would-expire ids; otherwise expires them
     * (retention.py:228-231 delegates to retain_last semantics). */
   def evaluate(table: String, dryRun: Boolean = true): List[Long] = {

@@ -135,15 +135,24 @@ object Changelog {
         // append never carries new delete state)
         else stamp(tbl.readSnapshot(Some(s.copy(files = added,
           deleteFiles = Nil, eqDeleteFiles = Nil))), "insert")
-      case "update" if pairUpdateKeys.nonEmpty =>
+      // update-shaped commits pair: MoR updates (operation "update") AND
+      // partial-CoW row-level rewrites, which commit as "overwrite" with
+      // a matched-rows summary (Dml.updateBy/update via rewriteWhereCow)
+      // — without this arm a CoW UPDATE replays as bare delete+insert
+      // while the same statement in MoR mode pairs, an asymmetry no
+      // consumer should have to know about
+      case op if pairUpdateKeys.nonEmpty && (op == "update" ||
+          (op == "overwrite" && s.summary.contains("matched-rows"))) =>
         val cols = tbl.schema.fieldNames.toSeq
         // MoR update-shaped commits (update/replace-where/merge: position
         // deletes + appended files) pair from the commit's OWN delta —
         // O(touched), see morDelta — with the key join over two
         // touched-sized frames. True rewrites keep the exceptAll
         // classification (classifyChanges), the only exact answer once
-        // files are rewritten; either way the pairing join costs the same
-        // as the unpaired path plus a changed-set-sized join.
+        // files are rewritten (rewriteDelta's shared-file cancellation is
+        // NOT pairing-safe — see its scaladoc — so the paired CoW replay
+        // deliberately pays the full before/after read); either way the
+        // pairing join costs the changed-set-sized key join on top.
         val classified = parent.flatMap(p => tbl.morDelta(p, s)) match {
           case Some((removed, added)) =>
             graft.analytics.Cdc

@@ -53,38 +53,54 @@ object ScaleExponent {
 
     val work = java.nio.file.Files.createTempDirectory("graft-scalexp-")
 
-    // ---- synthesize the two legs ------------------------------------
-    def replicate(base: DataFrame, reps: Int)(one: Int => DataFrame)
-        : DataFrame =
-      (0 until reps).map(one).reduce(_.unionByName(_))
+    // optional family subset (e.g. "ppjoin,global_order" for the x1000
+    // leg — running every family at 1000× would synthesize and scan
+    // tens of GB for families whose exponent is already settled)
+    val families = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(f: String): Boolean = families.forall(_.contains(f))
+
+    // ---- synthesize the legs -----------------------------------------
+    // CROSS-JOIN replication (replica id as a column), not an N-branch
+    // union: a 1000-way unionByName would hand Catalyst a thousand-branch
+    // plan to analyze per leg. Replica 0 keeps the original rows VERBATIM
+    // (the x1 leg stays a strict subset of every larger leg); every other
+    // replica offsets its keys and tags its tokens so no shingle, join
+    // key or graph edge ever crosses replicas — an R× corpus from the
+    // same distribution, never "the same corpus ingested R times".
+    def reps(n: Int): DataFrame =
+      spark.range(n.toLong).select(col("id").as("__r"))
 
     val docs0 = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    def docsRep(reps: Int): DataFrame = replicate(docs0, reps) { r =>
-      if (r == 0) docs0
-      else docs0.select(
-        (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
-        // per-replica token tag: intra-replica similarity structure is
-        // preserved exactly, cross-replica shingles never match
+    def docsRep(n: Int): DataFrame = docs0.crossJoin(reps(n)).select(
+      (col("doc_id") + col("__r") * 1000000L).as("doc_id"),
+      when(col("__r") === 0L, col("text")).otherwise(
         array_join(transform(split(col("text"), "\\s+"),
-          w => concat(w, lit("_" + r))), " ").as("text"))
-    }
+          w => concat(w, lit("_"), col("__r"))), " ")).as("text"))
     val ev0 = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    def evRep(reps: Int): DataFrame = replicate(ev0, reps) { r =>
-      ev0.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
-        col("ts"), (col("user_id") + lit(r * 10000000L)).as("user_id"),
-        col("event_type"))
-    }
+    def evRep(n: Int): DataFrame = ev0.crossJoin(reps(n)).select(
+      (col("event_id") + col("__r") * 100000000L).as("event_id"),
+      col("ts"), (col("user_id") + col("__r") * 10000000L).as("user_id"),
+      col("event_type"))
     val li0 = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
-    def liRep(reps: Int): DataFrame = replicate(li0, reps) { r =>
-      li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
-        (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"),
-        col("l_extendedprice"))
-    }
-    for (s <- scales; (name, df) <- Seq(s"docs_x$s" -> docsRep(s),
-        s"ev_x$s" -> evRep(s), s"li_x$s" -> liRep(s)))
+    def liRep(n: Int): DataFrame = li0.crossJoin(reps(n)).select(
+      (col("l_orderkey") + col("__r") * 100000000L).as("l_orderkey"),
+      (col("l_partkey") + col("__r") * 10000000L).as("l_partkey"),
+      col("l_extendedprice"))
+
+    // synthesize only what the selected families read — the x1000 legs
+    // are GBs each
+    val needDocs = Seq("lsh_uncapped", "lsh_capped30", "ppjoin").exists(enabled)
+    val needLi = Seq("triangles", "global_order").exists(enabled)
+    val needEv = Seq("pagerank", "cms_stream").exists(enabled)
+    for (s <- scales;
+         (name, df) <- Seq(s"docs_x$s" -> (if (needDocs) Some(docsRep(s)) else None),
+           s"ev_x$s" -> (if (needEv) Some(evRep(s)) else None),
+           s"li_x$s" -> (if (needLi) Some(liRep(s)) else None))
+           .collect { case (n, Some(d)) => (n, d) })
       df.repartition(cpus.toInt).write.mode("overwrite")
         .parquet(s"$work/$name")
 
@@ -148,13 +164,20 @@ object ScaleExponent {
         s""""result":${m._1},"sec":${f"${m._2}%.2f"}}""")
     }
     // interleave the scales per family so host drift hits all legs alike
-    for (s <- scales) emit("lsh_uncapped", s"x$s", timed(lsh(rd(s"docs_x$s"), 0)))
-    for (s <- scales) emit("lsh_capped30", s"x$s", timed(lsh(rd(s"docs_x$s"), 30)))
-    for (s <- scales) emit("ppjoin", s"x$s", timed(ppjoin(rd(s"docs_x$s"))))
-    for (s <- scales) emit("triangles", s"x$s", timed(triangles(rd(s"li_x$s"))))
-    for (s <- scales) emit("pagerank", s"x$s", timed(pagerank(rd(s"ev_x$s"))))
-    for (s <- scales) emit("global_order", s"x$s", timed(globalOrder(rd(s"li_x$s"))))
-    for (s <- scales) emit("cms_stream", s"x$s", timed(cmsStream(s"ev_x$s")))
+    if (enabled("lsh_uncapped"))
+      for (s <- scales) emit("lsh_uncapped", s"x$s", timed(lsh(rd(s"docs_x$s"), 0)))
+    if (enabled("lsh_capped30"))
+      for (s <- scales) emit("lsh_capped30", s"x$s", timed(lsh(rd(s"docs_x$s"), 30)))
+    if (enabled("ppjoin"))
+      for (s <- scales) emit("ppjoin", s"x$s", timed(ppjoin(rd(s"docs_x$s"))))
+    if (enabled("triangles"))
+      for (s <- scales) emit("triangles", s"x$s", timed(triangles(rd(s"li_x$s"))))
+    if (enabled("pagerank"))
+      for (s <- scales) emit("pagerank", s"x$s", timed(pagerank(rd(s"ev_x$s"))))
+    if (enabled("global_order"))
+      for (s <- scales) emit("global_order", s"x$s", timed(globalOrder(rd(s"li_x$s"))))
+    if (enabled("cms_stream"))
+      for (s <- scales) emit("cms_stream", s"x$s", timed(cmsStream(s"ev_x$s")))
     out.append("]")
     println(out.toString)
     spark.stop()

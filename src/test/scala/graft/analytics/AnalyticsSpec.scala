@@ -117,6 +117,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("d").readAsOf("1").count() == 6)
   }
 
+  test("dedup keep-first/last: planted 90%-one-key skew dedups through a " +
+      "hash aggregate — no Window over partitionBy(keys) in the plan") {
+    val lh = newLh()
+    // 90% of rows share key 0 — a window dedup would funnel them all
+    // through ONE task; the min_by/max_by plan partial-aggregates them
+    // map-side instead
+    val rows = (0 until 1000).map(i =>
+      (if (i % 10 == 0) i.toLong / 10 + 1 else 0L, i.toLong))
+    val df = rows.toDF("k", "pos").coalesce(1) // one partition: scan order = row order
+    val first = lh.dedup.keepOneFrame(df, Seq("k"), "first")
+    val plan = first.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keep-first dedup must not plan a Window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), s"expected an aggregate plan:\n$plan")
+    // keep-first over scan order: key 0's survivor is its FIRST row (pos 1)
+    val got = first.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == 1L, s"keep-first must pick key 0's first row: $got")
+    assert(got.size == 101) // 100 singleton keys + the hot key
+    val last = lh.dedup.keepOneFrame(df, Seq("k"), "last")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(last(0L) == 999L, s"keep-last must pick key 0's last row: $last")
+    // schema/order preserved exactly
+    assert(first.columns.toSeq == Seq("k", "pos"))
+  }
+
   test("quality score components + anomaly detection") {
     val lh = seeded()
     lh.validation.addRule(ValidationRule("q1", "m", "not_null", List("v")))

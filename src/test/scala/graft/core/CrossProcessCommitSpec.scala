@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 
@@ -292,5 +294,54 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     val batches = "batches=(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
     assert(reseeds >= 1, s"re-seed path never exercised: $meta")
     assert(batches >= 1, s"expected incremental consumption, got $meta")
+  }
+
+  test("RENAME racing a real appending process: commits land in the " +
+      "renamed table or abort loudly — never into a resurrected zombie " +
+      "of the old path") {
+    val wh = SparkFixture.tmpDir("graft-xrename-").toString
+    val cat = Catalog.open(spark, wh)
+    val tbl = cat.createTable("rn",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    tbl.append(Seq((0L, "seed")).toDF("id", "name")) // snapshot 1
+    val perProc = 25
+    val p = launch(Seq(wh, "rn", "1000", perProc.toString))
+    // let the storm get some commits in, then move the table under it
+    Thread.sleep(6000)
+    cat.renameTable("rn", "rn2")
+    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "storm process did not finish in time")
+    // exit 0 (storm finished before the move) and nonzero (a commit lost
+    // the race and aborted LOUDLY) are both legal — silence + loss is not
+    val t2 = cat.loadTable("rn2")
+    val log = t2.rawLog
+    assert(log.map(_.id) == (1L to log.size).toList,
+      s"renamed log must stay dense + linear: ${log.map(_.id)}")
+    // landed rows are the seed + a PREFIX of the storm sequence: append
+    // mode dies at its first failed commit, so nothing lands after a gap
+    val ids = t2.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val n = ids.size - 1
+    assert(ids == 0L +: (0 until n).map(1000L + _),
+      s"rows must be seed + a storm prefix, got $ids")
+    assert(log.size == n + 1, "every landed row = exactly one commit")
+    // NO zombie: whatever the racing writer resurrected at the old path,
+    // it is not a table — no meta.json, no committed head (the casLog
+    // liveness guard refuses to recreate the CAS dir)
+    val oldDir = java.nio.file.Paths.get(wh, "default", "rn")
+    assert(!java.nio.file.Files.exists(oldDir.resolve("meta.json")),
+      "old path must not hold a table after rename")
+    val zombieHeads = oldDir.resolve("heads")
+    if (java.nio.file.Files.isDirectory(zombieHeads)) {
+      val s = java.nio.file.Files.list(zombieHeads)
+      val committed =
+        try s.iterator().asScala.exists(
+          _.getFileName.toString.matches("v-\\d+\\.json"))
+        finally s.close()
+      assert(!committed, "a commit CAS'd into the zombie old path — lost")
+    }
+    assert(!cat.tableExists("rn"))
+    // the renamed table keeps committing at its new path
+    t2.append(Seq((9999L, "post")).toDF("id", "name"))
+    assert(cat.loadTable("rn2").read().count() == ids.size + 1)
   }
 }

@@ -742,4 +742,91 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $catName.sales.ct")
     spark.sql(s"DROP TABLE $catName.sales.ctp")
   }
+
+  test("ALTER TABLE … RENAME TO: metadata move — reads, time travel, " +
+      "tags, MoR delete state and governance stores all follow; the " +
+      "commit protocol is intact at the new path") {
+    val rows = (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    lh.catalog.createTable("default.rn_a", rows.schema, Nil,
+      Map("write.delete.mode" -> "merge-on-read"))
+    val t = lh.catalog.loadTable("default.rn_a")
+    t.append(rows.where(col("id") < 30).coalesce(1))
+    t.append(rows.where(col("id") >= 30).coalesce(1))
+    t.tagSnapshot("v1", Some("1"))
+    // MoR position-delete state: delete-manifest paths must survive the
+    // move (the rename re-points every absolute metadata path)
+    lh.dml.delete("default.rn_a", "id >= 55")
+    lh.sla.setPolicy(graft.governance.SlaPolicy("default.rn_a",
+      minRowCount = Some(1L)))
+    lh.retention.setPolicy(graft.orchestration.RetentionPolicy(
+      "default.rn_a", maxSnapshots = Some(100)))
+    lh.validation.addRule(graft.governance.ValidationRule(
+      "rn-nn", "default.rn_a", "not_null", List("v")))
+    lh.lineage.record(Seq("default.rn_a"), "default.rn_downstream", "ctas")
+    lh.tagging.addTag("default.rn_a", "golden")
+    spark.sql(s"ALTER TABLE $catName.default.rn_a RENAME TO default.rn_b")
+    assert(!lh.catalog.tableExists("default.rn_a"))
+    val t2 = lh.catalog.loadTable("default.rn_b")
+    assert(t2.read().count() == 55,
+      "MoR delete state must apply through the re-pointed manifests")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catName.default.rn_b")
+      .head.getLong(0) == 55)
+    // time travel: snapshot ids and tags resolve on the new name
+    assert(t2.readAsOf("1").count() == 30)
+    assert(t2.readAsOf("v1").count() == 30)
+    // governance stores followed the rename
+    assert(lh.sla.policy("default.rn_b").isDefined &&
+      lh.sla.policy("default.rn_a").isEmpty)
+    assert(lh.retention.policy("default.rn_b").isDefined)
+    assert(lh.validation.listRules(Some("default.rn_b")).nonEmpty)
+    assert(lh.lineage.edges().exists(_.sources.contains("default.rn_b")))
+    assert(!lh.lineage.edges().exists(_.sources.contains("default.rn_a")))
+    assert(lh.tagging.tags("default.rn_b") == List("golden"))
+    // the commit protocol still works at the new path (heads CAS, stage
+    // claim, manifest append)
+    t2.append(Seq((100L, "post")).toDF("id", "v"))
+    assert(lh.catalog.loadTable("default.rn_b").read().count() == 56)
+    // validation rules gate writes under the NEW name (a stale key would
+    // silently stop enforcing)
+    intercept[Exception] {
+      lh.dml.insertRows("default.rn_b",
+        Seq(Map[String, Any]("id" -> 200, "v" -> null)))
+    }
+    // old name is reusable afterwards
+    lh.catalog.createTable("default.rn_a",
+      Seq("x" -> "long"), Nil, Map.empty)
+    assert(lh.catalog.loadTable("default.rn_a").read().count() == 0)
+  }
+
+  test("rename × zero-copy clones: a pinned SOURCE refuses to rename; " +
+      "renaming the CLONE re-pins under the new name with no unpinned " +
+      "window and keeps its promote/discard lifecycle") {
+    val rows = (0 until 40).map(i => (i.toLong, s"s$i")).toDF("id", "v")
+    lh.catalog.createTable("default.rn_s", rows.schema, Nil, Map.empty)
+    lh.catalog.loadTable("default.rn_s").append(rows)
+    lh.cloning.clone("default.rn_s", "default.rn_c", zeroCopy = true)
+    // the clone's manifests reference data files under the source dir —
+    // moving the source would strand them, exactly like dropping it
+    val e = intercept[Exception] {
+      lh.renameTable("default.rn_s", "default.rn_s2")
+    }
+    assert(e.getMessage.contains("zero-copy clones"), e.getMessage)
+    assert(lh.catalog.tableExists("default.rn_s"), "refusal must not move")
+    // renaming the CLONE: pin follows atomically (new pin before the
+    // move, old released after)
+    lh.renameTable("default.rn_c", "default.rn_c2")
+    val srcT = lh.catalog.loadTable("default.rn_s")
+    assert(srcT.tags.contains("clone-default.rn_c2"))
+    assert(!srcT.tags.contains("clone-default.rn_c"))
+    assert(lh.catalog.loadTable("default.rn_c2").read().count() == 40)
+    // the clone record followed: discard under the NEW name drops the
+    // table and releases the re-pinned tag (GC teeth restored)
+    lh.cloning.discard("default.rn_c2")
+    assert(!lh.catalog.tableExists("default.rn_c2"))
+    assert(lh.catalog.loadTable("default.rn_s").tags.keys
+      .forall(!_.startsWith("clone-")), "pin must be released")
+    // with no pins left the source renames freely
+    lh.renameTable("default.rn_s", "default.rn_s2")
+    assert(lh.catalog.loadTable("default.rn_s2").read().count() == 40)
+  }
 }

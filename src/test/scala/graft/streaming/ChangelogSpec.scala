@@ -107,6 +107,44 @@ class ChangelogSpec extends AnyFunSuite {
     assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
   }
 
+  test("pairUpdateKeys over a partial-CoW UPDATE commit: the rewrite's " +
+      "delete+insert rows pair into update_before/update_after exactly " +
+      "like MoR, carried-by-reference rows never appear") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl2c",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty) // CoW mode
+    // two single-file commits so the rewrite touches one and carries one
+    t.append(df(0 until 10).coalesce(1))
+    t.append(df(1000 until 1010).coalesce(1))
+    lh.dml.update("default.cl2c", "id >= 1007", Map("name" -> "upd"))
+    val snap = t.currentSnapshot.get
+    // CoW row-level rewrites commit as "overwrite" + matched-rows — the
+    // exact shape the pairing arm must recognize
+    assert(snap.operation == "overwrite" &&
+      snap.summary.contains("matched-rows") &&
+      snap.summary.get("carried-files").exists(_.toInt > 0),
+      s"precondition: a partial CoW rewrite, got ${snap.summary}")
+    val ch = Changelog.changesBetween(t, Some(2L), 3L,
+      pairUpdateKeys = Seq("id"))
+    val rows = ch.select(Changelog.ChangeTypeCol, "id", "name",
+        Changelog.ChangedColumnsCol)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](3).toList)).toSet
+    assert(rows == (1007 until 1010).flatMap(i => Seq(
+      ("update_before", i.toLong, s"row$i", List("name")),
+      ("update_after", i.toLong, "upd", List("name")))).toSet,
+      s"CoW update must pair by key, got $rows")
+    // fold equivalence holds across the CoW commit too
+    val paired = ch.withColumn("k",
+      when(col(Changelog.ChangeTypeCol).isin("insert", "update_after"),
+        "insert").otherwise("delete"))
+    val material = df(0 until 10).unionByName(df(1000 until 1010))
+      .unionByName(paired.where(col("k") === "insert").select("id", "name"))
+      .exceptAll(paired.where(col("k") === "delete").select("id", "name"))
+    val fin = t.read()
+    assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
+  }
+
   test("appendStream over a transform-partitioned layout: recursive " +
       "listing reads the exact table schema (no inferred _p_* columns), " +
       "stream == batch across multi-commit partitioned dirs") {
