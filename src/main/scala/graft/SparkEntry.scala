@@ -1062,6 +1062,46 @@ object SparkEntry {
         s"FROM $cat.default.ord_p.partitions")
     }),
 
+    // TABLE RENAME gate: `ALTER TABLE … RENAME TO` is a metadata move —
+    // after renaming a merge-on-read table mid-history, the HEAD read
+    // (position deletes applied through re-pointed delete parquet) and a
+    // TIME TRAVEL into the pre-rename history must both reproduce the
+    // exact recorded states under the new name; the oracle recomputes
+    // both states from the raw table. A post-rename append proves the
+    // commit protocol works at the new path before the head is read.
+    "q190_sql_rename_table" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh190") { lh =>
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val cut = ord.agg(max("o_orderkey")).head.getLong(0) / 2
+        val cat = s"g190_${sfTag(dir).replace('.', '_')}"
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.engine.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", auxPath("wh190", dir))
+        lh.catalog.createTable("default.ord_rn", ord.schema, Nil,
+          Map("write.delete.mode" -> "merge-on-read"))
+        val tb = lh.catalog.loadTable("default.ord_rn")
+        tb.append(ord.where(col("o_orderkey") < cut).coalesce(2)) // snap 1
+        tb.append(ord.where(col("o_orderkey") >= cut).coalesce(2)) // snap 2
+        // snap 3: MoR position delete — its delete parquet stores the
+        // PRE-rename absolute paths the rename must re-point
+        s.sql(s"DELETE FROM $cat.default.ord_rn WHERE o_orderstatus = 'F'")
+        s.sql(s"ALTER TABLE $cat.default.ord_rn RENAME TO default.ord_rn2")
+        require(!lh.catalog.tableExists("default.ord_rn"),
+          "old name must be gone after RENAME TO")
+        // snap 4: the commit protocol must work at the new path
+        val tb2 = lh.catalog.loadTable("default.ord_rn2")
+        tb2.append(ord.where(col("o_orderkey") === -1L)) // empty append
+        ()
+      }
+      val tb2 = lh.catalog.loadTable("default.ord_rn2")
+      tb2.read().withColumn("mode", lit("head"))
+        .unionByName(tb2.readAsOf("1").withColumn("mode", lit("v1")))
+        .groupBy(col("mode"), (col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total"))
+    }),
+
     // CORRELATED scalar subquery in UPDATE SET — the last previously
     // refused SQL shape: `SET x = (SELECT agg … WHERE corr)` captured at
     // analysis time ([[graft.engine.GraftCaptureUpdateRule]]) before the
@@ -3783,6 +3823,25 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_aux/wh188_sf0.01/default/ord_p/data/commit-00001/*/*.parquet',
         |  filename=true)
         |GROUP BY 1""".stripMargin,
+    // q190: head = the full table minus the MoR-deleted 'F' rows; v1 =
+    // the first commit (keys below the cut, all statuses) — both
+    // recomputed from the raw table; the rename itself is invisible to
+    // the data, which is exactly the claim
+    "q190_sql_rename_table" ->
+      """WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders),
+        |head AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderstatus <> 'F'),
+        |v1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders, cut
+        |  WHERE o_orderkey < c),
+        |lab AS (
+        |  SELECT 'head' AS mode, * FROM head
+        |  UNION ALL SELECT 'v1' AS mode, * FROM v1)
+        |SELECT mode, o_orderkey % 10 AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lab GROUP BY 1, 2""".stripMargin,
+
     // q189: the correlated-UPDATE final state recomputed from the raw
     // tables with DuckDB's own correlated scalar subquery; matched rows
     // with no lineitem under the %7 view take NULL, unmatched keep their

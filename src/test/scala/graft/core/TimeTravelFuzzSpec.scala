@@ -21,8 +21,10 @@ class TimeTravelFuzzSpec extends AnyFunSuite {
     val rng = new scala.util.Random(seed)
     val cat = Catalog.open(spark,
       SparkFixture.tmpDir(s"graft-ttfuzz-$seed-").toString)
-    val tbl = cat.createTable(s"tt$seed",
+    var curName = s"tt$seed"
+    var tbl = cat.createTable(curName,
       Seq("id" -> "long", "v" -> "string"), Nil, Map.empty)
+    var renameN = 0
     var nextId = 0L
     def batch(n: Int) = {
       val rows = (0 until n).map { _ =>
@@ -56,7 +58,7 @@ class TimeTravelFuzzSpec extends AnyFunSuite {
     }
     var sinceCheck = 0
     for (_ <- 1 to nOps) {
-      rng.nextInt(12) match {
+      rng.nextInt(13) match {
         case 0 | 1 | 2 => tbl.append(batch(2 + rng.nextInt(5)).coalesce(1))
         case 3 | 4 =>
           tbl.deleteWhereMor(col("id") % (2 + rng.nextInt(4)) === 0)
@@ -84,6 +86,16 @@ class TimeTravelFuzzSpec extends AnyFunSuite {
           // expire drops recorded entries for unretained ids; tags pin
           val gone = tbl.expireSnapshots(retainLast = Some(3 + rng.nextInt(4)))
           gone.foreach(recorded.remove)
+        case 12 =>
+          // RENAME mid-history: the metadata move must preserve every
+          // retained snapshot's recorded state — time travel through MoR
+          // delete layers, rollback islands and tag pins keeps working
+          // under the new name (the delete-parquet re-point must be
+          // exact for HISTORICAL snapshots, not just the head)
+          renameN += 1
+          val next = s"tt${seed}_r$renameN"
+          tbl = cat.renameTable(curName, next)
+          curName = next
       }
       // a commit may or may not have landed (deletes can match nothing);
       // recording by id is idempotent either way
@@ -93,6 +105,8 @@ class TimeTravelFuzzSpec extends AnyFunSuite {
     }
     check()
     assert(tbl.rawLog.size >= 3, "fuzz degenerated to a trivial log")
+    assert(renameN >= 1,
+      "seed never exercised the rename op — pick a seed that does")
   }
 
   test("random commits + rollbacks + tags + expiry: readAsOf reproduces " +
