@@ -23,19 +23,27 @@ class ChangelogFuzzSpec extends AnyFunSuite {
 
   private def foldMatchesRead(tbl: graft.core.IceTable): Unit = {
     val head = tbl.currentSnapshot.map(_.id).getOrElse(return)
-    val ch = Changelog.changesBetween(tbl, None, head)
-    val folded = ch.groupBy(col("id"), col("v"))
-      .agg(sum(when(col(Changelog.ChangeTypeCol) === "insert", 1L)
-        .otherwise(-1L)).as("n"))
-      .where(col("n") =!= 0L)
     val state = tbl.read().groupBy(col("id"), col("v"))
       .agg(count(lit(1)).as("n"))
-    // exact multiset equality both directions
-    val extra = folded.exceptAll(state).count()
-    val missing = state.exceptAll(folded).count()
-    assert(extra == 0L && missing == 0L,
-      s"changelog fold diverges from table state at head $head: " +
-        s"extra=$extra missing=$missing")
+    def checkFold(ch: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val folded = ch.groupBy(col("id"), col("v"))
+        .agg(sum(when(col(Changelog.ChangeTypeCol)
+            .isin("insert", "update_after"), 1L)
+          .otherwise(-1L)).as("n"))
+        .where(col("n") =!= 0L)
+      // exact multiset equality both directions
+      val extra = folded.exceptAll(state).count()
+      val missing = state.exceptAll(folded).count()
+      assert(extra == 0L && missing == 0L,
+        s"$label changelog fold diverges from table state at head $head: " +
+          s"extra=$extra missing=$missing")
+    }
+    checkFold(Changelog.changesBetween(tbl, None, head), "unpaired")
+    // the PAIRED replay (update commits — MoR and partial-CoW alike —
+    // read back as update_before/update_after) must fold to the same
+    // state: update_before ≡ delete, update_after ≡ insert
+    checkFold(Changelog.changesBetween(tbl, None, head,
+      pairUpdateKeys = Seq("id")), "paired")
   }
 
   private def fuzz(seed: Long, nOps: Int,
@@ -57,7 +65,7 @@ class ChangelogFuzzSpec extends AnyFunSuite {
     var sinceCheck = 0
     for (_ <- 1 to nOps) {
       val live = () => tbl.read().select("id").as[Long].collect()
-      rng.nextInt(10) match {
+      rng.nextInt(11) match {
         case 0 | 1 | 2 =>
           tbl.append(batch(3 + rng.nextInt(6)).coalesce(1))
         case 3 | 4 =>
@@ -88,6 +96,17 @@ class ChangelogFuzzSpec extends AnyFunSuite {
             tbl.rollbackTo(snaps(rng.nextInt(snaps.size - 1)).toString)
         case 9 =>
           tbl.overwrite(batch(5 + rng.nextInt(10)))
+        case 10 =>
+          // partial-CoW UPDATE (commits as "overwrite"+matched-rows — the
+          // shape the paired replay's CoW arm must recognize)
+          val ids = live()
+          if (ids.nonEmpty) {
+            val victim = ids(rng.nextInt(ids.length))
+            val nv = s"c${rng.nextInt(99)}"
+            tbl.rewriteWhereCow(col("id") === victim, l =>
+              l.withColumn("v", when(col("id") === victim, lit(nv))
+                .otherwise(col("v"))))
+          }
       }
       sinceCheck += 1
       if (sinceCheck >= 4) { foldMatchesRead(tbl); sinceCheck = 0 }
