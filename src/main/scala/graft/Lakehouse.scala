@@ -59,20 +59,33 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     * metadata, notification handlers); HISTORICAL records (the audit log,
     * notification history) keep the names that were true when written. */
   def renameTable(oldIdent: String, newIdent: String): Unit = {
-    catalog.renameTable(oldIdent, newIdent)
-    // post-commit followers, each idempotent — a crash between them
-    // leaves that store re-keyable by re-running the same rename
-    contracts.renameTable(oldIdent, newIdent)
-    sla.renameTable(oldIdent, newIdent)
-    retention.renameTable(oldIdent, newIdent)
-    validation.renameTable(oldIdent, newIdent)
-    lineage.renameTable(oldIdent, newIdent)
-    cloning.renameTable(oldIdent, newIdent)
-    tagging.renameTable(oldIdent, newIdent)
-    catalogMetadata.renameTable(oldIdent, newIdent)
-    notifications.renameTable(oldIdent, newIdent)
-    audit.log(graft.core.Catalog.canonicalIdent(newIdent), "rename_table",
-      Map("from" -> graft.core.Catalog.canonicalIdent(oldIdent)))
+    // resolve the effective target ONCE (an unqualified target keeps the
+    // source namespace — same rule as Catalog.renameTable) so the store
+    // followers re-key onto the ident the catalog actually moved to
+    val (ons, _) = Catalog.parseIdent(oldIdent)
+    val target =
+      if (newIdent.contains(".")) newIdent else s"$ons.$newIdent"
+    // RESUME contract: if the catalog move already committed (old gone,
+    // target live) — e.g. a crash between the move and the store
+    // followers — re-running the same rename skips the move and
+    // re-applies only the (idempotent) store re-keys. A plain wrong old
+    // name without a committed move still refuses inside
+    // Catalog.renameTable.
+    val moveDone =
+      !catalog.tableExists(oldIdent) && catalog.tableExists(target)
+    if (!moveDone) { catalog.renameTable(oldIdent, target); () }
+    contracts.renameTable(oldIdent, target)
+    sla.renameTable(oldIdent, target)
+    retention.renameTable(oldIdent, target)
+    validation.renameTable(oldIdent, target)
+    lineage.renameTable(oldIdent, target)
+    cloning.renameTable(oldIdent, target)
+    tagging.renameTable(oldIdent, target)
+    catalogMetadata.renameTable(oldIdent, target)
+    notifications.renameTable(oldIdent, target)
+    audit.log(Catalog.canonicalIdent(target), "rename_table",
+      Map("from" -> Catalog.canonicalIdent(oldIdent),
+        "resumed" -> moveDone.toString))
   }
 }
 

@@ -204,12 +204,16 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
   def renameTable(oldIdent: String, newIdent: String): IceTable =
     synchronized {
       val (ons, ot) = parseIdent(oldIdent)
-      val (nns, nt) = parseIdent(newIdent)
+      // an UNQUALIFIED target keeps the SOURCE namespace — parseIdent's
+      // default-ns mapping is a lookup convention; silently moving
+      // sales.t to default.t2 on `rename-table sales.t t2` is not
+      val (nns, nt) =
+        if (newIdent.contains(".")) parseIdent(newIdent) else (ons, newIdent)
       require(tableExists(oldIdent), s"no such table: $ons.$ot")
       require(state.namespaces.contains(nns), s"no such namespace: $nns")
       require(!(ons == nns && ot == nt),
         s"rename target equals the source: $ons.$ot")
-      require(!tableExists(newIdent), s"table exists: $nns.$nt")
+      require(!tableExists(s"$nns.$nt"), s"table exists: $nns.$nt")
       val oldDir = tableDir(ons, ot)
       val old = new IceTable(spark, oldDir)
       // step 1: live outgoing pins refuse, mirroring dropTable
@@ -233,16 +237,28 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       val oldPrefix = oldDir.toAbsolutePath.toString + "/"
       val newPrefix = newDir.toAbsolutePath.toString + "/"
       // the commit point (step 3): ATOMIC_MOVE = rename(2) or fail — a
-      // copy+delete fallback would race concurrent writers non-atomically
-      Files.move(oldDir, newDir,
+      // copy+delete fallback would race concurrent writers non-atomically.
+      // A FAILED move rolls the pin-first re-pin back: nothing references
+      // the new name yet, and an orphaned clone-<never-existed> tag would
+      // pin the source snapshot against GC until the stale-pin sweep.
+      try Files.move(oldDir, newDir,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: Throwable =>
+        clonedFrom.foreach { srcIdent =>
+          try loadTable(srcIdent).removeTag(s"clone-$nns.$nt")
+          catch { case _: Exception => () }
+        }
+        throw e
+      }
       // step 4: re-point every absolute path in the moved metadata
       // (meta.json + meta-v + log heads + legacy snapshots.json +
-      // manifests — never the data files themselves)
+      // manifests + the WAP staged-commit registry — never the data
+      // files themselves; a pending stage's data moved with the dir, and
+      // its registry entry must follow or orphan GC would collect it)
       val metaFiles =
         List(newDir.resolve("meta.json"), newDir.resolve("snapshots.json"))
           .filter(Files.exists(_)) ++
-        List("meta-v", "heads", "manifests").map(newDir.resolve)
+        List("meta-v", "heads", "manifests", "staged").map(newDir.resolve)
           .filter(Files.isDirectory(_)).flatMap { d =>
             val s = Files.list(d)
             try s.iterator().asScala.toList finally s.close()
@@ -252,7 +268,11 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
         if (txt.contains(oldPrefix))
           Jsons.writeString(p, txt.replace(oldPrefix, newPrefix))
       }
+      // evict BOTH prefixes: old keys could alias a table later created
+      // at the old path; new keys could hold a previously-dropped
+      // table's manifests cached at the destination path
       Manifests.invalidatePrefix(oldPrefix)
+      Manifests.invalidatePrefix(newPrefix)
       val moved = new IceTable(spark, newDir)
       // position-delete parquet stores row identities as (file_path, pos)
       // whose file_path strings are ABSOLUTE (in _metadata URI form) —
@@ -304,6 +324,38 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
         try walk.sorted(Comparator.reverseOrder[Path]())
           .iterator().asScala.foreach(Files.deleteIfExists(_))
         finally walk.close()
+        // the rewritten delete parquet has a different byte size than the
+        // recorded FileEntry.bytes (string lengths changed, compression
+        // re-ran) — re-stat and fix the records so the .files and
+        // .delete_files metadata tables report true sizes. Typed JSON
+        // round trips (the same Jsons shapes the commit path writes):
+        // heads + legacy snapshots.json are List[Snapshot]; manifest
+        // files are List[FileEntry] (manifest-LIST files fail that parse
+        // and are skipped).
+        val newSizes: Map[String, Long] =
+          delPaths.map(p => p -> Files.size(Paths.get(p))).toMap
+        def fixEntries(es: List[FileEntry]): List[FileEntry] =
+          es.map(e => newSizes.get(e.path).fold(e)(b => e.copy(bytes = b)))
+        metaFiles.filter(p => {
+          val n = p.getParent.getFileName.toString
+          val f = p.getFileName.toString
+          n == "heads" || f == "snapshots.json"
+        }).foreach { p =>
+          try {
+            val snaps = Jsons.readFile[List[Snapshot]](p)
+            val fixed = snaps.map(s =>
+              s.copy(deleteFiles = fixEntries(s.deleteFiles)))
+            if (fixed != snaps) Jsons.writeFile(p, fixed)
+          } catch { case _: Exception => () }
+        }
+        metaFiles.filter(_.getParent.getFileName.toString == "manifests")
+          .foreach { p =>
+            try {
+              val es = Jsons.readFile[List[FileEntry]](p)
+              val fixed = fixEntries(es)
+              if (fixed != es) Jsons.writeFile(p, fixed)
+            } catch { case _: Exception => () }
+          }
       }
       moved.renameIdent(nns, nt)
       clonedFrom.foreach { srcIdent =>
@@ -392,6 +444,25 @@ object Catalog {
     case Array(t) => s"$DefaultNamespace.$t"
     case Array(ns, t) => s"$ns.$t"
     case _ => ident
+  }
+
+  /** Re-key a store map's entries for `from` onto canonical `to` —
+    * shared by every governance store's renameTable follower. When BOTH
+    * the short and ns-qualified forms of the same table appear as keys
+    * (a pre-existing aliasing inconsistency — stores match keys
+    * exactly), the canonical ns-qualified entry wins DETERMINISTICALLY
+    * instead of whichever Map.map kept last. */
+  def rekeyStore[V](m: Map[String, V], from: String, to: String)(
+      fix: V => V): Map[String, V] = {
+    val f = canonicalIdent(from)
+    val t = canonicalIdent(to)
+    val (hits, rest) = m.partition { case (k, _) => canonicalIdent(k) == f }
+    if (hits.isEmpty) m
+    else {
+      val winner =
+        hits.toSeq.sortBy { case (k, _) => if (k == f) 0 else 1 }.head._2
+      rest + (t -> fix(winner))
+    }
   }
 
   /** `"t"` → `("default","t")`; `"ns.t"` → `("ns","t")` (dedup.py:6-9). */

@@ -106,6 +106,12 @@ class IceTable(val spark: SparkSession, val dir: Path) {
           require(Files.exists(metaPath),
             s"table directory vanished mid-update (dropped or renamed): $dir")
           Files.createDirectories(metaVersionsDir)
+          if (!Files.exists(metaPath)) { // recheck — see casLog
+            try Files.deleteIfExists(metaVersionsDir)
+            catch { case _: java.io.IOException => () }
+            throw new IllegalStateException(
+              s"table directory vanished mid-update (dropped or renamed): $dir")
+          }
         }
         val tmp = metaVersionsDir.resolve(
           s".cas-${java.util.UUID.randomUUID()}.tmp")
@@ -200,6 +206,16 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       require(Files.exists(metaPath),
         s"table directory vanished mid-commit (dropped or renamed): $dir")
       Files.createDirectories(headsDir)
+      // re-check AFTER creating: a rename/drop landing in the
+      // check-then-create window would otherwise still get a zombie dir
+      // (the window shrinks to the recheck-vs-CAS instants, closed for
+      // any table that ever committed — its heads dir skips this branch)
+      if (!Files.exists(metaPath)) {
+        try Files.deleteIfExists(headsDir)
+        catch { case _: java.io.IOException => () }
+        throw new IllegalStateException(
+          s"table directory vanished mid-commit (dropped or renamed): $dir")
+      }
     }
     val tmp = headsDir.resolve(s".cas-${java.util.UUID.randomUUID()}.tmp")
     try {

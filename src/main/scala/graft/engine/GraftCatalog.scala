@@ -227,9 +227,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE cat.ns.t RENAME TO ns2.t2` — the lakehouse-wide rename
     * (dir move + clone pins + every ident-keyed governance store; see
-    * [[graft.Lakehouse.renameTable]]). */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    lakehouse.renameTable(identOf(oldIdent), identOf(newIdent))
+    * [[graft.Lakehouse.renameTable]]). An unqualified target keeps the
+    * SOURCE namespace — `RENAME TO t2` must not relocate sales.t into
+    * the default namespace. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val to =
+      if (newIdent.namespace().isEmpty) newIdent.name()
+      else identOf(newIdent)
+    lakehouse.renameTable(identOf(oldIdent), to)
+  }
 
   // ---- stored procedures (`CALL cat.system.<proc>(…)`) -------------------
 

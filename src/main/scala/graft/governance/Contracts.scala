@@ -90,19 +90,16 @@ class Contracts(lh: Lakehouse) {
     * forms follow). */
   private[graft] def renameTable(from: String, to: String): Unit =
     synchronized {
-      import graft.core.Catalog.canonicalIdent
-      val f = canonicalIdent(from)
+      import graft.core.Catalog.{canonicalIdent, rekeyStore}
       val t = canonicalIdent(to)
-      def rekey[V](m: Map[String, V])(fix: V => V): Map[String, V] =
-        m.map { case (k, v) =>
-          if (canonicalIdent(k) == f) t -> fix(v) else k -> v
-        }
-      Jsons.writeFile(path, rekey(load())(_.copy(table = t)))
+      Jsons.writeFile(path,
+        rekeyStore(load(), from, to)(_.copy(table = t)))
       Jsons.writeFile(histPath,
-        rekey(loadHist())(_.map(_.copy(table = t))))
-      Jsons.writeFile(regPath, rekey(registry())(identity))
+        rekeyStore(loadHist(), from, to)(_.map(_.copy(table = t))))
+      Jsons.writeFile(regPath, rekeyStore(registry(), from, to)(identity))
       Jsons.writeFile(compPath,
-        rekey(complianceHistoryAll())(_.map(_.copy(table = t))))
+        rekeyStore(complianceHistoryAll(), from, to)(
+          _.map(_.copy(table = t))))
     }
 
   /** Create-or-update from a full contract document (reference cli.py

@@ -99,15 +99,11 @@ class Sla(lh: Lakehouse) {
     * the check history under the new ident. */
   private[graft] def renameTable(from: String, to: String): Unit =
     synchronized {
-      import graft.core.Catalog.canonicalIdent
-      val f = canonicalIdent(from)
+      import graft.core.Catalog.{canonicalIdent, rekeyStore}
       val t = canonicalIdent(to)
-      Jsons.writeFile(path, load().map { case (k, v) =>
-        if (canonicalIdent(k) == f) t -> v.copy(table = t) else k -> v
-      })
-      Jsons.writeFile(histPath, loadHist().map { case (k, v) =>
-        if (canonicalIdent(k) == f) t -> v else k -> v
-      })
+      Jsons.writeFile(path,
+        rekeyStore(load(), from, to)(_.copy(table = t)))
+      Jsons.writeFile(histPath, rekeyStore(loadHist(), from, to)(identity))
     }
 
   def check(table: String): List[SlaViolation] = {

@@ -50,17 +50,13 @@ class Tagging(lh: Lakehouse) {
     * bookmark entries re-key under the new ident. */
   private[graft] def renameTable(from: String, to: String): Unit =
     synchronized {
-      import graft.core.Catalog.canonicalIdent
+      import graft.core.Catalog.{canonicalIdent, rekeyStore}
       val f = canonicalIdent(from)
       val t = canonicalIdent(to)
-      def rekey[V](m: Map[String, V]): Map[String, V] =
-        m.map { case (k, v) =>
-          if (canonicalIdent(k) == f) t -> v else k -> v
-        }
       val s = load()
       Jsons.writeFile(path, s.copy(
-        tags = rekey(s.tags),
-        descriptions = rekey(s.descriptions),
+        tags = rekeyStore(s.tags, from, to)(identity),
+        descriptions = rekeyStore(s.descriptions, from, to)(identity),
         bookmarks = s.bookmarks
           .map(b => if (canonicalIdent(b) == f) t else b).distinct))
     }
@@ -139,17 +135,12 @@ class CatalogMetadata(lh: Lakehouse) {
     * classifications re-key (the glossary is table-independent). */
   private[graft] def renameTable(from: String, to: String): Unit =
     synchronized {
-      import graft.core.Catalog.canonicalIdent
-      val f = canonicalIdent(from)
-      val t = canonicalIdent(to)
-      def rekey[V](m: Map[String, V]): Map[String, V] =
-        m.map { case (k, v) =>
-          if (canonicalIdent(k) == f) t -> v else k -> v
-        }
+      import graft.core.Catalog.rekeyStore
       val s = load()
       Jsons.writeFile(path, s.copy(
-        columnDescriptions = rekey(s.columnDescriptions),
-        classifications = rekey(s.classifications)))
+        columnDescriptions =
+          rekeyStore(s.columnDescriptions, from, to)(identity),
+        classifications = rekeyStore(s.classifications, from, to)(identity)))
     }
 
   /** Enriched schema: column → (type, description, classification, glossary

@@ -108,12 +108,10 @@ class Retention(lh: Lakehouse) {
   /** Follow a [[graft.core.Catalog.renameTable]]. */
   private[graft] def renameTable(from: String, to: String): Unit =
     synchronized {
-      import graft.core.Catalog.canonicalIdent
-      val f = canonicalIdent(from)
+      import graft.core.Catalog.{canonicalIdent, rekeyStore}
       val t = canonicalIdent(to)
-      Jsons.writeFile(path, load().map { case (k, v) =>
-        if (canonicalIdent(k) == f) t -> v.copy(table = t) else k -> v
-      })
+      Jsons.writeFile(path,
+        rekeyStore(load(), from, to)(_.copy(table = t)))
     }
 
   /** Dry-run returns would-expire ids; otherwise expires them

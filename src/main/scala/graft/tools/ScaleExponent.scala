@@ -43,9 +43,15 @@ object ScaleExponent {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitioning must scale with DATA, not core count: an
+    // x1000 leg at 16 partitions sorts ~37M rows per task (the classic
+    // under-partitioning cliff — every task spills, the wall ratio
+    // measures disk bandwidth, not the operator). Default stays the
+    // core count for the small legs; big-leg runs pass e.g. 256.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -71,8 +77,12 @@ object ScaleExponent {
     def reps(n: Int): DataFrame =
       spark.range(n.toLong).select(col("id").as("__r"))
 
+    // pre-spread the base tables: sf0.1 reads as a single parquet split,
+    // and the cross join broadcasts the replica range — without this one
+    // task would produce (and shuffle-write) the entire replicated leg
+    val par = cpus.toInt
     val docs0 = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")).repartition(par)
     def docsRep(n: Int): DataFrame = docs0.crossJoin(reps(n)).select(
       (col("doc_id") + col("__r") * 1000000L).as("doc_id"),
       when(col("__r") === 0L, col("text")).otherwise(
@@ -80,12 +90,14 @@ object ScaleExponent {
           w => concat(w, lit("_"), col("__r"))), " ")).as("text"))
     val ev0 = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .repartition(par)
     def evRep(n: Int): DataFrame = ev0.crossJoin(reps(n)).select(
       (col("event_id") + col("__r") * 100000000L).as("event_id"),
       col("ts"), (col("user_id") + col("__r") * 10000000L).as("user_id"),
       col("event_type"))
     val li0 = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      .repartition(par)
     def liRep(n: Int): DataFrame = li0.crossJoin(reps(n)).select(
       (col("l_orderkey") + col("__r") * 100000000L).as("l_orderkey"),
       (col("l_partkey") + col("__r") * 10000000L).as("l_partkey"),
@@ -101,8 +113,9 @@ object ScaleExponent {
            s"ev_x$s" -> (if (needEv) Some(evRep(s)) else None),
            s"li_x$s" -> (if (needLi) Some(liRep(s)) else None))
            .collect { case (n, Some(d)) => (n, d) })
-      df.repartition(cpus.toInt).write.mode("overwrite")
-        .parquet(s"$work/$name")
+      // the cross-join output is already spread over the base's `par`
+      // partitions — write directly, no second table-sized shuffle
+      df.write.mode("overwrite").parquet(s"$work/$name")
 
     def rd(name: String): DataFrame = spark.read.parquet(s"$work/$name")
 

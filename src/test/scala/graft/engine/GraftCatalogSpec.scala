@@ -798,6 +798,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("default.rn_a").read().count() == 0)
   }
 
+  test("rename edge contracts: unqualified target keeps the SOURCE " +
+      "namespace; a pending WAP stage survives and publishes; a crashed " +
+      "rename resumes (store re-keys only)") {
+    seed() // ensures the sales namespace exists
+    val rows = (0 until 20).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_q", rows.schema, Nil, Map.empty)
+    val t = lh.catalog.loadTable("sales.rn_q")
+    t.append(rows.where(col("id") < 10))
+    // a staged (unpublished) WAP batch — its registry entry stores the
+    // absolute stage dir and must follow the move
+    t.stageAppend(rows.where(col("id") >= 10), "w1")
+    // UNQUALIFIED target: must stay in sales, not move to default
+    lh.renameTable("sales.rn_q", "rn_q2")
+    assert(lh.catalog.tableExists("sales.rn_q2"))
+    assert(!lh.catalog.tableExists("default.rn_q2"))
+    val t2 = lh.catalog.loadTable("sales.rn_q2")
+    // the stage is intact at the new path: audit view sees it, orphan GC
+    // does not collect it, publish lands it
+    assert(t2.readWap("w1").count() == 20)
+    assert(t2.orphanFiles().isEmpty,
+      "a registered stage must stay pinned after rename")
+    t2.publishWap("w1")
+    assert(lh.catalog.loadTable("sales.rn_q2").read().count() == 20)
+    // RESUME: simulate a crash after the catalog move but before the
+    // store followers — policies still keyed to the old name
+    lh.retention.setPolicy(graft.orchestration.RetentionPolicy(
+      "sales.rn_q2", maxSnapshots = Some(50)))
+    lh.catalog.renameTable("sales.rn_q2", "sales.rn_q3") // move only
+    assert(lh.retention.policy("sales.rn_q2").isDefined, "precondition")
+    lh.renameTable("sales.rn_q2", "sales.rn_q3") // resume: re-keys stores
+    assert(lh.retention.policy("sales.rn_q3").isDefined &&
+      lh.retention.policy("sales.rn_q2").isEmpty)
+    assert(lh.catalog.loadTable("sales.rn_q3").read().count() == 20)
+  }
+
   test("rename × zero-copy clones: a pinned SOURCE refuses to rename; " +
       "renaming the CLONE re-pins under the new name with no unpinned " +
       "window and keeps its promote/discard lifecycle") {
