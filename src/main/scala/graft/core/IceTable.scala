@@ -1320,10 +1320,15 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     *
     * Exactness never rests on this: the caller diffs whatever frames
     * come back, and None (nothing cancels / eq-state changed) means the
-    * caller's own full diff. NOT for the keyed update-PAIRING path:
-    * cancelling an unchanged row can flip a would-be update pair into a
-    * bare insert there — only the pure insert/delete multiset diff is
-    * cancellation-safe. */
+    * caller's own full diff. Pairing note: the restricted frames must
+    * NOT be handed to `classifyDelta` directly as if they were the
+    * commit's physical (removed, added) delta — unchanged rows in
+    * NON-cancelled files would read back as no-op update pairs.
+    * Compositions that first take the exceptAll multiset diff
+    * (`classifyChanges`, or the plain insert/delete fold) are exact
+    * over these frames, because the diff itself is cancellation-exact
+    * — that is how the paired changelog replay pairs CoW rewrites at
+    * O(rewritten). */
   def rewriteDelta(parent: Snapshot, s: Snapshot): Option[(DataFrame, DataFrame)] = {
     if (parent.eqDeleteFiles.map(_.dir).toSet !=
         s.eqDeleteFiles.map(_.dir).toSet) return None

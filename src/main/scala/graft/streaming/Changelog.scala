@@ -147,22 +147,32 @@ object Changelog {
         // MoR update-shaped commits (update/replace-where/merge: position
         // deletes + appended files) pair from the commit's OWN delta —
         // O(touched), see morDelta — with the key join over two
-        // touched-sized frames. True rewrites keep the exceptAll
-        // classification (classifyChanges), the only exact answer once
-        // files are rewritten (rewriteDelta's shared-file cancellation is
-        // NOT pairing-safe — see its scaladoc — so the paired CoW replay
-        // deliberately pays the full before/after read); either way the
-        // pairing join costs the changed-set-sized key join on top.
+        // touched-sized frames. CoW rewrites restrict both sides to
+        // CHANGED LINEAGE first (rewriteDelta): its file cancellation is
+        // exact for the exceptAll multiset diff, and classifyChanges IS
+        // classifyDelta over that diff, so pairing over the restricted
+        // frames equals pairing over the full table at O(rewritten) —
+        // the composition that is NOT safe is handing restricted frames
+        // straight to classifyDelta as a physical delta (see
+        // rewriteDelta's scaladoc). Full-table frames remain only the
+        // no-cancellation fallback; either way the pairing join costs
+        // the changed-set-sized key join on top.
+        def classifyFrames(before: DataFrame, after: DataFrame) =
+          graft.analytics.Cdc
+            .classifyChanges(before, after, pairUpdateKeys, cols)
         val classified = parent.flatMap(p => tbl.morDelta(p, s)) match {
           case Some((removed, added)) =>
             graft.analytics.Cdc
               .classifyDelta(removed, added, pairUpdateKeys, cols)
           case None =>
-            val before = parent.map(p => tbl.readSnapshot(Some(p)))
-              .getOrElse(tbl.emptyDf(tbl.schema))
-            val after = tbl.readSnapshot(Some(s))
-            graft.analytics.Cdc
-              .classifyChanges(before, after, pairUpdateKeys, cols)
+            parent.flatMap(p => tbl.rewriteDelta(p, s)) match {
+              case Some((before, after)) => classifyFrames(before, after)
+              case None =>
+                classifyFrames(
+                  parent.map(p => tbl.readSnapshot(Some(p)))
+                    .getOrElse(tbl.emptyDf(tbl.schema)),
+                  tbl.readSnapshot(Some(s)))
+            }
         }
         classified
           .withColumn(ChangeTypeCol, lower(col("change_type")))

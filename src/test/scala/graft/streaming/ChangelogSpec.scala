@@ -145,6 +145,60 @@ class ChangelogSpec extends AnyFunSuite {
     assert(material.exceptAll(fin).isEmpty && fin.exceptAll(material).isEmpty)
   }
 
+  test("paired CoW replay is O(rewritten): carried files are never " +
+      "scanned, and restricted-frame pairing equals full-frame pairing " +
+      "even with an identical duplicate key in a carried file") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl2r",
+      Seq("k" -> "long", "sub" -> "long", "v" -> "string"), Nil, Map.empty)
+    import spark.implicits._
+    // file 1: ids in the low range, INCLUDING (500, 1, "dup") — an
+    // identical-key twin of a row the update will touch in file 2
+    t.append(((0 until 10).map(i => (i.toLong, i.toLong, s"a$i")) :+
+      ((500L, 1L, "dup"))).toDF("k", "sub", "v").coalesce(1))
+    // file 2: high range + the twin's sibling (500, 1002, "dup")
+    t.append(((1000 until 1010).map(i => (i.toLong, i.toLong, s"b$i")) :+
+      ((500L, 1002L, "dup"))).toDF("k", "sub", "v").coalesce(1))
+    // match only PART of the victim file: rows 1000-1001 are rewritten
+    // UNCHANGED — the shape that distinguishes diff-then-classify
+    // (drops them) from treating restricted frames as a physical delta
+    // (would emit bogus no-op update pairs for them)
+    lh.dml.update("default.cl2r", "sub >= 1002", Map("v" -> "upd"))
+    val snap = t.currentSnapshot.get
+    assert(snap.summary.get("carried-files").exists(_.toInt == 1),
+      s"precondition: file 1 must carry by reference, got ${snap.summary}")
+    val carried = t.snapshots.head.files.map(_.path).toSet
+    val paired = Changelog.changesBetween(t, Some(2L), 3L,
+      pairUpdateKeys = Seq("k"))
+    // O(rewritten): the replay's scans never open the carried file
+    val scanned = paired.inputFiles.toSet
+    assert(carried.forall(c => !scanned.exists(_.endsWith(
+        c.substring(c.lastIndexOf('/'))))),
+      s"carried file scanned by the paired CoW replay: $scanned")
+    val got = paired.select(Changelog.ChangeTypeCol, "k", "sub", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // only the MATCHED rows pair — including key 500, whose identical
+    // twin sits untouched in the carried file; the rewritten-but-
+    // unchanged rows 1000-1001 must produce NO records at all
+    val expect = ((1002 until 1010).map(_.toLong) :+ 500L).flatMap { k =>
+      val sub = if (k == 500L) 1002L else k
+      val old = if (k == 500L) "dup" else s"b$k"
+      Seq(("update_before", k, sub, old), ("update_after", k, sub, "upd"))
+    }.toSet
+    assert(got == expect, s"got $got")
+    assert(!got.exists(_._2 == 1000L) && !got.exists(_._2 == 1001L),
+      "rewritten-but-unchanged rows must not appear as no-op pairs")
+    // differential: full-frame classification (the pre-optimization
+    // reference semantics) produces the identical pair set
+    val full = graft.analytics.Cdc.classifyChanges(
+        t.readAsOf("2"), t.readAsOf("3"), Seq("k"), Seq("k", "sub", "v"))
+      .select(lower(col("change_type")), col("k"), col("sub"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == full, s"restricted != full: got $got vs $full")
+  }
+
   test("appendStream over a transform-partitioned layout: recursive " +
       "listing reads the exact table schema (no inferred _p_* columns), " +
       "stream == batch across multi-commit partitioned dirs") {
