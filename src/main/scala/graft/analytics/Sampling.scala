@@ -20,19 +20,38 @@ class Sampling(lh: Lakehouse) {
     df.sample(withReplacement = false, fraction, seed)
 
   /** Per-stratum sample of ceil(count×fraction), ≥1 row per stratum
-    * (sampling.py:63-131) via a rank window — preserves the reference's
-    * ≥1-row guarantee that `sampleBy` (approximate) would not. */
+    * (sampling.py:63-131) — preserves the reference's ≥1-row guarantee
+    * that `sampleBy` (approximate) would not.
+    *
+    * SKEW-SAFE by construction: the obvious
+    * `row_number().over(Window.partitionBy(stratum).orderBy(rand))`
+    * funnels a hot stratum's entire group through ONE window task (90%
+    * of a 100 TB table through one executor). Instead, a global
+    * row_number over the COMPOSITE (stratum, uniform key) order rides
+    * the range-partitioned [[graft.operators.GlobalOrder]] primitive —
+    * the range partitioner splits a hot stratum across MANY partitions
+    * on the key — and each row's per-stratum position is its global
+    * rank minus the stratum's first rank (one per-stratum aggregate +
+    * a null-safe join). No stratum-keyed window anywhere; the only
+    * window is GlobalOrder's partition-local one. */
   def stratifiedSample(df: DataFrame, stratCol: String, fraction: Double,
       seed: Long = 42L): DataFrame = {
-    val counts = df.groupBy(col(stratCol).as("__strat"))
-      .agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(col(stratCol)).orderBy(rand(seed))
-    // null-safe join: a null stratum is still a stratum, and a plain
-    // equi-join would silently drop all its rows
-    df.join(counts, col(stratCol) <=> col("__strat"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= greatest(ceil(col("__n") * fraction), lit(1)))
-      .drop("__strat", "__n", "__rn")
+    Seq("__sk", "__grank", "__strat", "__n", "__start").foreach { r =>
+      require(!df.columns.exists(_.equalsIgnoreCase(r)),
+        s"input already has a '$r' column (reserved by stratifiedSample)")
+    }
+    val keyed = df.withColumn("__sk", rand(seed))
+    val ranked = graft.operators.GlobalOrder.rankWithPrefixSum(keyed,
+      Seq(col(stratCol), col("__sk")), "__grank")
+    // a null stratum is still a stratum — <=> keeps it; min(__grank) is
+    // the stratum's first global rank, so rank − start is the 0-based
+    // per-stratum position in rand order
+    val counts = ranked.groupBy(col(stratCol).as("__strat"))
+      .agg(count(lit(1)).as("__n"), min(col("__grank")).as("__start"))
+    ranked.join(counts, col(stratCol) <=> col("__strat"))
+      .where(col("__grank") - col("__start") <
+        greatest(ceil(col("__n") * fraction), lit(1)))
+      .drop("__sk", "__grank", "__strat", "__n", "__start")
   }
 
   /** Every Nth row by ROW_NUMBER (sampling.py:134-178). Order follows the

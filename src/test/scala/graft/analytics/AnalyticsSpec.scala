@@ -117,6 +117,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("d").readAsOf("1").count() == 6)
   }
 
+  test("stratifiedSample: planted 90%-one-stratum skew samples without " +
+      "a stratum-keyed window (only GlobalOrder's partition-local one); " +
+      "exact ceil(n*f) and >=1 guarantees hold") {
+    val lh = newLh()
+    // 9000 rows in stratum "hot", 100 in each of 10 cold strata, 1 in
+    // a singleton stratum (the >=1 guarantee's edge)
+    val rows = (0 until 9000).map(i => ("hot", i.toLong)) ++
+      (0 until 1000).map(i => (s"c${i % 10}", 9000L + i)) :+
+      (("solo", 99999L))
+    val df = rows.toDF("cat", "id")
+    val s = lh.sampling.stratifiedSample(df, "cat", 0.1, seed = 7)
+    val plan = s.queryExecution.executedPlan.toString
+    // every window must be partition-local (__pid) — a stratum-keyed or
+    // unpartitioned windowspec would funnel the hot group into one task
+    assert(!"windowspecdefinition\\((?!__pid)".r.findFirstIn(plan).isDefined,
+      s"stratum-keyed/global window in the plan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in the plan:\n$plan")
+    val per = s.groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("hot") == 900)
+    assert((0 until 10).forall(i => per(s"c$i") == 10), per.toString)
+    assert(per("solo") == 1, "the >=1-per-stratum guarantee")
+    // deterministic for a fixed input layout + seed
+    val again = lh.sampling.stratifiedSample(df, "cat", 0.1, seed = 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == s.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("dedup keep-first/last: planted 90%-one-key skew dedups through a " +
       "hash aggregate — no Window over partitionBy(keys) in the plan") {
     val lh = newLh()
