@@ -135,14 +135,17 @@ object Changelog {
         // append never carries new delete state)
         else stamp(tbl.readSnapshot(Some(s.copy(files = added,
           deleteFiles = Nil, eqDeleteFiles = Nil))), "insert")
-      // update-shaped commits pair: MoR updates (operation "update") AND
-      // partial-CoW row-level rewrites, which commit as "overwrite" with
-      // a matched-rows summary (Dml.updateBy/update via rewriteWhereCow)
-      // — without this arm a CoW UPDATE replays as bare delete+insert
-      // while the same statement in MoR mode pairs, an asymmetry no
-      // consumer should have to know about
+      // update-shaped commits pair: MoR updates/merges (operation
+      // "update") AND CoW row-level rewrites, which commit as "overwrite"
+      // with a matched-rows summary (Dml.updateBy/update via
+      // rewriteWhereCow) or merge-* summary keys (MERGE INTO via
+      // mergeFilesCow / the full-overwrite mergeDf) — without this arm a
+      // CoW UPDATE or MERGE replays as bare delete+insert while the same
+      // statement in MoR mode pairs, an asymmetry no consumer should
+      // have to know about
       case op if pairUpdateKeys.nonEmpty && (op == "update" ||
-          (op == "overwrite" && s.summary.contains("matched-rows"))) =>
+          (op == "overwrite" && (s.summary.contains("matched-rows") ||
+            s.summary.keys.exists(_.startsWith("merge-"))))) =>
         val cols = tbl.schema.fieldNames.toSeq
         // MoR update-shaped commits (update/replace-where/merge: position
         // deletes + appended files) pair from the commit's OWN delta —

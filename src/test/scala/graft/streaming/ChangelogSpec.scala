@@ -199,6 +199,60 @@ class ChangelogSpec extends AnyFunSuite {
     assert(got == full, s"restricted != full: got $got vs $full")
   }
 
+  test("pairUpdateKeys over MERGE INTO commits: CoW and MoR modes emit " +
+      "the IDENTICAL paired changelog (update pairs, inserts, deletes) — " +
+      "the mode asymmetry removed for UPDATE must not persist for MERGE") {
+    val lh = newLh()
+    val catName = s"clm${System.nanoTime() % 100000}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.engine.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      lh.warehouseDir)
+    graft.GraftExtensions.register(spark)
+    def vdf(ids: Range) = ids.map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    def setup(name: String, props: Map[String, String]) = {
+      val t = lh.catalog.createTable(s"default.$name",
+        Seq("id" -> "long", "v" -> "string"), Nil, props)
+      // two single-file commits so the CoW merge carries one by reference
+      t.append(vdf(0 until 10).coalesce(1))
+      t.append(vdf(1000 until 1010).coalesce(1))
+      t
+    }
+    val cow = setup("clm_cow", Map.empty)
+    val mor = setup("clm_mor", Map("write.merge.mode" -> "merge-on-read"))
+    Seq((1002L, "upd"), (1003L, "DEL"), (2000L, "new"))
+      .toDF("id", "v").createOrReplaceTempView("clm_src")
+    def merge(name: String) = spark.sql(
+      s"""MERGE INTO $catName.default.$name t USING clm_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    merge("clm_cow"); merge("clm_mor")
+    // precondition: the CoW merge is the overwrite+merge-* shape the
+    // pairing arm must recognize WITHOUT a matched-rows key
+    val cs = cow.currentSnapshot.get
+    assert(cs.operation == "overwrite" &&
+      cs.summary.keys.exists(_.startsWith("merge-")) &&
+      !cs.summary.contains("matched-rows"),
+      s"precondition: CoW merge summary shape, got ${cs.summary}")
+    assert(mor.currentSnapshot.get.operation == "update",
+      s"precondition: MoR merge op, got ${mor.currentSnapshot.get.operation}")
+    def paired(t: graft.core.IceTable) =
+      Changelog.changesBetween(t, Some(2L), 3L, pairUpdateKeys = Seq("id"))
+        .select(Changelog.ChangeTypeCol, "id", "v",
+          Changelog.ChangedColumnsCol)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getSeq[String](3).toList)).toSet
+    val gotCow = paired(cow)
+    assert(gotCow == paired(mor),
+      s"CoW and MoR MERGE must pair identically, CoW got $gotCow")
+    assert(gotCow == Set(
+      ("update_before", 1002L, "row1002", List("v")),
+      ("update_after", 1002L, "upd", List("v")),
+      ("delete", 1003L, "row1003", Nil),
+      ("insert", 2000L, "new", Nil)), s"got $gotCow")
+  }
+
   test("appendStream over a transform-partitioned layout: recursive " +
       "listing reads the exact table schema (no inferred _p_* columns), " +
       "stream == batch across multi-commit partitioned dirs") {
