@@ -65,15 +65,40 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     val (ons, _) = Catalog.parseIdent(oldIdent)
     val target =
       if (newIdent.contains(".")) newIdent else s"$ons.$newIdent"
+    val from = Catalog.canonicalIdent(oldIdent)
+    val to = Catalog.canonicalIdent(target)
+    val intentPath = metaDir.resolve("rename-intent.json")
+    def intents: Map[String, String] =
+      if (java.nio.file.Files.exists(intentPath))
+        graft.core.Jsons.readFile[Map[String, String]](intentPath)
+      else Map.empty
     // RESUME contract: if the catalog move already committed (old gone,
     // target live) — e.g. a crash between the move and the store
     // followers — re-running the same rename skips the move and
-    // re-applies only the (idempotent) store re-keys. A plain wrong old
-    // name without a committed move still refuses inside
-    // Catalog.renameTable.
+    // re-applies only the (idempotent) store re-keys. POSITIVE EVIDENCE
+    // of that prior move is required: either the catalog's in-dir
+    // rename marker (crash mid-fixups) or this facade's own pending
+    // intent (crash between catalog completion and the followers).
+    // Without it, a mistyped old name against a live target would
+    // "succeed" and re-key governance stores onto an unrelated table.
     val moveDone =
       !catalog.tableExists(oldIdent) && catalog.tableExists(target)
-    if (!moveDone) { catalog.renameTable(oldIdent, target); () }
+    val (nns, nt) = Catalog.parseIdent(target)
+    val catalogMarker = java.nio.file.Files.exists(
+      catalog.tableDir(nns, nt).resolve(Catalog.RenameMarkerFile))
+    if (moveDone)
+      require(catalogMarker || intents.get(from).contains(to),
+        s"refusing to resume a rename $from -> $to: the target exists " +
+          "but neither a rename marker nor a pending rename intent " +
+          "records that move — check the source table name")
+    // intent lands BEFORE the catalog move so a crash at any later point
+    // leaves evidence; cleared only after every follower re-keyed
+    graft.core.Jsons.writeFile(intentPath, intents + (from -> to))
+    if (!moveDone || catalogMarker) {
+      // fresh rename, or a resume that must first complete the catalog's
+      // own crashed fixups (Catalog.renameTable's marker-driven path)
+      catalog.renameTable(oldIdent, target); ()
+    }
     contracts.renameTable(oldIdent, target)
     sla.renameTable(oldIdent, target)
     retention.renameTable(oldIdent, target)
@@ -86,6 +111,9 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     audit.log(Catalog.canonicalIdent(target), "rename_table",
       Map("from" -> Catalog.canonicalIdent(oldIdent),
         "resumed" -> moveDone.toString))
+    // every follower landed — retire the intent (re-read: a concurrent
+    // rename of a DIFFERENT table may have added its own entry meanwhile)
+    graft.core.Jsons.writeFile(intentPath, intents - from)
   }
 }
 

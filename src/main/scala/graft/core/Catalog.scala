@@ -89,7 +89,34 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
   def loadTable(ident: String): IceTable = {
     val (ns, t) = parseIdent(ident)
     require(tableExists(ident), s"no such table: $ns.$t")
-    new IceTable(spark, tableDir(ns, t))
+    val dir = tableDir(ns, t)
+    // a live rename-intent marker means the table is mid-rename: reading
+    // it could silently resurrect MoR-deleted rows (stale old-prefix
+    // file_path values in delete parquet match nothing), so refuse LOUDLY
+    // with the exact repair — see [[renameTable]]'s crash-safety contract
+    val marker = dir.resolve(Catalog.RenameMarkerFile)
+    if (Files.exists(marker)) {
+      val p = try Some(Jsons.readFile[RenamePending](marker))
+        catch { case _: Exception => None }
+      p match {
+        case Some(rp) if rp.toIdent == s"$ns.$t" =>
+          throw new IllegalStateException(
+            s"table $ns.$t has an INCOMPLETE rename from ${rp.fromIdent}: " +
+              "the directory move committed but the metadata fixups did " +
+              s"not finish — re-run renameTable(${rp.fromIdent}, $ns.$t) " +
+              "to complete them")
+        case Some(rp) =>
+          throw new IllegalStateException(
+            s"table $ns.$t carries a rename intent to ${rp.toIdent} that " +
+              s"never committed — re-run renameTable($ns.$t, ${rp.toIdent}) " +
+              s"to complete it, or delete $marker if no rename is in flight")
+        case None =>
+          throw new IllegalStateException(
+            s"table $ns.$t carries an unreadable rename marker at " +
+              s"$marker — resolve it manually before reading")
+      }
+    }
+    new IceTable(spark, dir)
   }
 
   /** List tables in one namespace, or all with ns `"*"` (catalog.py:182-201). */
@@ -196,8 +223,19 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     *  4. Post-move fixups: re-point the moved metadata's absolute paths
     *     (each file an atomic replace; any file is wholly old or wholly
     *     new text, and un-rewritten paths fail LOUDLY on read, never
-    *     resolve to wrong data), drop stale manifest-cache entries under
-    *     the old prefix, and CAS the table's own ident.
+    *     resolve to wrong data), re-point position-delete parquet
+    *     contents, drop stale manifest-cache entries under the old
+    *     prefix, and CAS the table's own ident.
+    *
+    * CRASH SAFETY: a rename-intent marker ([[Catalog.RenameMarkerFile]],
+    * recording from/to idents and prefixes) is written into the table dir
+    * just before the move and removed only after EVERY fixup completed —
+    * so it travels with the dir through the commit point. While present,
+    * [[loadTable]] refuses the table LOUDLY (a partially-fixed-up table
+    * could silently resurrect MoR-deleted rows: stale old-prefix
+    * file_path values in delete parquet match nothing). Re-running the
+    * SAME rename resumes: it skips the move and re-applies the
+    * (idempotent) fixups, then clears the marker.
     *
     * Governance/orchestration stores keyed by ident follow in
     * [[graft.Lakehouse.renameTable]]. */
@@ -209,6 +247,19 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       // sales.t to default.t2 on `rename-table sales.t t2` is not
       val (nns, nt) =
         if (newIdent.contains(".")) parseIdent(newIdent) else (ons, newIdent)
+      // RESUME: the dir move (the commit point) already landed but the
+      // fixups did not finish (crash or a thrown Spark job mid-rewrite).
+      // Positive evidence required — the marker naming exactly this
+      // rename; a typo'd old name without one still refuses below.
+      val pendingMarker = tableDir(nns, nt).resolve(Catalog.RenameMarkerFile)
+      if (!tableExists(oldIdent) && tableExists(s"$nns.$nt") &&
+          Files.exists(pendingMarker)) {
+        val p = Jsons.readFile[RenamePending](pendingMarker)
+        require(p.fromIdent == s"$ons.$ot" && p.toIdent == s"$nns.$nt",
+          s"rename marker at $pendingMarker records ${p.fromIdent} -> " +
+            s"${p.toIdent}, not $ons.$ot -> $nns.$nt")
+        return finishRename(ons, ot, nns, nt, p.oldPrefix, p.newPrefix)
+      }
       require(tableExists(oldIdent), s"no such table: $ons.$ot")
       require(state.namespaces.contains(nns), s"no such namespace: $nns")
       require(!(ons == nns && ot == nt),
@@ -236,6 +287,11 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       Files.createDirectories(newDir.getParent)
       val oldPrefix = oldDir.toAbsolutePath.toString + "/"
       val newPrefix = newDir.toAbsolutePath.toString + "/"
+      // intent marker just before the move: it rides the dir through the
+      // commit point, so a crash anywhere in the fixups leaves positive,
+      // self-describing evidence in the MOVED dir (see scaladoc)
+      Jsons.writeFile(oldDir.resolve(Catalog.RenameMarkerFile),
+        RenamePending(s"$ons.$ot", s"$nns.$nt", oldPrefix, newPrefix))
       // the commit point (step 3): ATOMIC_MOVE = rename(2) or fail — a
       // copy+delete fallback would race concurrent writers non-atomically.
       // A FAILED move rolls the pin-first re-pin back: nothing references
@@ -248,8 +304,20 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
           try loadTable(srcIdent).removeTag(s"clone-$nns.$nt")
           catch { case _: Exception => () }
         }
+        Files.deleteIfExists(oldDir.resolve(Catalog.RenameMarkerFile))
         throw e
       }
+      finishRename(ons, ot, nns, nt, oldPrefix, newPrefix)
+    }
+
+  /** Step-4 rename fixups + marker clear — IDEMPOTENT by construction
+    * (each metadata file replace is atomic and a no-op once re-pointed;
+    * the delete-parquet rewrite is a prefix replace that no-ops on
+    * already-new content), so it doubles as [[renameTable]]'s resume
+    * path after a crash mid-fixups. */
+  private def finishRename(ons: String, ot: String, nns: String,
+      nt: String, oldPrefix: String, newPrefix: String): IceTable = {
+      val newDir = tableDir(nns, nt)
       // step 4: re-point every absolute path in the moved metadata
       // (meta.json + meta-v + log heads + legacy snapshots.json +
       // manifests + the WAP staged-commit registry — never the data
@@ -358,9 +426,15 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
           }
       }
       moved.renameIdent(nns, nt)
-      clonedFrom.foreach { srcIdent =>
-        loadTable(srcIdent).removeTag(s"clone-$ons.$ot")
-      }
+      // all fixups landed — clear the marker, then release the OLD pin on
+      // our source (tag may already be gone on a resumed rename)
+      Files.deleteIfExists(newDir.resolve(Catalog.RenameMarkerFile))
+      moved.meta.properties.get(ClonedFromKey).filter(tableExists)
+        .foreach { srcIdent =>
+          val src = loadTable(srcIdent)
+          if (src.tags.contains(s"clone-$ons.$ot"))
+            src.removeTag(s"clone-$ons.$ot")
+        }
       moved
     }
 
@@ -433,6 +507,12 @@ object Catalog {
     * clone's pin tag on the source in O(1). */
   val ClonedFromKey = "graft.cloned-from"
 
+  /** Rename-intent marker file inside a table dir (see
+    * [[Catalog.renameTable]]'s crash-safety contract): written just
+    * before the dir move, removed only after every fixup completed.
+    * While present, [[Catalog.loadTable]] refuses the table loudly. */
+  val RenameMarkerFile = "_rename-pending.json"
+
   case class CatalogState(namespaces: Map[String, Map[String, String]])
 
   /** Canonical `"ns.t"` form — the shape governance stores re-key on
@@ -475,3 +555,10 @@ object Catalog {
   def open(spark: SparkSession, warehouseDir: String): Catalog =
     new Catalog(spark, Paths.get(warehouseDir)).init()
 }
+
+/** Content of [[Catalog.RenameMarkerFile]]: the rename this marker
+  * protects (canonical idents) and the absolute path prefixes the
+  * fixups rewrite between — everything [[Catalog]] needs to resume the
+  * fixups without re-deriving state from a half-fixed-up table. */
+case class RenamePending(fromIdent: String, toIdent: String,
+    oldPrefix: String, newPrefix: String)

@@ -822,15 +822,111 @@ class GraftCatalogSpec extends AnyFunSuite {
     t2.publishWap("w1")
     assert(lh.catalog.loadTable("sales.rn_q2").read().count() == 20)
     // RESUME: simulate a crash after the catalog move but before the
-    // store followers — policies still keyed to the old name
+    // store followers — the facade's intent was already durably recorded
+    // (the real flow writes it before the move), policies still keyed to
+    // the old name
     lh.retention.setPolicy(graft.orchestration.RetentionPolicy(
       "sales.rn_q2", maxSnapshots = Some(50)))
+    graft.core.Jsons.writeFile(lh.metaDir.resolve("rename-intent.json"),
+      Map("sales.rn_q2" -> "sales.rn_q3"))
     lh.catalog.renameTable("sales.rn_q2", "sales.rn_q3") // move only
     assert(lh.retention.policy("sales.rn_q2").isDefined, "precondition")
     lh.renameTable("sales.rn_q2", "sales.rn_q3") // resume: re-keys stores
     assert(lh.retention.policy("sales.rn_q3").isDefined &&
       lh.retention.policy("sales.rn_q2").isEmpty)
     assert(lh.catalog.loadTable("sales.rn_q3").read().count() == 20)
+    // the retired intent must not linger (a stale entry would let a
+    // FUTURE typo'd rename of the same pair slip the evidence gate)
+    assert(graft.core.Jsons.readFile[Map[String, String]](
+      lh.metaDir.resolve("rename-intent.json")).isEmpty)
+  }
+
+  test("rename resume requires positive evidence: a mistyped source " +
+      "name against a live target refuses instead of re-keying " +
+      "governance stores onto the unrelated table") {
+    seed()
+    val rows = (0 until 5).map(i => (i.toLong, s"e$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_live", rows.schema, Nil, Map.empty)
+    lh.catalog.loadTable("sales.rn_live").append(rows)
+    lh.retention.setPolicy(graft.orchestration.RetentionPolicy(
+      "sales.rn_live", maxSnapshots = Some(7)))
+    val e = intercept[IllegalArgumentException] {
+      lh.renameTable("sales.rn_nosuch", "sales.rn_live")
+    }
+    assert(e.getMessage.contains("refusing to resume"), e.getMessage)
+    // the live target's stores are untouched by the refused call
+    assert(lh.retention.policy("sales.rn_live")
+      .exists(_.maxSnapshots.contains(7)))
+    assert(lh.audit.entries(table = Some("sales.rn_live"))
+      .forall(_.operation != "rename_table"),
+      "a refused resume must not audit-log a rename that never happened")
+  }
+
+  test("crashed rename mid-fixups: the marker makes reads refuse LOUDLY " +
+      "(never silently resurrect MoR-deleted rows), and re-running the " +
+      "rename completes the fixups exactly") {
+    seed()
+    val rows = (0 until 40).map(i => (i.toLong, s"c$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_cr", rows.schema, Nil, Map.empty)
+    val t = lh.catalog.loadTable("sales.rn_cr")
+    t.append(rows)
+    t.deleteWhereMor(col("id") < 15) // delete parquet carries abs paths
+    assert(t.read().count() == 25, "precondition")
+    // simulate a crash at the WORST point: the dir move (commit point)
+    // landed, ZERO fixups ran — exactly what the marker protects
+    val oldDir = lh.catalog.tableDir("sales", "rn_cr")
+    val newDir = lh.catalog.tableDir("sales", "rn_cr2")
+    graft.core.Jsons.writeFile(
+      oldDir.resolve(graft.core.Catalog.RenameMarkerFile),
+      graft.core.RenamePending("sales.rn_cr", "sales.rn_cr2",
+        oldDir.toAbsolutePath.toString + "/",
+        newDir.toAbsolutePath.toString + "/"))
+    java.nio.file.Files.move(oldDir, newDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // reads refuse loudly while the marker is live, naming the repair
+    val e = intercept[IllegalStateException] {
+      lh.catalog.loadTable("sales.rn_cr2")
+    }
+    assert(e.getMessage.contains("INCOMPLETE rename") &&
+      e.getMessage.contains("sales.rn_cr"), e.getMessage)
+    // re-running the SAME rename resumes through the Lakehouse (the
+    // catalog marker is the positive evidence) and completes the fixups
+    lh.renameTable("sales.rn_cr", "sales.rn_cr2")
+    val t2 = lh.catalog.loadTable("sales.rn_cr2")
+    assert(t2.read().count() == 25,
+      "MoR delete state must survive a resumed rename exactly")
+    assert(t2.read().agg(min(col("id"))).head.getLong(0) == 15L)
+    assert(!java.nio.file.Files.exists(
+      newDir.resolve(graft.core.Catalog.RenameMarkerFile)))
+    // a mismatched resume attempt refuses (marker names a different pair)
+    // and the commit protocol still works at the new path
+    t2.append(Seq((100L, "post")).toDF("id", "v"))
+    assert(lh.catalog.loadTable("sales.rn_cr2").read().count() == 26)
+  }
+
+  test("rename intent without a committed move: reads of the SOURCE " +
+      "refuse loudly until the rename is re-run or the marker cleared") {
+    seed()
+    val rows = (0 until 6).map(i => (i.toLong, s"p$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_pre", rows.schema, Nil, Map.empty)
+    lh.catalog.loadTable("sales.rn_pre").append(rows)
+    // crash between the marker write and the (never-executed) dir move
+    val dir = lh.catalog.tableDir("sales", "rn_pre")
+    graft.core.Jsons.writeFile(
+      dir.resolve(graft.core.Catalog.RenameMarkerFile),
+      graft.core.RenamePending("sales.rn_pre", "sales.rn_pre2",
+        dir.toAbsolutePath.toString + "/",
+        lh.catalog.tableDir("sales", "rn_pre2")
+          .toAbsolutePath.toString + "/"))
+    val e = intercept[IllegalStateException] {
+      lh.catalog.loadTable("sales.rn_pre")
+    }
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+    // re-running the intended rename completes it (the normal path
+    // tolerates and overwrites the stale pre-move marker)
+    lh.renameTable("sales.rn_pre", "sales.rn_pre2")
+    assert(lh.catalog.loadTable("sales.rn_pre2").read().count() == 6)
+    assert(!lh.catalog.tableExists("sales.rn_pre"))
   }
 
   test("rename × zero-copy clones: a pinned SOURCE refuses to rename; " +
