@@ -74,8 +74,14 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     require(!tableExists(ident), s"table exists: $ns.$t")
     partitions.foreach(PartitionTransform.parse) // validate spec early
     val withIds = TableMeta.assignFieldIds(schema)
+    // a FRESH identity uuid unconditionally (overriding any inherited
+    // one, e.g. a copy clone passing its source's properties): snapshot
+    // ids are per-table sequential, so external consumers keying offsets
+    // by snapshot id need a name- and rename-stable identity to detect a
+    // drop/recreate at the same name (see ChangelogStream)
     val meta = TableMeta(ns, t, List(SchemaVersion(1, withIds.json)), 1,
-      partitions.toList, properties)
+      partitions.toList, properties +
+        (TableUuidKey -> java.util.UUID.randomUUID().toString))
     val dir = tableDir(ns, t)
     Files.createDirectories(dir)
     Jsons.writeFile(dir.resolve("meta.json"), meta)
@@ -185,7 +191,11 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
         .filterNot(_._1.startsWith("ref.tag."))
         // reverse pointer for O(1) pin release on dropTable — the drop
         // must not scan the whole catalog to find which source it pinned
-        + (Catalog.ClonedFromKey -> srcMeta.ident),
+        + (Catalog.ClonedFromKey -> srcMeta.ident)
+        // the clone is a DIFFERENT table: a fresh identity uuid, so a
+        // changelog checkpoint bound to the source can never silently
+        // resume against the clone's unrelated snapshot-id sequence
+        + (TableUuidKey -> java.util.UUID.randomUUID().toString),
       srcMeta.previousPartitionSpecs)
     val dir = tableDir(ns, t)
     Files.createDirectories(dir)
@@ -512,6 +522,13 @@ object Catalog {
     * before the dir move, removed only after every fixup completed.
     * While present, [[Catalog.loadTable]] refuses the table loudly. */
   val RenameMarkerFile = "_rename-pending.json"
+
+  /** Table property holding a creation-time identity uuid: stable across
+    * renames (it moves with the dir), FRESH on every create/clone — the
+    * identity external offset checkpoints bind to, since snapshot ids
+    * are per-table sequential and a recreated table restarts them at 1
+    * (a bare-id offset would silently alias). */
+  val TableUuidKey = "graft.table-uuid"
 
   case class CatalogState(namespaces: Map[String, Map[String, String]])
 

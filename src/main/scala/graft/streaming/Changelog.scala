@@ -323,12 +323,35 @@ object Changelog {
 class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
   Files.createDirectories(checkpointDir)
   private def offsetPath = checkpointDir.resolve("offset")
+  private def uuidPath = checkpointDir.resolve("table-uuid")
 
   /** Last snapshot id whose batch the sink has durably processed. */
   def lastProcessed: Option[Long] =
     if (Files.exists(offsetPath))
       Some(new String(Files.readAllBytes(offsetPath), "UTF-8").trim.toLong)
     else None
+
+  /** Bind this checkpoint to the table's identity uuid
+    * ([[graft.core.Catalog.TableUuidKey]] — rename-stable, fresh per
+    * create/clone). Snapshot ids are per-table SEQUENTIAL, so without
+    * this a drop+recreate at the same name could alias: the recreated
+    * table's log would contain the old offset id and the consumer would
+    * silently deliver diffs of an unrelated table. Rename is the flip
+    * side: the uuid moves with the dir, so a consumer re-pointed at the
+    * NEW name with the same checkpoint resumes exactly-once. */
+  private def bindTableUuid(tbl: graft.core.IceTable): Unit =
+    tbl.meta.properties.get(graft.core.Catalog.TableUuidKey).foreach { u =>
+      if (Files.exists(uuidPath)) {
+        val recorded =
+          new String(Files.readAllBytes(uuidPath), "UTF-8").trim
+        require(recorded == u,
+          s"checkpoint $checkpointDir is bound to table identity " +
+            s"$recorded but '$table' now resolves to $u — the table was " +
+            "dropped and recreated (or the checkpoint belongs to a " +
+            "different table); snapshot-id offsets do not transfer — " +
+            "re-seed with reseed() or a fresh checkpoint")
+      } else writeUuid(u)
+    }
 
   /** Run ONE micro-batch covering every commit since [[lastProcessed]] up
     * to the current head. `sink` receives the changelog frame and the
@@ -338,6 +361,7 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     * offset, or None when there was nothing to process. */
   def processAvailable(sink: (DataFrame, Long) => Unit): Option[Long] = {
     val tbl = lh.catalog.loadTable(table)
+    bindTableUuid(tbl)
     val from = lastProcessed
     // head, the offset-retention check, and the replay range all derive
     // from ONE log read: composing separate reads (a head read, then
@@ -376,6 +400,11 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     // recovery path itself would then throw an unclassifiable error
     sink(tbl.readSnapshot(Some(cur)), cur.id)
     writeOffset(cur.id)
+    // RE-bind: reseed replaces downstream state wholesale, so it is also
+    // the documented recovery from a drop+recreate — the full read just
+    // delivered IS the new table's state, adopt its identity
+    tbl.meta.properties.get(graft.core.Catalog.TableUuidKey)
+      .foreach(writeUuid)
     Some(cur.id)
   }
 
@@ -383,6 +412,14 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     val tmp = checkpointDir.resolve(".offset.tmp")
     Files.write(tmp, id.toString.getBytes("UTF-8"))
     Files.move(tmp, offsetPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def writeUuid(u: String): Unit = {
+    val tmp = checkpointDir.resolve(".table-uuid.tmp")
+    Files.write(tmp, u.getBytes("UTF-8"))
+    Files.move(tmp, uuidPath, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     ()
   }

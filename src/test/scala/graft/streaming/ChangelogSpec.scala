@@ -253,6 +253,66 @@ class ChangelogSpec extends AnyFunSuite {
       ("insert", 2000L, "new", Nil)), s"got $gotCow")
   }
 
+  test("ChangelogStream × rename: a consumer re-pointed at the NEW name " +
+      "with the same checkpoint resumes exactly-once; the OLD name " +
+      "refuses loudly; a RECREATED table at the old name refuses via the " +
+      "identity uuid instead of silently aliasing snapshot ids") {
+    val lh = newLh()
+    val t = lh.catalog.createTable("default.cl_rn",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    t.append(df(0 until 10)) // commit 1
+    t.append(df(10 until 20)) // commit 2
+    val ckpt = SparkFixture.tmpDir("graft-cls-rn-")
+    val cs = new ChangelogStream(lh, "default.cl_rn", ckpt)
+    var delivered = List.empty[(Long, Long)] // (toId, rows)
+    cs.processAvailable((ch, to) => delivered :+= (to, ch.count()))
+    assert(delivered == List((2L, 20L)))
+    // rename mid-stream, then more commits under the new name
+    lh.renameTable("default.cl_rn", "default.cl_rn2")
+    val t2 = lh.catalog.loadTable("default.cl_rn2")
+    t2.append(df(20 until 25)) // commit 3
+    // the OLD name refuses loudly — never a silent empty batch
+    val e1 = intercept[Exception] {
+      new ChangelogStream(lh, "default.cl_rn", ckpt)
+        .processAvailable((_, _) => ())
+    }
+    assert(e1.getMessage.contains("no such table"), e1.getMessage)
+    // re-pointed at the NEW name with the SAME checkpoint: exactly-once
+    // resume — only commit 3 is delivered (snapshot ids and the identity
+    // uuid both survived the rename)
+    val cs2 = new ChangelogStream(lh, "default.cl_rn2", ckpt)
+    cs2.processAvailable((ch, to) => delivered :+= (to, ch.count()))
+    assert(delivered == List((2L, 20L), (3L, 5L)), s"got $delivered")
+    // recreate a table at the OLD name with enough commits that the
+    // stale offset id EXISTS in its log — the bare-id check alone would
+    // pass and silently deliver an unrelated diff; the uuid must refuse
+    val tNew = lh.catalog.createTable("default.cl_rn",
+      Seq("id" -> "long", "name" -> "string"), Nil, Map.empty)
+    tNew.append(df(100 until 104)); tNew.append(df(104 until 108))
+    tNew.append(df(108 until 112)); tNew.append(df(112 until 116))
+    val ckptOld = SparkFixture.tmpDir("graft-cls-rn-old-")
+    // simulate the orphaned consumer: its checkpoint carries the ORIGINAL
+    // table's binding (copy the files the first consumer wrote)
+    java.nio.file.Files.copy(ckpt.resolve("offset"),
+      ckptOld.resolve("offset"))
+    java.nio.file.Files.copy(ckpt.resolve("table-uuid"),
+      ckptOld.resolve("table-uuid"))
+    val csOld = new ChangelogStream(lh, "default.cl_rn", ckptOld)
+    val e2 = intercept[IllegalArgumentException] {
+      csOld.processAvailable((_, _) => ())
+    }
+    assert(e2.getMessage.contains("dropped and recreated"), e2.getMessage)
+    // reseed() is the documented recovery: full state, identity rebound,
+    // incremental consumption resumes against the recreated table
+    var reseeded = 0L
+    csOld.reseed((full, _) => reseeded = full.count())
+    assert(reseeded == 16L)
+    tNew.append(df(116 until 118)) // commit 5 on the recreated table
+    var after = List.empty[(Long, Long)]
+    csOld.processAvailable((ch, to) => after :+= (to, ch.count()))
+    assert(after == List((5L, 2L)), s"got $after")
+  }
+
   test("appendStream over a transform-partitioned layout: recursive " +
       "listing reads the exact table schema (no inferred _p_* columns), " +
       "stream == batch across multi-commit partitioned dirs") {
