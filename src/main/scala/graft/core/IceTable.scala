@@ -291,6 +291,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         }
       } catch { case CommitRace => () }
       attempt += 1
+      IceTable.casRetryCounter.incrementAndGet()
       Thread.sleep(math.min(100L, 5L * attempt)) // linear backoff, capped
     }
     throw new java.util.ConcurrentModificationException(
@@ -562,6 +563,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     // Files may have been written under older schema versions; resolve
     // each group by field-id to the current schema (rename/drop/add-safe).
     val byVersion = s.files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    // DEEP-EVOLUTION guard: one scan + full-width projection PER ERA,
+    // union-reduced, is an O(columns × eras) plan — measured 12 s of pure
+    // driver analysis per read at 500 columns × 50 eras
+    // (tools/SchemaScale). Past a handful of eras, collapse to ONE scan
+    // over the union of physical column names with per-current-column
+    // coalesce ([[assembleMerged]]); below the threshold the per-era
+    // plan is cheap and keeps scan-level pushdown on renamed columns.
+    if (byVersion.size >= IceTable.MergedAssembleMinGroups) {
+      assembleMerged(s, withLineage, byVersion) match {
+        case Some(df) => return df
+        case None => () // ambiguous physical names — per-era fallback
+      }
+    }
     byVersion.map { case (sid, files) =>
       val fileSchema = m.schemas.find(_.id == sid)
         .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
@@ -618,6 +632,96 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         else Array.empty
       raw.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols ++ lineage): _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** DEEP-EVOLUTION fast path for [[assemble]]: ONE parquet scan over the
+    * union of every era's physical column names; each current column
+    * projects as `coalesce` over its field-id's historical names (a file
+    * physically holds exactly ONE of them — its own era's — so the others
+    * read as null and the coalesce picks the file's value, or null if the
+    * file's own value is null, since the alternatives are null too).
+    * Plan size O(columns + renames) instead of O(columns × eras).
+    *
+    * Conservative preconditions, else None (per-era fallback):
+    *  - every field in every era carries a field-id;
+    *  - no physical NAME maps to two different field-ids across eras
+    *    (a rename swap `a→tmp, b→a, tmp→b` would alias unrelated data);
+    *  - a name's type is era-stable (type changes re-cast per era in the
+    *    per-era path; merging them under one read schema could misread).
+    *
+    * Tradeoff, deliberate: scan-level pushdown (row-group skipping + the
+    * prune closure) only fires for columns with a SINGLE physical name —
+    * a multi-alias coalesce is not a pushable leaf. Below
+    * [[IceTable.MergedAssembleMinGroups]] eras the per-era path keeps
+    * full pushdown; above it, the O(columns × eras) analysis cost
+    * dominates anything pushdown could save on never-renamed columns
+    * (filters on stable columns — keys, timestamps — still push). */
+  private def assembleMerged(s: Snapshot, withLineage: Boolean,
+      groups: Seq[(Int, List[FileEntry])]): Option[DataFrame] = {
+    val m = meta
+    val cur = m.schema
+    val structs = groups.map { case (sid, _) =>
+      m.schemas.find(_.id == sid)
+        .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
+    }
+    // physical name -> (field-id, first-seen field); refuse ambiguity
+    val phys = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, org.apache.spark.sql.types.StructField)]
+    var ambiguous = false
+    for (sc <- structs; f <- sc.fields if !ambiguous) {
+      (TableMeta.fieldId(f), phys.get(f.name)) match {
+        case (None, _) => ambiguous = true
+        case (Some(id), Some((pid, pf))) =>
+          if (pid != id || !IceTable.sameTypeIgnoringNullability(
+              pf.dataType, f.dataType)) ambiguous = true
+        case (Some(id), None) => phys(f.name) = (id, f)
+      }
+    }
+    if (ambiguous) return None
+    val mergedSchema = StructType(phys.valuesIterator.map(_._2).toArray)
+    val idToNames: Map[Long, Seq[String]] = phys.toSeq
+      .groupBy(_._2._1).map { case (id, xs) => id -> xs.map(_._1) }
+    val curNameOfId: Map[Long, String] = cur.fields
+      .flatMap(cf => TableMeta.fieldId(cf).map(_ -> cf.name)).toMap
+    val allPaths = groups.flatMap(_._2).map(_.path)
+    // pushed leaves arrive in PHYSICAL names; translate by field-id to
+    // the current name (unique by the guard above) — untranslatable
+    // leaves drop, which can only KEEP more files
+    val prune: Seq[org.apache.spark.sql.graft.ColumnBridge.PredLeaf] => Set[String] =
+      leaves => {
+        val translated = leaves.flatMap(l => phys.get(l.field)
+          .flatMap { case (id, _) => curNameOfId.get(id) }
+          .map(n => l.copy(field = n)))
+        if (translated.isEmpty) allPaths.toSet
+        else pruneFiles(s, FilePruning.conjunctsFromLeaves(translated, cur))
+          .map(_.path).toSet
+      }
+    val index = new org.apache.spark.sql.graft.GraftFileIndex(spark,
+      allPaths.map(p => new org.apache.hadoop.fs.Path(p)), mergedSchema,
+      prune)
+    val raw = org.apache.spark.sql.graft.DatasetBridge
+      .parquetFrame(spark, index, mergedSchema)
+    val cols: Array[Column] = cur.fields.map { cf =>
+      TableMeta.fieldId(cf).flatMap(idToNames.get) match {
+        case Some(names) =>
+          val branches = names.map { n =>
+            val src = col(n)
+            if (IceTable.sameTypeIgnoringNullability(
+                phys(n)._2.dataType, cf.dataType)) src
+            else src.cast(cf.dataType)
+          }
+          (if (branches.size == 1) branches.head
+           else coalesce(branches: _*)).as(cf.name, cf.metadata)
+        case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
+      }
+    }
+    val lineage: Array[Column] =
+      if (withLineage)
+        Array(col("_metadata.file_path").as(LineageFileCol),
+          col("_metadata.row_index").as(LineagePosCol))
+      else Array.empty
+    Some(raw.select(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(cols ++ lineage): _*))
   }
 
   /** Anti-join away position-deleted rows. The delete set is usually tiny
@@ -2546,6 +2650,18 @@ object IceTable {
 
   /** Bound on CAS retries per commit; each retry costs metadata only. */
   val MaxCommitRetries: Int = 20
+
+  /** Era-group count at which [[IceTable.assemble]] switches from the
+    * per-era union (full scan-level pushdown, O(columns × eras) plan) to
+    * the single merged scan ([[IceTable.assembleMerged]], O(columns +
+    * renames) plan). Var ONLY so tests can force either path for
+    * differential comparison. */
+  private[graft] var MergedAssembleMinGroups: Int = 9
+
+  /** Process-wide count of commit-CAS retry iterations — DIAGNOSTIC only
+    * (tools/CommitThroughput's retries-per-commit curve); never read by
+    * engine logic. */
+  val casRetryCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[core] val HeadRe = "^v-(\\d+)\\.json$".r
 

@@ -55,7 +55,13 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     a.append(df(0 until 10))
     val b = cat.loadTable("t1")
     injectOnce(a)(b.append(df(100 until 110)))
+    val retriesBefore = IceTable.casRetryCounter.get()
     a.append(df(200 until 210))
+    // the diagnostic retry counter (tools/CommitThroughput's metric)
+    // must actually fire on a lost CAS — a zero-retries measurement
+    // means genuinely-no-contention, not a dead counter
+    assert(IceTable.casRetryCounter.get() > retriesBefore,
+      "the lost CAS must increment casRetryCounter")
     val log = a.rawLog
     assert(log.map(_.id) == List(1L, 2L, 3L), s"expected dense ids, got $log")
     assertLinear(a)
