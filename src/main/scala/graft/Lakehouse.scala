@@ -67,11 +67,17 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
       if (newIdent.contains(".")) newIdent else s"$ons.$newIdent"
     val from = Catalog.canonicalIdent(oldIdent)
     val to = Catalog.canonicalIdent(target)
-    val intentPath = metaDir.resolve("rename-intent.json")
-    def intents: Map[String, String] =
-      if (java.nio.file.Files.exists(intentPath))
-        graft.core.Jsons.readFile[Map[String, String]](intentPath)
-      else Map.empty
+    // per-rename intent FILE (not one shared map): every write/remove is
+    // a single atomic file op, so concurrent renames of different tables
+    // (CLI + MCP server against one warehouse) can never lose or
+    // resurrect each other's evidence through a read-modify-write race
+    val intentPath = metaDir.resolve("rename-intents")
+      .resolve(java.net.URLEncoder.encode(from, "UTF-8") + ".json")
+    def intentMatches: Boolean =
+      java.nio.file.Files.exists(intentPath) && (
+        try graft.core.Jsons
+          .readFile[graft.core.RenameIntent](intentPath).toIdent == to
+        catch { case _: Exception => false })
     // RESUME contract: if the catalog move already committed (old gone,
     // target live) — e.g. a crash between the move and the store
     // followers — re-running the same rename skips the move and
@@ -87,17 +93,30 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     val catalogMarker = java.nio.file.Files.exists(
       catalog.tableDir(nns, nt).resolve(Catalog.RenameMarkerFile))
     if (moveDone)
-      require(catalogMarker || intents.get(from).contains(to),
+      require(catalogMarker || intentMatches,
         s"refusing to resume a rename $from -> $to: the target exists " +
           "but neither a rename marker nor a pending rename intent " +
           "records that move — check the source table name")
     // intent lands BEFORE the catalog move so a crash at any later point
     // leaves evidence; cleared only after every follower re-keyed
-    graft.core.Jsons.writeFile(intentPath, intents + (from -> to))
+    graft.core.Jsons.writeFile(intentPath,
+      graft.core.RenameIntent(from, to))
     if (!moveDone || catalogMarker) {
       // fresh rename, or a resume that must first complete the catalog's
       // own crashed fixups (Catalog.renameTable's marker-driven path)
-      catalog.renameTable(oldIdent, target); ()
+      try { catalog.renameTable(oldIdent, target); () }
+      catch { case e: Throwable =>
+        // a REFUSED/FAILED catalog step must not leave evidence that
+        // would later legitimize "resuming" a rename that never
+        // committed (e.g. once the old table is dropped, a stale intent
+        // would re-key governance stores onto the unrelated target).
+        // Withdraw the intent only when the move demonstrably did NOT
+        // land; if it did, the intent (plus the in-dir marker while
+        // fixups are incomplete) is exactly the evidence resume needs.
+        if (catalog.tableExists(oldIdent) || !catalog.tableExists(target))
+          java.nio.file.Files.deleteIfExists(intentPath)
+        throw e
+      }
     }
     contracts.renameTable(oldIdent, target)
     sla.renameTable(oldIdent, target)
@@ -111,9 +130,9 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     audit.log(Catalog.canonicalIdent(target), "rename_table",
       Map("from" -> Catalog.canonicalIdent(oldIdent),
         "resumed" -> moveDone.toString))
-    // every follower landed — retire the intent (re-read: a concurrent
-    // rename of a DIFFERENT table may have added its own entry meanwhile)
-    graft.core.Jsons.writeFile(intentPath, intents - from)
+    // every follower landed — retire this rename's own intent file
+    java.nio.file.Files.deleteIfExists(intentPath)
+    ()
   }
 }
 

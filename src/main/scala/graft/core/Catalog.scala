@@ -125,7 +125,13 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     new IceTable(spark, dir)
   }
 
-  /** List tables in one namespace, or all with ns `"*"` (catalog.py:182-201). */
+  /** List tables in one namespace, or all with ns `"*"` (catalog.py:182-201).
+    * Tables mid-rename (live [[Catalog.RenameMarkerFile]]) are SKIPPED:
+    * loadTable refuses them, so surfacing them would make every
+    * whole-catalog sweep (registerViews, maintenance, dashboards, MCP
+    * listings) throw on one broken table instead of reporting the other
+    * 9,999 — the single mid-rename table is simply not addressable until
+    * its rename is re-run. */
   def listTables(ns: String = "*"): List[String] = {
     val nss = if (ns == "*") listNamespaces() else List(ns)
     nss.flatMap { n =>
@@ -134,7 +140,8 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       else {
         val s = Files.list(d)
         try s.iterator().asScala
-          .filter(p => Files.exists(p.resolve("meta.json")))
+          .filter(p => Files.exists(p.resolve("meta.json")) &&
+            !Files.exists(p.resolve(RenameMarkerFile)))
           .map(p => s"$n.${p.getFileName}").toList.sorted
         finally s.close()
       }
@@ -264,7 +271,18 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       val pendingMarker = tableDir(nns, nt).resolve(Catalog.RenameMarkerFile)
       if (!tableExists(oldIdent) && tableExists(s"$nns.$nt") &&
           Files.exists(pendingMarker)) {
-        val p = Jsons.readFile[RenamePending](pendingMarker)
+        // a corrupt marker must fail with the manual repair, not a raw
+        // JSON parse error — this IS the documented repair path
+        val p = try Jsons.readFile[RenamePending](pendingMarker)
+          catch { case e: Exception =>
+            throw new IllegalStateException(
+              s"unreadable rename marker at $pendingMarker — inspect " +
+                s"${tableDir(nns, nt)}: if its metadata already points " +
+                "at that directory (fixups completed before the crash), " +
+                "delete the marker; otherwise recreate it as JSON " +
+                "{fromIdent, toIdent, oldPrefix, newPrefix} and re-run " +
+                "the rename", e)
+          }
         require(p.fromIdent == s"$ons.$ot" && p.toIdent == s"$nns.$nt",
           s"rename marker at $pendingMarker records ${p.fromIdent} -> " +
             s"${p.toIdent}, not $ons.$ot -> $nns.$nt")
@@ -579,3 +597,10 @@ object Catalog {
   * fixups without re-deriving state from a half-fixed-up table. */
 case class RenamePending(fromIdent: String, toIdent: String,
     oldPrefix: String, newPrefix: String)
+
+/** One pending facade-level rename ([[graft.Lakehouse.renameTable]]'s
+  * `_meta/rename-intents/<from>.json`): evidence that a crash between
+  * the catalog move and the governance-store followers left followers
+  * un-re-keyed — the resume gate's second accepted proof (the in-dir
+  * [[RenamePending]] marker being the first). */
+case class RenameIntent(fromIdent: String, toIdent: String)

@@ -664,12 +664,19 @@ class IceTable(val spark: SparkSession, val dir: Path) {
       m.schemas.find(_.id == sid)
         .getOrElse(m.schemas.find(_.id == m.currentSchemaId).get).struct
     }
-    // physical name -> (field-id, first-seen field); refuse ambiguity
+    // physical name -> (field-id, first-seen field); refuse ambiguity.
+    // Collision detection is CASE-INSENSITIVE: Spark's default parquet
+    // resolution is — a case-only rename (`val` → `Val`) would put both
+    // spellings in the merged read schema and every scan would throw
+    // "Found duplicate field(s)", so that shape takes the per-era path.
     val phys = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, org.apache.spark.sql.types.StructField)]
+    val byLower = scala.collection.mutable.Map.empty[String, String]
     var ambiguous = false
     for (sc <- structs; f <- sc.fields if !ambiguous) {
-      (TableMeta.fieldId(f), phys.get(f.name)) match {
+      val canonical = byLower.getOrElseUpdate(f.name.toLowerCase, f.name)
+      if (canonical != f.name) ambiguous = true
+      else (TableMeta.fieldId(f), phys.get(f.name)) match {
         case (None, _) => ambiguous = true
         case (Some(id), Some((pid, pf))) =>
           if (pid != id || !IceTable.sameTypeIgnoringNullability(

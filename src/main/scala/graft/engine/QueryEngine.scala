@@ -50,9 +50,12 @@ class QueryEngine(lh: Lakehouse) {
   def rewriteNamespaces(sql: String): String = {
     // zero-width match with captures = OVERLAPPING candidates, so the
     // `ns.table` inside `cat.ns.table` is still found (the per-ident
-    // replaceAll matched it too — `\b` holds between `.` and a letter)
-    val candRe =
-      "(?=\\b([A-Za-z_][A-Za-z0-9_]*\\.[A-Za-z_][A-Za-z0-9_]*)\\b)".r
+    // replaceAll matched it too — `\b` holds between `.` and a letter).
+    // Name parts allow leading digits (parseIdent imposes no charset and
+    // the pre-candidate rewrite handled `default.2024sales`); numeric
+    // literals like `1.5` become candidates that tableExists cheaply
+    // rejects
+    val candRe = "(?=\\b([A-Za-z0-9_]+\\.[A-Za-z0-9_]+)\\b)".r
     val parts = sql.split("'", -1)
     val idents = parts.zipWithIndex.flatMap { case (seg, i) =>
       if (i % 2 == 1) Nil // inside a quoted literal

@@ -339,19 +339,42 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     * silently deliver diffs of an unrelated table. Rename is the flip
     * side: the uuid moves with the dir, so a consumer re-pointed at the
     * NEW name with the same checkpoint resumes exactly-once. */
-  private def bindTableUuid(tbl: graft.core.IceTable): Unit =
-    tbl.meta.properties.get(graft.core.Catalog.TableUuidKey).foreach { u =>
-      if (Files.exists(uuidPath)) {
-        val recorded =
-          new String(Files.readAllBytes(uuidPath), "UTF-8").trim
-        require(recorded == u,
-          s"checkpoint $checkpointDir is bound to table identity " +
-            s"$recorded but '$table' now resolves to $u — the table was " +
-            "dropped and recreated (or the checkpoint belongs to a " +
-            "different table); snapshot-id offsets do not transfer — " +
+  private def bindTableUuid(tbl: graft.core.IceTable): Unit = {
+    val current = tbl.meta.properties.get(graft.core.Catalog.TableUuidKey)
+    val recorded =
+      if (Files.exists(uuidPath))
+        Some(new String(Files.readAllBytes(uuidPath), "UTF-8").trim)
+      else None
+    (current, recorded) match {
+      case (Some(u), Some(r)) =>
+        require(r == u,
+          s"checkpoint $checkpointDir is bound to table identity $r but " +
+            s"'$table' now resolves to $u — the table was dropped and " +
+            "recreated (or the checkpoint belongs to a different table); " +
+            "snapshot-id offsets do not transfer — re-seed with reseed() " +
+            "or a fresh checkpoint")
+      case (Some(u), None) =>
+        // first bind. An OFFSET that predates the binding cannot be
+        // trusted against a uuid-bearing table: tables carry the uuid
+        // from creation, so an unbound offset file means the checkpoint
+        // was written against some OTHER (older, since-recreated) table
+        // — refusing is the only non-aliasing answer. A genuinely legacy
+        // checkpoint over a genuinely legacy table has no uuid on either
+        // side and keeps working below.
+        require(lastProcessed.isEmpty,
+          s"checkpoint $checkpointDir has an offset but no identity " +
+            s"binding, while '$table' carries one — the offset predates " +
+            "this table; re-seed with reseed() or a fresh checkpoint")
+        writeUuid(u)
+      case (None, Some(r)) =>
+        throw new IllegalArgumentException(
+          s"checkpoint $checkpointDir is bound to table identity $r but " +
+            s"'$table' carries NO identity property — the table was " +
+            "dropped and recreated (or replaced by an unmanaged copy); " +
             "re-seed with reseed() or a fresh checkpoint")
-      } else writeUuid(u)
+      case (None, None) => () // legacy table + legacy checkpoint
     }
+  }
 
   /** Run ONE micro-batch covering every commit since [[lastProcessed]] up
     * to the current head. `sink` receives the changelog frame and the
@@ -402,25 +425,21 @@ class ChangelogStream(lh: Lakehouse, table: String, checkpointDir: Path) {
     writeOffset(cur.id)
     // RE-bind: reseed replaces downstream state wholesale, so it is also
     // the documented recovery from a drop+recreate — the full read just
-    // delivered IS the new table's state, adopt its identity
-    tbl.meta.properties.get(graft.core.Catalog.TableUuidKey)
-      .foreach(writeUuid)
+    // delivered IS the new table's state, adopt its identity (or clear a
+    // stale binding when the new table carries none)
+    tbl.meta.properties.get(graft.core.Catalog.TableUuidKey) match {
+      case Some(u) => writeUuid(u)
+      case None => Files.deleteIfExists(uuidPath); ()
+    }
     Some(cur.id)
   }
 
-  private def writeOffset(id: Long): Unit = {
-    val tmp = checkpointDir.resolve(".offset.tmp")
-    Files.write(tmp, id.toString.getBytes("UTF-8"))
-    Files.move(tmp, offsetPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  // Jsons.writeString = unique-temp atomic replace: two processes sharing
+  // a checkpoint dir must never promote each other's half-written temp
+  // (a fixed sibling temp name would — see Jsons.writeString's contract)
+  private def writeOffset(id: Long): Unit =
+    graft.core.Jsons.writeString(offsetPath, id.toString)
 
-  private def writeUuid(u: String): Unit = {
-    val tmp = checkpointDir.resolve(".table-uuid.tmp")
-    Files.write(tmp, u.getBytes("UTF-8"))
-    Files.move(tmp, uuidPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  private def writeUuid(u: String): Unit =
+    graft.core.Jsons.writeString(uuidPath, u)
 }

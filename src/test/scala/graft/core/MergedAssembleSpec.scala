@@ -122,4 +122,29 @@ class MergedAssembleSpec extends AnyFunSuite {
     assert(r.getLong(0) == 100L && r.getLong(1) == 1000L,
       s"swap semantics by field-id, got $r")
   }
+
+  test("case-only rename across many eras: the merged read schema would " +
+      "hold both spellings (duplicate under Spark's case-insensitive " +
+      "parquet resolution) — must fall back to per-era and stay exact") {
+    val cat = Catalog.open(spark,
+      SparkFixture.tmpDir("graft-macs-").toString)
+    val tbl = cat.createTable("m3",
+      Seq("id" -> "long", "val" -> "long"), Nil, Map.empty)
+    tbl.append(spark.range(0, 40).toDF("id")
+      .withColumn("val", col("id") * 3).coalesce(1))
+    tbl.renameColumn("val", "Val") // case-only, field-id unchanged
+    var n = "Val"
+    (0 until IceTable.MergedAssembleMinGroups).foreach { e =>
+      tbl.append(spark.range((e + 1) * 40L, (e + 2) * 40L).toDF("id")
+        .withColumn(n, col("id") * 3).coalesce(1))
+      val nn = s"Val$e"
+      tbl.renameColumn(n, nn); n = nn
+    }
+    val df = cat.loadTable("m3").read()
+    assert(union(df).nonEmpty,
+      "case-colliding physical names must take the per-era fallback")
+    assert(df.count() ==
+      40L * (IceTable.MergedAssembleMinGroups + 1))
+    assert(df.where(col("id") === 10L).select(n).head.getLong(0) == 30L)
+  }
 }

@@ -827,8 +827,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     // the old name
     lh.retention.setPolicy(graft.orchestration.RetentionPolicy(
       "sales.rn_q2", maxSnapshots = Some(50)))
-    graft.core.Jsons.writeFile(lh.metaDir.resolve("rename-intent.json"),
-      Map("sales.rn_q2" -> "sales.rn_q3"))
+    val intent = lh.metaDir.resolve("rename-intents").resolve(
+      java.net.URLEncoder.encode("sales.rn_q2", "UTF-8") + ".json")
+    graft.core.Jsons.writeFile(intent,
+      graft.core.RenameIntent("sales.rn_q2", "sales.rn_q3"))
     lh.catalog.renameTable("sales.rn_q2", "sales.rn_q3") // move only
     assert(lh.retention.policy("sales.rn_q2").isDefined, "precondition")
     lh.renameTable("sales.rn_q2", "sales.rn_q3") // resume: re-keys stores
@@ -837,8 +839,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(lh.catalog.loadTable("sales.rn_q3").read().count() == 20)
     // the retired intent must not linger (a stale entry would let a
     // FUTURE typo'd rename of the same pair slip the evidence gate)
-    assert(graft.core.Jsons.readFile[Map[String, String]](
-      lh.metaDir.resolve("rename-intent.json")).isEmpty)
+    assert(!java.nio.file.Files.exists(intent))
+  }
+
+  test("a REFUSED rename withdraws its just-written intent: once the old " +
+      "table is later dropped, re-running the same pair must refuse " +
+      "instead of 'resuming' onto the unrelated live target") {
+    seed()
+    val rows = (0 until 4).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_w1", rows.schema, Nil, Map.empty)
+    lh.catalog.createTable("sales.rn_w2", rows.schema, Nil, Map.empty)
+    lh.retention.setPolicy(graft.orchestration.RetentionPolicy(
+      "sales.rn_w2", maxSnapshots = Some(11)))
+    // refused: target exists — the move never happens
+    intercept[IllegalArgumentException] {
+      lh.renameTable("sales.rn_w1", "sales.rn_w2")
+    }
+    lh.catalog.dropTable("sales.rn_w1")
+    // without intent withdrawal this would pass the evidence gate and
+    // re-key rn_w2's governance entries under a rename that never ran
+    val e = intercept[IllegalArgumentException] {
+      lh.renameTable("sales.rn_w1", "sales.rn_w2")
+    }
+    assert(e.getMessage.contains("refusing to resume") ||
+      e.getMessage.contains("no such table"), e.getMessage)
+    assert(lh.retention.policy("sales.rn_w2")
+      .exists(_.maxSnapshots.contains(11)), "target stores untouched")
+  }
+
+  test("corrupt rename marker: the repair path fails with the manual " +
+      "instructions, not a raw JSON parse error") {
+    seed()
+    val rows = (0 until 4).map(i => (i.toLong, s"c$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_cm", rows.schema, Nil, Map.empty)
+    lh.catalog.loadTable("sales.rn_cm").append(rows)
+    val oldDir = lh.catalog.tableDir("sales", "rn_cm")
+    val newDir = lh.catalog.tableDir("sales", "rn_cm2")
+    java.nio.file.Files.write(
+      oldDir.resolve(graft.core.Catalog.RenameMarkerFile),
+      "{truncated".getBytes("UTF-8"))
+    java.nio.file.Files.move(oldDir, newDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val e = intercept[IllegalStateException] {
+      lh.catalog.renameTable("sales.rn_cm", "sales.rn_cm2")
+    }
+    assert(e.getMessage.contains("unreadable rename marker") &&
+      e.getMessage.contains(graft.core.Catalog.RenameMarkerFile),
+      e.getMessage)
   }
 
   test("rename resume requires positive evidence: a mistyped source " +
@@ -889,6 +936,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("INCOMPLETE rename") &&
       e.getMessage.contains("sales.rn_cr"), e.getMessage)
+    // whole-catalog sweeps must keep working: the one mid-rename table
+    // is skipped from listings (else registerViews/maintenance/dashboards
+    // would all throw on it), and re-appears once the rename completes
+    assert(!lh.catalog.listTables("sales").contains("sales.rn_cr2"))
+    lh.catalog.registerViews() // must not throw
     // re-running the SAME rename resumes through the Lakehouse (the
     // catalog marker is the positive evidence) and completes the fixups
     lh.renameTable("sales.rn_cr", "sales.rn_cr2")
@@ -896,6 +948,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(t2.read().count() == 25,
       "MoR delete state must survive a resumed rename exactly")
     assert(t2.read().agg(min(col("id"))).head.getLong(0) == 15L)
+    assert(lh.catalog.listTables("sales").contains("sales.rn_cr2"),
+      "the completed rename must re-surface the table in listings")
     assert(!java.nio.file.Files.exists(
       newDir.resolve(graft.core.Catalog.RenameMarkerFile)))
     // a mismatched resume attempt refuses (marker names a different pair)

@@ -118,6 +118,22 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(row.getString(0) == "default.sales" && row.getLong(1) == 50)
   }
 
+  test("ns rewrite handles digit-leading table names and leaves numeric " +
+      "literals alone (the candidate scan is not letter-anchored)") {
+    val lh = seeded()
+    lh.catalog.createTable("default.2024sales",
+      Seq("id" -> "long", "x" -> "double"), Nil, Map.empty)
+    lh.catalog.loadTable("default.2024sales")
+      .append(spark.range(0, 7).toDF("id")
+        .withColumn("x", org.apache.spark.sql.functions.lit(2.0)))
+    // `1.5` is a candidate the tableExists check must cheaply reject —
+    // rewriting it would corrupt the literal
+    val sql = "SELECT count(*) AS n FROM default.2024sales WHERE x > 1.5"
+    assert(lh.engine.rewriteNamespaces(sql) ==
+      "SELECT count(*) AS n FROM default__2024sales WHERE x > 1.5")
+    assert(lh.engine.execute(sql, 10).head.getLong(0) == 7)
+  }
+
   test("query cache: hit/miss, TTL-free invalidation by table") {
     val lh = seeded()
     val (r1, hit1) = lh.queryCache.execute("SELECT count(*) AS n FROM sales")

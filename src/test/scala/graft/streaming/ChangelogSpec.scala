@@ -311,6 +311,23 @@ class ChangelogSpec extends AnyFunSuite {
     var after = List.empty[(Long, Long)]
     csOld.processAvailable((ch, to) => after :+= (to, ch.count()))
     assert(after == List((5L, 2L)), s"got $after")
+    // binding edges that must ALSO refuse (never silently alias):
+    // (a) bound checkpoint vs a table stripped of its identity property
+    tNew.removeProperty(graft.core.Catalog.TableUuidKey)
+    val eA = intercept[IllegalArgumentException] {
+      csOld.processAvailable((_, _) => ())
+    }
+    assert(eA.getMessage.contains("NO identity property"), eA.getMessage)
+    // (b) a pre-binding checkpoint (offset, no uuid file) vs a
+    // uuid-bearing table: the offset predates the table
+    val ckptPre = SparkFixture.tmpDir("graft-cls-rn-pre-")
+    java.nio.file.Files.copy(ckpt.resolve("offset"),
+      ckptPre.resolve("offset"))
+    val eB = intercept[IllegalArgumentException] {
+      new ChangelogStream(lh, "default.cl_rn2", ckptPre)
+        .processAvailable((_, _) => ())
+    }
+    assert(eB.getMessage.contains("predates"), eB.getMessage)
   }
 
   test("appendStream over a transform-partitioned layout: recursive " +
