@@ -90,10 +90,24 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     val moveDone =
       !catalog.tableExists(oldIdent) && catalog.tableExists(target)
     val (nns, nt) = Catalog.parseIdent(target)
-    val catalogMarker = java.nio.file.Files.exists(
-      catalog.tableDir(nns, nt).resolve(Catalog.RenameMarkerFile))
+    // marker evidence matches by CONTENT, not mere existence: a marker in
+    // the target dir recording a DIFFERENT source (x->b mid-fixups while
+    // someone typos rename(a,b)) must not legitimize this pair
+    def markerMatches: Boolean = {
+      val mp = catalog.tableDir(nns, nt).resolve(Catalog.RenameMarkerFile)
+      java.nio.file.Files.exists(mp) && (
+        try {
+          val p = graft.core.Jsons.readFile[graft.core.RenamePending](mp)
+          p.fromIdent == from && p.toIdent == to
+        } catch { case _: Exception => false })
+    }
+    // refuse a certainly-failing rename BEFORE touching the intent file:
+    // writing first and cleaning up in a catch would clobber a PENDING
+    // intent for the same source with a different (valid) target
+    require(catalog.tableExists(oldIdent) || moveDone,
+      s"no such table: $from")
     if (moveDone)
-      require(catalogMarker || intentMatches,
+      require(markerMatches || intentMatches,
         s"refusing to resume a rename $from -> $to: the target exists " +
           "but neither a rename marker nor a pending rename intent " +
           "records that move — check the source table name")
@@ -101,19 +115,20 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     // leaves evidence; cleared only after every follower re-keyed
     graft.core.Jsons.writeFile(intentPath,
       graft.core.RenameIntent(from, to))
-    if (!moveDone || catalogMarker) {
+    if (!moveDone || markerMatches) {
       // fresh rename, or a resume that must first complete the catalog's
       // own crashed fixups (Catalog.renameTable's marker-driven path)
       try { catalog.renameTable(oldIdent, target); () }
       catch { case e: Throwable =>
         // a REFUSED/FAILED catalog step must not leave evidence that
         // would later legitimize "resuming" a rename that never
-        // committed (e.g. once the old table is dropped, a stale intent
-        // would re-key governance stores onto the unrelated target).
-        // Withdraw the intent only when the move demonstrably did NOT
-        // land; if it did, the intent (plus the in-dir marker while
-        // fixups are incomplete) is exactly the evidence resume needs.
-        if (catalog.tableExists(oldIdent) || !catalog.tableExists(target))
+        // committed (once the old table is dropped, a stale intent would
+        // re-key governance stores onto the unrelated target). Keep the
+        // intent ONLY while OUR move demonstrably landed and is still
+        // mid-fixups (its marker rides the moved dir); the catalog
+        // cannot throw after that marker clears — its post-clear pin
+        // release is best-effort by contract.
+        if (!markerMatches)
           java.nio.file.Files.deleteIfExists(intentPath)
         throw e
       }

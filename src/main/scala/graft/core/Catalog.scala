@@ -46,10 +46,22 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     state.namespaces.getOrElse(ns,
       throw new IllegalArgumentException(s"no such namespace: $ns"))
 
-  /** Refuses to drop a namespace that still has tables (catalog.py:134-141). */
+  /** Refuses to drop a namespace that still has tables (catalog.py:134-141).
+    * Counts table DIRECTORIES, not [[listTables]] — that listing hides
+    * mid-rename tables (live rename marker), and dropping their namespace
+    * would orphan a real table the moment its rename completes. */
   def dropNamespace(ns: String): Unit = synchronized {
     require(ns != DefaultNamespace, "cannot drop the default namespace")
-    val tables = listTables(ns)
+    val d = warehouse.resolve(ns)
+    val tables =
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .filter(p => Files.exists(p.resolve("meta.json")))
+          .map(p => s"$ns.${p.getFileName}").toList.sorted
+        finally s.close()
+      }
     require(tables.isEmpty, s"namespace $ns is not empty: $tables")
     val s = state
     require(s.namespaces.contains(ns), s"no such namespace: $ns")
@@ -455,14 +467,21 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       }
       moved.renameIdent(nns, nt)
       // all fixups landed — clear the marker, then release the OLD pin on
-      // our source (tag may already be gone on a resumed rename)
+      // our source (tag may already be gone on a resumed rename).
+      // BEST-EFFORT by design: after the marker clears, the rename IS
+      // complete — failing it over a pin-release race would strand the
+      // caller in a "throw but nothing left to resume" state (the
+      // facade's intent-withdrawal logic keys on the marker); a stale
+      // pin only delays GC until the stale-pin sweep, like the rollback
+      // path's own best-effort untag.
       Files.deleteIfExists(newDir.resolve(Catalog.RenameMarkerFile))
-      moved.meta.properties.get(ClonedFromKey).filter(tableExists)
+      try moved.meta.properties.get(ClonedFromKey).filter(tableExists)
         .foreach { srcIdent =>
           val src = loadTable(srcIdent)
           if (src.tags.contains(s"clone-$ons.$ot"))
             src.removeTag(s"clone-$ons.$ot")
         }
+      catch { case _: Exception => () }
       moved
     }
 

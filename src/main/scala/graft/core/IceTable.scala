@@ -674,7 +674,10 @@ class IceTable(val spark: SparkSession, val dir: Path) {
     val byLower = scala.collection.mutable.Map.empty[String, String]
     var ambiguous = false
     for (sc <- structs; f <- sc.fields if !ambiguous) {
-      val canonical = byLower.getOrElseUpdate(f.name.toLowerCase, f.name)
+      // Locale.ROOT: Spark's own case folding is locale-independent — a
+      // Turkish default locale must not let 'ID'/'id' slip past the guard
+      val canonical = byLower.getOrElseUpdate(
+        f.name.toLowerCase(java.util.Locale.ROOT), f.name)
       if (canonical != f.name) ambiguous = true
       else (TableMeta.fieldId(f), phys.get(f.name)) match {
         case (None, _) => ambiguous = true

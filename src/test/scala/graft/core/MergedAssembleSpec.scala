@@ -129,18 +129,25 @@ class MergedAssembleSpec extends AnyFunSuite {
     val cat = Catalog.open(spark,
       SparkFixture.tmpDir("graft-macs-").toString)
     val tbl = cat.createTable("m3",
-      Seq("id" -> "long", "val" -> "long"), Nil, Map.empty)
+      Seq("id" -> "long", "vid" -> "long"), Nil, Map.empty)
     tbl.append(spark.range(0, 40).toDF("id")
-      .withColumn("val", col("id") * 3).coalesce(1))
-    tbl.renameColumn("val", "Val") // case-only, field-id unchanged
-    var n = "Val"
+      .withColumn("vid", col("id") * 3).coalesce(1))
+    tbl.renameColumn("vid", "VID") // case-only (I/i: the Turkish-locale trap), field-id unchanged
+    var n = "VID"
     (0 until IceTable.MergedAssembleMinGroups).foreach { e =>
       tbl.append(spark.range((e + 1) * 40L, (e + 2) * 40L).toDF("id")
         .withColumn(n, col("id") * 3).coalesce(1))
-      val nn = s"Val$e"
+      val nn = s"VID$e"
       tbl.renameColumn(n, nn); n = nn
     }
-    val df = cat.loadTable("m3").read()
+    // the collision check must be locale-independent: under a Turkish
+    // default locale "ID".toLowerCase is "ıd" ≠ "id" — a
+    // default-locale fold would let the duplicate spellings through
+    val savedLocale = java.util.Locale.getDefault
+    val df = try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      cat.loadTable("m3").read()
+    } finally java.util.Locale.setDefault(savedLocale)
     assert(union(df).nonEmpty,
       "case-colliding physical names must take the per-era fallback")
     assert(df.count() ==

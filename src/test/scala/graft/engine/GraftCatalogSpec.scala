@@ -867,6 +867,86 @@ class GraftCatalogSpec extends AnyFunSuite {
       .exists(_.maxSnapshots.contains(11)), "target stores untouched")
   }
 
+  test("typo'd rename against a target that is mid-rename from a " +
+      "DIFFERENT source: the marker's CONTENT refuses the pair and no " +
+      "intent is left behind; the legitimate resume then completes") {
+    seed()
+    val rows = (0 until 8).map(i => (i.toLong, s"m$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_mr", rows.schema, Nil, Map.empty)
+    lh.catalog.loadTable("sales.rn_mr").append(rows)
+    val oldDir = lh.catalog.tableDir("sales", "rn_mr")
+    val newDir = lh.catalog.tableDir("sales", "rn_mrb")
+    graft.core.Jsons.writeFile(
+      oldDir.resolve(graft.core.Catalog.RenameMarkerFile),
+      graft.core.RenamePending("sales.rn_mr", "sales.rn_mrb",
+        oldDir.toAbsolutePath.toString + "/",
+        newDir.toAbsolutePath.toString + "/"))
+    java.nio.file.Files.move(oldDir, newDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // typo: rn_typo never existed, but rn_mrb exists and carries a marker
+    val e = intercept[IllegalArgumentException] {
+      lh.renameTable("sales.rn_typo", "sales.rn_mrb")
+    }
+    assert(e.getMessage.contains("refusing to resume"), e.getMessage)
+    val typoIntent = lh.metaDir.resolve("rename-intents").resolve(
+      java.net.URLEncoder.encode("sales.rn_typo", "UTF-8") + ".json")
+    assert(!java.nio.file.Files.exists(typoIntent),
+      "the refused typo must not leave intent evidence behind")
+    // the REAL pair still resumes exactly
+    lh.renameTable("sales.rn_mr", "sales.rn_mrb")
+    assert(lh.catalog.loadTable("sales.rn_mrb").read().count() == 8)
+  }
+
+  test("a rename refused for a missing source must not clobber a PENDING " +
+      "intent of the same source toward a different target") {
+    seed()
+    val rows = (0 until 6).map(i => (i.toLong, s"p$i")).toDF("id", "v")
+    lh.catalog.createTable("sales.rn_pi", rows.schema, Nil, Map.empty)
+    lh.catalog.loadTable("sales.rn_pi").append(rows)
+    // crash AFTER the catalog move fully completed but BEFORE followers:
+    // the intent file is the only resume evidence
+    val intent = lh.metaDir.resolve("rename-intents").resolve(
+      java.net.URLEncoder.encode("sales.rn_pi", "UTF-8") + ".json")
+    graft.core.Jsons.writeFile(intent,
+      graft.core.RenameIntent("sales.rn_pi", "sales.rn_pi2"))
+    lh.catalog.renameTable("sales.rn_pi", "sales.rn_pi2")
+    // mistyped second command: source gone, target rn_pi3 absent — must
+    // refuse EARLY without touching the pending intent
+    val e = intercept[IllegalArgumentException] {
+      lh.renameTable("sales.rn_pi", "sales.rn_pi3")
+    }
+    assert(e.getMessage.contains("no such table"), e.getMessage)
+    assert(java.nio.file.Files.exists(intent),
+      "the early refusal must preserve the pending intent")
+    // the legitimate resume still works off that intent
+    lh.renameTable("sales.rn_pi", "sales.rn_pi2")
+    assert(lh.catalog.loadTable("sales.rn_pi2").read().count() == 6)
+    assert(!java.nio.file.Files.exists(intent))
+  }
+
+  test("dropNamespace counts mid-rename tables: a namespace whose only " +
+      "table is hidden behind a rename marker refuses to drop") {
+    lh.catalog.createNamespace("rnns")
+    val rows = (0 until 3).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+    lh.catalog.createTable("rnns.t", rows.schema, Nil, Map.empty)
+    val oldDir = lh.catalog.tableDir("rnns", "t")
+    val newDir = lh.catalog.tableDir("rnns", "t2")
+    graft.core.Jsons.writeFile(
+      oldDir.resolve(graft.core.Catalog.RenameMarkerFile),
+      graft.core.RenamePending("rnns.t", "rnns.t2",
+        oldDir.toAbsolutePath.toString + "/",
+        newDir.toAbsolutePath.toString + "/"))
+    java.nio.file.Files.move(oldDir, newDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(lh.catalog.listTables("rnns").isEmpty, "precondition: hidden")
+    val e = intercept[IllegalArgumentException] {
+      lh.catalog.dropNamespace("rnns")
+    }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    lh.renameTable("rnns.t", "rnns.t2") // complete it; ns stays usable
+    assert(lh.catalog.listTables("rnns") == List("rnns.t2"))
+  }
+
   test("corrupt rename marker: the repair path fails with the manual " +
       "instructions, not a raw JSON parse error") {
     seed()
