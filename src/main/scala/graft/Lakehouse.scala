@@ -90,24 +90,27 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     val moveDone =
       !catalog.tableExists(oldIdent) && catalog.tableExists(target)
     val (nns, nt) = Catalog.parseIdent(target)
-    // marker evidence matches by CONTENT, not mere existence: a marker in
-    // the target dir recording a DIFFERENT source (x->b mid-fixups while
-    // someone typos rename(a,b)) must not legitimize this pair
-    def markerMatches: Boolean = {
-      val mp = catalog.tableDir(nns, nt).resolve(Catalog.RenameMarkerFile)
-      java.nio.file.Files.exists(mp) && (
-        try {
-          val p = graft.core.Jsons.readFile[graft.core.RenamePending](mp)
-          p.fromIdent == from && p.toIdent == to
-        } catch { case _: Exception => false })
-    }
+    val markerPath =
+      catalog.tableDir(nns, nt).resolve(Catalog.RenameMarkerFile)
+    def markerExists = java.nio.file.Files.exists(markerPath)
+    // content match (this exact from->to) is only the KEEP criterion in
+    // the failure path below; the gate and the dispatch key on marker
+    // EXISTENCE, so mismatched (typo'd source against a mid-rename
+    // target) and corrupt markers forward into Catalog.renameTable's own
+    // loud, precise refusals instead of a misleading generic one here
+    def markerMatches: Boolean = markerExists && (
+      try {
+        val p = graft.core.Jsons.readFile[graft.core.RenamePending](
+          markerPath)
+        p.fromIdent == from && p.toIdent == to
+      } catch { case _: Exception => false })
     // refuse a certainly-failing rename BEFORE touching the intent file:
     // writing first and cleaning up in a catch would clobber a PENDING
     // intent for the same source with a different (valid) target
     require(catalog.tableExists(oldIdent) || moveDone,
       s"no such table: $from")
     if (moveDone)
-      require(markerMatches || intentMatches,
+      require(markerExists || intentMatches,
         s"refusing to resume a rename $from -> $to: the target exists " +
           "but neither a rename marker nor a pending rename intent " +
           "records that move — check the source table name")
@@ -115,20 +118,23 @@ class Lakehouse(val spark: SparkSession, val warehouseDir: String) {
     // leaves evidence; cleared only after every follower re-keyed
     graft.core.Jsons.writeFile(intentPath,
       graft.core.RenameIntent(from, to))
-    if (!moveDone || markerMatches) {
+    if (!moveDone || markerExists) {
       // fresh rename, or a resume that must first complete the catalog's
-      // own crashed fixups (Catalog.renameTable's marker-driven path)
+      // own crashed fixups (Catalog.renameTable's marker-driven path —
+      // which also owns the mismatch/corrupt-marker refusals)
       try { catalog.renameTable(oldIdent, target); () }
       catch { case e: Throwable =>
         // a REFUSED/FAILED catalog step must not leave evidence that
         // would later legitimize "resuming" a rename that never
         // committed (once the old table is dropped, a stale intent would
         // re-key governance stores onto the unrelated target). Keep the
-        // intent ONLY while OUR move demonstrably landed and is still
-        // mid-fixups (its marker rides the moved dir); the catalog
-        // cannot throw after that marker clears — its post-clear pin
-        // release is best-effort by contract.
-        if (!markerMatches)
+        // intent when OUR move demonstrably landed and is still
+        // mid-fixups (its content-matching marker rides the moved dir) —
+        // the catalog cannot throw an Exception after that marker clears
+        // (post-clear pin release is best-effort by contract) — and on
+        // FATAL errors (VM death mid-anything), where preserving resume
+        // evidence is exactly what the restart needs.
+        if (scala.util.control.NonFatal(e) && !markerMatches)
           java.nio.file.Files.deleteIfExists(intentPath)
         throw e
       }

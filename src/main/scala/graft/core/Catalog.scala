@@ -47,21 +47,13 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
       throw new IllegalArgumentException(s"no such namespace: $ns"))
 
   /** Refuses to drop a namespace that still has tables (catalog.py:134-141).
-    * Counts table DIRECTORIES, not [[listTables]] — that listing hides
-    * mid-rename tables (live rename marker), and dropping their namespace
-    * would orphan a real table the moment its rename completes. */
+    * Counts table DIRECTORIES ([[tablesIn]] with mid-rename tables
+    * INCLUDED) — [[listTables]] hides mid-rename tables, and dropping
+    * their namespace would orphan a real table the moment its rename
+    * completes. */
   def dropNamespace(ns: String): Unit = synchronized {
     require(ns != DefaultNamespace, "cannot drop the default namespace")
-    val d = warehouse.resolve(ns)
-    val tables =
-      if (!Files.isDirectory(d)) Nil
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala
-          .filter(p => Files.exists(p.resolve("meta.json")))
-          .map(p => s"$ns.${p.getFileName}").toList.sorted
-        finally s.close()
-      }
+    val tables = tablesIn(ns, includeMidRename = true)
     require(tables.isEmpty, s"namespace $ns is not empty: $tables")
     val s = state
     require(s.namespaces.contains(ns), s"no such namespace: $ns")
@@ -146,17 +138,22 @@ class Catalog(val spark: SparkSession, val warehouse: Path) {
     * its rename is re-run. */
   def listTables(ns: String = "*"): List[String] = {
     val nss = if (ns == "*") listNamespaces() else List(ns)
-    nss.flatMap { n =>
-      val d = warehouse.resolve(n)
-      if (!Files.isDirectory(d)) Nil
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala
-          .filter(p => Files.exists(p.resolve("meta.json")) &&
-            !Files.exists(p.resolve(RenameMarkerFile)))
-          .map(p => s"$n.${p.getFileName}").toList.sorted
-        finally s.close()
-      }
+    nss.flatMap(tablesIn(_, includeMidRename = false))
+  }
+
+  /** One namespace's table dirs — the single definition of "is a table"
+    * (a dir with meta.json), shared by [[listTables]] (which hides
+    * mid-rename tables) and [[dropNamespace]] (which must count them). */
+  private def tablesIn(ns: String, includeMidRename: Boolean): List[String] = {
+    val d = warehouse.resolve(ns)
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("meta.json")) &&
+          (includeMidRename || !Files.exists(p.resolve(RenameMarkerFile))))
+        .map(p => s"$ns.${p.getFileName}").toList.sorted
+      finally s.close()
     }
   }
 

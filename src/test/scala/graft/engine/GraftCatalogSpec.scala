@@ -883,11 +883,14 @@ class GraftCatalogSpec extends AnyFunSuite {
         newDir.toAbsolutePath.toString + "/"))
     java.nio.file.Files.move(oldDir, newDir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // typo: rn_typo never existed, but rn_mrb exists and carries a marker
+    // typo: rn_typo never existed, but rn_mrb exists and carries a
+    // marker — the refusal forwards into the catalog's PRECISE
+    // content-mismatch message (naming what the marker actually records)
     val e = intercept[IllegalArgumentException] {
       lh.renameTable("sales.rn_typo", "sales.rn_mrb")
     }
-    assert(e.getMessage.contains("refusing to resume"), e.getMessage)
+    assert(e.getMessage.contains("records sales.rn_mr -> sales.rn_mrb"),
+      e.getMessage)
     val typoIntent = lh.metaDir.resolve("rename-intents").resolve(
       java.net.URLEncoder.encode("sales.rn_typo", "UTF-8") + ".json")
     assert(!java.nio.file.Files.exists(typoIntent),
@@ -966,6 +969,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unreadable rename marker") &&
       e.getMessage.contains(graft.core.Catalog.RenameMarkerFile),
       e.getMessage)
+    // the FACADE must surface the same repair message (its dispatch keys
+    // on marker EXISTENCE, so a corrupt marker forwards into the
+    // catalog's instructions instead of a generic resume refusal)
+    val e2 = intercept[IllegalStateException] {
+      lh.renameTable("sales.rn_cm", "sales.rn_cm2")
+    }
+    assert(e2.getMessage.contains("unreadable rename marker"),
+      e2.getMessage)
   }
 
   test("rename resume requires positive evidence: a mistyped source " +
