@@ -1102,6 +1102,37 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("total"))
     }),
 
+    // DEEP-EVOLUTION MERGED READ gate: 11 schema eras (a rename before
+    // every append), so every data file resolves through a DIFFERENT
+    // schema version and the read takes the single-merged-scan path
+    // ([[graft.core.IceTable.assembleMerged]] — plan-asserted in-gate:
+    // no per-era Union; the per-era plan is O(columns × eras) driver
+    // analysis, measured 12 s/read at 500 cols × 50 eras). The oracle
+    // re-derives the table from the raw commit-dir parquet, aliasing
+    // each era's PHYSICAL column name back to the current one and
+    // re-applying the deterministic MoR delete.
+    "q191_deep_evolution_merged_read" -> ((s, dir) => {
+      val lh = auxTable(s, dir, "wh191") { lh =>
+        lh.catalog.createTable("default.evo",
+          Seq("id" -> "long", "v0" -> "long"), Nil, Map.empty)
+        val tb = lh.catalog.loadTable("default.evo")
+        (1 to 11).foreach { e =>
+          tb.renameColumn(s"v${e - 1}", s"v$e")
+          tb.append(s.range((e - 1) * 100L, e * 100L).toDF("id")
+            .withColumn(s"v$e", col("id") * e).coalesce(1))
+        }
+        tb.deleteWhereMor(col("id") % 9 === 5)
+        ()
+      }
+      val df = lh.catalog.loadTable("default.evo").read()
+      require(org.apache.spark.sql.graft.DatasetBridge.analyzed(df)
+        .collectFirst {
+          case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+        }.isEmpty,
+        "q191 must exercise the MERGED (no per-era union) read")
+      df.select(col("id"), col("v11").as("v"))
+    }),
+
     // CORRELATED scalar subquery in UPDATE SET — the last previously
     // refused SQL shape: `SET x = (SELECT agg … WHERE corr)` captured at
     // analysis time ([[graft.engine.GraftCaptureUpdateRule]]) before the
@@ -5765,6 +5796,19 @@ object SparkEntry {
     // q186: the changes SQL face recomputed from the raw commit dirs —
     // every commit-1/2 row is an insert; the MoR delete commit emits a
     // delete record per matching live row (same recomputation as q172)
+    // q191: each era's file holds its own physical column name v{e};
+    // alias every era back to the CURRENT name and re-apply the MoR
+    // delete — exactly the field-id resolution the merged read does
+    "q191_deep_evolution_merged_read" -> {
+      val branches = (1 to 11).map { e =>
+        s"SELECT id, v$e AS v FROM read_parquet('/tmp/graft_aux/" +
+          s"wh191_sf0.01/default/evo/data/commit-${"%05d".format(e)}" +
+          "/**/*.parquet')"
+      }.mkString("\n  UNION ALL ")
+      s"WITH raw AS (\n  $branches)\n" +
+        "SELECT id, v FROM raw WHERE id % 9 <> 5"
+    },
+
     "q186_changes_metadata_sql" ->
       """WITH a AS (
         |  SELECT * FROM read_parquet('/tmp/graft_aux/wh186_sf0.01/default/li_ch/data/commit-00001/**/*.parquet')),
