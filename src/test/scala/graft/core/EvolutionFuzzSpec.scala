@@ -135,4 +135,17 @@ class EvolutionFuzzSpec extends AnyFunSuite {
       "every checkpoint (seed 18302)") {
     fuzz(seed = 18302L, nOps = 28)
   }
+
+  test("same fuzz THROUGH the merged single-scan read: with the era " +
+      "threshold forced to 2, every multi-era checkpoint takes " +
+      "assembleMerged (or its guarded fallback) and must still match " +
+      "the model (seed 18303)") {
+    // sequential suites (one forked test JVM, no parallelExecution), so
+    // the global threshold tweak cannot leak into a concurrent suite
+    val saved = IceTable.MergedAssembleMinGroups
+    try {
+      IceTable.MergedAssembleMinGroups = 2
+      fuzz(seed = 18303L, nOps = 36)
+    } finally IceTable.MergedAssembleMinGroups = saved
+  }
 }

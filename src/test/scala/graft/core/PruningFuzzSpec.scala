@@ -111,4 +111,16 @@ class PruningFuzzSpec extends AnyFunSuite {
     // through write layout, per-era pruning, and the rename carry
     fuzz(19401L, Seq("grp"), Seq("truncate(1,s)"))
   }
+
+  test("same pruning fuzz THROUGH the merged single-scan read: with the " +
+      "era threshold forced to 2, the merged path's leaf translation " +
+      "(physical name -> field-id -> current name) prunes exactly like " +
+      "per-era (seed 19402)") {
+    // sequential suites (one forked test JVM), so the tweak cannot leak
+    val saved = IceTable.MergedAssembleMinGroups
+    try {
+      IceTable.MergedAssembleMinGroups = 2
+      fuzz(19402L, Seq("bucket(4,grp)"), Seq("identity(grp)"))
+    } finally IceTable.MergedAssembleMinGroups = saved
+  }
 }
