@@ -730,6 +730,7 @@ class IceTable(val spark: SparkSession, val dir: Path) {
         Array(col("_metadata.file_path").as(LineageFileCol),
           col("_metadata.row_index").as(LineagePosCol))
       else Array.empty
+    IceTable.mergedAssembleCount.incrementAndGet()
     Some(raw.select(scala.collection.immutable.ArraySeq
       .unsafeWrapArray(cols ++ lineage): _*))
   }
@@ -2667,6 +2668,13 @@ object IceTable {
     * renames) plan). Var ONLY so tests can force either path for
     * differential comparison. */
   private[graft] var MergedAssembleMinGroups: Int = 9
+
+  /** Process-wide count of reads that took the MERGED multi-era scan —
+    * DIAGNOSTIC only: the merged-path fuzz legs assert it advanced, so a
+    * regression that silently always falls back to per-era cannot pass
+    * those tests vacuously. */
+  private[graft] val mergedAssembleCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Process-wide count of commit-CAS retry iterations — DIAGNOSTIC only
     * (tools/CommitThroughput's retries-per-commit curve); never read by

@@ -140,12 +140,8 @@ class EvolutionFuzzSpec extends AnyFunSuite {
       "threshold forced to 2, every multi-era checkpoint takes " +
       "assembleMerged (or its guarded fallback) and must still match " +
       "the model (seed 18303)") {
-    // sequential suites (one forked test JVM, no parallelExecution), so
-    // the global threshold tweak cannot leak into a concurrent suite
-    val saved = IceTable.MergedAssembleMinGroups
-    try {
-      IceTable.MergedAssembleMinGroups = 2
+    graft.SparkFixture.withMergedThreshold(2) {
       fuzz(seed = 18303L, nOps = 36)
-    } finally IceTable.MergedAssembleMinGroups = saved
+    }
   }
 }

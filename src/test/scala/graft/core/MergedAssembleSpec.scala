@@ -58,13 +58,12 @@ class MergedAssembleSpec extends AnyFunSuite {
     assert(union(merged).isEmpty,
       "expected the merged single-scan read, found a per-era union")
     // differential: force the per-era path on the SAME table
-    val saved = IceTable.MergedAssembleMinGroups
-    val perEra = try {
-      IceTable.MergedAssembleMinGroups = Int.MaxValue
-      val df = cat.loadTable("m1").read()
-      assert(union(df).nonEmpty, "per-era fallback must union")
-      df.collect().map(_.mkString("|")).sorted.toSeq
-    } finally IceTable.MergedAssembleMinGroups = saved
+    val perEra = graft.SparkFixture
+      .withMergedThreshold(Int.MaxValue, expectFired = false) {
+        val df = cat.loadTable("m1").read()
+        assert(union(df).nonEmpty, "per-era fallback must union")
+        df.collect().map(_.mkString("|")).sorted.toSeq
+      }
     val got = merged.collect().map(_.mkString("|")).sorted.toSeq
     assert(got == perEra, s"merged != per-era: ${got.size} vs ${perEra.size}")
     // model check, not just self-consistency: 1200 rows − 120 deleted

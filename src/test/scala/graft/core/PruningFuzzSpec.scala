@@ -116,11 +116,8 @@ class PruningFuzzSpec extends AnyFunSuite {
       "era threshold forced to 2, the merged path's leaf translation " +
       "(physical name -> field-id -> current name) prunes exactly like " +
       "per-era (seed 19402)") {
-    // sequential suites (one forked test JVM), so the tweak cannot leak
-    val saved = IceTable.MergedAssembleMinGroups
-    try {
-      IceTable.MergedAssembleMinGroups = 2
+    graft.SparkFixture.withMergedThreshold(2) {
       fuzz(19402L, Seq("bucket(4,grp)"), Seq("identity(grp)"))
-    } finally IceTable.MergedAssembleMinGroups = saved
+    }
   }
 }
