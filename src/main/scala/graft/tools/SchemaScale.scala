@@ -38,9 +38,15 @@ object SchemaScale {
     def best[T](reps: Int)(f: => T): Double =
       (1 to reps).map(_ => timed(f)._2).min
 
-    val files = 50
+    val files = sys.env.getOrElse("SPARK_GRAFT_SCHEMA_FILES", "50").toInt
     val rowsPerFile = 400
-    val legs = Seq((50, 1), (50, 50), (500, 1), (500, 50))
+    // "cols:eras,cols:eras,…" — eras beyond `files` rename WITHOUT a
+    // commit in between, so era depth can exceed file count
+    val legs = sys.env.getOrElse("SPARK_GRAFT_SCHEMA_LEGS",
+        "50:1,50:50,500:1,500:50")
+      .split(",").toSeq.map { s =>
+        val Array(c, e) = s.trim.split(":"); (c.toInt, e.toInt)
+      }
 
     for ((c, eras) <- legs) {
       val wh = java.nio.file.Files.createTempDirectory(s"graft-ssc-$c-$eras-")
@@ -50,13 +56,19 @@ object SchemaScale {
       val tbl = cat.loadTable("t")
       // current name of each data column (renames retarget by field-id)
       val names = Array.tabulate(c)(i => s"c${i + 1}")
+      // renames per commit: eras == files gives one per file; deeper
+      // legs (eras > files) stack several renames between commits, so
+      // era DEPTH can scale independently of file count
+      val renamesPerFile = if (eras <= 1) 0 else math.max(1, eras / files)
+      var renamed = 0
       val (_, buildSec) = timed {
         (0 until files).foreach { f =>
-          if (eras > 1) { // a rename per commit: every file a new era
-            val slot = f % c
+          (0 until renamesPerFile).foreach { _ =>
+            val slot = renamed % c
             val nn = s"${names(slot)}x"
             tbl.renameColumn(names(slot), nn)
             names(slot) = nn
+            renamed += 1
           }
           val base = spark.range(f * rowsPerFile, (f + 1) * rowsPerFile)
             .toDF("id")
@@ -66,7 +78,7 @@ object SchemaScale {
           tbl.append(wide.coalesce(1))
         }
       }
-      assert(tbl.meta.schemas.size == (if (eras > 1) files + 1 else 1))
+      assert(tbl.meta.schemas.size == files * renamesPerFile + 1)
 
       val fullCount = best(3)(tbl.read().count())
       // 2 columns of C, with a bounds-prunable filter (files are
