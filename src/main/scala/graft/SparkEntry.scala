@@ -1009,8 +1009,9 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster")), "qivf_clusters", dir)
       val q = graft.vector.Quantize.quantize(e, "embedding")
         .select(col("vec_id"), col("q"))
+      // salt=8: parallelism otherwise bounded by the k=8 clusters (see q57)
       graft.vector.Quantize.qDupPairsFromClusters(q.join(asg, "vec_id"),
-        "vec_id", "q", threshold = 0.45)
+        "vec_id", "q", threshold = 0.45, salt = 8)
     }),
 
     // manifest file-skipping gate: lineitem z-ordered by (l_orderkey,
@@ -1385,8 +1386,12 @@ object SparkEntry {
         k = 8, dims = 64, iters = 3)
       val asg = aux(graft.vector.KMeansIvf.assign(e, "embedding", centroids)
         .select(col("vec_id"), col("cluster")), "ivf_clusters_cc", dir)
+      // salt=8: with k=8 clusters the pair join's parallelism is bounded
+      // by the cluster count at ANY scale; salting splits each cluster's
+      // quadratic pair work 8 ways (output identical for any salt)
       val pairs = graft.vector.KMeansIvf.dupPairsFromClusters(
-        e.join(asg, "vec_id"), "vec_id", "embedding", threshold = 0.45)
+        e.join(asg, "vec_id"), "vec_id", "embedding", threshold = 0.45,
+        salt = 8)
       graft.text.NearDup.duplicateComponents(pairs)
     }),
 
@@ -1546,9 +1551,11 @@ object SparkEntry {
     // once from its minimum-(degree,id) corner; output id-canonical so
     // the oracle's id-ordered 3-way join must match row for row
     "q106_triangles" -> ((s, dir) => {
-      val pe = t(s, dir, "lineitem")
+      // pin the by-order exchange: the co-purchase pair generation is
+      // per-order quadratic CPU, which AQE byte-coalescing would serialize
+      val pe = graft.operators.Spread.byKey(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        .distinct(), col("o"))
       val edges = pe.alias("a").join(pe.alias("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
@@ -3121,7 +3128,10 @@ object SparkEntry {
     // and proves the blowup is gone with an in-gate candidate-count
     // bound (chain ≈ K pairs vs K²/2 ≈ 1.8k for the self-join).
     "q185_lsh_bucket_cap" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // spread the unsplittable docs scan HERE: the union with the planted
+      // frame hides the narrow scan from wideScan inside the operators
+      val docs = graft.operators.Spread.wideScan(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       val seedText = docs.orderBy("doc_id").select("text").head.getString(0)
       val planted = s.range(60).select((col("id") + 900000L).as("doc_id"),
         lit(seedText).as("text"))

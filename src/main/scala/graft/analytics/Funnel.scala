@@ -82,7 +82,12 @@ object Funnel {
   def transitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    events
+    // project to the four columns the window needs BEFORE its exchange
+    // (guide §2.3) and pin the by-user exchange so the per-user sort
+    // doesn't coalesce to one task
+    graft.operators.Spread.byKey(
+        events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol)),
+        col(userCol))
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))

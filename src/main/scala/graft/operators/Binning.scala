@@ -35,7 +35,11 @@ object Binning {
     * the k-row report (count, min, max) a profiler emits. */
   def binStats(df: DataFrame, valueCol: String, tieBreak: Seq[Column],
       k: Int): DataFrame =
-    equalFrequency(df, col(valueCol) +: tieBreak, k)
+    // project to the sort columns before ranking: rankWithPrefixSum
+    // checkpoints its range-sorted input, so unused columns would be
+    // shuffled AND materialized (guide §2.3 "project before the exchange")
+    equalFrequency(df.select(col(valueCol) +: tieBreak: _*),
+      col(valueCol) +: tieBreak, k)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("min_v"),

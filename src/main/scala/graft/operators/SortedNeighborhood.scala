@@ -33,9 +33,11 @@ object SortedNeighborhood {
       sortCols.indices.map(i => col(s"__s$i")), rankCol = "__rn")
       .select(col("__id"), col("__rn"),
         floor((col("__rn") - 1) / window).cast("long").as("__b"))
-    // each row joins under its home bucket and its successor bucket
-    val keyed = ranked.select(col("__id"), col("__rn"),
-      explode(array(col("__b"), col("__b") + 1)).as("__k"))
+    // each row joins under its home bucket and its successor bucket; the
+    // bucket-key exchange is pinned (shared by both self-join sides) so
+    // the candidate join keeps full width under AQE coalescing
+    val keyed = Spread.byKey(ranked.select(col("__id"), col("__rn"),
+      explode(array(col("__b"), col("__b") + 1)).as("__k")), col("__k"))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.__k") === col("b.__k") &&

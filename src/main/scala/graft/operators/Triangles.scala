@@ -53,14 +53,18 @@ object Triangles {
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
     // wedges around each center s (out-degree bounded by orientation),
-    // then close the wedge against the canonical edge set
-    val wedges = oriented.alias("e1")
-      .join(oriented.alias("e2"),
+    // then close the wedge against the canonical edge set. Both joins'
+    // exchanges are pinned: wedge generation and closure are row-volume
+    // CPU, which byte-based AQE coalescing would serialize.
+    val keyed = Spread.byKey(oriented, col("s"))
+    val wedges = Spread.byKey(keyed.alias("e1")
+      .join(keyed.alias("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("x"), col("e1.t").as("lo"),
-        col("e2.t").as("hi"))
+        col("e2.t").as("hi")), col("lo"), col("hi"))
     wedges
-      .join(e0, wedges("lo") === e0("u") && wedges("hi") === e0("v"))
+      .join(Spread.byKey(e0, col("u"), col("v")),
+        wedges("lo") === e0("u") && wedges("hi") === e0("v"))
       .select(array_sort(array(col("x"), col("lo"), col("hi"))).as("tr"))
       .select(element_at(col("tr"), 1).as("a"),
         element_at(col("tr"), 2).as("b"),

@@ -37,7 +37,11 @@ object Curation {
       cfg: Config = Config(), withStats: Boolean = true)
       : (DataFrame, Option[FunnelStats]) = {
     val text = col(textCol)
-    val lang = docs.where(
+    // langId + qualityScore are heavy per-row expressions evaluated right
+    // above the (unsplittable one-row-group) scan — spread it so they
+    // parallelize (conditional no-op on wide input)
+    val wide = graft.operators.Spread.wideScan(docs)
+    val lang = wide.where(
       TextAnalysis.langId(text).isInCollection(cfg.languages.toSeq))
     val quality = lang.where(TextAnalysis.qualityScore(text) >= cfg.minQuality)
     // the filter chain above `exact` (marker-count langId + quality score +
@@ -47,8 +51,12 @@ object Curation {
     // interleaved; the opposite trade from the cheap-scan hot paths where
     // a persist loses to recompute). Reliable checkpoint when a dir is
     // configured, executor-local otherwise (NearDup.ckpt).
-    val exact = NearDup.ckpt(quality
-      .withColumn("__fp", TextAnalysis.fingerprint(text))
+    // the by-fingerprint exchange is pinned so the keep-min window — and,
+    // transitively, the checkpoint every downstream stage reads — keeps
+    // full width instead of AQE-coalescing to one partition
+    val exact = NearDup.ckpt(graft.operators.Spread.byKey(
+        quality.withColumn("__fp", TextAnalysis.fingerprint(text)),
+        col("__fp"))
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
       .where(col(idCol) === col("__keep"))
       .drop("__fp", "__keep"))

@@ -30,8 +30,13 @@ object FuzzyJoin {
   def blockedPairs(df: DataFrame, idCol: String, strCol: String,
       blockBy: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val side = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      blockBy.as("blk"))
+    // pin the block-key exchange both join sides need anyway: the verify
+    // stage's cost is CPU per candidate pair (banded edit distance), which
+    // AQE's byte-based coalescing would otherwise collapse to one task
+    // (measured 3.5 s -> 0.9 s at bench scale, OPTIMIZATION_r21.md)
+    val side = graft.operators.Spread.byKey(
+      df.select(col(idCol).as("id"), col(strCol).as("s"), blockBy.as("blk")),
+      col("blk"))
     val a = side.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
     val b = side.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("blk"))

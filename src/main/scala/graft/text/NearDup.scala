@@ -25,7 +25,10 @@ object NearDup {
   // shuffle key saves at gate scale, and string keys keep the table
   // directly joinable by the DuckDB oracle with zero collision caveats.
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // the shingle expression is the heavy per-row work of every consumer
+    // pipeline; over an unsplittable one-row-group scan it would run as a
+    // single task (wideScan is a conditional no-op on already-wide input)
+    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("s"))
 
   /** Exact pairwise n-gram Jaccard ≥ threshold.
@@ -54,7 +57,10 @@ object NearDup {
   def jaccardPairsFromShingles(shingleDf: DataFrame,
       threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh0 = shingleDf
+    // pin the by-shingle exchange (shared by the window AND both pair-join
+    // sides) so AQE's byte-based coalescing can't serialize the CPU-bound
+    // candidate join downstream (guide §2.4/§2.5; OPTIMIZATION_r21.md)
+    val sh0 = graft.operators.Spread.byKey(shingleDf, col("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
     val sh = if (maxShingleFreq <= 0) sh0
       else sh0.where(col("df") <= maxShingleFreq)
@@ -86,14 +92,21 @@ object NearDup {
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    val arrs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(candIds, "doc_id")
+    // pinned exchanges throughout the verify stage: shingle recompute and
+    // the per-pair array_intersect are CPU-bound, and every pinned key is
+    // one the next join clusters on anyway — arrs lands partitioned by
+    // doc_id, so after the rename each pair join sees both sides
+    // co-partitioned (no extra exchange at any scale)
+    val arrs = graft.operators.Spread.byKey(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+          .join(candIds, "doc_id"), col("doc_id"))
       .select(col("doc_id"),
         TextAnalysis.shingles(col("__text"), n).as("sh"))
       .withColumn("nn", size(col("sh")).cast("long"))
-    cands
+    val withA = graft.operators.Spread.byKey(cands, col("id_a"))
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sa"),
         col("nn").as("na")), "id_a")
+    graft.operators.Spread.byKey(withA, col("id_b"))
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sb"),
         col("nn").as("nb")), "id_b")
       .withColumn("inter",
@@ -123,7 +136,9 @@ object NearDup {
       .unionByName(
         shingleTable(dfB, idCol, textCol, n).withColumn("side", lit("b")))
     val w = Window.partitionBy("s")
-    val ann = sh
+    // same pinned by-shingle exchange as jaccardPairsFromShingles: the
+    // window and the bipartite pair join share it
+    val ann = graft.operators.Spread.byKey(sh, col("s"))
       .withColumn("df", count(lit(1)).over(w))
       .withColumn("sides", size(collect_set(col("side")).over(w)))
     val kept = if (maxShingleFreq <= 0) ann
@@ -167,10 +182,13 @@ object NearDup {
   def winnowFingerprintTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp0 = df.select(col(idCol).as("doc_id"),
-      explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
+    // winnow is the heavy per-doc expression here; spread the narrow scan
+    // under it and pin the by-hash exchange the frequency window needs
+    val fp0 = graft.operators.Spread.wideScan(df)
+      .select(col(idCol).as("doc_id"),
+        explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
     if (maxDocFreq <= 0) fp0
-    else fp0
+    else graft.operators.Spread.byKey(fp0, col("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("df") <= maxDocFreq).select("doc_id", "h")
   }
@@ -182,7 +200,10 @@ object NearDup {
     * prune on the join key (shuffle shared with the join) removes them. */
   def winnowPairsFromTable(fp: DataFrame, minShared: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spine = fp
+    // pinned by-hash exchange: shared by the frequency window and both
+    // candidate-join sides (q33 reads fp back from parquet, so the scan
+    // is narrow and the join would otherwise coalesce to one task)
+    val spine = graft.operators.Spread.byKey(fp, col("h"))
       .withColumn("hdf", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("hdf") >= 2).select("doc_id", "h")
     spine.alias("a")
@@ -214,8 +235,14 @@ object NearDup {
     *
     * Result: (doc_id, component) for every doc appearing in `pairs`. */
   def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // both edge directions in ONE pass over `pairs`: the old self-union
+    // put the (often expensive) pair pipeline into the plan twice, and
+    // exchange reuse does not dedup the post-shuffle stages — measured as
+    // ~2× the verify/groupBy CPU on the component gates (QueryProf, r21)
+    val edges = ckpt(pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst")))
     // init fuses the first propagation round: label0 = min(id, neighbors).
     // Min-label propagation converges to the component min from any
     // per-node upper bound, and starting one hop ahead saves a full
@@ -331,7 +358,10 @@ object MinHashLSH {
     * Returns (doc_id, sig: array<long>). */
   def signatures(df: DataFrame, idCol: String, textCol: String, n: Int,
       numHashes: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // numHashes × shingles hash evaluations per doc — the pipeline's heavy
+    // map work; spread the unsplittable scan so it parallelizes (no-op on
+    // already-wide input)
+    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
       TextExpressions.minhashSignature(
         TextAnalysis.shingles(col(textCol), n), numHashes).as("sig"))
 
@@ -380,7 +410,11 @@ object MinHashLSH {
         // 500k docs (5.7× the uncapped self-join it exists to bound;
         // measured, SCALING.md round-18 table). With it: one signature
         // pass + one window sort, the shape the guard promises.
-        val sized = buckets0.withColumn("bsz", count(lit(1)).over(w))
+        // the pinned bucket-key exchange feeds the sizing window, and the
+        // checkpoint then holds that partition count for all 3 consumers
+        val sized = graft.operators.Spread
+          .byKey(buckets0, col("band"), col("bh"))
+          .withColumn("bsz", count(lit(1)).over(w))
           .localCheckpoint(eager = false)
         val small = selfJoinPairs(
           sized.where(col("bsz") <= maxBucketSize).select("doc_id", "band", "bh"))
@@ -393,13 +427,18 @@ object MinHashLSH {
     allPairs.distinct()
   }
 
-  /** All ordered pairs of docs sharing a (band, bh) bucket. */
-  private def selfJoinPairs(buckets: DataFrame): DataFrame =
-    buckets.alias("x")
-      .join(buckets.alias("y"),
+  /** All ordered pairs of docs sharing a (band, bh) bucket. The bucket-key
+    * exchange is pinned (both self-join sides share it via reuse) so the
+    * candidate generation never collapses to one task under byte-based
+    * coalescing. */
+  private def selfJoinPairs(buckets: DataFrame): DataFrame = {
+    val keyed = graft.operators.Spread.byKey(buckets, col("band"), col("bh"))
+    keyed.alias("x")
+      .join(keyed.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+  }
 
   /** Full pipeline: shingle → minhash → LSH candidates → exact Jaccard
     * verification restricted to candidates. Result matches
@@ -432,14 +471,20 @@ object MinHashLSH {
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    val sh = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(candIds, "doc_id")
+    // pinned-exchange verify, same shape as [[NearDup.verifyPairs]]: the
+    // by-doc_id pin on `sh` makes both pair joins co-partitioned after the
+    // rename, and the pins on the cands side keep the CPU-bound
+    // array_intersect stage at full width
+    val sh = graft.operators.Spread.byKey(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+          .join(candIds, "doc_id"), col("doc_id"))
       .select(col("doc_id"),
         TextAnalysis.shingles(col("__text"), n).as("shingles"))
       .withColumn("n", size(col("shingles")))
-    cands
+    val withA = graft.operators.Spread.byKey(cands, col("id_a"))
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa"),
         col("n").as("na")), "id_a")
+    graft.operators.Spread.byKey(withA, col("id_b"))
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb"),
         col("n").as("nb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -458,7 +503,9 @@ object SimHash {
     * map with no shuffle (the HOF/explode formulation needed a 64-wide
     * aggregation). Returns (doc_id, simhash: long). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // one heavy compiled-expression pass per doc — spread the unsplittable
+    // scan (conditional no-op on wide input)
+    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
       TextExpressions.simhash(col(textCol)).as("simhash"))
 
   /** Pairs with Hamming distance ≤ maxDist, found via 16-bit band buckets
@@ -488,8 +535,11 @@ object SimHash {
           .select("doc_id", "simhash", "band", "chunk")
           .localCheckpoint(eager = false)
       }
-    buckets.alias("x")
-      .join(buckets.alias("y"),
+    // pinned bucket-key exchange, shared by both self-join sides
+    val keyed = graft.operators.Spread.byKey(buckets,
+      col("band"), col("chunk"))
+    keyed.alias("x")
+      .join(keyed.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),

@@ -64,9 +64,13 @@ object PrefixFilterJoin {
     * pair count. Result: (id_a, id_b), id_a < id_b, distinct. */
   def candidatePairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
     // global rare-first total order: (doc frequency, shingle text) — every
-    // shingle gets one rank, so per-doc prefixes are mutually consistent
-    val ranked = shingleDf
+    // shingle gets one rank, so per-doc prefixes are mutually consistent.
+    // Every exchange here (by s, by doc_id, by s again for the join) is
+    // one the next window/join requires; pinning them keeps the CPU-bound
+    // stages at full width (guide §2.4; OPTIMIZATION_r21.md)
+    val byS = graft.operators.Spread.byKey(shingleDf, col("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val ranked = graft.operators.Spread.byKey(byS, col("doc_id"))
       .withColumn("p", row_number()
         .over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -76,8 +80,9 @@ object PrefixFilterJoin {
     // large corpus most shingles are singletons, so this removes the
     // bulk of the join input without touching completeness (a shared
     // prefix token has df >= 2 by definition)
-    val prefix = ranked.where(col("p") <= prefixLen && col("df") >= 2)
-      .select("doc_id", "s", "n")
+    val prefix = graft.operators.Spread.byKey(
+      ranked.where(col("p") <= prefixLen && col("df") >= 2)
+        .select("doc_id", "s", "n"), col("s"))
     prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -113,17 +118,23 @@ object PrefixFilterJoin {
   def containmentCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = NearDup.shingleTable(df, idCol, textCol, n)
-    val ranked = sh
+    // pinned exchanges, same rationale as [[candidatePairs]]
+    val byS = graft.operators.Spread.byKey(sh, col("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    val ranked = graft.operators.Spread.byKey(byS, col("doc_id"))
       .withColumn("p", row_number()
         .over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val aPrefixLen =
       col("n") - ceil(lit(threshold) * col("n") - lit(Eps)) + lit(1)
-    val aPref = ranked.where(col("p") <= aPrefixLen && col("df") >= 2)
-      .select(col("doc_id").as("id_a"), col("s"), col("n").as("na"))
-    val bAll = ranked.where(col("df") >= 2)
-      .select(col("doc_id").as("id_b"), col("s"), col("n").as("nb"))
+    val aPref = graft.operators.Spread.byKey(
+      ranked.where(col("p") <= aPrefixLen && col("df") >= 2)
+        .select(col("doc_id").as("id_a"), col("s"), col("n").as("na")),
+      col("s"))
+    val bAll = graft.operators.Spread.byKey(
+      ranked.where(col("df") >= 2)
+        .select(col("doc_id").as("id_b"), col("s"), col("n").as("nb")),
+      col("s"))
     aPref.join(bAll, Seq("s"))
       .where(col("id_a") =!= col("id_b") &&
         col("nb") >= lit(threshold) * col("na") - lit(Eps))
@@ -139,13 +150,16 @@ object PrefixFilterJoin {
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    val arrs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .join(candIds, "doc_id")
+    // pinned-exchange verify, same shape as [[NearDup.verifyPairs]]
+    val arrs = graft.operators.Spread.byKey(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+          .join(candIds, "doc_id"), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.shingles(col("__text"), n).as("sh"))
       .withColumn("nn", size(col("sh")).cast("long"))
-    cands
+    val withA = graft.operators.Spread.byKey(cands, col("id_a"))
       .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sa"),
         col("nn").as("na")), "id_a")
+    graft.operators.Spread.byKey(withA, col("id_b"))
       .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sb"),
         col("nn").as("nb")), "id_b")
       .withColumn("inter",

@@ -66,21 +66,41 @@ object Quantize {
     * n²/2. Integer dots → scores exact at any parallelism.
     * Result: (id_a, id_b, qcos), id_a < id_b. */
   def qDupPairsFromClusters(adf: DataFrame, idCol: String, qCol: String,
-      threshold: Double, clusterCol: String = "cluster"): DataFrame =
-    pairsImpl(adf, idCol, qCol, threshold, restrictOn = Some(clusterCol))
+      threshold: Double, clusterCol: String = "cluster",
+      salt: Int = 1): DataFrame =
+    pairsImpl(adf, idCol, qCol, threshold, restrictOn = Some(clusterCol),
+      salt = salt)
 
   /** Shared pair pipeline: the brute-force and cluster-restricted forms
-    * differ ONLY in the equi-join key — one body, so they cannot drift. */
+    * differ ONLY in the equi-join key — one body, so they cannot drift.
+    * `salt > 1` (cluster-restricted form only) splits each cluster's pair
+    * generation S ways — side a keeps one deterministic salt, side b
+    * replicates across all S — for when the cluster count is below the
+    * core count (guide §2.5 hot-key salting; output identical). */
   private def pairsImpl(df: DataFrame, idCol: String, qCol: String,
-      threshold: Double, restrictOn: Option[String]): DataFrame = {
+      threshold: Double, restrictOn: Option[String],
+      salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val keyCols = restrictOn.toSeq.map(col)
-    val a = df.select(keyCols :+ col(idCol).as("id_a") :+ col(qCol).as("qa"): _*)
+    val a0 = df.select(keyCols :+ col(idCol).as("id_a") :+ col(qCol).as("qa"): _*)
       .withColumn("na", sqrt(qdot(col("qa"), col("qa")).cast("double")))
-    val b = df.select(keyCols :+ col(idCol).as("id_b") :+ col(qCol).as("qb"): _*)
+    val b0 = df.select(keyCols :+ col(idCol).as("id_b") :+ col(qCol).as("qb"): _*)
       .withColumn("nb", sqrt(qdot(col("qb"), col("qb")).cast("double")))
     val joined = restrictOn match {
-      case Some(k) => a.join(b, Seq(k)).where(col("id_a") < col("id_b"))
-      case None => a.join(b, col("id_a") < col("id_b"))
+      case Some(k) =>
+        val a = a0.withColumn("__salt",
+          pmod(xxhash64(col("id_a")), lit(salt)).cast("int"))
+        val b = b0.withColumn("__salt",
+          explode(array((0 until salt).map(lit): _*)))
+        graft.operators.Spread.byKey(a, col(k), col("__salt"))
+          .join(graft.operators.Spread.byKey(b, col(k), col("__salt")),
+            Seq(k, "__salt"))
+          .where(col("id_a") < col("id_b"))
+      case None =>
+        // inequality join streams side a against broadcast b — spread the
+        // narrow scan so the n²/2 integer dots parallelize
+        graft.operators.Spread.wideScan(a0)
+          .join(b0, col("id_a") < col("id_b"))
     }
     joined
       .select(col("id_a"), col("id_b"),

@@ -38,7 +38,11 @@ object VectorOps {
     * rank window. The scale path for big query sets is [[IvfIndex]]. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.withColumn("qn", norm(col("qe")))
-    val c = corpus.withColumn("nn", norm(col("ne")))
+    // the |corpus|×|queries| scoring streams the corpus side against the
+    // broadcast queries — spread the unsplittable corpus scan so the
+    // quadratic stage parallelizes (no-op on wide input)
+    val c = graft.operators.Spread.wideScan(corpus)
+      .withColumn("nn", norm(col("ne")))
     val scored = c.alias("c")
       .join(broadcast(q.alias("q")), col("q.qid") =!= col("c.nid"))
       .select(col("q.qid"), col("c.nid"),
@@ -54,9 +58,12 @@ object VectorOps {
     * [[bruteForceTopK]]) so the n²/2 stage pays one dot, not three. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // the inequality join plans as a nested-loop over the streamed `a`
+    // side; spreading the unsplittable scan parallelizes the n²/2 scoring
+    val wide = graft.operators.Spread.wideScan(df)
+    val a = wide.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", norm(col("va")))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val b = wide.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -117,10 +124,14 @@ object IvfIndex {
     * Result: (id_a, id_b, cos), id_a < id_b. */
   def dupPairsFromBuckets(bdf: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = bdf.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-      .withColumn("na", VectorOps.norm(col("va")))
-    val b = bdf.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-      .withColumn("nb", VectorOps.norm(col("vb")))
+    // pinned bucket-key exchange (shared by both sides): the per-pair dot
+    // products are CPU-bound and must not coalesce to one task
+    val a = graft.operators.Spread.byKey(
+      bdf.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+        .withColumn("na", VectorOps.norm(col("va"))), col("bucket"))
+    val b = graft.operators.Spread.byKey(
+      bdf.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+        .withColumn("nb", VectorOps.norm(col("vb"))), col("bucket"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos",
@@ -146,7 +157,8 @@ object IvfIndex {
     }
     val qProbes = qb.select(col("qid"), col("qe"),
       explode(array(probeBuckets: _*)).as("bucket"))
-    val scored = cb.withColumn("nn", VectorOps.norm(col("ne")))
+    val scored = graft.operators.Spread.wideScan(cb)
+      .withColumn("nn", VectorOps.norm(col("ne")))
       .join(broadcast(qProbes.withColumn("qn", VectorOps.norm(col("qe")))),
         Seq("bucket"))
       .where(col("qid") =!= col("nid"))
@@ -186,9 +198,12 @@ object KMeansIvf {
         case other => throw new IllegalArgumentException(
           s"$vecCol must be array<float|double>, got element $other")
       })
+    // per-iteration nearest-centroid + posexplode is the heavy map work;
+    // spread the unsplittable scan once for all iterations
+    val wide = graft.operators.Spread.wideScan(df)
     var it = 0
     while (it < iters) {
-      val assigned = df.select(
+      val assigned = wide.select(
         VectorExpressions.nearestCentroid(col(vecCol), centroids).as("cluster"),
         col(vecCol).as("v"))
       val sums = assigned
@@ -216,12 +231,25 @@ object KMeansIvf {
     * the join shuffles by cluster, cost Σ cluster² instead of n²/2.
     * Result: (id_a, id_b, cos), id_a < id_b. */
   def dupPairsFromClusters(adf: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, salt: Int = 1): DataFrame = {
+    // `salt > 1` splits each cluster's pair generation S ways (guide §2.5
+    // hot-key salting): side a keeps ONE deterministic salt per row, side
+    // b replicates across all S, so every within-cluster pair still joins
+    // exactly once — use when the cluster count is below the core count
+    // (k=8 clusters would otherwise bound parallelism at 8 at ANY scale).
+    // The cost is ×S duplication of the b side, so leave salt=1 when
+    // clusters ≫ cores. Output is identical for any salt.
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val a = adf.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", VectorOps.norm(col("va")))
+      .withColumn("__salt",
+        pmod(xxhash64(col("id_a")), lit(salt)).cast("int"))
     val b = adf.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", VectorOps.norm(col("vb")))
-    a.join(b, Seq("cluster"))
+      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    graft.operators.Spread.byKey(a, col("cluster"), col("__salt"))
+      .join(graft.operators.Spread.byKey(b, col("cluster"), col("__salt")),
+        Seq("cluster", "__salt"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos",
         VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -248,7 +276,8 @@ object KMeansIvf {
     val qProbes = qc.withColumn("pr", row_number().over(wq))
       .where(col("pr") <= probes)
       .select(col("qid"), col("qe"), col("cluster"))
-    val scored = cb.withColumn("nn", VectorOps.norm(col("ne")))
+    val scored = graft.operators.Spread.wideScan(cb)
+      .withColumn("nn", VectorOps.norm(col("ne")))
       .join(broadcast(qProbes.withColumn("qn", VectorOps.norm(col("qe")))),
         Seq("cluster"))
       .where(col("qid") =!= col("nid"))
