@@ -144,7 +144,9 @@ object SparkEntry {
 
     // §2.4 multi-table join + §2.7 top-k with deterministic tie-break
     "q2_revenue_topn" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // spread the unsplittable lineitem scan: both joins broadcast, so
+      // the whole join+partial-agg chain fuses into the scan stage
+      val li = graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -521,6 +523,8 @@ object SparkEntry {
     // §2.4/2.5 TPC-H Q7 shape: supplier-nation → customer-nation yearly
     // trade volume. Fact-fact joins shuffle; both nation sides broadcast.
     "q37_nation_trade_volume" -> ((s, dir) => {
+      // NOT spread: A/B'd twice — the fused scan+5×BHJ single pass beats
+      // paying the spread exchange here (OPTIMIZATION_r21.md)
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
@@ -557,7 +561,8 @@ object SparkEntry {
     // §2.5/2.7 TPC-H Q18 shape: large orders via groupBy-HAVING, joined
     // back to orders + customer, deterministic top-100 tie-break.
     "q39_big_orders" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // spread the unsplittable lineitem scan (see q2)
+      val li = graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val big = li.groupBy(col("l_orderkey").as("b_key"))
@@ -1694,7 +1699,8 @@ object SparkEntry {
     // KMV distinct sketch: k smallest distinct 52-bit md5 hashes, kept in
     // O(k) per partition; integer estimator (k-1)·2^52 div h_k
     "q121_kmv_distinct" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
+      // spread the unsplittable scan so tokenize + local k-min parallelize
+      val tok = graft.operators.Spread.wideScan(t(s, dir, "documents"))
         .select(explode(graft.text.TextAnalysis.tokens(col("text")))
           .as("token"))
         .where(length(col("token")) > 0)
@@ -1819,7 +1825,11 @@ object SparkEntry {
     // spark.sql — exercises Catalyst's decorrelation into an aggregate +
     // join rather than a per-row re-execution
     "q134_min_cost_supplier" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("li134")
+      // pin the lineitem exchange on the self-join key (the shuffle the
+      // decorrelated subquery/self-join needs anyway; round-robin spread
+      // A/B'd worse here — OPTIMIZATION_r21.md)
+      graft.operators.Spread.byKey(t(s, dir, "lineitem"), col("l_partkey"))
+        .createOrReplaceTempView("li134")
       t(s, dir, "supplier").createOrReplaceTempView("sup134")
       t(s, dir, "part").createOrReplaceTempView("part134")
       s.sql("""
@@ -1889,7 +1899,10 @@ object SparkEntry {
     // low": pre-1996 stock × 8 < post-1996 demand; an empty demand sum is
     // NULL → excluded, same in both engines)
     "q137_low_stock_supplier" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("li137")
+      // spread the unsplittable lineitem scan (guide §2.5 input skew);
+      // broadcast-join chains and partial aggs above it then parallelize
+      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("li137")
       t(s, dir, "supplier").createOrReplaceTempView("sup137")
       t(s, dir, "part").createOrReplaceTempView("part137")
       s.sql("""
@@ -1916,7 +1929,11 @@ object SparkEntry {
     // order"; late = shipped >60 days after the order date (this corpus
     // has no receipt/commit dates). COUNT is exact — no float hazards
     "q138_lone_late_supplier" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("li138")
+      // pin the lineitem exchange on the self-join key (the shuffle the
+      // decorrelated subquery/self-join needs anyway; round-robin spread
+      // A/B'd worse here — OPTIMIZATION_r21.md)
+      graft.operators.Spread.byKey(t(s, dir, "lineitem"), col("l_orderkey"))
+        .createOrReplaceTempView("li138")
       t(s, dir, "supplier").createOrReplaceTempView("sup138")
       t(s, dir, "orders").createOrReplaceTempView("ord138")
       s.sql("""
@@ -2095,7 +2112,11 @@ object SparkEntry {
     // (qty·5·count < sum) so only exact decimal products/sums are
     // compared, never a float division
     "q148_tpch_q17" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("li148")
+      // pin the lineitem exchange on the self-join key (the shuffle the
+      // decorrelated subquery/self-join needs anyway; round-robin spread
+      // A/B'd worse here — OPTIMIZATION_r21.md)
+      graft.operators.Spread.byKey(t(s, dir, "lineitem"), col("l_partkey"))
+        .createOrReplaceTempView("li148")
       t(s, dir, "part").createOrReplaceTempView("part148")
       s.sql("""
         SELECT COUNT(*) AS n_rows,
@@ -2115,7 +2136,10 @@ object SparkEntry {
     "q149_tpch_q18" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("cust149")
       t(s, dir, "orders").createOrReplaceTempView("ord149")
-      t(s, dir, "lineitem").createOrReplaceTempView("li149")
+      // spread the unsplittable lineitem scan (guide §2.5 input skew);
+      // broadcast-join chains and partial aggs above it then parallelize
+      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("li149")
       s.sql("""
         SELECT c.c_name, c.c_custkey, o.o_orderkey,
           date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
@@ -2170,7 +2194,10 @@ object SparkEntry {
     // (sum·n_parts·10 > total·13) so only exact decimal/integer products
     // compare — no fractional literal, no division
     "q151_tpch_q11" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("li151")
+      // spread the unsplittable lineitem scan (guide §2.5 input skew);
+      // broadcast-join chains and partial aggs above it then parallelize
+      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("li151")
       s.sql("""
         SELECT l_partkey,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
@@ -2201,7 +2228,10 @@ object SparkEntry {
     // nation-pair predicate and event-time year extraction; revenue in
     // exact decimal
     "q153_tpch_q7" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("li153")
+      // spread the unsplittable lineitem scan (guide §2.5 input skew);
+      // broadcast-join chains and partial aggs above it then parallelize
+      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("li153")
       t(s, dir, "supplier").createOrReplaceTempView("sup153")
       t(s, dir, "orders").createOrReplaceTempView("ord153")
       t(s, dir, "customer").createOrReplaceTempView("cust153")
@@ -2349,7 +2379,10 @@ object SparkEntry {
     "q160_tpch_q5" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("cust160")
       t(s, dir, "orders").createOrReplaceTempView("ord160")
-      t(s, dir, "lineitem").createOrReplaceTempView("li160")
+      // spread the unsplittable lineitem scan (guide §2.5 input skew);
+      // broadcast-join chains and partial aggs above it then parallelize
+      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("li160")
       t(s, dir, "supplier").createOrReplaceTempView("sup160")
       t(s, dir, "nation").createOrReplaceTempView("nat160")
       t(s, dir, "region").createOrReplaceTempView("reg160")
@@ -2377,7 +2410,10 @@ object SparkEntry {
     // so the gate stays bit-exact against the oracle
     "q161_tpch_q8" -> ((s, dir) => {
       t(s, dir, "part").createOrReplaceTempView("part161")
-      t(s, dir, "lineitem").createOrReplaceTempView("li161")
+      // spread the unsplittable lineitem scan (guide §2.5 input skew);
+      // broadcast-join chains and partial aggs above it then parallelize
+      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("li161")
       t(s, dir, "supplier").createOrReplaceTempView("sup161")
       t(s, dir, "orders").createOrReplaceTempView("ord161")
       t(s, dir, "customer").createOrReplaceTempView("cust161")

@@ -170,20 +170,28 @@ object Cdc {
     val rt = removed.withColumn("_present_r", lit(true)).alias("r")
     val jt = at.join(rt, keys.map(k => col(s"a.$k") <=> col(s"r.$k")).reduce(_ && _), "full_outer")
 
-    def side(p: String, extra: Column, changeType: String) =
-      jt.where(extra).select(
-        (lit(changeType).as("change_type") +:
-          cols.map(c => col(s"$p.$c").as(c)) :+
-          changedColumns(cols)): _*)
-
     val presentA = col("a._present_a").isNotNull
     val presentR = col("r._present_r").isNotNull
 
-    val inserts = side("a", presentA && !presentR, "INSERT")
-    val deletes = side("r", !presentA && presentR, "DELETE")
-    val updBefore = side("r", presentA && presentR, "UPDATE_BEFORE")
-    val updAfter = side("a", presentA && presentR, "UPDATE_AFTER")
-    inserts.unionByName(deletes).unionByName(updBefore).unionByName(updAfter)
+    // ONE pass over the join: the old shape unioned four filtered
+    // projections of `jt`, which re-ran the full-outer join (and the
+    // exceptAll subtrees above it) four times — exchange reuse dedups the
+    // shuffles but not the join stages. Emitting the per-row change
+    // entries as an exploded array keeps the same multiset of output rows
+    // at one join evaluation (update rows emit BEFORE then AFTER).
+    def rowStruct(p: String) = struct(cols.map(c => col(s"$p.$c").as(c)): _*)
+    val entries =
+      when(presentA && !presentR,
+        array(struct(lit("INSERT").as("change_type"), rowStruct("a").as("row"))))
+      .when(presentR && !presentA,
+        array(struct(lit("DELETE").as("change_type"), rowStruct("r").as("row"))))
+      .otherwise(array(
+        struct(lit("UPDATE_BEFORE").as("change_type"), rowStruct("r").as("row")),
+        struct(lit("UPDATE_AFTER").as("change_type"), rowStruct("a").as("row"))))
+    jt.select(explode(entries).as("__e"), changedColumns(cols))
+      .select((col("__e.change_type").as("change_type") +:
+        cols.map(c => col(s"__e.row.$c").as(c)) :+
+        col("changed_columns")): _*)
   }
 
   private def changedColumns(cols: Seq[String]): Column =

@@ -175,20 +175,27 @@ object BloomPrune {
       s"bloom-pruned join requires identical key types (fact $factKey: $ft, " +
         s"dim $dimKey: $dt) — cast one side first; xxhash64 is type-sensitive " +
         "so a widening cast inside the join would not reach the bloom probes")
+    // spread the unsplittable fact scan so the per-row bloom probes (k
+    // hashes each) parallelize; conditional no-op on wide input
+    val factW = graft.operators.Spread.wideScan(fact)
     val pruned =
       if (numBits != AutoBits) {
-        fact.where(mightContain(build(dim, dimKey, numBits, numHashes), col(factKey)))
+        factW.where(mightContain(build(dim, dimKey, numBits, numHashes), col(factKey)))
       } else {
         val distinctKeys = dim.where(col(dimKey).isNotNull)
           .agg(approx_count_distinct(col(dimKey))).head().getLong(0)
         if (wouldClamp(distinctKeys, literalBitsCap))
-          fact.where(mightContainNative(
+          factW.where(mightContainNative(
             buildNative(dim, dimKey, distinctKeys, distinctKeys * 10L),
             col(factKey)))
         else
-          fact.where(mightContain(
+          factW.where(mightContain(
             build(dim, dimKey, sizedBits(distinctKeys), numHashes), col(factKey)))
       }
-    pruned.join(dim, col(factKey) === col(dimKey))
+    // pin the join-key exchanges (needed at any scale) so the post-prune
+    // join doesn't coalesce to one task
+    graft.operators.Spread.byKey(pruned, col(factKey))
+      .join(graft.operators.Spread.byKey(dim, col(dimKey)),
+        col(factKey) === col(dimKey))
   }
 }

@@ -27,7 +27,8 @@ object Drift {
     * token distribution. */
   def tokenKlDivergence(df: DataFrame, sliceCol: String,
       textCol: String): DataFrame = {
-    val st = df.select(col(sliceCol).as("slice"),
+    val st = graft.operators.Spread.wideScan(df)
+      .select(col(sliceCol).as("slice"),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
     val sc = st.groupBy("slice", "w").agg(count(lit(1)).as("c_sw"))
@@ -67,11 +68,11 @@ object Drift {
     * and are absent (same in the SQL twin). */
   def ngramNovelty(candidates: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val cand = candidates
+    val cand = graft.operators.Spread.wideScan(candidates)
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.ngrams(col(textCol), n)).as("g"))
       .distinct()
-    val ref = reference
+    val ref = graft.operators.Spread.wideScan(reference)
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("g"))
       .distinct()
       .withColumn("__seen", lit(1))

@@ -30,7 +30,8 @@ object LanguageModel {
     * engines and cluster sizes. More negative = less probable. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = graft.operators.Spread.wideScan(docs)
+      .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
     val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -63,7 +64,8 @@ object LanguageModel {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.where(length(trim(col(textCol))) > 0)
+    val tok = graft.operators.Spread.wideScan(
+        docs.where(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
     val big = tok

@@ -31,7 +31,7 @@ object LineDedup {
     * positions and round-trip through the rebuild. */
   private[text] def lines(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    graft.operators.Spread.wideScan(docs).select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
 
   /** md5 keys of non-blank lines present in >= minDocs distinct docs. */

@@ -26,7 +26,7 @@ object Search {
 
   /** Postings: (token, doc_id, tf), empty-string tokens dropped. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token", "doc_id")

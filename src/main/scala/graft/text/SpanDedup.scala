@@ -33,7 +33,8 @@ object SpanDedup {
   private[text] def spans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+    graft.operators.Spread.wideScan(docs)
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
       .where(size(col("__t")) >= k)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("__t")) - k),
