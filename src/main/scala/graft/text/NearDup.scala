@@ -261,14 +261,28 @@ object NearDup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("__old"))
       // pointer-jumping: label <- label's own label, shortcutting chains so
-      // a path of length d converges in O(log d) rounds, not O(d)
-      val jumped = ckpt(propagated.alias("p")
+      // a path of length d converges in O(log d) rounds, not O(d). TWO
+      // jumps per round (label of label of label): each round composes to
+      // ~4× reach, halving the round count on deep chains — a capped
+      // mega-bucket degrades to a doc_id CHAIN (see MinHashLSH
+      // candidatePairs), and each ROUND costs a checkpoint + convergence
+      // action while an extra jump is just one more small join in the
+      // same plan (exchange-reused). Measured on a 60-doc chain (the
+      // q185 planted shape, tools/CcRounds): converges at maxIter=3 with
+      // two jumps vs 6 with one.
+      val j1 = propagated.alias("p")
         .join(propagated.select(col("id").as("label"),
           col("label").as("__ll")).alias("j"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+          col("__old"))
+      val jumped = ckpt(j1.alias("p2")
+        .join(j1.select(col("id").as("label"),
+          col("label").as("__l2")).alias("j2"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__l2"), col("label"))).as("label"),
           (col("__old") =!= least(col("label"),
-            coalesce(col("__ll"), col("label")))).as("__changed")))
+            coalesce(col("__l2"), col("label")))).as("__changed")))
       // the changed flag rides through the checkpoint: convergence is a
       // scan of materialized rows, not a recomputed join
       converged = jumped.where(col("__changed")).isEmpty
