@@ -1825,11 +1825,9 @@ object SparkEntry {
     // spark.sql — exercises Catalyst's decorrelation into an aggregate +
     // join rather than a per-row re-execution
     "q134_min_cost_supplier" -> ((s, dir) => {
-      // pin the lineitem exchange on the self-join key (the shuffle the
-      // decorrelated subquery/self-join needs anyway; round-robin spread
-      // A/B'd worse here — OPTIMIZATION_r21.md)
-      graft.operators.Spread.byKey(t(s, dir, "lineitem"), col("l_partkey"))
-        .createOrReplaceTempView("li134")
+      // NOT spread/pinned: both variants A/B'd slower than the baseline
+      // fused shape on the full runs (OPTIMIZATION_r21.md)
+      t(s, dir, "lineitem").createOrReplaceTempView("li134")
       t(s, dir, "supplier").createOrReplaceTempView("sup134")
       t(s, dir, "part").createOrReplaceTempView("part134")
       s.sql("""
@@ -2228,10 +2226,9 @@ object SparkEntry {
     // nation-pair predicate and event-time year extraction; revenue in
     // exact decimal
     "q153_tpch_q7" -> ((s, dir) => {
-      // spread the unsplittable lineitem scan (guide §2.5 input skew);
-      // broadcast-join chains and partial aggs above it then parallelize
-      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("li153")
+      // NOT spread: A/B'd slower on both post-change full runs — the
+      // multi-broadcast chain stays fused (OPTIMIZATION_r21.md)
+      t(s, dir, "lineitem").createOrReplaceTempView("li153")
       t(s, dir, "supplier").createOrReplaceTempView("sup153")
       t(s, dir, "orders").createOrReplaceTempView("ord153")
       t(s, dir, "customer").createOrReplaceTempView("cust153")
@@ -2379,10 +2376,9 @@ object SparkEntry {
     "q160_tpch_q5" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("cust160")
       t(s, dir, "orders").createOrReplaceTempView("ord160")
-      // spread the unsplittable lineitem scan (guide §2.5 input skew);
-      // broadcast-join chains and partial aggs above it then parallelize
-      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("li160")
+      // NOT spread: A/B'd slower on both post-change full runs — the
+      // multi-broadcast chain stays fused (OPTIMIZATION_r21.md)
+      t(s, dir, "lineitem").createOrReplaceTempView("li160")
       t(s, dir, "supplier").createOrReplaceTempView("sup160")
       t(s, dir, "nation").createOrReplaceTempView("nat160")
       t(s, dir, "region").createOrReplaceTempView("reg160")
@@ -2410,10 +2406,9 @@ object SparkEntry {
     // so the gate stays bit-exact against the oracle
     "q161_tpch_q8" -> ((s, dir) => {
       t(s, dir, "part").createOrReplaceTempView("part161")
-      // spread the unsplittable lineitem scan (guide §2.5 input skew);
-      // broadcast-join chains and partial aggs above it then parallelize
-      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("li161")
+      // NOT spread: A/B'd slower on both post-change full runs — the
+      // multi-broadcast chain stays fused (OPTIMIZATION_r21.md)
+      t(s, dir, "lineitem").createOrReplaceTempView("li161")
       t(s, dir, "supplier").createOrReplaceTempView("sup161")
       t(s, dir, "orders").createOrReplaceTempView("ord161")
       t(s, dir, "customer").createOrReplaceTempView("cust161")

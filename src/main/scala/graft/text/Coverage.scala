@@ -27,7 +27,7 @@ object Coverage {
       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1,100], got $pcts")
-    val counts = graft.operators.Spread.wideScan(docs)
+    val counts = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("occ"))

@@ -549,9 +549,10 @@ object SimHash {
           .select("doc_id", "simhash", "band", "chunk")
           .localCheckpoint(eager = false)
       }
-    // pinned bucket-key exchange, shared by both self-join sides
-    val keyed = graft.operators.Spread.byKey(buckets,
-      col("band"), col("chunk"))
+    // NOT pinned: the hamming verify is one bit_count per pair —
+    // byte-proportional, so AQE's coalescing is right here (a pin A/B'd
+    // ~+0.4 s at gate scale, OPTIMIZATION_r21.md)
+    val keyed = buckets
     keyed.alias("x")
       .join(keyed.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&

@@ -111,8 +111,7 @@ object TextAnalysis {
     * one groupBy; the division is one long/long IEEE op, engine-exact. */
   def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    graft.operators.Spread.wideScan(df)
-      .select(col(groupCol), explode(ngrams(col(textCol), n)).as("g"))
+    df.select(col(groupCol), explode(ngrams(col(textCol), n)).as("g"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("g")).as("n_distinct"))

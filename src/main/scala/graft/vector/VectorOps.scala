@@ -124,14 +124,13 @@ object IvfIndex {
     * Result: (id_a, id_b, cos), id_a < id_b. */
   def dupPairsFromBuckets(bdf: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    // pinned bucket-key exchange (shared by both sides): the per-pair dot
-    // products are CPU-bound and must not coalesce to one task
-    val a = graft.operators.Spread.byKey(
-      bdf.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-        .withColumn("na", VectorOps.norm(col("va"))), col("bucket"))
-    val b = graft.operators.Spread.byKey(
-      bdf.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-        .withColumn("nb", VectorOps.norm(col("vb"))), col("bucket"))
+    // NOT pinned: 256 hyperplane buckets spread the hash partitioning
+    // fine on their own and the per-bucket pair volume is small — pins
+    // A/B'd slower at gate scale (OPTIMIZATION_r21.md)
+    val a = bdf.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", VectorOps.norm(col("va")))
+    val b = bdf.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", VectorOps.norm(col("vb")))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos",
@@ -157,8 +156,7 @@ object IvfIndex {
     }
     val qProbes = qb.select(col("qid"), col("qe"),
       explode(array(probeBuckets: _*)).as("bucket"))
-    val scored = graft.operators.Spread.wideScan(cb)
-      .withColumn("nn", VectorOps.norm(col("ne")))
+    val scored = cb.withColumn("nn", VectorOps.norm(col("ne")))
       .join(broadcast(qProbes.withColumn("qn", VectorOps.norm(col("qe")))),
         Seq("bucket"))
       .where(col("qid") =!= col("nid"))
@@ -198,12 +196,9 @@ object KMeansIvf {
         case other => throw new IllegalArgumentException(
           s"$vecCol must be array<float|double>, got element $other")
       })
-    // per-iteration nearest-centroid + posexplode is the heavy map work;
-    // spread the unsplittable scan once for all iterations
-    val wide = graft.operators.Spread.wideScan(df)
     var it = 0
     while (it < iters) {
-      val assigned = wide.select(
+      val assigned = df.select(
         VectorExpressions.nearestCentroid(col(vecCol), centroids).as("cluster"),
         col(vecCol).as("v"))
       val sums = assigned
@@ -276,8 +271,7 @@ object KMeansIvf {
     val qProbes = qc.withColumn("pr", row_number().over(wq))
       .where(col("pr") <= probes)
       .select(col("qid"), col("qe"), col("cluster"))
-    val scored = graft.operators.Spread.wideScan(cb)
-      .withColumn("nn", VectorOps.norm(col("ne")))
+    val scored = cb.withColumn("nn", VectorOps.norm(col("ne")))
       .join(broadcast(qProbes.withColumn("qn", VectorOps.norm(col("qe")))),
         Seq("cluster"))
       .where(col("qid") =!= col("nid"))
