@@ -66,7 +66,10 @@ object Spread {
       case f: Filter => narrow(f.child)
       case _ => false
     }
-    if (!narrow(df.queryExecution.analyzed)) df
+    // a streaming frame cannot be probed via .rdd (and its parallelism is
+    // the source's concern) — pass it through untouched
+    if (df.isStreaming) df
+    else if (!narrow(df.queryExecution.analyzed)) df
     else {
       val n = target(df)
       if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
