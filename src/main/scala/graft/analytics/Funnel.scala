@@ -82,11 +82,13 @@ object Funnel {
   def transitions(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    // project to the four columns the window needs BEFORE its exchange
+    // project to the columns the window needs BEFORE its exchange
     // (guide §2.3) and pin the by-user exchange so the per-user sort
-    // doesn't coalesce to one task
+    // doesn't coalesce to one task; distinct so a caller reusing one
+    // column in two roles (e.g. tie == ts) doesn't hit an ambiguous name
     graft.operators.Spread.byKey(
-        events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol)),
+        events.select(
+          Seq(userCol, tsCol, typeCol, tieCol).distinct.map(col): _*),
         col(userCol))
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .where(col("prev_type").isNotNull)
