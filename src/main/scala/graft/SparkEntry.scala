@@ -1700,7 +1700,8 @@ object SparkEntry {
     // O(k) per partition; integer estimator (k-1)·2^52 div h_k
     "q121_kmv_distinct" -> ((s, dir) => {
       // spread the unsplittable scan so tokenize + local k-min parallelize
-      val tok = graft.operators.Spread.wideScan(t(s, dir, "documents"))
+      val tok = graft.operators.Spread.wideScan(t(s, dir, "documents"),
+          weight = 48L)
         .select(explode(graft.text.TextAnalysis.tokens(col("text")))
           .as("token"))
         .where(length(col("token")) > 0)
@@ -3162,7 +3163,8 @@ object SparkEntry {
       // spread the unsplittable docs scan HERE: the union with the planted
       // frame hides the narrow scan from wideScan inside the operators
       val docs = graft.operators.Spread.wideScan(
-        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        weight = 256L)
       val seedText = docs.orderBy("doc_id").select("text").head.getString(0)
       val planted = s.range(60).select((col("id") + 900000L).as("doc_id"),
         lit(seedText).as("text"))

@@ -34,14 +34,21 @@ object Binning {
   /** Per-bin summary of `valueCol` over the equal-frequency binning —
     * the k-row report (count, min, max) a profiler emits. */
   def binStats(df: DataFrame, valueCol: String, tieBreak: Seq[Column],
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
     // project to the sort columns before ranking: rankWithPrefixSum
     // checkpoints its range-sorted input, so unused columns would be
-    // shuffled AND materialized (guide §2.3 "project before the exchange")
-    equalFrequency(df.select(col(valueCol) +: tieBreak: _*),
-      col(valueCol) +: tieBreak, k)
+    // shuffled AND materialized (guide §2.3 "project before the exchange").
+    // tieBreak expressions are ALIASED to stable names first (r22,
+    // ADVICE): an unaliased expression column (col("a")+1) could not
+    // re-resolve against the projected frame, and a tieBreak repeating
+    // valueCol would create a duplicate column name.
+    val ties = tieBreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
+    val tieRefs = tieBreak.indices.map(i => col(s"__tb$i"))
+    equalFrequency(df.select(col(valueCol) +: ties: _*),
+      col(valueCol) +: tieRefs, k)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
+  }
 }

@@ -192,10 +192,15 @@ object BloomPrune {
           factW.where(mightContain(
             build(dim, dimKey, sizedBits(distinctKeys), numHashes), col(factKey)))
       }
-    // pin the join-key exchanges (needed at any scale) so the post-prune
-    // join doesn't coalesce to one task
-    graft.operators.Spread.byKey(pruned, col(factKey))
-      .join(graft.operators.Spread.byKey(dim, col(dimKey)),
-        col(factKey) === col(dimKey))
+    // NO pins here (r22, ADVICE): the operator's design point is
+    // prune-then-BROADCAST — when the dim fits the broadcast threshold the
+    // plain join plans shuffle-free (scan → bloom probe → BHJ), and the
+    // r21 byKey pins forced two exchanges that plan never had (a dim-side
+    // shuffle feeding a broadcast, plus a full shuffle of the pruned
+    // fact). If the dim outgrows the threshold at scale, Catalyst inserts
+    // the join exchanges itself; the probe CPU — the part byte-based
+    // coalescing could serialize — already parallelizes via the wideScan
+    // above.
+    pruned.join(dim, col(factKey) === col(dimKey))
   }
 }

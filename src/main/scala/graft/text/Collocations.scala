@@ -29,13 +29,12 @@ object Collocations {
       minCount: Long = 5L): DataFrame = {
     // NOT spread: A/B'd slower (cheap count-aggs; the exchange outweighs
     // the parallelism — OPTIMIZATION_r21.md)
-    val wide = df
-    val toks = wide.select(col(idCol).as("doc_id"),
+    val toks = df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false) // reused for both bigram endpoints
-    val bic = wide.select(
+    val bic = df.select(
       explode(TextAnalysis.ngrams(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
       .localCheckpoint(eager = false) // reused: total mass + frequent set

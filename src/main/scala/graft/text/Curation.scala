@@ -40,7 +40,7 @@ object Curation {
     // langId + qualityScore are heavy per-row expressions evaluated right
     // above the (unsplittable one-row-group) scan — spread it so they
     // parallelize (conditional no-op on wide input)
-    val wide = graft.operators.Spread.wideScan(docs)
+    val wide = graft.operators.Spread.wideScan(docs, weight = 48L)
     val lang = wide.where(
       TextAnalysis.langId(text).isInCollection(cfg.languages.toSeq))
     val quality = lang.where(TextAnalysis.qualityScore(text) >= cfg.minQuality)
@@ -54,9 +54,9 @@ object Curation {
     // the by-fingerprint exchange is pinned so the keep-min window — and,
     // transitively, the checkpoint every downstream stage reads — keeps
     // full width instead of AQE-coalescing to one partition
-    val exact = NearDup.ckpt(graft.operators.Spread.byKey(
+    val exact = NearDup.ckpt(graft.operators.Spread.byKeyWeighted(
         quality.withColumn("__fp", TextAnalysis.fingerprint(text)),
-        col("__fp"))
+        48L, col("__fp"))
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
       .where(col(idCol) === col("__keep"))
       .drop("__fp", "__keep"))

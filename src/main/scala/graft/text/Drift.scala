@@ -27,7 +27,7 @@ object Drift {
     * token distribution. */
   def tokenKlDivergence(df: DataFrame, sliceCol: String,
       textCol: String): DataFrame = {
-    val st = graft.operators.Spread.wideScan(df)
+    val st = graft.operators.Spread.wideScan(df, weight = 48L)
       .select(col(sliceCol).as("slice"),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
@@ -68,11 +68,11 @@ object Drift {
     * and are absent (same in the SQL twin). */
   def ngramNovelty(candidates: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val cand = graft.operators.Spread.wideScan(candidates)
+    val cand = graft.operators.Spread.wideScan(candidates, weight = 48L)
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.ngrams(col(textCol), n)).as("g"))
       .distinct()
-    val ref = graft.operators.Spread.wideScan(reference)
+    val ref = graft.operators.Spread.wideScan(reference, weight = 48L)
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("g"))
       .distinct()
       .withColumn("__seen", lit(1))

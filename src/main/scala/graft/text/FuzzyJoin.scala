@@ -34,9 +34,12 @@ object FuzzyJoin {
     // stage's cost is CPU per candidate pair (banded edit distance), which
     // AQE's byte-based coalescing would otherwise collapse to one task
     // (measured 3.5 s -> 0.9 s at bench scale, OPTIMIZATION_r21.md)
-    val side = graft.operators.Spread.byKey(
+    // weight: per input row the verify stage pays ~block-size banded edit
+    // distances — far above a projection row, so keep this wide even for
+    // modest row counts (the row-aware floor would otherwise shrink it)
+    val side = graft.operators.Spread.byKeyWeighted(
       df.select(col(idCol).as("id"), col(strCol).as("s"), blockBy.as("blk")),
-      col("blk"))
+      32L, col("blk"))
     val a = side.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
     val b = side.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("blk"))

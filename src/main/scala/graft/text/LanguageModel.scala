@@ -30,7 +30,7 @@ object LanguageModel {
     * engines and cluster sizes. More negative = less probable. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val tok = graft.operators.Spread.wideScan(docs)
+    val tok = graft.operators.Spread.wideScan(docs, weight = 48L)
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
@@ -65,7 +65,7 @@ object LanguageModel {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = graft.operators.Spread.wideScan(
-        docs.where(length(trim(col(textCol))) > 0))
+        docs.where(length(trim(col(textCol))) > 0), weight = 48L)
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
     val big = tok

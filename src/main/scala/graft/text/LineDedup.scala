@@ -31,8 +31,9 @@ object LineDedup {
     * positions and round-trip through the rebuild. */
   private[text] def lines(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    graft.operators.Spread.wideScan(docs).select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
+    graft.operators.Spread.wideScan(docs, weight = 48L)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
 
   /** md5 keys of non-blank lines present in >= minDocs distinct docs. */
   private def dupKeys(ln: DataFrame, minDocs: Int): DataFrame =

@@ -28,8 +28,9 @@ object NearDup {
     // the shingle expression is the heavy per-row work of every consumer
     // pipeline; over an unsplittable one-row-group scan it would run as a
     // single task (wideScan is a conditional no-op on already-wide input)
-    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("s"))
+    graft.operators.Spread.wideScan(df, weight = 48L)
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("s"))
 
   /** Exact pairwise n-gram Jaccard ≥ threshold.
     * Result: (id_a, id_b, inter, na, nb, jaccard), id_a < id_b.
@@ -184,7 +185,7 @@ object NearDup {
     import org.apache.spark.sql.expressions.Window
     // winnow is the heavy per-doc expression here; spread the narrow scan
     // under it and pin the by-hash exchange the frequency window needs
-    val fp0 = graft.operators.Spread.wideScan(df)
+    val fp0 = graft.operators.Spread.wideScan(df, weight = 48L)
       .select(col(idCol).as("doc_id"),
         explode(TextExpressions.winnow(col(textCol), k, w)).as("h"))
     if (maxDocFreq <= 0) fp0
@@ -266,16 +267,24 @@ object NearDup {
       // ~4× reach, halving the round count on deep chains — a capped
       // mega-bucket degrades to a doc_id CHAIN (see MinHashLSH
       // candidatePairs), and each ROUND costs a checkpoint + convergence
-      // action while an extra jump is just one more small join in the
-      // same plan (exchange-reused). Measured on a 60-doc chain (the
-      // q185 planted shape, tools/CcRounds): converges at maxIter=3 with
-      // two jumps vs 6 with one.
-      val j1 = propagated.alias("p")
-        .join(propagated.select(col("id").as("label"),
+      // action. Measured on a 60-doc chain (the q185 planted shape,
+      // tools/CcRounds): converges at maxIter=3 with two jumps vs 6 with
+      // one. `propagated` and `j1` are LAZILY local-checkpointed before
+      // their self-joins (r22, ADVICE): exchange reuse dedups shuffle
+      // WRITES, not post-shuffle join stages, so without the checkpoints
+      // the propagated subtree (labels ⋈ neighborMin, itself a join over
+      // edges) planned and EXECUTED up to 4× inside each round's job —
+      // as a LogicalRDD both plan references resolve to ONE RDD, which
+      // the scheduler computes once. Lazy, so each round stays a single
+      // materialization job; released as soon as the round's eager
+      // checkpoint supersedes them.
+      val propagated1 = lazyCkpt(propagated)
+      val j1 = lazyCkpt(propagated1.alias("p")
+        .join(propagated1.select(col("id").as("label"),
           col("label").as("__ll")).alias("j"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-          col("__old"))
+          col("__old")))
       val jumped = ckpt(j1.alias("p2")
         .join(j1.select(col("id").as("label"),
           col("label").as("__l2")).alias("j2"), Seq("label"), "left")
@@ -289,6 +298,8 @@ object NearDup {
       // the superseded round's checkpoint blocks would otherwise pile up in
       // executor storage for the rest of the fixpoint (10+ rounds on a
       // deep graph), so release each frame once its successor materializes
+      releaseCheckpoint(j1)
+      releaseCheckpoint(propagated1)
       releaseCheckpoint(labels)
       labels = jumped.select("id", "label")
       it += 1
@@ -316,6 +327,22 @@ object NearDup {
     val out =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    out.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => ownCkptIds.add(lr.rdd.id)
+      case _ => ()
+    }
+    out
+  }
+
+  /** LAZY executor-local checkpoint for WITHIN-round CC intermediates: the
+    * frame is consumed more than once inside one materialization job, so a
+    * LogicalRDD (one RDD, computed once per job) replaces re-executing the
+    * subtree per plan reference — without adding a materialization job of
+    * its own. Always executor-local (these live for one round and are
+    * released right after it; losing one to executor failure just recomputes
+    * the round). Registered in [[ownCkptIds]] for release. */
+  private def lazyCkpt(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = false)
     out.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => ownCkptIds.add(lr.rdd.id)
       case _ => ()
@@ -375,9 +402,10 @@ object MinHashLSH {
     // numHashes × shingles hash evaluations per doc — the pipeline's heavy
     // map work; spread the unsplittable scan so it parallelizes (no-op on
     // already-wide input)
-    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
-      TextExpressions.minhashSignature(
-        TextAnalysis.shingles(col(textCol), n), numHashes).as("sig"))
+    graft.operators.Spread.wideScan(df, weight = 256L)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.minhashSignature(
+          TextAnalysis.shingles(col(textCol), n), numHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band hash. Bands of `rowsPerBand`
     * signature slots are hashed; a shared (band, hash) bucket → candidate.
@@ -519,8 +547,9 @@ object SimHash {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // one heavy compiled-expression pass per doc — spread the unsplittable
     // scan (conditional no-op on wide input)
-    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
-      TextExpressions.simhash(col(textCol)).as("simhash"))
+    graft.operators.Spread.wideScan(df, weight = 48L)
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.simhash(col(textCol)).as("simhash"))
 
   /** Pairs with Hamming distance ≤ maxDist, found via 16-bit band buckets
     * (any pair within distance 3 must share at least one of 4 bands).
@@ -552,9 +581,8 @@ object SimHash {
     // NOT pinned: the hamming verify is one bit_count per pair —
     // byte-proportional, so AQE's coalescing is right here (a pin A/B'd
     // ~+0.4 s at gate scale, OPTIMIZATION_r21.md)
-    val keyed = buckets
-    keyed.alias("x")
-      .join(keyed.alias("y"),
+    buckets.alias("x")
+      .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),

@@ -82,12 +82,26 @@ object PrefixFilterJoin {
     // prefix token has df >= 2 by definition)
     val prefix = graft.operators.Spread.byKey(
       ranked.where(col("p") <= prefixLen && col("df") >= 2)
-        .select("doc_id", "s", "n"), col("s"))
+        .select("doc_id", "s", "n", "p"), col("s"))
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08, r22): a matching
+    // token at ranks (p_a, p_b) bounds the pair's overlap by
+    // 1 + min(n_a − p_a, n_b − p_b) — shared tokens after this one occupy
+    // strictly later ranks on BOTH sides. For a true pair the bound holds
+    // at its globally-minimal shared token (which the size filter forces
+    // into both prefixes), so requiring bound >= minOverlap on SOME join
+    // row loses nothing; rows where only late prefix tokens match are
+    // pruned before the verify. minOverlap = ceil(t/(1+t)·(n_a+n_b))
+    // with the file's downward slack (a too-small bound only admits
+    // extra candidates for the exact verify to drop).
+    val minOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")) - lit(Eps))
     prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= lit(threshold) * col("b.n") - lit(Eps) &&
-          col("b.n") >= lit(threshold) * col("a.n") - lit(Eps))
+          col("b.n") >= lit(threshold) * col("a.n") - lit(Eps) &&
+          lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
+            >= minOverlap)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
@@ -129,15 +143,22 @@ object PrefixFilterJoin {
       col("n") - ceil(lit(threshold) * col("n") - lit(Eps)) + lit(1)
     val aPref = graft.operators.Spread.byKey(
       ranked.where(col("p") <= aPrefixLen && col("df") >= 2)
-        .select(col("doc_id").as("id_a"), col("s"), col("n").as("na")),
+        .select(col("doc_id").as("id_a"), col("s"), col("n").as("na"),
+          col("p").as("pa")),
       col("s"))
     val bAll = graft.operators.Spread.byKey(
       ranked.where(col("df") >= 2)
-        .select(col("doc_id").as("id_b"), col("s"), col("n").as("nb")),
+        .select(col("doc_id").as("id_b"), col("s"), col("n").as("nb"),
+          col("p").as("pb")),
       col("s"))
+    // one-sided positional filter (see [[candidatePairs]]): required
+    // overlap is ceil(t·n_a); the bound holds at the pair's
+    // globally-minimal shared token, which must lie in a's prefix
     aPref.join(bAll, Seq("s"))
       .where(col("id_a") =!= col("id_b") &&
-        col("nb") >= lit(threshold) * col("na") - lit(Eps))
+        col("nb") >= lit(threshold) * col("na") - lit(Eps) &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+          ceil(lit(threshold) * col("na") - lit(Eps)))
       .select("id_a", "id_b").distinct()
   }
 

@@ -26,8 +26,9 @@ object Search {
 
   /** Postings: (token, doc_id, tf), empty-string tokens dropped. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    graft.operators.Spread.wideScan(df, weight = 48L)
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"))

@@ -33,7 +33,7 @@ object SpanDedup {
   private[text] def spans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    graft.operators.Spread.wideScan(docs)
+    graft.operators.Spread.wideScan(docs, weight = 48L)
       .select(col(idCol).as("doc_id"), toks.as("__t"))
       .where(size(col("__t")) >= k)
       .select(col("doc_id"), posexplode(transform(

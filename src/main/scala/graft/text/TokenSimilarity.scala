@@ -31,8 +31,9 @@ object TokenSimilarity {
     * Tokenization is [[TextAnalysis.tokens]] — the single source of parity
     * with the DuckDB oracle's `tokensSql`. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.operators.Spread.wideScan(df).select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    graft.operators.Spread.wideScan(df, weight = 48L)
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("tok")))
 

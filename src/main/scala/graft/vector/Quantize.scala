@@ -92,14 +92,16 @@ object Quantize {
           pmod(xxhash64(col("id_a")), lit(salt)).cast("int"))
         val b = b0.withColumn("__salt",
           explode(array((0 until salt).map(lit): _*)))
-        graft.operators.Spread.byKey(a, col(k), col("__salt"))
-          .join(graft.operators.Spread.byKey(b, col(k), col("__salt")),
+        // shared pin count for both sides (see VectorOps.dupPairsFromClusters)
+        val n = graft.operators.Spread.target(a, weight = 64L)
+        a.repartition(n, col(k), col("__salt"))
+          .join(b.repartition(n, col(k), col("__salt")),
             Seq(k, "__salt"))
           .where(col("id_a") < col("id_b"))
       case None =>
         // inequality join streams side a against broadcast b — spread the
         // narrow scan so the n²/2 integer dots parallelize
-        graft.operators.Spread.wideScan(a0)
+        graft.operators.Spread.wideScan(a0, weight = 1024L)
           .join(b0, col("id_a") < col("id_b"))
     }
     joined

@@ -41,7 +41,7 @@ object VectorOps {
     // the |corpus|×|queries| scoring streams the corpus side against the
     // broadcast queries — spread the unsplittable corpus scan so the
     // quadratic stage parallelizes (no-op on wide input)
-    val c = graft.operators.Spread.wideScan(corpus)
+    val c = graft.operators.Spread.wideScan(corpus, weight = 64L)
       .withColumn("nn", norm(col("ne")))
     val scored = c.alias("c")
       .join(broadcast(q.alias("q")), col("q.qid") =!= col("c.nid"))
@@ -60,7 +60,9 @@ object VectorOps {
       threshold: Double): DataFrame = {
     // the inequality join plans as a nested-loop over the streamed `a`
     // side; spreading the unsplittable scan parallelizes the n²/2 scoring
-    val wide = graft.operators.Spread.wideScan(df)
+    // n²/2 dot products over the streamed side: per input row the CPU is
+    // ~|corpus| dots, so the weight keeps this wide even at small row counts
+    val wide = graft.operators.Spread.wideScan(df, weight = 1024L)
     val a = wide.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", norm(col("va")))
     val b = wide.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
@@ -242,8 +244,12 @@ object KMeansIvf {
     val b = adf.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", VectorOps.norm(col("vb")))
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
-    graft.operators.Spread.byKey(a, col("cluster"), col("__salt"))
-      .join(graft.operators.Spread.byKey(b, col("cluster"), col("__salt")),
+    // ONE shared pin count for both join sides (side b's explode would
+    // otherwise estimate differently and force a second exchange); the
+    // weight reflects the within-cluster quadratic scoring per input row
+    val n = graft.operators.Spread.target(a, weight = 64L)
+    a.repartition(n, col("cluster"), col("__salt"))
+      .join(b.repartition(n, col("cluster"), col("__salt")),
         Seq("cluster", "__salt"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos",
