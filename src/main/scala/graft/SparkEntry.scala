@@ -561,8 +561,11 @@ object SparkEntry {
     // §2.5/2.7 TPC-H Q18 shape: large orders via groupBy-HAVING, joined
     // back to orders + customer, deterministic top-100 tie-break.
     "q39_big_orders" -> ((s, dir) => {
-      // spread the unsplittable lineitem scan (see q2)
-      val li = graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
+      // NOT spread (r22): interleaved min-of-6 A/B'd the lineitem
+      // wideScan SLOWER here (0.89 s plain vs 1.18 s spread) — the fused
+      // scan+partial-agg feeds a broadcast chain, the same shape as the
+      // r21 q153/q160/q161 reverts
+      val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val big = li.groupBy(col("l_orderkey").as("b_key"))
@@ -2135,10 +2138,10 @@ object SparkEntry {
     "q149_tpch_q18" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("cust149")
       t(s, dir, "orders").createOrReplaceTempView("ord149")
-      // spread the unsplittable lineitem scan (guide §2.5 input skew);
-      // broadcast-join chains and partial aggs above it then parallelize
-      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("li149")
+      // NOT spread (r22): interleaved min-of-6 A/B'd the wideScan
+      // SLOWER (1.18 s plain vs 1.28 s spread) — fused scan+partial-agg
+      // into a broadcast chain, same family as the q39/q151 reverts
+      t(s, dir, "lineitem").createOrReplaceTempView("li149")
       s.sql("""
         SELECT c.c_name, c.c_custkey, o.o_orderkey,
           date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
@@ -2193,10 +2196,11 @@ object SparkEntry {
     // (sum·n_parts·10 > total·13) so only exact decimal/integer products
     // compare — no fractional literal, no division
     "q151_tpch_q11" -> ((s, dir) => {
-      // spread the unsplittable lineitem scan (guide §2.5 input skew);
-      // broadcast-join chains and partial aggs above it then parallelize
-      graft.operators.Spread.wideScan(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("li151")
+      // NOT spread (r22): interleaved min-of-6 A/B'd the wideScan
+      // SLOWER (1.27 s plain vs 1.80 s spread; the driver's r21-vs-r20
+      // runs showed the same 2.78 vs 1.35) — the agg-over-agg shape
+      // wants the fused single-pass scan
+      t(s, dir, "lineitem").createOrReplaceTempView("li151")
       s.sql("""
         SELECT l_partkey,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value

@@ -42,14 +42,33 @@ object Search {
       query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val postings = invertedIndex(df, idCol, textCol)
-      .localCheckpoint(eager = false) // reused: doc lengths + query scan
-    val docLen = postings.groupBy("doc_id")
-      .agg(sum("tf").as("dl"))
+    // r22: the full postings table is NOT built/checkpointed anymore — a
+    // query touches a handful of terms, so materializing O(corpus tokens)
+    // rows to read a few hundred back was the gates' dominant cost
+    // (QueryProf: 35 MB checkpoint written + re-read per consumer).
+    //  - doc length = per-doc token count, a narrow map over the corpus
+    //    (`tokens` is a whitespace split of the trimmed text, so a doc has
+    //    >= 1 posting iff its trimmed text is nonempty, and its dl is
+    //    exactly size(tokens)) — no explode, no shuffle;
+    //  - the query postings keep the explode, but the term filter now sits
+    //    directly under the (token, doc) aggregate (pushed through it by
+    //    Catalyst), so only matching tokens reach the index shuffle.
+    val docLen = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .localCheckpoint(eager = false) // (doc_id, dl) only — reused by
+                                      // the corpus scalars + scoring join
     // corpus scalars: one aggregated row, broadcast
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_tokens"))
-    val qPost = postings.where(col("token").isin(terms: _*))
+    // checkpoint the FILTERED postings (a few rows per matching doc), not
+    // the corpus-sized index: qPost feeds both the df aggregate and the
+    // scoring join, and without a checkpoint the tokenize/explode pass
+    // would run once per consumer
+    val qPost = invertedIndex(df, idCol, textCol)
+      .where(col("token").isin(terms: _*))
+      .localCheckpoint(eager = false)
     val dfreq = qPost.groupBy("token").agg(count(lit(1)).as("df"))
     qPost
       .join(broadcast(dfreq), "token")
@@ -149,13 +168,23 @@ object Search {
       queries.flatMap(_._2.map(_.trim.toLowerCase).filter(_.nonEmpty)).distinct
     require(allTerms.nonEmpty, "queries must contain at least one term")
 
-    val postings = invertedIndex(docs, idCol, textCol)
-      .localCheckpoint(eager = false) // reused: doc lengths + query scan
-    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // same shape as [[bm25]] (r22): doc lengths from a narrow per-doc
+    // token count, query postings filtered BELOW the index aggregate —
+    // the full postings table never materializes
+    val docLen = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .localCheckpoint(eager = false) // (doc_id, dl) only — reused by
+                                      // the corpus scalars + scoring join
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_tokens"))
-    // one postings filter for the whole batch: the union of query terms
-    val qPost = postings.where(col("token").isin(allTerms: _*))
+    // one postings filter for the whole batch: the union of query terms;
+    // checkpointed lazily (tiny) so the tokenize/explode pass runs once
+    // for its two consumers (df aggregate + scoring join)
+    val qPost = invertedIndex(docs, idCol, textCol)
+      .where(col("token").isin(allTerms: _*))
+      .localCheckpoint(eager = false)
     val dfreq = qPost.groupBy("token").agg(count(lit(1)).as("df"))
     val contrib = qPost
       .join(broadcast(dfreq), "token")

@@ -9,14 +9,21 @@ import org.apache.spark.sql.SparkSession
   * restores pin-at-cap; default = row-aware), read per Spread call, so the
   * exact same gate closures run under both floors.
   *
-  * Usage: runMain graft.tools.AbSpread <rounds> <gate names...>
+  * A third kind of arm: a HUGE rowsPerTask drives every target to 1,
+  * which for wideScan sites exactly reproduces the no-spread REVERT
+  * (passthrough) — used to re-A/B the kept lineitem wideScan family
+  * against its removal (VERDICT r21 item 2).
+  *
+  * Usage: runMain graft.tools.AbSpread <rounds> <rpt1,rpt2,...> <gates...>
   */
 object AbSpread {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rounds = args.headOption.flatMap(_.toIntOption).getOrElse(4)
-    val names = args.drop(1).toSeq
+    val variantsRpt: Seq[String] = args.lift(1)
+      .map(_.split(',').toSeq).getOrElse(Seq("32768", "-1"))
+    val names = args.drop(2).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,24 +39,27 @@ object AbSpread {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    def setVariant(rowAware: Boolean): Unit =
-      spark.conf.set("spark.graft.spread.rowsPerTask",
-        if (rowAware) "32768" else "-1")
+    def setVariant(rpt: String): Unit =
+      spark.conf.set("spark.graft.spread.rowsPerTask", rpt)
 
-    // warm both variants once
-    for (ra <- Seq(true, false); (_, fn) <- gates) { setVariant(ra); timeOne(fn) }
-    val t = scala.collection.mutable.Map[(String, Boolean), List[Double]]()
+    // warm every variant once
+    for (v <- variantsRpt; (_, fn) <- gates) { setVariant(v); timeOne(fn) }
+    val t = scala.collection.mutable.Map[(String, String), List[Double]]()
       .withDefaultValue(Nil)
-    for (_ <- 1 to rounds; (name, fn) <- gates; ra <- Seq(true, false)) {
-      setVariant(ra)
-      t((name, ra)) = timeOne(fn) :: t((name, ra))
+    // rotate the variant order each round: a fixed order hands the later
+    // variant a warmer JIT/page cache (measured ~10-20% on this host)
+    for (r <- 1 to rounds; (name, fn) <- gates;
+        v <- variantsRpt.drop(r % variantsRpt.size) ++
+          variantsRpt.take(r % variantsRpt.size)) {
+      setVariant(v)
+      t((name, v)) = timeOne(fn) :: t((name, v))
     }
-    println("gate,rowaware_min,pincap_min,delta,ra_runs,cap_runs")
+    println("gate," + variantsRpt.map(v => s"min@$v").mkString(",") + ",runs")
     for ((name, _) <- gates) {
-      val a = t((name, true)).min; val b = t((name, false)).min
-      println(f"$name,$a%.3f,$b%.3f,${a - b}%+.3f," +
-        t((name, true)).reverse.map(x => f"$x%.2f").mkString("|") + "," +
-        t((name, false)).reverse.map(x => f"$x%.2f").mkString("|"))
+      val mins = variantsRpt.map(v => t((name, v)).min)
+      println(f"$name," + mins.map(m => f"$m%.3f").mkString(",") + "," +
+        variantsRpt.map(v =>
+          t((name, v)).reverse.map(x => f"$x%.2f").mkString("|")).mkString(";"))
     }
     spark.stop()
   }

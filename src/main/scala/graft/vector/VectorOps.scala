@@ -203,6 +203,14 @@ object KMeansIvf {
       val assigned = df.select(
         VectorExpressions.nearestCentroid(col(vecCol), centroids).as("cluster"),
         col(vecCol).as("v"))
+      // NOTE (r22): a dims-wide single-aggregate rewrite (64 decimal sum
+      // columns grouped by cluster, no posexplode) was A/B'd HERE and
+      // reverted — every train-using gate regressed ~0.7-0.8 s on a full
+      // bench run (q57/q93/q157/q42), consistent with per-iteration
+      // whole-stage-codegen compilation of the wide aggregate: each
+      // Lloyd's round plans a FRESH query (new centroid literals), so
+      // codegen cost recurs per round and dwarfs the small shuffle this
+      // removed. The posexplode shape keeps the generated class small.
       val sums = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
