@@ -182,8 +182,19 @@ object BloomPrune {
       if (numBits != AutoBits) {
         factW.where(mightContain(build(dim, dimKey, numBits, numHashes), col(factKey)))
       } else {
-        val distinctKeys = dim.where(col(dimKey).isNotNull)
-          .agg(approx_count_distinct(col(dimKey))).head().getLong(0)
+        // sizing statistic: when Catalyst knows the dim's EXACT row count
+        // at plan time (Range/LocalRelation leaves), skip the
+        // approx_count_distinct pass over the dim — row count is an upper
+        // bound on distinct keys, and oversizing a bloom only lowers its
+        // FP rate (the clamp check just switches to the native sketch
+        // sooner). Relations without a plan-time count (parquet scans,
+        // filters, joins) keep the measured pass.
+        val statsCount = (try dim.queryExecution.optimizedPlan.stats.rowCount
+          catch { case scala.util.control.NonFatal(_) => None })
+          .map(_.min(BigInt(Long.MaxValue / 32)).toLong) // ×10 headroom below
+        val distinctKeys = statsCount.getOrElse(
+          dim.where(col(dimKey).isNotNull)
+            .agg(approx_count_distinct(col(dimKey))).head().getLong(0))
         if (wouldClamp(distinctKeys, literalBitsCap))
           factW.where(mightContainNative(
             buildNative(dim, dimKey, distinctKeys, distinctKeys * 10L),
